@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet star schema (TESTDATA.md).
+  *
+  * All graft operators read these tables lazily; filters/projections applied
+  * downstream reach the parquet scan via Catalyst pushdown, so a query that
+  * touches 2 columns of `lineitem` only reads 2 column chunks — the property
+  * that keeps a 100 TB scan bounded by the columns actually used.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Small dimension tables that should always be broadcast in joins. */
+  val broadcastable: Set[String] = Set("region", "nation", "supplier", "part", "customer")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Register every table as a temp view so `spark.sql` works against a scale dir. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

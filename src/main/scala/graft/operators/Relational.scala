@@ -1,0 +1,357 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational/dataflow operators (SURVEY.md §2.3–§2.6) expressed
+  * Spark-first: declarative DataFrame plans so Catalyst handles pushdown,
+  * pruning, join strategy, and AQE. Every query here has a DuckDB oracle.
+  *
+  * Scale notes (100 TB posture):
+  *  - dimension joins are explicitly `broadcast()` — no shuffle of the fact
+  *    table for nation/region/customer-sized sides;
+  *  - aggregates are partial+final automatically (map-side combine);
+  *  - sorts ride Spark's RangePartitioner (TeraSort — SURVEY §2.4);
+  *  - all float outputs are rounded so results are reproducible across
+  *    partition orders (sum-of-doubles is order-sensitive otherwise).
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1-shaped pricing summary: partial+final agg, tiny result.
+    * Mirrors dislib's partial-sum/merge pattern (kmeans/base.py:189-199). */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Filter + projection — both must reach the parquet scan (PushedFilters). */
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") < lit("1995-06-01").cast("timestamp")
+        && col("l_quantity") >= 10 && col("l_quantity") <= 20
+        && col("l_discount") > 0.05)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Global top-k: orderBy+limit → Spark plans TakeOrderedAndProject
+    * (no full sort, per-partition heaps). */
+  def topK(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  /** Multi-column global sort with limit (TeraSort path — SURVEY §2.4). */
+  def sortMulti(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+      .orderBy(col("l_returnflag").desc, col("l_quantity").asc,
+        col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(500)
+
+  /** Positional slice (ds-array `A[i:j]` parity, array.py:124-160): total
+    * order + offset/limit. */
+  def slice(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+      .offset(100).limit(50)
+
+  def distinctKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_returnflag", "l_linestatus").distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def countDistinctKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+
+  /** Star join: fact × 4 broadcast dims → revenue per region/nation.
+    * At 100 TB the fact table never shuffles: every dim side is broadcast. */
+  def starJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Left-semi join (EXISTS): orders that have a high-discount line. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val hi = Tables.lineitem(spark, dir).filter(col("l_discount") > 0.09)
+      .select(col("l_orderkey"))
+    o.join(hi, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no orders, by segment. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  def groupByHaving(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_lines"), round(sum("l_quantity"), 2).as("total_qty"))
+      .filter(col("n_lines") > 25)
+      .orderBy("l_partkey")
+
+  /** Per-group top-k via window row_number (the k-NN merge shape,
+    * neighbors/base.py:186-201 → Window.partitionBy.orderBy). */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("totalprice"))
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  /** Running (prefix) aggregate per key — cumulative frame. */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("running_spend", round(sum("o_totalprice").over(w), 2))
+      .withColumn("order_rank", row_number().over(
+        Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)))
+      .select("o_custkey", "order_rank", "o_orderkey", "running_spend")
+      .orderBy("o_custkey", "order_rank")
+  }
+
+  /** Elementwise math (ds-array `+ - * / ** exp log sqrt`, array.py:206-407):
+    * codegen'd column expressions, never UDFs. */
+  def elementwise(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        // 6, not fewer: the true value has exactly 6 decimal digits
+        // (2+2+2), so rounding at >=6 is exact in every engine while
+        // rounding at 4 lands on .50 ties that HALF_UP vs HALF_EVEN split.
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("charge"),
+        round(log(col("l_extendedprice")), 4).as("log_price"),
+        round(sqrt(col("l_quantity")), 4).as("sqrt_qty"),
+        round(exp(col("l_discount")), 4).as("exp_disc"),
+        round(pow(col("l_quantity"), 2), 2).as("qty_sq"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Whole-array reductions per axis (array.py:1100-1208): min/max/sum/mean/
+    * median in one pass (median = exact sort-based percentile, as dislib's). */
+  def reduceStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(min("l_quantity"), 2).as("min_qty"),
+        round(max("l_quantity"), 2).as("max_qty"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(avg("l_quantity"), 4).as("mean_qty"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Exact quantiles (sort-based, dislib median parity array.py:1190). */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+
+  /** Correlation / covariance (the scatter-matrix cell of PCA §2.5). */
+  def corrCov(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
+        round(covar_samp("l_quantity", "l_extendedprice"), 4).as("cov_qty_price"),
+        round(covar_samp("l_discount", "l_tax"), 8).as("cov_disc_tax"))
+
+  /** Closed-form simple OLS (LinearRegression normal-equations path,
+    * regression/linear/base.py:274-328) via built-in regr_* aggregates. */
+  def linregSimple(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+
+  /** Row-pairing union (concat_rows, array.py:2054-2228). */
+  def concatRows(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val lo = li.filter(col("l_quantity") < 10)
+      .select(col("l_orderkey"), col("l_linenumber"), lit("low").as("band"))
+    val hi = li.filter(col("l_quantity") >= 40)
+      .select(col("l_orderkey"), col("l_linenumber"), lit("high").as("band"))
+    lo.unionAll(hi).groupBy("band").agg(count(lit(1)).as("n")).orderBy("band")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_pricing_summary" -> (pricingSummary _),
+    "q_filter_project" -> (filterProject _),
+    "q_topk" -> (topK _),
+    "q_sort_multi" -> (sortMulti _),
+    "q_slice" -> (slice _),
+    "q_distinct" -> (distinctKeys _),
+    "q_count_distinct" -> (countDistinctKeys _),
+    "q_star_join" -> (starJoin _),
+    "q_semi_join" -> (semiJoin _),
+    "q_anti_join" -> (antiJoin _),
+    "q_groupby_having" -> (groupByHaving _),
+    "q_window_rank" -> (windowRank _),
+    "q_window_running" -> (windowRunning _),
+    "q_elementwise" -> (elementwise _),
+    "q_reduce_stats" -> (reduceStats _),
+    "q_quantiles" -> (quantiles _),
+    "q_corr_cov" -> (corrCov _),
+    "q_linreg_simple" -> (linregSimple _),
+    "q_concat_rows" -> (concatRows _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1995-06-01'
+        |  AND l_quantity BETWEEN 10 AND 20 AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "q_sort_multi" ->
+      """SELECT l_returnflag, l_quantity, l_orderkey, l_linenumber FROM lineitem
+        |ORDER BY l_returnflag DESC, l_quantity, l_orderkey, l_linenumber LIMIT 500""".stripMargin,
+    "q_slice" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 50 OFFSET 100""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_count_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(DISTINCT l_orderkey) AS n_orders FROM lineitem""".stripMargin,
+    "q_star_join" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_discount > 0.09)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_groupby_having" ->
+      """SELECT l_partkey, count(*) AS n_lines, round(sum(l_quantity), 2) AS total_qty
+        |FROM lineitem GROUP BY l_partkey HAVING count(*) > 25 ORDER BY l_partkey""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_orderpriority, rn, o_orderkey, totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey,
+        |  row_number() OVER w AS order_rank, o_orderkey,
+        |  round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, order_rank""".stripMargin,
+    "q_elementwise" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge,
+        |  round(ln(l_extendedprice), 4) AS log_price,
+        |  round(sqrt(l_quantity), 4) AS sqrt_qty,
+        |  round(exp(l_discount), 4) AS exp_disc,
+        |  round(pow(l_quantity, 2), 2) AS qty_sq
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_reduce_stats" ->
+      """SELECT l_returnflag,
+        |  round(min(l_quantity), 2) AS min_qty,
+        |  round(max(l_quantity), 2) AS max_qty,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(avg(l_quantity), 4) AS mean_qty,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_quantiles" ->
+      """SELECT
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem""".stripMargin,
+    "q_corr_cov" ->
+      """SELECT
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+        |  round(covar_samp(l_discount, l_tax), 8) AS cov_disc_tax
+        |FROM lineitem""".stripMargin,
+    "q_linreg_simple" ->
+      """SELECT
+        |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  regr_count(l_extendedprice, l_quantity) AS n
+        |FROM lineitem""".stripMargin,
+    "q_concat_rows" ->
+      """SELECT band, count(*) AS n FROM (
+        |  SELECT l_orderkey, l_linenumber, 'low' AS band FROM lineitem WHERE l_quantity < 10
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'high' AS band FROM lineitem WHERE l_quantity >= 40
+        |) t GROUP BY band ORDER BY band""".stripMargin
+  )
+}

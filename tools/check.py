@@ -1,0 +1,46 @@
+#!/usr/bin/env python3
+"""Dev-side replica of the driver's DuckDB correctness gate.
+Usage: check.py <sfDir> <verifyOutDir>"""
+import sys, json, glob, math
+import duckdb, pyarrow.parquet as pq
+
+sf, out = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        return v
+    if hasattr(v, "isoformat"): return v.isoformat()
+    if isinstance(v, bytes): return v.hex()
+    if isinstance(v, list): return tuple(norm(x) for x in v)
+    return v
+
+ok = fail = 0
+for name, sql in sorted(oracle.items()):
+    files = glob.glob(f"{out}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output"); fail += 1; continue
+    try:
+        got = pq.read_table(files[0])
+        exp = con.execute(sql).fetch_arrow_table()
+    except Exception as e:
+        print(f"FAIL {name}: {e}"); fail += 1; continue
+    gcols, ecols = sorted(got.column_names), sorted(exp.column_names)
+    if gcols != ecols:
+        print(f"FAIL {name}: columns {gcols} vs {ecols}"); fail += 1; continue
+    grows = sorted([tuple(norm(r[c]) for c in gcols) for r in got.to_pylist()])
+    erows = sorted([tuple(norm(r[c]) for c in ecols) for r in exp.to_pylist()])
+    if len(grows) != len(erows):
+        print(f"FAIL {name}: rows {len(grows)} vs {len(erows)}"); fail += 1; continue
+    bad = [(g, e) for g, e in zip(grows, erows) if g != e]
+    if bad:
+        print(f"FAIL {name}: {len(bad)}/{len(grows)} rows differ; first: {bad[0][0]} vs {bad[0][1]}")
+        fail += 1
+    else:
+        print(f"ok   {name} ({len(grows)} rows)"); ok += 1
+print(f"== {ok} ok, {fail} fail, {len(oracle)} total ==")
+sys.exit(1 if fail else 0)
