@@ -18,8 +18,10 @@ object SparkEntry {
     Relational.starJoin(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
+      Similarity.queries ++ Events.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracles
+    Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
+      Similarity.oracles ++ Events.oracles
 }

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated parquet star schema (TESTDATA.md).
   *
@@ -27,11 +29,23 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
+    * raw long (legacy.parquet.nanosAsLong — set in every session builder).
+    * Truncate to microseconds exactly as DuckDB does when loading nanos
+    * into its µs TIMESTAMP, so both engines see identical instants. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = load(spark, dir, "events")
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
   /** Register every table as a temp view so `spark.sql` works against a scale dir. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

@@ -1,0 +1,203 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` / `embeddings` — exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup
+  * (BASELINE.json training-data-pipeline extensions; absent from the
+  * reference, SURVEY.md §2.5 "distinct: none").
+  *
+  * All hashes are engine-portable (md5-derived, [[graft.functions.TextFns]])
+  * so even the MinHash/SimHash pipelines are bit-checkable against DuckDB.
+  *
+  * Scale notes (100 TB):
+  *  - exact dedup = one hash-shuffle on the normalized-text digest;
+  *  - MinHash: signatures are computed in the scan stage (explode + groupBy
+  *    on doc_id is map-local after the scan partitioner — one shuffle),
+  *    candidate generation joins on (band, bandHash) — only near-dups
+  *    collide, so the join fan-out stays tiny;
+  *  - n-gram Jaccard uses an inverted-index self-join (never all-pairs);
+  *    for web-scale corpora add a shingle document-frequency cap to bound
+  *    hot-shingle fan-out (semantics knob, off here to match the oracle);
+  *  - embedding near-dup blocks on `label` (the IVF-style coarse quantizer
+  *    column) — all-pairs only within a block.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
+  private def shinglesDf(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), wordShingles(tokens(col("text")), 3).as("sh"))
+  /** Shingle-set SQL over a pre-split word array column `w` (computing the
+    * split once in a subquery keeps the oracle from re-running the regexp
+    * per index access). */
+  private val shinglesSql = wordShinglesSql("w", 3)
+  private val wordsSubquery = s"(SELECT doc_id, $wordsSql AS w FROM documents)"
+
+  /** Exact dedup on normalized text (lower+trim), summarized per source. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(lower(trim(col("text"))))).as("n_unique"))
+      .withColumn("n_dupes", col("n_docs") - col("n_unique"))
+      .orderBy("source")
+
+  /** Near-dup pairs by exact word-3-gram Jaccard >= 0.8 via inverted-index
+    * self-join (shingle equi-join, count shared, join back set sizes). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shinglesDf(spark, dir).cache()
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sz = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    inter
+      .join(sz.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sz.as("y"), col("doc_b") === col("y.doc_id"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("x.n") + col("y.n") - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash signature matrix (16 perms) → LSH banding (4 bands × 4 rows)
+    * → candidate pairs sharing a band → exact-Jaccard filter >= 0.5. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shinglesDf(spark, dir).cache()
+    val hs = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), pmod(hash56(col("s")), lit(MinhashP)).as("h"))
+    val sigCols = (0 until NumPerms).map(i =>
+      min((lit(permA(i)) * col("h") + lit(permB(i))) % lit(MinhashP)).as(s"m$i"))
+    val sig = hs.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val nBands = NumPerms / BandRows
+    val bands = sig.select(col("doc_id"), posexplode(array(
+      (0 until nBands).map(b => md5(concat_ws(",",
+        (0 until BandRows).map(r => col(s"m${b * BandRows + r}")): _*))): _*)))
+      .toDF("doc_id", "band", "bh")
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Per-document 56-bit SimHash over frequency-weighted tokens. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .select(col("doc_id"), hash56(col("w")).as("h"))
+    val bitCols = (0 until 56).map(b =>
+      sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1)).as(s"b$b"))
+    val bitSums = toks.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+    val sim = (0 until 56).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    bitSums.select(col("doc_id"), sim.as("simhash")).orderBy("doc_id")
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by `label` (coarse cluster):
+    * within-block all-pairs cosine >= 0.35. */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm",
+        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (s, x) => s + x)))
+    val cos = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+      lit(0.0), (s, x) => s + x) / (col("a.nrm") * col("b.nrm"))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", cos)
+      .filter(col("cosine") >= 0.35)
+      .select(col("a.label").as("label"), col("a.vec_id").as("vec_a"),
+        col("b.vec_id").as("vec_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("label", "vec_a", "vec_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_exact" -> (exact _),
+    "q_dedup_ngram_jaccard" -> (ngramJaccard _),
+    "q_dedup_minhash_lsh" -> (minhashLsh _),
+    "q_dedup_simhash" -> (simhash _),
+    "q_dedup_embedding" -> (embeddingNearDup _))
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(lower(trim(text)))) AS n_unique,
+        |  count(*) - count(DISTINCT md5(lower(trim(text)))) AS n_dupes
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH sh AS (SELECT doc_id, $shinglesSql AS s FROM $wordsSubquery),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, len(s) AS n FROM sh)
+         |SELECT doc_a, doc_b,
+         |  round(inter::DOUBLE / (x.n + y.n - inter), 6) AS jaccard
+         |FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+         |WHERE inter::DOUBLE / (x.n + y.n - inter) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_minhash_lsh" -> {
+      val sigCols = (0 until NumPerms).map(i =>
+        s"min((${permA(i)}::BIGINT * h + ${permB(i)}) % $MinhashP) AS m$i").mkString(",\n    ")
+      val nBands = NumPerms / BandRows
+      val bandRows = (0 until nBands).map { b =>
+        val cat = (0 until BandRows).map(r => s"m${b * BandRows + r}::VARCHAR")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sig"
+      }.mkString("\n    UNION ALL ")
+      s"""WITH sh AS (SELECT doc_id, $shinglesSql AS s FROM $wordsSubquery),
+         |hs AS (SELECT doc_id, ${hash56Sql("g")} % $MinhashP AS h
+         |  FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+         |sig AS (SELECT doc_id, $sigCols FROM hs GROUP BY doc_id),
+         |bands AS ($bandRows),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  round(len(list_intersect(x.s, y.s))::DOUBLE
+         |    / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
+         |FROM cand JOIN sh x ON doc_a = x.doc_id JOIN sh y ON doc_b = y.doc_id
+         |WHERE len(list_intersect(x.s, y.s))::DOUBLE
+         |    / len(list_distinct(list_concat(x.s, y.s))) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "q_dedup_simhash" -> {
+      val bitSums = (0 until 56).map(b =>
+        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(",\n    ")
+      val sim = (0 until 56).map(b =>
+        s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+      s"""WITH toks AS (SELECT doc_id, ${hash56Sql("w")} AS h
+         |  FROM (SELECT doc_id, unnest($wordsSql) AS w FROM documents)),
+         |bs AS (SELECT doc_id, $bitSums FROM toks GROUP BY doc_id)
+         |SELECT doc_id, $sim AS simhash FROM bs ORDER BY doc_id""".stripMargin
+    },
+    "q_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+        |SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
+        |    / (a.nrm * b.nrm), 6) AS cosine
+        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
+        |    / (a.nrm * b.nrm) >= 0.35
+        |ORDER BY label, vec_a, vec_b""".stripMargin)
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time operators over the `events` table: tumbling windows,
+  * gap-based sessionization, JSON prop extraction, and an as-of join —
+  * the batch semantics behind graft.streaming (SURVEY.md §2.11: absent
+  * from the reference, green-field extension).
+  *
+  * Scale: window aggs shuffle once on (window, key); sessionization
+  * shuffles once on user_id then runs a linear per-partition pass (lag +
+  * running sum) — the same state layout Structured Streaming keeps per key.
+  */
+object Events {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tumbling 10-minute windows per event_type (epoch-aligned starts). */
+  def tumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      // timestamp_ntz output: UTC wall-time, comparable to DuckDB's naive ts
+      .select(col("w.start").cast("timestamp_ntz").as("wstart"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("wstart", "event_type")
+
+  /** Gap-based sessions (30-min inactivity): per-user session stats.
+    * new-session flag via lag, session id via running sum — microsecond
+    * precision on the gap compare. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val e = Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_id", sum("new_s").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    e.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n").as("n_events"),
+        max("n").as("max_session_events"),
+        round(avg("n"), 4).as("avg_session_events"))
+      .orderBy("user_id")
+  }
+
+  /** JSON property extraction + aggregate (props is a JSON string). */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        round(avg("k"), 4).as("avg_k"))
+      .orderBy("event_type")
+
+  /** As-of join: for each purchase, the user's most recent strictly-prior
+    * click timestamp (the classic point-in-time lookup; absent from both
+    * the reference and vanilla Spark — composed here from an IGNORE NULLS
+    * last_value over a preceding frame, one shuffle on user_id). */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .withColumn("last_click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        col("last_click_ts").cast("timestamp_ntz").as("last_click_ts"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_events_window" -> (tumblingWindow _),
+    "q_events_session" -> (sessionize _),
+    "q_events_json" -> (jsonProps _),
+    "q_asof_join" -> (asofJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "q_events_window" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', ts) AS wstart, event_type,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_events_session" ->
+      """WITH l AS (SELECT user_id, event_id, ts,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |s AS (SELECT user_id, event_id,
+        |    sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM l),
+        |g AS (SELECT user_id, session_id, count(*) AS n FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions, sum(n) AS n_events,
+        |  max(n) AS max_session_events, round(avg(n), 4) AS avg_session_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_events_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+        |  round(avg(json_extract_string(props, '$.k')::BIGINT), 4) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_asof_join" ->
+      """SELECT event_id, user_id, ts, last_click_ts FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+        |  FROM events)
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)
+}
