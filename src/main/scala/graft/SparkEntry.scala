@@ -19,9 +19,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries ++ Events.queries
+      Similarity.queries ++ Events.queries ++ graft.ml.MlQueries.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ Events.oracles
+      Similarity.oracles ++ Events.oracles ++ graft.ml.MlQueries.oracles
 }

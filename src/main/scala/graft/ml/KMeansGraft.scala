@@ -1,0 +1,126 @@
+package graft.ml
+
+import graft.Tables
+import graft.functions.VectorFns._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's KMeans, DataFrame-first (reference semantics:
+  * dislib/cluster/kmeans/base.py:23-216 — per-block partial sum/count,
+  * arity-merge, per-iteration driver sync; our merge tree is Spark's
+  * partial aggregation, the per-iteration collect of k×dim doubles is the
+  * same barrier dislib takes at compss_wait_on, SURVEY.md §3.1).
+  *
+  * Design for 100 TB: assignment is a codegen'd unrolled expression chain
+  * (no UDF), the update is a groupBy over k groups (map-side partial agg →
+  * k·dim doubles cross the wire per iteration); the input should be cached
+  * by the caller — each iteration is exactly one scan.
+  *
+  * Determinism contract (shared with the DuckDB oracle): init = first k
+  * rows ordered by id; distances are left-associated (v[i]-c_i)² chains
+  * (bit-identical across engines for identical centers); assignment ties
+  * break on cluster index; centers are rounded to 6 decimals per
+  * iteration; empty clusters keep their previous center.
+  */
+object KMeansGraft {
+
+  final case class Model(centers: Array[Array[Double]]) {
+    def k: Int = centers.length
+
+    /** struct(dist, idx) per center; `least` = lexicographic argmin. */
+    private def best(v: Column): Column =
+      least(centers.zipWithIndex.map { case (c, i) =>
+        struct(sqDistToConst(v, c).as("d"), lit(i).as("i"))
+      }: _*)
+
+    def assignCol(v: Column): Column = best(v).getField("i")
+    def distCol(v: Column): Column = best(v).getField("d")
+
+    def centerNorm(i: Int): Double =
+      math.sqrt(centers(i).map(x => x * x).sum)
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Fit on an array<double> column; init = first k rows by `idCol`. */
+  def fit(df: DataFrame, vCol: String, idCol: String, k: Int, maxIter: Int): Model = {
+    val dim = df.select(size(col(vCol))).head().getInt(0)
+    val init = df.orderBy(idCol).limit(k).select(vCol).collect()
+      .map(_.getSeq[Double](0).toArray.map(round6))
+    var model = Model(init)
+    val aggCols = (0 until dim).map(i => avg(element_at(col(vCol), i + 1)).as(s"c$i"))
+    for (_ <- 0 until maxIter) {
+      val updated = df.withColumn("cluster", model.assignCol(col(vCol)))
+        .groupBy("cluster").agg(aggCols.head, aggCols.tail: _*)
+        .collect()
+        .map(r => r.getInt(0) -> (0 until dim).map(i => round6(r.getDouble(i + 1))).toArray)
+        .toMap
+      model = Model(Array.tabulate(k)(i => updated.getOrElse(i, model.centers(i))))
+    }
+    model
+  }
+
+  val K = 8
+  val Iters = 3
+
+  /** Gate query: fit on `embeddings`, emit per-cluster size, center norm,
+    * and mean point-to-center distance. */
+  def query(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v")).cache()
+    val model = fit(pts, "v", "vec_id", K, Iters)
+    val norms = model.centers.indices
+      .map(i => (i, BigDecimal(model.centerNorm(i))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    val normCol = norms.foldRight(lit(Double.NaN): Column) { case ((i, n), acc) =>
+      when(col("cluster") === i, lit(n)).otherwise(acc)
+    }
+    pts.withColumn("s", least(model.centers.zipWithIndex.map { case (c, i) =>
+        struct(sqDistToConst(col("v"), c).as("d"), lit(i).as("i"))
+      }: _*))
+      .select(col("s.i").as("cluster"), col("s.d").as("d"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_points"), round(avg("d"), 6).as("avg_dist"))
+      .withColumn("center_norm", normCol)
+      .select(col("cluster"), col("n_points"), col("center_norm"), col("avg_dist"))
+      .orderBy("cluster")
+  }
+
+  /** DuckDB oracle: the same 3 Lloyd iterations unrolled as CTEs. */
+  def oracle: String = {
+    val dim = 64
+    def chain(p: String, c: String): String =
+      (1 to dim).map(i => s"($p[$i]-$c[$i])*($p[$i]-$c[$i])").mkString(" + ")
+    def assign(name: String, cprev: String): String =
+      s"""$name AS (SELECT vec_id, v, cl, d FROM (
+         |  SELECT p.vec_id, p.v, c.cl, ${chain("p.v", "c.v")} AS d,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY ${chain("p.v", "c.v")} ASC, c.cl ASC) AS rn
+         |  FROM pts p CROSS JOIN $cprev c) WHERE rn = 1)""".stripMargin
+    def update(name: String, aprev: String, cprev: String): String =
+      s"""${name}l AS (SELECT cl, list(x ORDER BY i) AS v FROM (
+         |  SELECT cl, i, round(avg(v[i]), 6) AS x
+         |  FROM $aprev CROSS JOIN generate_series(1, $dim) g(i)
+         |  GROUP BY cl, i) GROUP BY cl),
+         |$name AS (SELECT c.cl, coalesce(n.v, c.v) AS v
+         |  FROM $cprev c LEFT JOIN ${name}l n ON c.cl = n.cl)""".stripMargin
+    val iters = (1 to Iters).map { t =>
+      val (ap, cp, cn) = (s"a$t", if (t == 1) "c0" else s"c${t - 1}", s"c$t")
+      assign(ap, cp) + ",\n" + update(cn, ap, cp)
+    }.mkString(",\n")
+    val normChain = (1 to dim).map(i => s"v[$i]*v[$i]").mkString(" + ")
+    s"""WITH pts AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl,
+       |    list_transform(v, x -> round(x, 6)) AS v
+       |  FROM pts ORDER BY vec_id LIMIT $K),
+       |$iters,
+       |${assign("af", s"c$Iters")}
+       |SELECT af.cl AS cluster, count(*) AS n_points,
+       |  any_value(cn.nrm) AS center_norm, round(avg(af.d), 6) AS avg_dist
+       |FROM af JOIN (SELECT cl, round(sqrt($normChain), 4) AS nrm FROM c$Iters) cn
+       |  ON af.cl = cn.cl
+       |GROUP BY af.cl ORDER BY cluster""".stripMargin
+  }
+}
