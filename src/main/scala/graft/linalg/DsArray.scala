@@ -1,0 +1,172 @@
+package graft.linalg
+
+import breeze.linalg.{DenseMatrix => BDM}
+import org.apache.spark.SparkContext
+import org.apache.spark.mllib.linalg.{DenseMatrix, Matrices, Matrix}
+import org.apache.spark.mllib.linalg.distributed.{BlockMatrix, IndexedRow, IndexedRowMatrix}
+import org.apache.spark.rdd.RDD
+
+/** Dense block-partitioned 2-D array — the Spark-native ds-array
+  * (reference: dislib/data/array.py:18-73; same tiled model as
+  * `BlockMatrix`, which is why the facade is thin).
+  *
+  * Blocks are `rowsPerBlock × colsPerBlock` tiles in an RDD keyed by grid
+  * position — identical to dislib's `_blocks` grid of futures, with the
+  * Spark scheduler playing COMPSs' role. All bulk ops delegate to
+  * BlockMatrix (shuffle-aware blocked GEMM, add, transpose) or map
+  * per-block Breeze kernels — the "local NumPy kernel inside a task"
+  * pattern of the reference (SURVEY.md §4).
+  *
+  * Scale: matmul shuffles each block O(grid) times (Spark's replicating
+  * GEMM); choose block sizes ~a few thousand square so tiles are
+  * BLAS-efficient but fit executor memory at 1000-executor scale.
+  */
+final class DsArray(val bm: BlockMatrix) {
+  def rows: Long = bm.numRows()
+  def cols: Long = bm.numCols()
+  def blockSize: (Int, Int) = (bm.rowsPerBlock, bm.colsPerBlock)
+
+  def +(o: DsArray): DsArray = new DsArray(bm.add(o.bm))
+  def -(o: DsArray): DsArray = new DsArray(bm.subtract(o.bm))
+
+  /** Blocked GEMM (reference: array.py:92-122 __matmul__). */
+  def %*%(o: DsArray): DsArray = new DsArray(bm.multiply(o.bm))
+
+  def transpose: DsArray = new DsArray(bm.transpose)
+
+  /** Per-block elementwise map (reference: array.py:206-407 scalar ops /
+    * _apply_elementwise). Runs as one narrow stage — no shuffle. */
+  def mapBlocks(f: Double => Double): DsArray = {
+    val mapped = bm.blocks.mapValues { m =>
+      Matrices.dense(m.numRows, m.numCols, m.toArray.map(f)): Matrix
+    }
+    new DsArray(new BlockMatrix(mapped, bm.rowsPerBlock, bm.colsPerBlock,
+      bm.numRows(), bm.numCols()))
+  }
+
+  def *(s: Double): DsArray = mapBlocks(_ * s)
+  def +(s: Double): DsArray = mapBlocks(_ + s)
+
+  /** Change the block grid (reference: array.py:1228-1246 rechunk). */
+  def rechunk(rowsPerBlock: Int, colsPerBlock: Int): DsArray =
+    DsArray.fromIndexedRows(toIndexedRowMatrix.rows, rows, cols,
+      rowsPerBlock, colsPerBlock)
+
+  def toIndexedRowMatrix: IndexedRowMatrix = bm.toIndexedRowMatrix()
+
+  /** Driver-side materialization (reference: array.py:1263-1287 collect). */
+  def collect(): BDM[Double] = {
+    val local = bm.toLocalMatrix()
+    new BDM(local.numRows, local.numCols, local.toArray)
+  }
+
+  def cache(): DsArray = { bm.cache(); this }
+}
+
+object DsArray {
+  /** Build from an RDD of (rowIndex, values) — the loader surface. */
+  def fromIndexedRows(rdd: RDD[IndexedRow], nRows: Long, nCols: Long,
+      rowsPerBlock: Int, colsPerBlock: Int): DsArray =
+    new DsArray(new IndexedRowMatrix(rdd, nRows, nCols.toInt)
+      .toBlockMatrix(rowsPerBlock, colsPerBlock))
+
+  /** Local Breeze matrix → DsArray (reference: array.py:1361-1412). */
+  def fromBreeze(sc: SparkContext, m: BDM[Double],
+      rowsPerBlock: Int, colsPerBlock: Int): DsArray = {
+    val rows = (0 until m.rows).map(i =>
+      IndexedRow(i, org.apache.spark.mllib.linalg.Vectors.dense(m(i, ::).t.toArray)))
+    fromIndexedRows(sc.parallelize(rows), m.rows, m.cols, rowsPerBlock, colsPerBlock)
+  }
+
+  /** Seeded uniform random array (reference: array.py:1413-1436) —
+    * deterministic per (seed, blockIndex), generated distributedly. */
+  def random(sc: SparkContext, nRows: Int, nCols: Int,
+      rowsPerBlock: Int, colsPerBlock: Int, seed: Long): DsArray = {
+    val grid = for {
+      bi <- 0 until (nRows + rowsPerBlock - 1) / rowsPerBlock
+      bj <- 0 until (nCols + colsPerBlock - 1) / colsPerBlock
+    } yield (bi, bj)
+    val blocks = sc.parallelize(grid).map { case (bi, bj) =>
+      val r = math.min(rowsPerBlock, nRows - bi * rowsPerBlock)
+      val c = math.min(colsPerBlock, nCols - bj * colsPerBlock)
+      val rng = new java.util.Random(seed ^ (bi.toLong << 32) ^ bj.toLong)
+      ((bi, bj), Matrices.dense(r, c, Array.fill(r * c)(rng.nextDouble())): Matrix)
+    }
+    new DsArray(new BlockMatrix(blocks, rowsPerBlock, colsPerBlock, nRows, nCols))
+  }
+
+  /** Identity (reference: array.py:1437-1511) — diagonal tiles only are
+    * nonzero; generated per-block with no data movement. */
+  def eye(sc: SparkContext, n: Int, blockSize: Int): DsArray =
+    full(sc, n, n, blockSize, blockSize, 0.0).mapBlocksIndexed { (bi, bj, m) =>
+      if (bi != bj) m
+      else {
+        val a = m.toArray.clone()
+        val rows = m.numRows
+        var i = 0
+        while (i < math.min(m.numRows, m.numCols)) { a(i * rows + i) = 1.0; i += 1 }
+        Matrices.dense(m.numRows, m.numCols, a)
+      }
+    }
+
+  def zeros(sc: SparkContext, nRows: Int, nCols: Int,
+      rowsPerBlock: Int, colsPerBlock: Int): DsArray =
+    full(sc, nRows, nCols, rowsPerBlock, colsPerBlock, 0.0)
+
+  /** Constant-filled array (reference: array.py:1512-1576). */
+  def full(sc: SparkContext, nRows: Int, nCols: Int,
+      rowsPerBlock: Int, colsPerBlock: Int, value: Double): DsArray = {
+    val grid = for {
+      bi <- 0 until (nRows + rowsPerBlock - 1) / rowsPerBlock
+      bj <- 0 until (nCols + colsPerBlock - 1) / colsPerBlock
+    } yield (bi, bj)
+    val blocks = sc.parallelize(grid).map { case (bi, bj) =>
+      val r = math.min(rowsPerBlock, nRows - bi * rowsPerBlock)
+      val c = math.min(colsPerBlock, nCols - bj * colsPerBlock)
+      ((bi, bj), Matrices.dense(r, c, Array.fill(r * c)(value)): Matrix)
+    }
+    new DsArray(new BlockMatrix(blocks, rowsPerBlock, colsPerBlock, nRows, nCols))
+  }
+
+  /** Kronecker product (reference: dislib/math/base.py:15-92) — cartesian
+    * of block pairs, per-pair local Breeze kron, re-gridded. No Spark
+    * built-in exists; the block structure (a_block ⊗ b_block lands at a
+    * predictable tile offset) makes this a pure narrow cartesian. */
+  def kron(a: DsArray, b: DsArray): DsArray = {
+    val (abr, abc) = a.blockSize
+    val (bbr, bbc) = b.blockSize
+    val bR = b.rows; val bC = b.cols
+    // element A[r1,c1]·block B lands contiguously at (r1·bR + bRowOff,
+    // c1·bC + bColOff); a_block ⊗ b_block as a whole is NOT contiguous,
+    // so fan out per A-element × B-row.
+    val rpb = abr * bbr; val cpb = abc * bbc
+    val nR = a.rows * bR; val nC = a.cols * bC
+    val rows = a.bm.blocks.cartesian(b.bm.blocks).flatMap {
+      case (((ai, aj), am), ((bi, bj), bm0)) =>
+        val bb = new BDM(bm0.numRows, bm0.numCols, bm0.toArray)
+        for {
+          i1 <- 0 until am.numRows
+          j1 <- 0 until am.numCols
+          i2 <- 0 until bb.rows
+        } yield {
+          val gRow = (ai.toLong * abr + i1) * bR + bi.toLong * bbr + i2
+          val colOff = (aj.toLong * abc + j1) * bC + bj.toLong * bbc
+          (gRow, (colOff, (bb(i2, ::).t * am(i1, j1)).toArray))
+        }
+    }.groupByKey().map { case (r, segs) =>
+      val arr = new Array[Double](nC.toInt)
+      segs.foreach { case (co, vals) =>
+        System.arraycopy(vals, 0, arr, co.toInt, vals.length) }
+      IndexedRow(r, org.apache.spark.mllib.linalg.Vectors.dense(arr))
+    }
+    fromIndexedRows(rows, nR, nC, rpb, cpb)
+  }
+
+  implicit final class RichDsArray(private val a: DsArray) extends AnyVal {
+    def mapBlocksIndexed(f: (Int, Int, Matrix) => Matrix): DsArray = {
+      val mapped = a.bm.blocks.map { case ((bi, bj), m) => ((bi, bj), f(bi, bj, m)) }
+      new DsArray(new BlockMatrix(mapped, a.bm.rowsPerBlock, a.bm.colsPerBlock,
+        a.rows, a.cols))
+    }
+  }
+}

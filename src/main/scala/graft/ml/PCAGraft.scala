@@ -1,0 +1,106 @@
+package graft.ml
+
+import breeze.linalg.{eigSym, DenseMatrix => BDM, DenseVector => BDV}
+import graft.Tables
+import graft.linalg.Decompositions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PCA via tree-reduced scatter matrix + local eigendecomposition
+  * (reference: dislib/decomposition/pca/base.py:20-527, method='eig':
+  * partial scatter matrices `:316-373`, local `eigh` `:246-279`).
+  *
+  * Scale: identical shape to LinearRegression — one scan, p² partials,
+  * driver-side eig of a p×p matrix; transform is a broadcast-free
+  * projection expression.
+  */
+object PCAGraft {
+
+  final case class Model(mean: BDV[Double], components: BDM[Double],
+      explainedVariance: BDV[Double]) {
+    /** Project onto the first `k` components as new columns pc1..pck. */
+    def transform(df: DataFrame, features: Seq[String], k: Int): DataFrame =
+      (0 until k).foldLeft(df) { (d, j) =>
+        d.withColumn(s"pc${j + 1}",
+          features.zipWithIndex.map { case (f, i) =>
+            (col(f) - lit(mean(i))) * lit(components(i, j))
+          }.reduce(_ + _))
+      }
+  }
+
+  def fit(df: DataFrame, features: Seq[String]): Model = {
+    val p = features.length
+    val n = df.count()
+    val meanRow = df.agg(avg(features.head).as("m0"),
+      features.tail.zipWithIndex.map { case (f, i) => avg(f).as(s"m${i + 1}") }: _*).head()
+    val mean = BDV(Array.tabulate(p)(meanRow.getDouble))
+    val meanB = df.sparkSession.sparkContext.broadcast(mean)
+    val rows = df.select(features.map(c => col(c).cast("double")): _*)
+      .rdd.map { r =>
+        val m = meanB.value
+        Array.tabulate(p)(i => r.getDouble(i) - m(i))
+      }
+    val scatter = Decompositions.gram(rows, p)
+    val cov = scatter / (n - 1.0)
+    val eig = eigSym(cov)
+    // descending eigenvalue order, deterministic sign (largest-|.| entry positive)
+    val order = eig.eigenvalues.toArray.zipWithIndex.sortBy(-_._1).map(_._2)
+    val comps = BDM.tabulate(p, p) { (i, j) => eig.eigenvectors(i, order(j)) }
+    for (j <- 0 until p) {
+      val cl = comps(::, j)
+      val mi = (0 until p).maxBy(i => math.abs(cl(i)))
+      if (cl(mi) < 0) comps(::, j) := cl * -1.0
+    }
+    Model(mean, comps, BDV(order.map(eig.eigenvalues(_))))
+  }
+
+  /** Columns pre-scaled to O(1) by fixed constants so every covariance
+    * entry rounds safely at 6 decimals (raw price variance is ~1e9 where
+    * cross-engine agg-order noise exceeds 1e-6). */
+  private val scaled4 = Seq(
+    "l_quantity / 50" -> "q", "l_extendedprice / 50000" -> "p",
+    "l_discount * 10" -> "d", "l_tax * 10" -> "t")
+
+  /** Gate query: the sample covariance matrix of 4 (scaled) lineitem
+    * columns in long format — the distributed heart of PCA(eig); the
+    * local eig step is spec-tested since DuckDB has no eigensolver. */
+  def covQuery(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(scaled4.map { case (e, n) => expr(e).as(n) }: _*)
+    val pairs = for (i <- scaled4.indices; j <- scaled4.indices if j >= i) yield (i, j)
+    val aggs = pairs.map { case (i, j) =>
+      round(covar_samp(col(scaled4(i)._2), col(scaled4(j)._2)), 6).as(s"c_${i}_$j") }
+    val r = li.agg(aggs.head, aggs.tail: _*)
+    val spark2 = spark
+    import spark2.implicits._
+    val row = r.head()
+    pairs.map { case (i, j) => (i, j, row.getAs[Double](s"c_${i}_$j")) }
+      .toDF("i", "j", "cov")
+      .orderBy("i", "j")
+  }
+
+  val covOracle: String = {
+    val rows = for (i <- scaled4.indices; j <- scaled4.indices if j >= i) yield
+      s"SELECT $i AS i, $j AS j, round(covar_samp(${scaled4(i)._1}, ${scaled4(j)._1}), 6) AS cov FROM lineitem"
+    rows.mkString("", "\nUNION ALL ", "\nORDER BY i, j")
+  }
+
+  /** Gate query: PCA-projected variance summary — fit on embeddings'
+    * first 8 dims, report per-component explained variance (deterministic
+    * up to agg-order noise, rounded). */
+  def query(spark: SparkSession, dir: String): DataFrame = {
+    val feats = (1 to 8).map(i => s"e$i")
+    val df = Tables.embeddings(spark, dir)
+      .select((1 to 8).map(i =>
+        element_at(col("embedding"), i).cast("double").as(s"e$i")): _*)
+      .cache()
+    val model = fit(df, feats)
+    val spark2 = spark
+    import spark2.implicits._
+    model.explainedVariance.toArray.zipWithIndex
+      .map { case (v, i) => (i + 1,
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .toSeq.toDF("component", "variance")
+      .orderBy("component")
+  }
+}

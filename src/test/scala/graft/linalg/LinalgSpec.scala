@@ -1,0 +1,109 @@
+package graft.linalg
+
+import breeze.linalg.{DenseMatrix => BDM, DenseVector => BDV}
+import breeze.linalg.{kron => bkron, svd => bsvd}
+import graft.SparkSpec
+
+/** Linalg parity vs local Breeze — the test style of the reference
+  * (tests/test_array.py, test_qr.py, test_svd.py: golden invariants and
+  * NumPy-oracle comparison; SURVEY.md §5). */
+class LinalgSpec extends SparkSpec {
+  private def rand(r: Int, c: Int, seed: Int): BDM[Double] = {
+    val rng = new java.util.Random(seed)
+    BDM.fill(r, c)(rng.nextGaussian())
+  }
+  private def maxAbs(m: BDM[Double]): Double = breeze.linalg.max(breeze.numerics.abs(m))
+
+  test("fromBreeze/collect roundtrip with irregular edge blocks") {
+    val a = rand(17, 13, 1)
+    val d = DsArray.fromBreeze(sc, a, 5, 4)
+    assert(maxAbs(d.collect() - a) < 1e-12)
+    assert(d.rows == 17 && d.cols == 13)
+  }
+
+  test("matmul matches Breeze GEMM across mismatched grids") {
+    val a = rand(20, 15, 2); val b = rand(15, 9, 3)
+    val da = DsArray.fromBreeze(sc, a, 7, 5)
+    val db = DsArray.fromBreeze(sc, b, 5, 4)
+    assert(maxAbs((da %*% db).collect() - a * b) < 1e-10)
+  }
+
+  test("add/subtract/transpose/scalar ops") {
+    val a = rand(12, 8, 4); val b = rand(12, 8, 5)
+    val da = DsArray.fromBreeze(sc, a, 4, 4)
+    val db = DsArray.fromBreeze(sc, b, 4, 4)
+    assert(maxAbs((da + db).collect() - (a + b)) < 1e-12)
+    assert(maxAbs((da - db).collect() - (a - b)) < 1e-12)
+    assert(maxAbs(da.transpose.collect() - a.t) < 1e-12)
+    assert(maxAbs((da * 2.5).collect() - (a * 2.5)) < 1e-12)
+    assert(maxAbs(da.mapBlocks(math.exp).collect() -
+      breeze.numerics.exp(a)) < 1e-12)
+  }
+
+  test("eye / zeros / full / random determinism") {
+    assert(maxAbs(DsArray.eye(sc, 9, 4).collect() - BDM.eye[Double](9)) == 0.0)
+    assert(maxAbs(DsArray.zeros(sc, 5, 7, 2, 3).collect()) == 0.0)
+    assert(DsArray.full(sc, 3, 3, 2, 2, 2.5).collect().toArray.forall(_ == 2.5))
+    val r1 = DsArray.random(sc, 10, 6, 3, 3, seed = 7).collect()
+    val r2 = DsArray.random(sc, 10, 6, 3, 3, seed = 7).collect()
+    assert(maxAbs(r1 - r2) == 0.0)
+  }
+
+  test("kron matches Breeze kron") {
+    val a = rand(4, 3, 6); val b = rand(3, 2, 7)
+    val da = DsArray.fromBreeze(sc, a, 2, 2)
+    val db = DsArray.fromBreeze(sc, b, 2, 2)
+    assert(maxAbs(DsArray.kron(da, db).collect() - bkron(a, b)) < 1e-12)
+  }
+
+  test("rechunk preserves contents") {
+    val a = rand(11, 7, 8)
+    val d = DsArray.fromBreeze(sc, a, 3, 3).rechunk(4, 7)
+    assert(maxAbs(d.collect() - a) < 1e-12)
+  }
+
+  test("tsqr: A = Q·R, R upper-triangular positive-diagonal, Q orthonormal") {
+    val p = 6
+    val a = rand(200, p, 9)
+    val rows = sc.parallelize((0 until a.rows).map(i => (i.toLong, a(i, ::).t.toArray)), 8)
+    val (qRdd, r) = Decompositions.tsqr(rows, p)
+    for (i <- 0 until p; j <- 0 until p) {
+      if (j < i) assert(math.abs(r(i, j)) < 1e-10, s"R($i,$j) not zero")
+      if (i == j) assert(r(i, i) > 0, s"R diagonal not positive")
+    }
+    val q = BDM.zeros[Double](a.rows, p)
+    qRdd.collect().foreach { case (i, v) => q(i.toInt, ::) := BDV(v).t }
+    assert(maxAbs(q * r - a) < 1e-8)
+    assert(maxAbs(q.t * q - BDM.eye[Double](p)) < 1e-8)
+  }
+
+  test("svd singular values match Breeze") {
+    val p = 8; val k = 4
+    val a = rand(300, p, 10)
+    val rows = sc.parallelize((0 until a.rows).map(i => (i.toLong, a(i, ::).t.toArray)), 8)
+    val (_, s, _) = Decompositions.svd(rows, p, k)
+    val sLocal = bsvd.reduced(a).singularValues
+    for (i <- 0 until k) assert(math.abs(s(i) - sLocal(i)) < 1e-6)
+  }
+
+  test("randomized svd approximates dominant singular values") {
+    val p = 10; val k = 3
+    // construct a matrix with a decaying spectrum
+    val u = rand(400, p, 11); val base = rand(p, p, 12)
+    val scales = BDV((0 until p).map(i => math.pow(0.5, i)).toArray)
+    val a = u * breeze.linalg.diag(scales) * base
+    val rows = sc.parallelize((0 until a.rows).map(i => (i.toLong, a(i, ::).t.toArray)), 8)
+    val (s, _) = Decompositions.randomizedSvd(rows, p, k)
+    val sLocal = bsvd.reduced(a).singularValues
+    for (i <- 0 until k)
+      assert(math.abs(s(i) - sLocal(i)) / sLocal(i) < 0.05,
+        s"sv $i: ${s(i)} vs ${sLocal(i)}")
+  }
+
+  test("gram = XᵀX") {
+    val p = 5
+    val a = rand(150, p, 13)
+    val rows = sc.parallelize((0 until a.rows).map(i => a(i, ::).t.toArray), 8)
+    assert(maxAbs(Decompositions.gram(rows, p) - a.t * a) < 1e-8)
+  }
+}
