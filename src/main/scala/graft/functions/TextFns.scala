@@ -26,12 +26,19 @@ object TextFns {
   def hash56Sql(expr: String): String =
     s"(('0x'||substr(md5($expr),1,14))::UBIGINT::BIGINT)"
 
-  /** Word n-gram shingles (distinct), 1-based element_at, empty when the
-    * document has fewer than n words. */
+  /** Word n-gram shingles (distinct); empty when the document has fewer
+    * than n words.
+    *
+    * Built from slice + zip_with rather than `transform(sequence, i ->
+    * element_at(words, i+k))`: inside a lambda, `element_at`'s child is
+    * re-evaluated per array element (interpreted higher-order exprs do no
+    * subexpression elimination), which re-runs the upstream regexp split
+    * O(words) times per row. Slices evaluate the words array once. */
   def wordShingles(words: Column, n: Int): Column = {
-    val gram = transform(
-      sequence(lit(1), size(words) - lit(n - 1)),
-      i => concat_ws(" ", (0 until n).map(k => element_at(words, i + lit(k))): _*))
+    val len = greatest(size(words) - lit(n - 1), lit(0))
+    val gram = (2 to n).foldLeft(slice(words, lit(1), len)) { (acc, k) =>
+      zip_with(acc, slice(words, lit(k), len), (a, b) => concat(a, lit(" "), b))
+    }
     array_distinct(when(size(words) >= n, gram).otherwise(array()))
   }
 

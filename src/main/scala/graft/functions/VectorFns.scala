@@ -16,18 +16,15 @@ object VectorFns {
   /** Cast a float/int array column to array<double>. */
   def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+  def dot(a: Column, b: Column): Column = VecExprs.vecDot(a, b)
 
-  def norm2(c: Column): Column =
-    sqrt(aggregate(transform(c, x => x * x), lit(0.0), (s, x) => s + x))
+  def norm2(c: Column): Column = sqrt(VecExprs.vecNormSq(c))
 
   def cosine(a: Column, b: Column, an: Column, bn: Column): Column =
     dot(a, b) / (an * bn)
 
   /** Squared Euclidean distance between two array<double> columns. */
-  def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (s, x) => s + x)
+  def sqDist(a: Column, b: Column): Column = VecExprs.vecSqDist(a, b)
 
   /** Squared distance to a constant center (unrolled, codegen-friendly):
     * sum_i (v[i] - c_i)^2 with a fixed fold order matching SQL `+` chains. */

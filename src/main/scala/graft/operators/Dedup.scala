@@ -113,13 +113,12 @@ object Dedup {
   /** Embedding-cosine near-dup pairs, blocked by `label` (coarse cluster):
     * within-block all-pairs cosine >= 0.35. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFns
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm",
-        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (s, x) => s + x)))
-    val cos = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-      lit(0.0), (s, x) => s + x) / (col("a.nrm") * col("b.nrm"))
+      .withColumn("nrm", VectorFns.norm2(col("v")))
+    val cos = VectorFns.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cosine", cos)

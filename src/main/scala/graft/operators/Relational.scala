@@ -181,14 +181,17 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
-  /** Exact quantiles (sort-based, dislib median parity array.py:1190). */
+  /** Exact quantiles (sort-based, dislib median parity array.py:1190).
+    * One percentile aggregate with an array of fractions — a single
+    * value-buffer build instead of four. */
   def quantiles(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.99D))").as("ps"))
+      .select(
+        round(element_at(col("ps"), 1), 4).as("p25"),
+        round(element_at(col("ps"), 2), 4).as("p50"),
+        round(element_at(col("ps"), 3), 4).as("p75"),
+        round(element_at(col("ps"), 4), 4).as("p99"))
 
   /** Correlation / covariance (the scatter-matrix cell of PCA §2.5). */
   def corrCov(spark: SparkSession, dir: String): DataFrame =

@@ -36,11 +36,8 @@ object Similarity {
     (java.lang.Long.parseLong(hex, 16) % 2001L) / 1000.0 - 1.0
   }
 
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
-  private def norm(c: Column): Column =
-    sqrt(aggregate(transform(c, x => x * x), lit(0.0), (s, x) => s + x))
+  import graft.functions.VectorFns.{asDouble, dot}
+  private def norm(c: Column): Column = graft.functions.VectorFns.norm2(c)
 
   private def embWithNorm(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

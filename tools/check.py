@@ -5,7 +5,10 @@ import sys, json, glob, math
 import duckdb, pyarrow.parquet as pq
 
 sf, out = sys.argv[1], sys.argv[2]
-con = duckdb.connect()
+# bounded resources: the default (nproc threads, 80% RAM) intermittently
+# dies with "Resource temporarily unavailable" on the big unrolled-CTE
+# oracles in this container
+con = duckdb.connect(config={"threads": 8, "memory_limit": "24GB"})
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 oracle = json.load(open(f"{out}/oracle_sql.json"))
