@@ -19,9 +19,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries ++ Events.queries ++ graft.ml.MlQueries.queries
+      Similarity.queries ++ Events.queries ++ graft.ml.MlQueries.queries ++
+      Map("q_terasort_cols" -> (TeraSort.query _))
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ Events.oracles ++ graft.ml.MlQueries.oracles
+      Similarity.oracles ++ Events.oracles ++ graft.ml.MlQueries.oracles ++
+      Map("q_terasort_cols" -> TeraSort.oracle)
 }

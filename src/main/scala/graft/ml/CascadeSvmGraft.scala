@@ -1,0 +1,192 @@
+package graft.ml
+
+import graft.Tables
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cascade SVM (reference: dislib/classification/csvm/base.py:24-402,
+  * Graf et al. 2005): per-partition local SVM → support vectors merged
+  * arity-wise up a tree with retraining → optional feedback iterations
+  * with convergence on the weight-vector delta.
+  *
+  * Local solver: dual coordinate descent for C-SVC (hinge loss) with
+  * linear or RBF kernel — deterministic (fixed sweep order), no RNG.
+  * dislib trains sklearn's SMO inside each task (`_train`,
+  * csvm/base.py:574-596); dual CD solves the same dual problem.
+  *
+  * Scale: only support vectors move between nodes (the cascade's whole
+  * point) — each treeReduce level ships ≤ 2·(SV count) rows; the full
+  * data is scanned once per feedback iteration.
+  */
+object CascadeSvmGraft {
+  sealed trait Kernel
+  case object Linear extends Kernel
+  final case class Rbf(gamma: Double) extends Kernel
+
+  final case class Model(kernel: Kernel, c: Double,
+      svX: Array[Array[Double]], svY: Array[Double], alphas: Array[Double]) {
+    private def k(a: Array[Double], b: Array[Double]): Double = kernel match {
+      case Linear => dotArr(a, b)
+      case Rbf(g) =>
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+        math.exp(-g * s)
+    }
+    def decision(x: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < svX.length) { s += alphas(i) * svY(i) * k(svX(i), x); i += 1 }
+      s
+    }
+    def predict(x: Array[Double]): Double = if (decision(x) >= 0) 1.0 else -1.0
+    /** Primal weights (linear kernel only) for convergence tracking. */
+    def weights(p: Int): Array[Double] = {
+      val w = new Array[Double](p)
+      for (i <- svX.indices; j <- 0 until p) w(j) += alphas(i) * svY(i) * svX(i)(j)
+      w
+    }
+  }
+
+  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Deterministic cap on the local problem size (RBF path is O(n²·sweeps);
+    * dislib bounds the same cost via block size). */
+  val MaxLocal = 4000
+
+  /** Dual coordinate descent on 0 ≤ α ≤ C (no bias term, as liblinear's
+    * L1-loss dual; deterministic sweeps). Returns (x, y, α) for α > 0.
+    * Linear kernel runs the O(n·p)-per-sweep primal-weights update;
+    * RBF keeps a decision-value cache (O(n²) per sweep, size-capped). */
+  def localSolve(xs0: Array[Array[Double]], ys0: Array[Double],
+      c: Double, kernel: Kernel, sweeps: Int = 30):
+      (Array[Array[Double]], Array[Double], Array[Double]) = {
+    val (xs, ys) =
+      if (xs0.length <= MaxLocal) (xs0, ys0)
+      else (xs0.take(MaxLocal), ys0.take(MaxLocal))
+    val n = xs.length
+    if (n == 0) return (Array.empty, Array.empty, Array.empty)
+    val alphas = new Array[Double](n)
+    kernel match {
+      case Linear =>
+        val p = xs(0).length
+        val w = new Array[Double](p)
+        val kdiag = Array.tabulate(n)(i => dotArr(xs(i), xs(i)))
+        var sweep = 0
+        while (sweep < sweeps) {
+          var i = 0
+          while (i < n) {
+            val grad = ys(i) * dotArr(w, xs(i)) - 1.0
+            val old = alphas(i)
+            val next = math.min(c, math.max(0.0, old - grad / math.max(kdiag(i), 1e-12)))
+            val delta = next - old
+            if (math.abs(delta) > 1e-12) {
+              alphas(i) = next
+              var j = 0
+              while (j < p) { w(j) += delta * ys(i) * xs(i)(j); j += 1 }
+            }
+            i += 1
+          }
+          sweep += 1
+        }
+      case Rbf(g) =>
+        def kf(i: Int, j: Int): Double = {
+          var s = 0.0; var d = 0
+          while (d < xs(i).length) { val t = xs(i)(d) - xs(j)(d); s += t * t; d += 1 }
+          math.exp(-g * s)
+        }
+        val f = new Array[Double](n)
+        var sweep = 0
+        while (sweep < sweeps) {
+          var i = 0
+          while (i < n) {
+            val grad = ys(i) * f(i) - 1.0
+            val old = alphas(i)
+            val next = math.min(c, math.max(0.0, old - grad))
+            val delta = next - old
+            if (math.abs(delta) > 1e-12) {
+              alphas(i) = next
+              var j = 0
+              while (j < n) { f(j) += delta * ys(i) * kf(i, j); j += 1 }
+            }
+            i += 1
+          }
+          sweep += 1
+        }
+    }
+    val keep = (0 until n).filter(alphas(_) > 1e-9)
+    (keep.map(xs).toArray, keep.map(ys).toArray, keep.map(alphas).toArray)
+  }
+
+  /** Fit on RDD[(features, label±1)]; cascade_arity is the treeReduce
+    * fan-in, maxIter the feedback loop count, tol the convergence delta
+    * on primal weights (linear) / SV-set size change (RBF). */
+  def fit(data: RDD[(Array[Double], Double)], c: Double, kernel: Kernel,
+      maxIter: Int = 3, tol: Double = 1e-3, sweeps: Int = 30): Model = {
+    val p = data.first()._1.length
+    var feedback: Array[(Array[Double], Double)] = Array.empty
+    var model: Model = null
+    var prevW: Array[Double] = null
+    var it = 0
+    var converged = false
+    val cached = data.cache()
+    while (it < maxIter && !converged) {
+      val fb = cached.sparkContext.broadcast(feedback)
+      val partial = cached.mapPartitions { iter =>
+        val local = (iter ++ fb.value.iterator).toArray
+        val (sx, sy, _) = localSolve(local.map(_._1), local.map(_._2), c, kernel, sweeps)
+        Iterator(sx.zip(sy))
+      }
+      val merged = partial.treeReduce({ (a, b) =>
+        val all = a ++ b
+        val (sx, sy, _) = localSolve(all.map(_._1), all.map(_._2), c, kernel, sweeps)
+        sx.zip(sy)
+      }, depth = 3)
+      val (sx, sy, al) = localSolve(merged.map(_._1), merged.map(_._2), c, kernel, sweeps)
+      model = Model(kernel, c, sx, sy, al)
+      kernel match {
+        case Linear =>
+          val w = model.weights(p)
+          if (prevW != null) {
+            val d = math.sqrt(w.zip(prevW).map { case (a, b) => (a - b) * (a - b) }.sum)
+            converged = d < tol * math.max(1.0, math.sqrt(w.map(x => x * x).sum))
+          }
+          prevW = w
+        case _ =>
+          converged = feedback.length == sx.length &&
+            feedback.map(_._2).sameElements(sy)
+      }
+      feedback = sx.zip(sy)
+      it += 1
+    }
+    model
+  }
+
+  /** Gate query (rows-only): linear CSVM on lineitem features with a
+    * margin-separable data-derived rule (extendedprice is NOT learnable
+    * from these features — unit price dominates it — so the gate task is
+    * a fixed linear rule; real-data learning parity lives in
+    * EstimatorsSpec). Constant 1.0 feature = bias (the dual has no
+    * intercept term). */
+  def query(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_quantity"), col("l_discount"), col("l_tax"))
+    val data = li.rdd.map { r =>
+      val x = Array(r.getDouble(0) / 50.0, r.getDouble(1), r.getDouble(2), 1.0)
+      (x, if (x(0) + 2.0 * x(1) - 0.55 > 0) 1.0 else -1.0)
+    }.cache()
+    val m = fit(data, c = 10.0, Linear, maxIter = 2, sweeps = 30)
+    val bc = data.sparkContext.broadcast(m)
+    val confusion = data.map { case (x, y) =>
+      ((y, bc.value.predict(x)), 1L)
+    }.reduceByKey(_ + _).collect().sortBy(_._1)
+    val spark2 = spark
+    import spark2.implicits._
+    confusion.map { case ((t, pr), n) => (t, pr, n) }
+      .toSeq.toDF("label", "predicted", "n")
+      .orderBy("label", "predicted")
+  }
+}

@@ -28,10 +28,12 @@ object KMeansGraft {
     def k: Int = centers.length
 
     /** struct(dist, idx) per center; `least` = lexicographic argmin. */
-    private def best(v: Column): Column =
-      least(centers.zipWithIndex.map { case (c, i) =>
+    private def best(v: Column): Column = {
+      val structs = centers.zipWithIndex.map { case (c, i) =>
         struct(sqDistToConst(v, c).as("d"), lit(i).as("i"))
-      }: _*)
+      }
+      if (structs.length == 1) structs.head else least(structs: _*)
+    }
 
     def assignCol(v: Column): Column = best(v).getField("i")
     def distCol(v: Column): Column = best(v).getField("d")

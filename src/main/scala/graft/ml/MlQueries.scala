@@ -14,7 +14,29 @@ object MlQueries {
     "q_hash_split" -> ((s, d) => Knn.hashSplit(s, d)),
     "q_linreg_multi" -> ((s, d) => LinearRegressionGraft.query(s, d)),
     "q_pca_cov" -> ((s, d) => PCAGraft.covQuery(s, d)),
-    "q_pca" -> ((s, d) => PCAGraft.query(s, d)))
+    "q_pca" -> ((s, d) => PCAGraft.query(s, d)),
+    // custom estimators + MLlib-backed (rows-only checks; full parity in specs)
+    "q_dbscan" -> ((s, d) => DbscanGraft.query(s, d)),
+    "q_gmm" -> ((s, d) => GmmGraft.query(s, d)),
+    "q_csvm" -> ((s, d) => CascadeSvmGraft.query(s, d)),
+    "q_daura" -> ((s, d) => dauraQuery(s, d)),
+    "q_rf_classify" -> ((s, d) => MllibWrappers.rfQuery(s, d)),
+    "q_rf_regress" -> ((s, d) => MllibWrappers.rfRegQuery(s, d)),
+    "q_als_recommend" -> ((s, d) => MllibWrappers.alsQuery(s, d)),
+    "q_linear_svc" -> ((s, d) => MllibWrappers.svcQuery(s, d)))
+
+  private def dauraQuery(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pts = graft.Tables.embeddings(s, d)
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"),
+        transform(slice(col("embedding"), 1, 4), x => x.cast("double")).as("v"))
+    val clusters = Neighbors.daura(pts, "vec_id", "v", cutoff = 0.35)
+    val s2 = s
+    import s2.implicits._
+    clusters.map { case (c, m) => (c, m.size.toLong) }
+      .toDF("center", "n_members").orderBy("center")
+  }
 
   val oracles: Map[String, String] = Map(
     "q_kmeans" -> KMeansGraft.oracle,

@@ -1,0 +1,100 @@
+package graft.ml
+
+import graft.Tables
+import org.apache.spark.ml.classification.{LinearSVC, RandomForestClassifier}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.recommendation.ALS
+import org.apache.spark.ml.regression.RandomForestRegressor
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MLlib-backed estimators where the built-in is semantically equivalent
+  * to the reference (SURVEY.md §2.7 mapping): RandomForest C/R
+  * (dislib/trees — identical distributed histogram-split design:
+  * maxBins ≙ n_split_points, featureSubsetStrategy ≙ try_features),
+  * ALS (dislib/recommendation/als — same alternating least squares with
+  * rating-count regularization scaling), LinearSVC (the linear-kernel
+  * CSVM fallback). Thin adapters from graft's array<double> feature
+  * convention to MLlib's Vector column. */
+object MllibWrappers {
+
+  private def featurize(df: DataFrame, arrCol: String): DataFrame =
+    df.withColumn("features", array_to_vector(col(arrCol)))
+
+  /** RF classification on embeddings (label column, first 16 dims),
+    * deterministic hash split; confusion-summary output. */
+  def rfQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("double").as("label"),
+        transform(slice(col("embedding"), 1, 16), x => x.cast("double")).as("arr"))
+    val withSplit = featurize(e, "arr")
+      .withColumn("test", pmod(col("vec_id"), lit(5)) === 0)
+    val train = withSplit.filter(!col("test")).cache()
+    val test = withSplit.filter(col("test")).cache()
+    val model = new RandomForestClassifier()
+      .setNumTrees(20).setMaxDepth(5).setSeed(42)
+      .setLabelCol("label").setFeaturesCol("features")
+      .fit(train)
+    model.transform(test)
+      .groupBy(col("label").cast("int").as("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("prediction") === col("label"), 1).otherwise(0)).as("n_correct"))
+      .orderBy("label")
+  }
+
+  /** RF regression sanity query: predict l_extendedprice from lineitem
+    * numerics; output RMSE bucket (rows-only determinism via seed). */
+  def rfRegQuery(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(array(col("l_quantity"), col("l_discount"), col("l_tax")).as("arr"),
+        col("l_extendedprice").as("label"))
+    val df = featurize(li, "arr")
+    val model = new RandomForestRegressor()
+      .setNumTrees(10).setMaxDepth(5).setSeed(42)
+      .setLabelCol("label").setFeaturesCol("features")
+      .fit(df)
+    val spark2 = spark
+    import spark2.implicits._
+    val rmse = model.transform(df)
+      .agg(sqrt(avg(pow(col("prediction") - col("label"), 2)))).head().getDouble(0)
+    Seq((model.getNumTrees, math.round(rmse / 100.0) * 100.0))
+      .toDF("n_trees", "rmse_bucket")
+  }
+
+  /** ALS on event-derived ratings (user_id × props.k as item,
+    * value as rating): top-1 recommendation for the 10 smallest users. */
+  def alsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ratings = Tables.events(spark, dir)
+      .select(col("user_id").cast("int").as("user"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"),
+        col("value").cast("float").as("rating"))
+      .filter(col("item").isNotNull)
+      .groupBy("user", "item").agg(avg("rating").cast("float").as("rating"))
+      .cache()
+    val model = new ALS().setRank(8).setMaxIter(8).setSeed(42)
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .fit(ratings)
+    model.setColdStartStrategy("drop")
+    val users = ratings.select("user").distinct().orderBy("user").limit(10)
+    model.recommendForUserSubset(users, 1)
+      .select(col("user"), element_at(col("recommendations"), 1).getField("item").as("top_item"))
+      .orderBy("user")
+  }
+
+  /** LinearSVC binary task on embeddings (label < 5 vs rest). */
+  def svcQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        when(col("label") < 5, 1.0).otherwise(0.0).as("label"),
+        transform(slice(col("embedding"), 1, 16), x => x.cast("double")).as("arr"))
+    val df = featurize(e, "arr").cache()
+    val model = new LinearSVC().setMaxIter(20).setRegParam(0.01)
+      .setLabelCol("label").setFeaturesCol("features")
+      .fit(df)
+    model.transform(df)
+      .groupBy(col("label").cast("int").as("label"),
+        col("prediction").cast("int").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "predicted")
+  }
+}
