@@ -20,7 +20,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Events.queries ++ graft.ml.MlQueries.queries ++
-      Map("q_terasort_cols" -> (TeraSort.query _))
+      Map("q_terasort_cols" -> (TeraSort.query _),
+        "q_multimodal" -> (graft.multimodal.Multimodal.query _))
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++

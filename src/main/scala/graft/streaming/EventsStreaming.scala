@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming pipelines over the `events` schema — the
+  * streaming twins of graft.operators.Events' batch queries (absent from
+  * the reference, SURVEY.md §2.11; built on watermarks + windows +
+  * mapGroupsWithState only — no custom state store).
+  *
+  * Scale: state is keyed by (window, event_type) / (user, session) /
+  * user respectively; watermarks bound state size, and Spark shards the
+  * state store by key hash across executors.
+  */
+object EventsStreaming {
+
+  /** Tumbling 10-minute counts per event_type; 1-hour watermark drops
+    * late data deterministically (batch twin: Events.tumblingWindow). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("w.start").as("wstart"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Session windows with a 30-minute gap per user (batch twin:
+    * Events.sessionize's lag+cumsum formulation). */
+  def sessionized(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("s.start").as("session_start"),
+        col("s.end").as("session_end"), col("n_events"))
+
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class UserStats(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state via mapGroupsWithState: per-user running totals
+    * (the KeyValueGroupedDataset state API the reference has no analog
+    * for). */
+  def runningUserStats(events: Dataset[UserEvent]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout()) {
+        case (user, it, state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(user, 0L, 0.0))
+          val batch = it.toSeq
+          val next = UserStats(user, prev.n_events + batch.size,
+            prev.total_value + batch.map(_.value).sum)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Convenience: run a streaming frame to completion against a memory
+    * sink and return the sink table (test/demo harness). */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** Streaming semantics vs their batch twins: the same rows fed through a
+  * MemoryStream must aggregate identically to the batch DataFrame plan. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  private def sampleRows: Seq[(Long, Timestamp, String, Double)] = Seq(
+    (1L, ts(0), "click", 1.0), (1L, ts(3), "click", 2.0),
+    (2L, ts(5), "view", 1.5), (1L, ts(12), "click", 0.5),
+    (2L, ts(14), "view", 2.5), (1L, ts(55), "click", 1.0),
+    (2L, ts(90), "purchase", 9.0))
+
+  test("streaming windowed counts == batch windowed counts") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark2.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    mem.addData(sampleRows: _*)
+    val stream = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+    val got = EventsStreaming.runToMemory(
+      EventsStreaming.windowedCounts(stream), "win_counts", OutputMode.Append())
+    // append mode emits only watermark-closed windows; rerun complete for full compare
+    val memC = MemoryStream[(Long, Timestamp, String, Double)]
+    memC.addData(sampleRows: _*)
+    val streamC = memC.toDF().toDF("user_id", "ts", "event_type", "value")
+    val gotC = EventsStreaming.runToMemory(
+      windowedComplete(streamC), "win_counts_c", OutputMode.Complete())
+    val batch = sampleRows.toDF("user_id", "ts", "event_type", "value")
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n_events"), col("sum_value"))
+    val a = gotC.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(a == b, s"stream $a vs batch $b")
+    assert(got.columns.toSeq ==
+      Seq("wstart", "event_type", "n_events", "sum_value"))
+  }
+
+  private def windowedComplete(events: org.apache.spark.sql.DataFrame) =
+    events.groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("w.start").as("wstart"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  test("streaming session windows match 30-minute gap semantics") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark2.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    mem.addData(sampleRows: _*)
+    val stream = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+    val sess = EventsStreaming.runToMemory(
+      sessionComplete(stream), "sessions", OutputMode.Complete())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // user 1: events at 0,3,12,55 → gaps 3,9,43 → sessions {0,3,12},{55}
+    // user 2: 5,14,90 → sessions {5,14},{90}
+    assert(sess(1L) == Seq(1L, 3L), s"user1 sessions: ${sess(1L)}")
+    assert(sess(2L) == Seq(1L, 2L), s"user2 sessions: ${sess(2L)}")
+  }
+
+  private def sessionComplete(events: org.apache.spark.sql.DataFrame) =
+    events.groupBy(session_window(col("ts"), "30 minutes").as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"))
+
+  test("mapGroupsWithState running totals equal batch groupBy") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark2.sqlContext
+    val mem = MemoryStream[EventsStreaming.UserEvent]
+    mem.addData(sampleRows.map { case (u, t, _, v) => EventsStreaming.UserEvent(u, t, v) }: _*)
+    val q = EventsStreaming.runningUserStats(mem.toDS())
+      .writeStream.format("memory").queryName("user_stats").outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    val last = spark.table("user_stats")
+      .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("tv"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(last(1L) == ((4L, 4.5)))
+    assert(last(2L) == ((3L, 13.0)))
+  }
+}
