@@ -21,7 +21,8 @@ object SparkEntry {
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Events.queries ++ graft.ml.MlQueries.queries ++
       Map("q_terasort_cols" -> (TeraSort.query _),
-        "q_multimodal" -> (graft.multimodal.Multimodal.query _))
+        "q_multimodal" -> (graft.multimodal.Multimodal.query _),
+        "q_io_roundtrip" -> (graft.sources.Sources.roundtripQuery _))
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++

@@ -23,7 +23,8 @@ object MlQueries {
     "q_rf_classify" -> ((s, d) => MllibWrappers.rfQuery(s, d)),
     "q_rf_regress" -> ((s, d) => MllibWrappers.rfRegQuery(s, d)),
     "q_als_recommend" -> ((s, d) => MllibWrappers.alsQuery(s, d)),
-    "q_linear_svc" -> ((s, d) => MllibWrappers.svcQuery(s, d)))
+    "q_linear_svc" -> ((s, d) => MllibWrappers.svcQuery(s, d)),
+    "q_lasso" -> ((s, d) => MllibWrappers.lassoQuery(s, d)))
 
   private def dauraQuery(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._

@@ -81,6 +81,28 @@ object MllibWrappers {
       .orderBy("user")
   }
 
+  /** Lasso = L1 linear regression (reference: dislib/regression/lasso/
+    * base.py:27-137 — distributed ADMM with CVXPY w-steps; MLlib's OWLQN
+    * with elasticNetParam=1.0 solves the same L1 problem without the
+    * ADMM machinery, SURVEY.md §2.7). */
+  def lassoQuery(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(array(col("l_quantity") / 50, col("l_discount"), col("l_tax")).as("arr"),
+        (col("l_quantity") / 50 * 3.0 + col("l_discount") * 2.0).as("label"))
+    val df = featurize(li, "arr")
+    val model = new org.apache.spark.ml.regression.LinearRegression()
+      .setElasticNetParam(1.0).setRegParam(0.01).setMaxIter(50)
+      .setLabelCol("label").setFeaturesCol("features")
+      .fit(df)
+    def r3(x: Double) = BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark2 = spark
+    import spark2.implicits._
+    model.coefficients.toArray.zipWithIndex
+      .map { case (c, i) => (i, r3(c)) }.toSeq
+      .toDF("feature", "coef")
+      .orderBy("feature")
+  }
+
   /** LinearSVC binary task on embeddings (label < 5 vs rest). */
   def svcQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)

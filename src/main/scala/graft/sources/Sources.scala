@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sources / sinks (reference: dislib/data/io.py — SURVEY.md §2.1).
+  *
+  * dislib's loaders read files into block-partitioned arrays on the
+  * driver loop; here every format is a distributed DataFrame source with
+  * pushdown where the format supports it. Parquet is the native format
+  * (replaces `.npy`); `.mdcrd` (AMBER trajectories) is intentionally
+  * not ported (niche — SURVEY.md §7.4).
+  */
+object Sources {
+
+  /** SVMLight/libsvm → (features: Vector, label: Double) DataFrame
+    * (reference: load_svmlight_file, io.py:15-74; sparse preserved). */
+  def loadSvmlight(spark: SparkSession, path: String, numFeatures: Int = -1): DataFrame = {
+    val r = spark.read.format("libsvm")
+    (if (numFeatures > 0) r.option("numFeatures", numFeatures) else r).load(path)
+  }
+
+  /** Delimited text → DataFrame (reference: load_txt_file, io.py:77-134;
+    * `discardFirstRow` ≙ header, `dropColumns` ≙ index-column drop). */
+  def loadText(spark: SparkSession, path: String, delimiter: String = ",",
+      header: Boolean = false, dropColumns: Seq[String] = Nil): DataFrame = {
+    val df = spark.read.option("sep", delimiter).option("header", header)
+      .option("inferSchema", true).csv(path)
+    dropColumns.foldLeft(df)((d, c) => d.drop(c))
+  }
+
+  def loadParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def loadJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  /** Save as delimited text, one file per partition (reference: save_txt,
+    * io.py:308-334 — one file per block; `mergeRows` ≙ coalesce(1)). */
+  def saveText(df: DataFrame, path: String, mergeRows: Boolean = false): Unit =
+    (if (mergeRows) df.coalesce(1) else df)
+      .write.mode(SaveMode.Overwrite).csv(path)
+
+  /** Native columnar sink (replaces save_npy_file, io.py:335-360). */
+  def saveParquet(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** Global seeded random row shuffle (reference: dislib/utils/base.py:
+    * 11-126 shuffle — preserves x/y pairing because whole rows move).
+    * One range-partitioned sort on a seeded pseudo-random key. */
+  def shuffle(df: DataFrame, seed: Long): DataFrame =
+    df.withColumn("__r", rand(seed)).orderBy("__r").drop("__r")
+
+  /** Gate query (rows-only): write→read roundtrips through the text and
+    * parquet sinks plus a seeded shuffle, verified by invariant sums. */
+  def roundtripQuery(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") <= 5)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    val base = java.nio.file.Files.createTempDirectory("graft-rt").toString
+    saveParquet(li, s"$base/pq")
+    saveText(li, s"$base/csv")
+    val pq = loadParquet(spark, s"$base/pq")
+    val csv = loadText(spark, s"$base/csv")
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    val sh = shuffle(pq, seed = 7)
+    val spark2 = spark
+    import spark2.implicits._
+    Seq(
+      ("source", li.count(), li.agg(round(sum("l_extendedprice"), 2)).head().getDouble(0)),
+      ("parquet", pq.count(), pq.agg(round(sum("l_extendedprice"), 2)).head().getDouble(0)),
+      ("csv", csv.count(), csv.agg(round(sum("l_extendedprice"), 2)).head().getDouble(0)),
+      ("shuffled", sh.count(), sh.agg(round(sum("l_extendedprice"), 2)).head().getDouble(0))
+    ).toDF("stage", "n_rows", "sum_price").orderBy("stage")
+  }
+}

@@ -1,0 +1,66 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** I/O roundtrips + shuffle permutation invariants (reference test
+  * style: tests/test_data_utils.py / test_utils.py). */
+class SourcesSpec extends SparkSpec {
+
+  private def tmp(): String = Files.createTempDirectory("graft-io").toString
+
+  test("csv text roundtrip with header and column drop") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1, "a", 1.5), (2, "b", -0.5), (3, "c", 2.25))
+      .toDF("id", "name", "x")
+    val dir = tmp() + "/csv"
+    Sources.saveText(df, dir, mergeRows = true)
+    val back = Sources.loadText(spark, dir, header = false)
+      .toDF("id", "name", "x")
+    assert(back.count() == 3)
+    assert(back.agg(sum("x")).head().getDouble(0) == 3.25)
+    val dropped = Sources.loadText(spark, dir).drop("_c0")
+    assert(dropped.columns.length == 2)
+  }
+
+  test("parquet roundtrip preserves schema and values") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, Array(1.0, 2.0)), (2L, Array(3.0, 4.0))).toDF("id", "v")
+    val dir = tmp() + "/pq"
+    Sources.saveParquet(df, dir)
+    val back = Sources.loadParquet(spark, dir)
+    // nullability flags legitimately differ after a parquet roundtrip
+    assert(back.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq)
+    assert(back.orderBy("id").collect().map(_.getSeq[Double](1).sum).toSeq == Seq(3.0, 7.0))
+  }
+
+  test("libsvm load yields sparse features") {
+    val dir = tmp()
+    val f = new java.io.PrintWriter(s"$dir/data.libsvm")
+    f.println("1.0 1:0.5 3:1.5")
+    f.println("0.0 2:2.0")
+    f.close()
+    val df = Sources.loadSvmlight(spark, s"$dir/data.libsvm", numFeatures = 4)
+    assert(df.columns.toSet == Set("label", "features"))
+    val rows = df.orderBy(org.apache.spark.sql.functions.desc("label")).collect()
+    assert(rows(0).getDouble(0) == 1.0)
+    assert(rows(0).getAs[org.apache.spark.ml.linalg.Vector](1).apply(2) == 1.5)
+  }
+
+  test("shuffle is a seeded permutation: same multiset, same order across runs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1 to 500).toDF("x")
+    val s1 = Sources.shuffle(df, seed = 9).collect().map(_.getInt(0)).toSeq
+    val s2 = Sources.shuffle(df, seed = 9).collect().map(_.getInt(0)).toSeq
+    assert(s1 == s2, "same seed → same permutation")
+    assert(s1.sorted == (1 to 500), "permutation preserves the multiset")
+    assert(s1 != (1 to 500), "actually shuffled")
+    val s3 = Sources.shuffle(df, seed = 10).collect().map(_.getInt(0)).toSeq
+    assert(s3 != s1, "different seed → different permutation")
+  }
+}
