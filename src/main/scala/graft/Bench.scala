@@ -51,9 +51,63 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // BASELINE.md algorithm bench: scaled-down analogs of the reference's
+    // performance workloads (kmeans.py / gmm.py / terasort / tsqr shapes)
+    // on synthetic data — measures operator throughput beyond the small
+    // star-schema tables. Skipped when a query filter is active.
+    val algo: Seq[(String, Double)] = if (only.nonEmpty) Nil else {
+      import org.apache.spark.sql.functions._
+      def timed(name: String)(f: => Unit): (String, Double) = {
+        val t0 = System.nanoTime()
+        val ok = try { f; true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      val sess = spark
+      import sess.implicits._
+      // 1M×20 dense, k=50, 3 Lloyd iterations (analog of kmeans.py 300M×100/500)
+      val km = {
+        val df = spark.range(1000000).select(col("id"),
+          array((0 until 20).map(i => rand(42 + i)): _*).as("v")).cache()
+        df.count()
+        val t = timed("algo_kmeans_1mx20_k50")(
+          graft.ml.KMeansGraft.fit(df, "v", "id", k = 50, maxIter = 3))
+        df.unpersist(); t
+      }
+      // 200k×10, k=10 diag GMM, 3 EM iterations (analog of gmm.py 100M×100/50)
+      val gm = {
+        val rows = spark.range(200000).select(col("id"),
+          array((0 until 10).map(i => rand(77 + i)): _*).as("v"))
+          .rdd.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).cache()
+        rows.count()
+        val t = timed("algo_gmm_200kx10_k10")(
+          graft.ml.GmmGraft.fit(rows, k = 10, graft.ml.GmmGraft.Diag, maxIter = 3, tol = 0))
+        rows.unpersist(); t
+      }
+      // 10M-row range-partitioned sort (TeraSort path)
+      val srt = timed("algo_sort_10m") {
+        spark.range(10000000).select(rand(5).as("x"))
+          .orderBy("x").write.format("noop").mode("overwrite").save()
+      }
+      // 500k×32 tall-skinny QR (tsqr analog)
+      val qr = {
+        val rows = spark.range(500000).select(col("id"),
+          array((0 until 32).map(i => rand(11 + i)): _*).as("v"))
+          .rdd.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).cache()
+        rows.count()
+        val t = timed("algo_tsqr_500kx32") {
+          val (q, _) = graft.linalg.Decompositions.tsqr(rows, 32)
+          q.count() // materialize Q, not just the R tree
+        }
+        rows.unpersist(); t
+      }
+      Seq(km, gm, srt, qr)
+    }
+    val all = results ++ algo
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = all.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -79,16 +79,22 @@ object Relational {
         countDistinct(col("l_suppkey")).as("n_supps"),
         countDistinct(col("l_orderkey")).as("n_orders"))
 
-  /** Star join: fact × 4 broadcast dims → revenue per region/nation.
-    * At 100 TB the fact table never shuffles: every dim side is broadcast. */
+  /** Star join → revenue per region/nation. Join strategy by table
+    * scale, not test-data size: lineitem⋈orders and orders⋈customer are
+    * fact-scale joins at 100 TB (shuffle hash/sort-merge + AQE — orders
+    * and customer grow with the fact table, broadcasting them would OOM
+    * a real cluster); nation/region are genuine constant-size dims and
+    * are broadcast, so the enriched fact rows never reshuffle for them.
+    * Aggregation prunes to (r_name, n_name) before the final tiny
+    * shuffle. */
   def starJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir)
-    li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
