@@ -52,6 +52,91 @@ final class DsArray(val bm: BlockMatrix) {
     DsArray.fromIndexedRows(toIndexedRowMatrix.rows, rows, cols,
       rowsPerBlock, colsPerBlock)
 
+  /** Elementwise product (reference array-×-array ops, array.py:206-407):
+    * equi-join on block coordinates — co-partitioned blocks never
+    * shuffle twice. */
+  def hadamard(o: DsArray): DsArray = {
+    require(rows == o.rows && cols == o.cols, "shape mismatch")
+    val joined = bm.blocks.join(o.rechunk(bm.rowsPerBlock, bm.colsPerBlock).bm.blocks)
+      .mapValues { case (a, b) =>
+        val av = a.toArray; val bv = b.toArray
+        Matrices.dense(a.numRows, a.numCols,
+          Array.tabulate(av.length)(i => av(i) * bv(i))): Matrix
+      }
+    new DsArray(new BlockMatrix(joined, bm.rowsPerBlock, bm.colsPerBlock, rows, cols))
+  }
+
+  /** Row-range slice [from, until) (reference __getitem__ row slices,
+    * array.py:124-160 — positional semantics via the row index). */
+  def sliceRows(from: Long, until: Long): DsArray = {
+    val sliced = toIndexedRowMatrix.rows
+      .filter(r => r.index >= from && r.index < until)
+      .map(r => IndexedRow(r.index - from, r.vector))
+    DsArray.fromIndexedRows(sliced, until - from, cols, bm.rowsPerBlock, bm.colsPerBlock)
+  }
+
+  /** Drop a row by index, shifting the rest up (reference delete,
+    * array.py:1307-1360). */
+  def deleteRow(i: Long): DsArray = {
+    val kept = toIndexedRowMatrix.rows.filter(_.index != i)
+      .map(r => IndexedRow(if (r.index > i) r.index - 1 else r.index, r.vector))
+    DsArray.fromIndexedRows(kept, rows - 1, cols, bm.rowsPerBlock, bm.colsPerBlock)
+  }
+
+  /** Vertical concat (reference concat_rows, array.py:2054-2228). */
+  def concatRows(o: DsArray): DsArray = {
+    require(cols == o.cols, "column count mismatch")
+    val off = rows
+    val all = toIndexedRowMatrix.rows
+      .union(o.toIndexedRowMatrix.rows.map(r => IndexedRow(r.index + off, r.vector)))
+    DsArray.fromIndexedRows(all, rows + o.rows, cols, bm.rowsPerBlock, bm.colsPerBlock)
+  }
+
+  /** Horizontal concat (reference concat_columns) — positional join of
+    * row halves; one shuffle on the row index. */
+  def concatCols(o: DsArray): DsArray = {
+    require(rows == o.rows, "row count mismatch")
+    val left = toIndexedRowMatrix.rows.map(r => (r.index, r.vector.toArray))
+    val right = o.toIndexedRowMatrix.rows.map(r => (r.index, r.vector.toArray))
+    val all = left.join(right).map { case (i, (a, b)) =>
+      IndexedRow(i, org.apache.spark.mllib.linalg.Vectors.dense(a ++ b))
+    }
+    DsArray.fromIndexedRows(all, rows, cols + o.cols, bm.rowsPerBlock, bm.colsPerBlock)
+  }
+
+  /** apply_along_axis (reference array.py:1577-1649 — the generic UDF
+    * surface): axis 0 reduces each column via `seq`/`comb` over
+    * per-partition Breeze columns; axis 1 maps each row to a scalar.
+    * Returns a 1×cols (axis 0) or rows×1 (axis 1) DsArray. */
+  def applyAlongAxis(axis: Int)(rowFn: BDM[Double] => breeze.linalg.DenseVector[Double],
+      comb: (breeze.linalg.DenseVector[Double], breeze.linalg.DenseVector[Double]) => breeze.linalg.DenseVector[Double] = null): DsArray = {
+    import breeze.linalg.DenseVector
+    axis match {
+      case 1 =>
+        val out = toIndexedRowMatrix.rows.map { r =>
+          val m = new BDM(1, r.vector.size, r.vector.toArray)
+          IndexedRow(r.index, org.apache.spark.mllib.linalg.Vectors.dense(rowFn(m).toArray))
+        }
+        val w = out.first().vector.size
+        DsArray.fromIndexedRows(out, rows, w, bm.rowsPerBlock, math.max(w, 1))
+      case 0 =>
+        require(comb != null, "axis 0 needs a combiner")
+        val partials = toIndexedRowMatrix.rows.mapPartitions { it =>
+          val data = it.toArray
+          if (data.isEmpty) Iterator.empty
+          else {
+            val p = data.head.vector.size
+            val m = new BDM(p, data.length, data.flatMap(_.vector.toArray)).t
+            Iterator(rowFn(m.toDenseMatrix))
+          }
+        }
+        val res: DenseVector[Double] = partials.treeReduce(comb, depth = 2)
+        DsArray.fromBreeze(bm.blocks.sparkContext,
+          new BDM(1, res.length, res.toArray), 1, bm.colsPerBlock)
+      case _ => throw new IllegalArgumentException(s"axis $axis")
+    }
+  }
+
   def toIndexedRowMatrix: IndexedRowMatrix = bm.toIndexedRowMatrix()
 
   /** Driver-side materialization (reference: array.py:1263-1287 collect). */

@@ -45,6 +45,15 @@ object LinalgDemo {
       DsArray.fromBreeze(sc, a4, 2, 2), DsArray.fromBreeze(sc, b3, 2, 2)).collect()
       - breeze.linalg.kron(a4, b3)), 1e-12)
 
+    report("hadamard", maxAbs(da.hadamard(da).collect() - (a *:* a)), 1e-12)
+    report("concat", maxAbs(da.concatRows(da).collect() - BDM.vertcat(a, a)), 1e-12)
+    report("axis0sum", {
+      val cs = da.applyAlongAxis(0)(m =>
+        breeze.linalg.sum(m(::, breeze.linalg.*)).t, _ + _).collect()
+      val exp = breeze.linalg.sum(a(::, breeze.linalg.*)).t
+      (0 until 20).map(j => math.abs(cs(0, j) - exp(j))).max
+    }, 1e-10)
+
     val (s, _) = Decompositions.randomizedSvd(rows, 20, 3)
     val sTrue = breeze.linalg.svd.reduced(a).singularValues
     report("randsvd", math.abs(s(0) - sTrue(0)) / sTrue(0), 0.05)

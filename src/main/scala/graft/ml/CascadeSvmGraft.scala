@@ -121,32 +121,50 @@ object CascadeSvmGraft {
     (keep.map(xs).toArray, keep.map(ys).toArray, keep.map(alphas).toArray)
   }
 
+  type Sv = Array[(Long, Array[Double], Double)]
+
+  /** Sort by stable id then solve — id order makes the dual-CD sweep
+    * (and so the SV set) independent of treeReduce combine order.
+    * localSolve keeps input order for kept rows, so ids re-align via a
+    * prefix walk. Standalone (not a local def) so executor closures
+    * capture only (c, kernel, sweeps). */
+  private def solveSorted(rows: Sv, c: Double, kernel: Kernel,
+      sweeps: Int): (Sv, Array[Double]) = {
+    val s = rows.sortBy(_._1)
+    val (sx, sy, al) = localSolve(s.map(_._2), s.map(_._3), c, kernel, sweeps)
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+    var si = 0
+    for (ki <- sx.indices) {
+      while (!(s(si)._2.sameElements(sx(ki)) && s(si)._3 == sy(ki))) si += 1
+      kept += s(si); si += 1
+    }
+    (kept.toArray, al)
+  }
+
   /** Fit on RDD[(features, label±1)]; cascade_arity is the treeReduce
     * fan-in, maxIter the feedback loop count, tol the convergence delta
-    * on primal weights (linear) / SV-set size change (RBF). */
+    * on primal weights (linear) / SV-set change (RBF). */
   def fit(data: RDD[(Array[Double], Double)], c: Double, kernel: Kernel,
       maxIter: Int = 3, tol: Double = 1e-3, sweeps: Int = 30): Model = {
     val p = data.first()._1.length
-    var feedback: Array[(Array[Double], Double)] = Array.empty
+    // stable row ids: treeReduce's combine ORDER depends on task
+    // scheduling, and dual-CD sweep order follows input order — sorting
+    // each merge input by id makes the cascade fully deterministic.
+    val withId = data.zipWithIndex().map { case ((x, y), i) => (i, x, y) }.cache()
+    var feedback: Sv = Array.empty
     var model: Model = null
     var prevW: Array[Double] = null
     var it = 0
     var converged = false
-    val cached = data.cache()
     while (it < maxIter && !converged) {
-      val fb = cached.sparkContext.broadcast(feedback)
-      val partial = cached.mapPartitions { iter =>
+      val fb = withId.sparkContext.broadcast(feedback)
+      val partial = withId.mapPartitions { iter =>
         val local = (iter ++ fb.value.iterator).toArray
-        val (sx, sy, _) = localSolve(local.map(_._1), local.map(_._2), c, kernel, sweeps)
-        Iterator(sx.zip(sy))
+        Iterator(solveSorted(local, c, kernel, sweeps)._1)
       }
-      val merged = partial.treeReduce({ (a, b) =>
-        val all = a ++ b
-        val (sx, sy, _) = localSolve(all.map(_._1), all.map(_._2), c, kernel, sweeps)
-        sx.zip(sy)
-      }, depth = 3)
-      val (sx, sy, al) = localSolve(merged.map(_._1), merged.map(_._2), c, kernel, sweeps)
-      model = Model(kernel, c, sx, sy, al)
+      val merged = partial.treeReduce({ (a, b) => solveSorted(a ++ b, c, kernel, sweeps)._1 }, depth = 3)
+      val (svs, al) = solveSorted(merged, c, kernel, sweeps)
+      model = Model(kernel, c, svs.map(_._2), svs.map(_._3), al)
       kernel match {
         case Linear =>
           val w = model.weights(p)
@@ -156,10 +174,10 @@ object CascadeSvmGraft {
           }
           prevW = w
         case _ =>
-          converged = feedback.length == sx.length &&
-            feedback.map(_._2).sameElements(sy)
+          converged = feedback.length == svs.length &&
+            feedback.map(_._1).sameElements(svs.map(_._1))
       }
-      feedback = sx.zip(sy)
+      feedback = svs
       it += 1
     }
     model

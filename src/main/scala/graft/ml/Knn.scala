@@ -62,6 +62,27 @@ object Knn {
        |  FROM v) WHERE rr = 1 ORDER BY test_id""".stripMargin
   }
 
+  /** General KNN prediction API (reference: KNeighborsClassifier
+    * weights∈{uniform, distance}, knn/base.py:22-296): vote weight is 1
+    * or 1/(dist+ε); winner by (total weight desc, label asc). */
+  def predict(train: DataFrame, test: DataFrame, idCol: String, vCol: String,
+      labelCol: String, k: Int, weighted: Boolean): DataFrame = {
+    val q = test.select(col(idCol).as("qid"), col(vCol).as("qv"))
+    val scored = train.select(col(idCol).as("nid"), col(labelCol).as("nlabel"), col(vCol))
+      .crossJoin(broadcast(q))
+      .withColumn("d", sqDist(col("qv"), col(vCol)))
+      .withColumn("rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("d").asc, col("nid").asc)))
+      .filter(col("rn") <= k)
+      .withColumn("wt",
+        if (weighted) lit(1.0) / (sqrt(col("d")) + lit(1e-9)) else lit(1.0))
+    scored.groupBy("qid", "nlabel").agg(sum("wt").as("w"))
+      .withColumn("rr", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("w").desc, col("nlabel").asc)))
+      .filter(col("rr") === 1)
+      .select(col("qid").as(idCol), col("nlabel").as("prediction"))
+  }
+
   /** Deterministic hash-based train/test split + k-fold assignment
     * (the scale-friendly variant of dislib's seeded random split,
     * model_selection/_split.py:14-76; a hash split is reproducible across

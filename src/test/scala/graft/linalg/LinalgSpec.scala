@@ -106,4 +106,30 @@ class LinalgSpec extends SparkSpec {
     val rows = sc.parallelize((0 until a.rows).map(i => a(i, ::).t.toArray), 8)
     assert(maxAbs(Decompositions.gram(rows, p) - a.t * a) < 1e-8)
   }
+
+  test("hadamard / sliceRows / deleteRow / concat") {
+    val a = rand(10, 6, 20); val b = rand(10, 6, 21)
+    val da = DsArray.fromBreeze(sc, a, 4, 3)
+    val db = DsArray.fromBreeze(sc, b, 3, 2)
+    assert(maxAbs(da.hadamard(db).collect() - (a *:* b)) < 1e-12)
+    assert(maxAbs(da.sliceRows(2, 7).collect() - a(2 to 6, ::).copy) < 1e-12)
+    val del = da.deleteRow(3).collect()
+    val expDel = BDM.vertcat(a(0 to 2, ::).copy, a(4 to 9, ::).copy)
+    assert(maxAbs(del - expDel) < 1e-12)
+    assert(maxAbs(da.concatRows(db).collect() - BDM.vertcat(a, b)) < 1e-12)
+    assert(maxAbs(da.concatCols(db).collect() - BDM.horzcat(a, b)) < 1e-12)
+  }
+
+  test("applyAlongAxis: axis-0 column sums and axis-1 row norms") {
+    val a = rand(30, 5, 22)
+    val da = DsArray.fromBreeze(sc, a, 7, 5)
+    val colSum = da.applyAlongAxis(0)(
+      m => breeze.linalg.sum(m(::, breeze.linalg.*)).t, _ + _).collect()
+    val expCol = breeze.linalg.sum(a(::, breeze.linalg.*)).t
+    for (j <- 0 until 5) assert(math.abs(colSum(0, j) - expCol(j)) < 1e-10)
+    val rowNorm = da.applyAlongAxis(1)(m =>
+      breeze.linalg.DenseVector(breeze.linalg.norm(m.t.toDenseVector))).collect()
+    for (i <- 0 until 30)
+      assert(math.abs(rowNorm(i, 0) - breeze.linalg.norm(a(i, ::).t)) < 1e-10)
+  }
 }

@@ -100,4 +100,26 @@ class EstimatorsSpec extends SparkSpec {
     assert(folds.map(_._2.count()).sum == 1000)
     folds.foreach { case (a, b) => assert(a.count() + b.count() == 1000) }
   }
+
+  test("KNN predict (uniform and distance-weighted) on labeled blobs") {
+    val rng = new java.util.Random(11)
+    val centers = Seq((0.0, 0.0), (6.0, 6.0), (-6.0, 6.0))
+    val data = Seq.tabulate(300) { i =>
+      val (cx, cy) = centers(i % 3)
+      (i.toLong, Array(cx + rng.nextGaussian() * 0.5, cy + rng.nextGaussian() * 0.5),
+        (i % 3).toDouble)
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    val df = data.toDF("id", "v", "label")
+    val train = df.filter(org.apache.spark.sql.functions.col("id") >= 30)
+    val test = df.filter(org.apache.spark.sql.functions.col("id") < 30)
+    for (weighted <- Seq(false, true)) {
+      val pred = Knn.predict(train, test, "id", "v", "label", k = 5, weighted)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val truth = data.take(30).map(d => d._1 -> d._3).toMap
+      val acc = truth.count { case (id, l) => pred(id) == l } / 30.0
+      assert(acc > 0.95, s"weighted=$weighted acc $acc")
+    }
+  }
 }
