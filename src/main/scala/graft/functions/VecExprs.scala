@@ -31,7 +31,9 @@ case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (Seq(left, right).forall(_.dataType match {
-      case ArrayType(DoubleType, _) => true; case _ => false }))
+      case ArrayType(DoubleType, _) => true
+      case org.apache.spark.sql.types.NullType => true
+      case _ => false }))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<double> inputs")
   override def dataType: DataType = DoubleType
@@ -68,7 +70,9 @@ case class VecSqDist(left: Expression, right: Expression)
     extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (Seq(left, right).forall(_.dataType match {
-      case ArrayType(DoubleType, _) => true; case _ => false }))
+      case ArrayType(DoubleType, _) => true
+      case org.apache.spark.sql.types.NullType => true
+      case _ => false }))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<double> inputs")
   override def dataType: DataType = DoubleType
@@ -110,6 +114,7 @@ case class VecNormSq(child: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case org.apache.spark.sql.types.NullType => TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<double> input")
     }
   override def dataType: DataType = DoubleType

@@ -87,9 +87,44 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** IVF ANN: a KMeans coarse quantizer partitions the corpus into
+    * nlist cells; queries search only their nProbe nearest cells (the
+    * classic inverted-file index — at 100 TB the corpus is bucketed and
+    * optionally `repartition(cell)`-clustered once, and each query scans
+    * nProbe/nlist of the data). Deterministic via KMeansGraft's contract. */
+  def ivfTopK(spark: SparkSession, dir: String,
+      nlist: Int = 16, nProbe: Int = 4, k: Int = 3): DataFrame = {
+    import graft.ml.KMeansGraft
+    val e = embWithNorm(spark, dir).cache()
+    val model = KMeansGraft.fit(e.select(col("vec_id"), col("v")), "v", "vec_id",
+      nlist, maxIter = 3)
+    val cells = e.withColumn("cell", model.assignCol(col("v")))
+    // nProbe nearest cells per query via unrolled center distances
+    val q = cells.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      .withColumn("probe_cells", {
+        val dists = model.centers.zipWithIndex.map { case (c, i) =>
+          struct(graft.functions.VectorFns.sqDistToConst(col("qv"), c).as("d"),
+            lit(i).as("i"))
+        }
+        slice(transform(array_sort(array(dists: _*)), s => s.getField("i")), 1, nProbe)
+      })
+    val scored = cells.join(broadcast(q),
+        array_contains(col("probe_cells"), col("cell")) && col("vec_id") =!= col("qid"))
+      .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ann_brute" -> (bruteTopK _),
-    "q_ann_lsh" -> (lshTopK _))
+    "q_ann_lsh" -> (lshTopK _),
+    "q_ann_ivf" -> ((s, d) => ivfTopK(s, d)))
 
   private val embCte =
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v

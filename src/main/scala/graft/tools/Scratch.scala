@@ -2,13 +2,12 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val out = graft.ml.CascadeSvmGraft.query(spark, "/root/testdata/sf0.01")
-      .collect().map(_.toSeq).mkString(";")
-    println("CSVM_RESULT=" + out)
+    val r = spark.sql("SELECT vec_dot(array(1D,2D), array(3D,4D)) AS d").head()
+    println("EXT_VEC_DOT=" + r.getDouble(0))
     spark.stop()
   }
 }
