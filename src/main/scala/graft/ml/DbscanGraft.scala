@@ -107,15 +107,53 @@ object DbscanGraft {
       .unionAll(borderLabels).unionAll(noise)
   }
 
-  /** Gate query (rows-only): DBSCAN over the first two embedding dims;
-    * output cluster sizes. */
+  val QueryEps = 0.05
+  val QueryMinPts = 4
+
+  /** Gate query: DBSCAN over the first two embedding dims; cluster
+    * sizes. Oracle-checked — the grid/halo machinery is purely a
+    * performance device, so the DuckDB oracle runs textbook all-pairs
+    * DBSCAN with a recursive-CTE min-label propagation standing in for
+    * GraphX connectedComponents (both converge to min-id labels). */
   def query(spark: SparkSession, dir: String): DataFrame = {
     val df = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         array(element_at(col("embedding"), 1).cast("double"),
           element_at(col("embedding"), 2).cast("double")).as("v"))
-    fit(df, "vec_id", "v", eps = 0.05, minPts = 4)
+    fit(df, "vec_id", "v", QueryEps, QueryMinPts)
       .groupBy("cluster").agg(count(lit(1)).as("n_points"))
       .orderBy(col("n_points").desc, col("cluster"))
   }
+
+  def oracle: String =
+    s"""WITH pts AS (SELECT vec_id AS id, embedding[1]::DOUBLE AS x,
+       |    embedding[2]::DOUBLE AS y FROM embeddings),
+       |-- left-associated distance chain == the Spark fold, bitwise
+       |nb AS (SELECT a.id AS ida, b.id AS idb FROM pts a JOIN pts b
+       |  ON a.id <> b.id AND
+       |     (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+       |       <= ($QueryEps::DOUBLE * $QueryEps::DOUBLE)),
+       |deg AS (SELECT ida AS id, count(*) AS n FROM nb GROUP BY ida),
+       |core AS (SELECT p.id FROM pts p JOIN deg d ON p.id = d.id
+       |  WHERE d.n >= ${QueryMinPts - 1}),
+       |ce AS (SELECT n.ida AS a, n.idb AS b FROM nb n
+       |  JOIN core c1 ON n.ida = c1.id JOIN core c2 ON n.idb = c2.id),
+       |cc AS (WITH RECURSIVE r(id, lbl) AS (
+       |    SELECT id, id FROM core
+       |    UNION
+       |    SELECT e.b, r.lbl FROM r JOIN ce e ON e.a = r.id)
+       |  SELECT id, min(lbl) AS cluster FROM r GROUP BY id),
+       |border AS (SELECT n.ida AS id, min(n.idb) AS core_id FROM nb n
+       |  JOIN core c ON n.idb = c.id
+       |  WHERE n.ida NOT IN (SELECT id FROM core) GROUP BY n.ida),
+       |labels AS (
+       |  SELECT id, cluster FROM cc
+       |  UNION ALL
+       |  SELECT b.id, cc.cluster FROM border b JOIN cc ON b.core_id = cc.id
+       |  UNION ALL
+       |  SELECT p.id, -1 AS cluster FROM pts p
+       |  WHERE p.id NOT IN (SELECT id FROM cc)
+       |    AND p.id NOT IN (SELECT id FROM border))
+       |SELECT cluster, count(*) AS n_points FROM labels
+       |GROUP BY cluster ORDER BY n_points DESC, cluster""".stripMargin
 }
