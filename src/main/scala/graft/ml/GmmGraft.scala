@@ -52,18 +52,31 @@ object GmmGraft {
       CompDensity(math.log(weights(j)), means(j), rooti, logDet)
     }.toArray
 
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def r6v(v: BDV[Double]): BDV[Double] = v.map(r6)
+  private def r6m(m: BDM[Double]): BDM[Double] = m.map(r6)
+
+  /** `paramRounding` rounds all parameters to 6 decimals after init and
+    * after every M-step — the cross-engine determinism contract that
+    * lets a DuckDB oracle reproduce the EM trajectory exactly (identical
+    * rounded params each iteration dominate sub-ulp exp/agg-order
+    * drift; same discipline as KMeansGraft). */
   def fit(rows: RDD[(Long, Array[Double])], k: Int, covType: CovType,
-      maxIter: Int = 20, tol: Double = 1e-4, reg: Double = 1e-6): Model = {
+      maxIter: Int = 20, tol: Double = 1e-4, reg: Double = 1e-6,
+      paramRounding: Boolean = false): Model = {
     val p = rows.first()._2.length
     val n = rows.count()
     val sc = rows.sparkContext
+    def pr6v(v: BDV[Double]) = if (paramRounding) r6v(v) else v
+    def pr6m(m: BDM[Double]) = if (paramRounding) r6m(m) else m
     // deterministic init
-    val initMeans = rows.sortByKey().take(k).map(r => BDV(r._2))
+    val initMeans = rows.sortByKey().take(k).map(r => pr6v(BDV(r._2)))
     val globalMean = rows.values.treeAggregate(BDV.zeros[Double](p))(
       (a, v) => a + BDV(v), _ + _) / n.toDouble
     val globalVar = rows.values.treeAggregate(BDV.zeros[Double](p))(
       (a, v) => { val c = BDV(v) - globalMean; a + (c *:* c) }, _ + _) / n.toDouble
-    val initCov = diag(globalVar + reg)
+    val initCov = pr6m(diag(globalVar + reg))
     var weights = Array.fill(k)(1.0 / k)
     var means = initMeans
     var covs = Array.fill(k)(initCov.copy)
@@ -99,23 +112,26 @@ object GmmGraft {
             Array.tabulate(k)(j => c1(j) + c2(j)), l1 + l2)
         }, depth = 2)
       dens.destroy()
-      weights = rs.map(_ / n)
+      weights = rs.map(w => if (paramRounding) r6(w / n) else w / n)
       means = Array.tabulate(k)(j => rx(j) / rs(j))
       val raw = Array.tabulate(k) { j =>
         val m = means(j)
         rxx(j) / rs(j) - (m * m.t)
       }
+      // rounding applies after the raw covariance uses the UNROUNDED mean
+      // (the SQL oracle mirrors this exact ordering)
       covs = covType match {
-        case Full => raw.map(c => regularize(c, reg))
-        case Diag => raw.map(c => regularize(diag(diag(c)), reg))
+        case Full => raw.map(c => pr6m(regularize(c, reg)))
+        case Diag => raw.map(c => pr6m(regularize(diag(diag(c)), reg)))
         case Spherical => raw.map { c =>
           val v = breeze.linalg.trace(c) / p
-          regularize(BDM.eye[Double](p) * v, reg)
+          pr6m(regularize(BDM.eye[Double](p) * v, reg))
         }
         case Tied =>
           val pooled = weights.indices.map(j => raw(j) * weights(j)).reduce(_ + _)
-          Array.fill(k)(regularize(pooled, reg))
+          Array.fill(k)(pr6m(regularize(pooled, reg)))
       }
+      means = means.map(pr6v)
       ll = llSum
       converged = math.abs(ll - prevLL) < tol * math.abs(ll)
       prevLL = ll
@@ -130,20 +146,92 @@ object GmmGraft {
     r
   }
 
-  /** Gate query (rows-only): diag GMM, k=4 on embeddings dims 1..4;
-    * per-component weight and mean norm. */
+  val QueryK = 3
+  val QueryIters = 2
+
+  /** Gate query (oracle-checked): diag GMM, k=3 on embeddings dims 1..2,
+    * 2 EM iterations under the paramRounding contract; per-component
+    * weight and mean. */
   def query(spark: SparkSession, dir: String): DataFrame = {
     val rows = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
-        array((1 to 4).map(i => element_at(col("embedding"), i).cast("double")): _*))
+        array((1 to 2).map(i => element_at(col("embedding"), i).cast("double")): _*))
       .rdd.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .cache()
-    val m = fit(rows, k = 4, Diag, maxIter = 10)
+    val m = fit(rows, QueryK, Diag, maxIter = QueryIters, tol = 0,
+      paramRounding = true)
     def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     val spark2 = spark
     import spark2.implicits._
     m.weights.indices.map { j =>
-      (j, r4(m.weights(j)), r4(breeze.linalg.norm(m.means(j))))
-    }.toDF("component", "weight", "mean_norm").orderBy("component")
+      (j, r4(m.weights(j)), r4(m.means(j)(0)), r4(m.means(j)(1)))
+    }.toDF("component", "weight", "m1", "m2").orderBy("component")
+  }
+
+  /** DuckDB oracle: the same 2 diag-EM iterations unrolled — E-step
+    * log-densities + logsumexp responsibilities, M-step weighted moments,
+    * all parameters rounded to 6 decimals per iteration exactly like
+    * `fit(paramRounding = true)`. */
+  def oracle: String = {
+    val k = QueryK
+    def pj(t: Int, f: String, j: Int, d: Int = -1): String =
+      if (d < 0) s"$f${j}_$t" else s"$f${j}_${d}_$t"
+    // params row at step t has columns: w{j}_t, m{j}_{d}_t, v{j}_{d}_t
+    def lp(j: Int, t: Int): String =
+      s"""ln(${pj(t, "w", j)}) - 0.5*(2*ln(2*pi())
+         | + ln(${pj(t, "v", j, 1)}) + ln(${pj(t, "v", j, 2)})
+         | + (x1-${pj(t, "m", j, 1)})*(x1-${pj(t, "m", j, 1)})/${pj(t, "v", j, 1)}
+         | + (x2-${pj(t, "m", j, 2)})*(x2-${pj(t, "m", j, 2)})/${pj(t, "v", j, 2)})"""
+        .stripMargin.replaceAll("\n", "")
+    def iteration(t: Int): String = {
+      val lps = (0 until k).map(j => s"(${lp(j, t - 1)}) AS lp$j").mkString(",\n    ")
+      val mx = (0 until k).map(j => s"lp$j").mkString("greatest(", ", ", ")")
+      val den = (0 until k).map(j => s"exp(lp$j - mx)").mkString(" + ")
+      val rs = (0 until k).map(j => s"exp(lp$j - mx) / den AS r$j").mkString(", ")
+      val mstep = (0 until k).flatMap { j =>
+        Seq(s"round(sum(r$j)/count(*), 6) AS ${pj(t, "w", j)}") ++
+          (1 to 2).map(d =>
+            s"round(sum(r$j*x$d)/sum(r$j), 6) AS ${pj(t, "m", j, d)}") ++
+          (1 to 2).map(d =>
+            s"""round(sum(r$j*x$d*x$d)/sum(r$j)
+               | - (sum(r$j*x$d)/sum(r$j))*(sum(r$j*x$d)/sum(r$j)) + 1e-6, 6)
+               | AS ${pj(t, "v", j, d)}""".stripMargin.replaceAll("\n", ""))
+      }.mkString(",\n    ")
+      s"""e$t AS (SELECT id, x1, x2,
+         |    $lps
+         |  FROM pts CROSS JOIN p${t - 1}),
+         |r$t AS (SELECT id, x1, x2, $rs FROM (
+         |  SELECT *, $mx AS mx, ${(0 until k).map(j => s"exp(lp$j - greatest(${(0 until k).map(i => s"lp$i").mkString(", ")}))").mkString(" + ")} AS den FROM e$t)),
+         |p$t AS (SELECT
+         |    $mstep
+         |  FROM r$t)""".stripMargin
+    }
+    val initMeans = (0 until k).flatMap { j =>
+      (1 to 2).map(d =>
+        s"max(CASE WHEN rn = ${j + 1} THEN round(x$d, 6) END) AS ${pj(0, "m", j, d)}")
+    }.mkString(",\n    ")
+    val initVars = (0 until k).flatMap { j =>
+      (1 to 2).map(d => s"gv$d AS ${pj(0, "v", j, d)}")
+    }.mkString(", ")
+    val initW = (0 until k).map(j => s"1.0/$k AS ${pj(0, "w", j)}").mkString(", ")
+    val finalSel = (0 until k).map { j =>
+      s"""SELECT $j AS component, round(${pj(QueryIters, "w", j)}, 4) AS weight,
+         |  round(${pj(QueryIters, "m", j, 1)}, 4) AS m1,
+         |  round(${pj(QueryIters, "m", j, 2)}, 4) AS m2 FROM p$QueryIters"""
+        .stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH pts AS (SELECT vec_id AS id, embedding[1]::DOUBLE AS x1,
+       |    embedding[2]::DOUBLE AS x2 FROM embeddings),
+       |gm AS (SELECT avg(x1) AS a1, avg(x2) AS a2 FROM pts),
+       |gv AS (SELECT round(sum((x1-a1)*(x1-a1))/count(*) + 1e-6, 6) AS gv1,
+       |    round(sum((x2-a2)*(x2-a2))/count(*) + 1e-6, 6) AS gv2
+       |  FROM pts CROSS JOIN gm),
+       |c0 AS (SELECT $initMeans
+       |  FROM (SELECT x1, x2, row_number() OVER (ORDER BY id) AS rn
+       |        FROM pts ORDER BY id LIMIT $k)),
+       |p0 AS (SELECT $initW, c0.*, $initVars FROM c0 CROSS JOIN gv),
+       |${(1 to QueryIters).map(iteration).mkString(",\n")}
+       |$finalSel
+       |ORDER BY component""".stripMargin
   }
 }

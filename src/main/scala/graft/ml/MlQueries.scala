@@ -47,7 +47,8 @@ object MlQueries {
     "q_hash_split" -> Knn.hashSplitOracle,
     "q_linreg_multi" -> LinearRegressionGraft.oracle,
     "q_pca_cov" -> PCAGraft.covOracle,
-    "q_dbscan" -> DbscanGraft.oracle)
+    "q_dbscan" -> DbscanGraft.oracle,
+    "q_gmm" -> GmmGraft.oracle)
   // q_pca has no oracle entry: eigendecomposition is not SQL-expressible
   // (driver records the weaker rows-only check; full parity in MlSpec).
 }
