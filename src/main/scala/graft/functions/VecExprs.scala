@@ -145,3 +145,118 @@ case class VecNormSq(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** n nearest center indices by (squared distance, index) — centers ride
+  * along as a reference object, so codegen emits one tight loop instead
+  * of k unrolled 64-term chains (Janino compile time is O(k·dim) tree
+  * size otherwise; with k=500 BASELINE-scale clustering the chains are
+  * unusable). Distance accumulation is sequential per center — bitwise
+  * identical to the unrolled-chain/`least(struct)` formulation, so the
+  * KMeans oracle contract is preserved. */
+case class VecNearestCenters(child: Expression, centers: Array[Array[Double]], n: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<double> input")
+    }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "vec_nearest_centers"
+
+  private def distsOf(x: ArrayData): Array[Double] = {
+    val p = x.numElements()
+    centers.map { c =>
+      var s = 0.0; var i = 0; val m = math.min(p, c.length)
+      while (i < m) { val d = x.getDouble(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val ds = distsOf(a.asInstanceOf[ArrayData])
+    val idx = ds.indices.sortBy(i => (ds(i), i)).take(n).toArray
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(idx)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centers", centers, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val bi = ctx.freshName("bi"); val bd = ctx.freshName("bd")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j"); val s = ctx.freshName("s")
+      val m = ctx.freshName("m"); val d = ctx.freshName("d"); val t = ctx.freshName("t")
+      val pos = ctx.freshName("pos")
+      s"""
+         |int[] $bi = new int[$n]; double[] $bd = new double[$n];
+         |for (int $t = 0; $t < $n; $t++) { $bd[$t] = Double.POSITIVE_INFINITY; $bi[$t] = -1; }
+         |for (int $j = 0; $j < $cRef.length; $j++) {
+         |  double $s = 0.0;
+         |  int $m = java.lang.Math.min($a.numElements(), $cRef[$j].length);
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    double $d = $a.getDouble($i) - $cRef[$j][$i];
+         |    $s += $d * $d;
+         |  }
+         |  int $pos = $n;
+         |  while ($pos > 0 && $s < $bd[$pos - 1]) { $pos--; }
+         |  if ($pos < $n) {
+         |    for (int $t = $n - 1; $t > $pos; $t--) { $bd[$t] = $bd[$t-1]; $bi[$t] = $bi[$t-1]; }
+         |    $bd[$pos] = $s; $bi[$pos] = $j;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($bi);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Minimum squared distance to any center (same loop, scalar result). */
+case class VecMinSqDist(child: Expression, centers: Array[Array[Double]])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<double> input")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_min_sqdist"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val p = x.numElements()
+    var best = Double.PositiveInfinity
+    centers.foreach { c =>
+      var s = 0.0; var i = 0; val m = math.min(p, c.length)
+      while (i < m) { val d = x.getDouble(i) - c(i); s += d * d; i += 1 }
+      if (s < best) best = s
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centers", centers, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val best = ctx.freshName("best"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val s = ctx.freshName("s")
+      val m = ctx.freshName("m"); val d = ctx.freshName("d")
+      s"""
+         |double $best = Double.POSITIVE_INFINITY;
+         |for (int $j = 0; $j < $cRef.length; $j++) {
+         |  double $s = 0.0;
+         |  int $m = java.lang.Math.min($a.numElements(), $cRef[$j].length);
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    double $d = $a.getDouble($i) - $cRef[$j][$i];
+         |    $s += $d * $d;
+         |  }
+         |  if ($s < $best) $best = $s;
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -180,6 +180,7 @@ object CascadeSvmGraft {
       feedback = svs
       it += 1
     }
+    withId.unpersist(false)
     model
   }
 
@@ -201,6 +202,7 @@ object CascadeSvmGraft {
     val confusion = data.map { case (x, y) =>
       ((y, bc.value.predict(x)), 1L)
     }.reduceByKey(_ + _).collect().sortBy(_._1)
+    data.unpersist(false)
     val spark2 = spark
     import spark2.implicits._
     confusion.map { case ((t, pr), n) => (t, pr, n) }

@@ -103,8 +103,12 @@ object DbscanGraft {
     val noise = nonCore.join(borderCand.select("id"), Seq("id"), "left_anti")
       .select(col("id"), lit(-1L).as("cluster"))
 
-    coreLabels.select("id", "cluster")
+    val out = coreLabels.select("id", "cluster")
       .unionAll(borderLabels).unionAll(noise)
+      .cache()
+    out.count() // materialize, then release the working caches
+    Seq(pts, halo, coreness, coreLabels).foreach(_.unpersist(false))
+    out
   }
 
   val QueryEps = 0.05

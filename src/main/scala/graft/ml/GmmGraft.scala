@@ -160,6 +160,7 @@ object GmmGraft {
       .cache()
     val m = fit(rows, QueryK, Diag, maxIter = QueryIters, tol = 0,
       paramRounding = true)
+    rows.unpersist(false)
     def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     val spark2 = spark
     import spark2.implicits._

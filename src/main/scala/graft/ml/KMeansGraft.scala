@@ -27,16 +27,28 @@ object KMeansGraft {
   final case class Model(centers: Array[Array[Double]]) {
     def k: Int = centers.length
 
-    /** struct(dist, idx) per center; `least` = lexicographic argmin. */
-    private def best(v: Column): Column = {
-      val structs = centers.zipWithIndex.map { case (c, i) =>
-        struct(sqDistToConst(v, c).as("d"), lit(i).as("i"))
-      }
-      if (structs.length == 1) structs.head else least(structs: _*)
+    /** Argmin by (squared distance, index) via the looping
+      * VecNearestCenters expression — sequential per-center accumulation
+      * is bitwise identical to the unrolled chains the DuckDB oracle
+      * uses, but codegen stays O(1) in k (usable at k=500). */
+    def assignCol(v: Column): Column = {
+      import org.apache.spark.sql.GraftColumnBridge
+      element_at(GraftColumnBridge.column(graft.functions.VecNearestCenters(
+        GraftColumnBridge.expression(v), centers, 1)), 1)
     }
 
-    def assignCol(v: Column): Column = best(v).getField("i")
-    def distCol(v: Column): Column = best(v).getField("d")
+    def distCol(v: Column): Column = {
+      import org.apache.spark.sql.GraftColumnBridge
+      GraftColumnBridge.column(graft.functions.VecMinSqDist(
+        GraftColumnBridge.expression(v), centers))
+    }
+
+    /** Indices of the n nearest centers, ordered (IVF probe list). */
+    def nearestCentersCol(v: Column, n: Int): Column = {
+      import org.apache.spark.sql.GraftColumnBridge
+      GraftColumnBridge.column(graft.functions.VecNearestCenters(
+        GraftColumnBridge.expression(v), centers, n))
+    }
 
     def centerNorm(i: Int): Double =
       math.sqrt(centers(i).map(x => x * x).sum)
@@ -78,15 +90,19 @@ object KMeansGraft {
     val normCol = norms.foldRight(lit(Double.NaN): Column) { case ((i, n), acc) =>
       when(col("cluster") === i, lit(n)).otherwise(acc)
     }
-    pts.withColumn("s", least(model.centers.zipWithIndex.map { case (c, i) =>
-        struct(sqDistToConst(col("v"), c).as("d"), lit(i).as("i"))
-      }: _*))
-      .select(col("s.i").as("cluster"), col("s.d").as("d"))
+    val out = pts.select(model.assignCol(col("v")).as("cluster"),
+        model.distCol(col("v")).as("d"))
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_points"), round(avg("d"), 6).as("avg_dist"))
       .withColumn("center_norm", normCol)
       .select(col("cluster"), col("n_points"), col("center_norm"), col("avg_dist"))
       .orderBy("cluster")
+      .collect() // k rows; materialize so the input cache can be freed
+    pts.unpersist(false)
+    val spark2 = spark
+    import spark2.implicits._
+    out.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq.toDF("cluster", "n_points", "center_norm", "avg_dist")
   }
 
   /** DuckDB oracle: the same 3 Lloyd iterations unrolled as CTEs. */

@@ -62,6 +62,7 @@ object Neighbors {
       edges = pruned
       remaining = edges.select(coalesce(countDistinct("src"), lit(0L))).head().getLong(0)
     }
+    edges.unpersist(false)
     clusters.toSeq
   }
 }

@@ -102,23 +102,23 @@ object Similarity {
     // nProbe nearest cells per query via unrolled center distances
     val q = cells.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-      .withColumn("probe_cells", {
-        val dists = model.centers.zipWithIndex.map { case (c, i) =>
-          struct(graft.functions.VectorFns.sqDistToConst(col("qv"), c).as("d"),
-            lit(i).as("i"))
-        }
-        slice(transform(array_sort(array(dists: _*)), s => s.getField("i")), 1, nProbe)
-      })
+      .withColumn("probe_cells", model.nearestCentersCol(col("qv"), nProbe))
     val scored = cells.join(broadcast(q),
         array_contains(col("probe_cells"), col("cell")) && col("vec_id") =!= col("qid"))
       .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
     val w = Window.partitionBy("qid")
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    val out = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
         round(col("cosine"), 6).as("cosine"))
       .orderBy("qid", "rank")
+      .collect() // small; materialize so the corpus cache can be freed
+    e.unpersist(false)
+    val spark2 = spark
+    import spark2.implicits._
+    out.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.toDF("qid", "rank", "neighbor_id", "cosine")
   }
 
   val queries: Map[String, Q] = Map(
