@@ -48,10 +48,25 @@ object Dedup {
       .orderBy("source")
 
   /** Near-dup pairs by exact word-3-gram Jaccard >= 0.8 via inverted-index
-    * self-join (shingle equi-join, count shared, join back set sizes). */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    * self-join (shingle equi-join, count shared, join back set sizes).
+    *
+    * `dfCap` (off when <= 0, and off in the oracle-checked gate query) is
+    * the web-scale skew knob: shingles appearing in more than dfCap
+    * documents are excluded from CANDIDATE GENERATION only — a hot
+    * shingle in k docs otherwise fans out k² join rows. Exact Jaccard is
+    * still computed on full shingle sets, so a pair is only missed if
+    * ALL its shared shingles are ultra-common — at j >= 0.8 pairs share
+    * most of their (mostly rare) shingles, so recall stays ~1. */
+  def ngramJaccard(spark: SparkSession, dir: String, dfCap: Int = 0): DataFrame = {
     val sh = shinglesDf(spark, dir).cache()
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val exAll = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val ex =
+      if (dfCap <= 0) exAll
+      else {
+        val rare = exAll.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= dfCap).select("s")
+        exAll.join(rare, "s")
+      }
     val inter = ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -130,7 +145,7 @@ object Dedup {
 
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> (exact _),
-    "q_dedup_ngram_jaccard" -> (ngramJaccard _),
+    "q_dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "q_dedup_minhash_lsh" -> (minhashLsh _),
     "q_dedup_simhash" -> (simhash _),
     "q_dedup_embedding" -> (embeddingNearDup _))

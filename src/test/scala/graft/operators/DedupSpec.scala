@@ -1,0 +1,28 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** The df-cap candidate-generation knob must not lose true near-dup
+  * pairs at sane caps (exact Jaccard is unchanged; only hot shingles
+  * leave the inverted index) — and must genuinely restrict candidates
+  * when driven to extremes. */
+class DedupSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("ngramJaccard with dfCap finds the same pairs as uncapped") {
+    val base = Dedup.ngramJaccard(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = Dedup.ngramJaccard(spark, dir, dfCap = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(base.nonEmpty, "expected planted near-dups")
+    assert(capped == base,
+      s"dfCap changed results: missing ${base.diff(capped)}, extra ${capped.diff(base)}")
+  }
+
+  test("an extreme dfCap genuinely restricts candidate generation") {
+    val base = Dedup.ngramJaccard(spark, dir).count()
+    // near-dup pairs share shingles with df >= 2, so dfCap=1 must find nothing
+    val starved = Dedup.ngramJaccard(spark, dir, dfCap = 1).count()
+    assert(starved == 0 && base > 0, s"starved=$starved base=$base")
+  }
+}
