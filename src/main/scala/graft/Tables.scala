@@ -31,12 +31,14 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
     * raw long (legacy.parquet.nanosAsLong — set in every session builder).
-    * Truncate to microseconds exactly as DuckDB does when loading nanos
-    * into its µs TIMESTAMP, so both engines see identical instants. */
+    * Floor to microseconds exactly as DuckDB does when loading nanos into
+    * its µs TIMESTAMP, so both engines see identical instants. `div`
+    * truncates toward zero, so subtract the positive remainder first —
+    * integer-exact floor division (pre-1970 instants floor, not truncate). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = load(spark, dir, "events")
     if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      df.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000")))
     else df
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")

@@ -181,14 +181,17 @@ case class VecNearestCenters(child: Expression, centers: Array[Array[Double]], n
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cRef = ctx.addReferenceObj("centers", centers, "double[][]")
+    // clamp to the center count so codegen emits exactly the same
+    // min(n, k) entries as the interpreted take(n) path (no -1 padding)
+    val nn = math.min(n, centers.length)
     nullSafeCodeGen(ctx, ev, a => {
       val bi = ctx.freshName("bi"); val bd = ctx.freshName("bd")
       val i = ctx.freshName("i"); val j = ctx.freshName("j"); val s = ctx.freshName("s")
       val m = ctx.freshName("m"); val d = ctx.freshName("d"); val t = ctx.freshName("t")
       val pos = ctx.freshName("pos")
       s"""
-         |int[] $bi = new int[$n]; double[] $bd = new double[$n];
-         |for (int $t = 0; $t < $n; $t++) { $bd[$t] = Double.POSITIVE_INFINITY; $bi[$t] = -1; }
+         |int[] $bi = new int[$nn]; double[] $bd = new double[$nn];
+         |for (int $t = 0; $t < $nn; $t++) { $bd[$t] = Double.POSITIVE_INFINITY; $bi[$t] = -1; }
          |for (int $j = 0; $j < $cRef.length; $j++) {
          |  double $s = 0.0;
          |  int $m = java.lang.Math.min($a.numElements(), $cRef[$j].length);
@@ -196,10 +199,10 @@ case class VecNearestCenters(child: Expression, centers: Array[Array[Double]], n
          |    double $d = $a.getDouble($i) - $cRef[$j][$i];
          |    $s += $d * $d;
          |  }
-         |  int $pos = $n;
+         |  int $pos = $nn;
          |  while ($pos > 0 && $s < $bd[$pos - 1]) { $pos--; }
-         |  if ($pos < $n) {
-         |    for (int $t = $n - 1; $t > $pos; $t--) { $bd[$t] = $bd[$t-1]; $bi[$t] = $bi[$t-1]; }
+         |  if ($pos < $nn) {
+         |    for (int $t = $nn - 1; $t > $pos; $t--) { $bd[$t] = $bd[$t-1]; $bi[$t] = $bi[$t-1]; }
          |    $bd[$pos] = $s; $bi[$pos] = $j;
          |  }
          |}

@@ -77,12 +77,18 @@ object KMeansGraft {
 
   val K = 8
   val Iters = 3
+  /** Gate query clusters on the first 16 dims: the unrolled-Lloyd DuckDB
+    * oracle's expression tree is O(iters·dim) — 64 dims OOM'd the
+    * driver's gate (round 1) purely on oracle-side planning memory. */
+  val QDim = 16
 
   /** Gate query: fit on `embeddings`, emit per-cluster size, center norm,
     * and mean point-to-center distance. */
   def query(spark: SparkSession, dir: String): DataFrame = {
     val pts = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v")).cache()
+      .select(col("vec_id"),
+        transform(slice(col("embedding"), 1, QDim), x => x.cast("double")).as("v"))
+      .cache()
     val model = fit(pts, "v", "vec_id", K, Iters)
     val norms = model.centers.indices
       .map(i => (i, BigDecimal(model.centerNorm(i))
@@ -105,17 +111,21 @@ object KMeansGraft {
       .toSeq.toDF("cluster", "n_points", "center_norm", "avg_dist")
   }
 
-  /** DuckDB oracle: the same 3 Lloyd iterations unrolled as CTEs. */
+  /** DuckDB oracle: the same 3 Lloyd iterations unrolled as CTEs. The
+    * distance chain is materialized ONCE per (point, center) pair in an
+    * inner subquery, then ranked on the plain column — half the
+    * expression-tree size of ranking on a repeated chain (the round-1
+    * formulation exhausted the gate's DuckDB memory). */
   def oracle: String = {
-    val dim = 64
+    val dim = QDim
     def chain(p: String, c: String): String =
       (1 to dim).map(i => s"($p[$i]-$c[$i])*($p[$i]-$c[$i])").mkString(" + ")
     def assign(name: String, cprev: String): String =
       s"""$name AS (SELECT vec_id, v, cl, d FROM (
-         |  SELECT p.vec_id, p.v, c.cl, ${chain("p.v", "c.v")} AS d,
-         |    row_number() OVER (PARTITION BY p.vec_id
-         |      ORDER BY ${chain("p.v", "c.v")} ASC, c.cl ASC) AS rn
-         |  FROM pts p CROSS JOIN $cprev c) WHERE rn = 1)""".stripMargin
+         |  SELECT vec_id, v, cl, d, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d ASC, cl ASC) AS rn
+         |  FROM (SELECT p.vec_id, p.v, c.cl, ${chain("p.v", "c.v")} AS d
+         |    FROM pts p CROSS JOIN $cprev c)) WHERE rn = 1)""".stripMargin
     def update(name: String, aprev: String, cprev: String): String =
       s"""${name}l AS (SELECT cl, list(x ORDER BY i) AS v FROM (
          |  SELECT cl, i, round(avg(v[i]), 6) AS x
@@ -128,7 +138,7 @@ object KMeansGraft {
       assign(ap, cp) + ",\n" + update(cn, ap, cp)
     }.mkString(",\n")
     val normChain = (1 to dim).map(i => s"v[$i]*v[$i]").mkString(" + ")
-    s"""WITH pts AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+    s"""WITH pts AS (SELECT vec_id, list_transform(embedding[1:$dim], x -> x::DOUBLE) AS v
        |  FROM embeddings),
        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl,
        |    list_transform(v, x -> round(x, 6)) AS v

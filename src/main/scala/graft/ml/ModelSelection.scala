@@ -41,17 +41,20 @@ object ModelSelection {
   def gridSearch[P](df: DataFrame, idCol: String, grid: Seq[P], folds: Int,
       fitScore: (DataFrame, DataFrame, P) => Double,
       parallelism: Int = 4): Seq[GridResult[P]] = {
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
-      java.util.concurrent.Executors.newFixedThreadPool(parallelism))
-    val foldDfs = kfold(df.cache(), idCol, folds)
-    val futures = grid.map { p =>
-      Future {
-        val scores = foldDfs.map { case (tr, te) => fitScore(tr, te, p) }
-        GridResult(p, scores.sum / scores.size, scores)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    try {
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val foldDfs = kfold(df.cache(), idCol, folds)
+      val futures = grid.map { p =>
+        Future {
+          val scores = foldDfs.map { case (tr, te) => fitScore(tr, te, p) }
+          GridResult(p, scores.sum / scores.size, scores)
+        }
       }
-    }
-    val results = Await.result(Future.sequence(futures), Duration.Inf)
-    results.sortBy(-_.meanScore)
+      val results = Await.result(Future.sequence(futures), Duration.Inf)
+      df.unpersist(false)
+      results.sortBy(-_.meanScore)
+    } finally pool.shutdown()
   }
 
   /** Randomized search: sample `n` candidates deterministically. */

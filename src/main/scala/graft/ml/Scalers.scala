@@ -25,11 +25,16 @@ object Scalers {
       }
   }
 
+  /** Zero scale → 1.0 (sklearn _handle_zeros_in_scale: a constant column
+    * scales to 0, not NaN/Inf — matching the reference's sklearn-backed
+    * scalers). */
+  private def nz(s: Double): Double = if (s == 0.0 || s.isNaN) 1.0 else s
+
   def fitStandard(df: DataFrame, cols: Seq[String]): StandardModel = {
     val aggs = cols.flatMap(c => Seq(avg(c).as(s"m_$c"), stddev_samp(col(c)).as(s"s_$c")))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     StandardModel(cols.map(c =>
-      c -> (r.getAs[Double](s"m_$c"), r.getAs[Double](s"s_$c"))).toMap)
+      c -> (r.getAs[Double](s"m_$c"), nz(r.getAs[Double](s"s_$c")))).toMap)
   }
 
   final case class MinMaxModel(stats: Map[String, (Double, Double)],
@@ -37,12 +42,12 @@ object Scalers {
     def transform(df: DataFrame): DataFrame =
       stats.foldLeft(df) { case (d, (c, (lo, hi))) =>
         val (a, b) = range
-        d.withColumn(s"${c}_mm", (col(c) - lit(lo)) / lit(hi - lo) * lit(b - a) + lit(a))
+        d.withColumn(s"${c}_mm", (col(c) - lit(lo)) / lit(nz(hi - lo)) * lit(b - a) + lit(a))
       }
     def inverse(df: DataFrame): DataFrame =
       stats.foldLeft(df) { case (d, (c, (lo, hi))) =>
         val (a, b) = range
-        d.withColumn(s"${c}_orig", (col(s"${c}_mm") - lit(a)) / lit(b - a) * lit(hi - lo) + lit(lo))
+        d.withColumn(s"${c}_orig", (col(s"${c}_mm") - lit(a)) / lit(b - a) * lit(nz(hi - lo)) + lit(lo))
       }
   }
 

@@ -96,12 +96,12 @@ object Events {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM l),
         |g AS (SELECT user_id, session_id, count(*) AS n FROM s GROUP BY 1, 2)
-        |SELECT user_id, count(*) AS n_sessions, sum(n) AS n_events,
+        |SELECT user_id, count(*) AS n_sessions, sum(n)::BIGINT AS n_events,
         |  max(n) AS max_session_events, round(avg(n), 4) AS avg_session_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_events_json" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+        |  sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
         |  round(avg(json_extract_string(props, '$.k')::BIGINT), 4) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_asof_join" ->

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Dev-side replica of the driver's DuckDB correctness gate.
 Usage: check.py <sfDir> <verifyOutDir>"""
-import sys, json, glob, math
+import sys, json, glob, math, decimal
 import duckdb, pyarrow.parquet as pq
 
 sf, out = sys.argv[1], sys.argv[2]
@@ -17,6 +17,10 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v): return "NaN"
         return v
+    # keep decimals distinct from ints: the driver's value hash is
+    # type-sensitive, so DuckDB hugeint/decimal sums must NOT silently
+    # equal Spark int64 here (Python Decimal == int would hide it)
+    if isinstance(v, decimal.Decimal): return ("dec", str(v))
     if hasattr(v, "isoformat"): return v.isoformat()
     if isinstance(v, bytes): return v.hex()
     if isinstance(v, list): return tuple(norm(x) for x in v)
@@ -28,7 +32,7 @@ for name, sql in sorted(oracle.items()):
     if not files:
         print(f"FAIL {name}: no spark output"); fail += 1; continue
     try:
-        got = pq.read_table(files[0])
+        got = pq.read_table(files)
         exp = con.execute(sql).fetch_arrow_table()
     except Exception as e:
         print(f"FAIL {name}: {e}"); fail += 1; continue
