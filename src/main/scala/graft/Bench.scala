@@ -31,6 +31,24 @@ object Bench {
       try Tables.load(spark, sfDir, t).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }
+    // warmup the RDD-shuffle + MLlib iterative machinery (ALS/RF internals
+    // are interpreter-cold on a fresh JVM; the first estimator query would
+    // otherwise absorb ~6s of JIT that a long-lived cluster amortizes away)
+    try {
+      import org.apache.spark.sql.functions._
+      val sess = spark
+      import sess.implicits._
+      val mini = spark.range(200).select(
+        (col("id") % 20).cast("int").as("user"),
+        (col("id") % 10).cast("int").as("item"),
+        (col("id") % 5).cast("float").as("rating"))
+      new org.apache.spark.ml.recommendation.ALS()
+        .setRank(2).setMaxIter(1).setSeed(1)
+        .setNumUserBlocks(2).setNumItemBlocks(2)
+        .setUserCol("user").setItemCol("item").setRatingCol("rating")
+        .fit(mini)
+      ()
+    } catch { case _: Throwable => }
 
     // dev loop: SPARK_GRAFT_BENCH_ONLY=q_a,q_b runs a subset;
     // SPARK_GRAFT_EXPLAIN=1 dumps the formatted plan per query.

@@ -35,11 +35,17 @@ object MllibWrappers {
       .setNumTrees(20).setMaxDepth(5).setSeed(42)
       .setLabelCol("label").setFeaturesCol("features")
       .fit(train)
-    model.transform(test)
+    val out = model.transform(test)
       .groupBy(col("label").cast("int").as("label"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("prediction") === col("label"), 1).otherwise(0)).as("n_correct"))
       .orderBy("label")
+      .collect()
+    train.unpersist(false); test.unpersist(false)
+    val spark2 = spark
+    import spark2.implicits._
+    out.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .toSeq.toDF("label", "n", "n_correct")
   }
 
   /** RF regression sanity query: predict l_extendedprice from lineitem
@@ -71,14 +77,38 @@ object MllibWrappers {
       .filter(col("item").isNotNull)
       .groupBy("user", "item").agg(avg("rating").cast("float").as("rating"))
       .cache()
+    // few distinct users/items at any SF: fewer factor blocks = fewer
+    // shuffle files per iteration (default 10×10 blocks is for
+    // billion-rating scale; at that scale raise blocks, not lower)
     val model = new ALS().setRank(8).setMaxIter(8).setSeed(42)
+      .setNumUserBlocks(4).setNumItemBlocks(4)
       .setUserCol("user").setItemCol("item").setRatingCol("rating")
       .fit(ratings)
     model.setColdStartStrategy("drop")
+    // top-1 by predicted rating = argmax over dot(userFactor, itemFactor):
+    // identical semantics to recommendForUserSubset(users, 1), but the
+    // blocked-GEMM recommend machinery (built for 10^8-user catalogs)
+    // costs ~6s of fixed blockify/shuffle setup — a broadcast cross join
+    // over the 10×n_items factor pairs is the right plan at this shape
+    import graft.functions.VecExprs.vecDot
     val users = ratings.select("user").distinct().orderBy("user").limit(10)
-    model.recommendForUserSubset(users, 1)
-      .select(col("user"), element_at(col("recommendations"), 1).getField("item").as("top_item"))
+    val uf = model.userFactors.join(broadcast(users), col("id") === col("user"))
+      .select(col("user"), transform(col("features"), x => x.cast("double")).as("ufeat"))
+    val itf = model.itemFactors
+      .select(col("id").as("item"), transform(col("features"), x => x.cast("double")).as("ifeat"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user")
+      .orderBy(col("score").desc, col("item").asc)
+    val out = uf.join(broadcast(itf))
+      .withColumn("score", vecDot(col("ufeat"), col("ifeat")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user"), col("item").as("top_item"))
       .orderBy("user")
+      .collect()
+    ratings.unpersist(false)
+    val spark2 = spark
+    import spark2.implicits._
+    out.map(r => (r.getInt(0), r.getInt(1))).toSeq.toDF("user", "top_item")
   }
 
   /** Lasso = L1 linear regression (reference: dislib/regression/lasso/
@@ -113,10 +143,16 @@ object MllibWrappers {
     val model = new LinearSVC().setMaxIter(20).setRegParam(0.01)
       .setLabelCol("label").setFeaturesCol("features")
       .fit(df)
-    model.transform(df)
+    val out = model.transform(df)
       .groupBy(col("label").cast("int").as("label"),
         col("prediction").cast("int").as("predicted"))
       .agg(count(lit(1)).as("n"))
       .orderBy("label", "predicted")
+      .collect()
+    df.unpersist(false)
+    val spark2 = spark
+    import spark2.implicits._
+    out.map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .toSeq.toDF("label", "predicted", "n")
   }
 }
