@@ -20,6 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Events.queries ++ graft.ml.MlQueries.queries ++
+      graft.linalg.LinalgQueries.queries ++
       Map("q_terasort_cols" -> (TeraSort.query _),
         "q_multimodal" -> (graft.multimodal.Multimodal.query _),
         "q_io_roundtrip" -> (graft.sources.Sources.roundtripQuery _))
@@ -27,5 +28,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Events.oracles ++ graft.ml.MlQueries.oracles ++
-      Map("q_terasort_cols" -> TeraSort.oracle)
+      graft.linalg.LinalgQueries.oracles ++
+      Map("q_terasort_cols" -> TeraSort.oracle,
+        "q_io_roundtrip" -> graft.sources.Sources.roundtripOracle)
 }

@@ -1,0 +1,134 @@
+package graft.linalg
+
+import graft.Tables
+import org.apache.spark.mllib.linalg.Vectors
+import org.apache.spark.mllib.linalg.distributed.IndexedRow
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked gate queries for the distributed linear-algebra layer
+  * (SURVEY.md §2.3 matmul/kron, §2.8 tsqr/svd).
+  *
+  * DuckDB has no matrix algebra, so each query is checked through an
+  * algebraic identity the oracle CAN compute with plain SQL aggregation:
+  *   - blocked GEMM:  G = AᵀA element-by-element vs sum(v[i]·v[j]);
+  *   - TSQR:          RᵀR = AᵀA (R is exactly the Cholesky factor);
+  *   - SVD:           Σσ² = trace(AᵀA), Σσ⁴ = ‖AᵀA‖²_F (spectrum moments);
+  *   - Kronecker:     K[i,j] = A[i÷3, j÷2]·B[i%3, j%2] (pure products).
+  * These pin the distributed results to the data, not to a re-derivation
+  * with the same code path.
+  */
+object LinalgQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val P = 8
+
+  /** embeddings' first P dims as indexed rows (vec_id is 0..n-1 dense). */
+  private def embRows(spark: SparkSession, dir: String) =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(slice(col("embedding"), 1, P), x => x.cast("double")).as("v"))
+      .rdd.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  /** Gram matrix through the blocked-GEMM path: A as a multi-block
+    * DsArray, G = Aᵀ %*% A (BlockMatrix shuffle multiply), collected. */
+  def matmulGram(spark: SparkSession, dir: String): DataFrame = {
+    val rows = embRows(spark, dir).map { case (i, v) =>
+      IndexedRow(i, Vectors.dense(v)) }
+    val n = rows.count()
+    val a = DsArray.fromIndexedRows(rows, n, P, 64, 4) // 8×2 block grid
+    val g = (a.transpose %*% a).collect()
+    val spark2 = spark
+    import spark2.implicits._
+    (for (i <- 0 until P; j <- 0 until P) yield
+      (i, j, BigDecimal(g(i, j)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("i", "j", "val").orderBy("i", "j")
+  }
+
+  /** TSQR R factor checked through RᵀR = AᵀA (upper triangle). */
+  def tsqrR(spark: SparkSession, dir: String): DataFrame = {
+    val (_, r) = Decompositions.tsqr(embRows(spark, dir), P)
+    val rtr = r.t * r
+    val spark2 = spark
+    import spark2.implicits._
+    (for (i <- 0 until P; j <- i until P) yield
+      (i, j, BigDecimal(rtr(i, j)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("i", "j", "val").orderBy("i", "j")
+  }
+
+  /** Distributed SVD checked through its spectrum moments. */
+  def svdMoments(spark: SparkSession, dir: String): DataFrame = {
+    val (_, sv, _) = Decompositions.svd(embRows(spark, dir), P, P)
+    val s2 = sv.toArray.map(s => s * s)
+    def r(x: Double, d: Int) =
+      BigDecimal(x).setScale(d, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark2 = spark
+    import spark2.implicits._
+    Seq(("sum_sq", r(s2.sum, 6)), ("sum_quad", r(s2.map(x => x * x).sum, 4)))
+      .toDF("moment", "value").orderBy("moment")
+  }
+
+  /** Kronecker product of two data-derived tiles (A: rows 0-1, B: rows
+    * 2-4, first 2 dims each) through the blocked cartesian kron. */
+  def kron(spark: SparkSession, dir: String): DataFrame = {
+    val first5 = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id"),
+        transform(slice(col("embedding"), 1, 2), x => x.cast("double")).as("v"))
+      .orderBy("vec_id").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    val sc = spark.sparkContext
+    val a = DsArray.fromBreeze(sc,
+      new breeze.linalg.DenseMatrix(2, 2, Array(
+        first5(0)(0), first5(1)(0), first5(0)(1), first5(1)(1))), 1, 2)
+    val b = DsArray.fromBreeze(sc,
+      new breeze.linalg.DenseMatrix(3, 2, Array(
+        first5(2)(0), first5(3)(0), first5(4)(0),
+        first5(2)(1), first5(3)(1), first5(4)(1))), 2, 1)
+    val k = DsArray.kron(a, b).collect()
+    val spark2 = spark
+    import spark2.implicits._
+    (for (i <- 0 until 6; j <- 0 until 4) yield
+      (i, j, BigDecimal(k(i, j)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("i", "j", "val").orderBy("i", "j")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_matmul_gram" -> (matmulGram _),
+    "q_tsqr_r" -> (tsqrR _),
+    "q_svd_moments" -> (svdMoments _),
+    "q_kron" -> (kron _))
+
+  private val gramCte =
+    s"""WITH e AS (SELECT list_transform(embedding[1:$P], x -> x::DOUBLE) AS v
+       |    FROM embeddings),
+       |idx AS (SELECT i, j FROM generate_series(1, $P) g(i)
+       |    CROSS JOIN generate_series(1, $P) h(j)),
+       |g AS (SELECT i, j, sum(v[i] * v[j]) AS gij
+       |    FROM e CROSS JOIN idx GROUP BY i, j)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_matmul_gram" ->
+      s"""$gramCte
+         |SELECT i - 1 AS i, j - 1 AS j, round(gij, 6) AS val FROM g
+         |ORDER BY i, j""".stripMargin,
+    "q_tsqr_r" ->
+      s"""$gramCte
+         |SELECT i - 1 AS i, j - 1 AS j, round(gij, 6) AS val FROM g
+         |WHERE i <= j ORDER BY i, j""".stripMargin,
+    "q_svd_moments" ->
+      s"""$gramCte
+         |SELECT 'sum_quad' AS moment, round(sum(gij * gij), 4) AS value FROM g
+         |UNION ALL
+         |SELECT 'sum_sq', round(sum(gij) FILTER (WHERE i = j), 6) FROM g
+         |ORDER BY moment""".stripMargin,
+    "q_kron" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding[1:2], x -> x::DOUBLE) AS v
+        |    FROM embeddings WHERE vec_id < 5),
+        |idx AS (SELECT i, j FROM generate_series(0, 5) gi(i)
+        |    CROSS JOIN generate_series(0, 3) gj(j))
+        |SELECT i, j, round(a.v[(j // 2) + 1] * b.v[(j % 2) + 1], 6) AS val
+        |FROM idx JOIN e a ON a.vec_id = (i // 3)
+        |JOIN e b ON b.vec_id = (i % 3) + 2
+        |ORDER BY i, j""".stripMargin)
+}

@@ -24,7 +24,9 @@ object MlQueries {
     "q_rf_regress" -> ((s, d) => MllibWrappers.rfRegQuery(s, d)),
     "q_als_recommend" -> ((s, d) => MllibWrappers.alsQuery(s, d)),
     "q_linear_svc" -> ((s, d) => MllibWrappers.svcQuery(s, d)),
-    "q_lasso" -> ((s, d) => MllibWrappers.lassoQuery(s, d)))
+    "q_lasso" -> ((s, d) => MllibWrappers.lassoQuery(s, d)),
+    "q_pca_invariants" -> ((s, d) => PCAGraft.invariantsQuery(s, d)),
+    "q_gridsearch" -> ((s, d) => ModelSelection.gridSearchQuery(s, d)))
 
   private def dauraQuery(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -39,6 +41,35 @@ object MlQueries {
       .toDF("center", "n_members").orderBy("center")
   }
 
+  /** Daura (greedy max-degree removal, Neighbors.daura) reproduced as a
+    * DuckDB recursive CTE: the working row carries the remaining-id list;
+    * each step's LATERAL picks the (max degree, min id) center among
+    * remaining points and removes its eps-ball. Distance chains are
+    * left-associated like VecSqDist's sequential fold. */
+  val dauraOracle: String = {
+    val chain = (1 to 4).map(i => s"(a.v[$i]-b.v[$i])*(a.v[$i]-b.v[$i])")
+      .mkString(" + ")
+    s"""WITH RECURSIVE
+       |pts AS (SELECT vec_id AS id, list_transform(embedding[1:4], x -> x::DOUBLE) AS v
+       |    FROM embeddings WHERE vec_id < 50),
+       |nb AS (SELECT a.id AS src, b.id AS dst FROM pts a JOIN pts b
+       |    ON $chain <= (0.35::DOUBLE * 0.35::DOUBLE)),
+       |iter(n, remaining, center, members) AS (
+       |  SELECT 0, (SELECT list(id ORDER BY id) FROM pts), NULL::BIGINT, NULL::BIGINT[]
+       |  UNION ALL
+       |  SELECT n + 1,
+       |    list_filter(iter.remaining, x -> NOT list_contains(m.members, x)),
+       |    m.center, m.members
+       |  FROM iter, LATERAL (
+       |    SELECT src AS center, list(dst ORDER BY dst) AS members
+       |    FROM nb WHERE list_contains(iter.remaining, src)
+       |      AND list_contains(iter.remaining, dst)
+       |    GROUP BY src ORDER BY count(*) DESC, src ASC LIMIT 1) m
+       |  WHERE len(iter.remaining) > 0)
+       |SELECT center, len(members)::BIGINT AS n_members FROM iter
+       |WHERE center IS NOT NULL ORDER BY center""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_kmeans" -> KMeansGraft.oracle,
     "q_knn_classify" -> Knn.oracle,
@@ -47,8 +78,12 @@ object MlQueries {
     "q_hash_split" -> Knn.hashSplitOracle,
     "q_linreg_multi" -> LinearRegressionGraft.oracle,
     "q_pca_cov" -> PCAGraft.covOracle,
+    "q_pca_invariants" -> PCAGraft.invariantsOracle,
+    "q_gridsearch" -> ModelSelection.gridSearchOracle,
+    "q_daura" -> dauraOracle,
     "q_dbscan" -> DbscanGraft.oracle,
     "q_gmm" -> GmmGraft.oracle)
-  // q_pca has no oracle entry: eigendecomposition is not SQL-expressible
-  // (driver records the weaker rows-only check; full parity in MlSpec).
+  // q_pca has no oracle entry: per-component eigenvalues are not
+  // SQL-expressible (q_pca_invariants pins Σλ and Σλ² instead; full
+  // parity in MlSpec).
 }

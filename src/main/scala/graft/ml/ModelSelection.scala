@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
@@ -65,4 +65,55 @@ object ModelSelection {
     val grid = Seq.fill(n)(sampler(rng))
     gridSearch(df, idCol, grid, folds, fitScore, parallelism)
   }
+
+  val RidgeLambdas = Seq(0.0, 10.0, 1000.0)
+  val RidgeFolds = 3
+
+  /** Gate query: exhaustive grid × 3-fold CV of a closed-form ridge
+    * regression (l_extendedprice/1000 ~ l_quantity). The estimator is
+    * deliberately normal-equation closed-form — b = Sxy/(Sxx+λ) — so the
+    * whole search, folds included, is reproducible in the DuckDB oracle
+    * (GridSearchCV semantics: fit ALL candidate×fold pairs concurrently,
+    * reference _search.py:60-136; every fit is one agg + one scored agg). */
+  def gridSearchQuery(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables.lineitem(spark, dir)
+      .select(concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("rid"),
+        col("l_quantity").cast("double").as("x"),
+        (col("l_extendedprice") / 1000).as("y"))
+    val results = gridSearch[Double](li, "rid", RidgeLambdas, RidgeFolds,
+      (tr, te, lambda) => {
+        val s = tr.agg(avg("x").as("mx"), avg("y").as("my"),
+          regr_sxx(col("y"), col("x")).as("sxx"),
+          regr_sxy(col("y"), col("x")).as("sxy")).head()
+        val (mx, my, sxx, sxy) =
+          (s.getDouble(0), s.getDouble(1), s.getDouble(2), s.getDouble(3))
+        val b = sxy / (sxx + lambda)
+        val a = my - b * mx
+        val mse = te.agg(avg(pow(col("y") - lit(a) - lit(b) * col("x"), 2)))
+          .head().getDouble(0)
+        -mse // gridSearch ranks higher-is-better
+      })
+    val spark2 = spark
+    import spark2.implicits._
+    results.flatMap(r => r.foldScores.zipWithIndex.map { case (s, f) =>
+      (r.params, f.toLong,
+        BigDecimal(-s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }).toDF("lambda", "fold", "mse").orderBy("lambda", "fold")
+  }
+
+  val gridSearchOracle: String =
+    """WITH d AS (SELECT l_quantity::DOUBLE AS x, l_extendedprice / 1000 AS y,
+      |    (('0x'||substr(md5(l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR),1,14))::UBIGINT::BIGINT) % 3 AS fold
+      |  FROM lineitem),
+      |l(lambda) AS (VALUES (0.0::DOUBLE), (10.0::DOUBLE), (1000.0::DOUBLE)),
+      |st AS (SELECT f.fold, avg(d.x) AS mx, avg(d.y) AS my,
+      |    regr_sxx(d.y, d.x) AS sxx, regr_sxy(d.y, d.x) AS sxy
+      |  FROM (SELECT DISTINCT fold FROM d) f JOIN d ON d.fold <> f.fold
+      |  GROUP BY f.fold),
+      |co AS (SELECT st.fold, l.lambda, sxy / (sxx + l.lambda) AS b,
+      |    my - sxy / (sxx + l.lambda) * mx AS a
+      |  FROM st CROSS JOIN l)
+      |SELECT co.lambda, co.fold, round(avg(pow(d.y - co.a - co.b * d.x, 2)), 4) AS mse
+      |FROM co JOIN d ON d.fold = co.fold
+      |GROUP BY co.lambda, co.fold ORDER BY 1, 2""".stripMargin
 }

@@ -85,6 +85,36 @@ object PCAGraft {
     rows.mkString("", "\nUNION ALL ", "\nORDER BY i, j")
   }
 
+  /** Oracle-checked eigendecomposition invariants: Σλ = trace(cov) and
+    * Σλ² = ‖cov‖²_F — both SQL-computable from covar_samp while the
+    * eigenvalues themselves are not. A wrong scatter matrix, a wrong
+    * (n-1) scaling, or a broken eigensolver each breaks at least one. */
+  def invariantsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val feats = (1 to 8).map(i => s"e$i")
+    val df = Tables.embeddings(spark, dir)
+      .select((1 to 8).map(i =>
+        element_at(col("embedding"), i).cast("double").as(s"e$i")): _*)
+    val model = fit(df, feats)
+    val ev = model.explainedVariance.toArray
+    def r8(x: Double) = BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark2 = spark
+    import spark2.implicits._
+    Seq(("sum_eig", r8(ev.sum)), ("sum_eig_sq", r8(ev.map(x => x * x).sum)))
+      .toDF("invariant", "value").orderBy("invariant")
+  }
+
+  val invariantsOracle: String =
+    """WITH e AS (SELECT list_transform(embedding[1:8], x -> x::DOUBLE) AS v
+      |    FROM embeddings),
+      |idx AS (SELECT i, j FROM generate_series(1, 8) g(i)
+      |    CROSS JOIN generate_series(1, 8) h(j)),
+      |c AS (SELECT i, j, covar_samp(v[i], v[j]) AS cij
+      |    FROM e CROSS JOIN idx GROUP BY i, j)
+      |SELECT 'sum_eig' AS invariant, round(sum(cij) FILTER (WHERE i = j), 8) AS value FROM c
+      |UNION ALL
+      |SELECT 'sum_eig_sq', round(sum(cij * cij), 8) FROM c
+      |ORDER BY invariant""".stripMargin
+
   /** Gate query: PCA-projected variance summary — fit on embeddings'
     * first 8 dims, report per-component explained variance (deterministic
     * up to agg-order noise, rounded). */

@@ -54,7 +54,18 @@ object Sources {
   def shuffle(df: DataFrame, seed: Long): DataFrame =
     df.withColumn("__r", rand(seed)).orderBy("__r").drop("__r")
 
-  /** Gate query (rows-only): write→read roundtrips through the text and
+  /** Oracle: every roundtrip stage must preserve exactly the source's
+    * row count and value sum — all four stages equal one scan of the
+    * filtered source. */
+  val roundtripOracle: String =
+    """WITH s AS (SELECT count(*) AS n_rows,
+      |    round(sum(l_extendedprice), 2) AS sum_price
+      |  FROM lineitem WHERE l_quantity <= 5)
+      |SELECT t.stage, s.n_rows, s.sum_price
+      |FROM s CROSS JOIN (VALUES ('csv'), ('parquet'), ('shuffled'), ('source')) t(stage)
+      |ORDER BY t.stage""".stripMargin
+
+  /** Gate query: write→read roundtrips through the text and
     * parquet sinks plus a seeded shuffle, verified by invariant sums. */
   def roundtripQuery(spark: SparkSession, dir: String): DataFrame = {
     val li = graft.Tables.lineitem(spark, dir)
