@@ -93,10 +93,26 @@ object LinalgQueries {
       .toDF("i", "j", "val").orderBy("i", "j")
   }
 
+  /** Randomized (Halko sketch) SVD checked through the same spectrum
+    * moments: with sketch width l = p the subspace is exact, so the
+    * recovered spectrum must match the oracle's Gram-derived moments. */
+  def randSvdMoments(spark: SparkSession, dir: String): DataFrame = {
+    val (sv, _) = Decompositions.randomizedSvd(embRows(spark, dir), P, P,
+      oversample = 0, powerIters = 1, seed = 42)
+    val s2 = sv.toArray.map(s => s * s)
+    def r(x: Double, d: Int) =
+      BigDecimal(x).setScale(d, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark2 = spark
+    import spark2.implicits._
+    Seq(("sum_sq", r(s2.sum, 6)), ("sum_quad", r(s2.map(x => x * x).sum, 4)))
+      .toDF("moment", "value").orderBy("moment")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_matmul_gram" -> (matmulGram _),
     "q_tsqr_r" -> (tsqrR _),
     "q_svd_moments" -> (svdMoments _),
+    "q_randsvd_moments" -> (randSvdMoments _),
     "q_kron" -> (kron _))
 
   private val gramCte =
@@ -117,6 +133,12 @@ object LinalgQueries {
          |SELECT i - 1 AS i, j - 1 AS j, round(gij, 6) AS val FROM g
          |WHERE i <= j ORDER BY i, j""".stripMargin,
     "q_svd_moments" ->
+      s"""$gramCte
+         |SELECT 'sum_quad' AS moment, round(sum(gij * gij), 4) AS value FROM g
+         |UNION ALL
+         |SELECT 'sum_sq', round(sum(gij) FILTER (WHERE i = j), 6) FROM g
+         |ORDER BY moment""".stripMargin,
+    "q_randsvd_moments" ->
       s"""$gramCte
          |SELECT 'sum_quad' AS moment, round(sum(gij * gij), 4) AS value FROM g
          |UNION ALL

@@ -111,21 +111,26 @@ object KMeansGraft {
       .toSeq.toDF("cluster", "n_points", "center_norm", "avg_dist")
   }
 
-  /** DuckDB oracle: the same 3 Lloyd iterations unrolled as CTEs. The
-    * distance chain is materialized ONCE per (point, center) pair in an
-    * inner subquery, then ranked on the plain column — half the
-    * expression-tree size of ranking on a repeated chain (the round-1
-    * formulation exhausted the gate's DuckDB memory). */
-  def oracle: String = {
-    val dim = QDim
-    def chain(p: String, c: String): String =
-      (1 to dim).map(i => s"($p[$i]-$c[$i])*($p[$i]-$c[$i])").mkString(" + ")
-    def assign(name: String, cprev: String): String =
-      s"""$name AS (SELECT vec_id, v, cl, d FROM (
-         |  SELECT vec_id, v, cl, d, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY d ASC, cl ASC) AS rn
-         |  FROM (SELECT p.vec_id, p.v, c.cl, ${chain("p.v", "c.v")} AS d
-         |    FROM pts p CROSS JOIN $cprev c)) WHERE rn = 1)""".stripMargin
+  /** Left-associated squared-distance chain (bitwise = VecSqDist fold). */
+  def chainSql(p: String, c: String, dim: Int): String =
+    (1 to dim).map(i => s"($p[$i]-$c[$i])*($p[$i]-$c[$i])").mkString(" + ")
+
+  /** Min-(d, cl) assignment CTE of `src`(vec_id, v) against `cprev`(cl, v).
+    * The distance chain is materialized ONCE per pair in an inner
+    * subquery, then ranked on the plain column — half the expression-tree
+    * size of ranking on a repeated chain (the round-1 formulation
+    * exhausted the gate's DuckDB memory). */
+  def assignCteSql(name: String, src: String, cprev: String, dim: Int): String =
+    s"""$name AS (SELECT vec_id, v, cl, d FROM (
+       |  SELECT vec_id, v, cl, d, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY d ASC, cl ASC) AS rn
+       |  FROM (SELECT p.vec_id, p.v, c.cl, ${chainSql("p.v", "c.v", dim)} AS d
+       |    FROM $src p CROSS JOIN $cprev c)) WHERE rn = 1)""".stripMargin
+
+  /** Unrolled Lloyd iterations over `src`(vec_id, v): emits CTEs c0
+    * (first-k init, rounded) through c<iters> (final centers), mirroring
+    * fit()'s determinism contract exactly. */
+  def lloydCtesSql(src: String, dim: Int, k: Int, iters: Int): String = {
     def update(name: String, aprev: String, cprev: String): String =
       s"""${name}l AS (SELECT cl, list(x ORDER BY i) AS v FROM (
          |  SELECT cl, i, round(avg(v[i]), 6) AS x
@@ -133,21 +138,27 @@ object KMeansGraft {
          |  GROUP BY cl, i) GROUP BY cl),
          |$name AS (SELECT c.cl, coalesce(n.v, c.v) AS v
          |  FROM $cprev c LEFT JOIN ${name}l n ON c.cl = n.cl)""".stripMargin
-    val iters = (1 to Iters).map { t =>
-      val (ap, cp, cn) = (s"a$t", if (t == 1) "c0" else s"c${t - 1}", s"c$t")
-      assign(ap, cp) + ",\n" + update(cn, ap, cp)
+    val iterSql = (1 to iters).map { t =>
+      val (ap, cp, cn) = (s"a${src}$t", if (t == 1) s"c${src}0" else s"c$src${t - 1}", s"c$src$t")
+      assignCteSql(ap, src, cp, dim) + ",\n" + update(cn, ap, cp)
     }.mkString(",\n")
+    s"""c${src}0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl,
+       |    list_transform(v, x -> round(x, 6)) AS v
+       |  FROM $src ORDER BY vec_id LIMIT $k),
+       |$iterSql""".stripMargin
+  }
+
+  /** DuckDB oracle: the same 3 Lloyd iterations unrolled as CTEs. */
+  def oracle: String = {
+    val dim = QDim
     val normChain = (1 to dim).map(i => s"v[$i]*v[$i]").mkString(" + ")
     s"""WITH pts AS (SELECT vec_id, list_transform(embedding[1:$dim], x -> x::DOUBLE) AS v
        |  FROM embeddings),
-       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl,
-       |    list_transform(v, x -> round(x, 6)) AS v
-       |  FROM pts ORDER BY vec_id LIMIT $K),
-       |$iters,
-       |${assign("af", s"c$Iters")}
+       |${lloydCtesSql("pts", dim, K, Iters)},
+       |${assignCteSql("af", "pts", s"cpts$Iters", dim)}
        |SELECT af.cl AS cluster, count(*) AS n_points,
        |  any_value(cn.nrm) AS center_norm, round(avg(af.d), 6) AS avg_dist
-       |FROM af JOIN (SELECT cl, round(sqrt($normChain), 4) AS nrm FROM c$Iters) cn
+       |FROM af JOIN (SELECT cl, round(sqrt($normChain), 4) AS nrm FROM cpts$Iters) cn
        |  ON af.cl = cn.cl
        |GROUP BY af.cl ORDER BY cluster""".stripMargin
   }

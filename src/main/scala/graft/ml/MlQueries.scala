@@ -26,7 +26,8 @@ object MlQueries {
     "q_linear_svc" -> ((s, d) => MllibWrappers.svcQuery(s, d)),
     "q_lasso" -> ((s, d) => MllibWrappers.lassoQuery(s, d)),
     "q_pca_invariants" -> ((s, d) => PCAGraft.invariantsQuery(s, d)),
-    "q_gridsearch" -> ((s, d) => ModelSelection.gridSearchQuery(s, d)))
+    "q_gridsearch" -> ((s, d) => ModelSelection.gridSearchQuery(s, d)),
+    "q_admm_lasso" -> ((s, d) => Admm.query(s, d)))
 
   private def dauraQuery(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -80,6 +81,7 @@ object MlQueries {
     "q_pca_cov" -> PCAGraft.covOracle,
     "q_pca_invariants" -> PCAGraft.invariantsOracle,
     "q_gridsearch" -> ModelSelection.gridSearchOracle,
+    "q_admm_lasso" -> Admm.oracle,
     "q_daura" -> dauraOracle,
     "q_dbscan" -> DbscanGraft.oracle,
     "q_gmm" -> GmmGraft.oracle)

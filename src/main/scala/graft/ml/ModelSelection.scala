@@ -66,6 +66,20 @@ object ModelSelection {
     gridSearch(df, idCol, grid, folds, fitScore, parallelism)
   }
 
+  /** Simulation grid search (reference: dislib/model_selection/
+    * _simulation.py:11-213 — exhaustive grid over an arbitrary simulation
+    * callable, not an estimator; all candidates run concurrently, ranked
+    * by output, higher-is-better). */
+  def simulationSearch[P](grid: Seq[P], simulate: P => Double,
+      parallelism: Int = 4): Seq[(P, Double)] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    try {
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val futures = grid.map(p => Future((p, simulate(p))))
+      Await.result(Future.sequence(futures), Duration.Inf).sortBy(-_._2)
+    } finally pool.shutdown()
+  }
+
   val RidgeLambdas = Seq(0.0, 10.0, 1000.0)
   val RidgeFolds = 3
 

@@ -87,22 +87,34 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Quantizer subspace width: the coarse KMeans runs on the first
+    * QuantDim dims (cosine still scores all Dim) — a subspace coarse
+    * quantizer is standard IVF practice and keeps the unrolled-Lloyd
+    * DuckDB oracle's expression tree bounded. */
+  val QuantDim = 16
+  val IvfLists = 16
+  val IvfProbe = 4
+  val IvfIters = 3
+
   /** IVF ANN: a KMeans coarse quantizer partitions the corpus into
     * nlist cells; queries search only their nProbe nearest cells (the
     * classic inverted-file index — at 100 TB the corpus is bucketed and
     * optionally `repartition(cell)`-clustered once, and each query scans
-    * nProbe/nlist of the data). Deterministic via KMeansGraft's contract. */
+    * nProbe/nlist of the data). Deterministic via KMeansGraft's contract,
+    * so the DuckDB oracle replays quantizer, probes, and ranking exactly. */
   def ivfTopK(spark: SparkSession, dir: String,
-      nlist: Int = 16, nProbe: Int = 4, k: Int = 3): DataFrame = {
+      nlist: Int = IvfLists, nProbe: Int = IvfProbe, k: Int = 3): DataFrame = {
     import graft.ml.KMeansGraft
-    val e = embWithNorm(spark, dir).cache()
-    val model = KMeansGraft.fit(e.select(col("vec_id"), col("v")), "v", "vec_id",
-      nlist, maxIter = 3)
-    val cells = e.withColumn("cell", model.assignCol(col("v")))
-    // nProbe nearest cells per query via unrolled center distances
+    val e = embWithNorm(spark, dir)
+      .withColumn("sv", slice(col("v"), 1, QuantDim)).cache()
+    val model = KMeansGraft.fit(e.select(col("vec_id"), col("sv")), "sv", "vec_id",
+      nlist, maxIter = IvfIters)
+    val cells = e.withColumn("cell", model.assignCol(col("sv")))
+    // nProbe nearest cells per query via the looping center-distance expr
     val q = cells.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-      .withColumn("probe_cells", model.nearestCentersCol(col("qv"), nProbe))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        col("sv").as("qsv"))
+      .withColumn("probe_cells", model.nearestCentersCol(col("qsv"), nProbe))
     val scored = cells.join(broadcast(q),
         array_contains(col("probe_cells"), col("cell")) && col("vec_id") =!= col("qid"))
       .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
@@ -159,6 +171,36 @@ object Similarity {
          |      ORDER BY $cosSql DESC, c.vec_id) AS rank
          |  FROM b q JOIN b c
          |  ON q.vec_id < 20 AND c.bucket = q.bucket AND c.vec_id <> q.vec_id)
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+    },
+    "q_ann_ivf" -> {
+      import graft.ml.KMeansGraft.{assignCteSql, chainSql, lloydCtesSql}
+      // quantizer replay on the 16-dim subspace, then probe selection and
+      // full-dim cosine ranking — step for step the Spark ivfTopK plan
+      s"""WITH full0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |    FROM embeddings),
+         |n AS (SELECT vec_id, v,
+         |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM full0),
+         |sv AS (SELECT vec_id, v[1:$QuantDim] AS v FROM full0),
+         |${lloydCtesSql("sv", QuantDim, IvfLists, IvfIters)},
+         |${assignCteSql("cells", "sv", s"csv$IvfIters", QuantDim)},
+         |probe AS (SELECT vec_id AS qid, cl FROM (
+         |  SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d ASC, cl ASC) AS rn
+         |  FROM (SELECT s.vec_id, c2.cl, ${chainSql("s.v", "c2.v", QuantDim)} AS d
+         |    FROM sv s CROSS JOIN csv$IvfIters c2
+         |    WHERE s.vec_id < 20))
+         |  WHERE rn <= $IvfProbe)
+         |SELECT qid, rank, neighbor_id, cosine FROM (
+         |  SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+         |    round($cosSql, 6) AS cosine,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY $cosSql DESC, c.vec_id) AS rank
+         |  FROM n q JOIN cells ce ON q.vec_id < 20
+         |    AND EXISTS (SELECT 1 FROM probe pr
+         |      WHERE pr.qid = q.vec_id AND pr.cl = ce.cl)
+         |    AND ce.vec_id <> q.vec_id
+         |  JOIN n c ON c.vec_id = ce.vec_id)
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
     })
 }
