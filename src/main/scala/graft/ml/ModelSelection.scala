@@ -84,35 +84,55 @@ object ModelSelection {
   val RidgeFolds = 3
 
   /** Gate query: exhaustive grid × 3-fold CV of a closed-form ridge
-    * regression (l_extendedprice/1000 ~ l_quantity). The estimator is
-    * deliberately normal-equation closed-form — b = Sxy/(Sxx+λ) — so the
-    * whole search, folds included, is reproducible in the DuckDB oracle
-    * (GridSearchCV semantics: fit ALL candidate×fold pairs concurrently,
-    * reference _search.py:60-136; every fit is one agg + one scored agg). */
+    * regression (l_extendedprice/1000 ~ l_quantity), GridSearchCV
+    * semantics (all candidates concurrent, reference _search.py:60-136).
+    *
+    * Scale design: normal-equation sufficient statistics (n, Σx, Σy,
+    * Σx², Σxy, Σy²) are additive, so ONE distributed pass grouped by
+    * fold yields every train split (train = total − test fold) AND every
+    * validation MSE in closed form — the whole grid × fold matrix costs
+    * one scan at 100 TB instead of candidates × folds × 2 scans. The
+    * DuckDB oracle recomputes with two-pass regr_* aggregates; the
+    * algebraic forms agree far below the output rounding. */
   def gridSearchQuery(spark: SparkSession, dir: String): DataFrame = {
     val li = graft.Tables.lineitem(spark, dir)
       .select(concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("rid"),
         col("l_quantity").cast("double").as("x"),
         (col("l_extendedprice") / 1000).as("y"))
-    val results = gridSearch[Double](li, "rid", RidgeLambdas, RidgeFolds,
-      (tr, te, lambda) => {
-        val s = tr.agg(avg("x").as("mx"), avg("y").as("my"),
-          regr_sxx(col("y"), col("x")).as("sxx"),
-          regr_sxy(col("y"), col("x")).as("sxy")).head()
-        val (mx, my, sxx, sxy) =
-          (s.getDouble(0), s.getDouble(1), s.getDouble(2), s.getDouble(3))
-        val b = sxy / (sxx + lambda)
-        val a = my - b * mx
-        val mse = te.agg(avg(pow(col("y") - lit(a) - lit(b) * col("x"), 2)))
-          .head().getDouble(0)
-        -mse // gridSearch ranks higher-is-better
-      })
+    // identical fold hash to kfold()
+    val withFold = li.withColumn("fold",
+      pmod(graft.functions.TextFns.hash56(col("rid")), lit(RidgeFolds)))
+    val m = withFold.groupBy("fold")
+      .agg(count(lit(1)).cast("double").as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .collect().map(r => r.getLong(0) ->
+        Array(r.getDouble(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    val total = Array.tabulate(6)(i => m.values.map(_(i)).sum)
+    def mseOf(lambda: Double, f: Long): Double = {
+      val te = m(f)
+      val tr = Array.tabulate(6)(i => total(i) - te(i))
+      val (n, sx, sy, sxx, sxy) = (tr(0), tr(1), tr(2), tr(3), tr(4))
+      val (mx, my) = (sx / n, sy / n)
+      val b = (sxy - sx * sy / n) / ((sxx - sx * sx / n) + lambda)
+      val a = my - b * mx
+      // E[(y - a - b x)^2] from the test fold's raw moments
+      (te(5) + te(0) * a * a + b * b * te(3) + 2 * a * b * te(1)
+        - 2 * a * te(2) - 2 * b * te(4)) / te(0)
+    }
+    // all candidates scored concurrently (GridSearchCV topology); each
+    // candidate's folds are driver arithmetic over the broadcast moments
+    val ranked = simulationSearch[Double](RidgeLambdas,
+      l => -(0L until RidgeFolds.toLong).map(mseOf(l, _)).sum / RidgeFolds)
     val spark2 = spark
     import spark2.implicits._
-    results.flatMap(r => r.foldScores.zipWithIndex.map { case (s, f) =>
-      (r.params, f.toLong,
-        BigDecimal(-s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    }).toDF("lambda", "fold", "mse").orderBy("lambda", "fold")
+    ranked.flatMap { case (l, _) =>
+      (0L until RidgeFolds.toLong).map { f =>
+        (l, f, BigDecimal(mseOf(l, f))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }.toDF("lambda", "fold", "mse").orderBy("lambda", "fold")
   }
 
   val gridSearchOracle: String =

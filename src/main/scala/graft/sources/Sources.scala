@@ -80,11 +80,14 @@ object Sources {
     val sh = shuffle(pq, seed = 7)
     val spark2 = spark
     import spark2.implicits._
-    Seq(
-      ("source", li.count(), li.agg(round(sum("l_extendedprice"), 2)).head().getDouble(0)),
-      ("parquet", pq.count(), pq.agg(round(sum("l_extendedprice"), 2)).head().getDouble(0)),
-      ("csv", csv.count(), csv.agg(round(sum("l_extendedprice"), 2)).head().getDouble(0)),
-      ("shuffled", sh.count(), sh.agg(round(sum("l_extendedprice"), 2)).head().getDouble(0))
-    ).toDF("stage", "n_rows", "sum_price").orderBy("stage")
+    // one fused agg per stage (count + sum in a single job)
+    def stat(df: DataFrame): (Long, Double) = {
+      val r = df.agg(count(lit(1)), round(sum("l_extendedprice"), 2)).head()
+      (r.getLong(0), r.getDouble(1))
+    }
+    Seq("source" -> stat(li), "parquet" -> stat(pq),
+      "csv" -> stat(csv), "shuffled" -> stat(sh))
+      .map { case (s, (n, v)) => (s, n, v) }
+      .toDF("stage", "n_rows", "sum_price").orderBy("stage")
   }
 }
