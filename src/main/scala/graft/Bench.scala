@@ -84,24 +84,42 @@ object Bench {
       }
       val sess = spark
       import sess.implicits._
-      // 1M×20 dense, k=50, 3 Lloyd iterations (analog of kmeans.py 300M×100/500)
+      // BASELINE.md analog: KMeans 1M×100, k=500, 3 Lloyd iterations
+      // (scaled-down kmeans.py 300M×100/500; VecNearestCenters keeps
+      // codegen O(1) in k)
       val km = {
         val df = spark.range(1000000).select(col("id"),
-          array((0 until 20).map(i => rand(42 + i)): _*).as("v")).cache()
+          array((0 until 100).map(i => rand(42 + i)): _*).as("v")).cache()
         df.count()
-        val t = timed("algo_kmeans_1mx20_k50")(
-          graft.ml.KMeansGraft.fit(df, "v", "id", k = 50, maxIter = 3))
+        val t = timed("algo_kmeans_1mx100_k500")(
+          graft.ml.KMeansGraft.fit(df, "v", "id", k = 500, maxIter = 3))
         df.unpersist(); t
       }
-      // 200k×10, k=10 diag GMM, 3 EM iterations (analog of gmm.py 100M×100/50)
+      // BASELINE.md analog: GMM 1M×100, k=50 diag, 3 EM iterations
+      // (scaled-down gmm.py 100M×100/50/5; O(k·p) diag E/M paths)
       val gm = {
-        val rows = spark.range(200000).select(col("id"),
-          array((0 until 10).map(i => rand(77 + i)): _*).as("v"))
+        val rows = spark.range(1000000).select(col("id"),
+          array((0 until 100).map(i => rand(77 + i)): _*).as("v"))
           .rdd.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).cache()
         rows.count()
-        val t = timed("algo_gmm_200kx10_k10")(
-          graft.ml.GmmGraft.fit(rows, k = 10, graft.ml.GmmGraft.Diag, maxIter = 3, tol = 0))
+        val t = timed("algo_gmm_1mx100_k50")(
+          graft.ml.GmmGraft.fit(rows, k = 50, graft.ml.GmmGraft.Diag, maxIter = 3, tol = 0))
         rows.unpersist(); t
+      }
+      // BASELINE.md analog: ALS on MovieLens-shaped ratings (943×1682,
+      // 100k ratings), rank 100, 10 iterations (als.py config n_f=100)
+      val als = timed("algo_als_movielens_r100") {
+        val ratings = spark.range(100000).select(
+          ((col("id") * 31) % 943).cast("int").as("user"),
+          ((col("id") * 17) % 1682).cast("int").as("item"),
+          (((col("id") * 13) % 5) + 1).cast("float").as("rating"))
+          .groupBy("user", "item").agg(org.apache.spark.sql.functions.avg("rating").cast("float").as("rating"))
+        new org.apache.spark.ml.recommendation.ALS()
+          .setRank(100).setMaxIter(10).setSeed(42)
+          .setNumUserBlocks(8).setNumItemBlocks(8)
+          .setUserCol("user").setItemCol("item").setRatingCol("rating")
+          .fit(ratings)
+        ()
       }
       // 10M-row range-partitioned sort (TeraSort path)
       val srt = timed("algo_sort_10m") {
@@ -120,7 +138,21 @@ object Bench {
         }
         rows.unpersist(); t
       }
-      Seq(km, gm, srt, qr)
+      // BASELINE.md analog: blocked transpose (shuffle.py/transpose.py
+      // scale-down — 5000×5000 dense, 500×500 tiles)
+      val tr = timed("algo_transpose_5k") {
+        graft.linalg.DsArray.random(spark.sparkContext, 5000, 5000, 500, 500, 3)
+          .transpose.bm.blocks.count()
+        ()
+      }
+      // seeded global row shuffle, 1M×20 (shuffle.py analog)
+      val sh = timed("algo_shuffle_1mx20") {
+        graft.sources.Sources.shuffle(
+          spark.range(1000000).select(col("id"),
+            array((0 until 20).map(i => rand(9 + i)): _*).as("v")), 25)
+          .write.format("noop").mode("overwrite").save()
+      }
+      Seq(km, gm, als, srt, qr, tr, sh)
     }
     val all = results ++ algo
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }

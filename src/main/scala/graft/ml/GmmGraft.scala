@@ -31,25 +31,44 @@ object GmmGraft {
       covs: Array[BDM[Double]], logLikelihood: Double, iterations: Int)
 
   private final case class CompDensity(logW: Double, mean: BDV[Double],
-      rooti: BDM[Double], logDet: Double) {
-    /** log N(x; mean, cov) + log w via the Cholesky root inverse. */
-    def logProb(x: BDV[Double]): Double = {
-      val c = x - mean
-      val z = rooti * c
+      rooti: BDM[Double], logDet: Double, diagVar: Array[Double]) {
+    private val meanArr = mean.toArray
+    /** log N(x; mean, cov) + log w. Diagonal covariances use the O(p)
+      * quadratic form (c²/v) instead of the dense O(p²) root solve —
+      * the difference is sub-ulp and absorbed by the per-iteration
+      * parameter-rounding contract. Raw-array loops: this runs once per
+      * row × component. */
+    def logProb(x: Array[Double]): Double = {
       val p = x.length
-      logW - 0.5 * (p * math.log(2 * math.Pi) + logDet + (z dot z))
+      if (diagVar != null) {
+        var q = 0.0; var d = 0
+        while (d < p) {
+          val c = x(d) - meanArr(d); q += c * c / diagVar(d); d += 1
+        }
+        logW - 0.5 * (p * math.log(2 * math.Pi) + logDet + q)
+      } else {
+        val c = BDV(x) - mean
+        val z = rooti * c
+        logW - 0.5 * (p * math.log(2 * math.Pi) + logDet + (z dot z))
+      }
     }
   }
 
   private def densities(weights: Array[Double], means: Array[BDV[Double]],
-      covs: Array[BDM[Double]]): Array[CompDensity] =
+      covs: Array[BDM[Double]], diagCov: Boolean): Array[CompDensity] =
     weights.indices.map { j =>
-      val l = cholesky(covs(j))
       val p = means(j).length
-      val logDet = 2.0 * (0 until p).map(i => math.log(l(i, i))).sum
-      // rooti = L^-1 (lower-triangular solve of identity)
-      val rooti = breeze.linalg.inv(l)
-      CompDensity(math.log(weights(j)), means(j), rooti, logDet)
+      if (diagCov) {
+        val v = Array.tabulate(p)(d => covs(j)(d, d))
+        val logDet = v.map(math.log).sum
+        CompDensity(math.log(weights(j)), means(j), null, logDet, v)
+      } else {
+        val l = cholesky(covs(j))
+        val logDet = 2.0 * (0 until p).map(i => math.log(l(i, i))).sum
+        // rooti = L^-1 (lower-triangular solve of identity)
+        val rooti = breeze.linalg.inv(l)
+        CompDensity(math.log(weights(j)), means(j), rooti, logDet, null)
+      }
     }.toArray
 
   private def r6(x: Double): Double =
@@ -84,52 +103,101 @@ object GmmGraft {
     var ll = Double.NegativeInfinity
     var it = 0
     var converged = false
+    // Full/Tied M-steps need the p×p second-moment matrix; Diag/
+    // Spherical only its diagonal — accumulating the full outer product
+    // for those would be O(k·p²) per ROW instead of O(k·p) (at the
+    // BASELINE GMM analog, 1M×100×k=50, that's a 100× flop difference).
+    val needFullMoment = covType == Full || covType == Tied
+    val diagCov = covType == Diag || covType == Spherical
     while (it < maxIter && !converged) {
-      val dens = sc.broadcast(densities(weights, means, covs))
-      // sufficient stats: [k](rsum, rx(p), rxx(p,p)), loglik
+      val dens = sc.broadcast(densities(weights, means, covs, diagCov))
+      // sufficient stats: [k](rsum, rx(p), rxx(p,p) or its diag(p)), loglik
       val zero = (Array.fill(k)(0.0), Array.fill(k)(BDV.zeros[Double](p)),
-        Array.fill(k)(BDM.zeros[Double](p, p)), 0.0)
-      val (rs, rx, rxx, llSum) = rows.values.treeAggregate(zero)(
-        seqOp = { case ((ars, arx, arxx, all), varr) =>
-          val x = BDV(varr)
-          val lps = dens.value.map(_.logProb(x))
-          val mx = lps.max
-          val probs = lps.map(lp => math.exp(lp - mx))
-          val s = probs.sum
+        if (needFullMoment) Array.fill(k)(BDM.zeros[Double](p, p)) else Array.empty[BDM[Double]],
+        if (needFullMoment) Array.empty[BDV[Double]] else Array.fill(k)(BDV.zeros[Double](p)),
+        0.0)
+      val (rs, rx, rxx, rxd, llSum) = rows.values.treeAggregate(zero)(
+        seqOp = { case ((ars, arx, arxx, arxd, all), varr) =>
+          // raw-array inner loops: no Breeze temporaries per row
+          val ds = dens.value
+          val lps = new Array[Double](k)
+          var mx = Double.NegativeInfinity
           var j = 0
           while (j < k) {
-            val r = probs(j) / s
+            val lp = ds(j).logProb(varr); lps(j) = lp
+            if (lp > mx) mx = lp; j += 1
+          }
+          var s = 0.0
+          j = 0
+          while (j < k) { lps(j) = math.exp(lps(j) - mx); s += lps(j); j += 1 }
+          val p2 = varr.length
+          j = 0
+          while (j < k) {
+            val r = lps(j) / s
             ars(j) += r
-            arx(j) += x * r
-            arxx(j) += (x * x.t) * r
+            val accx = arx(j).data
+            if (needFullMoment) {
+              val accm = arxx(j).data // column-major p×p
+              var d = 0
+              while (d < p2) {
+                val xd = varr(d)
+                accx(d) += xd * r
+                val base = d * p2
+                val xdr = xd * r
+                var e = 0
+                while (e < p2) { accm(base + e) += varr(e) * xdr; e += 1 }
+                d += 1
+              }
+            } else {
+              val accd = arxd(j).data
+              var d = 0
+              while (d < p2) {
+                val xd = varr(d)
+                accx(d) += xd * r
+                accd(d) += (xd * xd) * r
+                d += 1
+              }
+            }
             j += 1
           }
-          (ars, arx, arxx, all + mx + math.log(s))
+          (ars, arx, arxx, arxd, all + mx + math.log(s))
         },
-        combOp = { case ((a1, b1, c1, l1), (a2, b2, c2, l2)) =>
+        combOp = { case ((a1, b1, c1, d1, l1), (a2, b2, c2, d2, l2)) =>
           (Array.tabulate(k)(j => a1(j) + a2(j)),
             Array.tabulate(k)(j => b1(j) + b2(j)),
-            Array.tabulate(k)(j => c1(j) + c2(j)), l1 + l2)
+            Array.tabulate(c1.length)(j => c1(j) + c2(j)),
+            Array.tabulate(d1.length)(j => d1(j) + d2(j)), l1 + l2)
         }, depth = 2)
       dens.destroy()
       weights = rs.map(w => if (paramRounding) r6(w / n) else w / n)
       means = Array.tabulate(k)(j => rx(j) / rs(j))
-      val raw = Array.tabulate(k) { j =>
-        val m = means(j)
-        rxx(j) / rs(j) - (m * m.t)
-      }
       // rounding applies after the raw covariance uses the UNROUNDED mean
       // (the SQL oracle mirrors this exact ordering)
       covs = covType match {
-        case Full => raw.map(c => pr6m(regularize(c, reg)))
-        case Diag => raw.map(c => pr6m(regularize(diag(diag(c)), reg)))
-        case Spherical => raw.map { c =>
-          val v = breeze.linalg.trace(c) / p
-          pr6m(regularize(BDM.eye[Double](p) * v, reg))
-        }
+        case Full =>
+          Array.tabulate(k) { j =>
+            val m = means(j)
+            pr6m(regularize(rxx(j) / rs(j) - (m * m.t), reg))
+          }
         case Tied =>
+          val raw = Array.tabulate(k) { j =>
+            val m = means(j)
+            rxx(j) / rs(j) - (m * m.t)
+          }
           val pooled = weights.indices.map(j => raw(j) * weights(j)).reduce(_ + _)
           Array.fill(k)(pr6m(regularize(pooled, reg)))
+        case Diag =>
+          Array.tabulate(k) { j =>
+            val m = means(j)
+            pr6m(regularize(diag(rxd(j) / rs(j) - (m *:* m)), reg))
+          }
+        case Spherical =>
+          Array.tabulate(k) { j =>
+            val m = means(j)
+            val dv = rxd(j) / rs(j) - (m *:* m)
+            val v = breeze.linalg.sum(dv) / p
+            pr6m(regularize(BDM.eye[Double](p) * v, reg))
+          }
       }
       means = means.map(pr6v)
       ll = llSum
