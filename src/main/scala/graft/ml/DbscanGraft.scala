@@ -150,9 +150,10 @@ object DbscanGraft {
       .select(col("vec_id"),
         array(element_at(col("embedding"), 1).cast("double"),
           element_at(col("embedding"), 2).cast("double")).as("v"))
-    fit(df, "vec_id", "v", QueryEps, QueryMinPts)
-      .groupBy("cluster").agg(count(lit(1)).as("n_points"))
-      .orderBy(col("n_points").desc, col("cluster"))
+    val labels = fit(df, "vec_id", "v", QueryEps, QueryMinPts)
+    graft.GateUtil.pinned(
+      labels.groupBy("cluster").agg(count(lit(1)).as("n_points"))
+        .orderBy(col("n_points").desc, col("cluster")))(labels.unpersist(false))
   }
 
   def oracle: String =

@@ -125,6 +125,7 @@ object PCAGraft {
         element_at(col("embedding"), i).cast("double").as(s"e$i")): _*)
       .cache()
     val model = fit(df, feats)
+    df.unpersist(false)
     val spark2 = spark
     import spark2.implicits._
     model.explainedVariance.toArray.zipWithIndex

@@ -97,9 +97,14 @@ object Multimodal {
       .map(f => (f.media_id, math.sqrt(f.feature.map(x => x.toDouble * x).sum)))
       .toDF("media_id", "feat_norm")
       .withColumn("feat_norm", round(col("feat_norm"), 6))
-    meta.toDF().join(feats, "media_id")
+    val out = meta.toDF().join(feats, "media_id")
       .select(col("media_id"), col("kind"), col("n_bytes"),
         col("width"), col("height"), col("n_frames"), col("feat_norm"))
       .orderBy("media_id")
+      .collect()
+    media.unpersist(false)
+    out.map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+      r.getInt(4), r.getInt(5), r.getDouble(6)))
+      .toSeq.toDF("media_id", "kind", "n_bytes", "width", "height", "n_frames", "feat_norm")
   }
 }

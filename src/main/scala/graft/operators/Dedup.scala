@@ -72,14 +72,15 @@ object Dedup {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     val sz = sh.select(col("doc_id"), size(col("sh")).as("n"))
-    inter
-      .join(sz.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(sz.as("y"), col("doc_b") === col("y.doc_id"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("x.n") + col("y.n") - col("inter")))
-      .filter(col("jaccard") >= 0.8)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    graft.GateUtil.pinned(
+      inter
+        .join(sz.as("x"), col("doc_a") === col("x.doc_id"))
+        .join(sz.as("y"), col("doc_b") === col("y.doc_id"))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("x.n") + col("y.n") - col("inter")))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b"))(sh.unpersist(false))
   }
 
   /** MinHash signature matrix (16 perms) → LSH banding (4 bands × 4 rows)
@@ -101,15 +102,16 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb"))))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    graft.GateUtil.pinned(
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+        .withColumn("jaccard",
+          size(array_intersect(col("sha"), col("shb"))).cast("double") /
+            size(array_union(col("sha"), col("shb"))))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b"))(sh.unpersist(false))
   }
 
   /** Per-document 56-bit SimHash over frequency-weighted tokens. */
