@@ -57,20 +57,52 @@ object KMeansGraft {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** Fit on an array<double> column; init = first k rows by `idCol`. */
+  /** Fit on an array<double> column; init = first k rows by `idCol`.
+    *
+    * Update step = a narrow codegen'd assignment projection +
+    * `treeAggregate` of per-cluster (sum, count) — dislib's
+    * _partial_sum/_merge shape verbatim (kmeans/base.py:385-411). A
+    * k·dim-wide groupBy-avg formulation instead blows the whole-stage
+    * codegen method limit at k=500·dim=100, silently dropping the WHOLE
+    * stage (distance loop included) to interpreted eval (~10×). */
   def fit(df: DataFrame, vCol: String, idCol: String, k: Int, maxIter: Int): Model = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val dim = df.select(size(col(vCol))).head().getInt(0)
     val init = df.orderBy(idCol).limit(k).select(vCol).collect()
       .map(_.getSeq[Double](0).toArray.map(round6))
     var model = Model(init)
-    val aggCols = (0 until dim).map(i => avg(element_at(col(vCol), i + 1)).as(s"c$i"))
     for (_ <- 0 until maxIter) {
-      val updated = df.withColumn("cluster", model.assignCol(col(vCol)))
-        .groupBy("cluster").agg(aggCols.head, aggCols.tail: _*)
-        .collect()
-        .map(r => r.getInt(0) -> (0 until dim).map(i => round6(r.getDouble(i + 1))).toArray)
-        .toMap
-      model = Model(Array.tabulate(k)(i => updated.getOrElse(i, model.centers(i))))
+      val assigned = df.select(
+        element_at(org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.VecNearestCenters(
+            org.apache.spark.sql.GraftColumnBridge.expression(col(vCol)),
+            model.centers, 1)), 1).as("cluster"),
+        col(vCol).as("v")).as[(Int, Array[Double])]
+      val stats = assigned.rdd.treeAggregate(
+        Array.fill(k)(new Array[Double](dim + 1)))(
+        seqOp = { case (acc, (c, v)) =>
+          val a = acc(c)
+          var i = 0
+          while (i < dim) { a(i) += v(i); i += 1 }
+          a(dim) += 1.0
+          acc
+        },
+        combOp = { (x, y) =>
+          var c = 0
+          while (c < k) {
+            val a = x(c); val b = y(c)
+            var i = 0
+            while (i <= dim) { a(i) += b(i); i += 1 }
+            c += 1
+          }
+          x
+        }, depth = 2)
+      model = Model(Array.tabulate(k) { c =>
+        val s = stats(c)
+        if (s(dim) > 0) Array.tabulate(dim)(i => round6(s(i) / s(dim)))
+        else model.centers(c)
+      })
     }
     model
   }
