@@ -108,11 +108,40 @@ object LinalgQueries {
       .toDF("moment", "value").orderBy("moment")
   }
 
+  /** Positional array surgery (ds-array __getitem__/delete/concat
+    * semantics, SURVEY §2.3 + §7.3 "positional semantics" hard part):
+    * D = A[10:40] minus row 5 of the slice, stacked with A[0:5]; checked
+    * via per-column sums of D, D⊙D (hadamard) and D+D — all reproducible
+    * in SQL because vec_id IS the row index. */
+  def arrayOps(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(slice(col("embedding"), 1, 4), x => x.cast("double")).as("v"))
+      .rdd.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .map { case (i, v) => IndexedRow(i, Vectors.dense(v)) }
+    val n = rows.count()
+    val a = DsArray.fromIndexedRows(rows, n, 4, 100, 4)
+    val d = a.sliceRows(10, 40).deleteRow(5).concatRows(a.sliceRows(0, 5))
+    val sums = d.applyAlongAxis(0)(
+      m => breeze.linalg.sum(m(::, breeze.linalg.*)).t, _ + _).collect()
+    val sq = d.hadamard(d).applyAlongAxis(0)(
+      m => breeze.linalg.sum(m(::, breeze.linalg.*)).t, _ + _).collect()
+    val dbl = (d + d).applyAlongAxis(0)(
+      m => breeze.linalg.sum(m(::, breeze.linalg.*)).t, _ + _).collect()
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark2 = spark
+    import spark2.implicits._
+    (0 until 4).map(i =>
+      (i, r6(sums(0, i)), r6(sq(0, i)), r6(dbl(0, i))))
+      .toDF("dim", "sum_v", "sum_sq", "sum_dbl").orderBy("dim")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_matmul_gram" -> (matmulGram _),
     "q_tsqr_r" -> (tsqrR _),
     "q_svd_moments" -> (svdMoments _),
     "q_randsvd_moments" -> (randSvdMoments _),
+    "q_array_ops" -> (arrayOps _),
     "q_kron" -> (kron _))
 
   private val gramCte =
@@ -144,6 +173,16 @@ object LinalgQueries {
          |UNION ALL
          |SELECT 'sum_sq', round(sum(gij) FILTER (WHERE i = j), 6) FROM g
          |ORDER BY moment""".stripMargin,
+    "q_array_ops" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding[1:4], x -> x::DOUBLE) AS v
+        |    FROM embeddings),
+        |d AS (SELECT v FROM e
+        |    WHERE (vec_id BETWEEN 10 AND 39 AND vec_id <> 15) OR vec_id < 5)
+        |SELECT (i - 1)::INT AS dim, round(sum(v[i]), 6) AS sum_v,
+        |  round(sum(v[i] * v[i]), 6) AS sum_sq,
+        |  round(sum(v[i] + v[i]), 6) AS sum_dbl
+        |FROM d CROSS JOIN generate_series(1, 4) g(i)
+        |GROUP BY i ORDER BY dim""".stripMargin,
     "q_kron" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding[1:2], x -> x::DOUBLE) AS v
         |    FROM embeddings WHERE vec_id < 5),
