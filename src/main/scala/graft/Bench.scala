@@ -75,6 +75,12 @@ object Bench {
     // star-schema tables. Skipped when a query filter is active.
     val algo: Seq[(String, Double)] = if (only.nonEmpty) Nil else {
       import org.apache.spark.sql.functions._
+      // drop any storage residue from the query suite before the
+      // synthetic workloads — a stray cached block GC-taxes every
+      // algo timing below
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
       def timed(name: String)(f: => Unit): (String, Double) = {
         val t0 = System.nanoTime()
         val ok = try { f; true }
@@ -100,7 +106,8 @@ object Bench {
       val gm = {
         val rows = spark.range(1000000).select(col("id"),
           array((0 until 100).map(i => rand(77 + i)): _*).as("v"))
-          .rdd.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).cache()
+          .rdd.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         rows.count()
         val t = timed("algo_gmm_1mx100_k50")(
           graft.ml.GmmGraft.fit(rows, k = 50, graft.ml.GmmGraft.Diag, maxIter = 3, tol = 0))
@@ -130,7 +137,8 @@ object Bench {
       val qr = {
         val rows = spark.range(500000).select(col("id"),
           array((0 until 32).map(i => rand(11 + i)): _*).as("v"))
-          .rdd.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).cache()
+          .rdd.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         rows.count()
         val t = timed("algo_tsqr_500kx32") {
           val (q, _) = graft.linalg.Decompositions.tsqr(rows, 32)
