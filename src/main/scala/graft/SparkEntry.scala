@@ -23,6 +23,7 @@ object SparkEntry {
       graft.linalg.LinalgQueries.queries ++
       Map("q_terasort_cols" -> (TeraSort.query _),
         "q_multimodal" -> (graft.multimodal.Multimodal.query _),
+        "q_tensor_ops" -> (graft.tensor.TensorSet.query _),
         "q_io_roundtrip" -> (graft.sources.Sources.roundtripQuery _))
 
   def oracleSql: Map[String, String] =
@@ -30,5 +31,6 @@ object SparkEntry {
       Similarity.oracles ++ Events.oracles ++ graft.ml.MlQueries.oracles ++
       graft.linalg.LinalgQueries.oracles ++
       Map("q_terasort_cols" -> TeraSort.oracle,
+        "q_tensor_ops" -> graft.tensor.TensorSet.oracle,
         "q_io_roundtrip" -> graft.sources.Sources.roundtripOracle)
 }
