@@ -184,6 +184,37 @@ object CascadeSvmGraft {
     model
   }
 
+  /** Gate query (rows-only): RBF-kernel cascade on an XOR-shaped task
+    * over embeddings dims 1–2 (quadrant parity around the medians) —
+    * not linearly separable, so this exercises the kernel path end to
+    * end (reference kernel='rbf', csvm/base.py:145-153). Deterministic:
+    * fixed sweeps, id-sorted merges; confusion counts out. */
+  def rbfQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        element_at(col("embedding"), 1).cast("double").as("x1"),
+        element_at(col("embedding"), 2).cast("double").as("x2"))
+    val med = e.agg(
+      expr("percentile(x1, 0.5)"), expr("percentile(x2, 0.5)")).head()
+    val (m1, m2) = (med.getDouble(0), med.getDouble(1))
+    val data = e.rdd.map { r =>
+      val (x1, x2) = (r.getDouble(1), r.getDouble(2))
+      val y = if ((x1 > m1) == (x2 > m2)) 1.0 else -1.0
+      (Array(x1, x2), y)
+    }.cache()
+    val m = fit(data, c = 10.0, Rbf(gamma = 8.0), maxIter = 2, sweeps = 30)
+    val bc = data.sparkContext.broadcast(m)
+    val confusion = data.map { case (x, y) =>
+      ((y, bc.value.predict(x)), 1L)
+    }.reduceByKey(_ + _).collect().sortBy(_._1)
+    data.unpersist(false)
+    val spark2 = spark
+    import spark2.implicits._
+    confusion.map { case ((t, pr), n) => (t, pr, n) }
+      .toSeq.toDF("label", "predicted", "n")
+      .orderBy("label", "predicted")
+  }
+
   /** Gate query (rows-only): linear CSVM on lineitem features with a
     * margin-separable data-derived rule (extendedprice is NOT learnable
     * from these features — unit price dominates it — so the gate task is

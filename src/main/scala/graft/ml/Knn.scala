@@ -83,6 +83,40 @@ object Knn {
       .select(col("qid").as(idCol), col("nlabel").as("prediction"))
   }
 
+  /** Gate query: distance-weighted KNN (reference weights='distance',
+    * knn/base.py:257-296) — vote weight 1/(√d + 1e-9), winner by
+    * (total weight desc, label asc); fully oracle-reproducible because
+    * the weight arithmetic is the same IEEE expression both sides. */
+  def classifyWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("label"), asDouble(col("embedding")).as("v"))
+    val test = e.filter(col("id") < TestCut)
+    val train = e.filter(col("id") >= TestCut)
+    predict(train, test, "id", "v", "label", K, weighted = true)
+      .select(col("id").as("test_id"), col("prediction").as("pred_label"))
+      .orderBy("test_id")
+  }
+
+  val weightedOracle: String = {
+    val chain = (1 to 64).map(i => s"(t.qv[$i]-r.v[$i])*(t.qv[$i]-r.v[$i])")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, label,
+       |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |te AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $TestCut),
+       |tr AS (SELECT * FROM e WHERE vec_id >= $TestCut),
+       |nn AS (SELECT qid, label, d FROM (
+       |  SELECT qid, label, d,
+       |    row_number() OVER (PARTITION BY qid ORDER BY d ASC, vec_id ASC) AS rn
+       |  FROM (SELECT t.qid, r.label, r.vec_id, $chain AS d
+       |        FROM te t CROSS JOIN tr r)) WHERE rn <= $K),
+       |v AS (SELECT qid, label, sum(1.0 / (sqrt(d) + 1e-9)) AS w
+       |  FROM nn GROUP BY qid, label)
+       |SELECT qid AS test_id, label AS pred_label FROM (
+       |  SELECT qid, label,
+       |    row_number() OVER (PARTITION BY qid ORDER BY w DESC, label ASC) AS rr
+       |  FROM v) WHERE rr = 1 ORDER BY test_id""".stripMargin
+  }
+
   /** Deterministic hash-based train/test split + k-fold assignment
     * (the scale-friendly variant of dislib's seeded random split,
     * model_selection/_split.py:14-76; a hash split is reproducible across

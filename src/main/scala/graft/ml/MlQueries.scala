@@ -19,6 +19,8 @@ object MlQueries {
     "q_dbscan" -> ((s, d) => DbscanGraft.query(s, d)),
     "q_gmm" -> ((s, d) => GmmGraft.query(s, d)),
     "q_csvm" -> ((s, d) => CascadeSvmGraft.query(s, d)),
+    "q_csvm_rbf" -> ((s, d) => CascadeSvmGraft.rbfQuery(s, d)),
+    "q_knn_weighted" -> ((s, d) => Knn.classifyWeighted(s, d)),
     "q_daura" -> ((s, d) => dauraQuery(s, d)),
     "q_rf_classify" -> ((s, d) => MllibWrappers.rfQuery(s, d)),
     "q_rf_regress" -> ((s, d) => MllibWrappers.rfRegQuery(s, d)),
@@ -74,6 +76,7 @@ object MlQueries {
   val oracles: Map[String, String] = Map(
     "q_kmeans" -> KMeansGraft.oracle,
     "q_knn_classify" -> Knn.oracle,
+    "q_knn_weighted" -> Knn.weightedOracle,
     "q_standard_scaler" -> Scalers.standardOracle,
     "q_minmax_scaler" -> Scalers.minmaxOracle,
     "q_hash_split" -> Knn.hashSplitOracle,
