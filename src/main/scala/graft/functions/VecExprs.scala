@@ -155,6 +155,9 @@ case class VecNormSq(child: Expression)
   * KMeans oracle contract is preserved. */
 case class VecNearestCenters(child: Expression, centers: Array[Array[Double]], n: Int)
     extends UnaryExpression {
+  // the flat-array codegen layout addresses center j at j*cols
+  require(centers.forall(_.length == centers.head.length),
+    "vec_nearest_centers requires uniform center dimensionality")
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -233,6 +236,9 @@ case class VecNearestCenters(child: Expression, centers: Array[Array[Double]], n
 /** Minimum squared distance to any center (same loop, scalar result). */
 case class VecMinSqDist(child: Expression, centers: Array[Array[Double]])
     extends UnaryExpression {
+  // the flat-array codegen layout addresses center j at j*cols
+  require(centers.forall(_.length == centers.head.length),
+    "vec_min_sqdist requires uniform center dimensionality")
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess

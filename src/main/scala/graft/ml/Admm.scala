@@ -72,12 +72,16 @@ object Admm {
     val rows = withB.groupBy("__b").agg((gAggs ++ cAggs).head, (gAggs ++ cAggs).tail: _*)
       .collect().map(r => r.getLong(0) -> r).toMap
     (0L until blocks.toLong).map { b =>
-      val r = rows(b)
-      val g = BDM.zeros[Double](p, p)
-      for (i <- 0 until p; j <- 0 until p if j >= i) {
-        g(i, j) = r.getAs[Double](s"g_${i}_$j"); g(j, i) = g(i, j)
+      rows.get(b) match {
+        case Some(r) =>
+          val g = BDM.zeros[Double](p, p)
+          for (i <- 0 until p; j <- 0 until p if j >= i) {
+            g(i, j) = r.getAs[Double](s"g_${i}_$j"); g(j, i) = g(i, j)
+          }
+          (g, BDV(Array.tabulate(p)(i => r.getAs[Double](s"c_$i"))))
+        case None => // empty hash block contributes a zero local problem
+          (BDM.zeros[Double](p, p), BDV.zeros[Double](p))
       }
-      (g, BDV(Array.tabulate(p)(i => r.getAs[Double](s"c_$i"))))
     }
   }
 

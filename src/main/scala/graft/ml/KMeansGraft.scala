@@ -82,10 +82,14 @@ object KMeansGraft {
       val stats = assigned.rdd.treeAggregate(
         Array.fill(k)(new Array[Double](dim + 1)))(
         seqOp = { case (acc, (c, v)) =>
-          val a = acc(c)
-          var i = 0
-          while (i < dim) { a(i) += v(i); i += 1 }
-          a(dim) += 1.0
+          // c can be -1 for all-NaN distance rows (NaN never beats the
+          // +Inf sentinel); skip them like the old groupBy path did
+          if (c >= 0) {
+            val a = acc(c)
+            var i = 0
+            while (i < dim) { a(i) += v(i); i += 1 }
+            a(dim) += 1.0
+          }
           acc
         },
         combOp = { (x, y) =>

@@ -76,7 +76,10 @@ object Knn {
       .filter(col("rn") <= k)
       .withColumn("wt",
         if (weighted) lit(1.0) / (sqrt(col("d")) + lit(1e-9)) else lit(1.0))
-    scored.groupBy("qid", "nlabel").agg(sum("wt").as("w"))
+    // vote totals rounded to 9 decimals BEFORE ranking: the oracle
+    // determinism contract — unrounded float sums rank in agg order,
+    // and last-ulp noise across engines could flip a near-tied winner
+    scored.groupBy("qid", "nlabel").agg(round(sum("wt"), 9).as("w"))
       .withColumn("rr", row_number().over(Window.partitionBy("qid")
         .orderBy(col("w").desc, col("nlabel").asc)))
       .filter(col("rr") === 1)
@@ -109,7 +112,7 @@ object Knn {
        |    row_number() OVER (PARTITION BY qid ORDER BY d ASC, vec_id ASC) AS rn
        |  FROM (SELECT t.qid, r.label, r.vec_id, $chain AS d
        |        FROM te t CROSS JOIN tr r)) WHERE rn <= $K),
-       |v AS (SELECT qid, label, sum(1.0 / (sqrt(d) + 1e-9)) AS w
+       |v AS (SELECT qid, label, round(sum(1.0 / (sqrt(d) + 1e-9)), 9) AS w
        |  FROM nn GROUP BY qid, label)
        |SELECT qid AS test_id, label AS pred_label FROM (
        |  SELECT qid, label,

@@ -84,7 +84,6 @@ object MllibWrappers {
       .setNumUserBlocks(4).setNumItemBlocks(4)
       .setUserCol("user").setItemCol("item").setRatingCol("rating")
       .fit(ratings)
-    model.setColdStartStrategy("drop")
     // top-1 by predicted rating = argmax over dot(userFactor, itemFactor):
     // identical semantics to recommendForUserSubset(users, 1), but the
     // blocked-GEMM recommend machinery (built for 10^8-user catalogs)

@@ -52,9 +52,11 @@ object ModelSelection {
         }
       }
       val results = Await.result(Future.sequence(futures), Duration.Inf)
-      df.unpersist(false)
       results.sortBy(-_.meanScore)
-    } finally pool.shutdown()
+    } finally {
+      pool.shutdown()
+      df.unpersist(false) // even when a candidate's fit throws
+    }
   }
 
   /** Randomized search: sample `n` candidates deterministically. */
@@ -136,8 +138,8 @@ object ModelSelection {
   }
 
   val gridSearchOracle: String =
-    """WITH d AS (SELECT l_quantity::DOUBLE AS x, l_extendedprice / 1000 AS y,
-      |    (('0x'||substr(md5(l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR),1,14))::UBIGINT::BIGINT) % 3 AS fold
+    s"""WITH d AS (SELECT l_quantity::DOUBLE AS x, l_extendedprice / 1000 AS y,
+      |    ${graft.functions.TextFns.hash56Sql("l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR")} % 3 AS fold
       |  FROM lineitem),
       |l(lambda) AS (VALUES (0.0::DOUBLE), (10.0::DOUBLE), (1000.0::DOUBLE)),
       |st AS (SELECT f.fold, avg(d.x) AS mx, avg(d.y) AS my,

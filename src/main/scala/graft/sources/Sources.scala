@@ -85,9 +85,16 @@ object Sources {
       val r = df.agg(count(lit(1)), round(sum("l_extendedprice"), 2)).head()
       (r.getLong(0), r.getDouble(1))
     }
-    Seq("source" -> stat(li), "parquet" -> stat(pq),
+    val out = Seq("source" -> stat(li), "parquet" -> stat(pq),
       "csv" -> stat(csv), "shuffled" -> stat(sh))
       .map { case (s, (n, v)) => (s, n, v) }
       .toDF("stage", "n_rows", "sum_price").orderBy("stage")
+    // stats are materialized; remove the roundtrip scratch dir (repeated
+    // gate runs would otherwise accumulate copies under /tmp)
+    val rows = out.collect()
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(base)).iterator().asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 }
