@@ -66,6 +66,49 @@ final class DsArray(val bm: BlockMatrix) {
     new DsArray(new BlockMatrix(joined, bm.rowsPerBlock, bm.colsPerBlock, rows, cols))
   }
 
+  /** Point update A[i,j] = v (reference __setitem__ single-element set,
+    * array.py:162-204). DataFrames are immutable, so this rebuilds ONLY
+    * the block containing (i,j) — a narrow map over the block RDD; every
+    * other tile is passed through by reference. */
+  def setElement(i: Long, j: Long, v: Double): DsArray = {
+    require(i >= 0 && i < rows && j >= 0 && j < cols, s"($i,$j) out of bounds")
+    val (bi, bj) = ((i / bm.rowsPerBlock).toInt, (j / bm.colsPerBlock).toInt)
+    val (li, lj) = ((i % bm.rowsPerBlock).toInt, (j % bm.colsPerBlock).toInt)
+    val updated = bm.blocks.map {
+      case ((r, c), m) if r == bi && c == bj =>
+        val a = m.toArray.clone() // column-major
+        a(lj * m.numRows + li) = v
+        ((r, c), Matrices.dense(m.numRows, m.numCols, a): Matrix)
+      case other => other
+    }
+    new DsArray(new BlockMatrix(updated, bm.rowsPerBlock, bm.colsPerBlock, rows, cols))
+  }
+
+  /** Whole-column write A[:, j] = values (reference __setitem__ column
+    * set, array.py:719-748): touches only the column-stripe of blocks;
+    * `values` is indexed by global row. */
+  def setColumn(j: Long, values: Map[Long, Double]): DsArray = {
+    require(j >= 0 && j < cols, s"column $j out of bounds")
+    val bj = (j / bm.colsPerBlock).toInt
+    val lj = (j % bm.colsPerBlock).toInt
+    val rpb = bm.rowsPerBlock
+    val bcast = bm.blocks.sparkContext.broadcast(values)
+    val updated = bm.blocks.map {
+      case ((r, c), m) if c == bj =>
+        val a = m.toArray.clone()
+        var li = 0
+        while (li < m.numRows) {
+          bcast.value.get(r.toLong * rpb + li).foreach { v =>
+            a(lj * m.numRows + li) = v
+          }
+          li += 1
+        }
+        ((r, c), Matrices.dense(m.numRows, m.numCols, a): Matrix)
+      case other => other
+    }
+    new DsArray(new BlockMatrix(updated, bm.rowsPerBlock, bm.colsPerBlock, rows, cols))
+  }
+
   /** Row-range slice [from, until) (reference __getitem__ row slices,
     * array.py:124-160 — positional semantics via the row index). */
   def sliceRows(from: Long, until: Long): DsArray = {

@@ -132,4 +132,23 @@ class LinalgSpec extends SparkSpec {
     for (i <- 0 until 30)
       assert(math.abs(rowNorm(i, 0) - breeze.linalg.norm(a(i, ::).t)) < 1e-10)
   }
+
+  test("setElement / setColumn rebuild only the touched tiles") {
+    val a = rand(10, 6, 31)
+    val da = DsArray.fromBreeze(sc, a, 4, 3)
+    val e = da.setElement(7, 4, 99.5).collect()
+    val expE = a.copy; expE(7, 4) = 99.5
+    assert(maxAbs(e - expE) < 1e-12)
+    // column write across all row blocks (irregular edge block included)
+    val vals = (0L until 10L).map(i => i -> (i * 0.5)).toMap
+    val c = da.setColumn(2, vals).collect()
+    val expC = a.copy
+    for (i <- 0 until 10) expC(i, 2) = i * 0.5
+    assert(maxAbs(c - expC) < 1e-12)
+    // partial column write leaves unlisted rows untouched
+    val p = da.setColumn(5, Map(0L -> -1.0, 9L -> -2.0)).collect()
+    val expP = a.copy; expP(0, 5) = -1.0; expP(9, 5) = -2.0
+    assert(maxAbs(p - expP) < 1e-12)
+    intercept[Exception](da.setElement(10, 0, 1.0))
+  }
 }
