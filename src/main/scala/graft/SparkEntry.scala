@@ -24,7 +24,8 @@ object SparkEntry {
       Map("q_terasort_cols" -> (TeraSort.query _),
         "q_multimodal" -> (graft.multimodal.Multimodal.query _),
         "q_tensor_ops" -> (graft.tensor.TensorSet.query _),
-        "q_io_roundtrip" -> (graft.sources.Sources.roundtripQuery _))
+        "q_io_roundtrip" -> (graft.sources.Sources.roundtripQuery _),
+        "q_bucket_join" -> (graft.sources.Sources.bucketJoinQuery _))
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.linalg.LinalgQueries.oracles ++
       Map("q_terasort_cols" -> TeraSort.oracle,
         "q_tensor_ops" -> graft.tensor.TensorSet.oracle,
-        "q_io_roundtrip" -> graft.sources.Sources.roundtripOracle)
+        "q_io_roundtrip" -> graft.sources.Sources.roundtripOracle,
+        "q_bucket_join" -> graft.sources.Sources.bucketJoinOracle)
 }

@@ -54,6 +54,53 @@ object Sources {
   def shuffle(df: DataFrame, seed: Long): DataFrame =
     df.withColumn("__r", rand(seed)).orderBy("__r").drop("__r")
 
+  /** Gate query: bucketed co-located join (the 100 TB technique for
+    * repeated fact↔fact joins: both sides bucketed+sorted on the join
+    * key at write time, so the join runs with ZERO exchange — at scale
+    * this converts an N-times-repeated shuffle into a one-time layout
+    * cost). lineitem and orders are written bucketed by orderkey into a
+    * scratch warehouse; the join plan has no Exchange on either side. */
+  def bucketJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+    val (tl, to) = ("graft_li_bkt", "graft_ord_bkt")
+    try {
+      graft.Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.mode(SaveMode.Overwrite)
+        .option("path", s"$wh/li")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .format("parquet").saveAsTable(tl)
+      graft.Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode(SaveMode.Overwrite)
+        .option("path", s"$wh/ord")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .format("parquet").saveAsTable(to)
+      val joined = spark.table(tl)
+        .join(spark.table(to), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .orderBy("o_orderpriority")
+      val shuffles = joined.queryExecution.executedPlan.toString()
+        .linesIterator.count(_.contains("Exchange hashpartitioning(l_orderkey"))
+      require(shuffles == 0, "bucketed join must not exchange on the join key")
+      graft.GateUtil.pinned(joined)(())
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tl")
+      spark.sql(s"DROP TABLE IF EXISTS $to")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(wh)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  val bucketJoinOracle: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Oracle: every roundtrip stage must preserve exactly the source's
     * row count and value sum — all four stages equal one scan of the
     * filtered source. */
