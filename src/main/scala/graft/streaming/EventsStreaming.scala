@@ -55,6 +55,43 @@ object EventsStreaming {
       }
   }
 
+  final case class RawEvent(event_id: Long, user_id: Long,
+      event_type: String, ts: java.sql.Timestamp)
+  final case class Attribution(event_id: Long, user_id: Long,
+      purchase_ts: java.sql.Timestamp, last_click_ts: Option[java.sql.Timestamp])
+
+  /** Streaming as-of join (click→purchase attribution) via
+    * flatMapGroupsWithState: per-user state holds the latest click
+    * timestamp; each purchase emits its most recent strictly-prior
+    * click — the streaming twin of operators.Events.asofJoin. State is
+    * one timestamp per user, sharded by key. Events must arrive
+    * time-ordered per user within a batch (the memory-stream test
+    * harness and any per-key-ordered source satisfy this; out-of-order
+    * arrivals would need a watermark + buffer like Spark's own
+    * stream-stream interval join). */
+  def clickAttribution(events: Dataset[RawEvent]): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, Attribution](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, it, state: GroupState[Long]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[Attribution]
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (e.event_type == "purchase")
+              out += Attribution(e.event_id, e.user_id, e.ts,
+                state.getOption.map(new java.sql.Timestamp(_)))
+            if (e.event_type == "click")
+              state.update(e.ts.getTime)
+          }
+          out.iterator
+      }
+  }
+
+  /** Streaming exact dedup on event_id with a watermark bounding the
+    * dedup state (the streaming face of operators.Dedup's exact path). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+
   /** Convenience: run a streaming frame to completion against a memory
     * sink and return the sink table (test/demo harness). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {

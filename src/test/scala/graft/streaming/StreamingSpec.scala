@@ -72,6 +72,56 @@ class StreamingSpec extends SparkSpec {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("n_events"))
 
+  test("flatMapGroupsWithState click attribution matches batch as-of join") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark2.sqlContext
+    val rows = Seq(
+      EventsStreaming.RawEvent(1L, 1L, "click", ts(0)),
+      EventsStreaming.RawEvent(2L, 1L, "purchase", ts(5)),
+      EventsStreaming.RawEvent(3L, 2L, "purchase", ts(6)), // no prior click
+      EventsStreaming.RawEvent(4L, 1L, "click", ts(9)),
+      EventsStreaming.RawEvent(5L, 1L, "purchase", ts(12)),
+      EventsStreaming.RawEvent(6L, 2L, "click", ts(15)),
+      EventsStreaming.RawEvent(7L, 2L, "purchase", ts(20)))
+    val mem = MemoryStream[EventsStreaming.RawEvent]
+    mem.addData(rows: _*)
+    val q = EventsStreaming.clickAttribution(mem.toDS())
+      .writeStream.format("memory").queryName("attrib").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("attrib").collect()
+      .map(r => r.getLong(0) -> Option(r.getTimestamp(3))).toMap
+    assert(got(2L) == Some(ts(0)))
+    assert(got(3L) == None)
+    assert(got(5L) == Some(ts(9)))
+    assert(got(7L) == Some(ts(15)))
+    // batch twin agrees (operators.Events.asofJoin formulation)
+    val batch = rows.toDF("event_id", "user_id", "event_type", "ts")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val b = batch.withColumn("last_click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .collect().map(r => r.getLong(0) -> Option(r.getTimestamp(4))).toMap
+    assert(b == got)
+  }
+
+  test("streaming dedup drops duplicate event ids") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark2.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    mem.addData((1L, ts(0), 1.0), (2L, ts(1), 2.0), (1L, ts(0), 1.0),
+      (3L, ts(2), 3.0), (2L, ts(1), 2.0))
+    val q = EventsStreaming.dedupEvents(
+        mem.toDF().toDF("event_id", "ts", "value"))
+      .writeStream.format("memory").queryName("dedup_ev").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dedup_ev").collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(Array(1L, 2L, 3L)))
+  }
+
   test("mapGroupsWithState running totals equal batch groupBy") {
     val spark2 = spark
     import spark2.implicits._
