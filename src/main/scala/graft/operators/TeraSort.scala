@@ -17,20 +17,25 @@ object TeraSort {
 
   /** Sort each column independently (row pairing intentionally broken —
     * base.py:70-120 column_indexes mode): values at position i are the
-    * i-th order statistics of each column. */
+    * i-th order statistics of each column. Positions come from
+    * zipWithIndex over the range-partitioned sort — the whole pipeline
+    * stays partition-parallel (a global Window.orderBy would funnel
+    * every row through one partition). */
   def sortColumnsIndependently(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
     val sorted = cols.map { c =>
-      df.select(col(c))
-        .withColumn("pos", row_number().over(Window.orderBy(col(c))))
+      val field = df.schema(c)
+      val vals = df.select(col(c)).orderBy(col(c)).rdd.zipWithIndex()
+        .map { case (r, i) => org.apache.spark.sql.Row(i + 1, r.get(0)) }
+      spark.createDataFrame(vals, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.LongType, nullable = false), field)))
     }
     sorted.reduce((a, b) => a.join(b, "pos")).orderBy("pos")
   }
 
   /** Gate query: independent per-column sort of two lineitem columns,
-    * first 200 order statistics. (A global Window.orderBy funnels through
-    * one partition — acceptable here only because the output is capped;
-    * the scale path for full-column order statistics is zipWithIndex on
-    * the range-partitioned sort.) */
+    * first 200 order statistics. */
   def query(spark: SparkSession, dir: String): DataFrame =
     sortColumnsIndependently(
       Tables.lineitem(spark, dir).select("l_quantity", "l_extendedprice"),
