@@ -32,6 +32,7 @@ object SparkEntry {
       Similarity.oracles ++ Events.oracles ++ graft.ml.MlQueries.oracles ++
       graft.linalg.LinalgQueries.oracles ++
       Map("q_terasort_cols" -> TeraSort.oracle,
+        "q_multimodal" -> graft.multimodal.Multimodal.oracle,
         "q_tensor_ops" -> graft.tensor.TensorSet.oracle,
         "q_io_roundtrip" -> graft.sources.Sources.roundtripOracle,
         "q_bucket_join" -> graft.sources.Sources.bucketJoinOracle)
