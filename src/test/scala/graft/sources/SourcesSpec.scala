@@ -8,7 +8,21 @@ import java.nio.file.Files
   * style: tests/test_data_utils.py / test_utils.py). */
 class SourcesSpec extends SparkSpec {
 
-  private def tmp(): String = Files.createTempDirectory("graft-io").toString
+  private val created = scala.collection.mutable.ArrayBuffer.empty[String]
+  private def tmp(): String = {
+    val d = Files.createTempDirectory("graft-io").toString
+    created += d
+    d
+  }
+
+  override def afterAll(): Unit = {
+    import scala.jdk.CollectionConverters._
+    created.foreach { d =>
+      Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+        .toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+    }
+    super.afterAll()
+  }
 
   test("csv text roundtrip with header and column drop") {
     val spark2 = spark
