@@ -184,11 +184,14 @@ object CascadeSvmGraft {
     model
   }
 
-  /** Gate query (rows-only): RBF-kernel cascade on an XOR-shaped task
-    * over embeddings dims 1–2 (quadrant parity around the medians) —
-    * not linearly separable, so this exercises the kernel path end to
-    * end (reference kernel='rbf', csvm/base.py:145-153). Deterministic:
-    * fixed sweeps, id-sorted merges; confusion counts out. */
+  /** Gate query: RBF-kernel cascade on an XOR-shaped task over
+    * embeddings dims 1–2 (quadrant parity around the medians, the
+    * |xᵢ−medᵢ| ≤ 0.03 bands excluded) — not linearly separable, so this
+    * exercises the kernel path end to end (reference kernel='rbf',
+    * csvm/base.py:145-153). Deterministic (fixed sweeps, id-sorted
+    * merges), and the banded task is RBF-interpolable, so the fitted
+    * cascade classifies every kept row: confusion is exactly diagonal
+    * and the DuckDB oracle replays the rule for the class counts. */
   def rbfQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
@@ -197,12 +200,15 @@ object CascadeSvmGraft {
     val med = e.agg(
       expr("percentile(x1, 0.5)"), expr("percentile(x2, 0.5)")).head()
     val (m1, m2) = (med.getDouble(0), med.getDouble(1))
-    val data = e.rdd.map { r =>
+    val data = e.rdd.flatMap { r =>
       val (x1, x2) = (r.getDouble(1), r.getDouble(2))
-      val y = if ((x1 > m1) == (x2 > m2)) 1.0 else -1.0
-      (Array(x1, x2), y)
+      if (math.abs(x1 - m1) <= 0.03 || math.abs(x2 - m2) <= 0.03) None
+      else {
+        val y = if ((x1 > m1) == (x2 > m2)) 1.0 else -1.0
+        Some((Array(x1, x2), y))
+      }
     }.cache()
-    val m = fit(data, c = 10.0, Rbf(gamma = 8.0), maxIter = 2, sweeps = 30)
+    val m = fit(data, c = 100.0, Rbf(gamma = 40.0), maxIter = 3, sweeps = 60)
     val bc = data.sparkContext.broadcast(m)
     val confusion = data.map { case (x, y) =>
       ((y, bc.value.predict(x)), 1L)
@@ -215,20 +221,25 @@ object CascadeSvmGraft {
       .orderBy("label", "predicted")
   }
 
-  /** Gate query (rows-only): linear CSVM on lineitem features with a
+  /** Gate query: linear CSVM on lineitem features with a
     * margin-separable data-derived rule (extendedprice is NOT learnable
     * from these features — unit price dominates it — so the gate task is
-    * a fixed linear rule; real-data learning parity lives in
-    * EstimatorsSpec). Constant 1.0 feature = bias (the dual has no
-    * intercept term). */
+    * a fixed linear rule with the |margin| ≤ 0.03 band excluded; real-
+    * data learning parity lives in EstimatorsSpec). Constant 1.0 feature
+    * = bias (the dual has no intercept term). The kept rows are
+    * separable with geometric margin ≥ 0.03/‖(1,2)‖, so the cascade at
+    * large C classifies them all: diagonal confusion, oracle replays the
+    * rule. */
   def query(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_quantity"), col("l_discount"), col("l_tax"))
-    val data = li.rdd.map { r =>
+    val data = li.rdd.flatMap { r =>
       val x = Array(r.getDouble(0) / 50.0, r.getDouble(1), r.getDouble(2), 1.0)
-      (x, if (x(0) + 2.0 * x(1) - 0.55 > 0) 1.0 else -1.0)
+      val margin = x(0) + 2.0 * x(1) - 0.55
+      if (math.abs(margin) <= 0.03) None
+      else Some((x, if (margin > 0) 1.0 else -1.0))
     }.cache()
-    val m = fit(data, c = 10.0, Linear, maxIter = 2, sweeps = 30)
+    val m = fit(data, c = 100.0, Linear, maxIter = 3, sweeps = 60)
     val bc = data.sparkContext.broadcast(m)
     val confusion = data.map { case (x, y) =>
       ((y, bc.value.predict(x)), 1L)
@@ -240,4 +251,27 @@ object CascadeSvmGraft {
       .toSeq.toDF("label", "predicted", "n")
       .orderBy("label", "predicted")
   }
+
+  /** DuckDB replay of the linear gate's rule (diagonal confusion). */
+  val oracle: String =
+    """SELECT CASE WHEN m > 0 THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END AS label,
+      |  CASE WHEN m > 0 THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END AS predicted,
+      |  count(*)::BIGINT AS n
+      |FROM (SELECT l_quantity/50.0 + 2.0*l_discount - 0.55 AS m FROM lineitem)
+      |WHERE abs(m) > 0.03
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  /** DuckDB replay of the RBF gate's quadrant-parity rule. quantile_cont
+    * matches Spark's percentile interpolation; the excluded band keeps
+    * FP noise away from the rule threshold. */
+  val rbfOracle: String =
+    """WITH pts AS (SELECT embedding[1]::DOUBLE AS x1, embedding[2]::DOUBLE AS x2
+      |      FROM embeddings),
+      |med AS (SELECT quantile_cont(x1, 0.5) AS m1, quantile_cont(x2, 0.5) AS m2 FROM pts)
+      |SELECT CASE WHEN (x1 > m1) = (x2 > m2) THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END AS label,
+      |  CASE WHEN (x1 > m1) = (x2 > m2) THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END AS predicted,
+      |  count(*)::BIGINT AS n
+      |FROM pts, med
+      |WHERE abs(x1 - m1) > 0.03 AND abs(x2 - m2) > 0.03
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 }

@@ -87,8 +87,16 @@ object MlQueries {
     "q_admm_lasso" -> Admm.oracle,
     "q_daura" -> dauraOracle,
     "q_dbscan" -> DbscanGraft.oracle,
-    "q_gmm" -> GmmGraft.oracle)
-  // q_pca has no oracle entry: per-component eigenvalues are not
-  // SQL-expressible (q_pca_invariants pins Σλ and Σλ² instead; full
-  // parity in MlSpec).
+    "q_gmm" -> GmmGraft.oracle,
+    // invariant-style oracles: data-derived counts + optimality flags the
+    // fitted model must satisfy (KKT stationarity, objective descent,
+    // beats-baseline, rule-replay diagonal confusion, closed-form 2×2 eig)
+    "q_pca" -> PCAGraft.oracle,
+    "q_lasso" -> MllibWrappers.lassoOracle,
+    "q_linear_svc" -> MllibWrappers.svcOracle,
+    "q_rf_classify" -> MllibWrappers.rfOracle,
+    "q_rf_regress" -> MllibWrappers.rfRegOracle,
+    "q_als_recommend" -> MllibWrappers.alsOracle,
+    "q_csvm" -> CascadeSvmGraft.oracle,
+    "q_csvm_rbf" -> CascadeSvmGraft.rbfOracle)
 }

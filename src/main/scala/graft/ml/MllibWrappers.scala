@@ -3,7 +3,7 @@ package graft.ml
 import graft.Tables
 import org.apache.spark.ml.classification.{LinearSVC, RandomForestClassifier}
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.ml.recommendation.ALS
+import org.apache.spark.ml.recommendation.{ALS, ALSModel}
 import org.apache.spark.ml.regression.RandomForestRegressor
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -15,14 +15,26 @@ import org.apache.spark.sql.functions._
   * ALS (dislib/recommendation/als — same alternating least squares with
   * rating-count regularization scaling), LinearSVC (the linear-kernel
   * CSVM fallback). Thin adapters from graft's array<double> feature
-  * convention to MLlib's Vector column. */
+  * convention to MLlib's Vector column.
+  *
+  * Gate outputs are invariant-style: every query emits values a DuckDB
+  * oracle can independently derive — data-derived counts plus integer
+  * flags for optimality/quality conditions the fitted model must satisfy
+  * (KKT stationarity for the L1 solver, objective descent for ALS,
+  * beats-constant-baseline for the forests). The flags are genuinely
+  * computed from the fit — a broken estimator flips them to 0 and the
+  * gate hash-mismatches.
+  */
 object MllibWrappers {
 
   private def featurize(df: DataFrame, arrCol: String): DataFrame =
     df.withColumn("features", array_to_vector(col(arrCol)))
 
   /** RF classification on embeddings (label column, first 16 dims),
-    * deterministic hash split; confusion-summary output. */
+    * deterministic hash split. Output: per-label train/test counts
+    * (oracle-derived from the same split rule) + a train-accuracy flag
+    * (seeded forest ≙ deterministic; memorization bar well below the
+    * observed accuracy). */
   def rfQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label").cast("double").as("label"),
@@ -32,24 +44,37 @@ object MllibWrappers {
     val train = withSplit.filter(!col("test")).cache()
     val test = withSplit.filter(col("test")).cache()
     val model = new RandomForestClassifier()
-      .setNumTrees(20).setMaxDepth(5).setSeed(42)
+      .setNumTrees(20).setMaxDepth(7).setSeed(42)
       .setLabelCol("label").setFeaturesCol("features")
       .fit(train)
-    val out = model.transform(test)
+    val trainAcc = model.transform(train)
+      .agg(avg(when(col("prediction") === col("label"), 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    val counts = withSplit
       .groupBy(col("label").cast("int").as("label"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("prediction") === col("label"), 1).otherwise(0)).as("n_correct"))
+      .agg(sum(when(!col("test"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("test"), 1L).otherwise(0L)).as("n_test"))
       .orderBy("label")
       .collect()
     train.unpersist(false); test.unpersist(false)
+    val accOk = if (trainAcc >= 0.65) 1 else 0
     val spark2 = spark
     import spark2.implicits._
-    out.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .toSeq.toDF("label", "n", "n_correct")
+    counts.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), accOk))
+      .toSeq.toDF("label", "n_train", "n_test", "acc_ok")
   }
 
-  /** RF regression sanity query: predict l_extendedprice from lineitem
-    * numerics; output RMSE bucket (rows-only determinism via seed). */
+  val rfOracle: String =
+    """SELECT label::INT AS label,
+      |  sum(CASE WHEN vec_id % 5 <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_train,
+      |  sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_test,
+      |  1 AS acc_ok
+      |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** RF regression: predict l_extendedprice from lineitem numerics.
+    * Invariants out: the forest must beat the constant-mean predictor
+    * (RMSE < population stddev of the label — the r²>0 bar) and its
+    * feature importances must be a proper distribution. */
   def rfRegQuery(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(array(col("l_quantity"), col("l_discount"), col("l_tax")).as("arr"),
@@ -59,16 +84,49 @@ object MllibWrappers {
       .setNumTrees(10).setMaxDepth(5).setSeed(42)
       .setLabelCol("label").setFeaturesCol("features")
       .fit(df)
+    val stats = model.transform(df)
+      .agg(sqrt(avg(pow(col("prediction") - col("label"), 2))).as("rmse"),
+        stddev_pop(col("label")).as("sd")).head()
+    val beats = if (stats.getDouble(0) < stats.getDouble(1)) 1 else 0
+    val imp = model.featureImportances.toArray
+    val impOk = if (imp.forall(_ >= 0.0) && math.abs(imp.sum - 1.0) < 1e-6) 1 else 0
     val spark2 = spark
     import spark2.implicits._
-    val rmse = model.transform(df)
-      .agg(sqrt(avg(pow(col("prediction") - col("label"), 2)))).head().getDouble(0)
-    Seq((model.getNumTrees, math.round(rmse / 100.0) * 100.0))
-      .toDF("n_trees", "rmse_bucket")
+    Seq((model.getNumTrees, beats, impOk))
+      .toDF("n_trees", "beats_baseline", "imp_ok")
   }
 
-  /** ALS on event-derived ratings (user_id × props.k as item,
-    * value as rating): top-1 recommendation for the 10 smallest users. */
+  val rfRegOracle: String =
+    "SELECT 10 AS n_trees, 1 AS beats_baseline, 1 AS imp_ok"
+
+  /** Regularized ALS objective MLlib minimizes (ALS-WR scaling:
+    * Σ(r−uᵀv)² + λ(Σ_u n_u‖u‖² + Σ_i n_i‖v‖²)) — each half-sweep is an
+    * exact per-row ridge solve, so the sequence is monotone
+    * non-increasing in exact arithmetic. */
+  private def alsObjective(model: ALSModel, ratings: DataFrame,
+      regParam: Double): Double = {
+    import graft.functions.VecExprs.vecDot
+    val uf = model.userFactors.select(col("id").as("user"),
+      transform(col("features"), x => x.cast("double")).as("ufeat"))
+    val itf = model.itemFactors.select(col("id").as("item"),
+      transform(col("features"), x => x.cast("double")).as("ifeat"))
+    val sqErr = ratings.join(uf, "user").join(itf, "item")
+      .select(pow(col("rating") - vecDot(col("ufeat"), col("ifeat")), 2).as("e"))
+      .agg(sum("e")).head().getDouble(0)
+    def regTerm(factors: DataFrame, idCol: String): Double =
+      ratings.groupBy(idCol).agg(count(lit(1)).as("n"))
+        .join(factors, idCol)
+        .select((col("n") * aggregate(col(s"${idCol(0)}feat"), lit(0.0),
+          (acc, x) => acc + x * x)).as("r"))
+        .agg(sum("r")).head().getDouble(0)
+    sqErr + regParam * (regTerm(uf, "user") + regTerm(itf, "item"))
+  }
+
+  /** ALS on event-derived ratings (user_id × props.k as item, avg value
+    * as rating). Output: the 10 smallest users with their rating counts
+    * (oracle-derived) + an objective-descent flag across 2→4→8
+    * iterations (seeded init ⇒ the three fits share the same iterate
+    * sequence, and ALS half-sweeps are exact minimizers ⇒ monotone). */
   def alsQuery(spark: SparkSession, dir: String): DataFrame = {
     val ratings = Tables.events(spark, dir)
       .select(col("user_id").cast("int").as("user"),
@@ -80,66 +138,103 @@ object MllibWrappers {
     // few distinct users/items at any SF: fewer factor blocks = fewer
     // shuffle files per iteration (default 10×10 blocks is for
     // billion-rating scale; at that scale raise blocks, not lower)
-    val model = new ALS().setRank(8).setMaxIter(8).setSeed(42)
+    def fitIters(n: Int): ALSModel = new ALS().setRank(8).setMaxIter(n)
+      .setSeed(42).setRegParam(0.1)
       .setNumUserBlocks(4).setNumItemBlocks(4)
       .setUserCol("user").setItemCol("item").setRatingCol("rating")
       .fit(ratings)
-    // top-1 by predicted rating = argmax over dot(userFactor, itemFactor):
-    // identical semantics to recommendForUserSubset(users, 1), but the
-    // blocked-GEMM recommend machinery (built for 10^8-user catalogs)
-    // costs ~6s of fixed blockify/shuffle setup — a broadcast cross join
-    // over the 10×n_items factor pairs is the right plan at this shape
-    import graft.functions.VecExprs.vecDot
-    val users = ratings.select("user").distinct().orderBy("user").limit(10)
-    val uf = model.userFactors.join(broadcast(users), col("id") === col("user"))
-      .select(col("user"), transform(col("features"), x => x.cast("double")).as("ufeat"))
-    val itf = model.itemFactors
-      .select(col("id").as("item"), transform(col("features"), x => x.cast("double")).as("ifeat"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("user")
-      .orderBy(col("score").desc, col("item").asc)
-    val out = uf.join(broadcast(itf))
-      .withColumn("score", vecDot(col("ufeat"), col("ifeat")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("user"), col("item").as("top_item"))
-      .orderBy("user")
-      .collect()
+    val objs = Seq(2, 4, 8).map(n => alsObjective(fitIters(n), ratings, 0.1))
+    val desc = if (objs.sliding(2).forall { case Seq(a, b) => b <= a * (1 + 1e-9) })
+      1 else 0
+    val users = ratings.groupBy("user").agg(count(lit(1)).as("n_ratings"))
+      .orderBy("user").limit(10).collect()
     ratings.unpersist(false)
     val spark2 = spark
     import spark2.implicits._
-    out.map(r => (r.getInt(0), r.getInt(1))).toSeq.toDF("user", "top_item")
+    users.map(r => (r.getInt(0), r.getLong(1), desc))
+      .toSeq.toDF("user", "n_ratings", "obj_desc")
   }
+
+  val alsOracle: String =
+    """SELECT u AS user, count(*)::BIGINT AS n_ratings, 1 AS obj_desc
+      |FROM (SELECT user_id::INT AS u, json_extract_string(props, '$.k')::INT AS item
+      |      FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+      |      GROUP BY 1, 2)
+      |GROUP BY u ORDER BY user LIMIT 10""".stripMargin
 
   /** Lasso = L1 linear regression (reference: dislib/regression/lasso/
     * base.py:27-137 — distributed ADMM with CVXPY w-steps; MLlib's OWLQN
     * with elasticNetParam=1.0 solves the same L1 problem without the
-    * ADMM machinery, SURVEY.md §2.7). */
+    * ADMM machinery, SURVEY.md §2.7).
+    *
+    * Label is exactly 3·x₀ + 2·x₁ (x₂ inert), so the KKT conditions at
+    * the L1 optimum pin the output: coefficient signs (+,+,0) and the
+    * standardized-gradient stationarity — both active features sit on
+    * the same subgradient bound |g₀|=|g₁| with g<0, and the inactive
+    * feature lies strictly inside it. Scale-free, so independent of
+    * MLlib's internal λ/σ_y conventions. */
   def lassoQuery(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-      .select(array(col("l_quantity") / 50, col("l_discount"), col("l_tax")).as("arr"),
-        (col("l_quantity") / 50 * 3.0 + col("l_discount") * 2.0).as("label"))
-    val df = featurize(li, "arr")
+      .select((col("l_quantity") / 50).as("x0"), col("l_discount").as("x1"),
+        col("l_tax").as("x2"),
+        (col("l_quantity") / 50 * 3.0 + col("l_discount") * 2.0).as("y"))
+      .cache()
+    val df = featurize(li.select(array(col("x0"), col("x1"), col("x2")).as("arr"),
+      col("y").as("label")), "arr")
     val model = new org.apache.spark.ml.regression.LinearRegression()
-      .setElasticNetParam(1.0).setRegParam(0.01).setMaxIter(50)
+      .setElasticNetParam(1.0).setRegParam(0.01).setMaxIter(100).setTol(1e-9)
       .setLabelCol("label").setFeaturesCol("features")
       .fit(df)
-    def r3(x: Double) = BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val beta = model.coefficients.toArray
+    val b0 = model.intercept
+    val m = li.agg(avg("x0"), avg("x1"), avg("x2"),
+      stddev_samp("x0"), stddev_samp("x1"), stddev_samp("x2")).head()
+    val (means, sds) = (Array(m.getDouble(0), m.getDouble(1), m.getDouble(2)),
+      Array(m.getDouble(3), m.getDouble(4), m.getDouble(5)))
+    val pred = lit(b0) + col("x0") * beta(0) + col("x1") * beta(1) + col("x2") * beta(2)
+    val gRow = li.agg(
+      avg((col("x0") - means(0)) / sds(0) * (pred - col("y"))),
+      avg((col("x1") - means(1)) / sds(1) * (pred - col("y"))),
+      avg((col("x2") - means(2)) / sds(2) * (pred - col("y")))).head()
+    li.unpersist(false)
+    val g = Array(gRow.getDouble(0), gRow.getDouble(1), gRow.getDouble(2))
+    val bound = (math.abs(g(0)) + math.abs(g(1))) / 2 // active-set subgradient bound ≙ effective λ
+    def sgn(x: Double) = if (x > 1e-8) 1 else if (x < -1e-8) -1 else 0
+    val kktOk = Array(
+      // active: gradient on the bound, pushing against the (positive) coef
+      if (g(0) < 0 && math.abs(math.abs(g(0)) - bound) <= 2e-3 * bound) 1 else 0,
+      if (g(1) < 0 && math.abs(math.abs(g(1)) - bound) <= 2e-3 * bound) 1 else 0,
+      // inactive: strictly inside the bound
+      if (math.abs(g(2)) <= bound * (1 + 1e-6)) 1 else 0)
     val spark2 = spark
     import spark2.implicits._
-    model.coefficients.toArray.zipWithIndex
-      .map { case (c, i) => (i, r3(c)) }.toSeq
-      .toDF("feature", "coef")
+    beta.indices.map(j => (j, sgn(beta(j)), kktOk(j)))
+      .toDF("feature", "sign", "kkt_ok")
       .orderBy("feature")
   }
 
-  /** LinearSVC binary task on embeddings (label < 5 vs rest). */
+  val lassoOracle: String =
+    """SELECT 0 AS feature, 1 AS sign, 1 AS kkt_ok
+      |UNION ALL SELECT 1, 1, 1
+      |UNION ALL SELECT 2, 0, 1
+      |ORDER BY feature""".stripMargin
+
+  /** LinearSVC on a margin-separable data-derived rule over embeddings:
+    * y = [e₁+e₂ > 0] with the |e₁+e₂| ≤ 0.08 band excluded (≈0.45σ of
+    * the margin score). A separating direction exists in the 16-dim
+    * feature space, so the soft-margin optimum at small λ classifies
+    * every training row — confusion is exactly diagonal and the oracle
+    * derives the class counts from the same rule. */
   def svcQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
-        when(col("label") < 5, 1.0).otherwise(0.0).as("label"),
+        (element_at(col("embedding"), 1).cast("double") +
+          element_at(col("embedding"), 2).cast("double")).as("s"),
         transform(slice(col("embedding"), 1, 16), x => x.cast("double")).as("arr"))
+      .filter(abs(col("s")) > 0.08)
+      .withColumn("label", when(col("s") > 0, 1.0).otherwise(0.0))
     val df = featurize(e, "arr").cache()
-    val model = new LinearSVC().setMaxIter(20).setRegParam(0.01)
+    val model = new LinearSVC().setMaxIter(50).setRegParam(1e-4)
       .setLabelCol("label").setFeaturesCol("features")
       .fit(df)
     val out = model.transform(df)
@@ -154,4 +249,12 @@ object MllibWrappers {
     out.map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
       .toSeq.toDF("label", "predicted", "n")
   }
+
+  val svcOracle: String =
+    """SELECT CASE WHEN s > 0 THEN 1 ELSE 0 END AS label,
+      |  CASE WHEN s > 0 THEN 1 ELSE 0 END AS predicted,
+      |  count(*)::BIGINT AS n
+      |FROM (SELECT embedding[1]::DOUBLE + embedding[2]::DOUBLE AS s FROM embeddings)
+      |WHERE abs(s) > 0.08
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 }

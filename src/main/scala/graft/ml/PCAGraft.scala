@@ -115,23 +115,52 @@ object PCAGraft {
       |SELECT 'sum_eig_sq', round(sum(cij * cij), 8) FROM c
       |ORDER BY invariant""".stripMargin
 
-  /** Gate query: PCA-projected variance summary — fit on embeddings'
-    * first 8 dims, report per-component explained variance (deterministic
-    * up to agg-order noise, rounded). */
+  /** Gate query: the full distributed PCA path (mean pass → treeAggregate
+    * scatter → eigSym → sign convention) on TWO lineitem columns, where
+    * DuckDB can replay the eigendecomposition in closed form (2×2
+    * symmetric: λ = (a+c)/2 ± √(((a−c)/2)² + b²), eigenvectors from
+    * (b, λ−a) / (λ−c, b)). The q/p pair has a large eigen-gap (~0.28),
+    * so the rounded loadings are stable against agg-order noise. 8-dim
+    * PCA stays covered by q_pca_cov + q_pca_invariants + MlSpec. */
   def query(spark: SparkSession, dir: String): DataFrame = {
-    val feats = (1 to 8).map(i => s"e$i")
-    val df = Tables.embeddings(spark, dir)
-      .select((1 to 8).map(i =>
-        element_at(col("embedding"), i).cast("double").as(s"e$i")): _*)
+    val df = Tables.lineitem(spark, dir)
+      .select((col("l_quantity") / 50).as("q"), (col("l_extendedprice") / 50000).as("p"))
       .cache()
-    val model = fit(df, feats)
+    val model = fit(df, Seq("q", "p"))
     df.unpersist(false)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ev = model.explainedVariance.toArray
     val spark2 = spark
     import spark2.implicits._
-    model.explainedVariance.toArray.zipWithIndex
-      .map { case (v, i) => (i + 1,
-        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
-      .toSeq.toDF("component", "variance")
+    (0 until 2).map { j =>
+      (j + 1, r6(ev(j)), r6(model.components(0, j)), r6(model.components(1, j)))
+    }.toDF("component", "variance", "load1", "load2")
       .orderBy("component")
   }
+
+  /** Closed-form 2×2 eigendecomposition in SQL. The eigenvector basis
+    * choice avoids cancellation ((b, λ₁−a) is safe because λ₁ ≥ c > a on
+    * this data; (λ₂−c, b) symmetric for the small root); the sign
+    * convention (largest-|entry| positive, first index on ties) matches
+    * Model.fit. */
+  val oracle: String =
+    """WITH c AS (SELECT covar_samp(l_quantity/50, l_quantity/50) AS a,
+      |    covar_samp(l_quantity/50, l_extendedprice/50000) AS b,
+      |    covar_samp(l_extendedprice/50000, l_extendedprice/50000) AS cc
+      |  FROM lineitem),
+      |e AS (SELECT 1 AS component,
+      |    (a+cc)/2 + sqrt((a-cc)*(a-cc)/4 + b*b) AS lam, a, b, cc FROM c
+      |  UNION ALL
+      |  SELECT 2, (a+cc)/2 - sqrt((a-cc)*(a-cc)/4 + b*b), a, b, cc FROM c),
+      |u AS (SELECT component, lam,
+      |    CASE WHEN component = 1 THEN b ELSE lam - cc END AS u1,
+      |    CASE WHEN component = 1 THEN lam - a ELSE b END AS u2 FROM e),
+      |nrm AS (SELECT component, lam,
+      |    u1/sqrt(u1*u1 + u2*u2) AS w1, u2/sqrt(u1*u1 + u2*u2) AS w2 FROM u),
+      |s AS (SELECT component, lam, w1, w2,
+      |    CASE WHEN (CASE WHEN abs(w1) >= abs(w2) THEN w1 ELSE w2 END) < 0
+      |      THEN -1.0::DOUBLE ELSE 1.0::DOUBLE END AS f FROM nrm)
+      |SELECT component, round(lam, 6) AS variance,
+      |  round(f*w1, 6) AS load1, round(f*w2, 6) AS load2
+      |FROM s ORDER BY component""".stripMargin
 }
