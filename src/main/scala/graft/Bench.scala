@@ -166,7 +166,19 @@ object Bench {
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // loadavg inside the metrics: the box is a shared microVM where
+    // neighbor load swings timings up to 8×, so a round's numbers are
+    // only interpretable next to the load they ran under
+    val loadavg = try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split(" ").take(3).mkString(" ") catch { case _: Throwable => "" }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":"$loadavg"}"""
+    println(json)
+    // stdout tails get truncated by the driver (BENCH_r02's cut mid-JSON);
+    // the file copy keeps rounds comparable
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "/root/repo/BENCH_LOCAL.json")), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     spark.stop()
   }
 }
