@@ -30,21 +30,56 @@ object Neighbors {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist2"))
   }
 
+  /** All (src, dst) pairs with ‖a−b‖ ≤ cutoff, self-loops included —
+    * the candidate generation is a grid-cell equi-join (cells of side
+    * `cutoff` over the first ≤3 dimensions, each point copied to its
+    * 3^g neighboring cells), never an all-pairs theta-join: Spark plans
+    * a hash join on the cell key, and the exact full-vector distance
+    * filter runs only within cell neighborhoods. The grid prunes by a
+    * low-dim projection, so correctness never depends on it (superset
+    * of true pairs in, exact filter out) — only the candidate count
+    * does; at 100× rows this stays near-linear where the projection
+    * spreads, vs the quadratic broadcast-nested-loop it replaces. */
+  def epsEdges(points: DataFrame, idCol: String, vCol: String,
+      cutoff: Double): DataFrame = {
+    val pts = points.select(col(idCol).cast("long").as("id"), col(vCol).as("v"))
+    val d = pts.select(size(col("v"))).head().getInt(0)
+    val g = math.min(d, 3) // 3^g halo copies; higher dims filter exactly
+    val mins = pts.select((0 until g).map(i =>
+      min(element_at(col("v"), i + 1)).as(s"m$i")): _*).head()
+    val offsets = (0 until g).foldLeft(Seq(Seq.empty[Int])) { (acc, _) =>
+      acc.flatMap(o => Seq(-1, 0, 1).map(o :+ _))
+    }
+    val withCell = pts.withColumn("cell_arr", array((0 until g).map(i =>
+      floor((element_at(col("v"), i + 1) - lit(mins.getDouble(i))) / lit(cutoff))
+        .cast("long")): _*))
+    val own = withCell.withColumn("cell", concat_ws(",", (0 until g).map(i =>
+        element_at(col("cell_arr"), i + 1)): _*))
+      .select("id", "v", "cell")
+    val halo = withCell.withColumn("off", explode(typedLit(offsets)))
+      .withColumn("cell", concat_ws(",", (0 until g).map(i =>
+        element_at(col("cell_arr"), i + 1) + element_at(col("off"), i + 1)): _*))
+      .select("id", "v", "cell")
+    own.as("a").join(halo.as("b"),
+        col("a.cell") === col("b.cell") &&
+          sqDist(col("a.v"), col("b.v")) <= lit(cutoff * cutoff))
+      .select(col("a.id").as("src"), col("b.id").as("dst"))
+  }
+
   /** Daura clustering (greedy max-degree removal over a distance graph):
     * repeatedly take the point with the most neighbors within cutoff as a
     * cluster center, remove the cluster, recount. Ties break on min id.
     * The per-iteration degree count is a distributed aggregation; only
-    * the argmax row is collected (the reference syncs the same way). */
+    * the argmax row is collected (the reference syncs the same way; its
+    * input IS an n×n distance matrix, daura/base.py:38-45 — our point
+    * API builds the cutoff graph via the grid-blocked epsEdges, not an
+    * all-pairs join). */
   def daura(points: DataFrame, idCol: String, vCol: String,
       cutoff: Double): Seq[(Long, Seq[Long])] = {
     val spark = points.sparkSession
     import spark.implicits._
-    val pts = points.select(col(idCol).cast("long").as("id"), col(vCol).as("v"))
     // edge list once (self-loops included → degree counts the point itself)
-    var edges = pts.as("a").join(pts.as("b"),
-        sqDist(col("a.v"), col("b.v")) <= lit(cutoff * cutoff))
-      .select(col("a.id").as("src"), col("b.id").as("dst"))
-      .cache()
+    var edges = epsEdges(points, idCol, vCol, cutoff).cache()
     val clusters = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
     var remaining = edges.select(countDistinct("src")).head().getLong(0)
     while (remaining > 0) {

@@ -68,6 +68,26 @@ class EstimatorsSpec extends SparkSpec {
     assert(clusters(2) == ((5L, Seq(5L))))
   }
 
+  test("epsEdges matches brute force and plans a hash join, not all-pairs") {
+    val rng = new java.util.Random(7)
+    val pts = Seq.tabulate(80)(i =>
+      (i.toLong, Array.fill(4)(rng.nextDouble()))) // 4-d: grid on 3, exact on all
+    val spark2 = spark
+    import spark2.implicits._
+    val df = pts.toDF("id", "v")
+    val edges = Neighbors.epsEdges(df, "id", "v", cutoff = 0.3)
+    val plan = edges.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"edge build must be a bucketed equi-join, got:\n$plan")
+    val got = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expected = (for {
+      a <- pts; b <- pts if d2(a._2, b._2) <= 0.3 * 0.3
+    } yield (a._1, b._1)).toSet
+    assert(got == expected)
+  }
+
   test("gridSearch ranks KMeans k by inertia on blobby data") {
     val rng = new java.util.Random(10)
     val centers = Seq(Array(5.0, 5.0), Array(-5.0, 5.0), Array(0.0, -5.0))
