@@ -118,6 +118,53 @@ final class DsArray(val bm: BlockMatrix) {
     DsArray.fromIndexedRows(sliced, until - from, cols, bm.rowsPerBlock, bm.colsPerBlock)
   }
 
+  /** Fancy row indexing — rows gathered in index order, duplicates
+    * allowed (reference __getitem__ row lists, array.py:124-160,
+    * 788-1046). The index list is user-provided and bounded, so it
+    * broadcasts; the gather itself is one narrow flatMap + the block
+    * rebuild. */
+  def selectRows(indices: Seq[Long]): DsArray = {
+    require(indices.forall(i => i >= 0 && i < rows), "row index out of bounds")
+    val posByIdx = indices.zipWithIndex
+      .groupBy(_._1).map { case (k, v) => (k, v.map(_._2.toLong)) }
+    val bc = bm.blocks.sparkContext.broadcast(posByIdx)
+    val picked = toIndexedRowMatrix.rows.flatMap { r =>
+      bc.value.getOrElse(r.index, Nil).map(p => IndexedRow(p, r.vector))
+    }
+    DsArray.fromIndexedRows(picked, indices.length, cols,
+      bm.rowsPerBlock, bm.colsPerBlock)
+  }
+
+  /** Fancy column indexing — columns gathered in index order (a superset
+    * of the reference, whose single-column getitem is
+    * NotImplementedError, array.py:157-158). Narrow per-row gather. */
+  def selectCols(indices: Seq[Int]): DsArray = {
+    require(indices.forall(j => j >= 0 && j < cols), "col index out of bounds")
+    val idx = indices.toArray
+    val picked = toIndexedRowMatrix.rows.map { r =>
+      val v = r.vector
+      IndexedRow(r.index,
+        org.apache.spark.mllib.linalg.Vectors.dense(idx.map(v(_))))
+    }
+    DsArray.fromIndexedRows(picked, rows, indices.length,
+      bm.rowsPerBlock, bm.colsPerBlock)
+  }
+
+  /** 2-D slice [rowFrom,rowUntil) × [colFrom,colUntil) (reference 2-D
+    * __getitem__ slices, array.py:124-160). */
+  def slice2D(rowFrom: Long, rowUntil: Long,
+      colFrom: Int, colUntil: Int): DsArray = {
+    require(rowFrom >= 0 && rowUntil <= rows && colFrom >= 0 && colUntil <= cols
+      && rowFrom <= rowUntil && colFrom <= colUntil, "slice out of bounds")
+    val sliced = toIndexedRowMatrix.rows
+      .filter(r => r.index >= rowFrom && r.index < rowUntil)
+      .map(r => IndexedRow(r.index - rowFrom,
+        org.apache.spark.mllib.linalg.Vectors.dense(
+          java.util.Arrays.copyOfRange(r.vector.toArray, colFrom, colUntil))))
+    DsArray.fromIndexedRows(sliced, rowUntil - rowFrom, colUntil - colFrom,
+      bm.rowsPerBlock, bm.colsPerBlock)
+  }
+
   /** Drop a row by index, shifting the rest up (reference delete,
     * array.py:1307-1360). */
   def deleteRow(i: Long): DsArray = {
@@ -257,37 +304,83 @@ object DsArray {
   }
 
   /** Kronecker product (reference: dislib/math/base.py:15-92) — cartesian
-    * of block pairs, per-pair local Breeze kron, re-gridded. No Spark
-    * built-in exists; the block structure (a_block ⊗ b_block lands at a
-    * predictable tile offset) makes this a pure narrow cartesian. */
+    * of block pairs; each A-element × B-row becomes a row SEGMENT keyed
+    * by its destination tile, and combineByKey assembles tiles directly.
+    * No whole output row is ever materialized (a row is a.cols × b.cols
+    * wide — an OOM object for wide operands), and the result tile size
+    * is capped independently of the operand grids, so executor memory
+    * per task is bounded at any operand shape. Zero A-elements are
+    * skipped (kron sparsity). */
   def kron(a: DsArray, b: DsArray): DsArray = {
     val (abr, abc) = a.blockSize
     val (bbr, bbc) = b.blockSize
     val bR = b.rows; val bC = b.cols
-    // element A[r1,c1]·block B lands contiguously at (r1·bR + bRowOff,
-    // c1·bC + bColOff); a_block ⊗ b_block as a whole is NOT contiguous,
-    // so fan out per A-element × B-row.
-    val rpb = abr * bbr; val cpb = abc * bbc
     val nR = a.rows * bR; val nC = a.cols * bC
-    val rows = a.bm.blocks.cartesian(b.bm.blocks).flatMap {
+    val rpb = math.min(math.min(abr.toLong * bbr, 2048L), nR).toInt
+    val cpb = math.min(math.min(abc.toLong * bbc, 2048L), nC).toInt
+    type Seg = (Int, Int, Array[Double]) // (localRow, localColStart, values)
+    val segs = a.bm.blocks.cartesian(b.bm.blocks).flatMap {
       case (((ai, aj), am), ((bi, bj), bm0)) =>
-        val bb = new BDM(bm0.numRows, bm0.numCols, bm0.toArray)
+        val amRows = am.numRows; val amCols = am.numCols
+        val bbRows = bm0.numRows; val bbCols = bm0.numCols
+        val av = am.toArray; val bv = bm0.toArray // column-major
         for {
-          i1 <- 0 until am.numRows
-          j1 <- 0 until am.numCols
-          i2 <- 0 until bb.rows
-        } yield {
-          val gRow = (ai.toLong * abr + i1) * bR + bi.toLong * bbr + i2
-          val colOff = (aj.toLong * abc + j1) * bC + bj.toLong * bbc
-          (gRow, (colOff, (bb(i2, ::).t * am(i1, j1)).toArray))
-        }
-    }.groupByKey().map { case (r, segs) =>
-      val arr = new Array[Double](nC.toInt)
-      segs.foreach { case (co, vals) =>
-        System.arraycopy(vals, 0, arr, co.toInt, vals.length) }
-      IndexedRow(r, org.apache.spark.mllib.linalg.Vectors.dense(arr))
+          i1 <- Iterator.range(0, amRows)
+          j1 <- Iterator.range(0, amCols)
+          s = av(j1 * amRows + i1)
+          if s != 0.0
+          i2 <- Iterator.range(0, bbRows)
+          gRow = (ai.toLong * abr + i1) * bR + bi.toLong * bbr + i2
+          gColBase = (aj.toLong * abc + j1) * bC + bj.toLong * bbc
+          seg <- {
+            // b-row scaled by s, split at result-tile column boundaries
+            val ti = (gRow / rpb).toInt; val li = (gRow % rpb).toInt
+            val pieces = scala.collection.mutable.ListBuffer.empty[((Int, Int), Seg)]
+            var j2 = 0
+            while (j2 < bbCols) {
+              val gCol = gColBase + j2
+              val tj = (gCol / cpb).toInt; val lj = (gCol % cpb).toInt
+              val runLen = math.min(bbCols - j2, cpb - lj)
+              val vals = new Array[Double](runLen)
+              var t = 0
+              while (t < runLen) { vals(t) = s * bv((j2 + t) * bbRows + i2); t += 1 }
+              pieces += (((ti, tj), (li, lj, vals)))
+              j2 += runLen
+            }
+            pieces.iterator
+          }
+        } yield seg
     }
-    fromIndexedRows(rows, nR, nC, rpb, cpb)
+    // tiles are allocated once per key on the reduce side at full
+    // (rpb × cpb) stride; ragged edge tiles are trimmed afterwards
+    def write(arr: Array[Double], seg: Seg): Array[Double] = {
+      val (li, lj, vals) = seg
+      var t = 0
+      while (t < vals.length) { arr((lj + t) * rpb + li) = vals(t); t += 1 }
+      arr
+    }
+    val tiles = segs.combineByKey[Array[Double]](
+      (seg: Seg) => write(new Array[Double](rpb * cpb), seg),
+      (arr: Array[Double], seg: Seg) => write(arr, seg),
+      (x: Array[Double], y: Array[Double]) => {
+        var i = 0; while (i < x.length) { x(i) += y(i); i += 1 }; x
+      }
+    ).map { case ((ti, tj), arr) =>
+      val tRows = math.min(rpb.toLong, nR - ti.toLong * rpb).toInt
+      val tCols = math.min(cpb.toLong, nC - tj.toLong * cpb).toInt
+      val out =
+        if (tRows == rpb && tCols == cpb) arr
+        else {
+          val o = new Array[Double](tRows * tCols)
+          var j = 0
+          while (j < tCols) {
+            System.arraycopy(arr, j * rpb, o, j * tRows, tRows); j += 1
+          }
+          o
+        }
+      ((ti, tj), Matrices.dense(tRows, tCols, out): Matrix)
+    }
+    new DsArray(new BlockMatrix(tiles, rpb, cpb, nR, nC))
   }
 
   implicit final class RichDsArray(private val a: DsArray) extends AnyVal {

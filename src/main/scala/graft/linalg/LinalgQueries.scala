@@ -136,7 +136,39 @@ object LinalgQueries {
       .toDF("dim", "sum_v", "sum_sq", "sum_dbl").orderBy("dim")
   }
 
+  /** Fancy indexing gate (reference __getitem__ row/col lists + 2-D
+    * slices, array.py:124-160, 788-1046): emits the VALUES at each
+    * output position of a row-list (with a duplicate) × col-list gather
+    * — order-preservation is checked, not just membership — plus
+    * per-column sums of a 2-D slice. */
+  def fancyIndex(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(slice(col("embedding"), 1, 6), x => x.cast("double")).as("v"))
+      .rdd.map(r => IndexedRow(r.getLong(0), Vectors.dense(r.getSeq[Double](1).toArray)))
+    val n = rows.count()
+    val a = DsArray.fromIndexedRows(rows, n, 6, 100, 3)
+    val rIdx = Seq(30L, 10L, 20L, 10L, 40L)
+    val cIdx = Seq(4, 0, 2)
+    val d = a.selectRows(rIdx).selectCols(cIdx).collect() // 5×3
+    val s = a.slice2D(20, 50, 1, 5)
+    def colSums(x: DsArray) = x.applyAlongAxis(0)(
+      m => breeze.linalg.sum(m(::, breeze.linalg.*)).t, _ + _).collect()
+    val sums = colSums(s)
+    val sq = colSums(s.hadamard(s))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark2 = spark
+    import spark2.implicits._
+    val fancyRows = (0 until 5).map(k =>
+      ("fancy", k, r6(d(k, 0)), r6(d(k, 1)), r6(d(k, 2))))
+    val sliceRows = (0 until 4).map(i =>
+      ("slice", i, r6(sums(0, i)), r6(sq(0, i)), 30.0))
+    (fancyRows ++ sliceRows).toDF("part", "pos", "c1", "c2", "c3")
+      .orderBy("part", "pos")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_fancy_index" -> (fancyIndex _),
     "q_matmul_gram" -> (matmulGram _),
     "q_tsqr_r" -> (tsqrR _),
     "q_svd_moments" -> (svdMoments _),
@@ -153,6 +185,20 @@ object LinalgQueries {
        |    FROM e CROSS JOIN idx GROUP BY i, j)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_fancy_index" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding[1:6], x -> x::DOUBLE) AS v
+        |    FROM embeddings),
+        |f(pos, id) AS (VALUES (0, 30), (1, 10), (2, 20), (3, 10), (4, 40)),
+        |fancy AS (SELECT 'fancy' AS part, f.pos::INT AS pos,
+        |    round(e.v[5], 6) AS c1, round(e.v[1], 6) AS c2, round(e.v[3], 6) AS c3
+        |  FROM f JOIN e ON e.vec_id = f.id),
+        |s AS (SELECT v FROM e WHERE vec_id BETWEEN 20 AND 49),
+        |sl AS (SELECT 'slice' AS part, (i - 2)::INT AS pos,
+        |    round(sum(v[i]), 6) AS c1, round(sum(v[i] * v[i]), 6) AS c2,
+        |    count(*)::DOUBLE AS c3
+        |  FROM s CROSS JOIN generate_series(2, 5) g(i) GROUP BY i)
+        |SELECT * FROM fancy UNION ALL SELECT * FROM sl
+        |ORDER BY part, pos""".stripMargin,
     "q_matmul_gram" ->
       s"""$gramCte
          |SELECT i - 1 AS i, j - 1 AS j, round(gij, 6) AS val FROM g

@@ -56,6 +56,32 @@ class LinalgSpec extends SparkSpec {
     assert(maxAbs(DsArray.kron(da, db).collect() - bkron(a, b)) < 1e-12)
   }
 
+  test("kron wide B: tile assembly, no whole-row materialization") {
+    val a = rand(3, 2, 31); val b = rand(2, 40, 32)
+    val da = DsArray.fromBreeze(sc, a, 2, 2)
+    val db = DsArray.fromBreeze(sc, b, 2, 8)
+    assert(maxAbs(DsArray.kron(da, db).collect() - bkron(a, b)) < 1e-12)
+  }
+
+  test("fancy indexing: row/col lists in order (dups allowed), 2-D slice") {
+    val a = rand(9, 7, 21)
+    val d = DsArray.fromBreeze(sc, a, 4, 3)
+    val rIdx = Seq(5L, 0L, 5L, 2L)
+    val gr = d.selectRows(rIdx).collect()
+    for ((ri, k) <- rIdx.zipWithIndex; j <- 0 until 7)
+      assert(gr(k, j) == a(ri.toInt, j))
+    val cIdx = Seq(6, 1, 3)
+    val gc = d.selectCols(cIdx).collect()
+    for (i <- 0 until 9; (cj, k) <- cIdx.zipWithIndex)
+      assert(gc(i, k) == a(i, cj))
+    val g2 = d.slice2D(2, 8, 1, 5).collect()
+    assert(maxAbs(g2 - a(2 to 7, 1 to 4).copy) < 1e-12)
+    // chained: rows then cols, both order-preserving
+    val gb = d.selectRows(rIdx).selectCols(cIdx).collect()
+    for ((ri, k) <- rIdx.zipWithIndex; (cj, l) <- cIdx.zipWithIndex)
+      assert(gb(k, l) == a(ri.toInt, cj))
+  }
+
   test("rechunk preserves contents") {
     val a = rand(11, 7, 8)
     val d = DsArray.fromBreeze(sc, a, 3, 3).rechunk(4, 7)
