@@ -143,4 +143,30 @@ object Decompositions {
         while (i < p) { var j = i + 1; while (j < p) { m(i, j) = m(j, i); j += 1 }; i += 1 }
         m
     }
+
+  /** Sparse Gramian Xᵀ X from COO rows (reference: dislib's CSR arrays —
+    * CSVM/ALS bench on sparse ijcnn1/Netflix, mn5/tests/csvm.py:18-26).
+    * Per-row cost is nnz², not p² — the point of sparse storage; the
+    * accumulator stays a dense p×p (p is feature count, small next to
+    * rows). */
+  def gramSparse(rows: RDD[(Array[Int], Array[Double])], p: Int): BDM[Double] =
+    rows.treeAggregate(BDM.zeros[Double](p, p))(
+      seqOp = { case (acc, (idx, vals)) =>
+        var a = 0
+        while (a < idx.length) {
+          var b = 0
+          while (b <= a) {
+            acc(idx(a), idx(b)) += vals(a) * vals(b)
+            b += 1
+          }
+          a += 1
+        }
+        acc
+      },
+      combOp = _ + _, depth = 2) match {
+      case m =>
+        var i = 0
+        while (i < p) { var j = i + 1; while (j < p) { m(i, j) = m(j, i); j += 1 }; i += 1 }
+        m
+    }
 }

@@ -2,7 +2,7 @@ package graft.linalg
 
 import breeze.linalg.{DenseMatrix => BDM}
 import org.apache.spark.SparkContext
-import org.apache.spark.mllib.linalg.{DenseMatrix, Matrices, Matrix}
+import org.apache.spark.mllib.linalg.{DenseMatrix, Matrices, Matrix, SparseMatrix}
 import org.apache.spark.mllib.linalg.distributed.{BlockMatrix, IndexedRow, IndexedRowMatrix}
 import org.apache.spark.rdd.RDD
 
@@ -251,6 +251,49 @@ object DsArray {
     val rows = (0 until m.rows).map(i =>
       IndexedRow(i, org.apache.spark.mllib.linalg.Vectors.dense(m(i, ::).t.toArray)))
     fromIndexedRows(sc.parallelize(rows), m.rows, m.cols, rowsPerBlock, colsPerBlock)
+  }
+
+  /** COO entries → SPARSE-tile DsArray (reference: dislib's ds-array is
+    * dense-or-CSR throughout, array.py:41-50; CSVM/ALS bench on sparse
+    * ijcnn1/Netflix). Tiles are CSC `SparseMatrix` blocks; empty tiles
+    * are simply absent from the grid (BlockMatrix treats missing blocks
+    * as zero), so storage is O(nnz). BlockMatrix add/multiply/transpose
+    * and toLocalMatrix are sparse-aware; dense-only DsArray ops
+    * (mapBlocks, hadamard, setters) densify per tile — acceptable,
+    * because they touch tiles one at a time. */
+  def fromCOO(entries: RDD[(Long, Long, Double)], nRows: Long, nCols: Long,
+      rowsPerBlock: Int, colsPerBlock: Int): DsArray = {
+    val rpb = rowsPerBlock; val cpb = colsPerBlock
+    val blocks = entries.map { case (i, j, v) =>
+      (((i / rpb).toInt, (j / cpb).toInt), ((i % rpb).toInt, (j % cpb).toInt, v))
+    }.groupByKey().map { case ((bi, bj), es) =>
+      val r = math.min(rpb.toLong, nRows - bi.toLong * rpb).toInt
+      val c = math.min(cpb.toLong, nCols - bj.toLong * cpb).toInt
+      ((bi, bj), SparseMatrix.fromCOO(r, c, es): Matrix)
+    }
+    new DsArray(new BlockMatrix(blocks, rpb, cpb, nRows, nCols))
+  }
+
+  /** libsvm/SVMLight load → sparse DsArray of the feature matrix (the
+    * reference's load_svmlight_file(..., store_sparse=True) path,
+    * io.py:15-74). Input: `Sources.loadSvmlight` output (features:
+    * ml Vector, label). Row ids are the file order (zipWithIndex). */
+  def fromLibsvmDf(df: org.apache.spark.sql.DataFrame,
+      rowsPerBlock: Int, colsPerBlock: Int): DsArray = {
+    val vecs = df.select("features").rdd
+      .map(_.getAs[org.apache.spark.ml.linalg.Vector](0)).zipWithIndex()
+    val n = vecs.count()
+    val p = df.select("features").head()
+      .getAs[org.apache.spark.ml.linalg.Vector](0).size
+    val entries = vecs.flatMap {
+      case (s: org.apache.spark.ml.linalg.SparseVector, i) =>
+        s.indices.zip(s.values).iterator.map { case (j, x) => (i, j.toLong, x) }
+      case (d, i) =>
+        d.toArray.iterator.zipWithIndex.collect {
+          case (x, j) if x != 0.0 => (i, j.toLong, x)
+        }
+    }
+    fromCOO(entries, n, p, rowsPerBlock, colsPerBlock)
   }
 
   /** Seeded uniform random array (reference: array.py:1413-1436) —

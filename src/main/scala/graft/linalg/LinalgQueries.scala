@@ -167,7 +167,40 @@ object LinalgQueries {
       .orderBy("part", "pos")
   }
 
+  /** Sparse gram gate: embeddings' first 8 dims hard-thresholded at
+    * |x| > 0.15 (≈23% density) into COO → sparse-tile DsArray →
+    * G = Aᵀ %*% A through BlockMatrix's sparse-aware blocked GEMM,
+    * cross-checked against the O(nnz²)-per-row treeAggregate gramSparse
+    * (both paths must agree before the oracle sees anything). */
+  def sparseGram(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(slice(col("embedding"), 1, P), x => x.cast("double")).as("v"))
+      .rdd.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val entries = base.flatMap { case (i, v) =>
+      v.iterator.zipWithIndex.collect {
+        case (x, j) if math.abs(x) > 0.15 => (i, j.toLong, x)
+      }
+    }
+    val n = base.map(_._1).max() + 1
+    val a = DsArray.fromCOO(entries, n, P, 64, 4)
+    val g = (a.transpose %*% a).collect()
+    val coo = base.map { case (_, v) =>
+      val kept = v.iterator.zipWithIndex.filter { case (x, _) => math.abs(x) > 0.15 }.toArray
+      (kept.map(_._2), kept.map(_._1))
+    }
+    val g2 = Decompositions.gramSparse(coo, P)
+    require(breeze.linalg.max(breeze.numerics.abs(g - g2)) < 1e-9,
+      "sparse GEMM and sparse treeAggregate gram disagree")
+    val spark2 = spark
+    import spark2.implicits._
+    (for (i <- 0 until P; j <- 0 until P) yield
+      (i, j, BigDecimal(g(i, j)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("i", "j", "val").orderBy("i", "j")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sparse_gram" -> (sparseGram _),
     "q_fancy_index" -> (fancyIndex _),
     "q_matmul_gram" -> (matmulGram _),
     "q_tsqr_r" -> (tsqrR _),
@@ -185,6 +218,15 @@ object LinalgQueries {
        |    FROM e CROSS JOIN idx GROUP BY i, j)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_sparse_gram" ->
+      s"""WITH e AS (SELECT list_transform(embedding[1:$P],
+         |      x -> CASE WHEN abs(x::DOUBLE) > 0.15 THEN x::DOUBLE ELSE 0.0::DOUBLE END) AS v
+         |    FROM embeddings),
+         |idx AS (SELECT i, j FROM generate_series(1, $P) g(i)
+         |    CROSS JOIN generate_series(1, $P) h(j))
+         |SELECT i - 1 AS i, j - 1 AS j, round(sum(v[i] * v[j]), 6) AS val
+         |FROM e CROSS JOIN idx GROUP BY i, j
+         |ORDER BY i, j""".stripMargin,
     "q_fancy_index" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding[1:6], x -> x::DOUBLE) AS v
         |    FROM embeddings),

@@ -82,6 +82,60 @@ class LinalgSpec extends SparkSpec {
       assert(gb(k, l) == a(ri.toInt, cj))
   }
 
+  test("sparse COO tiles: blocks stay sparse; gram/matmul/transpose match dense") {
+    val rng = new java.util.Random(41)
+    val entries = for {
+      i <- 0 until 30; j <- 0 until 10 if rng.nextDouble() < 0.2
+    } yield (i.toLong, j.toLong, rng.nextGaussian())
+    val dense = BDM.zeros[Double](30, 10)
+    entries.foreach { case (i, j, v) => dense(i.toInt, j.toInt) = v }
+    val a = DsArray.fromCOO(sc.parallelize(entries), 30, 10, 8, 4)
+    assert(a.bm.blocks.collect().forall(_._2.isInstanceOf[org.apache.spark.mllib.linalg.SparseMatrix]))
+    assert(maxAbs(a.collect() - dense) < 1e-12)
+    assert(maxAbs((a.transpose %*% a).collect() - dense.t * dense) < 1e-10)
+    assert(maxAbs(a.transpose.collect() - dense.t) < 1e-12)
+    // sparse × dense mixed multiply
+    val b = rand(10, 6, 42)
+    val db = DsArray.fromBreeze(sc, b, 4, 3)
+    assert(maxAbs((a %*% db).collect() - dense * b) < 1e-10)
+    // O(nnz²)-per-row gram twin
+    val coo = (0 until 30).map { i =>
+      val nz = (0 until 10).filter(j => dense(i, j) != 0.0).toArray
+      (nz, nz.map(j => dense(i, j)))
+    }
+    val g = Decompositions.gramSparse(sc.parallelize(coo), 10)
+    assert(maxAbs(g - dense.t * dense) < 1e-10)
+  }
+
+  test("libsvm loads into sparse tiles and grams correctly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-libsvm")
+    try {
+      val lines = Seq(
+        "1 1:0.5 4:-1.25 7:2.0",
+        "0 2:3.5 7:0.25",
+        "1 1:-0.75 3:1.5",
+        "0 5:0.125 6:-2.5 8:1.0")
+      java.nio.file.Files.write(dir.resolve("data.txt"),
+        String.join("\n", lines: _*).getBytes)
+      val df = graft.sources.Sources.loadSvmlight(spark, dir.toString, numFeatures = 8)
+      val a = DsArray.fromLibsvmDf(df, 2, 3)
+      assert(a.rows == 4 && a.cols == 8)
+      assert(a.bm.blocks.collect().forall(_._2.isInstanceOf[org.apache.spark.mllib.linalg.SparseMatrix]))
+      val dense = BDM.zeros[Double](4, 8)
+      // libsvm indices are 1-based
+      dense(0, 0) = 0.5; dense(0, 3) = -1.25; dense(0, 6) = 2.0
+      dense(1, 1) = 3.5; dense(1, 6) = 0.25
+      dense(2, 0) = -0.75; dense(2, 2) = 1.5
+      dense(3, 4) = 0.125; dense(3, 5) = -2.5; dense(3, 7) = 1.0
+      assert(maxAbs(a.collect() - dense) < 1e-12)
+      assert(maxAbs((a.transpose %*% a).collect() - dense.t * dense) < 1e-12)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("rechunk preserves contents") {
     val a = rand(11, 7, 8)
     val d = DsArray.fromBreeze(sc, a, 3, 3).rechunk(4, 7)
