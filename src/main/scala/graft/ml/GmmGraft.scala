@@ -237,6 +237,102 @@ object GmmGraft {
     }.toDF("component", "weight", "m1", "m2").orderBy("component")
   }
 
+  /** Gate query (oracle-checked): FULL-covariance GMM, k=3 on embeddings
+    * dims 1..2, 2 EM iterations under the paramRounding contract —
+    * the covariance variant MLlib lacks a twin for elsewhere; outputs
+    * weights, means AND the three covariance entries per component. */
+  def fullQuery(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        array((1 to 2).map(i => element_at(col("embedding"), i).cast("double")): _*))
+      .rdd.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .cache()
+    val m = fit(rows, QueryK, Full, maxIter = QueryIters, tol = 0,
+      paramRounding = true)
+    rows.unpersist(false)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark2 = spark
+    import spark2.implicits._
+    m.weights.indices.map { j =>
+      (j, r4(m.weights(j)), r4(m.means(j)(0)), r4(m.means(j)(1)),
+        r4(m.covs(j)(0, 0)), r4(m.covs(j)(0, 1)), r4(m.covs(j)(1, 1)))
+    }.toDF("component", "weight", "m1", "m2", "c11", "c12", "c22")
+      .orderBy("component")
+  }
+
+  /** DuckDB oracle for the full-covariance gate: same unrolled-EM CTE as
+    * the diag oracle with the 2×2 density in closed form (det = c11·c22
+    * − c12², quadratic form expanded) and the M-step emitting all three
+    * covariance entries (reg 1e-6 on the diagonal only, covariances from
+    * UNROUNDED means — mirroring fit's ordering exactly). */
+  def fullOracle: String = {
+    val k = QueryK
+    def pj(t: Int, f: String, j: Int, d: String = ""): String =
+      if (d.isEmpty) s"$f${j}_$t" else s"$f${j}_${d}_$t"
+    def lp(j: Int, t: Int): String = {
+      val (w, m1, m2) = (pj(t, "w", j), pj(t, "m", j, "1"), pj(t, "m", j, "2"))
+      val (c11, c12, c22) = (pj(t, "c", j, "11"), pj(t, "c", j, "12"), pj(t, "c", j, "22"))
+      s"""ln($w) - 0.5*(2*ln(2*pi()) + ln($c11*$c22 - $c12*$c12)
+         | + ((x1-$m1)*(x1-$m1)*$c22 - 2*(x1-$m1)*(x2-$m2)*$c12
+         |    + (x2-$m2)*(x2-$m2)*$c11) / ($c11*$c22 - $c12*$c12))"""
+        .stripMargin.replaceAll("\n", "")
+    }
+    def iteration(t: Int): String = {
+      val lps = (0 until k).map(j => s"(${lp(j, t - 1)}) AS lp$j").mkString(",\n    ")
+      val mxExpr = (0 until k).map(j => s"lp$j").mkString("greatest(", ", ", ")")
+      val rs = (0 until k).map(j => s"exp(lp$j - mx) / den AS r$j").mkString(", ")
+      val mstep = (0 until k).flatMap { j =>
+        def mean(d: Int) = s"sum(r$j*x$d)/sum(r$j)"
+        Seq(s"round(sum(r$j)/count(*), 6) AS ${pj(t, "w", j)}") ++
+          (1 to 2).map(d => s"round(${mean(d)}, 6) AS ${pj(t, "m", j, d.toString)}") ++
+          Seq(
+            s"round(sum(r$j*x1*x1)/sum(r$j) - (${mean(1)})*(${mean(1)}) + 1e-6, 6) AS ${pj(t, "c", j, "11")}",
+            s"round(sum(r$j*x1*x2)/sum(r$j) - (${mean(1)})*(${mean(2)}), 6) AS ${pj(t, "c", j, "12")}",
+            s"round(sum(r$j*x2*x2)/sum(r$j) - (${mean(2)})*(${mean(2)}) + 1e-6, 6) AS ${pj(t, "c", j, "22")}")
+      }.mkString(",\n    ")
+      val denInline = (0 until k)
+        .map(j => s"exp(lp$j - $mxExpr)").mkString(" + ")
+      s"""e$t AS (SELECT id, x1, x2,
+         |    $lps
+         |  FROM pts CROSS JOIN p${t - 1}),
+         |r$t AS (SELECT id, x1, x2, $rs FROM (
+         |  SELECT *, $mxExpr AS mx, $denInline AS den FROM e$t)),
+         |p$t AS (SELECT
+         |    $mstep
+         |  FROM r$t)""".stripMargin
+    }
+    val initMeans = (0 until k).flatMap { j =>
+      (1 to 2).map(d =>
+        s"max(CASE WHEN rn = ${j + 1} THEN round(x$d, 6) END) AS ${pj(0, "m", j, d.toString)}")
+    }.mkString(",\n    ")
+    val initCovs = (0 until k).map { j =>
+      s"gv1 AS ${pj(0, "c", j, "11")}, 0.0::DOUBLE AS ${pj(0, "c", j, "12")}, gv2 AS ${pj(0, "c", j, "22")}"
+    }.mkString(", ")
+    val initW = (0 until k).map(j => s"1.0/$k AS ${pj(0, "w", j)}").mkString(", ")
+    val finalSel = (0 until k).map { j =>
+      s"""SELECT $j AS component, round(${pj(QueryIters, "w", j)}, 4) AS weight,
+         |  round(${pj(QueryIters, "m", j, "1")}, 4) AS m1,
+         |  round(${pj(QueryIters, "m", j, "2")}, 4) AS m2,
+         |  round(${pj(QueryIters, "c", j, "11")}, 4) AS c11,
+         |  round(${pj(QueryIters, "c", j, "12")}, 4) AS c12,
+         |  round(${pj(QueryIters, "c", j, "22")}, 4) AS c22 FROM p$QueryIters"""
+        .stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH pts AS (SELECT vec_id AS id, embedding[1]::DOUBLE AS x1,
+       |    embedding[2]::DOUBLE AS x2 FROM embeddings),
+       |gm AS (SELECT avg(x1) AS a1, avg(x2) AS a2 FROM pts),
+       |gv AS (SELECT round(sum((x1-a1)*(x1-a1))/count(*) + 1e-6, 6) AS gv1,
+       |    round(sum((x2-a2)*(x2-a2))/count(*) + 1e-6, 6) AS gv2
+       |  FROM pts CROSS JOIN gm),
+       |c0 AS (SELECT $initMeans
+       |  FROM (SELECT x1, x2, row_number() OVER (ORDER BY id) AS rn
+       |        FROM pts ORDER BY id LIMIT $k)),
+       |p0 AS (SELECT $initW, c0.*, $initCovs FROM c0 CROSS JOIN gv),
+       |${(1 to QueryIters).map(iteration).mkString(",\n")}
+       |$finalSel
+       |ORDER BY component""".stripMargin
+  }
+
   /** DuckDB oracle: the same 2 diag-EM iterations unrolled — E-step
     * log-densities + logsumexp responsibilities, M-step weighted moments,
     * all parameters rounded to 6 decimals per iteration exactly like

@@ -18,6 +18,7 @@ object MlQueries {
     // custom estimators + MLlib-backed (rows-only checks; full parity in specs)
     "q_dbscan" -> ((s, d) => DbscanGraft.query(s, d)),
     "q_gmm" -> ((s, d) => GmmGraft.query(s, d)),
+    "q_gmm_full" -> ((s, d) => GmmGraft.fullQuery(s, d)),
     "q_csvm" -> ((s, d) => CascadeSvmGraft.query(s, d)),
     "q_csvm_rbf" -> ((s, d) => CascadeSvmGraft.rbfQuery(s, d)),
     "q_knn_weighted" -> ((s, d) => Knn.classifyWeighted(s, d)),
@@ -88,6 +89,7 @@ object MlQueries {
     "q_daura" -> dauraOracle,
     "q_dbscan" -> DbscanGraft.oracle,
     "q_gmm" -> GmmGraft.oracle,
+    "q_gmm_full" -> GmmGraft.fullOracle,
     // invariant-style oracles: data-derived counts + optimality flags the
     // fitted model must satisfy (KKT stationarity, objective descent,
     // beats-baseline, rule-replay diagonal confusion, closed-form 2×2 eig)
