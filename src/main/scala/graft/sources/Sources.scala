@@ -20,6 +20,84 @@ object Sources {
     (if (numFeatures > 0) r.option("numFeatures", numFeatures) else r).load(path)
   }
 
+  /** Parse a .npy header (format spec v1/v2): returns
+    * (rows, cols, fortranOrder, bytesPerElem, dataOffset). Supports
+    * '<f8'/'<f4' 1-D and 2-D arrays — the shapes dislib's loaders
+    * produce (io.py:137-182). */
+  private[sources] def parseNpyHeader(b: Array[Byte]): (Int, Int, Boolean, Int, Int) = {
+    require(b.length >= 10 && b(0) == 0x93.toByte &&
+      new String(b, 1, 5, "US-ASCII") == "NUMPY", "not an .npy file")
+    val (headerLen, headerOff) =
+      if (b(6) == 1) ((b(8) & 0xff) | ((b(9) & 0xff) << 8), 10)
+      else (java.nio.ByteBuffer.wrap(b, 8, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt, 12)
+    val header = new String(b, headerOff, headerLen, "US-ASCII")
+    val descr = "'descr':\\s*'([^']+)'".r.findFirstMatchIn(header)
+      .getOrElse(sys.error("npy: no descr")).group(1)
+    require(descr == "<f8" || descr == "<f4", s"npy: unsupported dtype $descr")
+    val fortran = "'fortran_order':\\s*(True|False)".r.findFirstMatchIn(header)
+      .getOrElse(sys.error("npy: no fortran_order")).group(1) == "True"
+    val dims = "'shape':\\s*\\(([^)]*)\\)".r.findFirstMatchIn(header)
+      .getOrElse(sys.error("npy: no shape")).group(1)
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt)
+    val (r, c) = dims match {
+      case Array(n) => (n, 1)
+      case Array(n, m) => (n, m)
+      case _ => sys.error(s"npy: only 1-D/2-D supported, got ${dims.length}-D")
+    }
+    (r, c, fortran, if (descr == "<f8") 8 else 4, headerOff + headerLen)
+  }
+
+  /** Decode the .npy payload to row-major doubles. */
+  private[sources] def parseNpy(b: Array[Byte]): (Int, Int, Array[Double]) = {
+    val (r, c, fortran, w, off) = parseNpyHeader(b)
+    val bb = java.nio.ByteBuffer.wrap(b, off, r * c * w)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val out = new Array[Double](r * c)
+    var t = 0
+    while (t < r * c) {
+      val v = if (w == 8) bb.getDouble else bb.getFloat.toDouble
+      // storage order t → row-major position
+      val pos = if (fortran) (t % r) * c + (t / r) else t
+      out(pos) = v
+      t += 1
+    }
+    (r, c, out)
+  }
+
+  /** `.npy` → DsArray (reference: load_npy_file, io.py:137-182; a
+    * directory of `.npy` files vstacks in path order — load_npy_files,
+    * io.py:361-404 — and `load_hstack_npy_files` composes as
+    * loadNpy(a).concatCols(loadNpy(b))). Migration-path reader: files
+    * parse in parallel via binaryFile (one task per file), a tiny
+    * header-only pass fixes the global row offsets. */
+  def loadNpy(spark: SparkSession, path: String,
+      rowsPerBlock: Int, colsPerBlock: Int): graft.linalg.DsArray = {
+    import org.apache.spark.mllib.linalg.distributed.IndexedRow
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.npy").load(path)
+      .select(col("path"), col("content"))
+    val meta = files.rdd
+      .map(r => (r.getString(0), parseNpyHeader(r.getAs[Array[Byte]](1))))
+      .collect().sortBy(_._1)
+    require(meta.nonEmpty, s"no .npy files at $path")
+    val nCols = meta.head._2._2
+    require(meta.forall(_._2._2 == nCols), "npy: column counts differ across files")
+    val offsets = meta.scanLeft(0L) { case (acc, (_, (r, _, _, _, _))) => acc + r }
+    val nRows = offsets.last
+    val offByPath = meta.map(_._1).zip(offsets.init).toMap
+    val bc = spark.sparkContext.broadcast(offByPath)
+    val rows = files.rdd.flatMap { r =>
+      val (nr, nc, vals) = parseNpy(r.getAs[Array[Byte]](1))
+      val off = bc.value(r.getString(0))
+      Iterator.range(0, nr).map(i => IndexedRow(off + i,
+        org.apache.spark.mllib.linalg.Vectors.dense(
+          java.util.Arrays.copyOfRange(vals, i * nc, (i + 1) * nc))))
+    }
+    graft.linalg.DsArray.fromIndexedRows(rows, nRows, nCols,
+      rowsPerBlock, colsPerBlock)
+  }
+
   /** Delimited text → DataFrame (reference: load_txt_file, io.py:77-134;
     * `discardFirstRow` ≙ header, `dropColumns` ≙ index-column drop). */
   def loadText(spark: SparkSession, path: String, delimiter: String = ",",

@@ -65,6 +65,47 @@ class SourcesSpec extends SparkSpec {
     assert(rows(0).getAs[org.apache.spark.ml.linalg.Vector](1).apply(2) == 1.5)
   }
 
+  test("npy roundtrip: v1 f8 C-order + f4 fortran-order, dir vstack in path order") {
+    // fixture bytes built to the .npy format spec (v1 header, 64-aligned)
+    def npyBytes(rows: Int, cols: Int, vals: Array[Double],
+        f4: Boolean, fortran: Boolean): Array[Byte] = {
+      val descr = if (f4) "<f4" else "<f8"
+      val dict = s"{'descr': '$descr', 'fortran_order': ${if (fortran) "True" else "False"}, 'shape': ($rows, $cols), }"
+      val padLen = 64 - ((10 + dict.length + 1) % 64)
+      val header = dict + (" " * padLen) + "\n"
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(Array(0x93.toByte, 'N'.toByte, 'U'.toByte, 'M'.toByte,
+        'P'.toByte, 'Y'.toByte, 1.toByte, 0.toByte))
+      bos.write(header.length & 0xff); bos.write((header.length >> 8) & 0xff)
+      bos.write(header.getBytes("US-ASCII"))
+      val w = if (f4) 4 else 8
+      val bb = java.nio.ByteBuffer.allocate(vals.length * w)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      // vals is row-major; emit in the declared storage order
+      for (t <- vals.indices) {
+        val pos = if (fortran) (t % rows) * cols + (t / rows) else t
+        if (f4) bb.putFloat(vals(pos).toFloat) else bb.putDouble(vals(pos))
+      }
+      bos.write(bb.array())
+      bos.toByteArray
+    }
+    val dir = tmp() + "/npy"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val a = Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0)          // 2×3 C-order
+    val b = Array(0.5, -1.5, 2.5, 7.0, 8.0, -9.0)        // 2×3, f4 fortran
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a_first.npy"),
+      npyBytes(2, 3, a, f4 = false, fortran = false))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b_second.npy"),
+      npyBytes(2, 3, b, f4 = true, fortran = true))
+    val d = Sources.loadNpy(spark, dir, rowsPerBlock = 2, colsPerBlock = 2)
+    assert(d.rows == 4 && d.cols == 3)
+    val got = d.collect()
+    val exp = (a ++ b).grouped(3).toArray
+    for (i <- 0 until 4; j <- 0 until 3)
+      assert(math.abs(got(i, j) - exp(i)(j)) < 1e-6,
+        s"($i,$j): ${got(i, j)} vs ${exp(i)(j)}")
+  }
+
   test("shuffle is a seeded permutation: same multiset, same order across runs") {
     val spark2 = spark
     import spark2.implicits._
