@@ -127,22 +127,33 @@ object Dedup {
     bitSums.select(col("doc_id"), sim.as("simhash")).orderBy("doc_id")
   }
 
-  /** Embedding-cosine near-dup pairs, blocked by `label` (coarse cluster):
-    * within-block all-pairs cosine >= 0.35. */
+  /** Embedding-cosine near-dup pairs, blocked by a learned IVF coarse-
+    * quantizer cell (the Similarity.ivfTopK KMeans machinery on the
+    * 16-dim subspace) — all-pairs only within a cell, so the operator is
+    * self-contained at scale: no dependence on a pre-existing label
+    * column, and the within-cell pair count is bounded by the quantizer
+    * granularity (raise nlist as the corpus grows). */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFns
+    import graft.ml.KMeansGraft
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"),
+      .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", VectorFns.norm2(col("v")))
+      .withColumn("sv", slice(col("v"), 1, Similarity.QuantDim))
+      .cache()
+    val model = KMeansGraft.fit(e.select(col("vec_id"), col("sv")), "sv",
+      "vec_id", Similarity.IvfLists, maxIter = Similarity.IvfIters)
+    val cells = e.withColumn("cell", model.assignCol(col("sv")).cast("long"))
     val cos = VectorFns.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
-    e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cosine", cos)
-      .filter(col("cosine") >= 0.35)
-      .select(col("a.label").as("label"), col("a.vec_id").as("vec_a"),
-        col("b.vec_id").as("vec_b"), round(col("cosine"), 6).as("cosine"))
-      .orderBy("label", "vec_a", "vec_b")
+    graft.GateUtil.pinned(
+      cells.as("a").join(cells.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cosine", cos)
+        .filter(col("cosine") >= 0.35)
+        .select(col("a.cell").as("cell"), col("a.vec_id").as("vec_a"),
+          col("b.vec_id").as("vec_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("cell", "vec_a", "vec_b"))(e.unpersist(false))
   }
 
   val queries: Map[String, Q] = Map(
@@ -204,16 +215,26 @@ object Dedup {
          |bs AS (SELECT doc_id, $bitSums FROM toks GROUP BY doc_id)
          |SELECT doc_id, $sim AS simhash FROM bs ORDER BY doc_id""".stripMargin
     },
-    "q_dedup_embedding" ->
-      """WITH e AS (SELECT vec_id, label,
-        |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-        |n AS (SELECT vec_id, label, v,
-        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
-        |SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  round(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
-        |    / (a.nrm * b.nrm), 6) AS cosine
-        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
-        |    / (a.nrm * b.nrm) >= 0.35
-        |ORDER BY label, vec_a, vec_b""".stripMargin)
+    "q_dedup_embedding" -> {
+      import graft.ml.KMeansGraft.{assignCteSql, lloydCtesSql}
+      import Similarity.{IvfIters, IvfLists, QuantDim}
+      // quantizer replay on the 16-dim subspace (same CTE machinery as
+      // q_ann_ivf), then within-cell pair generation + full-dim cosine
+      val cosExpr =
+        "list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) / (a.nrm * b.nrm)"
+      s"""WITH full0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |    FROM embeddings),
+         |n AS (SELECT vec_id, v,
+         |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM full0),
+         |sv AS (SELECT vec_id, v[1:$QuantDim] AS v FROM full0),
+         |${lloydCtesSql("sv", QuantDim, IvfLists, IvfIters)},
+         |${assignCteSql("cells", "sv", s"csv$IvfIters", QuantDim)}
+         |SELECT ca.cl AS cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round($cosExpr, 6) AS cosine
+         |FROM cells ca JOIN cells cb ON ca.cl = cb.cl AND ca.vec_id < cb.vec_id
+         |JOIN n a ON a.vec_id = ca.vec_id
+         |JOIN n b ON b.vec_id = cb.vec_id
+         |WHERE $cosExpr >= 0.35
+         |ORDER BY cell, vec_a, vec_b""".stripMargin
+    })
 }
