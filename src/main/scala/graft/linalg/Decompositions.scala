@@ -54,6 +54,91 @@ object Decompositions {
     (q, r)
   }
 
+  /** Blocked FULL-mode QR (reference: dislib/decomposition/qr/base.py:
+    * 104-209, mode='full' — the one previously-deferred algorithm):
+    * A (m×n, m ≥ n, dense row ids 0..m-1) = Q (m×m orthogonal) ·
+    * [R; 0] with R (n×n) upper triangular.
+    *
+    * Spark-first formulation: panel-blocked classical Gram-Schmidt over
+    * the augmented matrix [A | G] (G = deterministic seeded Gaussian
+    * completion columns, full rank a.s.), where each w-wide panel is
+    * internally orthogonalized by TSQR (tall-skinny — only w×w R
+    * factors move between executors) and then projected out of the
+    * trailing columns row-locally (S = Qpᵀ·T via one treeAggregate,
+    * broadcast back). Q accumulates panel bases by co-partitioned row
+    * join; no m×m local ever exists on one task.
+    *
+    * Scale caveat (documented, matches the reference's practical use):
+    * materializing full Q is inherently O(m²) output; this path targets
+    * m within a few orders of n. For m ≫ n use `tsqr` (economic Q) —
+    * the reference's own guidance. */
+  def fullQr(rows: RDD[(Long, Array[Double])], n: Int, panelW: Int = 32,
+      seed: Long = 1234567L): (RDD[(Long, Array[Double])], BDM[Double]) = {
+    val sc = rows.sparkContext
+    val m = rows.count().toInt
+    require(m >= n, s"fullQr needs m >= n, got $m × $n")
+    val r = BDM.zeros[Double](n, n)
+    // augmented trailing matrix: A columns then seeded Gaussian completion
+    var trail: RDD[(Long, Array[Double])] = rows.map { case (i, v) =>
+      val rng = new java.util.Random(seed ^ (i * 0x9E3779B97F4A7C15L))
+      (i, v ++ Array.fill(m - n)(rng.nextGaussian()))
+    }.cache()
+    var qacc: RDD[(Long, Array[Double])] =
+      rows.mapValues(_ => Array.empty[Double]).cache()
+    var c0 = 0
+    while (c0 < m) {
+      val width = m - c0
+      val w = math.min(panelW, width)
+      val panel = trail.mapValues(v => java.util.Arrays.copyOfRange(v, 0, w))
+      val (qp0, rp) = tsqr(panel, w)
+      val qp = qp0.cache()
+      // R diagonal block (only panels inside A's columns contribute)
+      for (t <- 0 until w; j <- 0 until w
+           if c0 + t < n && c0 + j < n) r(c0 + t, c0 + j) = rp(t, j)
+      val joined = trail.join(qp).cache()
+      if (width > w) {
+        // S = Qpᵀ · T[:, w:] — w×(width-w), one treeAggregate
+        val s = joined.treeAggregate(BDM.zeros[Double](w, width - w))(
+          seqOp = { case (acc, (_, (tv, qv))) =>
+            var t = 0
+            while (t < w) {
+              val q = qv(t)
+              var c = 0
+              while (c < width - w) { acc(t, c) += q * tv(w + c); c += 1 }
+              t += 1
+            }
+            acc
+          }, combOp = _ + _, depth = 2)
+        // R block row: trailing coefficients that land inside A's columns
+        for (t <- 0 until w; c <- 0 until width - w
+             if c0 + t < n && c0 + w + c < n) r(c0 + t, c0 + w + c) = s(t, c)
+        val sB = sc.broadcast(s)
+        val trailNew = joined.mapValues { case (tv, qv) =>
+          val out = new Array[Double](width - w)
+          var c = 0
+          while (c < width - w) {
+            var acc = tv(w + c)
+            var t = 0
+            while (t < w) { acc -= qv(t) * sB.value(t, c); t += 1 }
+            out(c) = acc
+            c += 1
+          }
+          out
+        }.cache()
+        trailNew.count()
+        trail.unpersist(false)
+        trail = trailNew
+      }
+      val qaccNew = qacc.join(qp).mapValues { case (q0, qv) => q0 ++ qv }.cache()
+      qaccNew.count()
+      qacc.unpersist(false); qp.unpersist(false); joined.unpersist(false)
+      qacc = qaccNew
+      c0 += w
+    }
+    trail.unpersist(false)
+    (qacc, r)
+  }
+
   /** Truncated SVD via RowMatrix.computeSVD (ARPACK — reference
     * lanczos/base.py:314-455 maps here; same iterative Krylov family). */
   def svd(rows: RDD[(Long, Array[Double])], p: Int, k: Int):

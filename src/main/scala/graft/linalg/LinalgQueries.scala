@@ -45,6 +45,29 @@ object LinalgQueries {
       .toDF("i", "j", "val").orderBy("i", "j")
   }
 
+  /** Full-mode blocked QR gate: R is pinned to the data through
+    * RᵀR = AᵀA (same identity as the TSQR gate — R is the Cholesky
+    * factor regardless of Q mode), and the m×m Q's orthogonality is
+    * verified DISTRIBUTEDLY (gram of the Q rows vs identity) and emitted
+    * as a flag row the oracle expects to be 1. */
+  def qrFull(spark: SparkSession, dir: String): DataFrame = {
+    val rows = embRows(spark, dir).cache()
+    val m = rows.count().toInt
+    val (qRows, r) = Decompositions.fullQr(rows, P, panelW = 64)
+    val rtr = r.t * r
+    val qg = Decompositions.gram(qRows.values, m)
+    qRows.unpersist(false); rows.unpersist(false)
+    val orthoDev = breeze.linalg.max(breeze.numerics.abs(
+      qg - breeze.linalg.DenseMatrix.eye[Double](m)))
+    val orthoOk = if (orthoDev < 1e-8) 1.0 else 0.0
+    val spark2 = spark
+    import spark2.implicits._
+    ((for (i <- 0 until P; j <- i until P) yield
+      (i, j, BigDecimal(rtr(i, j)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      :+ ((-1, -1, orthoOk)))
+      .toDF("i", "j", "val").orderBy("i", "j")
+  }
+
   /** TSQR R factor checked through RᵀR = AᵀA (upper triangle). */
   def tsqrR(spark: SparkSession, dir: String): DataFrame = {
     val (_, r) = Decompositions.tsqr(embRows(spark, dir), P)
@@ -200,6 +223,7 @@ object LinalgQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_qr_full" -> (qrFull _),
     "q_sparse_gram" -> (sparseGram _),
     "q_fancy_index" -> (fancyIndex _),
     "q_matmul_gram" -> (matmulGram _),
@@ -249,6 +273,12 @@ object LinalgQueries {
       s"""$gramCte
          |SELECT i - 1 AS i, j - 1 AS j, round(gij, 6) AS val FROM g
          |WHERE i <= j ORDER BY i, j""".stripMargin,
+    "q_qr_full" ->
+      s"""$gramCte
+         |SELECT i - 1 AS i, j - 1 AS j, round(gij, 6) AS val FROM g
+         |WHERE i <= j
+         |UNION ALL SELECT -1, -1, 1.0::DOUBLE
+         |ORDER BY i, j""".stripMargin,
     "q_svd_moments" ->
       s"""$gramCte
          |SELECT 'sum_quad' AS moment, round(sum(gij * gij), 4) AS value FROM g

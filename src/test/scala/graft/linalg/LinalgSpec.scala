@@ -157,6 +157,26 @@ class LinalgSpec extends SparkSpec {
     assert(maxAbs(q.t * q - BDM.eye[Double](p)) < 1e-8)
   }
 
+  test("fullQr: Q m×m orthogonal, A = Q·[R;0], R upper-triangular") {
+    val m = 40; val n = 24
+    val a = rand(m, n, 77)
+    val rows = sc.parallelize((0 until m).map(i => (i.toLong, a(i, ::).t.toArray)), 4)
+    val (qRows, r) = Decompositions.fullQr(rows, n, panelW = 8)
+    val q = BDM.zeros[Double](m, m)
+    qRows.collect().foreach { case (i, v) =>
+      assert(v.length == m)
+      for (j <- 0 until m) q(i.toInt, j) = v(j)
+    }
+    // orthogonality of the FULL m×m Q
+    assert(maxAbs(q.t * q - BDM.eye[Double](m)) < 1e-8)
+    // R upper triangular
+    for (i <- 0 until n; j <- 0 until i) assert(r(i, j) == 0.0)
+    // reconstruction from the first n columns
+    assert(maxAbs(q(::, 0 until n) * r - a) < 1e-8)
+    // positive diagonal (tsqr sign convention per panel)
+    for (i <- 0 until n) assert(r(i, i) > 0.0)
+  }
+
   test("svd singular values match Breeze") {
     val p = 8; val k = 4
     val a = rand(300, p, 10)
