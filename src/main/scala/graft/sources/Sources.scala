@@ -21,10 +21,9 @@ object Sources {
   }
 
   /** Parse a .npy header (format spec v1/v2): returns
-    * (rows, cols, fortranOrder, bytesPerElem, dataOffset). Supports
-    * '<f8'/'<f4' 1-D and 2-D arrays — the shapes dislib's loaders
-    * produce (io.py:137-182). */
-  private[sources] def parseNpyHeader(b: Array[Byte]): (Int, Int, Boolean, Int, Int) = {
+    * (dims, fortranOrder, bytesPerElem, dataOffset). Supports
+    * '<f8'/'<f4' — the dtypes dislib's loaders produce (io.py:137-182). */
+  private[graft] def parseNpyDims(b: Array[Byte]): (Array[Int], Boolean, Int, Int) = {
     require(b.length >= 10 && b(0) == 0x93.toByte &&
       new String(b, 1, 5, "US-ASCII") == "NUMPY", "not an .npy file")
     val (headerLen, headerOff) =
@@ -40,28 +39,47 @@ object Sources {
     val dims = "'shape':\\s*\\(([^)]*)\\)".r.findFirstMatchIn(header)
       .getOrElse(sys.error("npy: no shape")).group(1)
       .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt)
+    (dims, fortran, if (descr == "<f8") 8 else 4, headerOff + headerLen)
+  }
+
+  /** (rows, cols, fortranOrder, bytesPerElem, dataOffset) of a 1-D/2-D
+    * .npy — the matrix-loader view. */
+  private[sources] def parseNpyHeader(b: Array[Byte]): (Int, Int, Boolean, Int, Int) = {
+    val (dims, fortran, w, off) = parseNpyDims(b)
     val (r, c) = dims match {
       case Array(n) => (n, 1)
       case Array(n, m) => (n, m)
-      case _ => sys.error(s"npy: only 1-D/2-D supported, got ${dims.length}-D")
+      case _ => sys.error(s"npy: matrix loader needs 1-D/2-D, got ${dims.length}-D")
     }
-    (r, c, fortran, if (descr == "<f8") 8 else 4, headerOff + headerLen)
+    (r, c, fortran, w, off)
   }
 
-  /** Decode the .npy payload to row-major doubles. */
-  private[sources] def parseNpy(b: Array[Byte]): (Int, Int, Array[Double]) = {
-    val (r, c, fortran, w, off) = parseNpyHeader(b)
-    val bb = java.nio.ByteBuffer.wrap(b, off, r * c * w)
+  /** Decode any-rank .npy payload to C-order doubles (Fortran order
+    * supported for ≤ 2-D, the shapes dislib stores). */
+  private[graft] def parseNpyND(b: Array[Byte]): (Array[Int], Array[Double]) = {
+    val (dims, fortran, w, off) = parseNpyDims(b)
+    require(!fortran || dims.length <= 2, "npy: fortran_order only for <= 2-D")
+    val total = dims.product
+    val bb = java.nio.ByteBuffer.wrap(b, off, total * w)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val out = new Array[Double](r * c)
+    val out = new Array[Double](total)
+    val r = if (dims.nonEmpty) dims(0) else 1
+    val c = if (dims.length > 1) dims(1) else 1
     var t = 0
-    while (t < r * c) {
+    while (t < total) {
       val v = if (w == 8) bb.getDouble else bb.getFloat.toDouble
-      // storage order t → row-major position
+      // storage order t → C-order position
       val pos = if (fortran) (t % r) * c + (t / r) else t
       out(pos) = v
       t += 1
     }
+    (dims, out)
+  }
+
+  /** Decode the .npy payload to row-major doubles (matrix view). */
+  private[sources] def parseNpy(b: Array[Byte]): (Int, Int, Array[Double]) = {
+    val (r, c, _, _, _) = parseNpyHeader(b)
+    val (_, out) = parseNpyND(b)
     (r, c, out)
   }
 

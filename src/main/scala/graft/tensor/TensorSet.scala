@@ -73,6 +73,25 @@ object TensorSet {
       })
   }
 
+  /** Directory of `.npy` files → TensorSet, one tensor per file in path
+    * order, shape from each header (reference: tensor load_dataset,
+    * tensor.py:973-1036 — `.pt` loading is out of scope with PyTorch,
+    * SURVEY §7.4; `.npy` is the interchange path). Files parse in
+    * parallel (binaryFile = one task per file). */
+  def loadDataset(spark: SparkSession, path: String): TensorSet = {
+    import spark.implicits._
+    val parsed = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.npy").load(path)
+      .select(col("path"), col("content"))
+      .rdd.map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+      .sortBy(_._1).zipWithIndex()
+      .map { case ((_, bytes), idx) =>
+        val (dims, vals) = graft.sources.Sources.parseNpyND(bytes)
+        TensorBlock(idx, dims.toSeq, vals)
+      }
+    new TensorSet(spark.createDataset(parsed))
+  }
+
   /** Deterministic random tensors (random_tensors, tensor.py:902). */
   def random(spark: SparkSession, n: Int, shape: Seq[Int], seed: Long): TensorSet = {
     import spark.implicits._
