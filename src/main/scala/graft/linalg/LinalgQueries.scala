@@ -50,8 +50,14 @@ object LinalgQueries {
     * factor regardless of Q mode), and the m×m Q's orthogonality is
     * verified DISTRIBUTEDLY (gram of the Q rows vs identity) and emitted
     * as a flag row the oracle expects to be 1. */
+  /** Constant-size input (vec_id < QrFullM) at every SF: the gate checks
+    * the ALGORITHM's invariants, and full Q is inherently O(m²) — an
+    * unbounded m would make this query's bench cost quadratic in SF. */
+  val QrFullM = 500
+
   def qrFull(spark: SparkSession, dir: String): DataFrame = {
-    val rows = embRows(spark, dir).cache()
+    val rows = embRows(spark, dir)
+      .filter(_._1 < QrFullM).cache()
     val m = rows.count().toInt
     val (qRows, r) = Decompositions.fullQr(rows, P, panelW = 64)
     val rtr = r.t * r
@@ -274,7 +280,12 @@ object LinalgQueries {
          |SELECT i - 1 AS i, j - 1 AS j, round(gij, 6) AS val FROM g
          |WHERE i <= j ORDER BY i, j""".stripMargin,
     "q_qr_full" ->
-      s"""$gramCte
+      s"""WITH e AS (SELECT list_transform(embedding[1:$P], x -> x::DOUBLE) AS v
+         |    FROM embeddings WHERE vec_id < $QrFullM),
+         |idx AS (SELECT i, j FROM generate_series(1, $P) g(i)
+         |    CROSS JOIN generate_series(1, $P) h(j)),
+         |g AS (SELECT i, j, sum(v[i] * v[j]) AS gij
+         |    FROM e CROSS JOIN idx GROUP BY i, j)
          |SELECT i - 1 AS i, j - 1 AS j, round(gij, 6) AS val FROM g
          |WHERE i <= j
          |UNION ALL SELECT -1, -1, 1.0::DOUBLE
