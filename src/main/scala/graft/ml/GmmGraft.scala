@@ -260,6 +260,50 @@ object GmmGraft {
       .orderBy("component")
   }
 
+  /** Gate query: TIED-covariance GMM — all components share the pooled
+    * covariance Σ_j w_j·raw_j (reference covariance_type='tied',
+    * gm/base.py:738-886). Emits the shared covariance once per
+    * component row. */
+  def tiedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        array((1 to 2).map(i => element_at(col("embedding"), i).cast("double")): _*))
+      .rdd.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .cache()
+    val m = fit(rows, QueryK, Tied, maxIter = QueryIters, tol = 0,
+      paramRounding = true)
+    rows.unpersist(false)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark2 = spark
+    import spark2.implicits._
+    m.weights.indices.map { j =>
+      (j, r4(m.weights(j)), r4(m.means(j)(0)), r4(m.means(j)(1)),
+        r4(m.covs(j)(0, 0)), r4(m.covs(j)(0, 1)), r4(m.covs(j)(1, 1)))
+    }.toDF("component", "weight", "m1", "m2", "c11", "c12", "c22")
+      .orderBy("component")
+  }
+
+  /** Gate query: SPHERICAL-covariance GMM — per-component isotropic
+    * variance v·I (reference covariance_type='spherical'). */
+  def sphericalQuery(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        array((1 to 2).map(i => element_at(col("embedding"), i).cast("double")): _*))
+      .rdd.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .cache()
+    val m = fit(rows, QueryK, Spherical, maxIter = QueryIters, tol = 0,
+      paramRounding = true)
+    rows.unpersist(false)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark2 = spark
+    import spark2.implicits._
+    m.weights.indices.map { j =>
+      (j, r4(m.weights(j)), r4(m.means(j)(0)), r4(m.means(j)(1)),
+        r4(m.covs(j)(0, 0)))
+    }.toDF("component", "weight", "m1", "m2", "v")
+      .orderBy("component")
+  }
+
   /** DuckDB oracle for the full-covariance gate: same unrolled-EM CTE as
     * the diag oracle with the 2×2 density in closed form (det = c11·c22
     * − c12², quadratic form expanded) and the M-step emitting all three
@@ -328,6 +372,148 @@ object GmmGraft {
        |  FROM (SELECT x1, x2, row_number() OVER (ORDER BY id) AS rn
        |        FROM pts ORDER BY id LIMIT $k)),
        |p0 AS (SELECT $initW, c0.*, $initCovs FROM c0 CROSS JOIN gv),
+       |${(1 to QueryIters).map(iteration).mkString(",\n")}
+       |$finalSel
+       |ORDER BY component""".stripMargin
+  }
+
+  /** Tied oracle: full-cov density with ONE shared (c11,c12,c22) param
+    * set per iteration; the M-step pools per-component raw covariances
+    * by the (rounded) new weights, reg on the diagonal only. */
+  def tiedOracle: String = {
+    val k = QueryK
+    def pj(t: Int, f: String, j: Int, d: String = ""): String =
+      if (d.isEmpty) s"$f${j}_$t" else s"$f${j}_${d}_$t"
+    def cs(t: Int, d: String) = s"cs_${d}_$t" // shared covariance entry
+    def lp(j: Int, t: Int): String = {
+      val (w, m1, m2) = (pj(t, "w", j), pj(t, "m", j, "1"), pj(t, "m", j, "2"))
+      val (c11, c12, c22) = (cs(t, "11"), cs(t, "12"), cs(t, "22"))
+      s"""ln($w) - 0.5*(2*ln(2*pi()) + ln($c11*$c22 - $c12*$c12)
+         | + ((x1-$m1)*(x1-$m1)*$c22 - 2*(x1-$m1)*(x2-$m2)*$c12
+         |    + (x2-$m2)*(x2-$m2)*$c11) / ($c11*$c22 - $c12*$c12))"""
+        .stripMargin.replaceAll("\n", "")
+    }
+    def iteration(t: Int): String = {
+      val lps = (0 until k).map(j => s"(${lp(j, t - 1)}) AS lp$j").mkString(",\n    ")
+      val mxExpr = (0 until k).map(j => s"lp$j").mkString("greatest(", ", ", ")")
+      val rs = (0 until k).map(j => s"exp(lp$j - mx) / den AS r$j").mkString(", ")
+      val denInline = (0 until k).map(j => s"exp(lp$j - $mxExpr)").mkString(" + ")
+      def mean(j: Int, d: Int) = s"sum(r$j*x$d)/sum(r$j)"
+      def wR(j: Int) = s"round(sum(r$j)/count(*), 6)"
+      def raw(j: Int, a: Int, b: Int) =
+        s"(sum(r$j*x$a*x$b)/sum(r$j) - (${mean(j, a)})*(${mean(j, b)}))"
+      def pooled(a: Int, b: Int, reg: String) =
+        s"round(${(0 until k).map(j => s"${wR(j)} * ${raw(j, a, b)}").mkString(" + ")}$reg, 6)"
+      val mstep = ((0 until k).flatMap { j =>
+        Seq(s"${wR(j)} AS ${pj(t, "w", j)}") ++
+          (1 to 2).map(d => s"round(${mean(j, d)}, 6) AS ${pj(t, "m", j, d.toString)}")
+      } ++ Seq(
+        s"${pooled(1, 1, " + 1e-6")} AS ${cs(t, "11")}",
+        s"${pooled(1, 2, "")} AS ${cs(t, "12")}",
+        s"${pooled(2, 2, " + 1e-6")} AS ${cs(t, "22")}")).mkString(",\n    ")
+      s"""e$t AS (SELECT id, x1, x2,
+         |    $lps
+         |  FROM pts CROSS JOIN p${t - 1}),
+         |r$t AS (SELECT id, x1, x2, $rs FROM (
+         |  SELECT *, $mxExpr AS mx, $denInline AS den FROM e$t)),
+         |p$t AS (SELECT
+         |    $mstep
+         |  FROM r$t)""".stripMargin
+    }
+    val initMeans = (0 until k).flatMap { j =>
+      (1 to 2).map(d =>
+        s"max(CASE WHEN rn = ${j + 1} THEN round(x$d, 6) END) AS ${pj(0, "m", j, d.toString)}")
+    }.mkString(",\n    ")
+    val initW = (0 until k).map(j => s"1.0/$k AS ${pj(0, "w", j)}").mkString(", ")
+    val finalSel = (0 until k).map { j =>
+      s"""SELECT $j AS component, round(${pj(QueryIters, "w", j)}, 4) AS weight,
+         |  round(${pj(QueryIters, "m", j, "1")}, 4) AS m1,
+         |  round(${pj(QueryIters, "m", j, "2")}, 4) AS m2,
+         |  round(${cs(QueryIters, "11")}, 4) AS c11,
+         |  round(${cs(QueryIters, "12")}, 4) AS c12,
+         |  round(${cs(QueryIters, "22")}, 4) AS c22 FROM p$QueryIters"""
+        .stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH pts AS (SELECT vec_id AS id, embedding[1]::DOUBLE AS x1,
+       |    embedding[2]::DOUBLE AS x2 FROM embeddings),
+       |gm AS (SELECT avg(x1) AS a1, avg(x2) AS a2 FROM pts),
+       |gv AS (SELECT round(sum((x1-a1)*(x1-a1))/count(*) + 1e-6, 6) AS gv1,
+       |    round(sum((x2-a2)*(x2-a2))/count(*) + 1e-6, 6) AS gv2
+       |  FROM pts CROSS JOIN gm),
+       |c0 AS (SELECT $initMeans
+       |  FROM (SELECT x1, x2, row_number() OVER (ORDER BY id) AS rn
+       |        FROM pts ORDER BY id LIMIT $k)),
+       |p0 AS (SELECT $initW, c0.*, gv1 AS ${cs(0, "11")},
+       |    0.0::DOUBLE AS ${cs(0, "12")}, gv2 AS ${cs(0, "22")}
+       |  FROM c0 CROSS JOIN gv),
+       |${(1 to QueryIters).map(iteration).mkString(",\n")}
+       |$finalSel
+       |ORDER BY component""".stripMargin
+  }
+
+  /** Spherical oracle: diag density whose two per-dim variances are set
+    * to the same isotropic value (mean of the diag moments + reg) each
+    * M-step; iteration 1 still sees the anisotropic diag INIT covariance
+    * (mirroring fit, which initializes every covariance type from the
+    * global per-dim variances). */
+  def sphericalOracle: String = {
+    val k = QueryK
+    def pj(t: Int, f: String, j: Int, d: Int = -1): String =
+      if (d < 0) s"$f${j}_$t" else s"$f${j}_${d}_$t"
+    def lp(j: Int, t: Int): String =
+      s"""ln(${pj(t, "w", j)}) - 0.5*(2*ln(2*pi())
+         | + ln(${pj(t, "v", j, 1)}) + ln(${pj(t, "v", j, 2)})
+         | + (x1-${pj(t, "m", j, 1)})*(x1-${pj(t, "m", j, 1)})/${pj(t, "v", j, 1)}
+         | + (x2-${pj(t, "m", j, 2)})*(x2-${pj(t, "m", j, 2)})/${pj(t, "v", j, 2)})"""
+        .stripMargin.replaceAll("\n", "")
+    def iteration(t: Int): String = {
+      val lps = (0 until k).map(j => s"(${lp(j, t - 1)}) AS lp$j").mkString(",\n    ")
+      val mxExpr = (0 until k).map(j => s"lp$j").mkString("greatest(", ", ", ")")
+      val rs = (0 until k).map(j => s"exp(lp$j - mx) / den AS r$j").mkString(", ")
+      val denInline = (0 until k).map(j => s"exp(lp$j - $mxExpr)").mkString(" + ")
+      def mean(j: Int, d: Int) = s"sum(r$j*x$d)/sum(r$j)"
+      def dv(j: Int, d: Int) =
+        s"(sum(r$j*x$d*x$d)/sum(r$j) - (${mean(j, d)})*(${mean(j, d)}))"
+      val mstep = (0 until k).flatMap { j =>
+        val iso = s"round((${dv(j, 1)} + ${dv(j, 2)})/2 + 1e-6, 6)"
+        Seq(s"round(sum(r$j)/count(*), 6) AS ${pj(t, "w", j)}") ++
+          (1 to 2).map(d => s"round(${mean(j, d)}, 6) AS ${pj(t, "m", j, d)}") ++
+          (1 to 2).map(d => s"$iso AS ${pj(t, "v", j, d)}")
+      }.mkString(",\n    ")
+      s"""e$t AS (SELECT id, x1, x2,
+         |    $lps
+         |  FROM pts CROSS JOIN p${t - 1}),
+         |r$t AS (SELECT id, x1, x2, $rs FROM (
+         |  SELECT *, $mxExpr AS mx, $denInline AS den FROM e$t)),
+         |p$t AS (SELECT
+         |    $mstep
+         |  FROM r$t)""".stripMargin
+    }
+    val initMeans = (0 until k).flatMap { j =>
+      (1 to 2).map(d =>
+        s"max(CASE WHEN rn = ${j + 1} THEN round(x$d, 6) END) AS ${pj(0, "m", j, d)}")
+    }.mkString(",\n    ")
+    val initVars = (0 until k).flatMap { j =>
+      (1 to 2).map(d => s"gv$d AS ${pj(0, "v", j, d)}")
+    }.mkString(", ")
+    val initW = (0 until k).map(j => s"1.0/$k AS ${pj(0, "w", j)}").mkString(", ")
+    val finalSel = (0 until k).map { j =>
+      s"""SELECT $j AS component, round(${pj(QueryIters, "w", j)}, 4) AS weight,
+         |  round(${pj(QueryIters, "m", j, 1)}, 4) AS m1,
+         |  round(${pj(QueryIters, "m", j, 2)}, 4) AS m2,
+         |  round(${pj(QueryIters, "v", j, 1)}, 4) AS v FROM p$QueryIters"""
+        .stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH pts AS (SELECT vec_id AS id, embedding[1]::DOUBLE AS x1,
+       |    embedding[2]::DOUBLE AS x2 FROM embeddings),
+       |gm AS (SELECT avg(x1) AS a1, avg(x2) AS a2 FROM pts),
+       |gv AS (SELECT round(sum((x1-a1)*(x1-a1))/count(*) + 1e-6, 6) AS gv1,
+       |    round(sum((x2-a2)*(x2-a2))/count(*) + 1e-6, 6) AS gv2
+       |  FROM pts CROSS JOIN gm),
+       |c0 AS (SELECT $initMeans
+       |  FROM (SELECT x1, x2, row_number() OVER (ORDER BY id) AS rn
+       |        FROM pts ORDER BY id LIMIT $k)),
+       |p0 AS (SELECT $initW, c0.*, $initVars FROM c0 CROSS JOIN gv),
        |${(1 to QueryIters).map(iteration).mkString(",\n")}
        |$finalSel
        |ORDER BY component""".stripMargin

@@ -19,6 +19,8 @@ object MlQueries {
     "q_dbscan" -> ((s, d) => DbscanGraft.query(s, d)),
     "q_gmm" -> ((s, d) => GmmGraft.query(s, d)),
     "q_gmm_full" -> ((s, d) => GmmGraft.fullQuery(s, d)),
+    "q_gmm_tied" -> ((s, d) => GmmGraft.tiedQuery(s, d)),
+    "q_gmm_spherical" -> ((s, d) => GmmGraft.sphericalQuery(s, d)),
     "q_csvm" -> ((s, d) => CascadeSvmGraft.query(s, d)),
     "q_csvm_rbf" -> ((s, d) => CascadeSvmGraft.rbfQuery(s, d)),
     "q_knn_weighted" -> ((s, d) => Knn.classifyWeighted(s, d)),
@@ -90,6 +92,8 @@ object MlQueries {
     "q_dbscan" -> DbscanGraft.oracle,
     "q_gmm" -> GmmGraft.oracle,
     "q_gmm_full" -> GmmGraft.fullOracle,
+    "q_gmm_tied" -> GmmGraft.tiedOracle,
+    "q_gmm_spherical" -> GmmGraft.sphericalOracle,
     // invariant-style oracles: data-derived counts + optimality flags the
     // fitted model must satisfy (KKT stationarity, objective descent,
     // beats-baseline, rule-replay diagonal confusion, closed-form 2×2 eig)
