@@ -116,6 +116,34 @@ object Sources {
       rowsPerBlock, colsPerBlock)
   }
 
+  /** AMBER `.mdcrd` trajectory → DsArray of snapshots (reference:
+    * load_mdcrd_file, io.py:183-228 — title line, then 8-char fixed-width
+    * floats, 10 per line; each snapshot = nAtoms·3 coordinates). A
+    * trajectory is a single sequential text format, so the file parses
+    * in one task (binaryFile) and the snapshots distribute afterwards —
+    * the same driver-sequential-read shape as the reference's loader. */
+  def loadMdcrd(spark: SparkSession, path: String, nAtoms: Int,
+      rowsPerBlock: Int = 1024): graft.linalg.DsArray = {
+    import org.apache.spark.mllib.linalg.distributed.IndexedRow
+    val perSnap = nAtoms * 3
+    val content = spark.read.format("binaryFile").load(path)
+      .select(col("content")).head().getAs[Array[Byte]](0)
+    val lines = new String(content, "US-ASCII").split("\n")
+    val vals = lines.iterator.drop(1).flatMap { line =>
+      // fixed-width %8.3f columns, 10 per line (last line may be short)
+      line.grouped(8).map(_.trim).filter(_.nonEmpty).map(_.toDouble)
+    }.toArray
+    require(vals.length % perSnap == 0,
+      s"mdcrd: ${vals.length} values not divisible by $nAtoms atoms × 3")
+    val n = vals.length / perSnap
+    val rows = spark.sparkContext.parallelize(
+      (0 until n).map(i => IndexedRow(i,
+        org.apache.spark.mllib.linalg.Vectors.dense(
+          java.util.Arrays.copyOfRange(vals, i * perSnap, (i + 1) * perSnap)))))
+    graft.linalg.DsArray.fromIndexedRows(rows, n, perSnap,
+      rowsPerBlock, perSnap)
+  }
+
   /** Delimited text → DataFrame (reference: load_txt_file, io.py:77-134;
     * `discardFirstRow` ≙ header, `dropColumns` ≙ index-column drop). */
   def loadText(spark: SparkSession, path: String, delimiter: String = ",",

@@ -106,6 +106,22 @@ class SourcesSpec extends SparkSpec {
         s"($i,$j): ${got(i, j)} vs ${exp(i)(j)}")
   }
 
+  test("mdcrd roundtrip: fixed-width snapshots with a ragged last line") {
+    // 2 snapshots × 4 atoms × 3 coords = 24 floats → 10+10+4 per snapshot? No:
+    // values stream continuously after the title line, 10 per line.
+    val vals = Array.tabulate(24)(i => (i - 12) * 1.125)
+    val body = vals.map(v => f"$v%8.3f").grouped(10).map(_.mkString).mkString("\n")
+    val dir = tmp() + "/mdcrd"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/traj.mdcrd"),
+      ("generated test trajectory\n" + body + "\n").getBytes("US-ASCII"))
+    val d = Sources.loadMdcrd(spark, dir, nAtoms = 4)
+    assert(d.rows == 2 && d.cols == 12)
+    val got = d.collect()
+    for (i <- 0 until 2; j <- 0 until 12)
+      assert(math.abs(got(i, j) - vals(i * 12 + j)) < 1e-9)
+  }
+
   test("shuffle is a seeded permutation: same multiset, same order across runs") {
     val spark2 = spark
     import spark2.implicits._
