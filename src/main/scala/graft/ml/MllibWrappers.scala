@@ -42,7 +42,6 @@ object MllibWrappers {
     val withSplit = featurize(e, "arr")
       .withColumn("test", pmod(col("vec_id"), lit(5)) === 0)
     val train = withSplit.filter(!col("test")).cache()
-    val test = withSplit.filter(col("test")).cache()
     val model = new RandomForestClassifier()
       .setNumTrees(20).setMaxDepth(7).setSeed(42)
       .setLabelCol("label").setFeaturesCol("features")
@@ -56,7 +55,7 @@ object MllibWrappers {
         sum(when(col("test"), 1L).otherwise(0L)).as("n_test"))
       .orderBy("label")
       .collect()
-    train.unpersist(false); test.unpersist(false)
+    train.unpersist(false)
     val accOk = if (trainAcc >= 0.65) 1 else 0
     val spark2 = spark
     import spark2.implicits._
