@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   * is maxIter scans of cached data with tiny reductions (dislib's
   * `arity` ≙ treeAggregate depth).
   *
-  * Deterministic init: means = first k rows by id, covariances = global
-  * data variance, uniform weights.
+  * Init modes (GmmInit): deterministic first-k (gate default), the
+  * reference's kmeans-responsibility default, and random
+  * responsibilities (gm/base.py:479-552).
   */
 object GmmGraft {
   sealed trait CovType
@@ -26,6 +27,27 @@ object GmmGraft {
   case object Tied extends CovType
   case object Diag extends CovType
   case object Spherical extends CovType
+
+  /** Parameter initialization modes (reference gm/base.py:479-552).
+    * `FirstK` is this engine's deterministic extension used by the oracle
+    * gates; the reference's `init_params` modes are `KMeansResp` (its
+    * default) and `RandomResp`. */
+  sealed trait GmmInit
+  object GmmInit {
+    /** means = first k rows by id, cov = global variance, uniform
+      * weights — the gate/oracle determinism contract. */
+    case object FirstK extends GmmInit
+    /** `init_params='kmeans'` (the reference DEFAULT, gm/base.py:510-521):
+      * run a seeded random-init KMeans, take one-hot responsibilities from
+      * its labels, estimate weights/means/covariances from them. */
+    final case class KMeansResp(seed: Long, kmMaxIter: Int = 10) extends GmmInit
+    /** `init_params='random'` (gm/base.py:522-529, _random_resp_subset):
+      * per-row uniform [0,1) responsibilities normalized to sum 1. Seeded
+      * per ROW (splitmix of the row id), not per block like the reference —
+      * block boundaries don't exist in a shuffled Dataset, and per-row
+      * seeding is reproducible under any repartitioning. */
+    final case class RandomResp(seed: Long) extends GmmInit
+  }
 
   final case class Model(weights: Array[Double], means: Array[BDV[Double]],
       covs: Array[BDM[Double]], logLikelihood: Double, iterations: Int)
@@ -83,32 +105,65 @@ object GmmGraft {
     * drift; same discipline as KMeansGraft). */
   def fit(rows: RDD[(Long, Array[Double])], k: Int, covType: CovType,
       maxIter: Int = 20, tol: Double = 1e-4, reg: Double = 1e-6,
-      paramRounding: Boolean = false): Model = {
+      paramRounding: Boolean = false, init: GmmInit = GmmInit.FirstK): Model = {
     val p = rows.first()._2.length
     val n = rows.count()
     val sc = rows.sparkContext
+    def pr6(x: Double) = if (paramRounding) r6(x) else x
     def pr6v(v: BDV[Double]) = if (paramRounding) r6v(v) else v
     def pr6m(m: BDM[Double]) = if (paramRounding) r6m(m) else m
-    // deterministic init
-    val initMeans = rows.sortByKey().take(k).map(r => pr6v(BDV(r._2)))
-    val globalMean = rows.values.treeAggregate(BDV.zeros[Double](p))(
-      (a, v) => a + BDV(v), _ + _) / n.toDouble
-    val globalVar = rows.values.treeAggregate(BDV.zeros[Double](p))(
-      (a, v) => { val c = BDV(v) - globalMean; a + (c *:* c) }, _ + _) / n.toDouble
-    val initCov = pr6m(diag(globalVar + reg))
-    var weights = Array.fill(k)(1.0 / k)
-    var means = initMeans
-    var covs = Array.fill(k)(initCov.copy)
-    var prevLL = Double.NegativeInfinity
-    var ll = Double.NegativeInfinity
-    var it = 0
-    var converged = false
     // Full/Tied M-steps need the p×p second-moment matrix; Diag/
     // Spherical only its diagonal — accumulating the full outer product
     // for those would be O(k·p²) per ROW instead of O(k·p) (at the
     // BASELINE GMM analog, 1M×100×k=50, that's a 100× flop difference).
     val needFullMoment = covType == Full || covType == Tied
     val diagCov = covType == Diag || covType == Spherical
+    def fromResp(respFn: (Long, Array[Double]) => Array[Double]) = {
+      val (rs, rx, rxx, rxd) = respStats(rows, k, p, needFullMoment, respFn)
+      // sklearn nk guard: an empty component gets mean 0 / cov reg·I
+      // instead of NaN (10·eps, _estimate_gaussian_parameters semantics)
+      val rsSafe = rs.map(_ + 10 * 2.220446049250313e-16)
+      paramsFromStats(rsSafe, rx, rxx, rxd, n, covType, reg, pr6, pr6v, pr6m)
+    }
+    var (weights, means, covs) = init match {
+      case GmmInit.FirstK =>
+        val ms = rows.sortByKey().take(k).map(r => pr6v(BDV(r._2)))
+        val globalMean = rows.values.treeAggregate(BDV.zeros[Double](p))(
+          (a, v) => a + BDV(v), _ + _) / n.toDouble
+        val globalVar = rows.values.treeAggregate(BDV.zeros[Double](p))(
+          (a, v) => { val c = BDV(v) - globalMean; a + (c *:* c) }, _ + _) / n.toDouble
+        val initCov = pr6m(diag(globalVar + reg))
+        (Array.fill(k)(1.0 / k), ms, Array.fill(k)(initCov.copy))
+      case GmmInit.KMeansResp(seed, kmMaxIter) =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        import spark.implicits._
+        val km = KMeansGraft.fit(rows.toDF("id", "v"), "v", "id", k,
+          kmMaxIter, KMeansGraft.Init.Random(seed), tol = 1e-4)
+        val centers = sc.broadcast(km.centers)
+        fromResp { (_, x) =>
+          val cs = centers.value
+          var best = 0; var bd = Double.PositiveInfinity
+          var j = 0
+          while (j < cs.length) {
+            val c = cs(j); var s = 0.0; var d = 0
+            while (d < x.length) { val t = x(d) - c(d); s += t * t; d += 1 }
+            if (s < bd) { bd = s; best = j }
+            j += 1
+          }
+          val r = new Array[Double](k); r(best) = 1.0; r
+        }
+      case GmmInit.RandomResp(seed) =>
+        fromResp { (id, _) =>
+          val rng = new java.util.Random(seed ^ (id * 0x9E3779B97F4A7C15L))
+          val r = Array.fill(k)(rng.nextDouble())
+          val s = r.sum
+          r.map(_ / s)
+        }
+    }
+    var prevLL = Double.NegativeInfinity
+    var ll = Double.NegativeInfinity
+    var it = 0
+    var converged = false
     while (it < maxIter && !converged) {
       val dens = sc.broadcast(densities(weights, means, covs, diagCov))
       // sufficient stats: [k](rsum, rx(p), rxx(p,p) or its diag(p)), loglik
@@ -169,43 +224,113 @@ object GmmGraft {
             Array.tabulate(d1.length)(j => d1(j) + d2(j)), l1 + l2)
         }, depth = 2)
       dens.destroy()
-      weights = rs.map(w => if (paramRounding) r6(w / n) else w / n)
-      means = Array.tabulate(k)(j => rx(j) / rs(j))
-      // rounding applies after the raw covariance uses the UNROUNDED mean
-      // (the SQL oracle mirrors this exact ordering)
-      covs = covType match {
-        case Full =>
-          Array.tabulate(k) { j =>
-            val m = means(j)
-            pr6m(regularize(rxx(j) / rs(j) - (m * m.t), reg))
-          }
-        case Tied =>
-          val raw = Array.tabulate(k) { j =>
-            val m = means(j)
-            rxx(j) / rs(j) - (m * m.t)
-          }
-          val pooled = weights.indices.map(j => raw(j) * weights(j)).reduce(_ + _)
-          Array.fill(k)(pr6m(regularize(pooled, reg)))
-        case Diag =>
-          Array.tabulate(k) { j =>
-            val m = means(j)
-            pr6m(regularize(diag(rxd(j) / rs(j) - (m *:* m)), reg))
-          }
-        case Spherical =>
-          Array.tabulate(k) { j =>
-            val m = means(j)
-            val dv = rxd(j) / rs(j) - (m *:* m)
-            val v = breeze.linalg.sum(dv) / p
-            pr6m(regularize(BDM.eye[Double](p) * v, reg))
-          }
-      }
-      means = means.map(pr6v)
+      val upd = paramsFromStats(rs, rx, rxx, rxd, n, covType, reg, pr6, pr6v, pr6m)
+      weights = upd._1; means = upd._2; covs = upd._3
       ll = llSum
       converged = math.abs(ll - prevLL) < tol * math.abs(ll)
       prevLL = ll
       it += 1
     }
     Model(weights, means, covs, ll, it)
+  }
+
+  /** M-step parameter estimates from responsibility-weighted sufficient
+    * statistics — shared by the EM loop and resp-based initialization
+    * (reference _estimate_parameters + _estimate_covariances,
+    * gm/base.py:537-551,738-886). Ordering contract (mirrored by the SQL
+    * oracles): weights are rounded first, raw covariances use the
+    * UNROUNDED means, means are rounded last. */
+  private def paramsFromStats(rs: Array[Double], rx: Array[BDV[Double]],
+      rxx: Array[BDM[Double]], rxd: Array[BDV[Double]], n: Long,
+      covType: CovType, reg: Double, pr6: Double => Double,
+      pr6v: BDV[Double] => BDV[Double], pr6m: BDM[Double] => BDM[Double])
+    : (Array[Double], Array[BDV[Double]], Array[BDM[Double]]) = {
+    val k = rs.length
+    val p = rx(0).length
+    val weights = rs.map(w => pr6(w / n))
+    var means = Array.tabulate(k)(j => rx(j) / rs(j))
+    val covs = covType match {
+      case Full =>
+        Array.tabulate(k) { j =>
+          val m = means(j)
+          pr6m(regularize(rxx(j) / rs(j) - (m * m.t), reg))
+        }
+      case Tied =>
+        val raw = Array.tabulate(k) { j =>
+          val m = means(j)
+          rxx(j) / rs(j) - (m * m.t)
+        }
+        val pooled = weights.indices.map(j => raw(j) * weights(j)).reduce(_ + _)
+        Array.fill(k)(pr6m(regularize(pooled, reg)))
+      case Diag =>
+        Array.tabulate(k) { j =>
+          val m = means(j)
+          pr6m(regularize(diag(rxd(j) / rs(j) - (m *:* m)), reg))
+        }
+      case Spherical =>
+        Array.tabulate(k) { j =>
+          val m = means(j)
+          val dv = rxd(j) / rs(j) - (m *:* m)
+          val v = breeze.linalg.sum(dv) / p
+          pr6m(regularize(BDM.eye[Double](p) * v, reg))
+        }
+    }
+    means = means.map(pr6v)
+    (weights, means, covs)
+  }
+
+  /** One pass of responsibility-weighted sufficient statistics with
+    * caller-supplied responsibilities (init modes; the EM loop keeps its
+    * own fused kernel because it also accumulates the log-likelihood). */
+  private def respStats(rows: RDD[(Long, Array[Double])], k: Int, p: Int,
+      needFullMoment: Boolean, respFn: (Long, Array[Double]) => Array[Double])
+    : (Array[Double], Array[BDV[Double]], Array[BDM[Double]], Array[BDV[Double]]) = {
+    val zero = (Array.fill(k)(0.0), Array.fill(k)(BDV.zeros[Double](p)),
+      if (needFullMoment) Array.fill(k)(BDM.zeros[Double](p, p)) else Array.empty[BDM[Double]],
+      if (needFullMoment) Array.empty[BDV[Double]] else Array.fill(k)(BDV.zeros[Double](p)))
+    rows.treeAggregate(zero)(
+      seqOp = { case ((ars, arx, arxx, arxd), (id, varr)) =>
+        val r = respFn(id, varr)
+        val p2 = varr.length
+        var j = 0
+        while (j < k) {
+          val rj = r(j)
+          if (rj != 0.0) {
+            ars(j) += rj
+            val accx = arx(j).data
+            if (needFullMoment) {
+              val accm = arxx(j).data // column-major p×p
+              var d = 0
+              while (d < p2) {
+                val xd = varr(d)
+                accx(d) += xd * rj
+                val base = d * p2
+                val xdr = xd * rj
+                var e = 0
+                while (e < p2) { accm(base + e) += varr(e) * xdr; e += 1 }
+                d += 1
+              }
+            } else {
+              val accd = arxd(j).data
+              var d = 0
+              while (d < p2) {
+                val xd = varr(d)
+                accx(d) += xd * rj
+                accd(d) += (xd * xd) * rj
+                d += 1
+              }
+            }
+          }
+          j += 1
+        }
+        (ars, arx, arxx, arxd)
+      },
+      combOp = { case ((a1, b1, c1, d1), (a2, b2, c2, d2)) =>
+        (Array.tabulate(k)(j => a1(j) + a2(j)),
+          Array.tabulate(k)(j => b1(j) + b2(j)),
+          Array.tabulate(c1.length)(j => c1(j) + c2(j)),
+          Array.tabulate(d1.length)(j => d1(j) + d2(j)))
+      }, depth = 2)
   }
 
   private def regularize(c: BDM[Double], reg: Double): BDM[Double] = {

@@ -24,7 +24,22 @@ import org.apache.spark.sql.functions._
   */
 object KMeansGraft {
 
-  final case class Model(centers: Array[Array[Double]]) {
+  /** Center initialization modes (reference: kmeans/base.py:201-216 —
+    * `init='random'` draws uniform [0,1) centers, an ndarray gives them
+    * explicitly). `FirstK` is this engine's deterministic extension used
+    * by the oracle gates (cross-engine reproducible without an RNG). */
+  sealed trait Init
+  object Init {
+    /** First k rows ordered by id — the gate/oracle determinism contract. */
+    case object FirstK extends Init
+    /** Uniform [0,1)^dim random centers, seeded (the reference default;
+      * kmeans/base.py:208-213 `random_state.random_sample(shape)`). */
+    final case class Random(seed: Long) extends Init
+    /** Explicit (k × dim) initial centers (kmeans/base.py:202-207). */
+    final case class Given(centers: Array[Array[Double]]) extends Init
+  }
+
+  final case class Model(centers: Array[Array[Double]], iterations: Int = 0) {
     def k: Int = centers.length
 
     /** Argmin by (squared distance, index) via the looping
@@ -65,14 +80,28 @@ object KMeansGraft {
     * k·dim-wide groupBy-avg formulation instead blows the whole-stage
     * codegen method limit at k=500·dim=100, silently dropping the WHOLE
     * stage (distance loop included) to interpreted eval (~10×). */
-  def fit(df: DataFrame, vCol: String, idCol: String, k: Int, maxIter: Int): Model = {
+  def fit(df: DataFrame, vCol: String, idCol: String, k: Int, maxIter: Int,
+      init: Init = Init.FirstK, tol: Double = 0.0): Model = {
     val spark = df.sparkSession
     import spark.implicits._
     val dim = df.select(size(col(vCol))).head().getInt(0)
-    val init = df.orderBy(idCol).limit(k).select(vCol).collect()
-      .map(_.getSeq[Double](0).toArray.map(round6))
-    var model = Model(init)
-    for (_ <- 0 until maxIter) {
+    val initCenters = init match {
+      case Init.FirstK =>
+        df.orderBy(idCol).limit(k).select(vCol).collect()
+          .map(_.getSeq[Double](0).toArray.map(round6))
+      case Init.Random(seed) =>
+        // row-major draw order, matching numpy random_sample((k, dim))
+        val rng = new java.util.Random(seed)
+        Array.fill(k, dim)(rng.nextDouble())
+      case Init.Given(cs) =>
+        require(cs.length == k && cs.forall(_.length == dim),
+          s"init centers must be shape ($k, $dim)")
+        cs.map(_.clone())
+    }
+    var model = Model(initCenters, 0)
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
       val assigned = df.select(
         element_at(org.apache.spark.sql.GraftColumnBridge.column(
           graft.functions.VecNearestCenters(
@@ -102,11 +131,21 @@ object KMeansGraft {
           }
           x
         }, depth = 2)
-      model = Model(Array.tabulate(k) { c =>
+      val next = Array.tabulate(k) { c =>
         val s = stats(c)
         if (s(dim) > 0) Array.tabulate(dim)(i => round6(s(i) / s(dim)))
         else model.centers(c)
-      })
+      }
+      it += 1
+      // reference convergence: Σ‖new_c − old_c‖ < tol² (base.py:168-186);
+      // tol=0 (the gate default) always runs the full maxIter schedule
+      if (tol > 0) {
+        val shift = model.centers.zip(next).map { case (a, b) =>
+          math.sqrt(a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum)
+        }.sum
+        converged = shift < tol * tol
+      }
+      model = Model(next, it)
     }
     model
   }
