@@ -24,17 +24,63 @@ import org.apache.spark.sql.functions._
   *     is noise (-1).
   *
   * Deterministic: labels are component min-vertex-ids; border attachment
-  * by min core id. Skew knob: a cell holding ≫ minPts points makes the
-  * in-cell pair join quadratic — dislib caps with max_samples; here the
-  * documented mitigation is pre-salting ultra-dense cells (not needed at
-  * gate scales).
+  * by min core id.
+  *
+  * Skew hardening: a cell holding m ≫ minPts points makes the in-cell
+  * pair join quadratic ON ONE SHUFFLE KEY (dislib caps with
+  * max_samples and loses exactness). Here every eps-join is salted for
+  * cells whose m² exceeds a per-task pair budget: the probe side keeps
+  * one salt (id mod s), the build side replicates s ways, so the same
+  * exact pair set is evaluated across s tasks instead of one. The pair
+  * COUNT is inherent to exact DBSCAN semantics — salting bounds
+  * per-task work, which is the only degree of freedom. The fast path
+  * (no cell above the budget — one cheap count-agg to find out) runs
+  * the unsalted joins.
   */
 object DbscanGraft {
+
+  /** Pairs-per-task budget: a cell with m halo points salts its pair
+    * fan-out across ceil(m²/budget) (≤ MaxSalt) buckets once m² exceeds
+    * this. 16M predicate evaluations ≈ well under a second per task. */
+  val PairBudgetPerTask: Long = 16L * 1000 * 1000
+  val MaxSalt = 512
+
+  /** (cell, __sf) for cells needing salt factor > 1, or None when the
+    * densest cell fits the budget (the common, zero-overhead case). */
+  private[ml] def cellSalts(halo: DataFrame, budget: Long): Option[DataFrame] = {
+    val stats = halo.groupBy("cell").agg(count(lit(1)).as("m"))
+    val maxCell = stats.agg(max("m")).head().getLong(0)
+    if (maxCell * maxCell <= budget) None
+    else Some(stats.select(col("cell"),
+      least(ceil(col("m") * col("m") / lit(budget.toDouble)), lit(MaxSalt))
+        .cast("int").as("__sf"))
+      .filter(col("__sf") > 1))
+  }
+
+  /** Cell-equi eps-join of `a` (probe, owned points) against `b` (halo),
+    * aliased "a"/"b" for `cond`. With salts: a keeps one salt bucket
+    * (id mod s), b replicates s ways — identical pair set, s-way split. */
+  private[ml] def epsPairJoin(a: DataFrame, b: DataFrame,
+      salts: Option[DataFrame], cond: Column): DataFrame = salts match {
+    case None =>
+      a.as("a").join(b.as("b"), col("a.cell") === col("b.cell") && cond)
+    case Some(sf) =>
+      val aS = a.join(sf, Seq("cell"), "left").na.fill(1, Seq("__sf"))
+        .withColumn("__salt", pmod(col("id"), col("__sf").cast("long")).cast("int"))
+        .drop("__sf")
+      val bS = b.join(sf, Seq("cell"), "left").na.fill(1, Seq("__sf"))
+        .withColumn("__salt", explode(sequence(lit(0), col("__sf") - 1)))
+        .drop("__sf")
+      aS.as("a").join(bS.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.__salt") === col("b.__salt") && cond)
+  }
 
   /** df(idCol: long, vCol: array<double>) → df(id, cluster) with
     * cluster = -1 for noise; cluster ids are min core ids per cluster. */
   def fit(df: DataFrame, idCol: String, vCol: String,
-      eps: Double, minPts: Int): DataFrame = {
+      eps: Double, minPts: Int,
+      pairBudget: Long = PairBudgetPerTask): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val d = df.select(size(col(vCol))).head().getInt(0)
@@ -57,10 +103,13 @@ object DbscanGraft {
       .select("id", "v", "cell", "owned")
       .cache()
 
+    // dense-cell salting (one cheap agg; None at non-pathological scales)
+    val salts = cellSalts(halo, pairBudget).map(_.cache())
+
     // 2. exact neighbor counts for owned points (pairs within same cell)
     val own = halo.filter(col("owned")).select(col("id"), col("v"), col("cell"))
-    val neigh = own.as("a").join(halo.as("b"),
-        col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id") &&
+    val neigh = epsPairJoin(own, halo, salts,
+        col("a.id") =!= col("b.id") &&
           sqDist(col("a.v"), col("b.v")) <= lit(eps * eps))
       .groupBy(col("a.id").as("id")).agg(count(lit(1)).as("n_neigh"))
     val coreness = own.select("id", "cell").join(neigh, Seq("id"), "left")
@@ -73,8 +122,8 @@ object DbscanGraft {
     val coreOwn = haloC.filter(col("owned") && col("core"))
       .select(col("id"), col("v"), col("cell"))
     val coreHalo = haloC.filter(col("core")).select(col("id"), col("v"), col("cell"))
-    val edges = coreOwn.as("a").join(coreHalo.as("b"),
-        col("a.cell") === col("b.cell") && col("a.id") < col("b.id") &&
+    val edges = epsPairJoin(coreOwn, coreHalo, salts,
+        col("a.id") < col("b.id") &&
           sqDist(col("a.v"), col("b.v")) <= lit(eps * eps))
       .select(col("a.id").as("src"), col("b.id").as("dst"))
       .distinct()
@@ -118,10 +167,8 @@ object DbscanGraft {
     // 4. border points: nearest-by-id core within eps; else noise
     val nonCore = coreness.filter(!col("core")).select("id")
     val nonCorePts = own.join(nonCore, "id")
-    val borderCand = nonCorePts.as("a").join(
-        haloC.filter(col("core")).as("b"),
-        col("a.cell") === col("b.cell") &&
-          sqDist(col("a.v"), col("b.v")) <= lit(eps * eps))
+    val borderCand = epsPairJoin(nonCorePts, haloC.filter(col("core")), salts,
+        sqDist(col("a.v"), col("b.v")) <= lit(eps * eps))
       .groupBy(col("a.id").as("id")).agg(min(col("b.id")).as("core_id"))
     val borderLabels = borderCand
       .join(coreLabels.select(col("id").as("core_id"), col("cluster")), "core_id")
@@ -133,7 +180,7 @@ object DbscanGraft {
       .unionAll(borderLabels).unionAll(noise)
       .cache()
     out.count() // materialize, then release the working caches
-    Seq(pts, halo, coreness, coreLabels, edgesC).foreach(_.unpersist(false))
+    (Seq(pts, halo, coreness, coreLabels, edgesC) ++ salts).foreach(_.unpersist(false))
     out
   }
 

@@ -60,9 +60,11 @@ object Neighbors {
       .withColumn("cell", concat_ws(",", (0 until g).map(i =>
         element_at(col("cell_arr"), i + 1) + element_at(col("off"), i + 1)): _*))
       .select("id", "v", "cell")
-    own.as("a").join(halo.as("b"),
-        col("a.cell") === col("b.cell") &&
-          sqDist(col("a.v"), col("b.v")) <= lit(cutoff * cutoff))
+    // dense-cell salting, same policy as DbscanGraft: if any cell's
+    // pair count exceeds the per-task budget, split its fan-out
+    val salts = DbscanGraft.cellSalts(halo, DbscanGraft.PairBudgetPerTask)
+    DbscanGraft.epsPairJoin(own, halo, salts,
+        sqDist(col("a.v"), col("b.v")) <= lit(cutoff * cutoff))
       .select(col("a.id").as("src"), col("b.id").as("dst"))
   }
 

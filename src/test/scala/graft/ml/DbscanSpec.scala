@@ -57,4 +57,42 @@ class DbscanSpec extends SparkSpec {
     // sanity: exactly 2 real clusters
     assert(got.values.filter(_ != -1L).toSet.size == 2)
   }
+
+  test("dense-cell salting splits a one-cell pathological input across salt keys") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    // 600 points, ALL in grid cell "0,0" → 360k pairs on one join key unsalted
+    val one = (0 until 600).map(i => (i.toLong, Array(0.001 * (i % 20), 0.001 * (i / 20)), "0,0"))
+      .toDF("id", "v", "cell")
+    val salts = DbscanGraft.cellSalts(one, budget = 10000L)
+    assert(salts.isDefined, "a 600-point cell must exceed a 10k pair budget")
+    val sf = salts.get.collect()
+    assert(sf.length == 1 && sf(0).getInt(1) == 36, s"expected factor ceil(600²/10k)=36, got ${sf.toSeq}")
+    val joined = DbscanGraft.epsPairJoin(one, one, salts, lit(true))
+    val perKey = joined.groupBy(col("a.cell"), col("a.__salt")).count().collect()
+    assert(perKey.length == 36, s"pair work must spread over 36 salt keys, got ${perKey.length}")
+    val maxKey = perKey.map(_.getLong(2)).max
+    // per-key pairs ≈ ceil(600/36)·600 = 10200 — bounded by ~budget, not 360k
+    assert(maxKey <= 10200, s"max per-key pairs $maxKey")
+    assert(perKey.map(_.getLong(2)).sum == 600L * 600L, "identical pair set, just split")
+  }
+
+  test("salted fit (pathological budget) produces identical labels to the local reference") {
+    val rng = new java.util.Random(5)
+    val blob1 = Array.fill(60)(Array(rng.nextGaussian() * 0.05 + 1.0, rng.nextGaussian() * 0.05 + 1.0))
+    val blob2 = Array.fill(60)(Array(rng.nextGaussian() * 0.05 - 1.0, rng.nextGaussian() * 0.05 - 1.0))
+    val noise = Array.fill(20)(Array(rng.nextDouble() * 6 - 3, rng.nextDouble() * 6 - 3))
+    val pts = blob1 ++ blob2 ++ noise
+    val eps = 0.15; val minPts = 5
+    val expected = localDbscan(pts, eps, minPts)
+    val spark2 = spark
+    import spark2.implicits._
+    val df = pts.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "v")
+    // budget 500 forces the salted path through ALL three eps-joins
+    val got = DbscanGraft.fit(df, "id", "v", eps, minPts, pairBudget = 500L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (i <- pts.indices)
+      assert(got(i.toLong) == expected(i), s"point $i: ${got(i.toLong)} vs ${expected(i)}")
+  }
 }
