@@ -9,13 +9,14 @@ import org.apache.spark.sql.functions._
   * decode / feature-extract / resize / frame-sample as per-partition
   * typed transforms.
   *
-  * The actual codecs are NOT in this container, so the decode kernels are
-  * STUBBED with deterministic fakes (clearly marked below) — what's real
-  * and tested is the Spark-side contract: schema, binary handling,
-  * partition-parallel batch shape, and the feature pipeline wiring.
-  * Swapping a stub for a real codec (JNI/FFI in mapPartitions) changes no
-  * plan shape: decode stays embarrassingly parallel inside the scan
-  * stage at 100 TB.
+  * Decode is REAL for the formats the JDK ships codecs for — PNG/JPEG/
+  * BMP/GIF via javax.imageio, WAV/AIFF/AU PCM via javax.sound.sampled —
+  * and falls back to a deterministic fake (clearly marked below) for
+  * payloads those codecs reject, including video: MP4/H.264 has no
+  * pure-JDK decoder, so video frame counts remain STUBBED. Either way
+  * the plan shape is identical: decode runs embarrassingly parallel
+  * inside the scan stage at 100 TB; a JNI/FFI video codec would slot
+  * into the same mapPartitions kernel.
   */
 object Multimodal {
 
@@ -31,8 +32,60 @@ object Multimodal {
   private[multimodal] def byteHash(bytes: Array[Byte]): Long =
     bytes.foldLeft(17L)((a, b) => (a * 31 + (b & 0xff)) % HashMod)
 
-  /** ==== STUB ==== deterministic fake decoder: real implementations
-    * parse container headers (PNG/JPEG/WAV/MP4); the fake derives stable
+  /** REAL image decode (PNG/JPEG/BMP/GIF — pure-JDK javax.imageio).
+    * Returns null when the payload is not a decodable image; ImageIO
+    * dispatches on magic bytes, so rejection is cheap. */
+  private[multimodal] def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    catch { case _: Exception => null }
+
+  /** REAL audio frame count (WAV/AIFF/AU PCM — pure-JDK
+    * javax.sound.sampled). -1 when not decodable audio. */
+  private[multimodal] def decodeAudioFrames(bytes: Array[Byte]): Long =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try in.getFrameLength finally in.close()
+    } catch { case _: Exception => -1L }
+
+  /** Row-major (R,G,B) pixel-byte hash of a decoded image — the same
+    * portable fold as [[byteHash]], but over pixel CONTENT, so two
+    * encodings of the same image (e.g. the same pixels as PNG and BMP)
+    * fingerprint identically for dedup. */
+  private[multimodal] def pixelHash(img: java.awt.image.BufferedImage): Long = {
+    var h = 17L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        h = (h * 31 + ((rgb >> 16) & 0xff)) % HashMod
+        h = (h * 31 + ((rgb >> 8) & 0xff)) % HashMod
+        h = (h * 31 + (rgb & 0xff)) % HashMod
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Decode (width, height, n_frames): real JDK codecs first, the
+    * deterministic fake for payloads they reject (see object doc). */
+  private[multimodal] def decode(kind: String, bytes: Array[Byte]): (Int, Int, Int) =
+    kind match {
+      case "image" =>
+        val img = decodeImage(bytes)
+        if (img != null) (img.getWidth, img.getHeight, 1)
+        else decodeStub(kind, bytes)
+      case "audio" =>
+        val frames = decodeAudioFrames(bytes)
+        if (frames >= 0) (0, 0, frames.toInt)
+        else decodeStub(kind, bytes)
+      case _ => decodeStub(kind, bytes) // video: no pure-JDK codec, stub only
+    }
+
+  /** ==== STUB ==== deterministic fake decoder for payloads the JDK
+    * codecs can't parse (and for video, which has none): derives stable
     * pseudo-dimensions from the byte content so tests are exact. */
   private[multimodal] def decodeStub(kind: String, bytes: Array[Byte]): (Int, Int, Int) = {
     val h = byteHash(bytes)
@@ -72,19 +125,46 @@ object Multimodal {
     hist.map(_ / n)
   }
 
+  /** 16-bin luminance histogram of decoded pixels, L1-normalized — a
+    * REAL content feature for decodable images (same width/shape as the
+    * byte-histogram fallback, so downstream ML code is agnostic). */
+  private[multimodal] def imageFeature(img: java.awt.image.BufferedImage): Array[Float] = {
+    val hist = new Array[Float](16)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        // integer ITU-R 601 luma: (77R + 150G + 29B) >> 8, then >> 4 bins
+        val lum = (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff)
+          + 29 * (rgb & 0xff)) >> 8
+        hist(lum >> 4) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val n = math.max(img.getWidth * img.getHeight, 1).toFloat
+    hist.map(_ / n)
+  }
+
   /** Decode metadata per partition (one pass over binary payloads). */
   def decodeMeta(media: Dataset[MediaRow]): Dataset[DecodedMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { m =>
-      val (w, h, f) = decodeStub(m.kind, m.bytes)
+      val (w, h, f) = decode(m.kind, m.bytes)
       DecodedMeta(m.media_id, m.kind, m.bytes.length, w, h, f)
     })
   }
 
-  /** Extract fixed-width features per partition. */
+  /** Extract fixed-width features per partition: pixel-space luminance
+    * histogram when the image decodes, byte histogram otherwise. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(m => MediaFeature(m.media_id, featureStub(m.bytes))))
+    media.mapPartitions(_.map { m =>
+      val img = if (m.kind == "image") decodeImage(m.bytes) else null
+      val feat = if (img != null) imageFeature(img) else featureStub(m.bytes)
+      MediaFeature(m.media_id, feat)
+    })
   }
 
   /** Deterministic frame sampling: every `stride`-th frame index up to
@@ -117,7 +197,9 @@ object Multimodal {
     import spark.implicits._
     mediaFromDocuments(spark, dir)
       .map { m =>
-        val (w, h, f) = decodeStub(m.kind, m.bytes)
+        // text payloads are rejected by the JDK codecs → deterministic
+        // fake, which is what the DuckDB oracle replays
+        val (w, h, f) = decode(m.kind, m.bytes)
         (m.media_id, m.kind, m.bytes.length, w, h, f,
           BigDecimal(featNormExact(m.bytes))
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
