@@ -1,0 +1,100 @@
+package graft.ml
+
+import graft.SparkSpec
+import graft.functions.VectorFns._
+import org.apache.spark.sql.functions._
+
+/** Machine-checked physical-plan assertions for the operators whose
+  * 100 TB viability depends on plan SHAPE, not just results: the
+  * DBSCAN eps-joins (hash join on the cell key, salted or not), brute
+  * kneighbors (broadcast the bounded QUERY side only), the star join
+  * (broadcast only the constant-size dims, shuffle the growing ones),
+  * and the bucketed join (zero exchange — enforced inside the query).
+  *
+  * Auto-broadcast and AQE are disabled inside each test so the asserts
+  * see the structural plan, not what tiny test inputs happen to allow. */
+class PlanAssertSpec extends SparkSpec {
+
+  private def withStructuralPlans[T](f: => T): T = {
+    val conf = spark.conf
+    val prevAuto = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  private def noAllPairs(plan: String, what: String): Unit =
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"$what must never plan an all-pairs join, got:\n$plan")
+
+  test("DBSCAN eps-joins are cell-key hash joins, unsalted and salted") {
+    val spark2 = spark
+    import spark2.implicits._
+    val pts = (0 until 200).map(i => (i.toLong, Array(0.001 * i, 0.002 * i), s"${i % 5},0"))
+    val own = pts.toDF("id", "v", "cell")
+    val halo = pts.toDF("id", "v", "cell")
+    withStructuralPlans {
+      val cond = col("a.id") =!= col("b.id") &&
+        sqDist(col("a.v"), col("b.v")) <= lit(0.01)
+      val unsalted = DbscanGraft.epsPairJoin(own, halo, None, cond)
+      noAllPairs(unsalted.queryExecution.executedPlan.toString, "DBSCAN eps-join (unsalted)")
+      val salts = DbscanGraft.cellSalts(halo, budget = 100L)
+      assert(salts.isDefined)
+      val salted = DbscanGraft.epsPairJoin(own, halo, salts, cond)
+      noAllPairs(salted.queryExecution.executedPlan.toString, "DBSCAN eps-join (salted)")
+    }
+  }
+
+  test("kneighbors at large k broadcasts the query side, one exchange total") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rng = new java.util.Random(3)
+    val fitDf = Seq.tabulate(2000)(i => (i.toLong, Array.fill(8)(rng.nextDouble()))).toDF("id", "v")
+    val qDf = Seq.tabulate(50)(i => (i.toLong, Array.fill(8)(rng.nextDouble()))).toDF("id", "v")
+    withStructuralPlans {
+      val out = Neighbors.kneighbors(fitDf, qDf, "id", "v", k = 300)
+      val plan = out.queryExecution.executedPlan.toString
+      // brute ANN is a cross product BY DESIGN — the structural demand is
+      // that the bounded query set is the broadcast (build) side, so the
+      // big fit side streams without replication at any k
+      assert(plan.contains("BroadcastNestedLoopJoin") && plan.contains("BuildRight"),
+        s"query side must be the broadcast side:\n$plan")
+      // one SHUFFLE exchange (the per-query window); the BroadcastExchange
+      // of the query side is the intended plan, not a shuffle
+      val shuffles = plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") || l.contains("Exchange rangepartitioning"))
+      assert(shuffles == 1,
+        s"exactly one shuffle (the per-query window), got $shuffles:\n$plan")
+      // and the top-k is pruned map-side before that shuffle
+      assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+        s"expected partial window-group-limit pushdown:\n$plan")
+    }
+  }
+
+  test("star join broadcasts only nation/region; fact-side joins shuffle") {
+    withStructuralPlans {
+      val df = graft.operators.Relational.starJoin(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      val bhjLines = plan.linesIterator.filter(_.contains("BroadcastHashJoin")).toSeq
+      assert(bhjLines.size == 2, s"exactly the two hinted dims broadcast:\n$plan")
+      assert(bhjLines.exists(_.contains("n_nationkey")) && bhjLines.exists(_.contains("r_regionkey")),
+        s"broadcasts must be nation and region:\n${bhjLines.mkString("\n")}")
+      // lineitem⋈orders and orders⋈customer grow with the fact table →
+      // they must be shuffle joins, never broadcast
+      val smj = plan.linesIterator.count(_.contains("SortMergeJoin"))
+      assert(smj == 2, s"the two fact-side joins must sort-merge, got $smj:\n$plan")
+      noAllPairs(plan, "star join")
+    }
+  }
+
+  test("bucketed join runs with zero exchange on the join key (self-enforced) and returns rows") {
+    // bucketJoinQuery require()s zero Exchange on l_orderkey internally —
+    // this test pins that contract plus a non-empty result
+    val df = graft.sources.Sources.bucketJoinQuery(spark, "/root/testdata/sf0.001")
+    assert(df.count() > 0)
+  }
+}
