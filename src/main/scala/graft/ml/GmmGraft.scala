@@ -47,6 +47,13 @@ object GmmGraft {
       * block boundaries don't exist in a shuffled Dataset, and per-row
       * seeding is reproducible under any repartitioning. */
     final case class RandomResp(seed: Long) extends GmmInit
+    /** Explicit parameters — the reference's weights_init / means_init /
+      * precisions_init surface (gm/base.py:68-77, 489-505; weights are
+      * normalized to sum 1 like `weights_init / np.sum(weights_init)`).
+      * Covariances given directly (not as precisions — same information,
+      * no spurious inverse round-trip). */
+    final case class Given(weights: Array[Double], means: Array[Array[Double]],
+        covs: Array[Array[Array[Double]]]) extends GmmInit
   }
 
   final case class Model(weights: Array[Double], means: Array[BDV[Double]],
@@ -159,6 +166,15 @@ object GmmGraft {
           val s = r.sum
           r.map(_ / s)
         }
+      case GmmInit.Given(w0, m0, c0) =>
+        require(w0.length == k && m0.length == k && c0.length == k,
+          s"Given init must have $k components")
+        require(m0.forall(_.length == p) && c0.forall(c =>
+          c.length == p && c.forall(_.length == p)),
+          s"Given init means/covs must be ($k × $p) and ($k × $p × $p)")
+        val wSum = w0.sum
+        (w0.map(w => pr6(w / wSum)), m0.map(m => pr6v(BDV(m))),
+          c0.map(c => pr6m(BDM.tabulate(p, p)((i, j) => c(i)(j)))))
     }
     var prevLL = Double.NegativeInfinity
     var ll = Double.NegativeInfinity

@@ -205,6 +205,25 @@ class InitModesSpec extends SparkSpec {
     assert(msSorted(0) < 1.0 && msSorted(1) > 5.0, s"means ${dist.means.toSeq}")
   }
 
+  test("GMM Given init returns the explicit parameters (normalized weights) at maxIter=0") {
+    val data = blobPts(21)
+    val rows = sc.parallelize(data.toSeq, 4)
+    val w0 = Array(3.0, 1.0) // → 0.75 / 0.25 after normalization
+    val m0 = Array(Array(0.0, 0.0), Array(6.0, 6.0))
+    val eye = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val m = GmmGraft.fit(rows, k = 2, GmmGraft.Full, maxIter = 0,
+      init = GmmGraft.GmmInit.Given(w0, m0, Array(eye, eye)))
+    assert(m.weights.toSeq == Seq(0.75, 0.25))
+    assert(m.means(0).toArray.toSeq == Seq(0.0, 0.0) &&
+      m.means(1).toArray.toSeq == Seq(6.0, 6.0))
+    assert(m.covs(0)(0, 0) == 1.0 && m.covs(0)(0, 1) == 0.0)
+    // and EM from the given params separates the blobs
+    val m2 = GmmGraft.fit(rows, k = 2, GmmGraft.Full, maxIter = 5, tol = 0,
+      init = GmmGraft.GmmInit.Given(w0, m0, Array(eye, eye)))
+    assert(math.abs(m2.weights(0) - 0.5) < 0.05, s"weights ${m2.weights.toSeq}")
+    assert(m2.means(0)(0) < 1.0 && m2.means(1)(0) > 5.0)
+  }
+
   test("GMM random-resp init is seed-deterministic and partitioning-invariant") {
     val data = blobPts(13)
     val fit1 = GmmGraft.fit(sc.parallelize(data.toSeq, 4), k = 2, GmmGraft.Diag,

@@ -111,4 +111,16 @@ class MlSpec extends SparkSpec {
     val t = mm.transform(df).agg(min("a_mm"), max("a_mm")).head()
     assert(t.getDouble(0) == 0.0 && t.getDouble(1) == 1.0)
   }
+
+  test("Scalers: constant column scales to 0, never NaN/Inf (sklearn zero-scale guard)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq.tabulate(10)(i => (i.toDouble, 5.0)).toDF("a", "b")
+    val s = Scalers.fitStandard(df, Seq("a", "b")).transform(df)
+      .select("b_std").collect().map(_.getDouble(0))
+    assert(s.forall(_ == 0.0), s"constant column must scale to 0, got ${s.toSeq}")
+    val m = Scalers.fitMinMax(df, Seq("b")).transform(df)
+      .select("b_mm").collect().map(_.getDouble(0))
+    assert(m.forall(v => !v.isNaN && !v.isInfinite), s"got ${m.toSeq}")
+  }
 }
