@@ -250,6 +250,26 @@ object GmmGraft {
     Model(weights, means, covs, ll, it)
   }
 
+  /** Hard assignment by max posterior responsibility, ties to the lower
+    * component index (reference GaussianMixture.predict,
+    * gm/base.py:226-280). One broadcast of the k densities, one map —
+    * no shuffle at any scale. */
+  def predict(model: Model, rows: RDD[(Long, Array[Double])]): RDD[(Long, Int)] = {
+    val bc = rows.sparkContext.broadcast(
+      densities(model.weights, model.means, model.covs, diagCov = false))
+    rows.mapValues { x =>
+      val ds = bc.value
+      var best = 0; var bl = Double.NegativeInfinity
+      var j = 0
+      while (j < ds.length) {
+        val lp = ds(j).logProb(x)
+        if (lp > bl) { bl = lp; best = j }
+        j += 1
+      }
+      best
+    }
+  }
+
   /** M-step parameter estimates from responsibility-weighted sufficient
     * statistics — shared by the EM loop and resp-based initialization
     * (reference _estimate_parameters + _estimate_covariances,

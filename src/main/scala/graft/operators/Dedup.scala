@@ -47,24 +47,35 @@ object Dedup {
       .withColumn("n_dupes", col("n_docs") - col("n_unique"))
       .orderBy("source")
 
+  /** Default hot-shingle cap for `ngramJaccard(dfCap = -1)`: √N docs,
+    * floored at 64. A shingle at the cap contributes ≤ cap² = N candidate
+    * pairs — the same budget as one document matching every other — so
+    * capped-shingle fan-out grows linearly with the corpus instead of
+    * quadratically with the hottest shingle. 64 keeps small corpora
+    * (< ~4k docs) uncapped in effect, where skew can't hurt. */
+  def autoDfCap(nDocs: Long): Int =
+    math.max(64, math.ceil(math.sqrt(nDocs.toDouble)).toInt)
+
   /** Near-dup pairs by exact word-3-gram Jaccard >= 0.8 via inverted-index
     * self-join (shingle equi-join, count shared, join back set sizes).
     *
-    * `dfCap` (off when <= 0, and off in the oracle-checked gate query) is
-    * the web-scale skew knob: shingles appearing in more than dfCap
-    * documents are excluded from CANDIDATE GENERATION only — a hot
-    * shingle in k docs otherwise fans out k² join rows. Exact Jaccard is
-    * still computed on full shingle sets, so a pair is only missed if
-    * ALL its shared shingles are ultra-common — at j >= 0.8 pairs share
-    * most of their (mostly rare) shingles, so recall stays ~1. */
+    * `dfCap` (0 = off — the oracle-checked gate mode; -1 = the
+    * [[autoDfCap]] √N heuristic, the recommended web-scale default) is
+    * the skew knob: shingles appearing in more than dfCap documents are
+    * excluded from CANDIDATE GENERATION only — a hot shingle in k docs
+    * otherwise fans out k² join rows. Exact Jaccard is still computed on
+    * full shingle sets, so a pair is only missed if ALL its shared
+    * shingles are ultra-common — at j >= 0.8 pairs share most of their
+    * (mostly rare) shingles, so recall stays ~1. */
   def ngramJaccard(spark: SparkSession, dir: String, dfCap: Int = 0): DataFrame = {
     val sh = shinglesDf(spark, dir).cache()
+    val cap = if (dfCap >= 0) dfCap else autoDfCap(sh.count())
     val exAll = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val ex =
-      if (dfCap <= 0) exAll
+      if (cap <= 0) exAll
       else {
         val rare = exAll.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= dfCap).select("s")
+          .filter(col("df") <= cap).select("s")
         exAll.join(rare, "s")
       }
     val inter = ex.as("a").join(ex.as("b"),

@@ -46,4 +46,17 @@ class GmmSpec extends SparkSpec {
     assert(m20.logLikelihood >= m1.logLikelihood - 1e-6,
       s"${m20.logLikelihood} < ${m1.logLikelihood}")
   }
+
+  test("predict hard-assigns each blob to one component") {
+    val rows = sc.parallelize(blobs(11), 4)
+    val m = GmmGraft.fit(rows, 2, GmmGraft.Full, maxIter = 15)
+    val labels = GmmGraft.predict(m, rows).collect().toMap
+    assert(labels.size == 400)
+    // even ids were drawn around c1, odd around c2 — each side must map
+    // to exactly one (distinct) component
+    val even = labels.collect { case (id, l) if id % 2 == 0 => l }.toSet
+    val odd = labels.collect { case (id, l) if id % 2 == 1 => l }.toSet
+    assert(even.size == 1 && odd.size == 1 && even != odd,
+      s"even→$even odd→$odd")
+  }
 }

@@ -19,6 +19,21 @@ class DedupSpec extends SparkSpec {
       s"dfCap changed results: missing ${base.diff(capped)}, extra ${capped.diff(base)}")
   }
 
+  test("the auto dfCap heuristic (√N, floor 64) preserves all pairs and scales sanely") {
+    // formula: floor applies below 64² docs, √N above
+    assert(Dedup.autoDfCap(500) == 64)
+    assert(Dedup.autoDfCap(4096) == 64)
+    assert(Dedup.autoDfCap(1000000) == 1000)
+    assert(Dedup.autoDfCap(10000000000L) == 100000)
+    // dfCap = -1 routes through the heuristic and loses nothing here
+    val base = Dedup.ngramJaccard(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val auto = Dedup.ngramJaccard(spark, dir, dfCap = -1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(auto == base,
+      s"auto cap changed results: missing ${base.diff(auto)}, extra ${auto.diff(base)}")
+  }
+
   test("an extreme dfCap genuinely restricts candidate generation") {
     val base = Dedup.ngramJaccard(spark, dir).count()
     // near-dup pairs share shingles with df >= 2, so dfCap=1 must find nothing
