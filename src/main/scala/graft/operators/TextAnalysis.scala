@@ -67,11 +67,46 @@ object TextAnalysis {
         hash56(col("text")).as("fp64"))
       .orderBy("doc_id")
 
+  /** End-to-end corpus curation in ONE declarative plan — the composed
+    * pipeline an LLM-data run executes per batch: Gopher-style quality
+    * rules (min words, mean word length band, uniqueness floor) →
+    * exact-dedup winner per normalized content hash (min doc_id) →
+    * per-source kept/dropped/token accounting. Composition is the point:
+    * Catalyst fuses the quality scoring into the scan, the dedup is the
+    * only shuffle (by content hash), and the final per-source rollup is
+    * map-side-combined — three pipeline stages, one job, no
+    * intermediate materialization at any scale. */
+  def corpusCurate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("text"), words.as("w"))
+      .withColumn("n_words", size(col("w")))
+      .withColumn("awl",
+        aggregate(transform(col("w"), w => length(w)), lit(0L), (a, x) => a + x)
+          .cast("double") / col("n_words"))
+      .withColumn("uniq",
+        size(array_distinct(col("w"))).cast("double") / col("n_words"))
+      .withColumn("q", col("n_words") >= 10 &&
+        col("awl") >= 2.0 && col("awl") <= 15.0 && col("uniq") >= 0.3)
+    val winners = d.filter(col("q"))
+      .groupBy(md5(lower(trim(col("text")))).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(1).as("kept"))
+    d.join(winners, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_raw"),
+        sum(col("q").cast("long")).as("n_quality"),
+        coalesce(sum(col("kept")), lit(0)).cast("long").as("n_kept"),
+        coalesce(sum(when(col("kept").isNotNull, col("n_words"))), lit(0))
+          .cast("long").as("tok_kept"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_token_count" -> (tokenCount _),
     "q_text_quality" -> (textQuality _),
     "q_lang_id" -> (langId _),
-    "q_fingerprint" -> (fingerprint _))
+    "q_fingerprint" -> (fingerprint _),
+    "q_corpus_curate" -> (corpusCurate _))
 
   private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -102,5 +137,21 @@ object TextAnalysis {
       s"""SELECT doc_id, md5(text) AS fp_exact,
          |  md5(array_to_string(list_sort(list_distinct($wordsSql)), ' ')) AS fp_bag,
          |  ${hash56Sql("text")} AS fp64
-         |FROM documents ORDER BY doc_id""".stripMargin)
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_corpus_curate" ->
+      s"""WITH s AS (SELECT source, doc_id, text, len(w) AS n_words,
+         |    list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w) AS awl,
+         |    len(list_distinct(w))::DOUBLE / len(w) AS uniq
+         |  FROM (SELECT source, doc_id, text, $wordsSql AS w FROM documents)),
+         |f AS (SELECT *, (n_words >= 10 AND awl >= 2.0 AND awl <= 15.0
+         |    AND uniq >= 0.3) AS q FROM s),
+         |k AS (SELECT min(doc_id) AS doc_id
+         |  FROM f WHERE q GROUP BY md5(lower(trim(text))))
+         |SELECT f.source, count(*)::BIGINT AS n_raw,
+         |  sum(CASE WHEN f.q THEN 1 ELSE 0 END)::BIGINT AS n_quality,
+         |  count(k.doc_id)::BIGINT AS n_kept,
+         |  coalesce(sum(CASE WHEN k.doc_id IS NOT NULL THEN f.n_words END), 0)::BIGINT
+         |    AS tok_kept
+         |FROM f LEFT JOIN k ON f.doc_id = k.doc_id
+         |GROUP BY f.source ORDER BY f.source""".stripMargin)
 }
