@@ -72,10 +72,13 @@ object TextAnalysis {
     * rules (min words, mean word length band, uniqueness floor) →
     * exact-dedup winner per normalized content hash (min doc_id) →
     * per-source kept/dropped/token accounting. Composition is the point:
-    * Catalyst fuses the quality scoring into the scan, the dedup is the
-    * only shuffle (by content hash), and the final per-source rollup is
-    * map-side-combined — three pipeline stages, one job, no
-    * intermediate materialization at any scale. */
+    * Catalyst fuses the quality scoring into the scan and prunes `text`
+    * before any exchange, the winner set (distinct content hashes of
+    * quality rows) partial-aggregates map-side and is broadcast back by
+    * AQE at this scale — the full table never shuffles; at corpus sizes
+    * where winners outgrow broadcast, AQE degrades to a sort-merge join
+    * of two narrow projections. Three pipeline stages, one job, no
+    * intermediate materialization. */
   def corpusCurate(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"), col("text"), words.as("w"))
