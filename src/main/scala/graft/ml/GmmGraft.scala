@@ -147,7 +147,7 @@ object GmmGraft {
         val km = KMeansGraft.fit(rows.toDF("id", "v"), "v", "id", k,
           kmMaxIter, KMeansGraft.Init.Random(seed), tol = 1e-4)
         val centers = sc.broadcast(km.centers)
-        fromResp { (_, x) =>
+        val out = fromResp { (_, x) =>
           val cs = centers.value
           var best = 0; var bd = Double.PositiveInfinity
           var j = 0
@@ -159,6 +159,8 @@ object GmmGraft {
           }
           val r = new Array[Double](k); r(best) = 1.0; r
         }
+        centers.destroy()
+        out
       case GmmInit.RandomResp(seed) =>
         fromResp { (id, _) =>
           val rng = new java.util.Random(seed ^ (id * 0x9E3779B97F4A7C15L))
