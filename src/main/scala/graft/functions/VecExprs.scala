@@ -24,6 +24,32 @@ object VecExprs {
     ExpressionUtils.column(VecSqDist(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def vecNormSq(a: Column): Column =
     ExpressionUtils.column(VecNormSq(ExpressionUtils.expression(a)))
+  def gammaln(a: Column): Column =
+    ExpressionUtils.column(Gammaln(ExpressionUtils.expression(a)))
+}
+
+/** log Γ(x) (reference elementwise `gammaln`, dislib/data/array.py:
+  * 1880-1956) via commons-math3's Lanczos logGamma (ships in Spark's
+  * classpath) — emitted as a static call inside whole-stage codegen, so
+  * it pipelines like a built-in math function. */
+case class Gammaln(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case DoubleType => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects double input")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "gammaln"
+
+  override def nullSafeEval(a: Any): Any =
+    org.apache.commons.math3.special.Gamma.logGamma(a.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.commons.math3.special.Gamma.logGamma($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Σ aᵢ·bᵢ over the common prefix of two double arrays. */

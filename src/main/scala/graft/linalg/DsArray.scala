@@ -46,6 +46,13 @@ final class DsArray(val bm: BlockMatrix) {
 
   def *(s: Double): DsArray = mapBlocks(_ * s)
   def +(s: Double): DsArray = mapBlocks(_ + s)
+  // named elementwise ops of the reference API (array.py:1880-1956)
+  def exp: DsArray = mapBlocks(math.exp)
+  def log: DsArray = mapBlocks(math.log)
+  def sqrt: DsArray = mapBlocks(math.sqrt)
+  def **(e: Double): DsArray = mapBlocks(math.pow(_, e))
+  def gammaln: DsArray =
+    mapBlocks(org.apache.commons.math3.special.Gamma.logGamma)
 
   /** Change the block grid (reference: array.py:1228-1246 rechunk). */
   def rechunk(rowsPerBlock: Int, colsPerBlock: Int): DsArray =

@@ -169,7 +169,9 @@ object Relational {
         round(log(col("l_extendedprice")), 4).as("log_price"),
         round(sqrt(col("l_quantity")), 4).as("sqrt_qty"),
         round(exp(col("l_discount")), 4).as("exp_disc"),
-        round(pow(col("l_quantity"), 2), 2).as("qty_sq"))
+        round(pow(col("l_quantity"), 2), 2).as("qty_sq"),
+        round(graft.functions.VecExprs.gammaln(col("l_quantity").cast("double")), 4)
+          .as("gammaln_qty"))
       .orderBy("l_orderkey", "l_linenumber")
 
   /** Whole-array reductions per axis (array.py:1100-1208): min/max/sum/mean/
@@ -324,7 +326,8 @@ object Relational {
         |  round(ln(l_extendedprice), 4) AS log_price,
         |  round(sqrt(l_quantity), 4) AS sqrt_qty,
         |  round(exp(l_discount), 4) AS exp_disc,
-        |  round(pow(l_quantity, 2), 2) AS qty_sq
+        |  round(pow(l_quantity, 2), 2) AS qty_sq,
+        |  round(lgamma(l_quantity::DOUBLE), 4) AS gammaln_qty
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_reduce_stats" ->
       """SELECT l_returnflag,

@@ -19,6 +19,21 @@ class FunctionsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("gammaln matches closed-form log-gamma values in codegen and interpreted eval") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(0.5, 1.0, 2.0, 5.0, 50.0).toDF("x")
+      .select(col("x"), graft.functions.VecExprs.gammaln(col("x")).as("g"))
+    val got = df.collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(0.5) - math.log(math.sqrt(math.Pi))) < 1e-12) // Γ(½)=√π
+    assert(math.abs(got(1.0)) < 1e-12 && math.abs(got(2.0)) < 1e-12) // Γ(1)=Γ(2)=1
+    assert(math.abs(got(5.0) - math.log(24.0)) < 1e-12) // Γ(5)=4!
+    // interpreted (nullSafeEval) path agrees bitwise with codegen
+    val expr = graft.functions.Gammaln(
+      org.apache.spark.sql.catalyst.expressions.Literal(5.0))
+    assert(expr.eval(null) == got(5.0))
+  }
+
   test("IVF ANN achieves high recall vs brute force at nProbe=8/16") {
     val dir = "/root/testdata/sf0.001"
     val brute = graft.operators.Similarity.bruteTopK(spark, dir)
