@@ -104,12 +104,37 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Deterministic corpus mixing: per-source sampling rates applied via
+    * a portable content-independent hash of doc_id — the way a training
+    * run downsamples over-represented sources toward a token budget.
+    * Membership is a pure function of (doc_id, rate), so the same doc
+    * set is sampled on any cluster, any partitioning, any engine — a
+    * resumable mixing contract (re-runs and incremental ingests agree).
+    * Plan: scan → codegen'd hash filter → map-side rollup; zero
+    * wide operations beyond the tiny per-source aggregate. */
+  def corpusSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = lit(20) + pmod(length(col("source")) * 7, lit(60))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(words).as("n_tokens"), rate.cast("long").as("rate_pct"))
+      .withColumn("keep",
+        pmod(hash56(col("doc_id").cast("string")), lit(100)) < col("rate_pct"))
+      .groupBy("source")
+      .agg(max("rate_pct").as("rate_pct"),
+        count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_sampled"),
+        coalesce(sum(when(col("keep"), col("n_tokens"))), lit(0))
+          .cast("long").as("tok_sampled"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_token_count" -> (tokenCount _),
     "q_text_quality" -> (textQuality _),
     "q_lang_id" -> (langId _),
     "q_fingerprint" -> (fingerprint _),
-    "q_corpus_curate" -> (corpusCurate _))
+    "q_corpus_curate" -> (corpusCurate _),
+    "q_corpus_sample" -> (corpusSample _))
 
   private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -156,5 +181,17 @@ object TextAnalysis {
          |  coalesce(sum(CASE WHEN k.doc_id IS NOT NULL THEN f.n_words END), 0)::BIGINT
          |    AS tok_kept
          |FROM f LEFT JOIN k ON f.doc_id = k.doc_id
-         |GROUP BY f.source ORDER BY f.source""".stripMargin)
+         |GROUP BY f.source ORDER BY f.source""".stripMargin,
+    "q_corpus_sample" ->
+      s"""WITH d AS (SELECT source, doc_id,
+         |    len($wordsSql) AS n_tokens,
+         |    (20 + (length(source) * 7) % 60)::BIGINT AS rate_pct,
+         |    ${hash56Sql("doc_id::VARCHAR")} % 100
+         |      < 20 + (length(source) * 7) % 60 AS keep
+         |  FROM documents)
+         |SELECT source, max(rate_pct)::BIGINT AS rate_pct,
+         |  count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+         |  coalesce(sum(CASE WHEN keep THEN n_tokens END), 0)::BIGINT AS tok_sampled
+         |FROM d GROUP BY source ORDER BY source""".stripMargin)
 }
