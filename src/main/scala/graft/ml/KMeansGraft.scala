@@ -72,7 +72,10 @@ object KMeansGraft {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** Fit on an array<double> column; init = first k rows by `idCol`.
+  /** Fit on an array<double> column; init defaults to first k rows by
+    * `idCol` (the oracle contract — see [[Init]] for the reference's
+    * random/explicit modes); `tol` > 0 adds the reference's
+    * center-shift early stop.
     *
     * Update step = a narrow codegen'd assignment projection +
     * `treeAggregate` of per-cluster (sum, count) — dislib's
