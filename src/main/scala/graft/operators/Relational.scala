@@ -229,6 +229,25 @@ object Relational {
     lo.unionAll(hi).groupBy("band").agg(count(lit(1)).as("n")).orderBy("band")
   }
 
+  /** Multi-granularity aggregation in ONE pass: ROLLUP(flag, status) →
+    * leaf groups, per-flag subtotals, and the grand total from a single
+    * scan (Expand + partial+final hash agg) — at 100 TB one job replaces
+    * three separate aggregate jobs and reads the fact table once.
+    * Revenue is pre-scaled to millions before rounding so double
+    * partial-sum order (Spark's parallel combine vs DuckDB's scan order)
+    * stays far below the rounding grain. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) / 1e6, 4)
+          .as("revenue_m"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n_rows"), col("sum_qty"), col("revenue_m"))
+      .orderBy("flag", "status")
+
   val queries: Map[String, Q] = Map(
     "q_pricing_summary" -> (pricingSummary _),
     "q_filter_project" -> (filterProject _),
@@ -248,7 +267,8 @@ object Relational {
     "q_quantiles" -> (quantiles _),
     "q_corr_cov" -> (corrCov _),
     "q_linreg_simple" -> (linregSimple _),
-    "q_concat_rows" -> (concatRows _)
+    "q_concat_rows" -> (concatRows _),
+    "q_rollup" -> (rollupAgg _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -364,6 +384,14 @@ object Relational {
         |  SELECT l_orderkey, l_linenumber, 'low' AS band FROM lineitem WHERE l_quantity < 10
         |  UNION ALL
         |  SELECT l_orderkey, l_linenumber, 'high' AS band FROM lineitem WHERE l_quantity >= 40
-        |) t GROUP BY band ORDER BY band""".stripMargin
+        |) t GROUP BY band ORDER BY band""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice * (1 - l_discount)) / 1e6, 4) AS revenue_m
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin
   )
 }
