@@ -100,7 +100,8 @@ object Bench {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         df.count()
         val t = timed("algo_kmeans_3mx100_k500")(
-          graft.ml.KMeansGraft.fit(df, "v", "id", k = 500, maxIter = 3))
+          graft.ml.KMeansGraft.fit(df, "v", "id", k = 500, maxIter = 3,
+            blasAssign = true))
         df.unpersist(); t
       }
       // BASELINE.md analog: GMM 2M×100, k=50 diag, 3 EM iterations

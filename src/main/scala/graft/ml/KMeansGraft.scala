@@ -1,5 +1,6 @@
 package graft.ml
 
+import breeze.linalg.{DenseMatrix => BDM}
 import graft.Tables
 import graft.functions.VectorFns._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -72,6 +73,66 @@ object KMeansGraft {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** BLAS-batched Lloyd pass: one dgemm per 1024-row batch scores every
+    * center at once — argmin_j(½‖c_j‖² − x·c_j) drops the ‖x‖² term the
+    * argmin doesn't need, so per-batch work is a (k×dim)·(dim×b) matrix
+    * product at BLAS-3 throughput instead of k scalar distance loops per
+    * row (the reference's numpy distance kernels get the same gemm
+    * economics; at k=500·dim=100 this is the difference between compute-
+    * bound scalar code and cache-blocked vector code). The expanded form
+    * rounds differently from the oracle path's left-associated (x−c)²
+    * chains, so gates keep the codegen chain path; this path serves
+    * throughput callers (bench, non-oracle fits), ties still breaking on
+    * the lower center index. Per-partition accumulators carry k·(dim+1)
+    * doubles — the same reduction shape as the exact path. */
+  private def gemmStats(vecs: org.apache.spark.rdd.RDD[Array[Double]],
+      centers: Array[Array[Double]], k: Int, dim: Int): Array[Array[Double]] = {
+    val bc = vecs.sparkContext.broadcast(centers)
+    val out = vecs.mapPartitions { it =>
+      val cs = bc.value
+      val cm = BDM.create(dim, k, Array.concat(cs: _*)) // column j = center j
+      val half = Array.tabulate(k) { j =>
+        var s = 0.0; val c = cs(j); var d = 0
+        while (d < dim) { s += c(d) * c(d); d += 1 }
+        0.5 * s
+      }
+      val acc = Array.fill(k)(new Array[Double](dim + 1))
+      it.grouped(1024).foreach { batchSeq =>
+        val batch = batchSeq.toArray
+        val b = batch.length
+        val xm = BDM.create(dim, b, Array.concat(batch: _*)) // column i = row i
+        val g = (cm.t * xm).data // column-major k×b: column i contiguous
+        var i = 0
+        while (i < b) {
+          val off = i * k
+          var best = 0; var bs = half(0) - g(off)
+          var j = 1
+          while (j < k) {
+            val s = half(j) - g(off + j)
+            if (s < bs) { bs = s; best = j }
+            j += 1
+          }
+          val a = acc(best); val v = batch(i)
+          var d = 0
+          while (d < dim) { a(d) += v(d); d += 1 }
+          a(dim) += 1.0
+          i += 1
+        }
+      }
+      Iterator.single(acc)
+    }.treeReduce({ (x, y) =>
+      var c = 0
+      while (c < k) {
+        val a = x(c); val b2 = y(c); var i = 0
+        while (i <= dim) { a(i) += b2(i); i += 1 }
+        c += 1
+      }
+      x
+    }, depth = 2)
+    bc.destroy()
+    out
+  }
+
   /** Fit on an array<double> column; init defaults to first k rows by
     * `idCol` (the oracle contract — see [[Init]] for the reference's
     * random/explicit modes); `tol` > 0 adds the reference's
@@ -82,9 +143,15 @@ object KMeansGraft {
     * _partial_sum/_merge shape verbatim (kmeans/base.py:385-411). A
     * k·dim-wide groupBy-avg formulation instead blows the whole-stage
     * codegen method limit at k=500·dim=100, silently dropping the WHOLE
-    * stage (distance loop included) to interpreted eval (~10×). */
+    * stage (distance loop included) to interpreted eval (~10×).
+    *
+    * `blasAssign = true` swaps each pass for the dgemm-batched kernel
+    * ([[gemmStats]]) — same Lloyd algorithm, BLAS-3 throughput, but a
+    * different floating-point expansion than the oracle contract, so
+    * gate queries leave it off. */
   def fit(df: DataFrame, vCol: String, idCol: String, k: Int, maxIter: Int,
-      init: Init = Init.FirstK, tol: Double = 0.0): Model = {
+      init: Init = Init.FirstK, tol: Double = 0.0,
+      blasAssign: Boolean = false): Model = {
     val spark = df.sparkSession
     import spark.implicits._
     val dim = df.select(size(col(vCol))).head().getInt(0)
@@ -102,38 +169,14 @@ object KMeansGraft {
         cs.map(_.clone())
     }
     var model = Model(initCenters, 0)
+    // vector-only projection for the BLAS path (reads the caller's cache)
+    lazy val vecs = df.select(col(vCol)).rdd
+      .map(_.getSeq[Double](0).toArray)
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
-      val assigned = df.select(
-        element_at(org.apache.spark.sql.GraftColumnBridge.column(
-          graft.functions.VecNearestCenters(
-            org.apache.spark.sql.GraftColumnBridge.expression(col(vCol)),
-            model.centers, 1)), 1).as("cluster"),
-        col(vCol).as("v")).as[(Int, Array[Double])]
-      val stats = assigned.rdd.treeAggregate(
-        Array.fill(k)(new Array[Double](dim + 1)))(
-        seqOp = { case (acc, (c, v)) =>
-          // c can be -1 for all-NaN distance rows (NaN never beats the
-          // +Inf sentinel); skip them like the old groupBy path did
-          if (c >= 0) {
-            val a = acc(c)
-            var i = 0
-            while (i < dim) { a(i) += v(i); i += 1 }
-            a(dim) += 1.0
-          }
-          acc
-        },
-        combOp = { (x, y) =>
-          var c = 0
-          while (c < k) {
-            val a = x(c); val b = y(c)
-            var i = 0
-            while (i <= dim) { a(i) += b(i); i += 1 }
-            c += 1
-          }
-          x
-        }, depth = 2)
+      val stats = if (blasAssign) gemmStats(vecs, model.centers, k, dim)
+      else statsExact(df, vCol, model.centers, k, dim)
       val next = Array.tabulate(k) { c =>
         val s = stats(c)
         if (s(dim) > 0) Array.tabulate(dim)(i => round6(s(i) / s(dim)))
@@ -151,6 +194,43 @@ object KMeansGraft {
       model = Model(next, it)
     }
     model
+  }
+
+  /** One exact-contract Lloyd pass: codegen'd chain-distance assignment +
+    * treeAggregate of per-cluster (sum, count) — the oracle path. */
+  private def statsExact(df: DataFrame, vCol: String,
+      centers: Array[Array[Double]], k: Int, dim: Int): Array[Array[Double]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val assigned = df.select(
+      element_at(org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.VecNearestCenters(
+          org.apache.spark.sql.GraftColumnBridge.expression(col(vCol)),
+          centers, 1)), 1).as("cluster"),
+      col(vCol).as("v")).as[(Int, Array[Double])]
+    assigned.rdd.treeAggregate(
+      Array.fill(k)(new Array[Double](dim + 1)))(
+      seqOp = { case (acc, (c, v)) =>
+        // c can be -1 for all-NaN distance rows (NaN never beats the
+        // +Inf sentinel); skip them like the old groupBy path did
+        if (c >= 0) {
+          val a = acc(c)
+          var i = 0
+          while (i < dim) { a(i) += v(i); i += 1 }
+          a(dim) += 1.0
+        }
+        acc
+      },
+      combOp = { (x, y) =>
+        var c = 0
+        while (c < k) {
+          val a = x(c); val b = y(c)
+          var i = 0
+          while (i <= dim) { a(i) += b(i); i += 1 }
+          c += 1
+        }
+        x
+      }, depth = 2)
   }
 
   val K = 8

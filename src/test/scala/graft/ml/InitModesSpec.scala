@@ -57,6 +57,28 @@ class InitModesSpec extends SparkSpec {
     assert(m2.centers.map(_.toSeq).toSeq == m.centers.map(_.toSeq).toSeq)
   }
 
+  test("KMeans blasAssign path matches the exact path on separated blobs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rng = new java.util.Random(31L)
+    val pts = (0 until 300).map { i =>
+      val c = i % 3 match {
+        case 0 => Array(0.0, 0.0, 0.0)
+        case 1 => Array(10.0, 0.0, 5.0)
+        case _ => Array(0.0, 10.0, -5.0)
+      }
+      (i.toLong, Array.tabulate(3)(d => c(d) + rng.nextGaussian() * 0.3))
+    }
+    val df = pts.toDF("id", "v").cache()
+    val exact = KMeansGraft.fit(df, "v", "id", k = 3, maxIter = 4)
+    val blas = KMeansGraft.fit(df, "v", "id", k = 3, maxIter = 4,
+      blasAssign = true)
+    df.unpersist(false)
+    // same assignments every pass on separated data; per-iteration round6
+    // absorbs the summation-order drift → identical rounded centers
+    assert(blas.centers.map(_.toSeq).toSeq == exact.centers.map(_.toSeq).toSeq)
+  }
+
   // ---- GMM: kmeans-responsibility init vs a local EM oracle ----
 
   /** Two well-separated 2-D blobs, deterministic. */
