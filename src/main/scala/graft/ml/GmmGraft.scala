@@ -134,7 +134,9 @@ object GmmGraft {
     }
     var (weights, means, covs) = init match {
       case GmmInit.FirstK =>
-        val ms = rows.sortByKey().take(k).map(r => pr6v(BDV(r._2)))
+        // k smallest ids via per-partition heaps (takeOrdered) — same
+        // rows as a global sort + take, zero shuffle
+        val ms = rows.takeOrdered(k)(Ordering.by(_._1)).map(r => pr6v(BDV(r._2)))
         val globalMean = rows.values.treeAggregate(BDV.zeros[Double](p))(
           (a, v) => a + BDV(v), _ + _) / n.toDouble
         val globalVar = rows.values.treeAggregate(BDV.zeros[Double](p))(

@@ -169,30 +169,40 @@ object KMeansGraft {
         cs.map(_.clone())
     }
     var model = Model(initCenters, 0)
-    // vector-only projection for the BLAS path (reads the caller's cache)
-    lazy val vecs = df.select(col(vCol)).rdd
-      .map(_.getSeq[Double](0).toArray)
+    // vector-only projection for the BLAS path; persisted across
+    // iterations so the Row→Array conversion runs once, not per pass
+    // (the caller's df cache still backs the exact path unchanged)
+    var vecsCached: org.apache.spark.rdd.RDD[Array[Double]] = null
+    lazy val vecs = {
+      val r = df.select(col(vCol)).rdd.map(_.getSeq[Double](0).toArray)
+      if (maxIter > 1) {
+        vecsCached = r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        vecsCached
+      } else r
+    }
     var it = 0
     var converged = false
-    while (it < maxIter && !converged) {
-      val stats = if (blasAssign) gemmStats(vecs, model.centers, k, dim)
-      else statsExact(df, vCol, model.centers, k, dim)
-      val next = Array.tabulate(k) { c =>
-        val s = stats(c)
-        if (s(dim) > 0) Array.tabulate(dim)(i => round6(s(i) / s(dim)))
-        else model.centers(c)
+    try {
+      while (it < maxIter && !converged) {
+        val stats = if (blasAssign) gemmStats(vecs, model.centers, k, dim)
+        else statsExact(df, vCol, model.centers, k, dim)
+        val next = Array.tabulate(k) { c =>
+          val s = stats(c)
+          if (s(dim) > 0) Array.tabulate(dim)(i => round6(s(i) / s(dim)))
+          else model.centers(c)
+        }
+        it += 1
+        // reference convergence: Σ‖new_c − old_c‖ < tol² (base.py:168-186);
+        // tol=0 (the gate default) always runs the full maxIter schedule
+        if (tol > 0) {
+          val shift = model.centers.zip(next).map { case (a, b) =>
+            math.sqrt(a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum)
+          }.sum
+          converged = shift < tol * tol
+        }
+        model = Model(next, it)
       }
-      it += 1
-      // reference convergence: Σ‖new_c − old_c‖ < tol² (base.py:168-186);
-      // tol=0 (the gate default) always runs the full maxIter schedule
-      if (tol > 0) {
-        val shift = model.centers.zip(next).map { case (a, b) =>
-          math.sqrt(a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum)
-        }.sum
-        converged = shift < tol * tol
-      }
-      model = Model(next, it)
-    }
+    } finally if (vecsCached != null) vecsCached.unpersist(false)
     model
   }
 
