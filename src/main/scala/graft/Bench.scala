@@ -113,7 +113,8 @@ object Bench {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         rows.count()
         val t = timed("algo_gmm_2mx100_k50")(
-          graft.ml.GmmGraft.fit(rows, k = 50, graft.ml.GmmGraft.Diag, maxIter = 3, tol = 0))
+          graft.ml.GmmGraft.fit(rows, k = 50, graft.ml.GmmGraft.Diag, maxIter = 3,
+            tol = 0, blasDiag = true))
         rows.unpersist(); t
       }
       // BASELINE.md analog: ALS on MovieLens-shaped ratings (943×1682,

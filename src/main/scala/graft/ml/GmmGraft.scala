@@ -102,6 +102,98 @@ object GmmGraft {
 
   private def r6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** BLAS-batched diag E-step + moment accumulation (same shape as
+    * KMeansGraft.gemmStats): with aⱼ=1/vⱼ, bⱼ=mⱼ/vⱼ and
+    * cⱼ = log wⱼ − ½(p·log 2π + Σlog v + Σm²/v), the row log-density is
+    * lpⱼ(x) = cⱼ + x·bⱼ − ½·x²·aⱼ — two dgemms per 1024-row batch score
+    * every component, and the responsibility-weighted moments Rᵀ·X,
+    * Rᵀ·X² are two more. Expansion rounds differently from the fused
+    * per-row kernel the paramRounding oracle contract replays, so gate
+    * queries never take this path; it serves throughput fits
+    * (Diag/Spherical, bench scale). Returns (rs, rx, rxd, loglik). */
+  private def diagGemmStep(vecs: org.apache.spark.rdd.RDD[Array[Double]],
+      weights: Array[Double], means: Array[BDV[Double]], covs: Array[BDM[Double]],
+      k: Int, p: Int): (Array[Double], Array[BDV[Double]], Array[BDV[Double]], Double) = {
+    val aFlat = new Array[Double](k * p) // column j = 1/v_j  (p×k col-major)
+    val bFlat = new Array[Double](k * p) // column j = m_j/v_j
+    val cArr = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      var logDet = 0.0; var q = 0.0
+      var d = 0
+      while (d < p) {
+        val v = covs(j)(d, d); val m = means(j)(d)
+        aFlat(j * p + d) = 1.0 / v
+        bFlat(j * p + d) = m / v
+        logDet += math.log(v); q += m * m / v
+        d += 1
+      }
+      cArr(j) = math.log(weights(j)) - 0.5 * (p * math.log(2 * math.Pi) + logDet + q)
+      j += 1
+    }
+    val bc = vecs.sparkContext.broadcast((aFlat, bFlat, cArr))
+    val out = vecs.mapPartitions { it =>
+      val (af, bf, cc) = bc.value
+      val am = BDM.create(p, k, af)
+      val bm = BDM.create(p, k, bf)
+      val rs = new Array[Double](k)
+      val rx = new Array[Double](k * p) // p×k col-major
+      val rxd = new Array[Double](k * p)
+      var ll = 0.0
+      it.grouped(1024).foreach { batchSeq =>
+        val batch = batchSeq.toArray
+        val b = batch.length
+        val xFlat = Array.concat(batch: _*) // p×b col-major: column i = row i
+        val x2Flat = new Array[Double](xFlat.length)
+        var t = 0
+        while (t < xFlat.length) { val x = xFlat(t); x2Flat(t) = x * x; t += 1 }
+        val xm = BDM.create(p, b, xFlat)
+        val x2m = BDM.create(p, b, x2Flat)
+        val g1 = (bm.t * xm).data  // k×b col-major: lp cross term
+        val g2 = (am.t * x2m).data // k×b: quadratic term
+        // responsibilities overwrite g1 in place
+        var i = 0
+        while (i < b) {
+          val off = i * k
+          var mx = Double.NegativeInfinity
+          var jj = 0
+          while (jj < k) {
+            val lp = cc(jj) + g1(off + jj) - 0.5 * g2(off + jj)
+            g1(off + jj) = lp
+            if (lp > mx) mx = lp
+            jj += 1
+          }
+          var s = 0.0
+          jj = 0
+          while (jj < k) {
+            val e = math.exp(g1(off + jj) - mx); g1(off + jj) = e; s += e; jj += 1
+          }
+          ll += mx + math.log(s)
+          jj = 0
+          while (jj < k) { g1(off + jj) /= s; rs(jj) += g1(off + jj); jj += 1 }
+          i += 1
+        }
+        val rm = BDM.create(k, b, g1)
+        // weighted moments: (p×b)·(b×k) dgemms accumulate into p×k
+        val rxB = (xm * rm.t).data
+        val rxdB = (x2m * rm.t).data
+        t = 0
+        while (t < rx.length) { rx(t) += rxB(t); rxd(t) += rxdB(t); t += 1 }
+      }
+      Iterator.single((rs, rx, rxd, ll))
+    }.treeReduce({ case ((a1, b1, c1, l1), (a2, b2, c2, l2)) =>
+      var t = 0
+      while (t < a1.length) { a1(t) += a2(t); t += 1 }
+      t = 0
+      while (t < b1.length) { b1(t) += b2(t); c1(t) += c2(t); t += 1 }
+      (a1, b1, c1, l1 + l2)
+    }, depth = 2)
+    bc.destroy()
+    val rxV = Array.tabulate(k)(j2 => BDV(java.util.Arrays.copyOfRange(out._2, j2 * p, (j2 + 1) * p)))
+    val rxdV = Array.tabulate(k)(j2 => BDV(java.util.Arrays.copyOfRange(out._3, j2 * p, (j2 + 1) * p)))
+    (out._1, rxV, rxdV, out._4)
+  }
   private def r6v(v: BDV[Double]): BDV[Double] = v.map(r6)
   private def r6m(m: BDM[Double]): BDM[Double] = m.map(r6)
 
@@ -112,7 +204,8 @@ object GmmGraft {
     * drift; same discipline as KMeansGraft). */
   def fit(rows: RDD[(Long, Array[Double])], k: Int, covType: CovType,
       maxIter: Int = 20, tol: Double = 1e-4, reg: Double = 1e-6,
-      paramRounding: Boolean = false, init: GmmInit = GmmInit.FirstK): Model = {
+      paramRounding: Boolean = false, init: GmmInit = GmmInit.FirstK,
+      blasDiag: Boolean = false): Model = {
     val p = rows.first()._2.length
     val n = rows.count()
     val sc = rows.sparkContext
@@ -185,6 +278,16 @@ object GmmGraft {
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
+      if (blasDiag && diagCov) {
+        val (rs, rx, rxd, llSum) = diagGemmStep(rows.values, weights, means, covs, k, p)
+        val upd = paramsFromStats(rs, rx, Array.empty[BDM[Double]], rxd, n,
+          covType, reg, pr6, pr6v, pr6m)
+        weights = upd._1; means = upd._2; covs = upd._3
+        ll = llSum
+        converged = math.abs(ll - prevLL) < tol * math.abs(ll)
+        prevLL = ll
+        it += 1
+      } else {
       val dens = sc.broadcast(densities(weights, means, covs, diagCov))
       // sufficient stats: [k](rsum, rx(p), rxx(p,p) or its diag(p)), loglik
       val zero = (Array.fill(k)(0.0), Array.fill(k)(BDV.zeros[Double](p)),
@@ -250,6 +353,7 @@ object GmmGraft {
       converged = math.abs(ll - prevLL) < tol * math.abs(ll)
       prevLL = ll
       it += 1
+      }
     }
     Model(weights, means, covs, ll, it)
   }

@@ -248,6 +248,26 @@ object Relational {
         col("n_rows"), col("sum_qty"), col("revenue_m"))
       .orderBy("flag", "status")
 
+  /** Sketch accuracy gate: HyperLogLog++ distinct count and quantile-
+    * sketch median against their exact counterparts, emitted as
+    * within-tolerance flags (invariant-style oracle — DuckDB's HLL/
+    * quantile sketches are different implementations, so raw sketch
+    * outputs can't hash-match across engines; the exact values can).
+    * At 100 TB sketches are the difference between a count-distinct
+    * that shuffles every key and one that merges 2^14 registers. */
+  def sketches(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(countDistinct(col("l_partkey")).as("n_parts_exact"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("hll"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_exact"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50a"))
+      .select(col("n_parts_exact"),
+        (abs(col("hll") - col("n_parts_exact"))
+          <= col("n_parts_exact") * 0.05).as("hll_ok"),
+        col("p50_exact"),
+        (abs(col("p50a") - col("p50_exact"))
+          <= col("p50_exact") * 0.01).as("pa_ok"))
+
   val queries: Map[String, Q] = Map(
     "q_pricing_summary" -> (pricingSummary _),
     "q_filter_project" -> (filterProject _),
@@ -268,7 +288,8 @@ object Relational {
     "q_corr_cov" -> (corrCov _),
     "q_linreg_simple" -> (linregSimple _),
     "q_concat_rows" -> (concatRows _),
-    "q_rollup" -> (rollupAgg _)
+    "q_rollup" -> (rollupAgg _),
+    "q_sketches" -> (sketches _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -392,6 +413,11 @@ object Relational {
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(sum(l_extendedprice * (1 - l_discount)) / 1e6, 4) AS revenue_m
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        |ORDER BY flag, status""".stripMargin
+        |ORDER BY flag, status""".stripMargin,
+    "q_sketches" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts_exact, TRUE AS hll_ok,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+        |  TRUE AS pa_ok
+        |FROM lineitem""".stripMargin
   )
 }

@@ -79,6 +79,25 @@ class InitModesSpec extends SparkSpec {
     assert(blas.centers.map(_.toSeq).toSeq == exact.centers.map(_.toSeq).toSeq)
   }
 
+  test("GMM blasDiag E-step matches the fused kernel on separated blobs") {
+    val sc = spark.sparkContext
+    val rows = sc.parallelize(blobPts(17).toSeq, 4)
+      .map { case (id, v) => (id, v) }
+    val fused = GmmGraft.fit(rows, k = 2, GmmGraft.Diag, maxIter = 4, tol = 0)
+    val blas = GmmGraft.fit(rows, k = 2, GmmGraft.Diag, maxIter = 4, tol = 0,
+      blasDiag = true)
+    // identical EM trajectory up to the expansion's fp rounding
+    fused.weights.indices.foreach { j =>
+      assert(math.abs(fused.weights(j) - blas.weights(j)) < 1e-9)
+      (0 until 2).foreach { d =>
+        assert(math.abs(fused.means(j)(d) - blas.means(j)(d)) < 1e-8)
+        assert(math.abs(fused.covs(j)(d, d) - blas.covs(j)(d, d)) < 1e-8)
+      }
+    }
+    assert(math.abs(fused.logLikelihood - blas.logLikelihood)
+      < 1e-6 * math.abs(fused.logLikelihood))
+  }
+
   // ---- GMM: kmeans-responsibility init vs a local EM oracle ----
 
   /** Two well-separated 2-D blobs, deterministic. */
