@@ -74,10 +74,39 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Ordered conversion funnel: earliest view → first strictly-later
+    * click → first strictly-later purchase, per user, collapsed to stage
+    * counts and mean conversion time. Three same-partitioning window
+    * stages — Catalyst reuses ONE user_id exchange for all of them —
+    * then a per-user collapse and a constant-size global aggregate, so
+    * the 100 TB cost is a single shuffle of (user_id, type, ts)
+    * triples. Timestamps difference in exact integer microseconds. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val staged = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("tv",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("tc",
+        min(when(col("event_type") === "click" && col("ts") > col("tv"), col("ts"))).over(w))
+      .withColumn("tp",
+        min(when(col("event_type") === "purchase" && col("ts") > col("tc"), col("ts"))).over(w))
+    staged.groupBy("user_id")
+      .agg(min("tv").as("tv"), min("tc").as("tc"), min("tp").as("tp"))
+      .agg(count(lit(1)).as("n_users"),
+        count(col("tv")).as("n_view"),
+        count(col("tc")).as("n_view_click"),
+        count(col("tp")).as("n_full_funnel"),
+        round(avg(when(col("tp").isNotNull,
+          unix_micros(col("tp")) - unix_micros(col("tv")))) / 1e6, 2)
+          .as("avg_sec_convert"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_events_window" -> (tumblingWindow _),
     "q_events_session" -> (sessionize _),
     "q_events_json" -> (jsonProps _),
+    "q_events_funnel" -> (funnel _),
     "q_asof_join" -> (asofJoin _))
 
   val oracles: Map[String, String] = Map(
@@ -111,5 +140,21 @@ object Events {
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
         |  FROM events)
-        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q_events_funnel" ->
+      """WITH s AS (SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS tv
+        |  FROM events),
+        |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > tv THEN ts END)
+        |      OVER (PARTITION BY user_id) AS tc FROM s),
+        |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > tc THEN ts END)
+        |      OVER (PARTITION BY user_id) AS tp FROM s2),
+        |u AS (SELECT user_id, min(tv) AS tv, min(tc) AS tc, min(tp) AS tp
+        |  FROM s3 GROUP BY user_id)
+        |SELECT count(*) AS n_users, count(tv) AS n_view,
+        |  count(tc) AS n_view_click, count(tp) AS n_full_funnel,
+        |  round(avg(CASE WHEN tp IS NOT NULL
+        |    THEN epoch_us(tp) - epoch_us(tv) END) / 1e6, 2) AS avg_sec_convert
+        |FROM u""".stripMargin)
 }
