@@ -53,6 +53,24 @@ final class DsArray(val bm: BlockMatrix) {
   def **(e: Double): DsArray = mapBlocks(math.pow(_, e))
   def gammaln: DsArray =
     mapBlocks(org.apache.commons.math3.special.Gamma.logGamma)
+  /** Complex conjugate (reference array.py:1219-1227). Tiles are real
+    * float64 — as in numpy on a real dtype, conj is the identity; kept
+    * so ported call sites typecheck unchanged. */
+  def conj: DsArray = this
+
+  /** Swap one tile for a replacement of identical shape (reference
+    * replace_block, array.py:1302-1306) — a narrow map over the block
+    * RDD; every other tile passes through by reference. */
+  def replaceBlock(bi: Int, bj: Int, nb: BDM[Double]): DsArray = {
+    val swapped = bm.blocks.map { case ((i, j), m) =>
+      if (i == bi && j == bj) {
+        require(m.numRows == nb.rows && m.numCols == nb.cols,
+          s"replacement block must be ${m.numRows}x${m.numCols}")
+        ((i, j), Matrices.dense(nb.rows, nb.cols, nb.toArray): Matrix)
+      } else ((i, j), m)
+    }
+    new DsArray(new BlockMatrix(swapped, bm.rowsPerBlock, bm.colsPerBlock, rows, cols))
+  }
 
   /** Change the block grid (reference: array.py:1228-1246 rechunk). */
   def rechunk(rowsPerBlock: Int, colsPerBlock: Int): DsArray =
@@ -320,17 +338,23 @@ object DsArray {
     new DsArray(new BlockMatrix(blocks, rowsPerBlock, colsPerBlock, nRows, nCols))
   }
 
-  /** Identity (reference: array.py:1437-1511) — diagonal tiles only are
+  /** Identity (reference: array.py:1437-1461) — diagonal tiles only are
     * nonzero; generated per-block with no data movement. */
   def eye(sc: SparkContext, n: Int, blockSize: Int): DsArray =
-    full(sc, n, n, blockSize, blockSize, 0.0).mapBlocksIndexed { (bi, bj, m) =>
-      if (bi != bj) m
+    eye(sc, n, n, blockSize)
+
+  /** Rectangular eye(n, m) (reference: array.py:1462-1511): with square
+    * tiles the global diagonal (i,i) only touches bi==bj blocks, so the
+    * rectangular case is the same diagonal-tile fill over an n×m grid. */
+  def eye(sc: SparkContext, n: Int, m: Int, blockSize: Int): DsArray =
+    full(sc, n, m, blockSize, blockSize, 0.0).mapBlocksIndexed { (bi, bj, mat) =>
+      if (bi != bj) mat
       else {
-        val a = m.toArray.clone()
-        val rows = m.numRows
+        val a = mat.toArray.clone()
+        val rows = mat.numRows
         var i = 0
-        while (i < math.min(m.numRows, m.numCols)) { a(i * rows + i) = 1.0; i += 1 }
-        Matrices.dense(m.numRows, m.numCols, a)
+        while (i < math.min(mat.numRows, mat.numCols)) { a(i * rows + i) = 1.0; i += 1 }
+        Matrices.dense(mat.numRows, mat.numCols, a)
       }
     }
 

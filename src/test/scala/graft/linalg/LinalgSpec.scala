@@ -47,6 +47,27 @@ class LinalgSpec extends SparkSpec {
     val r1 = DsArray.random(sc, 10, 6, 3, 3, seed = 7).collect()
     val r2 = DsArray.random(sc, 10, 6, 3, 3, seed = 7).collect()
     assert(maxAbs(r1 - r2) == 0.0)
+    // rectangular eye (array.py:1462-1511): global diagonal, zero elsewhere
+    val e = DsArray.eye(sc, 5, 8, 3).collect()
+    val exp = BDM.tabulate[Double](5, 8)((i, j) => if (i == j) 1.0 else 0.0)
+    assert(maxAbs(e - exp) == 0.0)
+    assert(maxAbs(DsArray.eye(sc, 8, 5, 3).collect()
+      - BDM.tabulate[Double](8, 5)((i, j) => if (i == j) 1.0 else 0.0)) == 0.0)
+  }
+
+  test("conj is identity on real tiles; replaceBlock swaps one tile only") {
+    val m = BDM.tabulate[Double](5, 5)((i, j) => i * 5.0 + j)
+    val a = DsArray.fromBreeze(sc, m, 2, 2)
+    assert(maxAbs(a.conj.collect() - m) == 0.0)
+    val nb = BDM.fill(2, 2)(-1.0)
+    val swapped = a.replaceBlock(1, 1, nb).collect()
+    val exp = m.copy
+    exp(2 to 3, 2 to 3) := nb
+    assert(maxAbs(swapped - exp) == 0.0)
+    // shape-mismatched replacement is rejected
+    intercept[org.apache.spark.SparkException] {
+      a.replaceBlock(2, 2, nb).collect()
+    }
   }
 
   test("kron matches Breeze kron") {
