@@ -94,6 +94,37 @@ object Dedup {
         .orderBy("doc_a", "doc_b"))(sh.unpersist(false))
   }
 
+  /** Benchmark decontamination (GPT-3-style n-gram overlap): flag corpus
+    * documents sharing ANY word-3-gram with a held-out benchmark set,
+    * reported per source. Benchmark membership is a portable hash of
+    * doc_id (5%) — the same resumable-membership contract as
+    * corpusSample. Plan: the benchmark's distinct shingles form a small
+    * set (5% of docs) that the corpus-side explode semi-joins against —
+    * AQE broadcasts it at this scale, sort-merges beyond; contaminated
+    * ids collapse with distinct before the per-source rollup, so
+    * nothing is ever all-pairs and the corpus text shuffles zero times
+    * (only (doc_id, shingle) pairs move). */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        (pmod(hash56(col("doc_id").cast("string")), lit(20)) === 0).as("is_bench"))
+    val sh = shinglesDf(spark, dir).join(d, "doc_id")
+    val benchSh = sh.filter(col("is_bench"))
+      .select(explode(col("sh")).as("s")).distinct()
+    val corpus = sh.filter(!col("is_bench"))
+    val hits = corpus.select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(benchSh, "s")
+      .select("doc_id").distinct()
+      .withColumn("hit", lit(1))
+    corpus.join(hits, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_corpus_docs"),
+        coalesce(sum("hit"), lit(0)).cast("long").as("n_contaminated"),
+        round(avg(coalesce(col("hit"), lit(0)).cast("double")), 4)
+          .as("contamination_rate"))
+      .orderBy("source")
+  }
+
   /** MinHash signature matrix (16 perms) → LSH banding (4 bands × 4 rows)
     * → candidate pairs sharing a band → exact-Jaccard filter >= 0.5. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
@@ -172,7 +203,8 @@ object Dedup {
     "q_dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "q_dedup_minhash_lsh" -> (minhashLsh _),
     "q_dedup_simhash" -> (simhash _),
-    "q_dedup_embedding" -> (embeddingNearDup _))
+    "q_dedup_embedding" -> (embeddingNearDup _),
+    "q_decontaminate" -> (decontaminate _))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -180,6 +212,22 @@ object Dedup {
         |  count(DISTINCT md5(lower(trim(text)))) AS n_unique,
         |  count(*) - count(DISTINCT md5(lower(trim(text)))) AS n_dupes
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_decontaminate" ->
+      s"""WITH sh AS (SELECT doc_id, $shinglesSql AS s FROM $wordsSubquery),
+         |d AS (SELECT doc_id, source,
+         |    ${hash56Sql("doc_id::VARCHAR")} % 20 = 0 AS is_bench FROM documents),
+         |bs AS (SELECT DISTINCT g FROM (SELECT sh.doc_id, unnest(s) AS g FROM sh)
+         |  JOIN d USING (doc_id) WHERE is_bench),
+         |hits AS (SELECT DISTINCT e.doc_id FROM
+         |  (SELECT sh.doc_id, unnest(s) AS g FROM sh) e
+         |  JOIN d USING (doc_id) JOIN bs USING (g) WHERE NOT is_bench)
+         |SELECT d.source, count(*) AS n_corpus_docs,
+         |  count(hits.doc_id)::BIGINT AS n_contaminated,
+         |  round(avg(CASE WHEN hits.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 4)
+         |    AS contamination_rate
+         |FROM d LEFT JOIN hits ON d.doc_id = hits.doc_id
+         |WHERE NOT d.is_bench
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       s"""WITH sh AS (SELECT doc_id, $shinglesSql AS s FROM $wordsSubquery),
          |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
