@@ -128,13 +128,61 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  val PackBudget = 2048L
+
+  /** Sequence packing: chunk the doc_id-ordered concatenated token
+    * stream into fixed 2048-token training sequences — each document's
+    * pack is decided by its START offset in the stream (concatenated-
+    * corpus chunking, the standard pretraining packing step), with
+    * boundary-straddling docs counted.
+    *
+    * Scale: the global running offset is NOT a one-partition window —
+    * range-partition by doc_id, per-partition token sums (one tiny job),
+    * prefix offsets broadcast back, then a linear per-partition pass
+    * (the TeraSort two-pass offset pattern). At 100 TB both passes are
+    * narrow scans; only k partition sums ever reach the driver. */
+  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val sorted = Tables.documents(spark, dir)
+      .select(col("doc_id"), greatest(size(words), lit(1)).cast("long").as("nt"))
+      .repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
+      .as[(Long, Long)].rdd.cache()
+    val partSums = sorted
+      .mapPartitionsWithIndex((i, it) => Iterator.single((i, it.map(_._2).sum)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val b = PackBudget
+    val packed = sorted.mapPartitionsWithIndex { (i, it) =>
+      var cum = bc.value(i)
+      it.map { case (_, nt) =>
+        val start = cum; cum += nt
+        (nt, start / b, (start + nt - 1) / b)
+      }
+    }.toDF("nt", "pack_start", "pack_end")
+    val out = packed.agg(
+      count(lit(1)).as("n_docs"),
+      sum("nt").as("total_tokens"),
+      (max("pack_end") + 1).as("n_packs"),
+      sum(when(col("pack_start") =!= col("pack_end"), 1L).otherwise(0L))
+        .as("n_straddlers"),
+      round(count(lit(1)).cast("double") / (max("pack_end") + 1), 4)
+        .as("avg_docs_per_pack")).collect()
+    sorted.unpersist(false)
+    Seq((out(0).getLong(0), out(0).getLong(1), out(0).getLong(2),
+      out(0).getLong(3), out(0).getDouble(4)))
+      .toDF("n_docs", "total_tokens", "n_packs", "n_straddlers", "avg_docs_per_pack")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_token_count" -> (tokenCount _),
     "q_text_quality" -> (textQuality _),
     "q_lang_id" -> (langId _),
     "q_fingerprint" -> (fingerprint _),
     "q_corpus_curate" -> (corpusCurate _),
-    "q_corpus_sample" -> (corpusSample _))
+    "q_corpus_sample" -> (corpusSample _),
+    "q_seq_pack" -> (sequencePack _))
 
   private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -193,5 +241,19 @@ object TextAnalysis {
          |  count(*)::BIGINT AS n_docs,
          |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
          |  coalesce(sum(CASE WHEN keep THEN n_tokens END), 0)::BIGINT AS tok_sampled
-         |FROM d GROUP BY source ORDER BY source""".stripMargin)
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "q_seq_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    greatest(len($wordsSql), 1)::BIGINT AS nt FROM documents),
+         |c AS (SELECT doc_id, nt,
+         |    coalesce(sum(nt) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+         |  FROM t)
+         |SELECT count(*) AS n_docs, sum(nt)::BIGINT AS total_tokens,
+         |  (max((s + nt - 1) // 2048) + 1)::BIGINT AS n_packs,
+         |  sum(CASE WHEN s // 2048 <> (s + nt - 1) // 2048 THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_straddlers,
+         |  round(count(*)::DOUBLE / (max((s + nt - 1) // 2048) + 1), 4)
+         |    AS avg_docs_per_pack
+         |FROM c""".stripMargin)
 }
