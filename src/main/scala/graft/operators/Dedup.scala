@@ -104,11 +104,19 @@ object Dedup {
     * ids collapse with distinct before the per-source rollup, so
     * nothing is ever all-pairs and the corpus text shuffles zero times
     * (only (doc_id, shingle) pairs move). */
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        (pmod(hash56(col("doc_id").cast("string")), lit(20)) === 0).as("is_bench"))
-    val sh = shinglesDf(spark, dir).join(d, "doc_id")
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminateDf(Tables.documents(spark, dir)
+      .withColumn("is_bench",
+        pmod(hash56(col("doc_id").cast("string")), lit(20)) === 0))
+
+  /** Core over any (doc_id, source, text, is_bench) frame — the gate
+    * derives membership from the portable doc_id hash; tests set it
+    * explicitly. */
+  def decontaminateDf(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("source"), col("is_bench"))
+    val sh = docs
+      .select(col("doc_id"), wordShingles(tokens(col("text")), 3).as("sh"))
+      .join(d, "doc_id")
     val benchSh = sh.filter(col("is_bench"))
       .select(explode(col("sh")).as("s")).distinct()
     val corpus = sh.filter(!col("is_bench"))

@@ -141,10 +141,16 @@ object TextAnalysis {
     * prefix offsets broadcast back, then a linear per-partition pass
     * (the TeraSort two-pass offset pattern). At 100 TB both passes are
     * narrow scans; only k partition sums ever reach the driver. */
-  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
+  def sequencePack(spark: SparkSession, dir: String): DataFrame =
+    sequencePackDf(Tables.documents(spark, dir), PackBudget)
+
+  /** Core over any (doc_id, text) frame with a parametric budget (the
+    * gate fixes 2048; tests use tiny budgets to exercise straddling). */
+  def sequencePackDf(docs: DataFrame, budget: Long): DataFrame = {
+    val spark = docs.sparkSession
     val spark2 = spark
     import spark2.implicits._
-    val sorted = Tables.documents(spark, dir)
+    val sorted = docs
       .select(col("doc_id"), greatest(size(words), lit(1)).cast("long").as("nt"))
       .repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
       .as[(Long, Long)].rdd.cache()
@@ -153,7 +159,7 @@ object TextAnalysis {
       .collect().sortBy(_._1).map(_._2)
     val offsets = partSums.scanLeft(0L)(_ + _)
     val bc = spark.sparkContext.broadcast(offsets)
-    val b = PackBudget
+    val b = budget
     val packed = sorted.mapPartitionsWithIndex { (i, it) =>
       var cum = bc.value(i)
       it.map { case (_, nt) =>
