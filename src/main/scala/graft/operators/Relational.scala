@@ -124,6 +124,19 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Full-outer join with per-side presence accounting (completes the
+    * join matrix next to equi/semi/anti/as-of/bucketed). */
+  def fullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"))
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(when(col("c_custkey").isNull, lit("order_only"))
+        .when(col("o_custkey").isNull, lit("customer_only"))
+        .otherwise(lit("both")).as("side"))
+      .groupBy("side").agg(count(lit(1)).as("n"))
+      .orderBy("side")
+  }
+
   def groupByHaving(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_partkey")
@@ -289,7 +302,8 @@ object Relational {
     "q_linreg_simple" -> (linregSimple _),
     "q_concat_rows" -> (concatRows _),
     "q_rollup" -> (rollupAgg _),
-    "q_sketches" -> (sketches _)
+    "q_sketches" -> (sketches _),
+    "q_full_outer" -> (fullOuter _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -418,6 +432,12 @@ object Relational {
       """SELECT count(DISTINCT l_partkey) AS n_parts_exact, TRUE AS hll_ok,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
         |  TRUE AS pa_ok
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+    "q_full_outer" ->
+      """SELECT CASE WHEN c_custkey IS NULL THEN 'order_only'
+        |    WHEN o_custkey IS NULL THEN 'customer_only'
+        |    ELSE 'both' END AS side, count(*) AS n
+        |FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+        |GROUP BY side ORDER BY side""".stripMargin
   )
 }
