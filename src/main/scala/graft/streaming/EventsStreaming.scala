@@ -87,6 +87,41 @@ object EventsStreaming {
       }
   }
 
+  final case class FunnelUpdate(user_id: Long, stage: Int, ts: java.sql.Timestamp)
+
+  /** Streaming conversion funnel (twin of operators.Events.funnel):
+    * per-user state is three epoch-millis slots (view, click, purchase;
+    * -1 = unfilled); each stage completion emits an append row. Greedy
+    * in-order transitions reproduce the batch semantics exactly —
+    * earliest view, first strictly-later click, first strictly-later
+    * purchase — under the same per-user time-ordered arrival contract
+    * as [[clickAttribution]]. State is 24 bytes per user, sharded by
+    * key hash. */
+  def funnelStages(events: Dataset[RawEvent]): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), FunnelUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, it, state: GroupState[(Long, Long, Long)]) =>
+          var (tv, tc, tp) = state.getOption.getOrElse((-1L, -1L, -1L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelUpdate]
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            e.event_type match {
+              case "view" if tv < 0 =>
+                tv = t; out += FunnelUpdate(user, 1, e.ts)
+              case "click" if tv >= 0 && tc < 0 && t > tv =>
+                tc = t; out += FunnelUpdate(user, 2, e.ts)
+              case "purchase" if tc >= 0 && tp < 0 && t > tc =>
+                tp = t; out += FunnelUpdate(user, 3, e.ts)
+              case _ =>
+            }
+          }
+          state.update((tv, tc, tp))
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup on event_id with a watermark bounding the
     * dedup state (the streaming face of operators.Dedup's exact path). */
   def dedupEvents(events: DataFrame): DataFrame =

@@ -107,6 +107,45 @@ class StreamingSpec extends SparkSpec {
     assert(b == got)
   }
 
+  test("funnelStages walks view→click→purchase and ignores out-of-order stages") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark2.sqlContext
+    val rows = Seq(
+      EventsStreaming.RawEvent(1L, 1L, "click", ts(0)),    // before any view: ignored
+      EventsStreaming.RawEvent(2L, 1L, "view", ts(2)),     // stage 1
+      EventsStreaming.RawEvent(3L, 1L, "purchase", ts(4)), // before click: ignored
+      EventsStreaming.RawEvent(4L, 1L, "click", ts(6)),    // stage 2
+      EventsStreaming.RawEvent(5L, 1L, "click", ts(8)),    // already staged: ignored
+      EventsStreaming.RawEvent(6L, 1L, "purchase", ts(9)), // stage 3
+      EventsStreaming.RawEvent(7L, 2L, "view", ts(1)),     // stage 1, funnel never completes
+      EventsStreaming.RawEvent(8L, 2L, "purchase", ts(3)))
+    val mem = MemoryStream[EventsStreaming.RawEvent]
+    mem.addData(rows: _*)
+    val q = EventsStreaming.funnelStages(mem.toDS())
+      .writeStream.format("memory").queryName("funnel").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("funnel").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2))).toSet
+    assert(got == Set(
+      (1L, 1, ts(2)), (1L, 2, ts(6)), (1L, 3, ts(9)),
+      (2L, 1, ts(1))), s"got $got")
+    // state carries across batches: a later purchase for user 2 needs a click first
+    val mem2 = MemoryStream[EventsStreaming.RawEvent]
+    mem2.addData(rows: _*)
+    val q2src = EventsStreaming.funnelStages(mem2.toDS())
+    val q2 = q2src.writeStream.format("memory").queryName("funnel2")
+      .outputMode("append").start()
+    q2.processAllAvailable()
+    mem2.addData(
+      EventsStreaming.RawEvent(9L, 2L, "click", ts(10)),
+      EventsStreaming.RawEvent(10L, 2L, "purchase", ts(12)))
+    q2.processAllAvailable(); q2.stop()
+    val got2 = spark.table("funnel2").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got2.contains((2L, 2)) && got2.contains((2L, 3)), s"got2 $got2")
+  }
+
   test("streaming dedup drops duplicate event ids") {
     val spark2 = spark
     import spark2.implicits._
