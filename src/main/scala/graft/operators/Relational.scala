@@ -137,6 +137,20 @@ object Relational {
       .orderBy("side")
   }
 
+  /** Pivot (long→wide reshape): per return-flag row, one quantity-sum
+    * column per line status. The explicit value list keeps the plan a
+    * single partial+final aggregate (no distinct-values pre-pass) —
+    * the form that scales. */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum("l_quantity"), 2))
+      .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+      .select(col("l_returnflag"), coalesce(col("qty_f"), lit(0.0)).as("qty_f"),
+        coalesce(col("qty_o"), lit(0.0)).as("qty_o"))
+      .orderBy("l_returnflag")
+
   def groupByHaving(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_partkey")
@@ -303,7 +317,8 @@ object Relational {
     "q_concat_rows" -> (concatRows _),
     "q_rollup" -> (rollupAgg _),
     "q_sketches" -> (sketches _),
-    "q_full_outer" -> (fullOuter _)
+    "q_full_outer" -> (fullOuter _),
+    "q_pivot" -> (pivotAgg _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -438,6 +453,11 @@ object Relational {
         |    WHEN o_custkey IS NULL THEN 'customer_only'
         |    ELSE 'both' END AS side, count(*) AS n
         |FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
-        |GROUP BY side ORDER BY side""".stripMargin
+        |GROUP BY side ORDER BY side""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  coalesce(round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2), 0) AS qty_f,
+        |  coalesce(round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2), 0) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }
