@@ -62,6 +62,12 @@ final class DsArray(val bm: BlockMatrix) {
     * replace_block, array.py:1302-1306) — a narrow map over the block
     * RDD; every other tile passes through by reference. */
   def replaceBlock(bi: Int, bj: Int, nb: BDM[Double]): DsArray = {
+    // fail fast on out-of-grid coordinates — the per-block require below
+    // only fires when a matching block exists
+    val (nrb, ncb) = ((rows + bm.rowsPerBlock - 1) / bm.rowsPerBlock,
+      (cols + bm.colsPerBlock - 1) / bm.colsPerBlock)
+    require(bi >= 0 && bi < nrb && bj >= 0 && bj < ncb,
+      s"block ($bi,$bj) outside ${nrb}x$ncb grid")
     val swapped = bm.blocks.map { case ((i, j), m) =>
       if (i == bi && j == bj) {
         require(m.numRows == nb.rows && m.numCols == nb.cols,

@@ -363,8 +363,22 @@ object GmmGraft {
     * gm/base.py:226-280). One broadcast of the k densities, one map —
     * no shuffle at any scale. */
   def predict(model: Model, rows: RDD[(Long, Array[Double])]): RDD[(Long, Int)] = {
+    // Diag/Spherical models have all-zero off-diagonals → use the O(p)
+    // diagonal quadratic form instead of the O(p²) dense root solve (the
+    // detection is one k·p² driver-side scan; a Full model that happens
+    // to be exactly diagonal computes identically either way)
+    val diag = model.covs.forall { c =>
+      var ok = true
+      var i = 0
+      while (ok && i < c.rows) {
+        var j = 0
+        while (ok && j < c.cols) { if (i != j && c(i, j) != 0.0) ok = false; j += 1 }
+        i += 1
+      }
+      ok
+    }
     val bc = rows.sparkContext.broadcast(
-      densities(model.weights, model.means, model.covs, diagCov = false))
+      densities(model.weights, model.means, model.covs, diagCov = diag))
     rows.mapValues { x =>
       val ds = bc.value
       var best = 0; var bl = Double.NegativeInfinity

@@ -105,17 +105,22 @@ object KMeansGraft {
         var i = 0
         while (i < b) {
           val off = i * k
-          var best = 0; var bs = half(0) - g(off)
-          var j = 1
+          // best = -1 + strict < : a NaN row scores NaN against every
+          // center and is SKIPPED, mirroring the exact path's c == -1
+          // guard (NaN never beats the +Inf sentinel there either)
+          var best = -1; var bs = Double.PositiveInfinity
+          var j = 0
           while (j < k) {
             val s = half(j) - g(off + j)
             if (s < bs) { bs = s; best = j }
             j += 1
           }
-          val a = acc(best); val v = batch(i)
-          var d = 0
-          while (d < dim) { a(d) += v(d); d += 1 }
-          a(dim) += 1.0
+          if (best >= 0) {
+            val a = acc(best); val v = batch(i)
+            var d = 0
+            while (d < dim) { a(d) += v(d); d += 1 }
+            a(dim) += 1.0
+          }
           i += 1
         }
       }

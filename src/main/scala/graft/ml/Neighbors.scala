@@ -61,11 +61,17 @@ object Neighbors {
         element_at(col("cell_arr"), i + 1) + element_at(col("off"), i + 1)): _*))
       .select("id", "v", "cell")
     // dense-cell salting, same policy as DbscanGraft: if any cell's
-    // pair count exceeds the per-task budget, split its fan-out
+    // pair count exceeds the per-task budget, split its fan-out.
+    // Cache the salts frame — it is referenced on BOTH sides of the
+    // salted join, which would otherwise recompute the halo-wide
+    // per-cell count aggregation twice at join execution.
     val salts = DbscanGraft.cellSalts(halo, DbscanGraft.PairBudgetPerTask)
-    DbscanGraft.epsPairJoin(own, halo, salts,
+      .map(_.cache())
+    val edges = DbscanGraft.epsPairJoin(own, halo, salts,
         sqDist(col("a.v"), col("b.v")) <= lit(cutoff * cutoff))
       .select(col("a.id").as("src"), col("b.id").as("dst"))
+    salts.foreach(_.count()) // materialize before callers iterate edges
+    edges
   }
 
   /** Daura clustering (greedy max-degree removal over a distance graph):

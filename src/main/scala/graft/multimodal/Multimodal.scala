@@ -79,7 +79,8 @@ object Multimodal {
         else decodeStub(kind, bytes)
       case "audio" =>
         val frames = decodeAudioFrames(bytes)
-        if (frames >= 0) (0, 0, frames.toInt)
+        // clamp: a >2^31-frame stream must not wrap negative
+        if (frames >= 0) (0, 0, math.min(frames, Int.MaxValue.toLong).toInt)
         else decodeStub(kind, bytes)
       case _ => decodeStub(kind, bytes) // video: no pure-JDK codec, stub only
     }
@@ -197,9 +198,12 @@ object Multimodal {
     import spark.implicits._
     mediaFromDocuments(spark, dir)
       .map { m =>
-        // text payloads are rejected by the JDK codecs → deterministic
-        // fake, which is what the DuckDB oracle replays
-        val (w, h, f) = decode(m.kind, m.bytes)
+        // the gate pins the STUB decoder explicitly — the DuckDB oracle
+        // folds the stub chain unconditionally, and "JDK codecs reject
+        // all text payloads" is a data-dependent invariant (AU/RIFF
+        // magics are printable ASCII), not a structural one. Real-codec
+        // decode() is exercised by MultimodalSpec on binary fixtures.
+        val (w, h, f) = decodeStub(m.kind, m.bytes)
         (m.media_id, m.kind, m.bytes.length, w, h, f,
           BigDecimal(featNormExact(m.bytes))
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
