@@ -204,8 +204,16 @@ case class VecNearestCenters(child: Expression, centers: Array[Array[Double]], n
 
   override def nullSafeEval(a: Any): Any = {
     val ds = distsOf(a.asInstanceOf[ArrayData])
-    val idx = ds.indices.sortBy(i => (ds(i), i)).take(n).toArray
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(idx)
+    // mirror codegen's strict-< insertion exactly: a NaN or +Inf
+    // distance never displaces the +Inf sentinel, so such centers are
+    // unrankable and missing slots stay -1 (an all-NaN row → all -1)
+    val nn = math.min(n, centers.length)
+    val valid = ds.indices.filter(i => ds(i) < Double.PositiveInfinity)
+      .sortBy(i => (ds(i), i))
+    val out = Array.fill(nn)(-1)
+    var t = 0
+    while (t < nn && t < valid.length) { out(t) = valid(t); t += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

@@ -79,6 +79,21 @@ class InitModesSpec extends SparkSpec {
     assert(blas.centers.map(_.toSeq).toSeq == exact.centers.map(_.toSeq).toSeq)
   }
 
+  test("KMeans blasAssign skips NaN rows exactly like the exact path") {
+    val spark2 = spark
+    import spark2.implicits._
+    val pts = Seq((0L, Array(0.0, 0.0)), (1L, Array(0.2, 0.0)),
+      (2L, Array(5.0, 5.0)), (3L, Array(5.2, 5.0)),
+      (4L, Array(Double.NaN, 1.0))) // must not poison any center
+    val df = pts.toDF("id", "v")
+    val given = KMeansGraft.Init.Given(Array(Array(0.0, 0.0), Array(5.0, 5.0)))
+    val exact = KMeansGraft.fit(df, "v", "id", k = 2, maxIter = 2, init = given)
+    val blas = KMeansGraft.fit(df, "v", "id", k = 2, maxIter = 2, init = given,
+      blasAssign = true)
+    assert(exact.centers.forall(_.forall(x => !x.isNaN)))
+    assert(blas.centers.map(_.toSeq).toSeq == exact.centers.map(_.toSeq).toSeq)
+  }
+
   test("GMM blasDiag E-step matches the fused kernel on separated blobs") {
     val sc = spark.sparkContext
     val rows = sc.parallelize(blobPts(17).toSeq, 4)
