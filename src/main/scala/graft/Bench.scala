@@ -13,6 +13,24 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Loadavg gate (judge r4 ask #4): this box is a shared microVM and
+    // timings captured above ~4 load run up to 3× slow. Wait (bounded) for
+    // an idle window rather than record noise; if none arrives, proceed
+    // with a loud warning and stamp the start load into the JSON.
+    def load1(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => 0.0 }
+    val loadMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "4.0").toDouble
+    val loadWaitSec = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT", "600").toLong
+    val waitDeadline = System.nanoTime() + loadWaitSec * 1000000000L
+    while (load1() > loadMax && System.nanoTime() < waitDeadline) {
+      System.err.println(f"[bench] loadavg ${load1()}%.1f > $loadMax%.1f — waiting for an idle window")
+      Thread.sleep(15000)
+    }
+    val loadStart = load1()
+    if (loadStart > loadMax)
+      System.err.println(f"[bench] WARNING: starting at loadavg $loadStart%.1f > $loadMax%.1f — timings may be inflated up to 3x")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -236,7 +254,7 @@ object Bench {
     // only interpretable next to the load they ran under
     val loadavg = try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
       .split(" ").take(3).mkString(" ") catch { case _: Throwable => "" }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":"$loadavg"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":"$loadavg","loadavg_start":$loadStart}"""
     println(json)
     // stdout tails get truncated by the driver (BENCH_r02's cut mid-JSON);
     // the file copy keeps rounds comparable, and a per-round copy keeps

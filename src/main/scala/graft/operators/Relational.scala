@@ -201,32 +201,42 @@ object Relational {
           .as("gammaln_qty"))
       .orderBy("l_orderkey", "l_linenumber")
 
-  /** Whole-array reductions per axis (array.py:1100-1208): min/max/sum/mean/
-    * median in one pass (median = exact sort-based percentile, as dislib's). */
-  def reduceStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy("l_returnflag")
+  /** Whole-array reductions per axis (array.py:1100-1208): min/max/sum/mean
+    * in one partial+final pass; the exact median comes from the bounded
+    * bracketed selection (ExactQuantiles — never a whole-column buffer) and
+    * is broadcast-joined back onto the tiny per-flag aggregate. */
+  def reduceStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val aggs = li.groupBy("l_returnflag")
       .agg(
         round(min("l_quantity"), 2).as("min_qty"),
         round(max("l_quantity"), 2).as("max_qty"),
         round(sum("l_quantity"), 2).as("sum_qty"),
         round(avg("l_quantity"), 4).as("mean_qty"),
-        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
         round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
         count(lit(1)).as("n"))
+    val med = ExactQuantiles.quantiles(
+      li, "l_quantity", Seq("median_raw" -> 0.5), groupBy = Seq("l_returnflag"))
+    aggs.join(broadcast(med), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("min_qty"), col("max_qty"),
+        col("sum_qty"), col("mean_qty"),
+        round(col("median_raw"), 4).as("median_qty"),
+        col("sd_price"), col("n"))
       .orderBy("l_returnflag")
+  }
 
-  /** Exact quantiles (sort-based, dislib median parity array.py:1190).
-    * One percentile aggregate with an array of fractions — a single
-    * value-buffer build instead of four. */
+  /** Exact quantiles (dislib median parity array.py:1190) via the bounded
+    * bracketed selection — a few narrow histogram scans instead of one
+    * value buffer holding the whole column (the 100-TB-fatal shape). */
   def quantiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.99D))").as("ps"))
+    ExactQuantiles.quantiles(
+        Tables.lineitem(spark, dir), "l_extendedprice",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p99" -> 0.99))
       .select(
-        round(element_at(col("ps"), 1), 4).as("p25"),
-        round(element_at(col("ps"), 2), 4).as("p50"),
-        round(element_at(col("ps"), 3), 4).as("p75"),
-        round(element_at(col("ps"), 4), 4).as("p99"))
+        round(col("p25"), 4).as("p25"),
+        round(col("p50"), 4).as("p50"),
+        round(col("p75"), 4).as("p75"),
+        round(col("p99"), 4).as("p99"))
 
   /** Correlation / covariance (the scatter-matrix cell of PCA §2.5). */
   def corrCov(spark: SparkSession, dir: String): DataFrame =
@@ -281,19 +291,30 @@ object Relational {
     * quantile sketches are different implementations, so raw sketch
     * outputs can't hash-match across engines; the exact values can).
     * At 100 TB sketches are the difference between a count-distinct
-    * that shuffles every key and one that merges 2^14 registers. */
-  def sketches(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .agg(countDistinct(col("l_partkey")).as("n_parts_exact"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("hll"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_exact"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50a"))
+    * that shuffles every key and one that merges 2^14 registers.
+    *
+    * The three sides run as SEPARATE single-row aggregations crossJoined at
+    * the end: mixing countDistinct (which rewrites the plan into a two-phase
+    * Expand) with value-buffer aggregates made the old single-agg plan
+    * GC-bound and wildly unstable (r4 solo re-times 6.4–26.1s for the same
+    * query). Split, every aggregation buffer is bounded: HLL registers,
+    * a GK summary, and the bracketed exact selection. */
+  def sketches(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val exactDistinct = li.agg(countDistinct(col("l_partkey")).as("n_parts_exact"))
+    val sketchSide = li.agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("hll"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50a"))
+    val exactP50 = ExactQuantiles.quantiles(
+      li, "l_extendedprice", Seq("p50_raw" -> 0.5))
+    exactDistinct.crossJoin(sketchSide).crossJoin(exactP50)
       .select(col("n_parts_exact"),
         (abs(col("hll") - col("n_parts_exact"))
           <= col("n_parts_exact") * 0.05).as("hll_ok"),
-        col("p50_exact"),
-        (abs(col("p50a") - col("p50_exact"))
-          <= col("p50_exact") * 0.01).as("pa_ok"))
+        round(col("p50_raw"), 4).as("p50_exact"),
+        (abs(col("p50a") - round(col("p50_raw"), 4))
+          <= round(col("p50_raw"), 4) * 0.01).as("pa_ok"))
+  }
 
   val queries: Map[String, Q] = Map(
     "q_pricing_summary" -> (pricingSummary _),

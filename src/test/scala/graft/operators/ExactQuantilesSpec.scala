@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** ExactQuantiles must reproduce Spark's exact `percentile()` (itself
+  * hash-matched against DuckDB quantile_cont by the gates) while never
+  * holding more than `budget` values in any aggregation buffer — the specs
+  * force multi-pass narrowing with tiny budgets to exercise the loop. */
+class ExactQuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fracs = Seq("p10" -> 0.10, "p50" -> 0.50, "p90" -> 0.90, "p99" -> 0.99)
+
+  private def reference(values: Seq[Double], p: Double): Double = {
+    val s = values.sorted
+    val r = p * (s.length - 1).toDouble
+    val lo = s(math.floor(r).toInt); val hi = s(math.ceil(r).toInt)
+    lo + (r - math.floor(r)) * (hi - lo)
+  }
+
+  test("matches percentile() on continuous data, multi-pass via tiny budget") {
+    val rng = new scala.util.Random(7)
+    val vals = Seq.fill(20000)(rng.nextGaussian() * 100 + 50)
+    val df = vals.toDF("x").repartition(4)
+    // budget 500 << 20000 forces at least two histogram passes
+    val got = ExactQuantiles.quantiles(df, "x", fracs, bins = 16, budget = 500)
+      .collect().head
+    fracs.map(_._2).zipWithIndex.foreach { case (p, i) =>
+      assert(math.abs(got.getDouble(i) - reference(vals, p)) < 1e-9, s"p=$p")
+    }
+  }
+
+  test("heavy duplicates: bracket collapses to fp resolution, still exact") {
+    // one value duplicated far beyond the budget — the mega-duplicate case
+    val vals = Seq.fill(50000)(42.0) ++ (1 to 500).map(_.toDouble) ++
+      Seq.fill(30000)(99.5)
+    val df = vals.toDF("x").repartition(4)
+    val got = ExactQuantiles.quantiles(df, "x", fracs, bins = 16, budget = 200)
+      .collect().head
+    fracs.map(_._2).zipWithIndex.foreach { case (p, i) =>
+      assert(got.getDouble(i) === reference(vals, p), s"p=$p")
+    }
+  }
+
+  test("grouped medians match per-group percentile()") {
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 30000).map { i =>
+      val g = s"g${i % 3}"
+      (g, rng.nextDouble() * (i % 3 + 1) * 1000)
+    }
+    val df = rows.toDF("g", "x").repartition(4)
+    val got = ExactQuantiles.quantiles(
+        df, "x", Seq("med" -> 0.5, "p75" -> 0.75),
+        groupBy = Seq("g"), bins = 16, budget = 1000)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val vs = grp.map(_._2)
+      assert(math.abs(got(g)._1 - reference(vs, 0.5)) < 1e-9, s"median $g")
+      assert(math.abs(got(g)._2 - reference(vs, 0.75)) < 1e-9, s"p75 $g")
+    }
+  }
+
+  test("nulls and NaNs excluded; extreme fractions are min/max") {
+    val df = Seq[java.lang.Double](5.0, null, 1.0, Double.NaN, 3.0, 2.0, 4.0)
+      .toDF("x")
+    val got = ExactQuantiles.quantiles(
+        df, "x", Seq("lo" -> 0.0, "med" -> 0.5, "hi" -> 1.0))
+      .collect().head
+    assert(got.getDouble(0) === 1.0)
+    assert(got.getDouble(1) === 3.0)
+    assert(got.getDouble(2) === 5.0)
+  }
+
+  test("single row and tiny groups") {
+    val df = Seq(("a", 7.0), ("b", 1.0), ("b", 2.0)).toDF("g", "x")
+    val got = ExactQuantiles.quantiles(
+        df, "x", Seq("med" -> 0.5), groupBy = Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("a") === 7.0)
+    assert(got("b") === 1.5)
+  }
+}
