@@ -222,8 +222,9 @@ case class VecNearestCenters(child: Expression, centers: Array[Array[Double]], n
     val flat = Array.concat(centers: _*)
     val cols = if (centers.isEmpty) 0 else centers(0).length
     val cRef = ctx.addReferenceObj("cflat", flat, "double[]")
-    // clamp to the center count so codegen emits exactly the same
-    // min(n, k) entries as the interpreted take(n) path (no -1 padding)
+    // clamp to the center count so codegen emits exactly min(n, k)
+    // slots, like the interpreted path; BOTH paths pad any slot with no
+    // rankable center (non-finite distances) with -1
     val nn = math.min(n, centers.length)
     nullSafeCodeGen(ctx, ev, a => {
       val bi = ctx.freshName("bi"); val bd = ctx.freshName("bd")

@@ -365,8 +365,11 @@ object GmmGraft {
   def predict(model: Model, rows: RDD[(Long, Array[Double])]): RDD[(Long, Int)] = {
     // Diag/Spherical models have all-zero off-diagonals → use the O(p)
     // diagonal quadratic form instead of the O(p²) dense root solve (the
-    // detection is one k·p² driver-side scan; a Full model that happens
-    // to be exactly diagonal computes identically either way)
+    // detection is one k·p² driver-side scan). For a Full model that
+    // happens to be exactly diagonal the two forms agree mathematically
+    // but round differently in floating point ((x-m)²/v vs the squared
+    // Cholesky-solve term), so near-tie argmax predictions can differ at
+    // ulp scale from the dense path for such models.
     val diag = model.covs.forall { c =>
       var ok = true
       var i = 0

@@ -107,12 +107,16 @@ object KMeansGraft {
           val off = i * k
           // best = -1 + strict < : a NaN row scores NaN against every
           // center and is SKIPPED, mirroring the exact path's c == -1
-          // guard (NaN never beats the +Inf sentinel there either)
+          // guard (NaN never beats the +Inf sentinel there either).
+          // A -Inf score (row with a ±Inf feature) is likewise skipped:
+          // the exact path's (x-c)² chain turns such rows into +Inf
+          // distances that lose to the sentinel, so letting -Inf win
+          // here would poison the center sums with non-finite values.
           var best = -1; var bs = Double.PositiveInfinity
           var j = 0
           while (j < k) {
             val s = half(j) - g(off + j)
-            if (s < bs) { bs = s; best = j }
+            if (s > Double.NegativeInfinity && s < bs) { bs = s; best = j }
             j += 1
           }
           if (best >= 0) {

@@ -41,7 +41,16 @@ object Neighbors {
     * does; at 100× rows this stays near-linear where the projection
     * spreads, vs the quadratic broadcast-nested-loop it replaces. */
   def epsEdges(points: DataFrame, idCol: String, vCol: String,
-      cutoff: Double): DataFrame = {
+      cutoff: Double): DataFrame =
+    epsEdgesWithSalts(points, idCol, vCol, cutoff)._1
+
+  /** [[epsEdges]] plus the cached dense-cell salts handle (None when no
+    * cell exceeded the pair budget). Callers that consume the edges and
+    * unpersist them (daura, DBSCAN-style loops) should unpersist the
+    * salts too — the plain epsEdges signature has no way to hand the
+    * cache back, which leaked it for the application lifetime. */
+  def epsEdgesWithSalts(points: DataFrame, idCol: String, vCol: String,
+      cutoff: Double): (DataFrame, Option[DataFrame]) = {
     val pts = points.select(col(idCol).cast("long").as("id"), col(vCol).as("v"))
     val d = pts.select(size(col("v"))).head().getInt(0)
     val g = math.min(d, 3) // 3^g halo copies; higher dims filter exactly
@@ -71,7 +80,7 @@ object Neighbors {
         sqDist(col("a.v"), col("b.v")) <= lit(cutoff * cutoff))
       .select(col("a.id").as("src"), col("b.id").as("dst"))
     salts.foreach(_.count()) // materialize before callers iterate edges
-    edges
+    (edges, salts)
   }
 
   /** Daura clustering (greedy max-degree removal over a distance graph):
@@ -87,7 +96,8 @@ object Neighbors {
     val spark = points.sparkSession
     import spark.implicits._
     // edge list once (self-loops included → degree counts the point itself)
-    var edges = epsEdges(points, idCol, vCol, cutoff).cache()
+    val (edges0, salts) = epsEdgesWithSalts(points, idCol, vCol, cutoff)
+    var edges = edges0.cache()
     val clusters = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
     var remaining = edges.select(countDistinct("src")).head().getLong(0)
     while (remaining > 0) {
@@ -106,6 +116,7 @@ object Neighbors {
       remaining = edges.select(coalesce(countDistinct("src"), lit(0L))).head().getLong(0)
     }
     edges.unpersist(false)
+    salts.foreach(_.unpersist(false))
     clusters.toSeq
   }
 }

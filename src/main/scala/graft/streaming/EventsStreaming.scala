@@ -60,6 +60,19 @@ object EventsStreaming {
   final case class Attribution(event_id: Long, user_id: Long,
       purchase_ts: java.sql.Timestamp, last_click_ts: Option[java.sql.Timestamp])
 
+  /** Epoch MICROSECONDS of a Timestamp. The batch twins compare full
+    * timestamps; `ts.getTime` alone truncates to milliseconds, so two
+    * events less than 1 ms apart would tie in streaming but order in
+    * batch — state math below always carries micros. */
+  private[streaming] def tsMicros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private[streaming] def microsTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Streaming as-of join (click→purchase attribution) via
     * flatMapGroupsWithState: per-user state holds the latest click
     * timestamp; each purchase emits its most recent strictly-prior
@@ -76,12 +89,12 @@ object EventsStreaming {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (_, it, state: GroupState[Long]) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[Attribution]
-          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
             if (e.event_type == "purchase")
               out += Attribution(e.event_id, e.user_id, e.ts,
-                state.getOption.map(new java.sql.Timestamp(_)))
+                state.getOption.map(microsTs)) // state holds epoch micros
             if (e.event_type == "click")
-              state.update(e.ts.getTime)
+              state.update(tsMicros(e.ts))
           }
           out.iterator
       }
@@ -95,8 +108,10 @@ object EventsStreaming {
     * in-order transitions reproduce the batch semantics exactly —
     * earliest view, first strictly-later click, first strictly-later
     * purchase — under the same per-user time-ordered arrival contract
-    * as [[clickAttribution]]. State is 24 bytes per user, sharded by
-    * key hash. */
+    * as [[clickAttribution]]. State is three epoch-MICROSECOND slots
+    * (24 bytes) per user — micros, not millis, so the strict-> stage
+    * comparisons match the batch twin's full-timestamp semantics —
+    * sharded by key hash. */
   def funnelStages(events: Dataset[RawEvent]): Dataset[FunnelUpdate] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
@@ -105,8 +120,8 @@ object EventsStreaming {
         case (user, it, state: GroupState[(Long, Long, Long)]) =>
           var (tv, tc, tp) = state.getOption.getOrElse((-1L, -1L, -1L))
           val out = scala.collection.mutable.ArrayBuffer.empty[FunnelUpdate]
-          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val t = e.ts.getTime
+          it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
+            val t = tsMicros(e.ts)
             e.event_type match {
               case "view" if tv < 0 =>
                 tv = t; out += FunnelUpdate(user, 1, e.ts)
@@ -118,6 +133,98 @@ object EventsStreaming {
             }
           }
           state.update((tv, tc, tp))
+          out.iterator
+      }
+  }
+
+  /** Compact buffered event for the out-of-order variants: 24 bytes +
+    * type tag per not-yet-finalized event, bounded by the watermark delay
+    * (an event is buffered for at most `lateness` of event time). */
+  final case class BufEv(event_id: Long, event_type: String, us: Long)
+  final case class AsofOooState(lastClickUs: Long, buf: Seq[BufEv])
+  final case class FunnelOooState(tv: Long, tc: Long, tp: Long, buf: Seq[BufEv])
+
+  /** Out-of-order events: append new arrivals to the per-user buffer,
+    * finalize (in exact event-time order) every buffered event at or
+    * below the watermark — nothing older can still arrive — and arm an
+    * event-time timeout so the remainder drains when the watermark
+    * passes it even if the user goes quiet. Returns the finalized
+    * events, oldest first. This is the stream-stream interval-join
+    * buffering pattern, inlined over keyed state. */
+  private def drainRipe(
+      incoming: Iterator[RawEvent],
+      prevBuf: Seq[BufEv],
+      state: GroupState[_]): (Seq[BufEv], Seq[BufEv], Option[Long]) = {
+    val buf = prevBuf ++ incoming.map(e =>
+      BufEv(e.event_id, e.event_type, tsMicros(e.ts)))
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val (ripe, rest) = buf.partition(_.us <= wmUs)
+    // strictly after the current watermark by construction of `rest`;
+    // armed by the caller AFTER state.update (GroupState API ordering)
+    val timeoutMs = if (rest.isEmpty) None else Some(
+      math.max(state.getCurrentWatermarkMs() + 1,
+        math.floorDiv(rest.map(_.us).min, 1000L)))
+    (ripe.sortBy(e => (e.us, e.event_id)), rest, timeoutMs)
+  }
+
+  /** [[clickAttribution]] WITHOUT the per-user ordered-arrival contract:
+    * events are buffered in keyed state until the watermark passes them,
+    * then replayed in exact event-time order through the same as-of
+    * automaton — late or shuffled arrivals within `lateness` produce the
+    * identical output to the batch twin. State per user = one timestamp
+    * + the ≤`lateness`-deep buffer, watermark-bounded. */
+  def clickAttributionUnordered(
+      events: Dataset[RawEvent], lateness: String = "1 hour"): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofOooState, Attribution](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, it, state: GroupState[AsofOooState]) =>
+          val prev = state.getOption.getOrElse(AsofOooState(Long.MinValue, Nil))
+          val (ripe, rest, timeoutMs) = drainRipe(it, prev.buf, state)
+          var lastClick = prev.lastClickUs
+          val out = scala.collection.mutable.ArrayBuffer.empty[Attribution]
+          ripe.foreach { e =>
+            if (e.event_type == "purchase")
+              out += Attribution(e.event_id, user, microsTs(e.us),
+                if (lastClick == Long.MinValue) None else Some(microsTs(lastClick)))
+            if (e.event_type == "click") lastClick = e.us
+          }
+          state.update(AsofOooState(lastClick, rest))
+          timeoutMs.foreach(state.setTimeoutTimestamp)
+          out.iterator
+      }
+  }
+
+  /** [[funnelStages]] WITHOUT the ordered-arrival contract — same
+    * watermark+buffer scheme as [[clickAttributionUnordered]], same
+    * greedy view→click→purchase automaton over the drained prefix. */
+  def funnelStagesUnordered(
+      events: Dataset[RawEvent], lateness: String = "1 hour"): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelOooState, FunnelUpdate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, it, state: GroupState[FunnelOooState]) =>
+          val prev = state.getOption.getOrElse(FunnelOooState(-1L, -1L, -1L, Nil))
+          val (ripe, rest, timeoutMs) = drainRipe(it, prev.buf, state)
+          var (tv, tc, tp) = (prev.tv, prev.tc, prev.tp)
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelUpdate]
+          ripe.foreach { e =>
+            e.event_type match {
+              case "view" if tv < 0 =>
+                tv = e.us; out += FunnelUpdate(user, 1, microsTs(e.us))
+              case "click" if tv >= 0 && tc < 0 && e.us > tv =>
+                tc = e.us; out += FunnelUpdate(user, 2, microsTs(e.us))
+              case "purchase" if tc >= 0 && tp < 0 && e.us > tc =>
+                tp = e.us; out += FunnelUpdate(user, 3, microsTs(e.us))
+              case _ =>
+            }
+          }
+          state.update(FunnelOooState(tv, tc, tp, rest))
+          timeoutMs.foreach(state.setTimeoutTimestamp)
           out.iterator
       }
   }

@@ -94,6 +94,25 @@ class InitModesSpec extends SparkSpec {
     assert(blas.centers.map(_.toSeq).toSeq == exact.centers.map(_.toSeq).toSeq)
   }
 
+  test("KMeans blasAssign skips ±Inf rows exactly like the exact path") {
+    val spark2 = spark
+    import spark2.implicits._
+    // an Inf feature gives the blas expansion a -Inf score that would
+    // win every argmin and poison the center sums; the exact path's
+    // (x-c)² chain yields +Inf distances that lose to the sentinel
+    val pts = Seq((0L, Array(0.0, 0.0)), (1L, Array(0.2, 0.0)),
+      (2L, Array(5.0, 5.0)), (3L, Array(5.2, 5.0)),
+      (4L, Array(Double.PositiveInfinity, 1.0)),
+      (5L, Array(Double.NegativeInfinity, 2.0)))
+    val df = pts.toDF("id", "v")
+    val given = KMeansGraft.Init.Given(Array(Array(0.0, 0.0), Array(5.0, 5.0)))
+    val exact = KMeansGraft.fit(df, "v", "id", k = 2, maxIter = 2, init = given)
+    val blas = KMeansGraft.fit(df, "v", "id", k = 2, maxIter = 2, init = given,
+      blasAssign = true)
+    assert(exact.centers.forall(_.forall(java.lang.Double.isFinite)))
+    assert(blas.centers.map(_.toSeq).toSeq == exact.centers.map(_.toSeq).toSeq)
+  }
+
   test("GMM blasDiag E-step matches the fused kernel on separated blobs") {
     val sc = spark.sparkContext
     val rows = sc.parallelize(blobPts(17).toSeq, 4)

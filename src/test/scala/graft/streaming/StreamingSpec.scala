@@ -146,6 +146,70 @@ class StreamingSpec extends SparkSpec {
     assert(got2.contains((2L, 2)) && got2.contains((2L, 3)), s"got2 $got2")
   }
 
+  test("unordered click attribution buffers out-of-order cross-batch events") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark2.sqlContext
+    val mem = MemoryStream[EventsStreaming.RawEvent]
+    // Batch 1 delivers the purchase BEFORE the click that precedes it in
+    // event time; the click only arrives in batch 2. An ordered (arrival-
+    // order) processor would attribute purchase@40 to click@10.
+    mem.addData(
+      EventsStreaming.RawEvent(1L, 1L, "click", ts(10)),
+      EventsStreaming.RawEvent(2L, 1L, "purchase", ts(40)))
+    val q = EventsStreaming.clickAttributionUnordered(mem.toDS(), "30 minutes")
+      .writeStream.format("memory").queryName("attrib_ooo").outputMode("append").start()
+    q.processAllAvailable() // watermark after batch 1: 40 - 30 = minute 10
+    mem.addData(
+      EventsStreaming.RawEvent(3L, 1L, "click", ts(35)), // late: before purchase@40 in event time
+      EventsStreaming.RawEvent(90L, 99L, "view", ts(90))) // sentinel pushes watermark to 60
+    q.processAllAvailable()
+    mem.addData(EventsStreaming.RawEvent(91L, 99L, "view", ts(91)))
+    q.processAllAvailable() // batch 3 runs at watermark 60 → user 1 drains via timeout
+    q.stop()
+    val got = spark.table("attrib_ooo").collect()
+      .map(r => r.getLong(0) -> Option(r.getTimestamp(3))).toMap
+    assert(got == Map(2L -> Some(ts(35))), s"got $got")
+    // batch twin on the same (event-time-ordered) history agrees
+    val rows = Seq((1L, 1L, "click", ts(10)), (3L, 1L, "click", ts(35)),
+      (2L, 1L, "purchase", ts(40)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val b = rows.toDF("event_id", "user_id", "event_type", "ts")
+      .withColumn("last_click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .collect().map(r => r.getLong(0) -> Option(r.getTimestamp(4))).toMap
+    assert(b == got, s"batch $b vs stream $got")
+  }
+
+  test("unordered funnel replays shuffled arrivals in event-time order") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark2.sqlContext
+    val mem = MemoryStream[EventsStreaming.RawEvent]
+    // click arrives a batch BEFORE the view that precedes it in event
+    // time — the ordered automaton would reject it (no view yet).
+    mem.addData(
+      EventsStreaming.RawEvent(1L, 1L, "click", ts(5)),
+      EventsStreaming.RawEvent(2L, 1L, "purchase", ts(8)))
+    val q = EventsStreaming.funnelStagesUnordered(mem.toDS(), "30 minutes")
+      .writeStream.format("memory").queryName("funnel_ooo").outputMode("append").start()
+    q.processAllAvailable()
+    mem.addData(
+      EventsStreaming.RawEvent(3L, 1L, "view", ts(2)), // late view, earliest in event time
+      EventsStreaming.RawEvent(90L, 99L, "view", ts(60))) // watermark → 30
+    q.processAllAvailable()
+    mem.addData(EventsStreaming.RawEvent(91L, 99L, "view", ts(61)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("funnel_ooo").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2)))
+      .filter(_._1 == 1L).toSet
+    assert(got == Set((1L, 1, ts(2)), (1L, 2, ts(5)), (1L, 3, ts(8))), s"got $got")
+  }
+
   test("streaming dedup drops duplicate event ids") {
     val spark2 = spark
     import spark2.implicits._
