@@ -113,18 +113,21 @@ object Dedup {
     * derives membership from the portable doc_id hash; tests set it
     * explicitly. */
   def decontaminateDf(docs: DataFrame): DataFrame = {
-    val d = docs.select(col("doc_id"), col("source"), col("is_bench"))
-    val sh = docs
-      .select(col("doc_id"), wordShingles(tokens(col("text")), 3).as("sh"))
-      .join(d, "doc_id")
+    // shingles are carried in the SAME select as the metadata — a join
+    // back onto docs here would shuffle whole shingle arrays on doc_id
+    // (caught by PlanAssertSpec: only (doc_id, shingle) pairs may move)
+    val sh = docs.select(col("doc_id"), col("source"), col("is_bench"),
+      wordShingles(tokens(col("text")), 3).as("sh"))
     val benchSh = sh.filter(col("is_bench"))
       .select(explode(col("sh")).as("s")).distinct()
-    val corpus = sh.filter(!col("is_bench"))
-    val hits = corpus.select(col("doc_id"), explode(col("sh")).as("s"))
+    val hits = sh.filter(!col("is_bench"))
+      .select(col("doc_id"), explode(col("sh")).as("s"))
       .join(benchSh, "s")
       .select("doc_id").distinct()
       .withColumn("hit", lit(1))
-    corpus.join(hits, Seq("doc_id"), "left")
+    // accounting side re-scans only (doc_id, source) — shingle-free
+    docs.filter(!col("is_bench")).select(col("doc_id"), col("source"))
+      .join(hits, Seq("doc_id"), "left")
       .groupBy("source")
       .agg(count(lit(1)).as("n_corpus_docs"),
         coalesce(sum("hit"), lit(0)).cast("long").as("n_contaminated"),

@@ -144,9 +144,12 @@ object TextAnalysis {
   def sequencePack(spark: SparkSession, dir: String): DataFrame =
     sequencePackDf(Tables.documents(spark, dir), PackBudget)
 
-  /** Core over any (doc_id, text) frame with a parametric budget (the
-    * gate fixes 2048; tests use tiny budgets to exercise straddling). */
-  def sequencePackDf(docs: DataFrame, budget: Long): DataFrame = {
+  /** The per-document packed frame (nt, pack_start, pack_end) — exposed
+    * so plan assertions can check the pre-aggregate stage has no
+    * single-partition funnel. Caller must unpersist the returned RDD
+    * handle after consuming the frame. */
+  private[graft] def packedFrame(docs: DataFrame, budget: Long)
+    : (DataFrame, org.apache.spark.rdd.RDD[(Long, Long)]) = {
     val spark = docs.sparkSession
     val spark2 = spark
     import spark2.implicits._
@@ -167,6 +170,16 @@ object TextAnalysis {
         (nt, start / b, (start + nt - 1) / b)
       }
     }.toDF("nt", "pack_start", "pack_end")
+    (packed, sorted)
+  }
+
+  /** Core over any (doc_id, text) frame with a parametric budget (the
+    * gate fixes 2048; tests use tiny budgets to exercise straddling). */
+  def sequencePackDf(docs: DataFrame, budget: Long): DataFrame = {
+    val spark = docs.sparkSession
+    val spark2 = spark
+    import spark2.implicits._
+    val (packed, sorted) = packedFrame(docs, budget)
     val out = packed.agg(
       count(lit(1)).as("n_docs"),
       sum("nt").as("total_tokens"),

@@ -132,6 +132,30 @@ class InitModesSpec extends SparkSpec {
       < 1e-6 * math.abs(fused.logLikelihood))
   }
 
+  test("GMM blasFull E-step matches the fused kernel for Full and Tied") {
+    val sc = spark.sparkContext
+    val rows = sc.parallelize(blobPts(23).toSeq, 4)
+      .map { case (id, v) => (id, v) }
+    Seq(GmmGraft.Full, GmmGraft.Tied).foreach { ct =>
+      val fused = GmmGraft.fit(rows, k = 2, ct, maxIter = 4, tol = 0)
+      val blas = GmmGraft.fit(rows, k = 2, ct, maxIter = 4, tol = 0,
+        blasFull = true)
+      // identical EM trajectory up to the whitened expansion's fp rounding
+      fused.weights.indices.foreach { j =>
+        assert(math.abs(fused.weights(j) - blas.weights(j)) < 1e-9, s"$ct w$j")
+        (0 until 2).foreach { d =>
+          assert(math.abs(fused.means(j)(d) - blas.means(j)(d)) < 1e-8, s"$ct m$j$d")
+          (0 until 2).foreach { e =>
+            assert(math.abs(fused.covs(j)(d, e) - blas.covs(j)(d, e)) < 1e-8,
+              s"$ct cov$j($d,$e)")
+          }
+        }
+      }
+      assert(math.abs(fused.logLikelihood - blas.logLikelihood)
+        < 1e-6 * math.abs(fused.logLikelihood), s"$ct ll")
+    }
+  }
+
   // ---- GMM: kmeans-responsibility init vs a local EM oracle ----
 
   /** Two well-separated 2-D blobs, deterministic. */

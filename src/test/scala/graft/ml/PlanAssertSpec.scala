@@ -91,6 +91,56 @@ class PlanAssertSpec extends SparkSpec {
     }
   }
 
+  /** Output column names of every shuffle exchange's child — what
+    * actually crosses the wire, for asserting a column never shuffles. */
+  private def shuffledColumns(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+    df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.child.output.map(_.name).toSeq
+    }
+
+  test("rollup is one Expand over one scan, not one agg job per granularity") {
+    withStructuralPlans {
+      val df = graft.operators.Relational.rollupAgg(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.linesIterator.count(_.contains("Expand")) == 1,
+        s"ROLLUP must plan exactly one Expand:\n$plan")
+      assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1,
+        s"ROLLUP must read the fact table exactly once:\n$plan")
+    }
+  }
+
+  test("decontamination never shuffles document text — only (doc_id, shingle) pairs move") {
+    withStructuralPlans {
+      val df = graft.operators.Dedup.decontaminate(spark, "/root/testdata/sf0.001")
+      val shuffled = shuffledColumns(df)
+      assert(shuffled.nonEmpty, "expected the shingle joins to shuffle something")
+      shuffled.foreach { cols =>
+        assert(!cols.exists(c => c == "text" || c == "sh"),
+          s"document text (or whole shingle arrays) must never shuffle, got: $cols")
+      }
+    }
+  }
+
+  test("sequence packing never plans a single-partition exchange or global window") {
+    withStructuralPlans {
+      val spark2 = spark
+      import spark2.implicits._
+      val docs = Seq.tabulate(500)(i => (i.toLong, Seq.fill(i % 7 + 1)("w").mkString(" ")))
+        .toDF("doc_id", "text")
+      // the real operator's per-document stage: global offsets must come
+      // from the broadcast two-pass pattern, never a one-partition window
+      val (packed, sorted) = graft.operators.TextAnalysis.packedFrame(docs, budget = 16L)
+      val plan = packed.queryExecution.executedPlan.toString
+      assert(!plan.contains("SinglePartition"),
+        s"no single-partition funnel allowed:\n$plan")
+      assert(!plan.contains("Window"),
+        s"no window over a global ordering allowed:\n$plan")
+      assert(packed.count() == 500L)
+      sorted.unpersist(false)
+    }
+  }
+
   test("bucketed join runs with zero exchange on the join key (self-enforced) and returns rows") {
     // bucketJoinQuery require()s zero Exchange on l_orderkey internally —
     // this test pins that contract plus a non-empty result
