@@ -21,27 +21,44 @@ import org.apache.spark.rdd.RDD
   * GEMM); choose block sizes ~a few thousand square so tiles are
   * BLAS-efficient but fit executor memory at 1000-executor scale.
   */
-final class DsArray(val bm: BlockMatrix) {
+final class DsArray(val bm: BlockMatrix, val sparseTiles: Boolean = false) {
   def rows: Long = bm.numRows()
   def cols: Long = bm.numCols()
   def blockSize: (Int, Int) = (bm.rowsPerBlock, bm.colsPerBlock)
 
-  def +(o: DsArray): DsArray = new DsArray(bm.add(o.bm))
-  def -(o: DsArray): DsArray = new DsArray(bm.subtract(o.bm))
+  // `sparseTiles` routes slicing through the O(nnz) COO path and is set
+  // by the sparse loaders; a wrong hint can only change representation
+  // (activeEntries walks dense tiles too), never values.
+  def +(o: DsArray): DsArray =
+    new DsArray(bm.add(o.bm), sparseTiles && o.sparseTiles)
+  def -(o: DsArray): DsArray =
+    new DsArray(bm.subtract(o.bm), sparseTiles && o.sparseTiles)
 
-  /** Blocked GEMM (reference: array.py:92-122 __matmul__). */
+  /** Blocked GEMM (reference: array.py:92-122 __matmul__) — BlockMatrix
+    * multiply emits dense product tiles, so the hint drops. */
   def %*%(o: DsArray): DsArray = new DsArray(bm.multiply(o.bm))
 
-  def transpose: DsArray = new DsArray(bm.transpose)
+  def transpose: DsArray = new DsArray(bm.transpose, sparseTiles)
 
   /** Per-block elementwise map (reference: array.py:206-407 scalar ops /
-    * _apply_elementwise). Runs as one narrow stage — no shuffle. */
+    * _apply_elementwise). Runs as one narrow stage — no shuffle.
+    *
+    * Sparse tiles STAY sparse when `f` preserves zero (f(0)=0: scale,
+    * sqrt, pow — checked once on the driver), mapping only the stored
+    * values — the reference's CSR blocks keep sparsity through scalar
+    * ops the same way (array.py:41-50). A non-zero-preserving f (exp,
+    * log, +s) mathematically fills the tile, so it densifies. */
   def mapBlocks(f: Double => Double): DsArray = {
-    val mapped = bm.blocks.mapValues { m =>
-      Matrices.dense(m.numRows, m.numCols, m.toArray.map(f)): Matrix
+    val preservesZero = f(0.0) == 0.0
+    val mapped = bm.blocks.mapValues {
+      case s: SparseMatrix if preservesZero =>
+        new SparseMatrix(s.numRows, s.numCols, s.colPtrs, s.rowIndices,
+          s.values.map(f), s.isTransposed): Matrix
+      case m =>
+        Matrices.dense(m.numRows, m.numCols, m.toArray.map(f)): Matrix
     }
     new DsArray(new BlockMatrix(mapped, bm.rowsPerBlock, bm.colsPerBlock,
-      bm.numRows(), bm.numCols()))
+      bm.numRows(), bm.numCols()), sparseTiles && preservesZero)
   }
 
   def *(s: Double): DsArray = mapBlocks(_ * s)
@@ -84,17 +101,34 @@ final class DsArray(val bm: BlockMatrix) {
       rowsPerBlock, colsPerBlock)
 
   /** Elementwise product (reference array-×-array ops, array.py:206-407):
-    * equi-join on block coordinates — co-partitioned blocks never
-    * shuffle twice. */
+    * equi-join on block coordinates — same-grid operands join without a
+    * rebuild, and a SPARSE side keeps the result sparse (the product's
+    * support is inside the sparse side's support, so only its stored
+    * entries are evaluated — never a densified tile). */
   def hadamard(o: DsArray): DsArray = {
     require(rows == o.rows && cols == o.cols, "shape mismatch")
-    val joined = bm.blocks.join(o.rechunk(bm.rowsPerBlock, bm.colsPerBlock).bm.blocks)
-      .mapValues { case (a, b) =>
-        val av = a.toArray; val bv = b.toArray
-        Matrices.dense(a.numRows, a.numCols,
-          Array.tabulate(av.length)(i => av(i) * bv(i))): Matrix
+    val aligned =
+      if (o.blockSize == blockSize) o
+      else o.rechunk(bm.rowsPerBlock, bm.colsPerBlock)
+    val joined = bm.blocks.join(aligned.bm.blocks)
+      .mapValues {
+        case (a: SparseMatrix, b) =>
+          SparseMatrix.fromCOO(a.numRows, a.numCols,
+            DsArray.activeEntries(a)
+              .map { case (i, j, v) => (i, j, v * b(i, j)) }
+              .filter(_._3 != 0.0).toSeq): Matrix
+        case (a, b: SparseMatrix) =>
+          SparseMatrix.fromCOO(a.numRows, a.numCols,
+            DsArray.activeEntries(b)
+              .map { case (i, j, v) => (i, j, v * a(i, j)) }
+              .filter(_._3 != 0.0).toSeq): Matrix
+        case (a, b) =>
+          val av = a.toArray; val bv = b.toArray
+          Matrices.dense(a.numRows, a.numCols,
+            Array.tabulate(av.length)(i => av(i) * bv(i))): Matrix
       }
-    new DsArray(new BlockMatrix(joined, bm.rowsPerBlock, bm.colsPerBlock, rows, cols))
+    new DsArray(new BlockMatrix(joined, bm.rowsPerBlock, bm.colsPerBlock, rows, cols),
+      sparseTiles || o.sparseTiles)
   }
 
   /** Point update A[i,j] = v (reference __setitem__ single-element set,
@@ -140,14 +174,33 @@ final class DsArray(val bm: BlockMatrix) {
     new DsArray(new BlockMatrix(updated, bm.rowsPerBlock, bm.colsPerBlock, rows, cols))
   }
 
-  /** Row-range slice [from, until) (reference __getitem__ row slices,
-    * array.py:124-160 — positional semantics via the row index). */
-  def sliceRows(from: Long, until: Long): DsArray = {
-    val sliced = toIndexedRowMatrix.rows
-      .filter(r => r.index >= from && r.index < until)
-      .map(r => IndexedRow(r.index - from, r.vector))
-    DsArray.fromIndexedRows(sliced, until - from, cols, bm.rowsPerBlock, bm.colsPerBlock)
+  /** Global (i, j, v) nonzero entries — the COO view behind the
+    * sparse-preserving slice paths. */
+  private def globalEntries: RDD[(Long, Long, Double)] = {
+    val rpb = bm.rowsPerBlock; val cpb = bm.colsPerBlock
+    bm.blocks.flatMap { case ((bi, bj), m) =>
+      val r0 = bi.toLong * rpb; val c0 = bj.toLong * cpb
+      DsArray.activeEntries(m).map { case (i, j, v) => (r0 + i, c0 + j, v) }
+    }
   }
+
+  /** Row-range slice [from, until) (reference __getitem__ row slices,
+    * array.py:124-160 — positional semantics via the row index).
+    * Sparse arrays slice on the O(nnz) COO view and STAY sparse —
+    * the reference's CSR blocks survive __getitem__ (array.py:41-50);
+    * the dense path's IndexedRow round-trip would densify them. */
+  def sliceRows(from: Long, until: Long): DsArray =
+    if (sparseTiles) {
+      val entries = globalEntries.flatMap { case (i, j, v) =>
+        if (i >= from && i < until) Some((i - from, j, v)) else None
+      }
+      DsArray.fromCOO(entries, until - from, cols, bm.rowsPerBlock, bm.colsPerBlock)
+    } else {
+      val sliced = toIndexedRowMatrix.rows
+        .filter(r => r.index >= from && r.index < until)
+        .map(r => IndexedRow(r.index - from, r.vector))
+      DsArray.fromIndexedRows(sliced, until - from, cols, bm.rowsPerBlock, bm.colsPerBlock)
+    }
 
   /** Fancy row indexing — rows gathered in index order, duplicates
     * allowed (reference __getitem__ row lists, array.py:124-160,
@@ -159,11 +212,19 @@ final class DsArray(val bm: BlockMatrix) {
     val posByIdx = indices.zipWithIndex
       .groupBy(_._1).map { case (k, v) => (k, v.map(_._2.toLong)) }
     val bc = bm.blocks.sparkContext.broadcast(posByIdx)
-    val picked = toIndexedRowMatrix.rows.flatMap { r =>
-      bc.value.getOrElse(r.index, Nil).map(p => IndexedRow(p, r.vector))
+    if (sparseTiles) {
+      val entries = globalEntries.flatMap { case (i, j, v) =>
+        bc.value.getOrElse(i, Nil).map(p => (p, j, v))
+      }
+      DsArray.fromCOO(entries, indices.length, cols,
+        bm.rowsPerBlock, bm.colsPerBlock)
+    } else {
+      val picked = toIndexedRowMatrix.rows.flatMap { r =>
+        bc.value.getOrElse(r.index, Nil).map(p => IndexedRow(p, r.vector))
+      }
+      DsArray.fromIndexedRows(picked, indices.length, cols,
+        bm.rowsPerBlock, bm.colsPerBlock)
     }
-    DsArray.fromIndexedRows(picked, indices.length, cols,
-      bm.rowsPerBlock, bm.colsPerBlock)
   }
 
   /** Fancy column indexing — columns gathered in index order (a superset
@@ -187,13 +248,23 @@ final class DsArray(val bm: BlockMatrix) {
       colFrom: Int, colUntil: Int): DsArray = {
     require(rowFrom >= 0 && rowUntil <= rows && colFrom >= 0 && colUntil <= cols
       && rowFrom <= rowUntil && colFrom <= colUntil, "slice out of bounds")
-    val sliced = toIndexedRowMatrix.rows
-      .filter(r => r.index >= rowFrom && r.index < rowUntil)
-      .map(r => IndexedRow(r.index - rowFrom,
-        org.apache.spark.mllib.linalg.Vectors.dense(
-          java.util.Arrays.copyOfRange(r.vector.toArray, colFrom, colUntil))))
-    DsArray.fromIndexedRows(sliced, rowUntil - rowFrom, colUntil - colFrom,
-      bm.rowsPerBlock, bm.colsPerBlock)
+    if (sparseTiles) {
+      val entries = globalEntries.flatMap { case (i, j, v) =>
+        if (i >= rowFrom && i < rowUntil && j >= colFrom && j < colUntil)
+          Some((i - rowFrom, j - colFrom, v))
+        else None
+      }
+      DsArray.fromCOO(entries, rowUntil - rowFrom, colUntil - colFrom,
+        bm.rowsPerBlock, bm.colsPerBlock)
+    } else {
+      val sliced = toIndexedRowMatrix.rows
+        .filter(r => r.index >= rowFrom && r.index < rowUntil)
+        .map(r => IndexedRow(r.index - rowFrom,
+          org.apache.spark.mllib.linalg.Vectors.dense(
+            java.util.Arrays.copyOfRange(r.vector.toArray, colFrom, colUntil))))
+      DsArray.fromIndexedRows(sliced, rowUntil - rowFrom, colUntil - colFrom,
+        bm.rowsPerBlock, bm.colsPerBlock)
+    }
   }
 
   /** Drop a row by index, shifting the rest up (reference delete,
@@ -270,6 +341,26 @@ final class DsArray(val bm: BlockMatrix) {
 }
 
 object DsArray {
+  /** Active (i, j, v) entries of a tile without densifying — CSC walk
+    * for sparse tiles (CSR when the transposed flag is set), full scan
+    * skipping zeros for dense ones. */
+  private[linalg] def activeEntries(m: Matrix): Iterator[(Int, Int, Double)] =
+    m match {
+      case s: SparseMatrix =>
+        for {
+          c <- Iterator.range(0, s.colPtrs.length - 1)
+          p <- Iterator.range(s.colPtrs(c), s.colPtrs(c + 1))
+        } yield
+          if (s.isTransposed) (c, s.rowIndices(p), s.values(p))
+          else (s.rowIndices(p), c, s.values(p))
+      case d =>
+        for {
+          j <- Iterator.range(0, d.numCols)
+          i <- Iterator.range(0, d.numRows)
+          if d(i, j) != 0.0
+        } yield (i, j, d(i, j))
+    }
+
   /** Build from an RDD of (rowIndex, values) — the loader surface. */
   def fromIndexedRows(rdd: RDD[IndexedRow], nRows: Long, nCols: Long,
       rowsPerBlock: Int, colsPerBlock: Int): DsArray =
@@ -289,9 +380,11 @@ object DsArray {
     * ijcnn1/Netflix). Tiles are CSC `SparseMatrix` blocks; empty tiles
     * are simply absent from the grid (BlockMatrix treats missing blocks
     * as zero), so storage is O(nnz). BlockMatrix add/multiply/transpose
-    * and toLocalMatrix are sparse-aware; dense-only DsArray ops
-    * (mapBlocks, hadamard, setters) densify per tile — acceptable,
-    * because they touch tiles one at a time. */
+    * and toLocalMatrix are sparse-aware; mapBlocks keeps sparsity for
+    * zero-preserving fns, hadamard evaluates only the sparse side's
+    * support, and row slicing round-trips through sparse vectors —
+    * sparse in, sparse out (reference array.py:41-50). Setters densify
+    * the single tile they touch. */
   def fromCOO(entries: RDD[(Long, Long, Double)], nRows: Long, nCols: Long,
       rowsPerBlock: Int, colsPerBlock: Int): DsArray = {
     val rpb = rowsPerBlock; val cpb = colsPerBlock
@@ -302,7 +395,8 @@ object DsArray {
       val c = math.min(cpb.toLong, nCols - bj.toLong * cpb).toInt
       ((bi, bj), SparseMatrix.fromCOO(r, c, es): Matrix)
     }
-    new DsArray(new BlockMatrix(blocks, rpb, cpb, nRows, nCols))
+    new DsArray(new BlockMatrix(blocks, rpb, cpb, nRows, nCols),
+      sparseTiles = true)
   }
 
   /** libsvm/SVMLight load → sparse DsArray of the feature matrix (the

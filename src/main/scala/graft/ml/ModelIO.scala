@@ -101,4 +101,21 @@ object ModelIO {
   def loadStandardScaler(spark: SparkSession, path: String): Scalers.StandardModel =
     Scalers.StandardModel(spark.read.parquet(path).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap)
+
+  /** MinMax persists the fitted (lo, hi) per column plus the output
+    * range as a sentinel row (reference persists every estimator,
+    * data/util/model.py:20-73). */
+  def saveMinMaxScaler(spark: SparkSession, path: String,
+      m: Scalers.MinMaxModel): Unit = {
+    import spark.implicits._
+    val rows = m.stats.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) } :+
+      (("__range__", m.range._1, m.range._2))
+    rows.toDF("col", "lo", "hi").write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  def loadMinMaxScaler(spark: SparkSession, path: String): Scalers.MinMaxModel = {
+    val rows = spark.read.parquet(path).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    Scalers.MinMaxModel(rows - "__range__", rows("__range__"))
+  }
 }

@@ -185,8 +185,12 @@ object Dedup {
     * 16-dim subspace) — all-pairs only within a cell, so the operator is
     * self-contained at scale: no dependence on a pre-existing label
     * column, and the within-cell pair count is bounded by the quantizer
-    * granularity (raise nlist as the corpus grows). */
-  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    * granularity — `nlist` ≤ 0 picks the Similarity.autoNlist ⌈√N⌉
+    * default (mean occupancy √N → ~N candidate pairs per cell, the
+    * autoDfCap budget); the GATE pins Similarity.IvfLists so the DuckDB
+    * oracle's replayed quantizer stays fixed. */
+  def embeddingNearDup(spark: SparkSession, dir: String,
+      nlist: Int = -1): DataFrame = {
     import graft.functions.VectorFns
     import graft.ml.KMeansGraft
     val e = Tables.embeddings(spark, dir)
@@ -195,8 +199,9 @@ object Dedup {
       .withColumn("nrm", VectorFns.norm2(col("v")))
       .withColumn("sv", slice(col("v"), 1, Similarity.QuantDim))
       .cache()
+    val nl = if (nlist > 0) nlist else Similarity.autoNlist(e.count())
     val model = KMeansGraft.fit(e.select(col("vec_id"), col("sv")), "sv",
-      "vec_id", Similarity.IvfLists, maxIter = Similarity.IvfIters)
+      "vec_id", nl, maxIter = Similarity.IvfIters)
     val cells = e.withColumn("cell", model.assignCol(col("sv")).cast("long"))
     val cos = VectorFns.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
     graft.GateUtil.pinned(
@@ -214,7 +219,8 @@ object Dedup {
     "q_dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "q_dedup_minhash_lsh" -> (minhashLsh _),
     "q_dedup_simhash" -> (simhash _),
-    "q_dedup_embedding" -> (embeddingNearDup _),
+    "q_dedup_embedding" -> ((s: SparkSession, d: String) =>
+      embeddingNearDup(s, d, nlist = Similarity.IvfLists)),
     "q_decontaminate" -> (decontaminate _))
 
   val oracles: Map[String, String] = Map(

@@ -96,19 +96,31 @@ object Similarity {
   val IvfProbe = 4
   val IvfIters = 3
 
+  /** √N-cells default for the IVF quantizers (same budget argument as
+    * Dedup.autoDfCap): with nlist = ⌈√N⌉ the MEAN cell occupancy is √N,
+    * so a within-cell all-pairs costs ~N per cell — one document's worth
+    * of candidates — instead of (N/16)² with a frozen nlist; and an IVF
+    * probe scans nProbe·√N rows instead of nProbe·N/16. Floored at
+    * [[IvfLists]] so small corpora (< ~256 vectors) keep the gate shape. */
+  def autoNlist(nVecs: Long): Int =
+    math.max(IvfLists, math.ceil(math.sqrt(nVecs.toDouble)).toInt)
+
   /** IVF ANN: a KMeans coarse quantizer partitions the corpus into
     * nlist cells; queries search only their nProbe nearest cells (the
     * classic inverted-file index — at 100 TB the corpus is bucketed and
     * optionally `repartition(cell)`-clustered once, and each query scans
     * nProbe/nlist of the data). Deterministic via KMeansGraft's contract,
-    * so the DuckDB oracle replays quantizer, probes, and ranking exactly. */
+    * so the DuckDB oracle replays quantizer, probes, and ranking exactly.
+    * `nlist` ≤ 0 → the [[autoNlist]] √N default (the gate pins
+    * [[IvfLists]] so the oracle's unrolled quantizer stays fixed). */
   def ivfTopK(spark: SparkSession, dir: String,
-      nlist: Int = IvfLists, nProbe: Int = IvfProbe, k: Int = 3): DataFrame = {
+      nlist: Int = -1, nProbe: Int = IvfProbe, k: Int = 3): DataFrame = {
     import graft.ml.KMeansGraft
     val e = embWithNorm(spark, dir)
       .withColumn("sv", slice(col("v"), 1, QuantDim)).cache()
+    val nl = if (nlist > 0) nlist else autoNlist(e.count())
     val model = KMeansGraft.fit(e.select(col("vec_id"), col("sv")), "sv", "vec_id",
-      nlist, maxIter = IvfIters)
+      nl, maxIter = IvfIters)
     val cells = e.withColumn("cell", model.assignCol(col("sv")))
     // nProbe nearest cells per query via the looping center-distance expr
     val q = cells.filter(col("vec_id") < 20)
@@ -136,7 +148,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "q_ann_brute" -> (bruteTopK _),
     "q_ann_lsh" -> (lshTopK _),
-    "q_ann_ivf" -> ((s, d) => ivfTopK(s, d)))
+    "q_ann_ivf" -> ((s, d) => ivfTopK(s, d, nlist = IvfLists)))
 
   private val embCte =
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v

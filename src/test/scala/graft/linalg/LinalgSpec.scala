@@ -128,6 +128,55 @@ class LinalgSpec extends SparkSpec {
     assert(maxAbs(g - dense.t * dense) < 1e-10)
   }
 
+  test("sparse-in → sparse-out: slice, zero-preserving map, hadamard") {
+    import org.apache.spark.mllib.linalg.SparseMatrix
+    val rng = new java.util.Random(43)
+    val entries = for {
+      i <- 0 until 40; j <- 0 until 12 if rng.nextDouble() < 0.15
+    } yield (i.toLong, j.toLong, rng.nextGaussian())
+    val dense = BDM.zeros[Double](40, 12)
+    entries.foreach { case (i, j, v) => dense(i.toInt, j.toInt) = v }
+    val a = DsArray.fromCOO(sc.parallelize(entries), 40, 12, 8, 4)
+    def allSparse(x: DsArray, what: String): Unit =
+      assert(x.bm.blocks.collect().forall(_._2.isInstanceOf[SparseMatrix]),
+        s"$what densified its tiles")
+    // zero-preserving elementwise ops keep the tile structure
+    val scaled = a * 2.5
+    allSparse(scaled, "scale")
+    assert(maxAbs(scaled.collect() - dense * 2.5) < 1e-12)
+    val powed = a ** 2
+    allSparse(powed, "pow")
+    assert(maxAbs(powed.collect() - dense.map(x => x * x)) < 1e-12)
+    // non-zero-preserving op fills the tile — must densify, values right
+    val exped = a.exp
+    assert(maxAbs(exped.collect() - dense.map(math.exp)) < 1e-12)
+    // hadamard: sparse ∘ sparse and sparse ∘ dense stay sparse
+    val had = a.hadamard(a)
+    allSparse(had, "hadamard sparse∘sparse")
+    assert(maxAbs(had.collect() - (dense *:* dense)) < 1e-12)
+    val d2 = DsArray.fromBreeze(sc, rand(40, 12, 44), 8, 4)
+    val hadMixed = a.hadamard(d2)
+    allSparse(hadMixed, "hadamard sparse∘dense")
+    assert(maxAbs(hadMixed.collect() - (dense *:* d2.collect())) < 1e-12)
+    // slicing keeps tiles sparse via the COO path
+    val sliced = a.sliceRows(5, 29)
+    allSparse(sliced, "sliceRows")
+    assert(maxAbs(sliced.collect() - dense(5 until 29, ::)) < 1e-12)
+    val s2 = a.slice2D(3, 31, 2, 10)
+    allSparse(s2, "slice2D")
+    assert(maxAbs(s2.collect() - dense(3 until 31, 2 until 10)) < 1e-12)
+    val idx = Seq(7L, 3L, 7L, 20L)
+    val sel = a.selectRows(idx)
+    allSparse(sel, "selectRows")
+    idx.zipWithIndex.foreach { case (ri, k) =>
+      assert(maxAbs(sel.collect()(k, ::).t.toDenseMatrix -
+        dense(ri.toInt, ::).t.toDenseMatrix) < 1e-12)
+    }
+    // the hint survives transpose and composed zero-preserving ops
+    assert(a.transpose.sparseTiles && (a * 2.0).sliceRows(0, 10).sparseTiles)
+    assert(!a.exp.sparseTiles)
+  }
+
   test("libsvm loads into sparse tiles and grams correctly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-libsvm")
     try {

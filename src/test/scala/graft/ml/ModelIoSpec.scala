@@ -48,6 +48,15 @@ class ModelIoSpec extends SparkSpec {
     val sc1 = Scalers.fitStandard(df, Seq("a", "b"))
     val p3 = tmp(); ModelIO.saveStandardScaler(spark, p3, sc1)
     assert(ModelIO.loadStandardScaler(spark, p3).stats == sc1.stats)
+
+    val mm = Scalers.fitMinMax(df, Seq("a", "b")).copy(range = (-1.0, 1.0))
+    val p4 = tmp(); ModelIO.saveMinMaxScaler(spark, p4, mm)
+    val mm2 = ModelIO.loadMinMaxScaler(spark, p4)
+    assert(mm2.stats == mm.stats && mm2.range == mm.range)
+    // loaded model reproduces the transform exactly
+    val t1 = mm.transform(df).select("a_mm", "b_mm").collect().map(_.toSeq)
+    val t2 = mm2.transform(df).select("a_mm", "b_mm").collect().map(_.toSeq)
+    assert(t1.toSeq == t2.toSeq)
   }
 
   test("GMM / CSVM roundtrips preserve parameters and predictions") {

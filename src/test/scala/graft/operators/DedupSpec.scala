@@ -40,4 +40,32 @@ class DedupSpec extends SparkSpec {
     val starved = Dedup.ngramJaccard(spark, dir, dfCap = 1).count()
     assert(starved == 0 && base > 0, s"starved=$starved base=$base")
   }
+
+  test("autoNlist keeps IVF cell occupancy tracking √N on a synthetic corpus") {
+    // the heuristic itself: ⌈√N⌉ floored at the gate shape
+    assert(Similarity.autoNlist(100) == 16)
+    assert(Similarity.autoNlist(10000) == 100)
+    assert(Similarity.autoNlist(1000000000L) == 31623)
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    val n = 4096L
+    val rng = new java.util.Random(5)
+    val vecs = Seq.tabulate(n.toInt)(i =>
+      (i.toLong, Array.fill(8)(rng.nextDouble()))).toDF("vec_id", "sv")
+    val nlist = Similarity.autoNlist(n) // 64 = √4096
+    assert(nlist == 64)
+    val model = graft.ml.KMeansGraft.fit(vecs, "sv", "vec_id", nlist, maxIter = 3)
+    val occ = vecs.withColumn("cell", model.assignCol(col("sv")))
+      .groupBy("cell").agg(count(lit(1)).as("c"))
+      .select("c").as[Long].collect()
+    val sqrtN = math.sqrt(n.toDouble)
+    assert(occ.sum == n)
+    // mean occupancy IS √N by construction; the quantizer must spread
+    // mass so the worst cell stays within a small factor of it (the
+    // within-cell pair budget: max_occ² ≪ N²/nlist of a frozen quantizer)
+    val mean = occ.sum.toDouble / occ.length
+    assert(mean <= sqrtN * 1.5, s"mean occupancy $mean vs sqrtN $sqrtN")
+    assert(occ.max <= 8 * sqrtN, s"max occupancy ${occ.max} vs sqrtN $sqrtN")
+  }
 }
