@@ -316,6 +316,41 @@ object Relational {
           <= round(col("p50_raw"), 4) * 0.01).as("pa_ok"))
   }
 
+  /** Range join WITHOUT an equi-key (point-in-interval): which shipping
+    * days fall inside each order's 30-day fulfilment window, regardless
+    * of order key. Naively this is an inequality-only join — Spark plans
+    * a broadcast-nested-loop and 100 TB dies. The scale pattern:
+    *  1. pre-aggregate the point side to one row per day (the point
+    *     side's grain, ~2.4k rows/decade — independent of fact rows);
+    *  2. bucket both sides on 30-day epochs: each interval covers ≤ 2
+    *     buckets (explode via sequence), each point exactly one;
+    *  3. hash-join on the bucket and apply the exact [start, end)
+    *     filter inside the join — candidates per interval are bounded
+    *     by 2 buckets × 30 days, never the whole calendar.
+    * PlanAssertSpec pins the no-BNLJ shape. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val epochDay = (c: org.apache.spark.sql.Column) =>
+      floor(unix_timestamp(c) / 86400L)
+    val days = Tables.lineitem(spark, dir)
+      .groupBy(col("l_shipdate").as("day"))
+      .agg(count(lit(1)).as("n_ship"))
+      .withColumn("bucket", floor(epochDay(col("day")) / 30))
+    val windows = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate").as("w_start"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("w_end"))
+      .withColumn("bucket", explode(sequence(
+        floor(epochDay(col("w_start")) / 30),
+        floor((epochDay(col("w_start")) + lit(29)) / 30))))
+    windows.join(days, Seq("bucket"))
+      .filter(col("day") >= col("w_start") && col("day") < col("w_end"))
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_pairs"),
+        sum(col("n_ship")).cast("long").as("n_shipments"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pricing_summary" -> (pricingSummary _),
     "q_filter_project" -> (filterProject _),
@@ -339,7 +374,8 @@ object Relational {
     "q_rollup" -> (rollupAgg _),
     "q_sketches" -> (sketches _),
     "q_full_outer" -> (fullOuter _),
-    "q_pivot" -> (pivotAgg _)
+    "q_pivot" -> (pivotAgg _),
+    "q_range_join" -> (rangeJoin _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -479,6 +515,16 @@ object Relational {
       """SELECT l_returnflag,
         |  coalesce(round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2), 0) AS qty_f,
         |  coalesce(round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2), 0) AS qty_o
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_range_join" ->
+      """WITH d AS (SELECT l_shipdate AS day, count(*) AS n_ship
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o_orderpriority,
+        |  count(DISTINCT o_orderkey) AS n_orders,
+        |  count(*) AS n_pairs,
+        |  sum(n_ship)::BIGINT AS n_shipments
+        |FROM orders JOIN d
+        |  ON d.day >= o_orderdate AND d.day < o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -141,6 +141,16 @@ class PlanAssertSpec extends SparkSpec {
     }
   }
 
+  test("range join buckets the inequality — equi-join on the bucket, no BNLJ") {
+    withStructuralPlans {
+      val df = graft.operators.Relational.rangeJoin(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      noAllPairs(plan, "range join")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"the bucket equi-join must be a hash/merge join:\n$plan")
+    }
+  }
+
   test("bucketed join runs with zero exchange on the join key (self-enforced) and returns rows") {
     // bucketJoinQuery require()s zero Exchange on l_orderkey internally —
     // this test pins that contract plus a non-empty result
