@@ -232,20 +232,27 @@ object GmmGraft {
       j += 1
     }
     val bc = vecs.sparkContext.broadcast((rsStack, wmFlat, cArr))
+    // direct netlib calls (Breeze routes through the same BLAS, but the
+    // raw API gives dsyrk — half the moment flops, accumulating IN the
+    // partition accumulator (beta=1) — and buffer reuse across batches
+    val batchCap = 1024
     val out = vecs.mapPartitions { it =>
+      val blas = dev.ludovic.netlib.blas.BLAS.getInstance()
       val (rsf, wmf, cc) = bc.value
-      val rsm = BDM.create(kp, p, rsf)
       val rs = new Array[Double](k)
       val rx = new Array[Double](k * p)      // p×k col-major
+      // upper triangles only (dsyrk); mirrored once after the reduce
       val rxx = new Array[Double](k * p * p) // component j at offset j·p²
       var ll = 0.0
-      it.grouped(1024).foreach { batchSeq =>
+      val gBuf = new Array[Double](kp * batchCap) // whitened coords
+      val rBuf = new Array[Double](k * batchCap)  // responsibilities k×b
+      val xsBuf = new Array[Double](p * batchCap) // √r-scaled copy
+      it.grouped(batchCap).foreach { batchSeq =>
         val batch = batchSeq.toArray
         val b = batch.length
         val xFlat = Array.concat(batch: _*) // p×b col-major
-        val xm = BDM.create(p, b, xFlat)
-        val g = (rsm * xm).data // (k·p)×b col-major: column i at i·kp
-        val r = new Array[Double](k * b) // k×b col-major responsibilities
+        blas.dgemm("N", "N", kp, b, p, 1.0, rsf, 0, kp, xFlat, 0, p,
+          0.0, gBuf, 0, kp)
         var i = 0
         while (i < b) {
           val goff = i * kp
@@ -256,42 +263,37 @@ object GmmGraft {
             val base = goff + jj * p
             val wb = jj * p
             var d = 0
-            while (d < p) { val c = g(base + d) - wmf(wb + d); q += c * c; d += 1 }
+            while (d < p) { val c = gBuf(base + d) - wmf(wb + d); q += c * c; d += 1 }
             val lp = cc(jj) - 0.5 * q
-            r(i * k + jj) = lp
+            rBuf(i * k + jj) = lp
             if (lp > mx) mx = lp
             jj += 1
           }
           var s = 0.0
           jj = 0
           while (jj < k) {
-            val e = math.exp(r(i * k + jj) - mx); r(i * k + jj) = e; s += e; jj += 1
+            val e = math.exp(rBuf(i * k + jj) - mx); rBuf(i * k + jj) = e; s += e; jj += 1
           }
           ll += mx + math.log(s)
           jj = 0
-          while (jj < k) { r(i * k + jj) /= s; rs(jj) += r(i * k + jj); jj += 1 }
+          while (jj < k) { rBuf(i * k + jj) /= s; rs(jj) += rBuf(i * k + jj); jj += 1 }
           i += 1
         }
-        val rm = BDM.create(k, b, r)
-        val rxB = (xm * rm.t).data // p×k
-        var t = 0
-        while (t < rx.length) { rx(t) += rxB(t); t += 1 }
-        val xs = new Array[Double](p * b) // √r-scaled copy, reused per component
+        // rx += X·Rᵀ, accumulated in place (beta = 1)
+        blas.dgemm("N", "T", p, k, b, 1.0, xFlat, 0, p, rBuf, 0, k,
+          1.0, rx, 0, p)
         var jj = 0
         while (jj < k) {
           var i2 = 0
           while (i2 < b) {
-            val w = math.sqrt(r(i2 * k + jj))
+            val w = math.sqrt(rBuf(i2 * k + jj))
             val src = i2 * p
             var d = 0
-            while (d < p) { xs(src + d) = xFlat(src + d) * w; d += 1 }
+            while (d < p) { xsBuf(src + d) = xFlat(src + d) * w; d += 1 }
             i2 += 1
           }
-          val xsm = BDM.create(p, b, xs)
-          val mB = (xsm * xsm.t).data // p×p
-          val off = jj * p * p
-          var t2 = 0
-          while (t2 < p * p) { rxx(off + t2) += mB(t2); t2 += 1 }
+          // rxxⱼ(upper) += Xs·Xsᵀ — rank-b update straight into the slab
+          blas.dsyrk("U", "N", p, b, 1.0, xsBuf, 0, p, 1.0, rxx, jj * p * p, p)
           jj += 1
         }
       }
@@ -308,8 +310,18 @@ object GmmGraft {
     bc.destroy()
     val rxV = Array.tabulate(k)(j2 =>
       BDV(java.util.Arrays.copyOfRange(out._2, j2 * p, (j2 + 1) * p)))
-    val rxxM = Array.tabulate(k)(j2 => BDM.create(p, p,
-      java.util.Arrays.copyOfRange(out._3, j2 * p * p, (j2 + 1) * p * p)))
+    val rxxM = Array.tabulate(k) { j2 =>
+      val m = BDM.create(p, p,
+        java.util.Arrays.copyOfRange(out._3, j2 * p * p, (j2 + 1) * p * p))
+      // mirror the dsyrk upper triangle into the lower half
+      var c = 1
+      while (c < p) {
+        var r = 0
+        while (r < c) { m(c, r) = m(r, c); r += 1 }
+        c += 1
+      }
+      m
+    }
     (out._1, rxV, rxxM, out._4)
   }
 
