@@ -180,10 +180,14 @@ object KMeansGraft {
     var model = Model(initCenters, 0)
     // vector-only projection for the BLAS path; persisted across
     // iterations so the Row→Array conversion runs once, not per pass
-    // (the caller's df cache still backs the exact path unchanged)
+    // (the caller's df cache still backs the exact path unchanged).
+    // Decode via InternalRow.getArray.toDoubleArray — a primitive copy
+    // (getSeq would box every element: 3×10⁸ boxed doubles at the
+    // bench shape, ~half the fit wall time).
     var vecsCached: org.apache.spark.rdd.RDD[Array[Double]] = null
     lazy val vecs = {
-      val r = df.select(col(vCol)).rdd.map(_.getSeq[Double](0).toArray)
+      val r = df.select(col(vCol).cast("array<double>")).queryExecution.toRdd
+        .map(_.getArray(0).toDoubleArray())
       if (maxIter > 1) {
         vecsCached = r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         vecsCached
