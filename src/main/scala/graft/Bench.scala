@@ -245,9 +245,21 @@ object Bench {
             col("event_type"), col("value"), col("props"))
         }.reduce(_ unionAll _)
           .write.mode("overwrite").parquet(s"$sf1Dir/events.parquet")
+        // lineitem 10×: order keys offset (disjoint); value columns kept
+        // verbatim — 10-fold duplicated values are exactly the
+        // duplicate-heavy stress the bracketed exact quantiles must take
+        val li = Tables.lineitem(spark, sfDir)
+        val maxOrderKey = li.agg(max("l_orderkey")).head().getLong(0) + 1
+        (0 until copies).map { c =>
+          li.withColumn("l_orderkey", col("l_orderkey") + c * maxOrderKey)
+        }.reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$sf1Dir/lineitem.parquet")
       }
       val heavy = Seq("q_dedup_ngram_jaccard", "q_dedup_minhash_lsh",
-        "q_dbscan", "q_events_session")
+        "q_dbscan", "q_events_session",
+        // the r4-weak exact-quantile family at 60M rows: the bounded
+        // bracketed selection must hold its pass count, not its buffer
+        "q_quantiles", "q_reduce_stats", "q_sketches")
       val runs = heavy.map(n =>
         timed(s"sf1_$n")(materialize(SparkEntry.queries(n)(spark, sf1Dir))))
       val base = results.toMap
