@@ -109,8 +109,16 @@ object ExactQuantiles {
     // Histogram-narrowing passes. Each pass recomputes count-below and the
     // in-bracket histogram EXACTLY (no cross-pass accumulation), so
     // floating-point bin assignment can only cost the ±1-cell widening.
+    // Pass cap: width shrinks ≥ bins/3 per pass, and the widest possible
+    // journey — a bracket spanning the full double range narrowing onto a
+    // denormal-scale cluster — is ~631 decimal orders, i.e. ~390 passes at
+    // the default 128 bins. 512 covers any representable data; real data
+    // converges in ≤ 4. Passes are narrow scans, so a pathological spread
+    // costs seconds, never memory.
     var pass = 0
-    while (targets.exists(t => !t.ready) && pass < 64) {
+    val passCap = math.max(64, math.ceil(
+      632 * math.log(10) / math.log(bins / 3.0)).toInt)
+    while (targets.exists(t => !t.ready) && pass < passCap) {
       pass += 1
       val active = targets.filter(!_.ready)
       // bin: -1 = below bracket, 0..bins-1 = in-bracket cell, null = other.
@@ -153,7 +161,8 @@ object ExactQuantiles {
         }
       }
     }
-    require(targets.forall(_.ready), s"exact-quantile did not converge in $pass passes")
+    require(targets.forall(_.ready),
+      s"exact-quantile did not converge in $pass passes (cap $passCap)")
 
     // Final pass: per-distinct-value counts inside each bracket (≤ budget
     // rows per target) + exact below-bracket count, one scan for all targets.

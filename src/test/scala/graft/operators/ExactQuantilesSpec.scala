@@ -61,6 +61,19 @@ class ExactQuantilesSpec extends SparkSpec {
     }
   }
 
+  test("extreme magnitude spread: dense cluster behind far outliers") {
+    // the bracket must narrow across ~35 decimal orders before the
+    // cluster around the median resolves — exercises many passes
+    val rng = new scala.util.Random(13)
+    val vals = Seq(-1e30, 1e30, 1e25, -1e25) ++
+      Seq.fill(5000)(rng.nextDouble() * 1e-6)
+    val df = vals.toDF("x").repartition(4)
+    val got = ExactQuantiles.quantiles(
+        df, "x", Seq("med" -> 0.5), bins = 16, budget = 100)
+      .collect().head
+    assert(math.abs(got.getDouble(0) - reference(vals, 0.5)) < 1e-20)
+  }
+
   test("nulls and NaNs excluded; extreme fractions are min/max") {
     val df = Seq[java.lang.Double](5.0, null, 1.0, Double.NaN, 3.0, 2.0, 4.0)
       .toDF("x")
