@@ -316,6 +316,23 @@ object Relational {
           <= round(col("p50_raw"), 4) * 0.01).as("pa_ok"))
   }
 
+  /** RANGE-frame window: trailing 30-day spend per customer. Unlike the
+    * ROWS frames of windowRunning, a RANGE frame is keyed on the ORDER
+    * VALUE — all same-day orders are peers and enter the frame together,
+    * so the result is deterministic under ties without an id tiebreak.
+    * The order column is epoch days (numeric), which keeps the frame
+    * spec engine-portable. One hash exchange on o_custkey at any scale. */
+  def windowRange(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("day"))
+      .rangeBetween(-29, 0) // trailing 30 days, current day inclusive
+    Tables.orders(spark, dir)
+      .withColumn("day", floor(unix_timestamp(col("o_orderdate")) / 86400L))
+      .select(col("o_orderkey"), col("o_custkey"), col("day"),
+        round(sum(col("o_totalprice")).over(w), 2).as("spend_30d"),
+        count(lit(1)).over(w).as("n_orders_30d"))
+      .orderBy("o_orderkey")
+  }
+
   /** Range join WITHOUT an equi-key (point-in-interval): which shipping
     * days fall inside each order's 30-day fulfilment window, regardless
     * of order key. Naively this is an inequality-only join — Spark plans
@@ -375,7 +392,8 @@ object Relational {
     "q_sketches" -> (sketches _),
     "q_full_outer" -> (fullOuter _),
     "q_pivot" -> (pivotAgg _),
-    "q_range_join" -> (rangeJoin _)
+    "q_range_join" -> (rangeJoin _),
+    "q_window_range" -> (windowRange _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -525,6 +543,15 @@ object Relational {
         |  sum(n_ship)::BIGINT AS n_shipments
         |FROM orders JOIN d
         |  ON d.day >= o_orderdate AND d.day < o_orderdate + INTERVAL 30 DAY
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_window_range" ->
+      """SELECT o_orderkey, o_custkey, day,
+        |  round(sum(o_totalprice) OVER w, 2) AS spend_30d,
+        |  count(*) OVER w AS n_orders_30d
+        |FROM (SELECT *, floor(epoch(o_orderdate) / 86400)::BIGINT AS day
+        |      FROM orders) t
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+        |  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin
   )
 }
