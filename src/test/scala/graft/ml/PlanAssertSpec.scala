@@ -151,6 +151,30 @@ class PlanAssertSpec extends SparkSpec {
     }
   }
 
+  test("partition pruning: a filter on the partition column skips other partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    try {
+      val orders = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+      orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(dir)
+      val read = spark.read.parquet(dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_totalprice")
+      val plan = read.queryExecution.executedPlan.toString
+      // the partition predicate must land in PartitionFilters (file skip),
+      // not survive as a post-scan Filter over all partitions
+      assert(plan.contains("PartitionFilters: [isnotnull(o_orderpriority"),
+        s"filter must prune partitions:\n$plan")
+      // column pruning: the scan reads only the projected columns
+      assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
+        s"scan must read only projected columns:\n$plan")
+      val nUrgent = read.count()
+      val nAll = spark.read.parquet(dir).count()
+      assert(nUrgent > 0 && nUrgent < nAll)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("bucketed join runs with zero exchange on the join key (self-enforced) and returns rows") {
     // bucketJoinQuery require()s zero Exchange on l_orderkey internally —
     // this test pins that contract plus a non-empty result
