@@ -104,6 +104,9 @@ object Bench {
     // on synthetic data — measures operator throughput beyond the small
     // star-schema tables. Skipped when a query filter is active.
     def algoSel(n: String): Boolean = algoOnly.forall(_.exists(n.contains))
+    // one name string per entry: guard and timed label can't drift apart
+    def algoTimed(name: String)(f: => Unit): Seq[(String, Double)] =
+      if (algoSel(name)) Seq(timed(name)(f)) else Nil
     val algo: Seq[(String, Double)] = if (only.nonEmpty && algoOnly.isEmpty) Nil else {
       import org.apache.spark.sql.functions._
       // drop any storage residue from the query suite before the
@@ -117,12 +120,12 @@ object Bench {
       // BASELINE.md analog: KMeans 3M×100, k=500, 3 Lloyd iterations —
       // the documented scaled-down shape of kmeans.py 300M×100/500
       // (judge r3 ask #5; VecNearestCenters keeps codegen O(1) in k)
-      val km = if (!algoSel("algo_kmeans_3mx100_k500")) Nil else Seq {
+      val km = if (!algoSel("algo_kmeans_3mx100_k500")) Nil else {
         val df = spark.range(3000000).select(col("id"),
           array((0 until 100).map(i => rand(42 + i)): _*).as("v"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         df.count()
-        val t = timed("algo_kmeans_3mx100_k500")(
+        val t = algoTimed("algo_kmeans_3mx100_k500")(
           graft.ml.KMeansGraft.fit(df, "v", "id", k = 500, maxIter = 3,
             blasAssign = true))
         df.unpersist(); t
@@ -138,19 +141,17 @@ object Bench {
           .rdd.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         rows.count()
-        val t = if (!algoSel("algo_gmm_2mx100_k50")) Nil else Seq(
-          timed("algo_gmm_2mx100_k50")(
-            graft.ml.GmmGraft.fit(rows, k = 50, graft.ml.GmmGraft.Diag, maxIter = 3,
-              tol = 0, blasDiag = true)))
-        val tf = if (!algoSel("algo_gmm_full_2mx100_k50")) Nil else Seq(
-          timed("algo_gmm_full_2mx100_k50")(
-            graft.ml.GmmGraft.fit(rows, k = 50, graft.ml.GmmGraft.Full, maxIter = 3,
-              tol = 0, blasFull = true)))
+        val t = algoTimed("algo_gmm_2mx100_k50")(
+          graft.ml.GmmGraft.fit(rows, k = 50, graft.ml.GmmGraft.Diag, maxIter = 3,
+            tol = 0, blasDiag = true))
+        val tf = algoTimed("algo_gmm_full_2mx100_k50")(
+          graft.ml.GmmGraft.fit(rows, k = 50, graft.ml.GmmGraft.Full, maxIter = 3,
+            tol = 0, blasFull = true))
         rows.unpersist(); t ++ tf
       }
       // BASELINE.md analog: ALS on MovieLens-shaped ratings (943×1682,
       // 100k ratings), rank 100, 10 iterations (als.py config n_f=100)
-      val als = if (!algoSel("algo_als_movielens_r100")) Nil else Seq(timed("algo_als_movielens_r100") {
+      val als = algoTimed("algo_als_movielens_r100") {
         val ratings = spark.range(100000).select(
           ((col("id") * 31) % 943).cast("int").as("user"),
           ((col("id") * 17) % 1682).cast("int").as("item"),
@@ -162,20 +163,20 @@ object Bench {
           .setUserCol("user").setItemCol("item").setRatingCol("rating")
           .fit(ratings)
         ()
-      })
+      }
       // 10M-row range-partitioned sort (TeraSort path)
-      val srt = if (!algoSel("algo_sort_10m")) Nil else Seq(timed("algo_sort_10m") {
+      val srt = algoTimed("algo_sort_10m") {
         spark.range(10000000).select(rand(5).as("x"))
           .orderBy("x").write.format("noop").mode("overwrite").save()
-      })
+      }
       // 500k×32 tall-skinny QR (tsqr analog)
-      val qr = if (!algoSel("algo_tsqr_500kx32")) Nil else Seq {
+      val qr = if (!algoSel("algo_tsqr_500kx32")) Nil else {
         val rows = spark.range(500000).select(col("id"),
           array((0 until 32).map(i => rand(11 + i)): _*).as("v"))
           .rdd.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         rows.count()
-        val t = timed("algo_tsqr_500kx32") {
+        val t = algoTimed("algo_tsqr_500kx32") {
           val (q, _) = graft.linalg.Decompositions.tsqr(rows, 32)
           q.count() // materialize Q, not just the R tree
         }
@@ -183,18 +184,18 @@ object Bench {
       }
       // BASELINE.md analog: blocked transpose (shuffle.py/transpose.py
       // scale-down — 5000×5000 dense, 500×500 tiles)
-      val tr = if (!algoSel("algo_transpose_5k")) Nil else Seq(timed("algo_transpose_5k") {
+      val tr = algoTimed("algo_transpose_5k") {
         graft.linalg.DsArray.random(spark.sparkContext, 5000, 5000, 500, 500, 3)
           .transpose.bm.blocks.count()
         ()
-      })
+      }
       // seeded global row shuffle, 1M×20 (shuffle.py analog)
-      val sh = if (!algoSel("algo_shuffle_1mx20")) Nil else Seq(timed("algo_shuffle_1mx20") {
+      val sh = algoTimed("algo_shuffle_1mx20") {
         graft.sources.Sources.shuffle(
           spark.range(1000000).select(col("id"),
             array((0 until 20).map(i => rand(9 + i)): _*).as("v")), 25)
           .write.format("noop").mode("overwrite").save()
-      })
+      }
       km ++ gmBoth ++ als ++ srt ++ qr ++ tr ++ sh
     }
     // sf1 scale smoke (judge r3 ask #4): derive a deterministic 10×

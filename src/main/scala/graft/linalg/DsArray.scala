@@ -47,18 +47,38 @@ final class DsArray(val bm: BlockMatrix, val sparseTiles: Boolean = false) {
     * sqrt, pow — checked once on the driver), mapping only the stored
     * values — the reference's CSR blocks keep sparsity through scalar
     * ops the same way (array.py:41-50). A non-zero-preserving f (exp,
-    * log, +s) mathematically fills the tile, so it densifies. */
+    * log, +s) mathematically fills the tile, so it densifies — INCLUDING
+    * all-zero tiles that are simply absent from a sparse grid (they mean
+    * zero, and f(0) ≠ 0 must apply to them too). */
   def mapBlocks(f: Double => Double): DsArray = {
     val preservesZero = f(0.0) == 0.0
-    val mapped = bm.blocks.mapValues {
+    val rpb = bm.rowsPerBlock; val cpb = bm.colsPerBlock
+    val (nR, nC) = (rows, cols)
+    val source =
+      if (preservesZero || !sparseTiles) bm.blocks
+      else {
+        // materialize the full grid: absent tiles become explicit zeros
+        val grid = for {
+          bi <- 0 until ((nR + rpb - 1) / rpb).toInt
+          bj <- 0 until ((nC + cpb - 1) / cpb).toInt
+        } yield (bi, bj)
+        bm.blocks.sparkContext.parallelize(grid)
+          .map(k => (k, ())).leftOuterJoin(bm.blocks.map { case (k, m) => (k, m) })
+          .map { case ((bi, bj), (_, mOpt)) =>
+            val r = math.min(rpb.toLong, nR - bi.toLong * rpb).toInt
+            val c = math.min(cpb.toLong, nC - bj.toLong * cpb).toInt
+            ((bi, bj), mOpt.getOrElse(Matrices.dense(r, c, new Array[Double](r * c))))
+          }
+      }
+    val mapped = source.mapValues {
       case s: SparseMatrix if preservesZero =>
         new SparseMatrix(s.numRows, s.numCols, s.colPtrs, s.rowIndices,
           s.values.map(f), s.isTransposed): Matrix
       case m =>
         Matrices.dense(m.numRows, m.numCols, m.toArray.map(f)): Matrix
     }
-    new DsArray(new BlockMatrix(mapped, bm.rowsPerBlock, bm.colsPerBlock,
-      bm.numRows(), bm.numCols()), sparseTiles && preservesZero)
+    new DsArray(new BlockMatrix(mapped, rpb, cpb, nR, nC),
+      sparseTiles && preservesZero)
   }
 
   def *(s: Double): DsArray = mapBlocks(_ * s)

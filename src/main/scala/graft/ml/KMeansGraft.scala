@@ -183,11 +183,26 @@ object KMeansGraft {
     // (the caller's df cache still backs the exact path unchanged).
     // Decode via InternalRow.getArray.toDoubleArray — a primitive copy
     // (getSeq would box every element: 3×10⁸ boxed doubles at the
-    // bench shape, ~half the fit wall time).
+    // bench shape, ~half the fit wall time). toDoubleArray reads a NULL
+    // element as 0.0 silently (the boxed path used to NPE), so when the
+    // schema admits nulls each row is checked and rejected loudly —
+    // a fabricated 0.0 coordinate would poison the center sums.
     var vecsCached: org.apache.spark.rdd.RDD[Array[Double]] = null
     lazy val vecs = {
-      val r = df.select(col(vCol).cast("array<double>")).queryExecution.toRdd
-        .map(_.getArray(0).toDoubleArray())
+      val proj = df.select(col(vCol).cast("array<double>"))
+      val mayHaveNulls = proj.schema.head.dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull
+      val r = proj.queryExecution.toRdd.map { ir =>
+        val ad = ir.getArray(0)
+        if (mayHaveNulls) {
+          var i = 0
+          while (i < ad.numElements()) {
+            require(!ad.isNullAt(i), s"NULL element at index $i in '$vCol'")
+            i += 1
+          }
+        }
+        ad.toDoubleArray()
+      }
       if (maxIter > 1) {
         vecsCached = r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         vecsCached

@@ -54,7 +54,11 @@ object ExactQuantiles {
   /** Exact quantiles of `valueCol` (optionally per group). Returns one row
     * per group: groupBy columns ++ one DoubleType column per
     * `(outName, fraction)`. NULL and NaN values are excluded (percentile()
-    * parity); an empty group yields NULL quantiles.
+    * parity); a group whose values are all NULL/NaN yields NO row (its
+    * rows never reach the pass-0 groupBy) — callers joining the result
+    * back onto a full aggregate should left-join. ±Infinity values are
+    * ordered normally (they resolve from the pass-0 tail counts, so the
+    * histogram narrowing only ever runs over the finite sub-range).
     */
   def quantiles(
       df: DataFrame,
@@ -74,16 +78,29 @@ object ExactQuantiles {
       .select((groupBy.map(col) :+ col(valueCol).cast("double").as("__eq_v")): _*)
       .filter(v.isNotNull && !isnan(v))
 
-    // Pass 0: per-group count / min / max (partial+final agg, tiny result).
+    // Pass 0: per-group count / finite min / finite max / ±Inf tail counts
+    // (partial+final agg, tiny result). Infinities can't enter the
+    // histogram domain — a bracket touching ±Inf has infinite width and
+    // never narrows — so they resolve directly from the tail counts.
+    val negInf = lit(Double.NegativeInfinity)
+    val posInf = lit(Double.PositiveInfinity)
     val stats = base.groupBy(groupBy.map(col): _*)
-      .agg(count(lit(1)).as("__n"), min(v).as("__lo"), max(v).as("__hi"))
+      .agg(count(lit(1)).as("__n"),
+        min(when(v =!= negInf && v =!= posInf, v)).as("__lo"),
+        max(when(v =!= negInf && v =!= posInf, v)).as("__hi"),
+        count(when(v === negInf, 1)).as("__nneg"),
+        count(when(v === posInf, 1)).as("__npos"))
       .collect()
 
     val groupKeys: Array[Seq[Any]] =
       stats.map(r => groupBy.indices.map(r.get)).toArray
     val groupN: Array[Long] = stats.map(_.getAs[Long]("__n"))
-    val groupLo: Array[Double] = stats.map(_.getAs[Double]("__lo"))
-    val groupHi: Array[Double] = stats.map(_.getAs[Double]("__hi"))
+    val groupLo: Array[java.lang.Double] =
+      stats.map(_.getAs[java.lang.Double]("__lo"))
+    val groupHi: Array[java.lang.Double] =
+      stats.map(_.getAs[java.lang.Double]("__hi"))
+    val groupNeg: Array[Long] = stats.map(_.getAs[Long]("__nneg"))
+    val groupPos: Array[Long] = stats.map(_.getAs[Long]("__npos"))
 
     // Each fraction → rank r = p*(n-1); we need order statistics floor(r)
     // and ceil(r). De-dup ranks shared across fractions.
@@ -94,11 +111,19 @@ object ExactQuantiles {
         Seq(math.floor(r).toLong, math.ceil(r).toLong)
       }.distinct
       ranks.map { rk =>
-        val t = Target(gid, rk, groupLo(gid), groupHi(gid), n)
-        if (n == 0) { t.ready = true; t.resolved = true }
-        else if (t.lo == t.hi) { t.value = t.lo; t.ready = true; t.resolved = true }
-        else if (n <= budget) t.ready = true
-        t
+        if (rk < groupNeg(gid)) { // rank inside the -Inf tail
+          val t = Target(gid, rk, 0, 0, 0)
+          t.value = Double.NegativeInfinity; t.ready = true; t.resolved = true; t
+        } else if (rk >= n - groupPos(gid)) { // rank inside the +Inf tail
+          val t = Target(gid, rk, 0, 0, 0)
+          t.value = Double.PositiveInfinity; t.ready = true; t.resolved = true; t
+        } else {
+          val nFinite = n - groupNeg(gid) - groupPos(gid)
+          val t = Target(gid, rk, groupLo(gid), groupHi(gid), nFinite)
+          if (t.lo == t.hi) { t.value = t.lo; t.ready = true; t.resolved = true }
+          else if (nFinite <= budget) t.ready = true
+          t
+        }
       }
     }.toArray
 
@@ -122,12 +147,25 @@ object ExactQuantiles {
       pass += 1
       val active = targets.filter(!_.ready)
       // bin: -1 = below bracket, 0..bins-1 = in-bracket cell, null = other.
+      // A bracket wider than Double.MaxValue (finite data straddling
+      // ±~9e307) would overflow (v - lo): those targets take one exact-
+      // comparison halving pass (2 bins split at the overflow-free
+      // midpoint) until the width is representable.
+      def tooWide(t: Target): Boolean = (t.hi - t.lo).isInfinity
       val binExprs: Seq[Column] = active.toSeq.map { t =>
-        val w = (t.hi - t.lo) / bins
-        when(!groupMatch(t.gid), lit(null))
-          .when(v < t.lo, lit(-1))
-          .when(v > t.hi, lit(null))
-          .otherwise(least(lit(bins - 1), floor((v - lit(t.lo)) / lit(w))).cast("int"))
+        if (tooWide(t)) {
+          val mid = t.lo / 2 + t.hi / 2
+          when(!groupMatch(t.gid), lit(null))
+            .when(v < t.lo, lit(-1))
+            .when(v > t.hi, lit(null))
+            .when(v < mid, lit(0)).otherwise(lit(1))
+        } else {
+          val w = (t.hi - t.lo) / bins
+          when(!groupMatch(t.gid), lit(null))
+            .when(v < t.lo, lit(-1))
+            .when(v > t.hi, lit(null))
+            .otherwise(least(lit(bins - 1), floor((v - lit(t.lo)) / lit(w))).cast("int"))
+        }
       }
       val counts = base
         .select(posexplode(array(binExprs: _*)).as(Seq("__tid", "__bin")))
@@ -144,12 +182,19 @@ object ExactQuantiles {
           s"exact-quantile invariant broken: rank ${t.rank} below $below hist ${hist.sum}")
         var cum = 0L; var b = 0
         while (cum + hist(b) <= idx) { cum += hist(b); b += 1 }
-        val w = (t.hi - t.lo) / bins
-        // ±1-cell widening: fp binning is exact to one cell, so the true
-        // order statistic always lies inside the widened bracket.
-        val nlo = math.max(t.lo, t.lo + (b - 1) * w)
-        val nhi = math.min(t.hi, t.lo + (b + 2) * w)
-        val nin = hist.slice(math.max(0, b - 1), math.min(bins, b + 2)).sum
+        val (nlo, nhi, nin) = if (tooWide(t)) {
+          // the `v < mid` comparison is exact — no fp widening needed
+          val mid = t.lo / 2 + t.hi / 2
+          if (b == 0) (t.lo, math.nextDown(mid), hist(0))
+          else (mid, t.hi, hist(1))
+        } else {
+          val w = (t.hi - t.lo) / bins
+          // ±1-cell widening: fp binning is exact to one cell, so the true
+          // order statistic always lies inside the widened bracket.
+          (math.max(t.lo, t.lo + (b - 1) * w),
+            math.min(t.hi, t.lo + (b + 2) * w),
+            hist.slice(math.max(0, b - 1), math.min(bins, b + 2)).sum)
+        }
         if (nhi <= nlo || nlo + (nhi - nlo) / bins == nlo) {
           // Bracket at fp resolution: a handful of distinct doubles remain
           // (possibly each duplicated billions of times) — the value-level
@@ -208,7 +253,11 @@ object ExactQuantiles {
           val r = p * (n - 1).toDouble
           val lo = valueAt((gid, math.floor(r).toLong))
           val hi = valueAt((gid, math.ceil(r).toLong))
-          lo + (r - math.floor(r)) * (hi - lo)
+          val frac = r - math.floor(r)
+          if (frac == 0.0 || lo == hi) lo // avoids Inf - Inf = NaN at integral ranks
+          else if (java.lang.Double.isFinite(lo) && java.lang.Double.isFinite(hi))
+            lo + frac * (hi - lo) // quantile_cont form, oracle-stable
+          else hi * frac + lo * (1 - frac) // two-sided form: ±Inf endpoints behave like percentile()
         }
       }
       Row.fromSeq(groupKeys(gid) ++ qs)

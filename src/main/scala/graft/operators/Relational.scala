@@ -217,7 +217,10 @@ object Relational {
         count(lit(1)).as("n"))
     val med = ExactQuantiles.quantiles(
       li, "l_quantity", Seq("median_raw" -> 0.5), groupBy = Seq("l_returnflag"))
-    aggs.join(broadcast(med), Seq("l_returnflag"))
+    // left join: a flag whose quantities were all NULL/NaN has no
+    // ExactQuantiles row, but must keep its aggregate row (median NULL) —
+    // matching the old single-agg percentile() behavior
+    aggs.join(broadcast(med), Seq("l_returnflag"), "left")
       .select(col("l_returnflag"), col("min_qty"), col("max_qty"),
         col("sum_qty"), col("mean_qty"),
         round(col("median_raw"), 4).as("median_qty"),

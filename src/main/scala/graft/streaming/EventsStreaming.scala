@@ -158,8 +158,12 @@ object EventsStreaming {
     val buf = prevBuf ++ incoming.map(e =>
       BufEv(e.event_id, e.event_type, tsMicros(e.ts)))
     val wmUs = state.getCurrentWatermarkMs() * 1000L
-    val (ripe, rest) = buf.partition(_.us <= wmUs)
-    // strictly after the current watermark by construction of `rest`;
+    // STRICTLY below the watermark: Spark only drops late rows with
+    // event time < watermark, so an on-time event AT the watermark can
+    // still arrive in a later batch — finalizing ties here would replay
+    // it out of order relative to the batch twin.
+    val (ripe, rest) = buf.partition(_.us < wmUs)
+    // at or after the current watermark by construction of `rest`;
     // armed by the caller AFTER state.update (GroupState API ordering)
     val timeoutMs = if (rest.isEmpty) None else Some(
       math.max(state.getCurrentWatermarkMs() + 1,

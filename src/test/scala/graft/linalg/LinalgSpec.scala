@@ -177,6 +177,18 @@ class LinalgSpec extends SparkSpec {
     assert(!a.exp.sparseTiles)
   }
 
+  test("non-zero-preserving map fills tiles ABSENT from a sparse grid") {
+    // a single entry in tile (0,0) of a 2×2 grid: the other three tiles
+    // mean zero, so exp must produce 1.0 there, not stay absent
+    val a = DsArray.fromCOO(sc.parallelize(Seq((1L, 1L, 2.0))), 16, 16, 8, 8)
+    assert(a.bm.blocks.count() == 1) // only the populated tile exists
+    val e = a.exp.collect()
+    val expect = BDM.tabulate(16, 16)((i, j) => if (i == 1 && j == 1) math.exp(2.0) else 1.0)
+    assert(maxAbs(e - expect) < 1e-12)
+    // zero-preserving map keeps the absent-tile economy
+    assert((a * 3.0).bm.blocks.count() == 1)
+  }
+
   test("libsvm loads into sparse tiles and grams correctly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-libsvm")
     try {

@@ -74,6 +74,33 @@ class ExactQuantilesSpec extends SparkSpec {
     assert(math.abs(got.getDouble(0) - reference(vals, 0.5)) < 1e-20)
   }
 
+  test("±Infinity values order normally via tail counts; no histogram stall") {
+    // percentile() sorts ±Inf like any double; the bracketing must not
+    // try to histogram an infinite-width bracket (it would never narrow)
+    val vals = Seq(Double.NegativeInfinity, Double.NegativeInfinity) ++
+      (1 to 2000).map(_.toDouble) ++ Seq(Double.PositiveInfinity)
+    val df = vals.toDF("x").repartition(3)
+    val got = ExactQuantiles.quantiles(
+        df, "x", Seq("lo" -> 0.0, "med" -> 0.5, "hi" -> 1.0, "p99" -> 0.99),
+        bins = 16, budget = 200)
+      .collect().head
+    assert(got.getDouble(0) == Double.NegativeInfinity)
+    assert(math.abs(got.getDouble(1) - reference(vals, 0.5)) < 1e-9)
+    assert(got.getDouble(2) == Double.PositiveInfinity)
+    assert(math.abs(got.getDouble(3) - reference(vals, 0.99)) < 1e-9)
+  }
+
+  test("finite span wider than Double.MaxValue: halving passes, still exact") {
+    val vals = Seq(-1.5e308, 1.5e308, 1.2e308) ++ (1 to 500).map(_.toDouble)
+    val df = vals.toDF("x").repartition(2)
+    val got = ExactQuantiles.quantiles(
+        df, "x", Seq("med" -> 0.5, "lo" -> 0.0, "hi" -> 1.0),
+        bins = 16, budget = 50)
+      .collect().head
+    assert(got.getDouble(0) === reference(vals, 0.5))
+    assert(got.getDouble(1) == -1.5e308 && got.getDouble(2) == 1.5e308)
+  }
+
   test("nulls and NaNs excluded; extreme fractions are min/max") {
     val df = Seq[java.lang.Double](5.0, null, 1.0, Double.NaN, 3.0, 2.0, 4.0)
       .toDF("x")

@@ -184,6 +184,33 @@ class StreamingSpec extends SparkSpec {
     assert(b == got, s"batch $b vs stream $got")
   }
 
+  test("unordered attribution does not finalize an event AT the watermark") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark2.sqlContext
+    val mem = MemoryStream[EventsStreaming.RawEvent]
+    mem.addData(
+      EventsStreaming.RawEvent(2L, 1L, "purchase", ts(40)),
+      EventsStreaming.RawEvent(90L, 99L, "view", ts(70))) // watermark after b1: 40
+    val q = EventsStreaming.clickAttributionUnordered(mem.toDS(), "30 minutes")
+      .writeStream.format("memory").queryName("attrib_wm").outputMode("append").start()
+    q.processAllAvailable()
+    // same max event time → the watermark STAYS exactly 40 for batch 2
+    mem.addData(EventsStreaming.RawEvent(91L, 99L, "view", ts(70)))
+    q.processAllAvailable()
+    // purchase@40 must still be buffered: Spark's own late filter is the
+    // only authority on whether a ts == watermark peer can still arrive,
+    // so the drain stays strictly below the watermark either way
+    assert(spark.table("attrib_wm").count() == 0,
+      "event at the watermark must not finalize yet")
+    mem.addData(EventsStreaming.RawEvent(92L, 99L, "view", ts(100)))
+    q.processAllAvailable() // watermark 41 → 70: timeout drains user 1
+    q.stop()
+    val got = spark.table("attrib_wm").collect()
+      .map(r => r.getLong(0) -> Option(r.getTimestamp(3))).toMap
+    assert(got == Map(2L -> None), s"got $got")
+  }
+
   test("unordered funnel replays shuffled arrivals in event-time order") {
     val spark2 = spark
     import spark2.implicits._
