@@ -151,6 +151,23 @@ object Relational {
         coalesce(col("qty_o"), lit(0.0)).as("qty_o"))
       .orderBy("l_returnflag")
 
+  /** UNPIVOT (wide→long, the inverse of [[pivotAgg]]): each order row
+    * melts into one (measure, value) row per numeric column via `stack`
+    * — a codegen'd generator, one narrow pass, no shuffle until the tiny
+    * per-measure aggregate. */
+  def unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(expr(
+        """stack(3, 'quantity', l_quantity,
+          |         'extendedprice', l_extendedprice,
+          |         'discount', l_discount)
+          |  AS (measure, value)""".stripMargin))
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 2).as("sum_value"),
+        round(avg("value"), 4).as("avg_value"))
+      .orderBy("measure")
+
   def groupByHaving(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_partkey")
@@ -396,7 +413,8 @@ object Relational {
     "q_full_outer" -> (fullOuter _),
     "q_pivot" -> (pivotAgg _),
     "q_range_join" -> (rangeJoin _),
-    "q_window_range" -> (windowRange _)
+    "q_window_range" -> (windowRange _),
+    "q_unpivot" -> (unpivot _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -555,6 +573,17 @@ object Relational {
         |      FROM orders) t
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
         |  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_unpivot" ->
+      """SELECT measure, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value,
+        |  round(avg(value), 4) AS avg_value
+        |FROM (
+        |  SELECT 'quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT 'extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT 'discount', l_discount FROM lineitem
+        |) t GROUP BY measure ORDER BY measure""".stripMargin
   )
 }

@@ -112,6 +112,29 @@ class ExactQuantilesSpec extends SparkSpec {
     assert(got.getDouble(2) === 5.0)
   }
 
+  test("property: matches Spark's exact percentile() across distributions") {
+    import org.apache.spark.sql.functions._
+    val fr = Seq("p01" -> 0.01, "p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p999" -> 0.999)
+    def check(name: String, vals: Seq[Double]): Unit = {
+      val df = vals.toDF("x").repartition(5).cache()
+      val exp = df.agg(expr(
+        s"percentile(x, array(${fr.map(_._2).mkString(",")}))")).head.getSeq[Double](0)
+      val got = ExactQuantiles.quantiles(df, "x", fr, bins = 32, budget = 300)
+        .collect().head
+      df.unpersist(false)
+      fr.indices.foreach { i =>
+        assert(math.abs(got.getDouble(i) - exp(i)) <= math.abs(exp(i)) * 1e-14 + 1e-300,
+          s"$name ${fr(i)._1}: got ${got.getDouble(i)} want ${exp(i)}")
+      }
+    }
+    val rng = new scala.util.Random(99)
+    check("gaussian", Seq.fill(15000)(rng.nextGaussian() * 37 - 11))
+    check("lognormal", Seq.fill(15000)(math.exp(rng.nextGaussian() * 3)))
+    check("integer-heavy", Seq.fill(15000)((rng.nextInt(50) + 1).toDouble))
+    check("bimodal+dups", Seq.fill(7000)(5.0) ++
+      Seq.fill(8000)(rng.nextDouble() * 1e6 + 1e9))
+  }
+
   test("single row and tiny groups") {
     val df = Seq(("a", 7.0), ("b", 1.0), ("b", 2.0)).toDF("g", "x")
     val got = ExactQuantiles.quantiles(
