@@ -411,7 +411,10 @@ object GmmGraft {
     while (it < maxIter && !converged) {
       if (blasDiag && diagCov) {
         val (rs, rx, rxd, llSum) = diagGemmStep(rows.values, weights, means, covs, k, p)
-        val upd = paramsFromStats(rs, rx, Array.empty[BDM[Double]], rxd, n,
+        // same 10·eps empty-component guard as fromResp: a component whose
+        // responsibilities collapse to exactly 0 must not yield 0/0 NaN
+        val rsSafe = rs.map(_ + 10 * 2.220446049250313e-16)
+        val upd = paramsFromStats(rsSafe, rx, Array.empty[BDM[Double]], rxd, n,
           covType, reg, pr6, pr6v, pr6m)
         weights = upd._1; means = upd._2; covs = upd._3
         ll = llSum
@@ -420,7 +423,8 @@ object GmmGraft {
         it += 1
       } else if (blasFull && needFullMoment) {
         val (rs, rx, rxx, llSum) = fullGemmStep(rows.values, weights, means, covs, k, p)
-        val upd = paramsFromStats(rs, rx, rxx, Array.empty[BDV[Double]], n,
+        val rsSafe = rs.map(_ + 10 * 2.220446049250313e-16)
+        val upd = paramsFromStats(rsSafe, rx, rxx, Array.empty[BDV[Double]], n,
           covType, reg, pr6, pr6v, pr6m)
         weights = upd._1; means = upd._2; covs = upd._3
         ll = llSum
@@ -487,7 +491,8 @@ object GmmGraft {
             Array.tabulate(d1.length)(j => d1(j) + d2(j)), l1 + l2)
         }, depth = 2)
       dens.destroy()
-      val upd = paramsFromStats(rs, rx, rxx, rxd, n, covType, reg, pr6, pr6v, pr6m)
+      val rsSafe = rs.map(_ + 10 * 2.220446049250313e-16)
+      val upd = paramsFromStats(rsSafe, rx, rxx, rxd, n, covType, reg, pr6, pr6v, pr6m)
       weights = upd._1; means = upd._2; covs = upd._3
       ll = llSum
       converged = math.abs(ll - prevLL) < tol * math.abs(ll)

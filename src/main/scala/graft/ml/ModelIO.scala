@@ -103,19 +103,26 @@ object ModelIO {
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap)
 
   /** MinMax persists the fitted (lo, hi) per column plus the output
-    * range as a sentinel row (reference persists every estimator,
-    * data/util/model.py:20-73). */
+    * range (reference persists every estimator, data/util/model.py:20-73).
+    * The range row is distinguished by an out-of-band `kind` column — a
+    * model fitted on ANY real column name (including "__range__")
+    * round-trips intact. */
   def saveMinMaxScaler(spark: SparkSession, path: String,
       m: Scalers.MinMaxModel): Unit = {
     import spark.implicits._
-    val rows = m.stats.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) } :+
-      (("__range__", m.range._1, m.range._2))
-    rows.toDF("col", "lo", "hi").write.mode(SaveMode.Overwrite).parquet(path)
+    val rows = m.stats.toSeq.map { case (c, (lo, hi)) => ("stat", c, lo, hi) } :+
+      (("range", "", m.range._1, m.range._2))
+    rows.toDF("kind", "col", "lo", "hi")
+      .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
   def loadMinMaxScaler(spark: SparkSession, path: String): Scalers.MinMaxModel = {
     val rows = spark.read.parquet(path).collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    Scalers.MinMaxModel(rows - "__range__", rows("__range__"))
+    val stats = rows.filter(_.getString(0) == "stat")
+      .map(r => r.getString(1) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val range = rows.find(_.getString(0) == "range")
+      .map(r => (r.getDouble(2), r.getDouble(3)))
+      .getOrElse(throw new IllegalStateException(s"no range row in $path"))
+    Scalers.MinMaxModel(stats, range)
   }
 }

@@ -53,12 +53,15 @@ object ExactQuantiles {
 
   /** Exact quantiles of `valueCol` (optionally per group). Returns one row
     * per group: groupBy columns ++ one DoubleType column per
-    * `(outName, fraction)`. NULL and NaN values are excluded (percentile()
-    * parity); a group whose values are all NULL/NaN yields NO row (its
-    * rows never reach the pass-0 groupBy) — callers joining the result
-    * back onto a full aggregate should left-join. ±Infinity values are
-    * ordered normally (they resolve from the pass-0 tail counts, so the
-    * histogram narrowing only ever runs over the finite sub-range).
+    * `(outName, fraction)`. NULL values are excluded and NaN values are
+    * counted and ordered GREATEST — both exactly as Spark's built-in
+    * `percentile()` does (SQL NaN semantics: NaN > +Inf) — so this is a
+    * drop-in replacement even on NaN-bearing columns. A group whose values
+    * are all NULL yields NO row (its rows never reach the pass-0 groupBy)
+    * — callers joining the result back onto a full aggregate should
+    * left-join. ±Infinity values are ordered normally; like NaN they
+    * resolve from the pass-0 tail counts, so the histogram narrowing only
+    * ever runs over the finite sub-range.
     */
   def quantiles(
       df: DataFrame,
@@ -74,22 +77,28 @@ object ExactQuantiles {
     val spark = df.sparkSession
 
     val v = col("__eq_v")
-    val base = df
+    val baseAll = df
       .select((groupBy.map(col) :+ col(valueCol).cast("double").as("__eq_v")): _*)
-      .filter(v.isNotNull && !isnan(v))
+      .filter(v.isNotNull)
+    // Histogram/selection passes run over finite+infinite values only; NaN
+    // participates solely through its pass-0 tail count (it sorts greatest).
+    val base = baseAll.filter(!isnan(v))
 
-    // Pass 0: per-group count / finite min / finite max / ±Inf tail counts
-    // (partial+final agg, tiny result). Infinities can't enter the
-    // histogram domain — a bracket touching ±Inf has infinite width and
-    // never narrows — so they resolve directly from the tail counts.
+    // Pass 0: per-group count / finite min / finite max / ±Inf + NaN tail
+    // counts (partial+final agg, tiny result). Infinities and NaN can't
+    // enter the histogram domain — a bracket touching them has
+    // infinite/undefined width and never narrows — so they resolve
+    // directly from the tail counts.
     val negInf = lit(Double.NegativeInfinity)
     val posInf = lit(Double.PositiveInfinity)
-    val stats = base.groupBy(groupBy.map(col): _*)
+    val finiteV = when(v =!= negInf && v =!= posInf && !isnan(v), v)
+    val stats = baseAll.groupBy(groupBy.map(col): _*)
       .agg(count(lit(1)).as("__n"),
-        min(when(v =!= negInf && v =!= posInf, v)).as("__lo"),
-        max(when(v =!= negInf && v =!= posInf, v)).as("__hi"),
+        min(finiteV).as("__lo"),
+        max(finiteV).as("__hi"),
         count(when(v === negInf, 1)).as("__nneg"),
-        count(when(v === posInf, 1)).as("__npos"))
+        count(when(v === posInf, 1)).as("__npos"),
+        count(when(isnan(v), 1)).as("__nnan"))
       .collect()
 
     val groupKeys: Array[Seq[Any]] =
@@ -101,6 +110,7 @@ object ExactQuantiles {
       stats.map(_.getAs[java.lang.Double]("__hi"))
     val groupNeg: Array[Long] = stats.map(_.getAs[Long]("__nneg"))
     val groupPos: Array[Long] = stats.map(_.getAs[Long]("__npos"))
+    val groupNan: Array[Long] = stats.map(_.getAs[Long]("__nnan"))
 
     // Each fraction → rank r = p*(n-1); we need order statistics floor(r)
     // and ceil(r). De-dup ranks shared across fractions.
@@ -114,13 +124,22 @@ object ExactQuantiles {
         if (rk < groupNeg(gid)) { // rank inside the -Inf tail
           val t = Target(gid, rk, 0, 0, 0)
           t.value = Double.NegativeInfinity; t.ready = true; t.resolved = true; t
-        } else if (rk >= n - groupPos(gid)) { // rank inside the +Inf tail
+        } else if (rk >= n - groupNan(gid)) { // rank inside the NaN tail (sorts greatest)
+          val t = Target(gid, rk, 0, 0, 0)
+          t.value = Double.NaN; t.ready = true; t.resolved = true; t
+        } else if (rk >= n - groupNan(gid) - groupPos(gid)) { // +Inf tail
           val t = Target(gid, rk, 0, 0, 0)
           t.value = Double.PositiveInfinity; t.ready = true; t.resolved = true; t
         } else {
-          val nFinite = n - groupNeg(gid) - groupPos(gid)
+          val nFinite = n - groupNeg(gid) - groupPos(gid) - groupNan(gid)
           val t = Target(gid, rk, groupLo(gid), groupHi(gid), nFinite)
           if (t.lo == t.hi) { t.value = t.lo; t.ready = true; t.resolved = true }
+          // Bracket already at fp resolution (its equi-width cell width
+          // underflows: lo + (hi-lo)/bins == lo, e.g. subnormal-scale
+          // spacing): a histogram pass would divide by a zero/denormal
+          // width — skip straight to the value-level final pass, which
+          // stays tiny (≤ ~bins/2 distinct doubles fit such a bracket).
+          else if (t.lo + (t.hi - t.lo) / bins == t.lo) t.ready = true
           else if (nFinite <= budget) t.ready = true
           t
         }

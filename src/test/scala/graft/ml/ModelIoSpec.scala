@@ -57,6 +57,14 @@ class ModelIoSpec extends SparkSpec {
     val t1 = mm.transform(df).select("a_mm", "b_mm").collect().map(_.toSeq)
     val t2 = mm2.transform(df).select("a_mm", "b_mm").collect().map(_.toSeq)
     assert(t1.toSeq == t2.toSeq)
+
+    // a real column literally named "__range__" must round-trip intact
+    // (range is stored out of band via the kind column, not a sentinel row)
+    val hostile = Scalers.MinMaxModel(
+      Map("__range__" -> (2.0, 9.0), "a" -> (0.0, 1.0)), (-3.0, 3.0))
+    val p5 = tmp(); ModelIO.saveMinMaxScaler(spark, p5, hostile)
+    val h2 = ModelIO.loadMinMaxScaler(spark, p5)
+    assert(h2.stats == hostile.stats && h2.range == hostile.range)
   }
 
   test("GMM / CSVM roundtrips preserve parameters and predictions") {

@@ -101,15 +101,48 @@ class ExactQuantilesSpec extends SparkSpec {
     assert(got.getDouble(1) == -1.5e308 && got.getDouble(2) == 1.5e308)
   }
 
-  test("nulls and NaNs excluded; extreme fractions are min/max") {
+  test("nulls excluded; NaN counted and ordered greatest (percentile parity)") {
+    // percentile() excludes NULL but includes NaN, sorting it above +Inf —
+    // sorted domain here is [1,2,3,4,5,NaN], n=6
     val df = Seq[java.lang.Double](5.0, null, 1.0, Double.NaN, 3.0, 2.0, 4.0)
       .toDF("x")
     val got = ExactQuantiles.quantiles(
         df, "x", Seq("lo" -> 0.0, "med" -> 0.5, "hi" -> 1.0))
       .collect().head
     assert(got.getDouble(0) === 1.0)
-    assert(got.getDouble(1) === 3.0)
-    assert(got.getDouble(2) === 5.0)
+    assert(got.getDouble(1) === 3.5) // r = 0.5*5 = 2.5 → 3 + 0.5*(4-3)
+    assert(got.getDouble(2).isNaN)   // max rank lands in the NaN tail
+    // cross-check the whole row against Spark's own percentile()
+    val exp = df.agg(expr("percentile(x, array(0.0, 0.5, 1.0))"))
+      .head.getSeq[Double](0)
+    assert(got.getDouble(0) === exp(0) && got.getDouble(1) === exp(1))
+    assert(exp(2).isNaN === got.getDouble(2).isNaN)
+  }
+
+  test("all-NaN group yields NaN quantiles, like percentile()") {
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", Double.NaN), ("b", Double.NaN))
+      .toDF("g", "x")
+    val got = ExactQuantiles.quantiles(
+        df, "x", Seq("med" -> 0.5), groupBy = Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("a") === 2.0)
+    assert(got("b").isNaN)
+  }
+
+  test("subnormal-scale spacing: cell width underflows to 0, no NaN bins") {
+    // bracket [0, minPositiveDouble] has (hi-lo)/bins == 0.0 — before the
+    // fp-resolved guard this divided by zero and aborted; now it skips
+    // straight to the value-level final pass
+    val minPos = java.lang.Double.MIN_VALUE // 4.9e-324
+    val vals = Seq.fill(300)(0.0) ++ Seq.fill(300)(minPos)
+    val df = vals.toDF("x").repartition(3)
+    val got = ExactQuantiles.quantiles(
+        df, "x", Seq("lo" -> 0.0, "med" -> 0.5, "hi" -> 1.0),
+        bins = 128, budget = 100) // budget << 600 forces the narrowing path
+      .collect().head
+    assert(got.getDouble(0) === 0.0)
+    assert(got.getDouble(1) === reference(vals, 0.5))
+    assert(got.getDouble(2) === minPos)
   }
 
   test("property: matches Spark's exact percentile() across distributions") {
