@@ -388,6 +388,60 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** CUBE multi-granularity aggregation: all four grouping combinations
+    * (leaf, per-flag, per-status, grand total) from ONE scan — the same
+    * Expand + partial+final hash-agg plan as ROLLUP but with the full
+    * grouping lattice; at 100 TB one job replaces four aggregate jobs
+    * and reads the fact table once. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) / 1e6, 4)
+          .as("revenue_m"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n_rows"), col("sum_qty"), col("revenue_m"))
+      .orderBy("flag", "status")
+
+  /** Set operators INTERSECT / EXCEPT (distinct semantics) over customer
+    * key sets: high-spend vs urgent-priority buyers. Both plan as hash
+    * aggregates + one key shuffle (same shape as distinct) — no join
+    * explosion, scale-safe on any key cardinality. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val hi = o.filter(col("o_totalprice") > 250000).select("o_custkey")
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    def counted(name: String, d: DataFrame) =
+      d.agg(count(lit(1)).as("n")).select(lit(name).as("set_op"), col("n"))
+    counted("hi_and_urgent", hi.intersect(urgent))
+      .unionAll(counted("hi_not_urgent", hi.except(urgent)))
+      .unionAll(counted("urgent_not_hi", urgent.except(hi)))
+      .orderBy("set_op")
+  }
+
+  /** Offset window functions — lag/lead over each customer's order
+    * timeline plus an ntile price quartile within priority. One shuffle
+    * per distinct partition key, per-partition sorts, no global funnel;
+    * unique o_orderkey tiebreaks make every offset deterministic. */
+  def windowOffset(spark: SparkSession, dir: String): DataFrame = {
+    val byCust = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byPrio = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        // -1 sentinel for the partition edges keeps the output null-free
+        // (the cross-engine row comparator can't order NULL doubles)
+        coalesce(round(lag("o_totalprice", 1).over(byCust), 2), lit(-1.0))
+          .as("prev_price"),
+        coalesce(round(lead("o_totalprice", 1).over(byCust), 2), lit(-1.0))
+          .as("next_price"),
+        ntile(4).over(byPrio).as("price_quartile"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pricing_summary" -> (pricingSummary _),
     "q_filter_project" -> (filterProject _),
@@ -414,7 +468,10 @@ object Relational {
     "q_pivot" -> (pivotAgg _),
     "q_range_join" -> (rangeJoin _),
     "q_window_range" -> (windowRange _),
-    "q_unpivot" -> (unpivot _)
+    "q_unpivot" -> (unpivot _),
+    "q_cube" -> (cubeAgg _),
+    "q_set_ops" -> (setOps _),
+    "q_window_offset" -> (windowOffset _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -584,6 +641,39 @@ object Relational {
         |  SELECT 'extendedprice', l_extendedprice FROM lineitem
         |  UNION ALL
         |  SELECT 'discount', l_discount FROM lineitem
-        |) t GROUP BY measure ORDER BY measure""".stripMargin
+        |) t GROUP BY measure ORDER BY measure""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice * (1 - l_discount)) / 1e6, 4) AS revenue_m
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "q_set_ops" ->
+      """SELECT 'hi_and_urgent' AS set_op, count(*) AS n FROM (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') t1
+        |UNION ALL
+        |SELECT 'hi_not_urgent', count(*) FROM (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') t2
+        |UNION ALL
+        |SELECT 'urgent_not_hi', count(*) FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 250000) t3
+        |ORDER BY set_op""".stripMargin,
+    "q_window_offset" ->
+      """SELECT o_orderkey, o_custkey,
+        |  coalesce(round(lag(o_totalprice) OVER w, 2), -1.0) AS prev_price,
+        |  coalesce(round(lead(o_totalprice) OVER w, 2), -1.0) AS next_price,
+        |  ntile(4) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS price_quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.TextFns._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — language ID
@@ -194,6 +195,141 @@ object TextAnalysis {
       .toDF("n_docs", "total_tokens", "n_packs", "n_straddlers", "avg_docs_per_pack")
   }
 
+  /** Gopher-style intra-document repetition signals (the published
+    * repetition quality rules: duplicate-word fraction, most-frequent-
+    * bigram occupancy, duplicate-trigram fraction). Each metric is
+    * computed inside the row from sorted n-gram arrays — the most
+    * frequent bigram's count is the longest equal-run in the sorted
+    * bigram array, one O(len·log len) pass — so the whole query is a
+    * single map-side scan: no exploded-gram shuffle at any corpus size. */
+  def gopherRepetition(spark: SparkSession, dir: String): DataFrame =
+    gopherRepetitionDf(Tables.documents(spark, dir))
+
+  private[graft] def gopherRepetitionDf(docs: DataFrame): DataFrame = {
+    val w = col("w")
+    def grams(k: Int): Column =
+      when(size(w) >= k,
+        transform(sequence(lit(1), size(w) - (k - 1)),
+          i => concat_ws(" ", (0 until k).map(j => element_at(w, i + lit(j))): _*)))
+        .otherwise(typedLit(Seq.empty[String]))
+    // longest run of equal values in a SORTED array = max occurrence count
+    def maxRun(sorted: Column): Column = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (s, x) => {
+        val run = when(x === s.getField("prev"), s.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(s.getField("best"), run).as("best"))
+      },
+      s => s.getField("best"))
+    docs
+      .select(col("doc_id"), words.as("w"))
+      .select(col("doc_id"), w, grams(2).as("bg"), grams(3).as("tg"))
+      .select(col("doc_id"),
+        size(w).as("n_words"),
+        round(lit(1.0) - size(array_distinct(w)).cast("double") / size(w), 4)
+          .as("dup_word_frac"),
+        when(size(col("bg")) > 0,
+          round(maxRun(array_sort(col("bg"))).cast("double") / size(col("bg")), 4))
+          .otherwise(0.0).as("top_bigram_frac"),
+        when(size(col("tg")) > 0,
+          round(lit(1.0) - size(array_distinct(col("tg"))).cast("double")
+            / size(col("tg")), 4))
+          .otherwise(0.0).as("dup_trigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  val StratumK = 50
+
+  /** Deterministic stratified sampling: the k smallest-hash documents per
+    * language stratum — a portable, partitioning-independent eval slice
+    * (corpusSample's hash-membership contract, but with an EXACT
+    * per-stratum size). The `row_number() <= literal` filter lets Spark
+    * plan WindowGroupLimit: every task keeps only a k-row heap per
+    * stratum BEFORE the stratum shuffle, so no full per-stratum sort
+    * ever materializes at 100 TB (plan-asserted). */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSampleDf(Tables.documents(spark, dir), StratumK)
+
+  private[graft] def stratifiedSampleDf(docs: DataFrame, k: Int): DataFrame = {
+    val win = Window.partitionBy("lang").orderBy(col("hk"), col("doc_id"))
+    docs
+      .select(col("lang"), col("doc_id"), size(words).as("n_tokens"))
+      .withColumn("hk", hash56(col("doc_id").cast("string")))
+      .withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk"), col("doc_id"), col("n_tokens"))
+      .orderBy("lang", "rk")
+  }
+
+  val SelectBudget = 10000L
+
+  /** Token-budget corpus selection: rank documents by a quality key
+    * (unique-token ratio, doc_id tiebreak) and keep those whose START
+    * offset in the quality-ordered token stream is under the budget —
+    * greedy highest-quality-first selection to a token target, the final
+    * step of a data-mix build. The global prefix sum is the TeraSort
+    * two-pass pattern over a range partitioning on the quality key
+    * (per-partition sums → broadcast offsets → linear pass), never a
+    * one-partition window. */
+  def tokenBudgetSelect(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetSelectDf(Tables.documents(spark, dir), SelectBudget)
+
+  /** The quality-ordered pre-aggregate stage: the range-partitioned,
+    * within-partition-sorted (source, nt) frame — exposed so plan
+    * assertions can check the ordering never funnels to one partition.
+    * Caller must unpersist the returned RDD handle. */
+  private[graft] def budgetSortedFrame(docs: DataFrame)
+    : (DataFrame, org.apache.spark.rdd.RDD[(String, Long)]) = {
+    val spark = docs.sparkSession
+    val spark2 = spark
+    import spark2.implicits._
+    val t = docs
+      .select(col("source"), col("doc_id"), words.as("w"))
+      .select(col("source"), col("doc_id"),
+        greatest(size(col("w")), lit(1)).cast("long").as("nt"),
+        (size(array_distinct(col("w"))).cast("double") / size(col("w"))).as("uniq"))
+    val sortedDf = t
+      .repartitionByRange(col("uniq").desc, col("doc_id"))
+      .sortWithinPartitions(col("uniq").desc, col("doc_id"))
+      .select(col("source"), col("nt"))
+    (sortedDf, sortedDf.as[(String, Long)].rdd.cache())
+  }
+
+  private[graft] def tokenBudgetSelectDf(docs: DataFrame, budget: Long): DataFrame = {
+    val spark = docs.sparkSession
+    val spark2 = spark
+    import spark2.implicits._
+    val (_, sorted) = budgetSortedFrame(docs)
+    val partSums = sorted
+      .mapPartitionsWithIndex((i, it) => Iterator.single((i, it.map(_._2).sum)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val b = budget
+    val kept = sorted.mapPartitionsWithIndex { (i, it) =>
+      var cum = bc.value(i)
+      it.flatMap { case (src, nt) =>
+        val start = cum; cum += nt
+        if (start < b) Some((src, nt)) else None
+      }
+    }.toDF("source", "nt")
+    val out = kept.groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("nt").as("tok_kept"))
+      .orderBy("source").collect()
+    sorted.unpersist(false)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_kept",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("tok_kept",
+          org.apache.spark.sql.types.LongType))))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_token_count" -> (tokenCount _),
     "q_text_quality" -> (textQuality _),
@@ -201,7 +337,10 @@ object TextAnalysis {
     "q_fingerprint" -> (fingerprint _),
     "q_corpus_curate" -> (corpusCurate _),
     "q_corpus_sample" -> (corpusSample _),
-    "q_seq_pack" -> (sequencePack _))
+    "q_seq_pack" -> (sequencePack _),
+    "q_gopher_repetition" -> (gopherRepetition _),
+    "q_stratified_sample" -> (stratifiedSample _),
+    "q_token_budget_select" -> (tokenBudgetSelect _))
 
   private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -274,5 +413,44 @@ object TextAnalysis {
          |    AS n_straddlers,
          |  round(count(*)::DOUBLE / (max((s + nt - 1) // 2048) + 1), 4)
          |    AS avg_docs_per_pack
-         |FROM c""".stripMargin)
+         |FROM c""".stripMargin,
+    "q_gopher_repetition" ->
+      s"""WITH d AS (SELECT doc_id, $wordsSql AS w FROM documents),
+         |g AS (SELECT doc_id, w, len(w) AS n_words,
+         |    CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)),
+         |      i -> w[i] || ' ' || w[i+1]) ELSE [] END AS bg,
+         |    CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END AS tg
+         |  FROM d),
+         |bgx AS (SELECT doc_id, unnest(bg) AS b FROM g),
+         |m AS (SELECT doc_id, max(c) AS top FROM (
+         |    SELECT doc_id, b, count(*) AS c FROM bgx GROUP BY doc_id, b) t
+         |  GROUP BY doc_id)
+         |SELECT g.doc_id AS doc_id, n_words,
+         |  round(1.0 - len(list_distinct(w))::DOUBLE / n_words, 4) AS dup_word_frac,
+         |  CASE WHEN len(bg) > 0 THEN round(m.top::DOUBLE / len(bg), 4)
+         |    ELSE 0.0 END AS top_bigram_frac,
+         |  CASE WHEN len(tg) > 0
+         |    THEN round(1.0 - len(list_distinct(tg))::DOUBLE / len(tg), 4)
+         |    ELSE 0.0 END AS dup_trigram_frac
+         |FROM g LEFT JOIN m ON g.doc_id = m.doc_id
+         |ORDER BY doc_id""".stripMargin,
+    "q_stratified_sample" ->
+      s"""SELECT lang, rk, doc_id, n_tokens FROM (
+         |  SELECT lang, doc_id, len($wordsSql) AS n_tokens,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${hash56Sql("doc_id::VARCHAR")}, doc_id) AS rk
+         |  FROM documents) t
+         |WHERE rk <= $StratumK ORDER BY lang, rk""".stripMargin,
+    "q_token_budget_select" ->
+      s"""WITH t AS (SELECT source, doc_id,
+         |    greatest(len(w), 1)::BIGINT AS nt,
+         |    len(list_distinct(w))::DOUBLE / len(w) AS uniq
+         |  FROM (SELECT source, doc_id, $wordsSql AS w FROM documents)),
+         |c AS (SELECT source, nt,
+         |    coalesce(sum(nt) OVER (ORDER BY uniq DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+         |  FROM t)
+         |SELECT source, count(*) AS n_kept, sum(nt)::BIGINT AS tok_kept
+         |FROM c WHERE s < $SelectBudget GROUP BY source ORDER BY source""".stripMargin)
 }

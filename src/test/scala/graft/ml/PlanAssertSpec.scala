@@ -141,6 +141,57 @@ class PlanAssertSpec extends SparkSpec {
     }
   }
 
+  test("cube is one Expand over one scan, all four granularities in one job") {
+    withStructuralPlans {
+      val df = graft.operators.Relational.cubeAgg(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.linesIterator.count(_.contains("Expand")) == 1,
+        s"CUBE must plan exactly one Expand:\n$plan")
+      assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1,
+        s"CUBE must read the fact table exactly once:\n$plan")
+    }
+  }
+
+  test("stratified sample keeps a partial per-stratum group-limit before the shuffle") {
+    withStructuralPlans {
+      val spark2 = spark
+      import spark2.implicits._
+      val docs = Seq.tabulate(3000)(i =>
+        (i.toLong, s"lang${i % 4}", Seq.fill(i % 9 + 1)("w").mkString(" ")))
+        .toDF("doc_id", "lang", "text").repartition(6)
+      val out = graft.operators.TextAnalysis.stratifiedSampleDf(docs, 5)
+      val plan = out.queryExecution.executedPlan.toString
+      // rank <= literal must plan WindowGroupLimit with a Partial mode
+      // instance: each task prunes to k rows per stratum BEFORE the
+      // stratum exchange — never a full per-stratum sort of the corpus
+      assert(plan.contains("WindowGroupLimit"),
+        s"expected window-group-limit pushdown:\n$plan")
+      assert(plan.linesIterator.exists(l =>
+          l.contains("WindowGroupLimit") && l.contains("Partial")),
+        s"expected the map-side Partial group-limit:\n$plan")
+      assert(out.count() == 20) // 4 strata × k=5
+    }
+  }
+
+  test("token-budget selection range-partitions the quality ordering, no single-partition funnel") {
+    withStructuralPlans {
+      val spark2 = spark
+      import spark2.implicits._
+      val docs = Seq.tabulate(400)(i =>
+        (i.toLong, s"src${i % 3}", (Seq.fill(i % 5 + 1)("w") ++ Seq(s"u$i")).mkString(" ")))
+        .toDF("doc_id", "source", "text").repartition(5)
+      val (sortedDf, handle) = graft.operators.TextAnalysis.budgetSortedFrame(docs)
+      val plan = sortedDf.queryExecution.executedPlan.toString
+      assert(plan.contains("Exchange rangepartitioning"),
+        s"quality ordering must ride a range partitioning:\n$plan")
+      assert(!plan.contains("SinglePartition"),
+        s"no single-partition funnel allowed:\n$plan")
+      assert(!plan.contains("Window"),
+        s"the prefix sum must not be a window over a global ordering:\n$plan")
+      handle.unpersist(false)
+    }
+  }
+
   test("range join buckets the inequality — equi-join on the bucket, no BNLJ") {
     withStructuralPlans {
       val df = graft.operators.Relational.rangeJoin(spark, "/root/testdata/sf0.001")

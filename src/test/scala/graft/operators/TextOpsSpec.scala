@@ -43,4 +43,67 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getLong(3) == 2L, "docs 11 and 13 straddle boundaries")
     assert(math.abs(r.getDouble(4) - 4.0 / 3.0) < 1e-3, "avg docs per pack")
   }
+
+  test("gopherRepetition computes dup-word, top-bigram, dup-trigram fractions") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      // 6 words, 3 distinct → dup_word 1-3/6 = 0.5
+      // bigrams: "a b","b a","a b","b c","c a" → top "a b" = 2/5 = 0.4
+      // trigrams: "a b a","b a b","a b c","b c a" all distinct → 0.0
+      (0L, "a b a b c a"),
+      // fully repeated: "x x x x" → dup_word 0.75, top bigram "x x" 3/3 = 1,
+      // trigrams "x x x" ×2 → dup 1 - 1/2 = 0.5
+      (1L, "x x x x"),
+      // single word: no bigrams/trigrams → 0.0 sentinels
+      (2L, "solo"),
+      // two words: one bigram (frac 1.0), no trigrams
+      (3L, "p q")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRepetitionDf(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(0L) == ((6, 0.5, 0.4, 0.0)))
+    assert(got(1L) == ((4, 0.75, 1.0, 0.5)))
+    assert(got(2L) == ((1, 0.0, 0.0, 0.0)))
+    assert(got(3L) == ((2, 0.0, 1.0, 0.0)))
+  }
+
+  test("stratifiedSample takes exactly min(k, stratum size) docs, stable across partitioning") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = Seq.tabulate(90)(i =>
+      (i.toLong, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr",
+        Seq.fill(i % 4 + 1)("w").mkString(" ")))
+    val a = TextAnalysis.stratifiedSampleDf(base.toDF("doc_id", "lang", "text"), 7)
+      .collect().map(_.toSeq)
+    val b = TextAnalysis.stratifiedSampleDf(
+        base.reverse.toDF("doc_id", "lang", "text").repartition(11), 7)
+      .collect().map(_.toSeq)
+    assert(a.length == 21) // 3 strata × 7
+    assert(a.toSeq == b.toSeq, "sample must be partitioning/order independent")
+    // tiny stratum: fewer docs than k → take all of them
+    val tiny = Seq((1L, "zh", "w"), (2L, "zh", "w w")).toDF("doc_id", "lang", "text")
+    assert(TextAnalysis.stratifiedSampleDf(tiny, 7).count() == 2)
+  }
+
+  test("tokenBudgetSelect keeps highest-uniqueness docs whose start offset is under budget") {
+    val spark2 = spark
+    import spark2.implicits._
+    // uniq ratios: doc0 = 1.0 (4/4), doc1 = 0.5 (2/4), doc2 = 0.25 (1/4)
+    // quality order: doc0 (start 0), doc1 (start 4), doc2 (start 8)
+    val docs = Seq(
+      (0L, "srcA", "a b c d"),
+      (1L, "srcB", "e e f f"),
+      (2L, "srcA", "g g g g")
+    ).toDF("doc_id", "source", "text")
+    // budget 5: doc0 kept (start 0), doc1 kept (start 4 < 5), doc2 dropped
+    val got = TextAnalysis.tokenBudgetSelectDf(docs, 5L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("srcA", 1L, 4L), ("srcB", 1L, 4L)))
+    // budget 1: only the first doc starts under it
+    val one = TextAnalysis.tokenBudgetSelectDf(docs.repartition(4), 1L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(one == Seq(("srcA", 1L, 4L)))
+  }
 }
