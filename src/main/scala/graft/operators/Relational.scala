@@ -442,6 +442,61 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** CDC merge/upsert apply (SQL MERGE semantics without a table
+    * format): a deterministic change set — updates for key%7=0, deletes
+    * for key%7=1, inserts at offset keys — applied onto the base table
+    * in one full-outer join + case projection. The canonical
+    * incremental-ingest step of a data pipeline; one key shuffle of
+    * each side (AQE splits skewed keys), no driver-side row handling.
+    * Output is the post-merge per-status accounting. */
+  def cdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val changes = base
+      .filter(col("o_orderkey") % 7 < 2)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, "U").otherwise("D").as("op"),
+        round(col("o_totalprice") * 1.1, 2).as("new_price"))
+      .unionAll(base.filter(col("o_orderkey") % 7 === 2)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit("I").as("op"), lit(100.0).as("new_price")))
+    base.join(changes, Seq("o_orderkey"), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "D")
+      .select(
+        coalesce(col("o_orderstatus"), lit("NEW")).as("status"),
+        when(col("op").isin("U", "I"), col("new_price"))
+          .otherwise(col("o_totalprice")).as("price"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("price")) / 1e6, 4).as("total_m"))
+      .orderBy("status")
+  }
+
+  /** Blocked fuzzy self-join (entity resolution / near-duplicate entity
+    * matching): part names within Levenshtein distance 3, candidates
+    * generated ONLY within a deterministic block key (the name's last
+    * token) — an equi-join on the block, never an all-pairs comparison.
+    * Block sizes are bounded by the entity vocabulary; a skewed block
+    * takes the same salting treatment as DBSCAN's dense cells. The
+    * block+threshold pair IS the operator's pinned semantics (the
+    * oracle replays it, like every blocking heuristic gate here). */
+  def fuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"),
+        element_at(split(col("p_name"), " "), -1).as("blk"))
+    val a = p.select(col("p_partkey").as("k1"), col("p_name").as("n1"), col("blk"))
+    val b = p.select(col("p_partkey").as("k2"), col("p_name").as("n2"), col("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("k1") < col("k2"))
+      .withColumn("dist", levenshtein(col("n1"), col("n2")))
+      .filter(col("dist") <= 3 && col("n1") =!= col("n2"))
+      .groupBy("blk")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("dist")), 4).as("avg_dist"),
+        min(col("dist")).as("min_dist"))
+      .orderBy("blk")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pricing_summary" -> (pricingSummary _),
     "q_filter_project" -> (filterProject _),
@@ -471,7 +526,9 @@ object Relational {
     "q_unpivot" -> (unpivot _),
     "q_cube" -> (cubeAgg _),
     "q_set_ops" -> (setOps _),
-    "q_window_offset" -> (windowOffset _)
+    "q_window_offset" -> (windowOffset _),
+    "q_cdc_merge" -> (cdcMerge _),
+    "q_fuzzy_join" -> (fuzzyJoin _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -674,6 +731,36 @@ object Relational {
         |    ORDER BY o_totalprice DESC, o_orderkey) AS price_quartile
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_cdc_merge" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE 'D' END AS op,
+        |    round(o_totalprice * 1.1, 2) AS new_price
+        |  FROM base WHERE o_orderkey % 7 < 2
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'I', 100.0
+        |  FROM base WHERE o_orderkey % 7 = 2),
+        |merged AS (
+        |  SELECT coalesce(b.o_orderstatus, 'NEW') AS status,
+        |    CASE WHEN c.op IN ('U', 'I') THEN c.new_price
+        |         ELSE b.o_totalprice END AS price,
+        |    coalesce(c.op, '') AS op
+        |  FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey)
+        |SELECT status, count(*) AS n_rows,
+        |  round(sum(price) / 1e6, 4) AS total_m
+        |FROM merged WHERE op <> 'D'
+        |GROUP BY status ORDER BY status""".stripMargin,
+    "q_fuzzy_join" ->
+      """WITH p AS (SELECT p_partkey, p_name,
+        |    list_extract(string_split(p_name, ' '), -1) AS blk
+        |  FROM part)
+        |SELECT a.blk AS blk, count(*) AS n_pairs,
+        |  round(avg(levenshtein(a.p_name, b.p_name)), 4) AS avg_dist,
+        |  min(levenshtein(a.p_name, b.p_name)) AS min_dist
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3 AND a.p_name <> b.p_name
+        |GROUP BY a.blk ORDER BY blk""".stripMargin
   )
 }

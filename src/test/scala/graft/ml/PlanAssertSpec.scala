@@ -192,6 +192,16 @@ class PlanAssertSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy join generates candidates only within blocks — equi-join, no BNLJ") {
+    withStructuralPlans {
+      val df = graft.operators.Relational.fuzzyJoin(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      noAllPairs(plan, "fuzzy join")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"the block candidate join must be a hash/merge join:\n$plan")
+    }
+  }
+
   test("range join buckets the inequality — equi-join on the bucket, no BNLJ") {
     withStructuralPlans {
       val df = graft.operators.Relational.rangeJoin(spark, "/root/testdata/sf0.001")
