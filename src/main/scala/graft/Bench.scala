@@ -260,7 +260,10 @@ object Bench {
         "q_dbscan", "q_events_session",
         // the r4-weak exact-quantile family at 60M rows: the bounded
         // bracketed selection must hold its pass count, not its buffer
-        "q_quantiles", "q_reduce_stats", "q_sketches")
+        "q_quantiles", "q_reduce_stats", "q_sketches",
+        // round-6 text ops on the 10× corpus: the per-row sorted-ngram
+        // pass and the two-pass prefix selection must stay linear
+        "q_gopher_repetition", "q_token_budget_select")
       val runs = heavy.map(n =>
         timed(s"sf1_$n")(materialize(SparkEntry.queries(n)(spark, sf1Dir))))
       val base = results.toMap

@@ -156,6 +156,15 @@ object Sources {
   def loadParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC columnar source/sink — same predicate-pushdown/column-pruning
+    * contract as parquet, second interchange format for ingest from
+    * Hive-era warehouses. */
+  def loadOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def saveOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   def loadJson(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
@@ -229,18 +238,18 @@ object Sources {
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   /** Oracle: every roundtrip stage must preserve exactly the source's
-    * row count and value sum — all four stages equal one scan of the
+    * row count and value sum — all five stages equal one scan of the
     * filtered source. */
   val roundtripOracle: String =
     """WITH s AS (SELECT count(*) AS n_rows,
       |    round(sum(l_extendedprice), 2) AS sum_price
       |  FROM lineitem WHERE l_quantity <= 5)
       |SELECT t.stage, s.n_rows, s.sum_price
-      |FROM s CROSS JOIN (VALUES ('csv'), ('parquet'), ('shuffled'), ('source')) t(stage)
+      |FROM s CROSS JOIN (VALUES ('csv'), ('orc'), ('parquet'), ('shuffled'), ('source')) t(stage)
       |ORDER BY t.stage""".stripMargin
 
-  /** Gate query: write→read roundtrips through the text and
-    * parquet sinks plus a seeded shuffle, verified by invariant sums. */
+  /** Gate query: write→read roundtrips through the text, parquet and
+    * ORC sinks plus a seeded shuffle, verified by invariant sums. */
   def roundtripQuery(spark: SparkSession, dir: String): DataFrame = {
     val li = graft.Tables.lineitem(spark, dir)
       .filter(col("l_quantity") <= 5)
@@ -248,9 +257,11 @@ object Sources {
     val base = java.nio.file.Files.createTempDirectory("graft-rt").toString
     saveParquet(li, s"$base/pq")
     saveText(li, s"$base/csv")
+    saveOrc(li, s"$base/orc")
     val pq = loadParquet(spark, s"$base/pq")
     val csv = loadText(spark, s"$base/csv")
       .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    val orc = loadOrc(spark, s"$base/orc")
     val sh = shuffle(pq, seed = 7)
     val spark2 = spark
     import spark2.implicits._
@@ -260,7 +271,7 @@ object Sources {
       (r.getLong(0), r.getDouble(1))
     }
     val out = Seq("source" -> stat(li), "parquet" -> stat(pq),
-      "csv" -> stat(csv), "shuffled" -> stat(sh))
+      "csv" -> stat(csv), "orc" -> stat(orc), "shuffled" -> stat(sh))
       .map { case (s, (n, v)) => (s, n, v) }
       .toDF("stage", "n_rows", "sum_price").orderBy("stage")
     // stats are materialized; remove the roundtrip scratch dir (repeated

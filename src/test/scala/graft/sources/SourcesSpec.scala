@@ -52,6 +52,24 @@ class SourcesSpec extends SparkSpec {
     assert(back.orderBy("id").collect().map(_.getSeq[Double](1).sum).toSeq == Seq(3.0, 7.0))
   }
 
+  test("orc roundtrip preserves schema and values, pushes filters to the scan") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, 2.5, "a"), (2L, 7.5, "b"), (3L, 1.0, "a")).toDF("id", "x", "g")
+    val dir = tmp() + "/orc"
+    Sources.saveOrc(df, dir)
+    val back = Sources.loadOrc(spark, dir)
+    assert(back.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq)
+    assert(back.orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 2.5), (2L, 7.5), (3L, 1.0)))
+    // predicate pushdown reaches the ORC scan like it does for parquet
+    val plan = back.filter(org.apache.spark.sql.functions.col("x") > 2.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(x,2.0)"),
+      s"ORC scan must receive the pushed filter:\n$plan")
+  }
+
   test("libsvm load yields sparse features") {
     val dir = tmp()
     val f = new java.io.PrintWriter(s"$dir/data.libsvm")
