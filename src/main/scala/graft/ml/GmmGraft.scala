@@ -351,10 +351,7 @@ object GmmGraft {
     val diagCov = covType == Diag || covType == Spherical
     def fromResp(respFn: (Long, Array[Double]) => Array[Double]) = {
       val (rs, rx, rxx, rxd) = respStats(rows, k, p, needFullMoment, respFn)
-      // sklearn nk guard: an empty component gets mean 0 / cov reg·I
-      // instead of NaN (10·eps, _estimate_gaussian_parameters semantics)
-      val rsSafe = rs.map(_ + 10 * 2.220446049250313e-16)
-      paramsFromStats(rsSafe, rx, rxx, rxd, n, covType, reg, pr6, pr6v, pr6m)
+      paramsFromStats(rs, rx, rxx, rxd, n, covType, reg, pr6, pr6v, pr6m)
     }
     var (weights, means, covs) = init match {
       case GmmInit.FirstK =>
@@ -411,10 +408,7 @@ object GmmGraft {
     while (it < maxIter && !converged) {
       if (blasDiag && diagCov) {
         val (rs, rx, rxd, llSum) = diagGemmStep(rows.values, weights, means, covs, k, p)
-        // same 10·eps empty-component guard as fromResp: a component whose
-        // responsibilities collapse to exactly 0 must not yield 0/0 NaN
-        val rsSafe = rs.map(_ + 10 * 2.220446049250313e-16)
-        val upd = paramsFromStats(rsSafe, rx, Array.empty[BDM[Double]], rxd, n,
+        val upd = paramsFromStats(rs, rx, Array.empty[BDM[Double]], rxd, n,
           covType, reg, pr6, pr6v, pr6m)
         weights = upd._1; means = upd._2; covs = upd._3
         ll = llSum
@@ -423,8 +417,7 @@ object GmmGraft {
         it += 1
       } else if (blasFull && needFullMoment) {
         val (rs, rx, rxx, llSum) = fullGemmStep(rows.values, weights, means, covs, k, p)
-        val rsSafe = rs.map(_ + 10 * 2.220446049250313e-16)
-        val upd = paramsFromStats(rsSafe, rx, rxx, Array.empty[BDV[Double]], n,
+        val upd = paramsFromStats(rs, rx, rxx, Array.empty[BDV[Double]], n,
           covType, reg, pr6, pr6v, pr6m)
         weights = upd._1; means = upd._2; covs = upd._3
         ll = llSum
@@ -491,8 +484,7 @@ object GmmGraft {
             Array.tabulate(d1.length)(j => d1(j) + d2(j)), l1 + l2)
         }, depth = 2)
       dens.destroy()
-      val rsSafe = rs.map(_ + 10 * 2.220446049250313e-16)
-      val upd = paramsFromStats(rsSafe, rx, rxx, rxd, n, covType, reg, pr6, pr6v, pr6m)
+      val upd = paramsFromStats(rs, rx, rxx, rxd, n, covType, reg, pr6, pr6v, pr6m)
       weights = upd._1; means = upd._2; covs = upd._3
       ll = llSum
       converged = math.abs(ll - prevLL) < tol * math.abs(ll)
@@ -546,13 +538,18 @@ object GmmGraft {
     * gm/base.py:537-551,738-886). Ordering contract (mirrored by the SQL
     * oracles): weights are rounded first, raw covariances use the
     * UNROUNDED means, means are rounded last. */
-  private def paramsFromStats(rs: Array[Double], rx: Array[BDV[Double]],
+  private def paramsFromStats(rsRaw: Array[Double], rx: Array[BDV[Double]],
       rxx: Array[BDM[Double]], rxd: Array[BDV[Double]], n: Long,
       covType: CovType, reg: Double, pr6: Double => Double,
       pr6v: BDV[Double] => BDV[Double], pr6m: BDM[Double] => BDM[Double])
     : (Array[Double], Array[BDV[Double]], Array[BDM[Double]]) = {
-    val k = rs.length
+    val k = rsRaw.length
     val p = rx(0).length
+    // sklearn nk guard applied HERE, once for every E-step/init path: an
+    // empty component (responsibilities collapsed to exactly 0) gets
+    // mean 0 / cov reg·I instead of 0/0 NaN (10·eps,
+    // _estimate_gaussian_parameters semantics)
+    val rs = rsRaw.map(_ + 10 * 2.220446049250313e-16)
     val weights = rs.map(w => pr6(w / n))
     var means = Array.tabulate(k)(j => rx(j) / rs(j))
     val covs = covType match {

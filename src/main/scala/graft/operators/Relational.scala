@@ -452,13 +452,17 @@ object Relational {
   def cdcMerge(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    // insert keys offset past the live key range (computed, not a fixed
+    // constant — a fixed offset collides once the table outgrows it and
+    // silently breaks MERGE's unique-source precondition)
+    val insertOffset = base.agg(max("o_orderkey")).head().getLong(0) + 1
     val changes = base
       .filter(col("o_orderkey") % 7 < 2)
       .select(col("o_orderkey"),
         when(col("o_orderkey") % 7 === 0, "U").otherwise("D").as("op"),
         round(col("o_totalprice") * 1.1, 2).as("new_price"))
       .unionAll(base.filter(col("o_orderkey") % 7 === 2)
-        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        .select((col("o_orderkey") + insertOffset).as("o_orderkey"),
           lit("I").as("op"), lit(100.0).as("new_price")))
     base.join(changes, Seq("o_orderkey"), "full_outer")
       .filter(coalesce(col("op"), lit("")) =!= "D")
@@ -472,26 +476,30 @@ object Relational {
       .orderBy("status")
   }
 
-  /** Blocked fuzzy self-join (entity resolution / near-duplicate entity
-    * matching): part names within Levenshtein distance 3, candidates
-    * generated ONLY within a deterministic block key (the name's last
-    * token) — an equi-join on the block, never an all-pairs comparison.
-    * Block sizes are bounded by the entity vocabulary; a skewed block
-    * takes the same salting treatment as DBSCAN's dense cells. The
+  /** Blocked fuzzy join (entity resolution / near-duplicate entity
+    * matching) at the DISTINCT-NAME grain: rows collapse to
+    * (name, count) first, candidates are generated only within a
+    * deterministic block key (the name's last token), and row-level
+    * match multiplicity is recovered as sum(c1·c2) — an aggregate, never
+    * materialized row pairs. The quadratic work is bounded by the entity
+    * VOCABULARY (distinct names per block), which does not grow with row
+    * count — at 100 TB the name-grain self-join is the same size as at
+    * 100 GB; comparing raw rows instead would be O(N²) per block. The
     * block+threshold pair IS the operator's pinned semantics (the
-    * oracle replays it, like every blocking heuristic gate here). */
+    * oracle replays it, like every blocking-heuristic gate here). */
   def fuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
-    val p = Tables.part(spark, dir)
-      .select(col("p_partkey"), col("p_name"),
-        element_at(split(col("p_name"), " "), -1).as("blk"))
-    val a = p.select(col("p_partkey").as("k1"), col("p_name").as("n1"), col("blk"))
-    val b = p.select(col("p_partkey").as("k2"), col("p_name").as("n2"), col("blk"))
+    val names = Tables.part(spark, dir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("cnt"))
+      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+    val a = names.select(col("p_name").as("n1"), col("cnt").as("c1"), col("blk"))
+    val b = names.select(col("p_name").as("n2"), col("cnt").as("c2"), col("blk"))
     a.join(b, Seq("blk"))
-      .filter(col("k1") < col("k2"))
+      .filter(col("n1") < col("n2"))
       .withColumn("dist", levenshtein(col("n1"), col("n2")))
-      .filter(col("dist") <= 3 && col("n1") =!= col("n2"))
+      .filter(col("dist") <= 3)
       .groupBy("blk")
-      .agg(count(lit(1)).as("n_pairs"),
+      .agg(count(lit(1)).as("n_name_pairs"),
+        sum(col("c1") * col("c2")).as("n_row_pairs"),
         round(avg(col("dist")), 4).as("avg_dist"),
         min(col("dist")).as("min_dist"))
       .orderBy("blk")
@@ -740,7 +748,7 @@ object Relational {
         |    round(o_totalprice * 1.1, 2) AS new_price
         |  FROM base WHERE o_orderkey % 7 < 2
         |  UNION ALL
-        |  SELECT o_orderkey + 10000000, 'I', 100.0
+        |  SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM base), 'I', 100.0
         |  FROM base WHERE o_orderkey % 7 = 2),
         |merged AS (
         |  SELECT coalesce(b.o_orderstatus, 'NEW') AS status,
@@ -753,14 +761,15 @@ object Relational {
         |FROM merged WHERE op <> 'D'
         |GROUP BY status ORDER BY status""".stripMargin,
     "q_fuzzy_join" ->
-      """WITH p AS (SELECT p_partkey, p_name,
+      """WITH names AS (SELECT p_name, count(*) AS cnt,
         |    list_extract(string_split(p_name, ' '), -1) AS blk
-        |  FROM part)
-        |SELECT a.blk AS blk, count(*) AS n_pairs,
+        |  FROM part GROUP BY p_name)
+        |SELECT a.blk AS blk, count(*) AS n_name_pairs,
+        |  sum(a.cnt * b.cnt)::BIGINT AS n_row_pairs,
         |  round(avg(levenshtein(a.p_name, b.p_name)), 4) AS avg_dist,
         |  min(levenshtein(a.p_name, b.p_name)) AS min_dist
-        |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
-        |WHERE levenshtein(a.p_name, b.p_name) <= 3 AND a.p_name <> b.p_name
+        |FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
         |GROUP BY a.blk ORDER BY blk""".stripMargin
   )
 }

@@ -145,6 +145,26 @@ object TextAnalysis {
   def sequencePack(spark: SparkSession, dir: String): DataFrame =
     sequencePackDf(Tables.documents(spark, dir), PackBudget)
 
+  /** The TeraSort two-pass global prefix-offset pattern over an already
+    * range-partitioned RDD: per-partition weight sums (one tiny job) →
+    * driver scanLeft → broadcast offsets → linear per-partition pass
+    * mapping each element with its global START offset in the weight
+    * stream. Shared by sequence packing and token-budget selection; the
+    * only data that ever reaches the driver is one Long per partition. */
+  private def withStartOffsets[T, U: scala.reflect.ClassTag](
+      rdd: org.apache.spark.rdd.RDD[T], weight: T => Long)(
+      f: (T, Long) => U): org.apache.spark.rdd.RDD[U] = {
+    val partSums = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator.single((i, it.map(weight).sum)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val bc = rdd.sparkContext.broadcast(offsets)
+    rdd.mapPartitionsWithIndex { (i, it) =>
+      var cum = bc.value(i)
+      it.map { t => val start = cum; cum += weight(t); f(t, start) }
+    }
+  }
+
   /** The per-document packed frame (nt, pack_start, pack_end) — exposed
     * so plan assertions can check the pre-aggregate stage has no
     * single-partition funnel. Caller must unpersist the returned RDD
@@ -158,18 +178,9 @@ object TextAnalysis {
       .select(col("doc_id"), greatest(size(words), lit(1)).cast("long").as("nt"))
       .repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
       .as[(Long, Long)].rdd.cache()
-    val partSums = sorted
-      .mapPartitionsWithIndex((i, it) => Iterator.single((i, it.map(_._2).sum)))
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = partSums.scanLeft(0L)(_ + _)
-    val bc = spark.sparkContext.broadcast(offsets)
     val b = budget
-    val packed = sorted.mapPartitionsWithIndex { (i, it) =>
-      var cum = bc.value(i)
-      it.map { case (_, nt) =>
-        val start = cum; cum += nt
-        (nt, start / b, (start + nt - 1) / b)
-      }
+    val packed = withStartOffsets(sorted, (r: (Long, Long)) => r._2) {
+      case ((_, nt), start) => (nt, start / b, (start + nt - 1) / b)
     }.toDF("nt", "pack_start", "pack_end")
     (packed, sorted)
   }
@@ -302,32 +313,16 @@ object TextAnalysis {
     val spark2 = spark
     import spark2.implicits._
     val (_, sorted) = budgetSortedFrame(docs)
-    val partSums = sorted
-      .mapPartitionsWithIndex((i, it) => Iterator.single((i, it.map(_._2).sum)))
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = partSums.scanLeft(0L)(_ + _)
-    val bc = spark.sparkContext.broadcast(offsets)
     val b = budget
-    val kept = sorted.mapPartitionsWithIndex { (i, it) =>
-      var cum = bc.value(i)
-      it.flatMap { case (src, nt) =>
-        val start = cum; cum += nt
-        if (start < b) Some((src, nt)) else None
-      }
-    }.toDF("source", "nt")
+    val kept = withStartOffsets(sorted, (r: (String, Long)) => r._2) {
+      case ((src, nt), start) => (src, nt, start)
+    }.filter(_._3 < b).map(t => (t._1, t._2)).toDF("source", "nt")
     val out = kept.groupBy("source")
       .agg(count(lit(1)).as("n_kept"), sum("nt").as("tok_kept"))
       .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     sorted.unpersist(false)
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(out.toSeq, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("source",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("n_kept",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("tok_kept",
-          org.apache.spark.sql.types.LongType))))
+    out.toDF("source", "n_kept", "tok_kept")
   }
 
   val queries: Map[String, Q] = Map(
