@@ -124,6 +124,38 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Bloom-filter semi-join: the explicit form of Spark's runtime
+    * bloom-filter join pruning. The key side aggregates into a Bloom
+    * filter (~9.6 bits/key at 1% fpp — 100M keys ≈ 120 MB, broadcastable
+    * where an exact hash set of the same keys is not), the fact side is
+    * pre-filtered MAP-SIDE by a probe of the broadcast filter, and an
+    * exact semi-join afterwards removes the false positives — so the
+    * result is exactly the semi-join, but non-matching fact rows never
+    * reach the shuffle. The win regime is a key side too big to
+    * broadcast as a join hash table but whose Bloom fits: the final
+    * exact join runs as SMJ over a fact side already pruned to ~match%.
+    * The oracle is the plain semi-join — the bloom stage is
+    * semantically invisible by construction. */
+  def bloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val keys = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") < 0).select(col("c_custkey"))
+    // expectedNumItems from a narrow count over the pruned key scan —
+    // sizing the filter from data beats guessing (fpp degrades silently
+    // when undersized); one cheap job against a single pruned column
+    val nKeys = math.max(keys.count(), 1L)
+    val bloom = keys.stat.bloomFilter("c_custkey", nKeys, 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain =
+      udf((k: Long) => bc.value.mightContainLong(k)).withName("bloom_might_contain")
+    o.filter(mightContain(col("o_custkey")))
+      .join(keys, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Full-outer join with per-side presence accounting (completes the
     * join matrix next to equi/semi/anti/as-of/bucketed). */
   def fullOuter(spark: SparkSession, dir: String): DataFrame = {
@@ -536,7 +568,8 @@ object Relational {
     "q_set_ops" -> (setOps _),
     "q_window_offset" -> (windowOffset _),
     "q_cdc_merge" -> (cdcMerge _),
-    "q_fuzzy_join" -> (fuzzyJoin _)
+    "q_fuzzy_join" -> (fuzzyJoin _),
+    "q_bloom_semi" -> (bloomSemiJoin _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -770,6 +803,12 @@ object Relational {
         |  min(levenshtein(a.p_name, b.p_name)) AS min_dist
         |FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 3
-        |GROUP BY a.blk ORDER BY blk""".stripMargin
+        |GROUP BY a.blk ORDER BY blk""".stripMargin,
+    "q_bloom_semi" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -202,6 +202,24 @@ class PlanAssertSpec extends SparkSpec {
     }
   }
 
+  test("bloom semi-join probes the filter below the fact-side shuffle") {
+    withStructuralPlans {
+      val df = graft.operators.Relational.bloomSemiJoin(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan
+      noAllPairs(plan.toString, "bloom semi-join")
+      // the whole point: the bloom probe prunes the fact side BEFORE its
+      // shuffle — some exchange's child subtree must contain the probe
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.exists(_.child.toString.contains("bloom_might_contain")),
+        s"bloom probe must run below the fact-side exchange:\n$plan")
+      // and the exact semi-join still runs (false positives removed)
+      assert(plan.toString.contains("LeftSemi"),
+        s"exact semi-join must follow the probe:\n$plan")
+    }
+  }
+
   test("range join buckets the inequality — equi-join on the bucket, no BNLJ") {
     withStructuralPlans {
       val df = graft.operators.Relational.rangeJoin(spark, "/root/testdata/sf0.001")
