@@ -145,6 +145,55 @@ object TextAnalysis {
   def sequencePack(spark: SparkSession, dir: String): DataFrame =
     sequencePackDf(Tables.documents(spark, dir), PackBudget)
 
+  /** Exact heavy hitters — vocabulary items with frequency > N/(k+1),
+    * with EXACT counts — via the two-pass distributed Misra-Gries
+    * pattern. Pass 1 runs a k-counter Misra-Gries summary per partition
+    * (bounded memory, map-side only, no shuffle); by the pigeonhole
+    * guarantee any item with global count > N/(k+1) exceeds its local
+    * threshold in at least one partition and survives there, so the
+    * union of survivors (≤ partitions·k strings — the only data that
+    * reaches the driver) is a superset of the true heavy hitters. Pass 2
+    * exact-counts ONLY the broadcast candidates, so the aggregation
+    * state is bounded by the candidate set, never the vocabulary — the
+    * shape that stays alive when the vocabulary itself (URLs, n-grams,
+    * user ids) is too big to group exactly. The k·count > N threshold is
+    * integer arithmetic: no fp boundary anywhere. */
+  def heavyHittersDf(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = docs.select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+    val parts = w.as[String].rdd.mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      var n = 0L
+      it.foreach { word =>
+        n += 1
+        counters.get(word) match {
+          case Some(c) => counters(word) = c + 1
+          case None if counters.size < k => counters(word) = 1L
+          case None => // Misra-Gries decrement step, evict zeroed counters
+            val keys = counters.keysIterator.toArray
+            keys.foreach { kw =>
+              val c = counters(kw)
+              if (c == 1L) counters.remove(kw) else counters(kw) = c - 1
+            }
+        }
+      }
+      Iterator.single((n, counters.keys.toArray))
+    }.collect()
+    val total = parts.map(_._1).sum
+    val candidates = parts.flatMap(_._2).distinct.toSeq
+    w.join(broadcast(candidates.toDF("word")), "word")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .filter(col("n") * (k + 1) > total)
+      .orderBy("word")
+  }
+
+  val HhK = 64
+
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    heavyHittersDf(Tables.documents(spark, dir).select("text"), HhK)
+
   /** The TeraSort two-pass global prefix-offset pattern over an already
     * range-partitioned RDD: per-partition weight sums (one tiny job) →
     * driver scanLeft → broadcast offsets → linear per-partition pass
@@ -335,7 +384,8 @@ object TextAnalysis {
     "q_seq_pack" -> (sequencePack _),
     "q_gopher_repetition" -> (gopherRepetition _),
     "q_stratified_sample" -> (stratifiedSample _),
-    "q_token_budget_select" -> (tokenBudgetSelect _))
+    "q_token_budget_select" -> (tokenBudgetSelect _),
+    "q_heavy_hitters" -> (heavyHitters _))
 
   private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -447,5 +497,12 @@ object TextAnalysis {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
          |  FROM t)
          |SELECT source, count(*) AS n_kept, sum(nt)::BIGINT AS tok_kept
-         |FROM c WHERE s < $SelectBudget GROUP BY source ORDER BY source""".stripMargin)
+         |FROM c WHERE s < $SelectBudget GROUP BY source ORDER BY source""".stripMargin,
+    "q_heavy_hitters" ->
+      s"""WITH w AS (SELECT unnest($wordsSql) AS word FROM documents),
+         |wf AS (SELECT word FROM w WHERE len(word) > 0),
+         |t AS (SELECT count(*) AS total FROM wf)
+         |SELECT word, count(*) AS n FROM wf
+         |GROUP BY word HAVING count(*) * ${HhK + 1} > (SELECT total FROM t)
+         |ORDER BY word""".stripMargin)
 }

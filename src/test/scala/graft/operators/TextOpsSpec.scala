@@ -106,4 +106,24 @@ class TextOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(one == Seq(("srcA", 1L, 4L)))
   }
+
+  test("heavyHitters is exact under Misra-Gries eviction, any k and partitioning") {
+    val spark2 = spark
+    import spark2.implicits._
+    // Zipf-ish corpus: word i appears ~1000/i times; vocabulary (60) far
+    // exceeds the counter budget (k=8) so eviction churns constantly
+    val rng = new scala.util.Random(11)
+    val ws = (1 to 60).flatMap(i => Seq.fill(1000 / i)(s"w$i"))
+    val docs = rng.shuffle(ws).grouped(37).map(_.mkString(" ")).toSeq
+      .toDF("text")
+    for (k <- Seq(8, 16); parts <- Seq(1, 7)) {
+      val got = TextAnalysis.heavyHittersDf(docs.repartition(parts), k)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      // oracle: exact counts, threshold n*(k+1) > N
+      val counts = ws.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      val total = ws.size.toLong
+      val expect = counts.filter { case (_, n) => n * (k + 1) > total }
+      assert(got == expect, s"k=$k parts=$parts")
+    }
+  }
 }
