@@ -255,6 +255,16 @@ object Bench {
           li.withColumn("l_orderkey", col("l_orderkey") + c * maxOrderKey)
         }.reduce(_ unionAll _)
           .write.mode("overwrite").parquet(s"$sf1Dir/lineitem.parquet")
+        // orders 10×: order AND customer keys offset — 10× the entities,
+        // same per-entity history depth (what SCD2's keyed windows see)
+        val ord = Tables.orders(spark, sfDir)
+        val maxOrd = ord.agg(max("o_orderkey")).head().getLong(0) + 1
+        val maxCust = ord.agg(max("o_custkey")).head().getLong(0) + 1
+        (0 until copies).map { c =>
+          ord.withColumn("o_orderkey", col("o_orderkey") + c * maxOrd)
+            .withColumn("o_custkey", col("o_custkey") + c * maxCust)
+        }.reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$sf1Dir/orders.parquet")
       }
       val heavy = Seq("q_dedup_ngram_jaccard", "q_dedup_minhash_lsh",
         "q_dbscan", "q_events_session",
@@ -263,7 +273,10 @@ object Bench {
         "q_quantiles", "q_reduce_stats", "q_sketches",
         // round-6 text ops on the 10× corpus: the per-row sorted-ngram
         // pass and the two-pass prefix selection must stay linear
-        "q_gopher_repetition", "q_token_budget_select")
+        "q_gopher_repetition", "q_token_budget_select",
+        // round-6 additions: Misra-Gries candidate pass at 10× tokens;
+        // SCD2's two entity-keyed windows at 10× entities
+        "q_heavy_hitters", "q_scd2")
       val runs = heavy.map(n =>
         timed(s"sf1_$n")(materialize(SparkEntry.queries(n)(spark, sf1Dir))))
       val base = results.toMap

@@ -233,6 +233,33 @@ object EventsStreaming {
       }
   }
 
+  /** Stream-stream interval join: every (view, click) pair for a user
+    * where the click lands within `horizon` after the view — the
+    * missing join shape next to the keyed-state attribution above
+    * (which keeps only the LATEST view; this emits all pairs, Spark's
+    * native stream-stream inner join). Both sides carry watermarks and
+    * the join condition bounds event-time distance, so each side's
+    * buffered state is exactly the watermark+horizon window per key —
+    * Spark evicts older rows; state never grows with stream length.
+    * Out-of-order arrival within the watermark is handled natively:
+    * a late view still matches clicks already buffered on the other
+    * side. Takes one input frame and splits it (the self-join form);
+    * at scale both legs share one shuffle on user_id. */
+  def viewClickIntervalJoin(events: DataFrame,
+      horizon: String = "10 minutes", watermark: String = "1 hour"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    views.join(clicks,
+        col("user_id") === col("click_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr(s"interval $horizon"))
+      .select(col("user_id"), col("view_ts"), col("click_ts"))
+  }
+
   /** Streaming exact dedup on event_id with a watermark bounding the
     * dedup state (the streaming face of operators.Dedup's exact path). */
   def dedupEvents(events: DataFrame): DataFrame =

@@ -237,6 +237,35 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 1, ts(2)), (1L, 2, ts(5)), (1L, 3, ts(8))), s"got $got")
   }
 
+  test("stream-stream interval join emits all view-click pairs, out of order across batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark2.sqlContext
+    val rows = Seq(
+      (1L, ts(0), "view", 0.0), (1L, ts(4), "click", 0.0),
+      (1L, ts(8), "click", 0.0),   // both clicks within 10m of view@0
+      (1L, ts(30), "click", 0.0),  // outside horizon of view@0
+      (2L, ts(10), "view", 0.0), (2L, ts(19), "click", 0.0),
+      (3L, ts(5), "click", 0.0))   // click with no view: no pair
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+    val joined = EventsStreaming.viewClickIntervalJoin(stream)
+    val q = joined.writeStream.format("memory")
+      .queryName("vc_join").outputMode(OutputMode.Append()).start()
+    // feed out of order and across batches: clicks for user 1 arrive
+    // BEFORE its view, in a separate micro-batch
+    mem.addData(rows.filter(_._3 == "click"): _*)
+    q.processAllAvailable()
+    mem.addData(rows.filter(_._3 == "view"): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("vc_join").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    val batch = Set(
+      (1L, ts(0), ts(4)), (1L, ts(0), ts(8)), (2L, ts(10), ts(19)))
+    assert(got == batch, s"got $got")
+  }
+
   test("streaming dedup drops duplicate event ids") {
     val spark2 = spark
     import spark2.implicits._
