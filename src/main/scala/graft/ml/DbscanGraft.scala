@@ -2,7 +2,6 @@ package graft.ml
 
 import graft.Tables
 import graft.functions.VectorFns._
-import org.apache.spark.graphx.{Edge, Graph}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -128,37 +127,12 @@ object DbscanGraft {
       .select(col("a.id").as("src"), col("b.id").as("dst"))
       .distinct()
     val coreIds = coreness.filter(col("core")).select("id")
-    // Scale-adaptive CC (the AQE-broadcast pattern applied to graphs):
-    // the core-core edge set is orders of magnitude smaller than the
-    // input (only intra-eps core pairs), so below the threshold a driver
-    // union-find — the reference's own design, dbscan/base.py:435-454 —
-    // beats ~10 Pregel supersteps of shuffles; above it, GraphX is the
-    // 1000-executor path.
-    val maxDriverEdges = 5000000L
-    val edgesC = edges.cache()
-    val nEdges = edgesC.count()
-    val ccDf =
-      if (nEdges <= maxDriverEdges) {
-        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
-        edgesC.as[(Long, Long)].collect().foreach { case (s, t) =>
-          val (rs, rt) = (find(s), find(t))
-          if (rs != rt) parent(math.max(rs, rt)) = math.min(rs, rt)
-        }
-        val labels = parent.keys.map(k => (k, find(k))).toSeq
-        spark.createDataFrame(labels).toDF("id", "cluster")
-      } else {
-        val graph = Graph.fromEdges(
-          edgesC.as[(Long, Long)].rdd.map { case (s, t) => Edge(s, t, ()) }, (),
-          vertexStorageLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        graph.connectedComponents().vertices.toDF("id", "cluster")
-      }
+    // Scale-adaptive CC (driver union-find below the edge threshold,
+    // GraphX above — see operators.Components for the argument); the
+    // core-core edge set is orders of magnitude smaller than the input
+    // (only intra-eps core pairs).
+    val ccDf = graft.operators.Components.connected(edges)
+      .toDF("id", "cluster")
     // singleton cores (no edges) keep their own id as cluster
     val coreLabels = coreIds.join(ccDf, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
@@ -180,7 +154,7 @@ object DbscanGraft {
       .unionAll(borderLabels).unionAll(noise)
       .cache()
     out.count() // materialize, then release the working caches
-    (Seq(pts, halo, coreness, coreLabels, edgesC) ++ salts).foreach(_.unpersist(false))
+    (Seq(pts, halo, coreness, coreLabels) ++ salts).foreach(_.unpersist(false))
     out
   }
 

@@ -167,6 +167,26 @@ object Dedup {
         .orderBy("doc_a", "doc_b"))(sh.unpersist(false))
   }
 
+  /** Transitive duplicate-cluster resolution — the step the pair-emitting
+    * dedup families feed: near-dup PAIRS (the pinned minhash-LSH gate
+    * semantics) → connected components (scale-adaptive, Components) →
+    * clusters labeled by their min doc_id, i.e. exactly the canonical
+    * winner a keep-one-per-cluster pass retains. Output is the cluster
+    * SIZE histogram plus a label checksum (sum of winner ids per size),
+    * so the oracle pins actual component membership, not just counts —
+    * all tiny at any corpus scale. Pairs, not docs, bound every stage. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val comp = Components.connected(pairs)
+    comp.groupBy("comp").agg(count(lit(1)).as("csize"))
+      .groupBy("csize")
+      .agg(count(lit(1)).as("n_clusters"),
+        (col("csize") * count(lit(1))).as("n_docs"),
+        sum("comp").as("sum_winner_ids"))
+      .select(col("csize"), col("n_clusters"), col("n_docs"), col("sum_winner_ids"))
+      .orderBy("csize")
+  }
+
   /** Per-document 56-bit SimHash over frequency-weighted tokens. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
@@ -221,7 +241,36 @@ object Dedup {
     "q_dedup_simhash" -> (simhash _),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) =>
       embeddingNearDup(s, d, nlist = Similarity.IvfLists)),
-    "q_decontaminate" -> (decontaminate _))
+    "q_decontaminate" -> (decontaminate _),
+    "q_dedup_clusters" -> (dedupClusters _))
+
+  /** Shared CTE chain replaying the pinned MinHash-LSH pair semantics up
+    * to a `pairs(doc_a, doc_b, jaccard)` relation — used by the pair
+    * gate and the cluster-resolution gate on top of it. */
+  private lazy val minhashPairCtesSql: String = {
+    val sigCols = (0 until NumPerms).map(i =>
+      s"min((${permA(i)}::BIGINT * h + ${permB(i)}) % $MinhashP) AS m$i").mkString(",\n    ")
+    val nBands = NumPerms / BandRows
+    val bandRows = (0 until nBands).map { b =>
+      val cat = (0 until BandRows).map(r => s"m${b * BandRows + r}::VARCHAR")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sig"
+    }.mkString("\n    UNION ALL ")
+    s"""sh AS (SELECT doc_id, $shinglesSql AS s FROM $wordsSubquery),
+       |hs AS (SELECT doc_id, ${hash56Sql("g")} % $MinhashP AS h
+       |  FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+       |sig AS (SELECT doc_id, $sigCols FROM hs GROUP BY doc_id),
+       |bands AS ($bandRows),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT doc_a, doc_b,
+       |    round(len(list_intersect(x.s, y.s))::DOUBLE
+       |      / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
+       |  FROM cand JOIN sh x ON doc_a = x.doc_id JOIN sh y ON doc_b = y.doc_id
+       |  WHERE len(list_intersect(x.s, y.s))::DOUBLE
+       |      / len(list_distinct(list_concat(x.s, y.s))) >= 0.5)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -256,31 +305,24 @@ object Dedup {
          |FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
          |WHERE inter::DOUBLE / (x.n + y.n - inter) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
-    "q_dedup_minhash_lsh" -> {
-      val sigCols = (0 until NumPerms).map(i =>
-        s"min((${permA(i)}::BIGINT * h + ${permB(i)}) % $MinhashP) AS m$i").mkString(",\n    ")
-      val nBands = NumPerms / BandRows
-      val bandRows = (0 until nBands).map { b =>
-        val cat = (0 until BandRows).map(r => s"m${b * BandRows + r}::VARCHAR")
-          .mkString(" || ',' || ")
-        s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sig"
-      }.mkString("\n    UNION ALL ")
-      s"""WITH sh AS (SELECT doc_id, $shinglesSql AS s FROM $wordsSubquery),
-         |hs AS (SELECT doc_id, ${hash56Sql("g")} % $MinhashP AS h
-         |  FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
-         |sig AS (SELECT doc_id, $sigCols FROM hs GROUP BY doc_id),
-         |bands AS ($bandRows),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b,
-         |  round(len(list_intersect(x.s, y.s))::DOUBLE
-         |    / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
-         |FROM cand JOIN sh x ON doc_a = x.doc_id JOIN sh y ON doc_b = y.doc_id
-         |WHERE len(list_intersect(x.s, y.s))::DOUBLE
-         |    / len(list_distinct(list_concat(x.s, y.s))) >= 0.5
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+    "q_dedup_minhash_lsh" ->
+      s"""WITH $minhashPairCtesSql
+         |SELECT doc_a, doc_b, jaccard FROM pairs
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_clusters" ->
+      s"""WITH $minhashPairCtesSql,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |cc AS (WITH RECURSIVE r(id, lbl) AS (
+         |    SELECT DISTINCT src, src FROM edges
+         |    UNION
+         |    SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.id)
+         |  SELECT id, min(lbl) AS comp FROM r GROUP BY id),
+         |sizes AS (SELECT comp, count(*) AS csize FROM cc GROUP BY comp)
+         |SELECT csize, count(*) AS n_clusters,
+         |  (csize * count(*))::BIGINT AS n_docs,
+         |  sum(comp)::BIGINT AS sum_winner_ids
+         |FROM sizes GROUP BY csize ORDER BY csize""".stripMargin,
     "q_dedup_simhash" -> {
       val bitSums = (0 until 56).map(b =>
         s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(",\n    ")
