@@ -290,6 +290,32 @@ object Relational {
         round(col("p75"), 4).as("p75"),
         round(col("p99"), 4).as("p99"))
 
+  /** Robust statistics per group — exact median, MAD (median absolute
+    * deviation), and IQR — composed from TWO bounded bracketed
+    * selections: pass set 1 finds per-group p25/p50/p75, the tiny
+    * result broadcasts back onto the scan to form |x − median|, and
+    * pass set 2 selects the deviation median. Each pass is a narrow
+    * histogram scan (ExactQuantiles), so the whole thing is exact
+    * robust stats with NO value buffer anywhere — the composition
+    * pattern the single-buffer percentile() could never scale to. */
+  def robustStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val q1 = ExactQuantiles.quantiles(
+      li, "l_quantity",
+      Seq("p25" -> 0.25, "med" -> 0.5, "p75" -> 0.75),
+      groupBy = Seq("l_returnflag"))
+    val dev = li.join(broadcast(q1), Seq("l_returnflag"))
+      .withColumn("ad", abs(col("l_quantity") - col("med")))
+    val mad = ExactQuantiles.quantiles(
+      dev, "ad", Seq("mad_raw" -> 0.5), groupBy = Seq("l_returnflag"))
+    q1.join(broadcast(mad), Seq("l_returnflag"))
+      .select(col("l_returnflag"),
+        round(col("med"), 4).as("median_qty"),
+        round(col("mad_raw"), 4).as("mad_qty"),
+        round(col("p75") - col("p25"), 4).as("iqr_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** Correlation / covariance (the scatter-matrix cell of PCA §2.5). */
   def corrCov(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -569,7 +595,8 @@ object Relational {
     "q_window_offset" -> (windowOffset _),
     "q_cdc_merge" -> (cdcMerge _),
     "q_fuzzy_join" -> (fuzzyJoin _),
-    "q_bloom_semi" -> (bloomSemiJoin _)
+    "q_bloom_semi" -> (bloomSemiJoin _),
+    "q_robust_stats" -> (robustStats _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -809,6 +836,21 @@ object Relational {
         |  round(sum(o_totalprice), 2) AS sum_price
         |FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_robust_stats" ->
+      """WITH q AS (SELECT l_returnflag,
+        |    quantile_cont(l_quantity, 0.25) AS p25,
+        |    quantile_cont(l_quantity, 0.5) AS med,
+        |    quantile_cont(l_quantity, 0.75) AS p75
+        |  FROM lineitem GROUP BY l_returnflag),
+        |d AS (SELECT l.l_returnflag, abs(l.l_quantity - q.med) AS ad
+        |  FROM lineitem l JOIN q USING (l_returnflag))
+        |SELECT q.l_returnflag,
+        |  round(q.med, 4) AS median_qty,
+        |  round(quantile_cont(d.ad, 0.5), 4) AS mad_qty,
+        |  round(q.p75 - q.p25, 4) AS iqr_qty
+        |FROM d JOIN q USING (l_returnflag)
+        |GROUP BY q.l_returnflag, q.med, q.p25, q.p75
+        |ORDER BY q.l_returnflag""".stripMargin
   )
 }

@@ -194,6 +194,40 @@ object TextAnalysis {
   def heavyHitters(spark: SparkSession, dir: String): DataFrame =
     heavyHittersDf(Tables.documents(spark, dir).select("text"), HhK)
 
+  /** Per-source distribution diagnostics for corpus mixing: unigram
+    * entropy of each source and Jensen-Shannon divergence against the
+    * whole-corpus distribution. Everything reduces to one
+    * (source × vocab) grid of probabilities: the exploded-token pass
+    * partial-aggregates map-side into per-(source, word) counts, and
+    * every later stage operates on vocab-bounded aggregates — at 100 TB
+    * the token explosion is the only full scan; the grid is
+    * |sources|·|vocab| regardless of corpus size. Absent (source, word)
+    * cells enter the q-side KL sum with p=0 (their JS term is
+    * q·ln 2 / 2), which the full-grid left join makes explicit. */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val sw = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("source", "word").agg(count(lit(1)).as("c"))
+    val st = sw.groupBy("source").agg(sum("c").as("t"))
+    val gw = sw.groupBy("word").agg(sum("c").as("g"))
+    val gt = gw.agg(sum("g").as("gt"))
+    val grid = st.crossJoin(broadcast(gw)).crossJoin(broadcast(gt))
+      .join(sw, Seq("source", "word"), "left")
+      .select(col("source"),
+        (coalesce(col("c"), lit(0L)).cast("double") / col("t")).as("p"),
+        (col("g").cast("double") / col("gt")).as("q"))
+    val m = (col("p") + col("q")) / 2
+    grid.groupBy("source")
+      .agg(
+        round(-sum(when(col("p") > 0, col("p") * log(col("p"))).otherwise(0.0)), 4)
+          .as("entropy"),
+        round(
+          sum(when(col("p") > 0, col("p") * log(col("p") / m) / 2).otherwise(0.0)) +
+            sum(col("q") * log(col("q") / m) / 2), 4).as("js_vs_corpus"))
+      .orderBy("source")
+  }
+
   /** The TeraSort two-pass global prefix-offset pattern over an already
     * range-partitioned RDD: per-partition weight sums (one tiny job) →
     * driver scanLeft → broadcast offsets → linear per-partition pass
@@ -385,7 +419,8 @@ object TextAnalysis {
     "q_gopher_repetition" -> (gopherRepetition _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_token_budget_select" -> (tokenBudgetSelect _),
-    "q_heavy_hitters" -> (heavyHitters _))
+    "q_heavy_hitters" -> (heavyHitters _),
+    "q_source_divergence" -> (sourceDivergence _))
 
   private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -504,5 +539,23 @@ object TextAnalysis {
          |t AS (SELECT count(*) AS total FROM wf)
          |SELECT word, count(*) AS n FROM wf
          |GROUP BY word HAVING count(*) * ${HhK + 1} > (SELECT total FROM t)
-         |ORDER BY word""".stripMargin)
+         |ORDER BY word""".stripMargin,
+    "q_source_divergence" ->
+      s"""WITH w AS (SELECT source, unnest($wordsSql) AS word FROM documents),
+         |wf AS (SELECT source, word FROM w WHERE len(word) > 0),
+         |sw AS (SELECT source, word, count(*) AS c FROM wf GROUP BY 1, 2),
+         |st AS (SELECT source, sum(c) AS t FROM sw GROUP BY source),
+         |gw AS (SELECT word, sum(c) AS g FROM sw GROUP BY word),
+         |gt AS (SELECT sum(c) AS gt FROM sw),
+         |grid AS (
+         |  SELECT st.source,
+         |    coalesce(sw.c, 0)::DOUBLE / st.t AS p,
+         |    gw.g::DOUBLE / gt.gt AS q
+         |  FROM st CROSS JOIN gw CROSS JOIN gt
+         |  LEFT JOIN sw ON sw.source = st.source AND sw.word = gw.word)
+         |SELECT source,
+         |  round(-sum(CASE WHEN p > 0 THEN p * ln(p) ELSE 0 END), 4) AS entropy,
+         |  round(sum(CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) / 2 ELSE 0 END)
+         |    + sum(q * ln(q / ((p + q) / 2)) / 2), 4) AS js_vs_corpus
+         |FROM grid GROUP BY source ORDER BY source""".stripMargin)
 }
