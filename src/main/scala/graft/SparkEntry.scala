@@ -18,7 +18,8 @@ object SparkEntry {
     Relational.starJoin(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Temporal.queries ++ TextAnalysis.queries ++ Dedup.queries ++
+    Relational.queries ++ Temporal.queries ++ Layout.queries ++
+      TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Events.queries ++ graft.ml.MlQueries.queries ++
       graft.linalg.LinalgQueries.queries ++
       Map("q_terasort_cols" -> (TeraSort.query _),
@@ -28,7 +29,8 @@ object SparkEntry {
         "q_bucket_join" -> (graft.sources.Sources.bucketJoinQuery _))
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Temporal.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
+    Relational.oracles ++ Temporal.oracles ++ Layout.oracles ++
+      TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Events.oracles ++ graft.ml.MlQueries.oracles ++
       graft.linalg.LinalgQueries.oracles ++
       Map("q_terasort_cols" -> TeraSort.oracle,

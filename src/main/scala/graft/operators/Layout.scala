@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) data layout — the multi-dimensional clustering
+  * technique behind Delta/Iceberg OPTIMIZE ZORDER BY: quantize each
+  * dimension into 2^bits rank buckets, interleave the bucket bits into
+  * one integer key, then range-partition + sort by that key. Rows close
+  * in the key are close in EVERY dimension, so parquet min/max footer
+  * stats prune files for predicates on any Z-dimension — where a plain
+  * sort clusters only its leading column and leaves the others spanning
+  * the full range in every file.
+  *
+  * Scale: one narrow bounds pass (min/max per dimension — partial+final
+  * agg) and one TeraSort-shaped range-partitioned sort on the key. The
+  * key arithmetic is pure integer/IEEE column expressions (codegen'd, no
+  * UDF), identical in any engine — the oracle replays it bit-for-bit.
+  */
+object Layout {
+  type Q = (SparkSession, String) => DataFrame
+
+  val ZBits = 10 // 1024 buckets per dimension → 20-bit key
+
+  /** Interleave the low `bits` of x (even positions) and y (odd): the
+    * Morton key as a fold of shift/mask column expressions. */
+  def mortonKey(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).map { b =>
+      (shiftleft(shiftrightunsigned(x, b).bitwiseAND(1), 2 * b))
+        .bitwiseOR(shiftleft(shiftrightunsigned(y, b).bitwiseAND(1), 2 * b + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Equi-width quantization to [0, 2^bits): the exact expression shape
+    * (subtract, multiply, divide, floor, clamp) is mirrored in the
+    * oracle so the IEEE op sequence — and therefore every bucket id —
+    * is engine-identical. */
+  def quantize(c: Column, mn: Column, mx: Column, bits: Int): Column =
+    when(mx === mn, lit(0L)).otherwise( // constant dimension → one bucket
+      least(lit((1 << bits) - 1),
+        floor((c - mn) * lit((1 << bits).toDouble) / (mx - mn)).cast("long")))
+
+  /** Z-order the orders table on (o_totalprice, o_orderdate-epoch-day)
+    * and report per-curve-cell locality: the top 6 key bits partition
+    * the plane into 64 tiles; each tile's count and per-dimension
+    * min/max spread show both dimensions clustered at once. The gate
+    * pins the full key arithmetic; the layout write itself (range
+    * partition + sort by z_key) is spec-verified for file-level span
+    * shrinkage vs a single-column sort. */
+  def zorderCells(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
+          .cast("double").as("d"))
+    val b = o.agg(min("o_totalprice").as("pmn"), max("o_totalprice").as("pmx"),
+      min("d").as("dmn"), max("d").as("dmx"))
+    val z = o.crossJoin(broadcast(b))
+      .withColumn("zp", quantize(col("o_totalprice"), col("pmn"), col("pmx"), ZBits))
+      .withColumn("zd", quantize(col("d"), col("dmn"), col("dmx"), ZBits))
+      .withColumn("zkey", mortonKey(col("zp"), col("zd"), ZBits))
+    z.groupBy(shiftrightunsigned(col("zkey"), 2 * ZBits - 6).as("cell"))
+      .agg(count(lit(1)).as("n"),
+        round(min("o_totalprice"), 2).as("price_min"),
+        round(max("o_totalprice"), 2).as("price_max"),
+        min("d").cast("long").as("day_min"),
+        max("d").cast("long").as("day_max"))
+      .orderBy("cell")
+  }
+
+  /** The layout itself (for specs and real use): range-partition + sort
+    * by the Morton key; `numFiles` controls output granularity. Returns
+    * the laid-out frame WITH the key so callers can write it out. */
+  def zorderLayout(df: DataFrame, xCol: String, yCol: String,
+      bits: Int = ZBits, numFiles: Int = 0): DataFrame = {
+    val b = df.agg(min(xCol).as("xmn"), max(xCol).as("xmx"),
+      min(yCol).as("ymn"), max(yCol).as("ymx"))
+    val keyed = df.crossJoin(broadcast(b))
+      .withColumn("zkey", mortonKey(
+        quantize(col(xCol).cast("double"), col("xmn").cast("double"),
+          col("xmx").cast("double"), bits),
+        quantize(col(yCol).cast("double"), col("ymn").cast("double"),
+          col("ymx").cast("double"), bits), bits))
+      .drop("xmn", "xmx", "ymn", "ymx")
+    val parts = if (numFiles > 0) keyed.repartitionByRange(numFiles, col("zkey"))
+      else keyed.repartitionByRange(col("zkey"))
+    parts.sortWithinPartitions("zkey")
+  }
+
+  val queries: Map[String, Q] = Map("q_zorder_cells" -> (zorderCells _))
+
+  val oracles: Map[String, String] = Map(
+    "q_zorder_cells" -> {
+      val n = 1 << ZBits
+      def q(x: String, mn: String, mx: String) =
+        s"least(${n - 1}, floor(($x - $mn) * $n.0 / ($mx - $mn))::BIGINT)"
+      val interleave = (0 until ZBits).map(b =>
+        s"(((zp >> $b) & 1) << ${2 * b}) | (((zd >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" | ")
+      s"""WITH o AS (SELECT o_orderkey, o_totalprice,
+         |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))::DOUBLE AS d
+         |  FROM orders),
+         |b AS (SELECT min(o_totalprice) AS pmn, max(o_totalprice) AS pmx,
+         |    min(d) AS dmn, max(d) AS dmx FROM o),
+         |z0 AS (SELECT o.*, ${q("o_totalprice", "pmn", "pmx")} AS zp,
+         |    ${q("d", "dmn", "dmx")} AS zd FROM o CROSS JOIN b),
+         |z AS (SELECT *, $interleave AS zkey FROM z0)
+         |SELECT (zkey >> ${2 * ZBits - 6}) AS cell, count(*) AS n,
+         |  round(min(o_totalprice), 2) AS price_min,
+         |  round(max(o_totalprice), 2) AS price_max,
+         |  min(d)::BIGINT AS day_min, max(d)::BIGINT AS day_max
+         |FROM z GROUP BY cell ORDER BY cell""".stripMargin
+    })
+}
