@@ -202,6 +202,43 @@ class PlanAssertSpec extends SparkSpec {
     }
   }
 
+  /** True iff every Window operator in the plan sits in one contiguous
+    * chain with NO Exchange between the first and the last — i.e. all
+    * windows reuse a single partitioning+sort instead of reshuffling. */
+  private def windowsShareOnePartitioning(plan: String): Boolean = {
+    val lines = plan.linesIterator.toVector
+    val wIdx = lines.zipWithIndex.filter(_._1.contains("Window [")).map(_._2)
+    wIdx.size >= 2 &&
+      !lines.slice(wIdx.min + 1, wIdx.max).exists(_.contains("Exchange"))
+  }
+
+  test("SCD2's two windows share ONE exchange and sort on the entity key") {
+    withStructuralPlans {
+      val df = graft.operators.Temporal.scdType2(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      val keyExchanges = plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("o_custkey"))
+      assert(keyExchanges == 1,
+        s"collapse+close windows must share one o_custkey exchange, got $keyExchanges:\n$plan")
+      assert(plan.linesIterator.count(_.contains("Window [")) == 2,
+        s"expected exactly the two windows:\n$plan")
+      assert(windowsShareOnePartitioning(plan),
+        s"no exchange may sit between the collapse and close windows:\n$plan")
+    }
+  }
+
+  test("gap-fill interpolation windows share the series-key partitioning") {
+    withStructuralPlans {
+      val df = graft.operators.Temporal.gapFillInterp(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      // the neighbor-frame windows (pv; pd+nv fused; nd) must ride ONE
+      // series-key partitioning+sort — never an exchange per window
+      assert(windowsShareOnePartitioning(plan),
+        s"interpolation windows must share one partitioning:\n$plan")
+      noAllPairs(plan, "gap-fill")
+    }
+  }
+
   test("bloom semi-join probes the filter below the fact-side shuffle") {
     withStructuralPlans {
       val df = graft.operators.Relational.bloomSemiJoin(spark, "/root/testdata/sf0.001")
