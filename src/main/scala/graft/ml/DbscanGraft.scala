@@ -131,8 +131,8 @@ object DbscanGraft {
     // GraphX above — see operators.Components for the argument); the
     // core-core edge set is orders of magnitude smaller than the input
     // (only intra-eps core pairs).
-    val ccDf = graft.operators.Components.connected(edges)
-      .toDF("id", "cluster")
+    val ccRaw = graft.operators.Components.connected(edges)
+    val ccDf = ccRaw.toDF("id", "cluster")
     // singleton cores (no edges) keep their own id as cluster
     val coreLabels = coreIds.join(ccDf, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
@@ -154,7 +154,7 @@ object DbscanGraft {
       .unionAll(borderLabels).unionAll(noise)
       .cache()
     out.count() // materialize, then release the working caches
-    (Seq(pts, halo, coreness, coreLabels) ++ salts).foreach(_.unpersist(false))
+    (Seq(pts, halo, coreness, coreLabels, ccRaw) ++ salts).foreach(_.unpersist(false))
     out
   }
 

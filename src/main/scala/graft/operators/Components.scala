@@ -20,7 +20,13 @@ object Components {
     * second = dst) with its component's min node id. Returns
     * (id, comp); isolated nodes (no edges) are absent — callers union
     * them back with their own id if needed. The result is materialized
-    * before returning (the input is only scanned during this call). */
+    * before returning (the input is only scanned during this call).
+    *
+    * Cache contract: in the GraphX regime the returned frame is CACHED
+    * (its lineage runs through Pregel; recomputing it would redo the
+    * whole CC). Callers must unpersist the returned handle once their
+    * result is materialized — on the driver-path local relation that
+    * unpersist is a harmless no-op. */
   def connected(edges: DataFrame, maxDriverEdges: Long = 5000000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
@@ -50,8 +56,11 @@ object Components {
         val g = Graph.fromEdges(
           e.as[(Long, Long)].rdd.map { case (s, t) => Edge(s, t, ()) }, (),
           vertexStorageLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val v = g.connectedComponents().vertices.toDF("id", "comp").cache()
+        val cc = g.connectedComponents()
+        val v = cc.vertices.toDF("id", "comp").cache()
         v.count() // materialize while the edge cache is alive
+        cc.unpersist(blocking = false) // drop Pregel's internal RDD caches
+        g.unpersist(blocking = false)
         v
       }
     e.unpersist(false)

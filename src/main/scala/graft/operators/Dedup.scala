@@ -178,13 +178,14 @@ object Dedup {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
     val comp = Components.connected(pairs)
-    comp.groupBy("comp").agg(count(lit(1)).as("csize"))
-      .groupBy("csize")
-      .agg(count(lit(1)).as("n_clusters"),
-        (col("csize") * count(lit(1))).as("n_docs"),
-        sum("comp").as("sum_winner_ids"))
-      .select(col("csize"), col("n_clusters"), col("n_docs"), col("sum_winner_ids"))
-      .orderBy("csize")
+    graft.GateUtil.pinned(
+      comp.groupBy("comp").agg(count(lit(1)).as("csize"))
+        .groupBy("csize")
+        .agg(count(lit(1)).as("n_clusters"),
+          (col("csize") * count(lit(1))).as("n_docs"),
+          sum("comp").as("sum_winner_ids"))
+        .select(col("csize"), col("n_clusters"), col("n_docs"), col("sum_winner_ids"))
+        .orderBy("csize"))(comp.unpersist(false))
   }
 
   /** Per-document 56-bit SimHash over frequency-weighted tokens. */

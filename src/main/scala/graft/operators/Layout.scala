@@ -91,8 +91,8 @@ object Layout {
   val oracles: Map[String, String] = Map(
     "q_zorder_cells" -> {
       val n = 1 << ZBits
-      def q(x: String, mn: String, mx: String) =
-        s"least(${n - 1}, floor(($x - $mn) * $n.0 / ($mx - $mn))::BIGINT)"
+      def q(x: String, mn: String, mx: String) = // mirrors quantize incl. the constant-dimension branch
+        s"CASE WHEN $mx = $mn THEN 0 ELSE least(${n - 1}, floor(($x - $mn) * $n.0 / ($mx - $mn))::BIGINT) END"
       val interleave = (0 until ZBits).map(b =>
         s"(((zp >> $b) & 1) << ${2 * b}) | (((zd >> $b) & 1) << ${2 * b + 1})")
         .mkString(" | ")

@@ -45,7 +45,7 @@ class LayoutSpec extends SparkSpec {
   test("morton key interleaves bits exactly") {
     val spark2 = spark
     import spark2.implicits._
-    val df = Seq((5L, 3L)).toDF("a", "b") // 101, 011 → interleave = 100111
+    val df = Seq((5L, 3L)).toDF("a", "b") // a = 101, b = 011
     val k = df.select(Layout.mortonKey(col("a"), col("b"), 3).as("k"))
       .head().getLong(0)
     // even positions from a (1,0,1), odd from b (1,1,0): bits 0..5 =
