@@ -194,6 +194,49 @@ object TextAnalysis {
   def heavyHitters(spark: SparkSession, dir: String): DataFrame =
     heavyHittersDf(Tables.documents(spark, dir).select("text"), HhK)
 
+  val NumDraws = 64
+
+  /** Token-weighted sampling WITH replacement, integer-exact: each
+    * document owns the interval [start, start+nt) of the global token
+    * stream (prefix offsets via the same TeraSort two-pass pattern as
+    * sequence packing — never a one-partition window), and each of k
+    * deterministic draws (a portable hash mod total tokens) selects the
+    * document whose interval contains it — inverse-CDF sampling where
+    * P(doc) ∝ its token count. ALL arithmetic is integer (hash, mod,
+    * interval containment): no pow/log key like Efraimidis–Spirakis, so
+    * the oracle replays it exactly, no fp rank boundary anywhere. The
+    * k broadcast draws probe each row map-side (a bounded-broadcast
+    * nested loop, the kneighbors argument: the build side is k rows at
+    * any corpus size). */
+  def weightedSampleDf(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val spark2 = spark
+    import spark2.implicits._
+    val sorted = docs
+      .select(col("doc_id"), col("source"),
+        greatest(size(words), lit(1)).cast("long").as("nt"))
+      .repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
+      .as[(Long, String, Long)].rdd.cache()
+    val withStart = withStartOffsets(sorted, (r: (Long, String, Long)) => r._3) {
+      case ((_, src, nt), start) => (src, nt, start)
+    }.toDF("source", "nt", "start")
+    val total = withStart.agg(sum("nt")).head().getLong(0)
+    val draws = spark.range(k).select(col("id").as("j"),
+      pmod(graft.functions.TextFns.hash56(
+        concat(lit("draw"), col("id").cast("string"))), lit(total)).as("tgt"))
+    val hits = withStart.join(broadcast(draws),
+        col("tgt") >= col("start") && col("tgt") < col("start") + col("nt"))
+      .groupBy("source").agg(count(lit(1)).as("n_draws"))
+    val out = docs.select("source").distinct()
+      .join(hits, Seq("source"), "left")
+      .select(col("source"), coalesce(col("n_draws"), lit(0L)).as("n_draws"))
+      .orderBy("source")
+    graft.GateUtil.pinned(out)(sorted.unpersist(false))
+  }
+
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    weightedSampleDf(Tables.documents(spark, dir), NumDraws)
+
   /** Per-source distribution diagnostics for corpus mixing: unigram
     * entropy of each source and Jensen-Shannon divergence against the
     * whole-corpus distribution. Everything reduces to one
@@ -420,7 +463,8 @@ object TextAnalysis {
     "q_stratified_sample" -> (stratifiedSample _),
     "q_token_budget_select" -> (tokenBudgetSelect _),
     "q_heavy_hitters" -> (heavyHitters _),
-    "q_source_divergence" -> (sourceDivergence _))
+    "q_source_divergence" -> (sourceDivergence _),
+    "q_weighted_sample" -> (weightedSample _))
 
   private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -557,5 +601,22 @@ object TextAnalysis {
          |  round(-sum(CASE WHEN p > 0 THEN p * ln(p) ELSE 0 END), 4) AS entropy,
          |  round(sum(CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) / 2 ELSE 0 END)
          |    + sum(q * ln(q / ((p + q) / 2)) / 2), 4) AS js_vs_corpus
-         |FROM grid GROUP BY source ORDER BY source""".stripMargin)
+         |FROM grid GROUP BY source ORDER BY source""".stripMargin,
+    "q_weighted_sample" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    greatest(len($wordsSql), 1)::BIGINT AS nt FROM documents),
+         |o AS (SELECT doc_id, source, nt,
+         |    coalesce(sum(nt) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+         |  FROM t),
+         |tot AS (SELECT sum(nt) AS w FROM t),
+         |draws AS (SELECT j, (${graft.functions.TextFns.hash56Sql("'draw' || j::VARCHAR")})::BIGINT % w AS tgt
+         |  FROM generate_series(0, ${NumDraws - 1}) s(j) CROSS JOIN tot),
+         |hits AS (SELECT o.source, count(*) AS n FROM draws d
+         |  JOIN o ON d.tgt >= o.strt AND d.tgt < o.strt + o.nt
+         |  GROUP BY o.source)
+         |SELECT s.source, coalesce(h.n, 0)::BIGINT AS n_draws
+         |FROM (SELECT DISTINCT source FROM documents) s
+         |LEFT JOIN hits h USING (source)
+         |ORDER BY source""".stripMargin)
 }

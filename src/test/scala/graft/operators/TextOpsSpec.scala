@@ -107,6 +107,36 @@ class TextOpsSpec extends SparkSpec {
     assert(one == Seq(("srcA", 1L, 4L)))
   }
 
+  test("weightedSample replays inverse-CDF draws exactly, any partitioning") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (0L, "srcA", "a b c d e f g h"),      // 8 tokens
+      (1L, "srcB", "x y"),                  // 2
+      (2L, "srcA", "p q r s"),              // 4
+      (3L, "srcC", "z")                     // 1 → total 15
+    ).toDF("doc_id", "source", "text")
+    // naive replay: md5-based hash56 of "draw<j>" mod 15 → owning interval
+    def hash56(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(7).map(b => f"$b%02x").mkString, 16)
+    }
+    val nts = Seq(("srcA", 8L), ("srcB", 2L), ("srcA", 4L), ("srcC", 1L))
+    val starts = nts.map(_._2).scanLeft(0L)(_ + _)
+    val expect = (0 until TextAnalysis.NumDraws)
+      .map(j => hash56(s"draw$j") % 15L)
+      .map(t => nts(starts.indexWhere(_ > t) - 1)._1)
+      .groupBy(identity).map { case (s, g) => s -> g.size.toLong }
+    for (parts <- Seq(1, 5)) {
+      val got = TextAnalysis.weightedSampleDf(
+          docs.repartition(parts), TextAnalysis.NumDraws)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        .filter(_._2 > 0)
+      assert(got == expect, s"parts=$parts: $got vs $expect")
+    }
+  }
+
   test("heavyHitters is exact under Misra-Gries eviction, any k and partitioning") {
     val spark2 = spark
     import spark2.implicits._
