@@ -316,6 +316,29 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Equi-depth histogram WITHOUT a global sort: NTILE over a global
+    * ordering would funnel everything through one partition; instead
+    * the 7 inner octile breakpoints come from the bounded bracketed
+    * selection (narrow scans), broadcast back, and one partial+final
+    * pass counts rows per bucket — the scale-safe reformulation.
+    * Bucket rule pinned half-open [lo, hi): a value equal to a
+    * breakpoint belongs to the bucket above; counts are near-equal, not
+    * exactly n/8, when breakpoints repeat (quantized prices). */
+  def equidepthHist(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val fr = (1 to 7).map(i => s"b$i" -> i / 8.0)
+    val bks = ExactQuantiles.quantiles(li, "l_extendedprice", fr)
+    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
+      when(col("l_extendedprice") >= col(s"b$i"), i).otherwise(acc)
+    }
+    li.crossJoin(broadcast(bks))
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min("l_extendedprice"), 2).as("lo"),
+        round(max("l_extendedprice"), 2).as("hi"))
+      .orderBy("bucket")
+  }
+
   /** Correlation / covariance (the scatter-matrix cell of PCA §2.5). */
   def corrCov(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -596,7 +619,8 @@ object Relational {
     "q_cdc_merge" -> (cdcMerge _),
     "q_fuzzy_join" -> (fuzzyJoin _),
     "q_bloom_semi" -> (bloomSemiJoin _),
-    "q_robust_stats" -> (robustStats _)
+    "q_robust_stats" -> (robustStats _),
+    "q_equidepth_hist" -> (equidepthHist _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -851,6 +875,19 @@ object Relational {
         |  round(q.p75 - q.p25, 4) AS iqr_qty
         |FROM d JOIN q USING (l_returnflag)
         |GROUP BY q.l_returnflag, q.med, q.p25, q.p75
-        |ORDER BY q.l_returnflag""".stripMargin
+        |ORDER BY q.l_returnflag""".stripMargin,
+    "q_equidepth_hist" -> {
+      val bks = (1 to 7).map(i =>
+        s"quantile_cont(l_extendedprice, ${i / 8.0}) AS b$i").mkString(", ")
+      val cases = (7 to 1 by -1).map(i =>
+        s"WHEN l_extendedprice >= b$i THEN $i").mkString(" ")
+      s"""WITH b AS (SELECT $bks FROM lineitem)
+         |SELECT CASE $cases ELSE 0 END AS bucket,
+         |  count(*) AS n,
+         |  round(min(l_extendedprice), 2) AS lo,
+         |  round(max(l_extendedprice), 2) AS hi
+         |FROM lineitem CROSS JOIN b
+         |GROUP BY bucket ORDER BY bucket""".stripMargin
+    }
   )
 }
