@@ -220,14 +220,23 @@ object TextAnalysis {
     val withStart = withStartOffsets(sorted, (r: (Long, String, Long)) => r._3) {
       case ((_, src, nt), start) => (src, nt, start)
     }.toDF("source", "nt", "start")
-    val total = withStart.agg(sum("nt")).head().getLong(0)
+    // nt >= 1 per row, so a NULL/0 total means an empty corpus: zero
+    // draws, empty result (pmod by 0 is undefined — never build it)
+    val totalRow = withStart.agg(sum("nt")).head()
+    if (totalRow.isNullAt(0)) {
+      sorted.unpersist(false)
+      return docs.select(col("source"), lit(0L).as("n_draws")).limit(0)
+    }
+    val total = totalRow.getLong(0)
     val draws = spark.range(k).select(col("id").as("j"),
       pmod(graft.functions.TextFns.hash56(
         concat(lit("draw"), col("id").cast("string"))), lit(total)).as("tgt"))
     val hits = withStart.join(broadcast(draws),
         col("tgt") >= col("start") && col("tgt") < col("start") + col("nt"))
       .groupBy("source").agg(count(lit(1)).as("n_draws"))
-    val out = docs.select("source").distinct()
+    // zero-draw sources come from the cached offsets frame — no second
+    // scan of the base table
+    val out = withStart.select("source").distinct()
       .join(hits, Seq("source"), "left")
       .select(col("source"), coalesce(col("n_draws"), lit(0L)).as("n_draws"))
       .orderBy("source")
