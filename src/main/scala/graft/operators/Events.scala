@@ -74,6 +74,35 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Forward + nearest as-of: for each purchase, the NEXT click after
+    * it and the click nearest in time on either side (tie → the earlier
+    * one — pinned). Completes the as-of family's direction matrix
+    * (backward = asofJoin above). Both neighbor frames ride the SAME
+    * (user_id, ts) partitioning+sort as every other window here;
+    * distance compare is exact integer microseconds. */
+  def asofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = ord.rowsBetween(1, Window.unboundedFollowing)
+    val clickTs = when(col("event_type") === "click", col("ts"))
+    val prevC = col("prev_click_ts")
+    val nextC = col("next_click_ts")
+    val dPrev = unix_micros(col("ts")) - unix_micros(prevC)
+    val dNext = unix_micros(nextC) - unix_micros(col("ts"))
+    Tables.events(spark, dir)
+      .withColumn("prev_click_ts", last(clickTs, ignoreNulls = true).over(wPrev))
+      .withColumn("next_click_ts", first(clickTs, ignoreNulls = true).over(wNext))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        nextC.cast("timestamp_ntz").as("next_click_ts"),
+        when(nextC.isNull, prevC)
+          .when(prevC.isNull, nextC)
+          .when(dPrev <= dNext, prevC)
+          .otherwise(nextC).cast("timestamp_ntz").as("nearest_click_ts"))
+      .orderBy("event_id")
+  }
+
   /** Ordered conversion funnel: earliest view → first strictly-later
     * click → first strictly-later purchase, per user, collapsed to stage
     * counts and mean conversion time. Three same-partitioning window
@@ -107,7 +136,8 @@ object Events {
     "q_events_session" -> (sessionize _),
     "q_events_json" -> (jsonProps _),
     "q_events_funnel" -> (funnel _),
-    "q_asof_join" -> (asofJoin _))
+    "q_asof_join" -> (asofJoin _),
+    "q_asof_forward" -> (asofForward _))
 
   val oracles: Map[String, String] = Map(
     "q_events_window" ->
@@ -139,6 +169,23 @@ object Events {
         |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+        |  FROM events)
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q_asof_forward" ->
+      """SELECT event_id, user_id, ts, next_click_ts,
+        |  CASE WHEN next_click_ts IS NULL THEN prev_click_ts
+        |       WHEN prev_click_ts IS NULL THEN next_click_ts
+        |       WHEN epoch_us(ts) - epoch_us(prev_click_ts)
+        |         <= epoch_us(next_click_ts) - epoch_us(ts) THEN prev_click_ts
+        |       ELSE next_click_ts END AS nearest_click_ts
+        |FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_ts,
+        |    first_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_click_ts
         |  FROM events)
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "q_events_funnel" ->

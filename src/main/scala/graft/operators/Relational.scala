@@ -316,6 +316,30 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Robust outlier detection (Iglewicz–Hoaglin modified z-score):
+    * |0.6745·(x − median)| / MAD > 3.5, with median and MAD from the
+    * bounded bracketed selection — outlier flagging over any column
+    * with two broadcast joins and zero value buffers. MAD = 0 (over
+    * half the group at one value) is pinned to "no outliers", the
+    * standard degenerate-scale rule. */
+  def robustOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val med = ExactQuantiles.quantiles(
+      li, "l_extendedprice", Seq("med" -> 0.5), groupBy = Seq("l_returnflag"))
+    val dev = li.join(broadcast(med), Seq("l_returnflag"))
+      .withColumn("ad", abs(col("l_extendedprice") - col("med")))
+    val mad = ExactQuantiles.quantiles(
+      dev, "ad", Seq("mad" -> 0.5), groupBy = Seq("l_returnflag"))
+    val outlier = col("mad") > 0 &&
+      lit(0.6745) * col("ad") / col("mad") > lit(3.5)
+    dev.join(broadcast(mad), Seq("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(when(outlier, 1L).otherwise(0L)).as("n_outliers"),
+        round(avg(when(outlier, 1.0).otherwise(0.0)), 6).as("outlier_rate"))
+      .orderBy("l_returnflag")
+  }
+
   /** Equi-depth histogram WITHOUT a global sort: NTILE over a global
     * ordering would funnel everything through one partition; instead
     * the 7 inner octile breakpoints come from the bounded bracketed
@@ -620,6 +644,7 @@ object Relational {
     "q_fuzzy_join" -> (fuzzyJoin _),
     "q_bloom_semi" -> (bloomSemiJoin _),
     "q_robust_stats" -> (robustStats _),
+    "q_robust_outliers" -> (robustOutliers _),
     "q_equidepth_hist" -> (equidepthHist _)
   )
 
@@ -876,6 +901,21 @@ object Relational {
         |FROM d JOIN q USING (l_returnflag)
         |GROUP BY q.l_returnflag, q.med, q.p25, q.p75
         |ORDER BY q.l_returnflag""".stripMargin,
+    "q_robust_outliers" ->
+      """WITH q AS (SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.5) AS med
+        |  FROM lineitem GROUP BY l_returnflag),
+        |d AS (SELECT l.l_returnflag, abs(l.l_extendedprice - q.med) AS ad
+        |  FROM lineitem l JOIN q USING (l_returnflag)),
+        |m AS (SELECT l_returnflag, quantile_cont(ad, 0.5) AS mad
+        |  FROM d GROUP BY l_returnflag)
+        |SELECT d.l_returnflag, count(*) AS n,
+        |  sum(CASE WHEN m.mad > 0 AND 0.6745 * d.ad / m.mad > 3.5
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+        |  round(avg(CASE WHEN m.mad > 0 AND 0.6745 * d.ad / m.mad > 3.5
+        |    THEN 1.0 ELSE 0.0 END), 6) AS outlier_rate
+        |FROM d JOIN m USING (l_returnflag)
+        |GROUP BY d.l_returnflag ORDER BY d.l_returnflag""".stripMargin,
     "q_equidepth_hist" -> {
       val bks = (1 to 7).map(i =>
         s"quantile_cont(l_extendedprice, ${i / 8.0}) AS b$i").mkString(", ")
