@@ -363,6 +363,26 @@ object Relational {
       .orderBy("bucket")
   }
 
+  /** Column profiling (data-quality audit): null and exact-distinct
+    * counts for every column of a table in ONE scan — the multi-distinct
+    * aggregate plans a single Expand (one replica per distinct column)
+    * with partial aggregation, then a `stack` unpivot reshapes the
+    * 1-row result. Exact distinct is the pinned gate semantics; at
+    * 100 TB you would flip the same plan to approx_count_distinct —
+    * the operator shape (one pass, long output) is what matters. */
+  def profileColumns(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val cols = o.columns.toSeq
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__distinct")))
+    val stacked = cols.map(c => s"'$c', `${c}__nulls`, `${c}__distinct`")
+      .mkString(", ")
+    o.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, $stacked) AS (col_name, n_nulls, n_distinct)"))
+      .orderBy("col_name")
+  }
+
   /** Correlation / covariance (the scatter-matrix cell of PCA §2.5). */
   def corrCov(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -645,7 +665,8 @@ object Relational {
     "q_bloom_semi" -> (bloomSemiJoin _),
     "q_robust_stats" -> (robustStats _),
     "q_robust_outliers" -> (robustOutliers _),
-    "q_equidepth_hist" -> (equidepthHist _)
+    "q_equidepth_hist" -> (equidepthHist _),
+    "q_profile_columns" -> (profileColumns _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -916,6 +937,15 @@ object Relational {
         |    THEN 1.0 ELSE 0.0 END), 6) AS outlier_rate
         |FROM d JOIN m USING (l_returnflag)
         |GROUP BY d.l_returnflag ORDER BY d.l_returnflag""".stripMargin,
+    "q_profile_columns" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name,
+           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct FROM orders""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     "q_equidepth_hist" -> {
       val bks = (1 to 7).map(i =>
         s"quantile_cont(l_extendedprice, ${i / 8.0}) AS b$i").mkString(", ")

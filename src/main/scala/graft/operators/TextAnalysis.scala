@@ -246,6 +246,26 @@ object TextAnalysis {
   def weightedSample(spark: SparkSession, dir: String): DataFrame =
     weightedSampleDf(Tables.documents(spark, dir), NumDraws)
 
+  /** Per-group top-k (top words per source by frequency): the grouped
+    * ranking runs AFTER the (source, word) aggregation, so the window
+    * input is vocab-bounded; `row_number <= k` plans a WindowGroupLimit
+    * so each task keeps a k-row heap per source. Tie-break pinned
+    * (count desc, word asc). */
+  def topWordsPerSource(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("source", "word").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("source").orderBy(col("n").desc, col("word"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("rk"), col("word"), col("n"))
+      .orderBy("source", "rk")
+  }
+
+  private def topWords(spark: SparkSession, dir: String): DataFrame =
+    topWordsPerSource(spark, dir)
+
   /** Per-source distribution diagnostics for corpus mixing: unigram
     * entropy of each source and Jensen-Shannon divergence against the
     * whole-corpus distribution. Everything reduces to one
@@ -473,7 +493,8 @@ object TextAnalysis {
     "q_token_budget_select" -> (tokenBudgetSelect _),
     "q_heavy_hitters" -> (heavyHitters _),
     "q_source_divergence" -> (sourceDivergence _),
-    "q_weighted_sample" -> (weightedSample _))
+    "q_weighted_sample" -> (weightedSample _),
+    "q_top_words" -> (topWords _))
 
   private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -627,5 +648,14 @@ object TextAnalysis {
          |SELECT s.source, coalesce(h.n, 0)::BIGINT AS n_draws
          |FROM (SELECT DISTINCT source FROM documents) s
          |LEFT JOIN hits h USING (source)
-         |ORDER BY source""".stripMargin)
+         |ORDER BY source""".stripMargin,
+    "q_top_words" ->
+      s"""WITH w AS (SELECT source, unnest($wordsSql) AS word FROM documents),
+         |wf AS (SELECT source, word FROM w WHERE len(word) > 0),
+         |c AS (SELECT source, word, count(*) AS n FROM wf GROUP BY 1, 2),
+         |r AS (SELECT source, word, n, row_number()
+         |    OVER (PARTITION BY source ORDER BY n DESC, word) AS rk
+         |  FROM c)
+         |SELECT source, rk, word, n FROM r WHERE rk <= 3
+         |ORDER BY source, rk""".stripMargin)
 }
