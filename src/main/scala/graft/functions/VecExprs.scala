@@ -219,7 +219,7 @@ case class VecNearestCenters(child: Expression, centers: Array[Array[Double]], n
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     // flat row-major center storage: one indirection + cache-linear inner
     // loop (a double[][] walk costs ~3× at k=500·dim=100 scale)
-    val flat = Array.concat(centers: _*)
+    val flat = Array.concat(scala.collection.immutable.ArraySeq.unsafeWrapArray(centers): _*)
     val cols = if (centers.isEmpty) 0 else centers(0).length
     val cRef = ctx.addReferenceObj("cflat", flat, "double[]")
     // clamp to the center count so codegen emits exactly min(n, k)
@@ -295,7 +295,7 @@ case class VecMinSqDist(child: Expression, centers: Array[Array[Double]])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val flat = Array.concat(centers: _*)
+    val flat = Array.concat(scala.collection.immutable.ArraySeq.unsafeWrapArray(centers): _*)
     val cols = if (centers.isEmpty) 0 else centers(0).length
     val cRef = ctx.addReferenceObj("cflat", flat, "double[]")
     nullSafeCodeGen(ctx, ev, a => {

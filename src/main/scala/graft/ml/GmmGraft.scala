@@ -144,7 +144,7 @@ object GmmGraft {
       it.grouped(1024).foreach { batchSeq =>
         val batch = batchSeq.toArray
         val b = batch.length
-        val xFlat = Array.concat(batch: _*) // p×b col-major: column i = row i
+        val xFlat = Array.concat(scala.collection.immutable.ArraySeq.unsafeWrapArray(batch): _*) // p×b col-major: column i = row i
         val x2Flat = new Array[Double](xFlat.length)
         var t = 0
         while (t < xFlat.length) { val x = xFlat(t); x2Flat(t) = x * x; t += 1 }
@@ -250,7 +250,7 @@ object GmmGraft {
       it.grouped(batchCap).foreach { batchSeq =>
         val batch = batchSeq.toArray
         val b = batch.length
-        val xFlat = Array.concat(batch: _*) // p×b col-major
+        val xFlat = Array.concat(scala.collection.immutable.ArraySeq.unsafeWrapArray(batch): _*) // p×b col-major
         blas.dgemm("N", "N", kp, b, p, 1.0, rsf, 0, kp, xFlat, 0, p,
           0.0, gBuf, 0, kp)
         var i = 0

@@ -90,7 +90,7 @@ object KMeansGraft {
     val bc = vecs.sparkContext.broadcast(centers)
     val out = vecs.mapPartitions { it =>
       val cs = bc.value
-      val cm = BDM.create(dim, k, Array.concat(cs: _*)) // column j = center j
+      val cm = BDM.create(dim, k, Array.concat(scala.collection.immutable.ArraySeq.unsafeWrapArray(cs): _*)) // column j = center j
       val half = Array.tabulate(k) { j =>
         var s = 0.0; val c = cs(j); var d = 0
         while (d < dim) { s += c(d) * c(d); d += 1 }
@@ -100,7 +100,7 @@ object KMeansGraft {
       it.grouped(1024).foreach { batchSeq =>
         val batch = batchSeq.toArray
         val b = batch.length
-        val xm = BDM.create(dim, b, Array.concat(batch: _*)) // column i = row i
+        val xm = BDM.create(dim, b, Array.concat(scala.collection.immutable.ArraySeq.unsafeWrapArray(batch): _*)) // column i = row i
         val g = (cm.t * xm).data // column-major k×b: column i contiguous
         var i = 0
         while (i < b) {

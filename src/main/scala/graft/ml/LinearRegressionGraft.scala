@@ -30,8 +30,8 @@ object LinearRegressionGraft {
     val g = Decompositions.gram(rows, p + 1)
     val ztz = g(0 until p, 0 until p)
     val zty = g(0 until p, p)
-    val beta = ztz \ BDV(zty.toArray: _*)
-    Model(beta(0), BDV(beta.toArray.drop(1): _*))
+    val beta = ztz \ BDV(zty.toArray)
+    Model(beta(0), BDV(beta.toArray.drop(1)))
   }
 
   /** Gate query: 2-feature OLS on lineitem via centered normal equations

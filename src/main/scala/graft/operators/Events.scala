@@ -103,6 +103,30 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Batch interval join — the oracle-checked twin of the streaming
+    * stream-stream join (EventsStreaming.viewClickIntervalJoin): every
+    * (view, click) pair for a user with the click within 10 minutes
+    * after the view. Plans as an equi-join on user_id with the range
+    * as a post-join filter — the join key carries the shuffle, the
+    * time bound never degenerates it to a BNLJ. */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("click_ts"))
+    views.join(clicks,
+        col("user_id") === col("cu") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr("interval 10 minutes"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(avg((unix_micros(col("click_ts")) - unix_micros(col("view_ts"))) / 1e6), 4)
+          .as("avg_gap_sec"),
+        floor(max(unix_micros(col("click_ts")) - unix_micros(col("view_ts"))) / lit(1000000L))
+          .cast("long").as("max_gap_sec"))
+  }
+
   /** Ordered conversion funnel: earliest view → first strictly-later
     * click → first strictly-later purchase, per user, collapsed to stage
     * counts and mean conversion time. Three same-partitioning window
@@ -137,7 +161,8 @@ object Events {
     "q_events_json" -> (jsonProps _),
     "q_events_funnel" -> (funnel _),
     "q_asof_join" -> (asofJoin _),
-    "q_asof_forward" -> (asofForward _))
+    "q_asof_forward" -> (asofForward _),
+    "q_interval_join" -> (intervalJoin _))
 
   val oracles: Map[String, String] = Map(
     "q_events_window" ->
@@ -188,6 +213,20 @@ object Events {
         |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_click_ts
         |  FROM events)
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q_interval_join" ->
+      """SELECT count(*) AS n_pairs,
+        |  count(DISTINCT v.user_id) AS n_users,
+        |  round(avg((epoch_us(c.click_ts) - epoch_us(v.view_ts)) / 1e6), 4)
+        |    AS avg_gap_sec,
+        |  (max(epoch_us(c.click_ts) - epoch_us(v.view_ts)) // 1000000)
+        |    AS max_gap_sec
+        |FROM (SELECT user_id, ts AS view_ts FROM events
+        |      WHERE event_type = 'view') v
+        |JOIN (SELECT user_id, ts AS click_ts FROM events
+        |      WHERE event_type = 'click') c
+        |  ON v.user_id = c.user_id
+        | AND c.click_ts >= v.view_ts
+        | AND c.click_ts <= v.view_ts + INTERVAL 10 MINUTES""".stripMargin,
     "q_events_funnel" ->
       """WITH s AS (SELECT user_id, event_type, ts,
         |    min(CASE WHEN event_type = 'view' THEN ts END)
