@@ -103,6 +103,34 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Cohort retention: users grouped by first-activity week, then the
+    * fraction still active at each week offset — the canonical product
+    * analytics rollup. Two aggregations over the same scan (first event
+    * per user; distinct active weeks per user) joined on user_id, then
+    * a (cohort, offset) rollup against broadcast cohort sizes. All date
+    * arithmetic is exact integer days; every shuffle is on user_id or
+    * the tiny (cohort, offset) grid. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val firsts = ev.groupBy("user_id").agg(min("ts").as("first_ts"))
+      .select(col("user_id"), to_date(date_trunc("week", col("first_ts"))).as("cw"))
+    val sizes = firsts.groupBy("cw").agg(countDistinct("user_id").as("cohort_n"))
+    val active = ev
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("aw"))
+      .distinct()
+    active.join(firsts, "user_id")
+      .select(col("cw"),
+        (datediff(col("aw"), col("cw")) / 7).cast("long").as("week_offset"),
+        col("user_id"))
+      .groupBy("cw", "week_offset")
+      .agg(countDistinct("user_id").as("n_active"))
+      .join(broadcast(sizes), "cw")
+      .select(col("cw").as("cohort_week"), col("week_offset"),
+        col("n_active"), col("cohort_n"),
+        round(col("n_active").cast("double") / col("cohort_n"), 4).as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** Batch interval join — the oracle-checked twin of the streaming
     * stream-stream join (EventsStreaming.viewClickIntervalJoin): every
     * (view, click) pair for a user with the click within 10 minutes
@@ -162,7 +190,8 @@ object Events {
     "q_events_funnel" -> (funnel _),
     "q_asof_join" -> (asofJoin _),
     "q_asof_forward" -> (asofForward _),
-    "q_interval_join" -> (intervalJoin _))
+    "q_interval_join" -> (intervalJoin _),
+    "q_cohort_retention" -> (cohortRetention _))
 
   val oracles: Map[String, String] = Map(
     "q_events_window" ->
@@ -227,6 +256,22 @@ object Events {
         |  ON v.user_id = c.user_id
         | AND c.click_ts >= v.view_ts
         | AND c.click_ts <= v.view_ts + INTERVAL 10 MINUTES""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH f AS (SELECT user_id,
+        |    CAST(date_trunc('week', min(ts)) AS DATE) AS cw
+        |  FROM events GROUP BY user_id),
+        |sz AS (SELECT cw, count(DISTINCT user_id) AS cohort_n FROM f GROUP BY cw),
+        |a AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS aw FROM events),
+        |g AS (SELECT f.cw, (date_diff('day', f.cw, a.aw) / 7)::BIGINT AS week_offset,
+        |    a.user_id
+        |  FROM a JOIN f USING (user_id)),
+        |r AS (SELECT cw, week_offset, count(DISTINCT user_id) AS n_active
+        |  FROM g GROUP BY cw, week_offset)
+        |SELECT r.cw AS cohort_week, r.week_offset, r.n_active, sz.cohort_n,
+        |  round(r.n_active::DOUBLE / sz.cohort_n, 4) AS retention
+        |FROM r JOIN sz USING (cw)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "q_events_funnel" ->
       """WITH s AS (SELECT user_id, event_type, ts,
         |    min(CASE WHEN event_type = 'view' THEN ts END)
