@@ -81,9 +81,16 @@ object Events {
     * (user_id, ts) partitioning+sort as every other window here;
     * distance compare is exact integer microseconds. */
   def asofForward(spark: SparkSession, dir: String): DataFrame = {
-    val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val wPrev = ord.rowsBetween(Window.unboundedPreceding, -1)
-    val wNext = ord.rowsBetween(1, Window.unboundedFollowing)
+    val wPrev = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // the forward neighbor via the REVERSED ordering's growing frame:
+    // last preceding click under (ts desc, id desc) == first following
+    // click under (ts asc, id asc). Spark's unbounded-FOLLOWING frame
+    // recomputes per row (O(n²) per key); both growing-PRECEDING frames
+    // are incremental — one extra in-partition sort, no extra exchange
+    val wNextRev = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val clickTs = when(col("event_type") === "click", col("ts"))
     val prevC = col("prev_click_ts")
     val nextC = col("next_click_ts")
@@ -91,7 +98,7 @@ object Events {
     val dNext = unix_micros(nextC) - unix_micros(col("ts"))
     Tables.events(spark, dir)
       .withColumn("prev_click_ts", last(clickTs, ignoreNulls = true).over(wPrev))
-      .withColumn("next_click_ts", first(clickTs, ignoreNulls = true).over(wNext))
+      .withColumn("next_click_ts", last(clickTs, ignoreNulls = true).over(wNextRev))
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"),
         col("ts").cast("timestamp_ntz").as("ts"),
@@ -114,20 +121,27 @@ object Events {
     val ev = Tables.events(spark, dir)
     val firsts = ev.groupBy("user_id").agg(min("ts").as("first_ts"))
       .select(col("user_id"), to_date(date_trunc("week", col("first_ts"))).as("cw"))
-    val sizes = firsts.groupBy("cw").agg(countDistinct("user_id").as("cohort_n"))
     val active = ev
       .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("aw"))
       .distinct()
-    active.join(firsts, "user_id")
+    // (user_id, cw, week_offset) is distinct by construction, so a plain
+    // count suffices; and every user is active in their own first week,
+    // so the offset-0 row IS the cohort size — no second firsts pass
+    val r = active.join(firsts, "user_id")
       .select(col("cw"),
-        (datediff(col("aw"), col("cw")) / 7).cast("long").as("week_offset"),
-        col("user_id"))
+        (datediff(col("aw"), col("cw")) / 7).cast("long").as("week_offset"))
       .groupBy("cw", "week_offset")
-      .agg(countDistinct("user_id").as("n_active"))
-      .join(broadcast(sizes), "cw")
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = r.filter(col("week_offset") === 0)
+      .select(col("cw"), col("n_active").as("cohort_n"))
+    // retention in floored basis points: integer arithmetic end-to-end —
+    // round() on small-integer ratios lands on exact fp half-boundaries
+    // (e.g. 5/32) where engines' tie rules diverge
+    r.join(broadcast(sizes), "cw")
       .select(col("cw").as("cohort_week"), col("week_offset"),
         col("n_active"), col("cohort_n"),
-        round(col("n_active").cast("double") / col("cohort_n"), 4).as("retention"))
+        floor(col("n_active") * lit(10000.0) / col("cohort_n"))
+          .cast("long").as("retention_bp"))
       .orderBy("cohort_week", "week_offset")
   }
 
@@ -260,16 +274,15 @@ object Events {
       """WITH f AS (SELECT user_id,
         |    CAST(date_trunc('week', min(ts)) AS DATE) AS cw
         |  FROM events GROUP BY user_id),
-        |sz AS (SELECT cw, count(DISTINCT user_id) AS cohort_n FROM f GROUP BY cw),
         |a AS (SELECT DISTINCT user_id,
         |    CAST(date_trunc('week', ts) AS DATE) AS aw FROM events),
-        |g AS (SELECT f.cw, (date_diff('day', f.cw, a.aw) / 7)::BIGINT AS week_offset,
-        |    a.user_id
+        |g AS (SELECT f.cw, (date_diff('day', f.cw, a.aw) / 7)::BIGINT AS week_offset
         |  FROM a JOIN f USING (user_id)),
-        |r AS (SELECT cw, week_offset, count(DISTINCT user_id) AS n_active
-        |  FROM g GROUP BY cw, week_offset)
+        |r AS (SELECT cw, week_offset, count(*) AS n_active
+        |  FROM g GROUP BY cw, week_offset),
+        |sz AS (SELECT cw, n_active AS cohort_n FROM r WHERE week_offset = 0)
         |SELECT r.cw AS cohort_week, r.week_offset, r.n_active, sz.cohort_n,
-        |  round(r.n_active::DOUBLE / sz.cohort_n, 4) AS retention
+        |  ((r.n_active * 10000) // sz.cohort_n) AS retention_bp
         |FROM r JOIN sz USING (cw)
         |ORDER BY cohort_week, week_offset""".stripMargin,
     "q_events_funnel" ->

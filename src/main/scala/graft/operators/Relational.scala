@@ -298,14 +298,23 @@ object Relational {
     * histogram scan (ExactQuantiles), so the whole thing is exact
     * robust stats with NO value buffer anywhere — the composition
     * pattern the single-buffer percentile() could never scale to. */
+  /** Shared robust-stat base: per-group quantiles of `valueCol` (the
+    * fractions must include a "med" entry) broadcast back onto the scan
+    * with the absolute-deviation column "ad" — any fix to this
+    * composition (guards, rounding) lands once for MAD, IQR, and
+    * outlier flagging alike. */
+  private def quantilesWithAbsDev(df: DataFrame, valueCol: String,
+      group: Seq[String], fracs: Seq[(String, Double)]): (DataFrame, DataFrame) = {
+    val q = ExactQuantiles.quantiles(df, valueCol, fracs, groupBy = group)
+    val dev = df.join(broadcast(q), group)
+      .withColumn("ad", abs(col(valueCol) - col("med")))
+    (q, dev)
+  }
+
   def robustStats(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    val q1 = ExactQuantiles.quantiles(
-      li, "l_quantity",
-      Seq("p25" -> 0.25, "med" -> 0.5, "p75" -> 0.75),
-      groupBy = Seq("l_returnflag"))
-    val dev = li.join(broadcast(q1), Seq("l_returnflag"))
-      .withColumn("ad", abs(col("l_quantity") - col("med")))
+    val (q1, dev) = quantilesWithAbsDev(li, "l_quantity", Seq("l_returnflag"),
+      Seq("p25" -> 0.25, "med" -> 0.5, "p75" -> 0.75))
     val mad = ExactQuantiles.quantiles(
       dev, "ad", Seq("mad_raw" -> 0.5), groupBy = Seq("l_returnflag"))
     q1.join(broadcast(mad), Seq("l_returnflag"))
@@ -324,10 +333,8 @@ object Relational {
     * standard degenerate-scale rule. */
   def robustOutliers(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    val med = ExactQuantiles.quantiles(
-      li, "l_extendedprice", Seq("med" -> 0.5), groupBy = Seq("l_returnflag"))
-    val dev = li.join(broadcast(med), Seq("l_returnflag"))
-      .withColumn("ad", abs(col("l_extendedprice") - col("med")))
+    val (_, dev) = quantilesWithAbsDev(li, "l_extendedprice",
+      Seq("l_returnflag"), Seq("med" -> 0.5))
     val mad = ExactQuantiles.quantiles(
       dev, "ad", Seq("mad" -> 0.5), groupBy = Seq("l_returnflag"))
     val outlier = col("mad") > 0 &&
