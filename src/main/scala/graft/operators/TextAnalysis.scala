@@ -480,6 +480,125 @@ object TextAnalysis {
     out.toDF("source", "n_kept", "tok_kept")
   }
 
+  val SegSize = 10
+  val SegDupMinDocs = 2
+
+  /** Sub-document (CCNet-style) dedup accounting: tile each document
+    * into fixed [[SegSize]]-word segments, build a corpus-global
+    * frequency table over segment hashes, and flag segments appearing in
+    * ≥ [[SegDupMinDocs]] distinct documents — the paragraph-dedup step
+    * of the published CCNet pipeline, adapted to the corpus's
+    * whitespace-only text (no newlines) with a fixed tiling unit.
+    *
+    * Scale: text never shuffles — segments reduce to 56-bit hashes
+    * inside the scan stage, so the frequency pass moves only
+    * (hash, doc_id) pairs; the duplicate set (cross-doc repeated
+    * segments) is the small side and joins back broadcast under AQE,
+    * degrading to a sort-merge of two narrow projections if it ever
+    * outgrows broadcast (the corpusCurate posture). */
+  def segmentDedup(spark: SparkSession, dir: String): DataFrame =
+    segmentDedupDf(Tables.documents(spark, dir), SegSize, SegDupMinDocs)
+
+  private[graft] def segmentDedupDf(docs: DataFrame, segSize: Int,
+      minDocs: Int): DataFrame = {
+    val nSegs = floor((size(col("w")) + lit(segSize - 1)) / lit(segSize)).cast("int")
+    val segs = docs
+      .select(col("source"), col("doc_id"), words.as("w"))
+      .select(col("source"), col("doc_id"),
+        explode(transform(sequence(lit(0), nSegs - 1),
+          i => concat_ws(" ", slice(col("w"), i * segSize + 1, lit(segSize))))).as("seg"))
+      .select(col("source"), col("doc_id"), hash56(col("seg")).as("h"))
+    val dup = segs.select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"), lit(1L).as("isdup"))
+    segs.join(dup, Seq("h"), "left")
+      .groupBy("source", "doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(coalesce(col("isdup"), lit(0L))).as("n_dup"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_segs").as("segs_total"),
+        sum("n_dup").as("segs_dup"),
+        sum(when(col("n_dup") === 0, 1L).otherwise(0L)).as("docs_clean"))
+      .orderBy("source")
+  }
+
+  val CollocMin = 5
+  val CollocK = 20
+
+  /** Collocation mining: adjacent-bigram association scored by integer
+    * lift — `c_ab · N · 10⁶ DIV (c_a · c_b)` (N = total tokens), the
+    * PMI ranking statistic with the log dropped (log is monotone, so the
+    * top-k by lift IS the top-k by PMI) and every step in integer
+    * arithmetic with floor division: no ln() whose last-ulp could
+    * reorder a tie across engines. Ties break on the bigram itself.
+    *
+    * Scale: one hash-shuffle each for bigram and unigram counts (both
+    * vocabulary-bounded); unigram counts and the 1-row total broadcast
+    * onto the bigram frame, so the scored join is map-side. The DIV
+    * operands stay in BIGINT here; a >10¹²-token corpus needs the
+    * DECIMAL(38,0) widening noted inline. */
+  def collocations(spark: SparkSession, dir: String): DataFrame =
+    collocationsDf(Tables.documents(spark, dir), CollocMin, CollocK)
+
+  private[graft] def collocationsDf(docs: DataFrame, minCount: Int,
+      topK: Int): DataFrame = {
+    val d = docs.select(words.as("w"))
+    val bigrams = d.filter(size(col("w")) >= 2)
+      .select(explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = d.select(explode(col("w")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum("c").as("n_uni"))
+    bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .join(broadcast(uni.select(col("word").as("w1"), col("c").as("c_a"))), "w1")
+      .join(broadcast(uni.select(col("word").as("w2"), col("c").as("c_b"))), "w2")
+      .crossJoin(broadcast(tot))
+      // c_ab·N·10⁶ ≤ ~1e16 at gate scale; widen to DECIMAL(38,0) past ~1e12 tokens
+      .selectExpr("w1", "w2", "c_ab",
+        "(c_ab * n_uni * 1000000) DIV (c_a * c_b) AS lift_micro")
+      .orderBy(col("lift_micro").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  val TfidfTopK = 3
+
+  /** Per-document top-k rarity-weighted terms: score = tf·10⁶ DIV df
+    * (document frequency), the TF-IDF ranking with the idf log dropped —
+    * log(N/df) is monotone decreasing in df, so ranking by tf/df agrees
+    * with tf·idf whenever tf ties break the same way; we make the order
+    * total with (score desc, term asc). All-integer scoring: the oracle
+    * replays it exactly, no fp idf anywhere.
+    *
+    * Scale: (doc, term) counts shuffle once; the df table is
+    * vocabulary-bounded and broadcasts (the fuzzy-join posture); the
+    * per-doc top-k is a `row_number() <= k` filter that plans as
+    * WindowGroupLimit — a k-row heap per doc before the shuffle, never a
+    * full per-doc sort. */
+  def tfidfTerms(spark: SparkSession, dir: String): DataFrame =
+    tfidfTermsDf(Tables.documents(spark, dir), TfidfTopK)
+
+  private[graft] def tfidfTermsDf(docs: DataFrame, topK: Int): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(words).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val win = Window.partitionBy("doc_id")
+      .orderBy(col("score_micro").desc, col("term"))
+    tf.join(broadcast(dfreq), "term")
+      .selectExpr("doc_id", "term", "tf", "(tf * 1000000) DIV df AS score_micro")
+      .withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= topK)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("score_micro"))
+      .orderBy("doc_id", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_token_count" -> (tokenCount _),
     "q_text_quality" -> (textQuality _),
@@ -494,7 +613,10 @@ object TextAnalysis {
     "q_heavy_hitters" -> (heavyHitters _),
     "q_source_divergence" -> (sourceDivergence _),
     "q_weighted_sample" -> (weightedSample _),
-    "q_top_words" -> (topWords _))
+    "q_top_words" -> (topWords _),
+    "q_segment_dedup" -> (segmentDedup _),
+    "q_collocations" -> (collocations _),
+    "q_tfidf_terms" -> (tfidfTerms _))
 
   private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -657,5 +779,52 @@ object TextAnalysis {
          |    OVER (PARTITION BY source ORDER BY n DESC, word) AS rk
          |  FROM c)
          |SELECT source, rk, word, n FROM r WHERE rk <= 3
-         |ORDER BY source, rk""".stripMargin)
+         |ORDER BY source, rk""".stripMargin,
+    "q_segment_dedup" ->
+      s"""WITH d AS (SELECT source, doc_id, $wordsSql AS w FROM documents),
+         |sh AS (SELECT source, doc_id,
+         |    ${hash56Sql("seg")} AS h
+         |  FROM (SELECT source, doc_id,
+         |      unnest(list_transform(range(0, (len(w) + ${SegSize - 1}) // $SegSize),
+         |        i -> array_to_string(list_slice(w, i * $SegSize + 1,
+         |          (i + 1) * $SegSize), ' '))) AS seg
+         |    FROM d)),
+         |dup AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM sh)
+         |  GROUP BY h HAVING count(*) >= $SegDupMinDocs),
+         |pd AS (SELECT sh.source, sh.doc_id, count(*) AS n_segs,
+         |    sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+         |  FROM sh LEFT JOIN dup ON sh.h = dup.h
+         |  GROUP BY sh.source, sh.doc_id)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(n_segs)::BIGINT AS segs_total,
+         |  sum(n_dup)::BIGINT AS segs_dup,
+         |  sum(CASE WHEN n_dup = 0 THEN 1 ELSE 0 END)::BIGINT AS docs_clean
+         |FROM pd GROUP BY source ORDER BY source""".stripMargin,
+    "q_collocations" ->
+      s"""WITH d AS (SELECT $wordsSql AS w FROM documents),
+         |bg AS (SELECT unnest(list_slice(w, 1, len(w) - 1)) AS w1,
+         |    unnest(list_slice(w, 2, len(w))) AS w2
+         |  FROM d WHERE len(w) >= 2),
+         |uni AS (SELECT word, count(*) AS c
+         |  FROM (SELECT unnest(w) AS word FROM d) GROUP BY word),
+         |tot AS (SELECT sum(c)::BIGINT AS n_uni FROM uni),
+         |cab AS (SELECT w1, w2, count(*) AS c_ab FROM bg
+         |  GROUP BY w1, w2 HAVING count(*) >= $CollocMin)
+         |SELECT w1, w2, c_ab::BIGINT AS c_ab,
+         |  ((c_ab * n_uni * 1000000) // (a.c * b.c))::BIGINT AS lift_micro
+         |FROM cab JOIN uni a ON cab.w1 = a.word JOIN uni b ON cab.w2 = b.word
+         |CROSS JOIN tot
+         |ORDER BY lift_micro DESC, w1, w2 LIMIT $CollocK""".stripMargin,
+    "q_tfidf_terms" ->
+      s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest($wordsSql) AS term FROM documents)
+         |  WHERE len(term) > 0 GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |r AS (SELECT tf.doc_id, tf.term, tf.tf,
+         |    (tf.tf * 1000000) // df.df AS score_micro,
+         |    row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY (tf.tf * 1000000) // df.df DESC, tf.term) AS rk
+         |  FROM tf JOIN df ON tf.term = df.term)
+         |SELECT doc_id, rk, term, tf::BIGINT AS tf, score_micro::BIGINT AS score_micro
+         |FROM r WHERE rk <= $TfidfTopK ORDER BY doc_id, rk""".stripMargin)
 }

@@ -137,6 +137,66 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("segmentDedup flags cross-doc repeated segments, not in-doc repeats") {
+    val spark2 = spark
+    import spark2.implicits._
+    // segSize 2 → doc 0 tiles to ["a b","c d"], doc 1 to ["a b","e f"],
+    // doc 2 to ["x y","x y"] (in-doc repeat only — one distinct doc),
+    // doc 3 to ["c d"] (tail shorter than a full tile still counts)
+    val docs = Seq(
+      (0L, "srcA", "a b c d"),
+      (1L, "srcA", "a b e f"),
+      (2L, "srcB", "x y x y"),
+      (3L, "srcB", "c d")
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.segmentDedupDf(docs, segSize = 2, minDocs = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // dup segments: "a b" (docs 0,1) and "c d" (docs 0,3); "x y" appears
+    // twice but only inside doc 2 → NOT dup
+    assert(got == Seq(
+      ("srcA", 2L, 4L, 3L, 0L),   // segs: a b|c d|a b|e f → 3 dup, no clean doc
+      ("srcB", 2L, 3L, 1L, 1L)))  // x y|x y clean, c d dup
+  }
+
+  test("collocations ranks by exact integer lift with bigram tiebreak") {
+    val spark2 = spark
+    import spark2.implicits._
+    // tokens: a×4 b×4 c×2 → N=10
+    // bigrams: "a b"×4 (3 in doc 0 + 1 in doc 1), "c a"×2, "b a", "b c" ×1
+    val docs = Seq((0L, "a b a b c a b"), (1L, "c a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.collocationsDf(docs, minCount = 2, topK = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      // lift("a b") = 4·10·1e6/(4·4) = 2500000; lift("c a") = 2·10·1e6/(2·4)
+      // = 2500000 — equal, so the (w1, w2) tiebreak orders "a b" first
+      ("a", "b", 4L, 2500000L),
+      ("c", "a", 2L, 2500000L)))
+  }
+
+  test("tfidfTerms scores tf*1e6 DIV df and breaks ties on term") {
+    val spark2 = spark
+    import spark2.implicits._
+    // df: common=2, rare=1, solo=1
+    val docs = Seq(
+      (0L, "common common rare"),
+      (1L, "common solo")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTermsDf(docs, topK = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      // doc 0: common tf=2 df=2 → 1000000; rare tf=1 df=1 → 1000000; tie → term asc
+      (0L, 1, "common", 2L, 1000000L),
+      (0L, 2, "rare", 1L, 1000000L),
+      // doc 1: solo 1000000 beats common 500000
+      (1L, 1, "solo", 1L, 1000000L),
+      (1L, 2, "common", 1L, 500000L)))
+  }
+
   test("heavyHitters is exact under Misra-Gries eviction, any k and partitioning") {
     val spark2 = spark
     import spark2.implicits._
