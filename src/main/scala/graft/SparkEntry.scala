@@ -18,7 +18,7 @@ object SparkEntry {
     Relational.starJoin(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Temporal.queries ++ Layout.queries ++
+    Relational.queries ++ Temporal.queries ++ Layout.queries ++ Graph.queries ++
       TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Events.queries ++ graft.ml.MlQueries.queries ++
       graft.linalg.LinalgQueries.queries ++
@@ -29,7 +29,7 @@ object SparkEntry {
         "q_bucket_join" -> (graft.sources.Sources.bucketJoinQuery _))
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Temporal.oracles ++ Layout.oracles ++
+    Relational.oracles ++ Temporal.oracles ++ Layout.oracles ++ Graph.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Events.oracles ++ graft.ml.MlQueries.oracles ++
       graft.linalg.LinalgQueries.oracles ++

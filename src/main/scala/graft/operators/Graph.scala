@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph analytics over the order graph (suppliers ↔ customers linked
+  * by lineitem⋈orders). Connected components live in Components.scala
+  * (shared with DBSCAN and minhash dedup clustering); this file holds
+  * the iterative-propagation side: PageRank.
+  *
+  * The rank recurrence runs ENTIRELY in scaled integer arithmetic —
+  * ranks in units of 10⁻¹² (PrScale), damping as ·85 DIV 100, per-edge
+  * contributions floor-divided by out-degree — so every engine replays
+  * the exact same longs: no sum-of-doubles partition-order sensitivity,
+  * which is what usually makes iterative fp algorithms un-oracle-able.
+  * Floor truncation loses < outdeg·1 unit per node per pass — at 10⁻¹²
+  * scale that is noise far below any ranking decision at k=20.
+  */
+object Graph {
+  type Q = (SparkSession, String) => DataFrame
+
+  val PrIters = 3
+  val PrScale = 1000000000000L // rank units of 1e-12; base = 15% of scale
+  /** Customer node ids are offset into their own range; TPC-H custkeys
+    * stay below this through SF ~600. */
+  val CustOffset = 10000000L
+
+  /** Integer-scaled PageRank (damping 0.85, [[PrIters]] synchronous
+    * passes) over the undirected supplier–customer graph, expanded to
+    * two directed edges so every node has out-degree ≥ 1 (no dangling
+    * mass to redistribute).
+    *
+    * Scale: the edge table is partitioned ONCE on src and cached — each
+    * pass joins the (nodes-sized) rank table into that fixed layout, so
+    * per-iteration shuffle is ranks-only, never edges (the standard
+    * distributed PageRank posture). Contributions partial-aggregate
+    * map-side; the driver never sees more than the final top-k. */
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").cast("long").as("s"),
+        col("o_custkey").cast("long").as("c"))
+      .distinct()
+    pageRankPairs(e, topK = 20)
+  }
+
+  /** Core over any distinct bipartite (s, c) pair frame; see [[pageRank]]. */
+  private[graft] def pageRankPairs(e: DataFrame, topK: Int): DataFrame = {
+    val edges = e.select(col("s").as("src"), (col("c") + CustOffset).as("dst"))
+      .union(e.select((col("c") + CustOffset).as("src"), col("s").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val edgesD = edges.join(deg, "src")
+      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val nNodes = deg.count() // one narrow job; also materializes the cache input
+    val base = (PrScale * 15L / 100L) / nNodes
+    var ranks = deg.select(col("src").as("node"), lit(PrScale / nNodes).as("r"))
+    for (_ <- 1 to PrIters) {
+      ranks = edgesD.join(ranks, col("src") === col("node"))
+        .selectExpr("dst", "((r * 85) DIV 100) DIV d AS contrib")
+        .groupBy("dst").agg(sum("contrib").as("rc"))
+        .select(col("dst").as("node"), (col("rc") + lit(base)).as("r"))
+    }
+    // truncate lineage + materialize the (small) final ranks while the
+    // edge cache is alive, then release it — no cross-query cache leak
+    val finalRanks = ranks.localCheckpoint(true)
+    edgesD.unpersist(false)
+    finalRanks
+      .select(
+        when(col("node") >= CustOffset, lit("cust")).otherwise(lit("supp"))
+          .as("node_type"),
+        when(col("node") >= CustOffset, col("node") - CustOffset)
+          .otherwise(col("node")).as("node_id"),
+        col("r").as("rank_units"))
+      .orderBy(col("rank_units").desc, col("node_type"), col("node_id"))
+      .limit(topK)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_pagerank" -> (pageRank _))
+
+  val oracles: Map[String, String] = Map(
+    "q_pagerank" -> {
+      val iters = (1 to PrIters).map { k =>
+        s"""c$k AS (SELECT ed.dst, sum(((r${k - 1}.r * 85) // 100) // deg.d) AS rc
+           |  FROM ed JOIN r${k - 1} ON ed.src = r${k - 1}.node
+           |  JOIN deg ON ed.src = deg.src
+           |  GROUP BY ed.dst),
+           |r$k AS (SELECT c$k.dst AS node,
+           |  ((${PrScale * 15L / 100L} // nn) + rc)::BIGINT AS r
+           |  FROM c$k CROSS JOIN n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT DISTINCT l_suppkey::BIGINT AS s, o_custkey::BIGINT AS c
+         |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |ed AS (SELECT s AS src, c + $CustOffset AS dst FROM e
+         |  UNION ALL SELECT c + $CustOffset, s FROM e),
+         |deg AS (SELECT src, count(*) AS d FROM ed GROUP BY src),
+         |n AS (SELECT count(*) AS nn FROM deg),
+         |r0 AS (SELECT src AS node, $PrScale // nn AS r FROM deg CROSS JOIN n),
+         |$iters
+         |SELECT CASE WHEN node >= $CustOffset THEN 'cust' ELSE 'supp' END
+         |    AS node_type,
+         |  CASE WHEN node >= $CustOffset THEN node - $CustOffset ELSE node END
+         |    AS node_id,
+         |  r AS rank_units
+         |FROM r$PrIters
+         |ORDER BY rank_units DESC, node_type, node_id LIMIT 20""".stripMargin
+    })
+}

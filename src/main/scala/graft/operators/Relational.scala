@@ -637,6 +637,57 @@ object Relational {
       .orderBy("blk")
   }
 
+  /** Pareto frontier (skyline) of `part` under (minimize retail price,
+    * minimize size): the multi-objective filter behind "cheapest part at
+    * each capability level" queries. A point survives iff no other point
+    * is ≤ on both dimensions and strictly < on one; ties on both
+    * dimensions survive together.
+    *
+    * Spark-first distributed shape — the classic two-phase skyline: a
+    * per-partition sweep over a spilled in-partition sort (local skyline;
+    * 2-D frontier after a (price, size) sort is a streaming O(1)-state
+    * min-size scan, no buffering), then the same sweep over the
+    * coalesced union of local frontiers. Dominance is transitive, so
+    * local elimination never removes a global frontier point, and the
+    * union of local skylines is tiny (≤ #distinct sizes per partition) —
+    * the NOT EXISTS self-join the oracle runs would be an O(n²) BNLJ;
+    * this is two narrow scans. Prices compare in rounded integer cents
+    * (the column is DOUBLE; true values are 2-decimal, so round() is
+    * exact in both engines). */
+  def skyline(spark: SparkSession, dir: String): DataFrame =
+    skylineDf(Tables.part(spark, dir)
+      .select(col("p_partkey").cast("long"),
+        round(col("p_retailprice") * 100).cast("long").as("price_cents"),
+        col("p_size").cast("long")))
+
+  /** Generic two-phase skyline over any (id, x, y) frame minimizing
+    * (x, y); see [[skyline]] for the algorithm and scale argument. */
+  private[graft] def skylineDf(points: DataFrame): DataFrame = {
+    val spark2 = points.sparkSession
+    import spark2.implicits._
+    val Seq(idc, xc, yc) = points.columns.toSeq
+    def sweep(it: Iterator[(Long, Long, Long)]): Iterator[(Long, Long, Long)] = {
+      var best = Long.MaxValue
+      var kp = Long.MinValue
+      var ks = Long.MinValue
+      it.flatMap { case p @ (_, pc, sz) =>
+        if (sz < best) { best = sz; kp = pc; ks = sz; Iterator.single(p) }
+        // sorted input ⇒ duplicates of the current frontier point are
+        // adjacent; equal-on-both-dims points are mutually non-dominating
+        else if (pc == kp && sz == ks) Iterator.single(p)
+        else Iterator.empty
+      }
+    }
+    val pts = points.as[(Long, Long, Long)]
+    pts.sortWithinPartitions(xc, yc, idc)
+      .mapPartitions(sweep) // tuple encoder: columns are now (_1, _2, _3)
+      .coalesce(1)
+      .sortWithinPartitions("_2", "_3", "_1")
+      .mapPartitions(sweep)
+      .toDF(idc, xc, yc)
+      .orderBy(idc)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pricing_summary" -> (pricingSummary _),
     "q_filter_project" -> (filterProject _),
@@ -673,7 +724,8 @@ object Relational {
     "q_robust_stats" -> (robustStats _),
     "q_robust_outliers" -> (robustOutliers _),
     "q_equidepth_hist" -> (equidepthHist _),
-    "q_profile_columns" -> (profileColumns _)
+    "q_profile_columns" -> (profileColumns _),
+    "q_skyline" -> (skyline _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -965,6 +1017,16 @@ object Relational {
          |  round(max(l_extendedprice), 2) AS hi
          |FROM lineitem CROSS JOIN b
          |GROUP BY bucket ORDER BY bucket""".stripMargin
-    }
+    },
+    "q_skyline" ->
+      """WITH p AS (SELECT p_partkey,
+        |    round(p_retailprice * 100)::BIGINT AS price_cents,
+        |    p_size::BIGINT AS p_size
+        |  FROM part)
+        |SELECT p_partkey, price_cents, p_size FROM p a
+        |WHERE NOT EXISTS (SELECT 1 FROM p b
+        |  WHERE b.price_cents <= a.price_cents AND b.p_size <= a.p_size
+        |    AND (b.price_cents < a.price_cents OR b.p_size < a.p_size))
+        |ORDER BY p_partkey""".stripMargin
   )
 }

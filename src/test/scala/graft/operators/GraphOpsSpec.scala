@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Hand-checked cases for the round-6 additions: two-phase skyline and
+  * integer-scaled PageRank. Both are checked against a naive in-memory
+  * replay AND for partitioning independence (the local/global phases
+  * must not depend on how rows land in partitions). */
+class GraphOpsSpec extends SparkSpec {
+
+  test("skyline keeps exactly the non-dominated points, dups survive together") {
+    val spark2 = spark
+    import spark2.implicits._
+    val pts = Seq(
+      (1L, 100L, 50L), // frontier (cheapest overall)
+      (2L, 100L, 50L), // exact duplicate of 1 → both survive
+      (3L, 100L, 60L), // same price as 1, bigger → dominated
+      (4L, 150L, 40L), // frontier (pays more for smaller)
+      (5L, 150L, 45L), // dominated by 4 (same price, bigger)
+      (6L, 200L, 40L), // dominated by 4 (same size, pricier)
+      (7L, 250L, 10L), // frontier
+      (8L, 300L, 90L)  // dominated by everything cheaper+smaller
+    ).toDF("id", "x", "y")
+    def naive(rows: Seq[(Long, Long, Long)]): Set[Long] =
+      rows.filter { p =>
+        !rows.exists(q => q._2 <= p._2 && q._3 <= p._3 &&
+          (q._2 < p._2 || q._3 < p._3))
+      }.map(_._1).toSet
+    val expect = naive(Seq((1L, 100L, 50L), (2L, 100L, 50L), (3L, 100L, 60L),
+      (4L, 150L, 40L), (5L, 150L, 45L), (6L, 200L, 40L), (7L, 250L, 10L),
+      (8L, 300L, 90L)))
+    assert(expect == Set(1L, 2L, 4L, 7L))
+    for (parts <- Seq(1, 3, 8)) {
+      val got = Relational.skylineDf(pts.repartition(parts)).collect()
+        .map(_.getLong(0)).toSet
+      assert(got == expect, s"parts=$parts")
+    }
+  }
+
+  test("pageRank matches a naive integer replay, any partitioning") {
+    val spark2 = spark
+    import spark2.implicits._
+    // bipartite pairs: s1-{c1,c2}, s2-{c2} → degrees s1=2, s2=1, c1=1, c2=2
+    val pairs = Seq((1L, 1L), (1L, 2L), (2L, 2L)).toDF("s", "c")
+    val off = Graph.CustOffset
+    val nodes = Seq(1L, 2L, off + 1L, off + 2L)
+    val adj = Map( // undirected expansion, src -> dsts
+      1L -> Seq(off + 1L, off + 2L), 2L -> Seq(off + 2L),
+      (off + 1L) -> Seq(1L), (off + 2L) -> Seq(1L, 2L))
+    val nn = nodes.size.toLong
+    val base = (Graph.PrScale * 15L / 100L) / nn
+    var r = nodes.map(_ -> Graph.PrScale / nn).toMap
+    for (_ <- 1 to Graph.PrIters) {
+      val contribs = adj.toSeq.flatMap { case (src, dsts) =>
+        val per = (r(src) * 85L / 100L) / dsts.size
+        dsts.map(_ -> per)
+      }.groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).sum }
+      r = nodes.map(n => n -> (base + contribs.getOrElse(n, 0L))).toMap
+    }
+    val expect = r.toSeq.map { case (n, ru) =>
+      (if (n >= off) "cust" else "supp", if (n >= off) n - off else n, ru)
+    }.sortBy(t => (-t._3, t._1, t._2))
+    for (parts <- Seq(1, 4)) {
+      val got = Graph.pageRankPairs(pairs.repartition(parts), topK = 10)
+        .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+      assert(got == expect, s"parts=$parts: $got vs $expect")
+    }
+  }
+}
