@@ -37,6 +37,26 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("triangleCensus counts each triangle once under degree orientation") {
+    val spark2 = spark
+    import spark2.implicits._
+    // K4 on {1,2,3,4} (4 triangles) plus a pendant 4-5 (0 triangles) and
+    // an isolated-ish edge 6-7; edges are (a < b) distinct
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (6L, 7L)
+    ).toDF("a", "b")
+    // degrees: 1,2,3→3, 4→4, 5→1, 6,7→1 → wedges Σd(d-1)/2 = 3·3+6+0+0 = 15
+    for (parts <- Seq(1, 4)) {
+      val r = Graph.triangleCensusDf(edges.repartition(parts)).head()
+      assert(r.getLong(0) == 7L, "n_nodes")
+      assert(r.getLong(1) == 8L, "n_edges")
+      assert(r.getLong(2) == 4L, s"parts=$parts: K4 has exactly 4 triangles")
+      assert(r.getLong(3) == 15L, "n_wedges")
+      assert(r.getLong(4) == 3L * 4L * 1000000L / 15L, "cc_micro")
+    }
+  }
+
   test("pageRank matches a naive integer replay, any partitioning") {
     val spark2 = spark
     import spark2.implicits._
