@@ -123,17 +123,18 @@ object Graph {
       .select(col("x.w").as("a"), col("y.w").as("b"))
     val closing = e.select(least(col("u"), col("w")).as("a"),
       greatest(col("u"), col("w")).as("b"))
-    val nTri = wedges.join(closing, Seq("a", "b"), "left_semi").count()
-    val spark2 = edges.sparkSession
-    import spark2.implicits._
-    val stats = deg.agg(count(lit(1)).as("n"),
-      sum(expr("(d * (d - 1)) DIV 2")).as("wedges")).head()
-    val nNodes = stats.getLong(0)
-    val nWedges = stats.getLong(1)
-    val nEdges = edges.count()
-    Seq((nNodes, nEdges, nTri, nWedges,
-      if (nWedges == 0) 0L else 3L * nTri * 1000000L / nWedges))
-      .toDF("n_nodes", "n_edges", "n_triangles", "n_wedges", "global_cc_micro")
+    // one declarative plan (three tiny aggregates cross-joined), so the
+    // census is a single job and the full plan stays assertable
+    val triAgg = wedges.join(closing, Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val degAgg = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("(d * (d - 1)) DIV 2")).as("n_wedges"))
+    val edgeAgg = edges.agg(count(lit(1)).as("n_edges"))
+    degAgg.crossJoin(edgeAgg).crossJoin(triAgg)
+      .selectExpr("n_nodes", "n_edges", "n_triangles", "n_wedges",
+        """CASE WHEN n_wedges = 0 THEN 0L
+          |ELSE (3 * n_triangles * 1000000) DIV n_wedges END AS global_cc_micro"""
+          .stripMargin)
   }
 
   val queries: Map[String, Q] = Map(

@@ -141,6 +141,64 @@ class PlanAssertSpec extends SparkSpec {
     }
   }
 
+  test("segment dedup never shuffles text or segments — only 56-bit hashes move") {
+    withStructuralPlans {
+      val df = graft.operators.TextAnalysis.segmentDedup(spark, "/root/testdata/sf0.001")
+      val shuffled = shuffledColumns(df)
+      assert(shuffled.nonEmpty, "expected the frequency/group passes to shuffle something")
+      shuffled.foreach { cols =>
+        assert(!cols.exists(c => c == "text" || c == "w" || c == "seg"),
+          s"text/word-array/segment strings must never shuffle, got: $cols")
+      }
+    }
+  }
+
+  test("tfidf top-k keeps a partial per-doc group-limit before the window shuffle") {
+    withStructuralPlans {
+      val df = graft.operators.TextAnalysis.tfidfTerms(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"rank<=k must plan a WindowGroupLimit:\n$plan")
+      assert(plan.linesIterator.exists(l =>
+          l.contains("WindowGroupLimit") && l.contains("Partial")),
+        s"the group-limit must have a Partial (pre-shuffle) instance:\n$plan")
+    }
+  }
+
+  test("skyline plans ZERO exchanges — both phases are in-partition sorts + sweeps") {
+    withStructuralPlans {
+      val df = graft.operators.Relational.skyline(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      // the final orderBy of the tiny frontier is the only permitted
+      // exchange; the sweeps themselves must not shuffle the input
+      val shuffles = plan.linesIterator.filter(l => l.contains("Exchange")).toSeq
+      assert(shuffles.forall(_.contains("rangepartitioning")),
+        s"only the final frontier orderBy may exchange:\n$plan")
+      assert(shuffles.size <= 1, s"at most the final-order exchange:\n$plan")
+    }
+  }
+
+  test("triangle census joins are hash/merge joins; only 1-row aggregates cross-join") {
+    val spark2 = spark
+    import spark2.implicits._
+    val edges = Seq.tabulate(300)(i => (i.toLong, (i + 1 + i % 7).toLong))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("a", "b")
+    withStructuralPlans {
+      val df = graft.operators.Graph.triangleCensusDf(edges)
+      val plan = df.queryExecution.executedPlan.toString
+      val smj = plan.linesIterator.count(l =>
+        l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+      assert(smj >= 4,
+        s"degree joins + wedge join + closing semi-join must be keyed joins:\n$plan")
+      // the two sanctioned cartesians combine single-row aggregate frames
+      val allPairs = plan.linesIterator.count(l =>
+        l.contains("CartesianProduct") || l.contains("BroadcastNestedLoopJoin"))
+      assert(allPairs <= 2,
+        s"only the two 1-row stat cross-joins may be unkeyed:\n$plan")
+    }
+  }
+
   test("cube is one Expand over one scan, all four granularities in one job") {
     withStructuralPlans {
       val df = graft.operators.Relational.cubeAgg(spark, "/root/testdata/sf0.001")
