@@ -37,15 +37,17 @@ object Graph {
     * per-iteration shuffle is ranks-only, never edges (the standard
     * distributed PageRank posture). Contributions partial-aggregate
     * map-side; the driver never sees more than the final top-k. */
-  def pageRank(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+  /** Distinct supplier–customer pairs linked by an order line. */
+  private def scPairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_suppkey").cast("long").as("s"),
         col("o_custkey").cast("long").as("c"))
       .distinct()
-    pageRankPairs(e, topK = 20)
-  }
+
+  def pageRank(spark: SparkSession, dir: String): DataFrame =
+    pageRankPairs(scPairs(spark, dir), topK = 20)
 
   /** Core over any distinct bipartite (s, c) pair frame; see [[pageRank]]. */
   private[graft] def pageRankPairs(e: DataFrame, topK: Int): DataFrame = {
@@ -137,9 +139,47 @@ object Graph {
           .stripMargin)
   }
 
+  val BfsHops = 3
+  val BfsSeedMod = 10
+
+  /** Multi-source BFS layer census: minimum hop distance from the seed
+    * set (suppliers with suppkey ≡ 1 mod [[BfsSeedMod]]) over the
+    * undirected supplier–customer graph, [[BfsHops]] synchronous
+    * expansions, reported as nodes-per-distance (unreached nodes are
+    * absent). Distances are small integers — nothing to round, the
+    * oracle unrolls the same frontier recurrence.
+    *
+    * Scale: each pass is one (frontier ⋈ edges) hash join + a min-agg
+    * on node — frontier-sized shuffles against the same edge layout,
+    * the pregel-style posture; the layer census is a log-sized final
+    * aggregate. */
+  def bfsLayers(spark: SparkSession, dir: String): DataFrame =
+    bfsLayersPairs(scPairs(spark, dir))
+
+  private[graft] def bfsLayersPairs(e: DataFrame): DataFrame = {
+    val edges = e.select(col("s").as("src"), (col("c") + CustOffset).as("dst"))
+      .union(e.select((col("c") + CustOffset).as("src"), col("s").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = edges.select(col("src").as("node")).distinct()
+      .filter(col("node") < CustOffset && pmod(col("node"), lit(BfsSeedMod)) === 1)
+      .withColumn("dist", lit(0L))
+    for (k <- 1 to BfsHops) {
+      val next = edges
+        .join(dist.filter(col("dist") === (k - 1).toLong),
+          col("src") === col("node"))
+        .select(col("dst").as("node"), lit(k.toLong).as("dist"))
+      dist = dist.union(next).groupBy("node").agg(min("dist").as("dist"))
+    }
+    val out = dist.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("dist").localCheckpoint(true)
+    edges.unpersist(false)
+    out
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pagerank" -> (pageRank _),
-    "q_triangles" -> (triangleCensus _))
+    "q_triangles" -> (triangleCensus _),
+    "q_bfs_layers" -> (bfsLayers _))
 
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> {
@@ -184,5 +224,24 @@ object Graph {
         |  st.wd::BIGINT AS n_wedges,
         |  (CASE WHEN st.wd = 0 THEN 0
         |    ELSE (3 * tri.t * 1000000) // st.wd END)::BIGINT AS global_cc_micro
-        |FROM st CROSS JOIN tri""".stripMargin)
+        |FROM st CROSS JOIN tri""".stripMargin,
+    "q_bfs_layers" -> {
+      val layers = (1 to BfsHops).map { k =>
+        s"""d$k AS (SELECT node, min(dist)::BIGINT AS dist FROM (
+           |  SELECT node, dist FROM d${k - 1}
+           |  UNION ALL
+           |  SELECT ed.dst AS node, $k AS dist
+           |  FROM ed JOIN d${k - 1} p ON ed.src = p.node AND p.dist = ${k - 1}
+           |) GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT DISTINCT l_suppkey::BIGINT AS s, o_custkey::BIGINT AS c
+         |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |ed AS (SELECT s AS src, c + $CustOffset AS dst FROM e
+         |  UNION ALL SELECT c + $CustOffset, s FROM e),
+         |d0 AS (SELECT DISTINCT src AS node, 0::BIGINT AS dist FROM ed
+         |  WHERE src < $CustOffset AND src % $BfsSeedMod = 1),
+         |$layers
+         |SELECT dist, count(*)::BIGINT AS n_nodes FROM d$BfsHops
+         |GROUP BY dist ORDER BY dist""".stripMargin
+    })
 }

@@ -688,6 +688,60 @@ object Relational {
       .orderBy(idc)
   }
 
+  /** Key-skew diagnostics: the counts-of-counts histogram every shuffle
+    * planner wants before picking a join strategy — per-key row counts
+    * bucketed by floor(log2(n)) (via binary-string length: integer in
+    * both engines, no fp log), plus per-bucket min/max/total. The output
+    * is O(log maxCount) rows at ANY scale; the two aggregations are a
+    * partial+final key count and a tiny bucket rollup. A 100 TB operator
+    * feeding this into salting decisions (the DBSCAN/dedup pattern here)
+    * reads the top bucket directly. */
+  def skewStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      .select((length(bin(col("n"))) - 1).cast("long").as("bucket"), col("n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_keys"), min("n").as("min_n"),
+        max("n").as("max_n"), sum("n").as("rows_total"))
+      .orderBy("bucket")
+
+  val FpMinSupport = 2
+  val FpTopK = 20
+
+  /** Frequent-pair mining (the 2-itemset core of market-basket /
+    * association-rule analysis) over order baskets: co-occurrence
+    * support and directional confidence in integer micro-units —
+    * support_micro = c_ab·10⁶ DIV n_baskets, conf = c_ab·10⁶ DIV c_a —
+    * so the ranking is engine-exact (the q_collocations argument).
+    *
+    * Scale: per-basket item lists are bounded (TPC-H ≤ 7 lines), so the
+    * pair explosion is linear in the fact table; pair counts shuffle on
+    * the pair key, item supports are item-bounded and broadcast back.
+    * This is the candidate-generation step an FP-growth run prunes
+    * with; min-support filters BEFORE the join fan-in. */
+  def frequentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+      .distinct()
+    val nBaskets = lit(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey")).distinct().count())
+    val itemN = l.groupBy("p").agg(count(lit(1)).as("c"))
+    l.select(col("o"), col("p").as("a"))
+      .join(l.select(col("o"), col("p").as("b")), "o")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= FpMinSupport)
+      .join(broadcast(itemN.select(col("p").as("a"), col("c").as("c_a"))), "a")
+      .join(broadcast(itemN.select(col("p").as("b"), col("c").as("c_b"))), "b")
+      .withColumn("nb", nBaskets)
+      .selectExpr("a", "b", "c_ab",
+        "(c_ab * 1000000) DIV nb AS support_micro",
+        "(c_ab * 1000000) DIV c_a AS conf_a_b_micro",
+        "(c_ab * 1000000) DIV c_b AS conf_b_a_micro")
+      .orderBy(col("c_ab").desc, col("a"), col("b"))
+      .limit(FpTopK)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pricing_summary" -> (pricingSummary _),
     "q_filter_project" -> (filterProject _),
@@ -725,7 +779,9 @@ object Relational {
     "q_robust_outliers" -> (robustOutliers _),
     "q_equidepth_hist" -> (equidepthHist _),
     "q_profile_columns" -> (profileColumns _),
-    "q_skyline" -> (skyline _)
+    "q_skyline" -> (skyline _),
+    "q_skew_stats" -> (skewStats _),
+    "q_freq_pairs" -> (frequentPairs _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1027,6 +1083,27 @@ object Relational {
         |WHERE NOT EXISTS (SELECT 1 FROM p b
         |  WHERE b.price_cents <= a.price_cents AND b.p_size <= a.p_size
         |    AND (b.price_cents < a.price_cents OR b.p_size < a.p_size))
-        |ORDER BY p_partkey""".stripMargin
+        |ORDER BY p_partkey""".stripMargin,
+    "q_skew_stats" ->
+      """SELECT (length(bin(n)) - 1)::BIGINT AS bucket,
+        |  count(*)::BIGINT AS n_keys, min(n)::BIGINT AS min_n,
+        |  max(n)::BIGINT AS max_n, sum(n)::BIGINT AS rows_total
+        |FROM (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY l_partkey)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_freq_pairs" ->
+      s"""WITH l AS (SELECT DISTINCT l_orderkey AS o, l_partkey::BIGINT AS p
+         |    FROM lineitem),
+         |nb AS (SELECT count(DISTINCT l_orderkey) AS n FROM lineitem),
+         |item AS (SELECT p, count(*) AS c FROM l GROUP BY p),
+         |pr AS (SELECT x.p AS a, y.p AS b, count(*) AS c_ab
+         |  FROM l x JOIN l y ON x.o = y.o AND x.p < y.p
+         |  GROUP BY x.p, y.p HAVING count(*) >= $FpMinSupport)
+         |SELECT a, b, c_ab::BIGINT AS c_ab,
+         |  ((c_ab * 1000000) // nb.n)::BIGINT AS support_micro,
+         |  ((c_ab * 1000000) // ia.c)::BIGINT AS conf_a_b_micro,
+         |  ((c_ab * 1000000) // ib.c)::BIGINT AS conf_b_a_micro
+         |FROM pr JOIN item ia ON pr.a = ia.p JOIN item ib ON pr.b = ib.p
+         |CROSS JOIN nb
+         |ORDER BY c_ab DESC, a, b LIMIT $FpTopK""".stripMargin
   )
 }

@@ -57,6 +57,22 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("bfsLayers reports min hop distances, truncated at BfsHops") {
+    val spark2 = spark
+    import spark2.implicits._
+    // seeds are suppliers ≡ 1 (mod 10): here 1 and 31.
+    // layering: {1,31}=0 → {c100,c300}=1 → {2}=2 → {c200}=3;
+    // supplier 3 is 4 hops out → absent (as is its pendant c400)
+    val pairs = Seq(
+      (1L, 100L), (2L, 100L), (2L, 200L), (31L, 300L), (3L, 200L), (3L, 400L)
+    ).toDF("s", "c")
+    for (parts <- Seq(1, 4)) {
+      val got = Graph.bfsLayersPairs(pairs.repartition(parts)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == Seq((0L, 2L), (1L, 2L), (2L, 1L), (3L, 1L)), s"parts=$parts")
+    }
+  }
+
   test("pageRank matches a naive integer replay, any partitioning") {
     val spark2 = spark
     import spark2.implicits._
