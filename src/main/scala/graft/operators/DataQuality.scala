@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint suite (the deequ-style
+  * validation pass a pipeline runs on every ingest batch): primary-key
+  * uniqueness, foreign-key orphans, null/range/domain violations —
+  * each check one narrow aggregate or semi-join, all unioned into a
+  * single (check, n_violations, status) report.
+  *
+  * Scale: per-table checks fuse into ONE scan per table (a single
+  * aggregate computes all of a table's violation counts); the FK
+  * checks are anti-join counts on the join keys only. Nothing here
+  * materializes violating ROWS — at 100 TB you first want the counts,
+  * then drill into a specific failed check. */
+object DataQuality {
+  type Q = (SparkSession, String) => DataFrame
+
+  def dataQuality(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+
+    // per-table violation counts, one scan each
+    val ordersScan = o.agg(
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("orders_pk_dup"),
+      count(when(col("o_totalprice") < 0, 1)).as("orders_price_neg"),
+      count(when(col("o_orderdate") < lit("1992-01-01").cast("timestamp") ||
+        col("o_orderdate") > lit("1998-12-31").cast("timestamp"), 1))
+        .as("orders_date_range"),
+      count(when(!col("o_orderstatus").isin("O", "F", "P"), 1))
+        .as("orders_status_domain"))
+    val custScan = c.agg(
+      count(when(col("c_acctbal").isNull, 1)).as("customer_acctbal_null"),
+      (count(lit(1)) - countDistinct(col("c_custkey"))).as("customer_pk_dup"))
+    // FK orphans: anti-join counts on pruned key columns
+    val orphanOrders = o.select(col("o_custkey"))
+      .join(c.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+    val orphanLines = li.select(col("l_orderkey"))
+      .join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+
+    def report(name: String, n: org.apache.spark.sql.Column): DataFrame => DataFrame =
+      df => df.select(lit(name).as("check"), n.cast("long").as("n_violations"))
+    val rows = Seq(
+      report("customer_acctbal_null", col("customer_acctbal_null"))(custScan),
+      report("customer_pk_unique", col("customer_pk_dup"))(custScan),
+      report("lineitem_orderkey_fk", col("n"))(orphanLines),
+      report("orders_custkey_fk", col("n"))(orphanOrders),
+      report("orders_date_range", col("orders_date_range"))(ordersScan),
+      report("orders_pk_unique", col("orders_pk_dup"))(ordersScan),
+      report("orders_status_domain", col("orders_status_domain"))(ordersScan),
+      report("orders_totalprice_nonneg", col("orders_price_neg"))(ordersScan))
+    rows.reduce(_.unionAll(_))
+      .withColumn("status", when(col("n_violations") === 0, "pass").otherwise("fail"))
+      .orderBy("check")
+  }
+
+  val queries: Map[String, Q] = Map("q_data_quality" -> (dataQuality _))
+
+  val oracles: Map[String, String] = Map(
+    "q_data_quality" ->
+      """WITH os AS (SELECT
+        |    (count(*) - count(DISTINCT o_orderkey))::BIGINT AS pk_dup,
+        |    sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)::BIGINT AS price_neg,
+        |    sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+        |      OR o_orderdate > TIMESTAMP '1998-12-31' THEN 1 ELSE 0 END)::BIGINT
+        |      AS date_range,
+        |    sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)::BIGINT
+        |      AS status_domain
+        |  FROM orders),
+        |cs AS (SELECT
+        |    sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)::BIGINT AS bal_null,
+        |    (count(*) - count(DISTINCT c_custkey))::BIGINT AS pk_dup
+        |  FROM customer),
+        |oo AS (SELECT count(*)::BIGINT AS n FROM orders
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |ol AS (SELECT count(*)::BIGINT AS n FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        |r AS (
+        |  SELECT 'customer_acctbal_null' AS check, bal_null AS n_violations FROM cs
+        |  UNION ALL SELECT 'customer_pk_unique', pk_dup FROM cs
+        |  UNION ALL SELECT 'lineitem_orderkey_fk', n FROM ol
+        |  UNION ALL SELECT 'orders_custkey_fk', n FROM oo
+        |  UNION ALL SELECT 'orders_date_range', date_range FROM os
+        |  UNION ALL SELECT 'orders_pk_unique', pk_dup FROM os
+        |  UNION ALL SELECT 'orders_status_domain', status_domain FROM os
+        |  UNION ALL SELECT 'orders_totalprice_nonneg', price_neg FROM os)
+        |SELECT "check", n_violations,
+        |  CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+        |FROM r ORDER BY "check"""".stripMargin)
+}
