@@ -276,7 +276,10 @@ object Bench {
         "q_gopher_repetition", "q_token_budget_select",
         // round-6 additions: Misra-Gries candidate pass at 10× tokens;
         // SCD2's two entity-keyed windows at 10× entities
-        "q_heavy_hitters", "q_scd2")
+        "q_heavy_hitters", "q_scd2",
+        // graph ops at 10× edges: oriented wedge join and the
+        // ranks-only per-pass shuffle must scale with edges, not pairs
+        "q_triangles", "q_pagerank")
       val runs = heavy.map(n =>
         timed(s"sf1_$n")(materialize(SparkEntry.queries(n)(spark, sf1Dir))))
       val base = results.toMap

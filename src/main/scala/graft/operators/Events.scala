@@ -48,6 +48,35 @@ object Events {
       .orderBy("user_id")
   }
 
+  val PathTopK = 15
+
+  /** Session path mining: the most frequent 3-step event-type sequences
+    * within gap-based sessions — the "what do users actually do"
+    * clickstream census. Sequences come from lead() pairs over the SAME
+    * (user_id, ts) window the sessionizer uses, with session membership
+    * checked by leading the session id itself (ids are monotone per
+    * user, so lead2-in-same-session implies lead1 is too) — every
+    * window column rides ONE user_id exchange, no per-session
+    * re-partition, and the trigram census is a tiny partial+final agg. */
+  def topPaths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val e = Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_id", sum("new_s").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("e2", lead("event_type", 1).over(byUser))
+      .withColumn("e3", lead("event_type", 2).over(byUser))
+      .withColumn("s2", lead("session_id", 2).over(byUser))
+    e.filter(col("s2") === col("session_id"))
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(PathTopK)
+  }
+
   /** JSON property extraction + aggregate (props is a JSON string). */
   def jsonProps(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -205,7 +234,8 @@ object Events {
     "q_asof_join" -> (asofJoin _),
     "q_asof_forward" -> (asofForward _),
     "q_interval_join" -> (intervalJoin _),
-    "q_cohort_retention" -> (cohortRetention _))
+    "q_cohort_retention" -> (cohortRetention _),
+    "q_top_paths" -> (topPaths _))
 
   val oracles: Map[String, String] = Map(
     "q_events_window" ->
@@ -285,6 +315,26 @@ object Events {
         |  ((r.n_active * 10000) // sz.cohort_n) AS retention_bp
         |FROM r JOIN sz USING (cw)
         |ORDER BY cohort_week, week_offset""".stripMargin,
+    "q_top_paths" ->
+      s"""WITH l AS (SELECT user_id, event_id, ts, event_type,
+         |    lag(epoch_us(ts)) OVER w AS prev_us,
+         |    lead(event_type, 1) OVER w AS e2,
+         |    lead(event_type, 2) OVER w AS e3
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (SELECT *,
+         |    sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+         |        THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM l),
+         |t AS (SELECT *,
+         |    lead(session_id, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS s2
+         |  FROM s)
+         |SELECT event_type AS e1, e2, e3, count(*) AS n
+         |FROM t WHERE s2 = session_id
+         |GROUP BY 1, 2, 3
+         |ORDER BY n DESC, e1, e2, e3 LIMIT $PathTopK""".stripMargin,
     "q_events_funnel" ->
       """WITH s AS (SELECT user_id, event_type, ts,
         |    min(CASE WHEN event_type = 'view' THEN ts END)

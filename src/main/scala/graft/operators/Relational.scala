@@ -742,6 +742,51 @@ object Relational {
       .limit(FpTopK)
   }
 
+  /** RFM customer segmentation: per-customer recency (days before the
+    * corpus's last order date), frequency (order count), monetary
+    * (lifetime cents — per-row integer cents, so the sum is exact), each
+    * quartile-scored 1–4 against breakpoints from the bounded exact-
+    * quantile selection, rolled up to segment counts. Breakpoints are
+    * FLOORED to integers and all three inputs are integers, so the
+    * score boundaries are engine-exact (no fp quantile interpolation
+    * reaches a comparison). Recency scores 4 = most recent (the usual
+    * marketing convention); frequency/monetary score ascending.
+    *
+    * Scale: one orders scan → per-customer aggregate (customer-keyed
+    * shuffle), three bounded quantile selections (narrow passes), then
+    * a broadcast of nine longs back onto the customer frame — the
+    * segment rollup output is ≤ 64 rows at any scale. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val cust = o.groupBy("o_custkey")
+      .agg(max("o_orderdate").as("last_dt"),
+        count(lit(1)).as("f"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("m_cents"))
+    val anchor = o.agg(max("o_orderdate").as("max_dt"))
+    val rfm = cust.crossJoin(broadcast(anchor))
+      .select(col("o_custkey"),
+        datediff(col("max_dt"), col("last_dt")).cast("long").as("r_days"),
+        col("f"), col("m_cents"))
+    def bks(valueCol: String, p: String): DataFrame = {
+      val q = ExactQuantiles.quantiles(rfm, valueCol,
+        Seq(s"${p}1" -> 0.25, s"${p}2" -> 0.5, s"${p}3" -> 0.75))
+      q.select((1 to 3).map(i =>
+        floor(col(s"$p$i")).cast("long").as(s"$p$i")): _*)
+    }
+    def score(v: String, p: String): String =
+      s"1 + CAST($v > ${p}1 AS INT) + CAST($v > ${p}2 AS INT) + CAST($v > ${p}3 AS INT)"
+    rfm.crossJoin(broadcast(bks("r_days", "r")))
+      .crossJoin(broadcast(bks("f", "fb")))
+      .crossJoin(broadcast(bks("m_cents", "m")))
+      .selectExpr(
+        s"5 - (${score("r_days", "r")}) AS r_score",
+        s"${score("f", "fb")} AS f_score",
+        s"${score("m_cents", "m")} AS m_score")
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pricing_summary" -> (pricingSummary _),
     "q_filter_project" -> (filterProject _),
@@ -781,7 +826,8 @@ object Relational {
     "q_profile_columns" -> (profileColumns _),
     "q_skyline" -> (skyline _),
     "q_skew_stats" -> (skewStats _),
-    "q_freq_pairs" -> (frequentPairs _)
+    "q_freq_pairs" -> (frequentPairs _),
+    "q_rfm_segments" -> (rfmSegments _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1104,6 +1150,35 @@ object Relational {
          |  ((c_ab * 1000000) // ib.c)::BIGINT AS conf_b_a_micro
          |FROM pr JOIN item ia ON pr.a = ia.p JOIN item ib ON pr.b = ib.p
          |CROSS JOIN nb
-         |ORDER BY c_ab DESC, a, b LIMIT $FpTopK""".stripMargin
+         |ORDER BY c_ab DESC, a, b LIMIT $FpTopK""".stripMargin,
+    "q_rfm_segments" ->
+      """WITH c AS (SELECT o_custkey, max(o_orderdate) AS last_dt,
+        |    count(*)::BIGINT AS f,
+        |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS m_cents
+        |  FROM orders GROUP BY o_custkey),
+        |a AS (SELECT max(o_orderdate) AS max_dt FROM orders),
+        |r AS (SELECT o_custkey,
+        |    date_diff('day', last_dt::DATE, max_dt::DATE)::BIGINT AS r_days,
+        |    f, m_cents FROM c CROSS JOIN a),
+        |b AS (SELECT
+        |    floor(quantile_cont(r_days, 0.25))::BIGINT AS r1,
+        |    floor(quantile_cont(r_days, 0.5))::BIGINT AS r2,
+        |    floor(quantile_cont(r_days, 0.75))::BIGINT AS r3,
+        |    floor(quantile_cont(f, 0.25))::BIGINT AS f1,
+        |    floor(quantile_cont(f, 0.5))::BIGINT AS f2,
+        |    floor(quantile_cont(f, 0.75))::BIGINT AS f3,
+        |    floor(quantile_cont(m_cents, 0.25))::BIGINT AS m1,
+        |    floor(quantile_cont(m_cents, 0.5))::BIGINT AS m2,
+        |    floor(quantile_cont(m_cents, 0.75))::BIGINT AS m3
+        |  FROM r)
+        |SELECT
+        |  5 - (1 + (r_days > r1)::INT + (r_days > r2)::INT + (r_days > r3)::INT)
+        |    AS r_score,
+        |  1 + (f > f1)::INT + (f > f2)::INT + (f > f3)::INT AS f_score,
+        |  1 + (m_cents > m1)::INT + (m_cents > m2)::INT + (m_cents > m3)::INT
+        |    AS m_score,
+        |  count(*)::BIGINT AS n_customers
+        |FROM r CROSS JOIN b
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   )
 }
