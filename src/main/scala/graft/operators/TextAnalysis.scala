@@ -599,6 +599,66 @@ object TextAnalysis {
       .orderBy("doc_id", "rk")
   }
 
+  val OverlapShingleN = 3
+
+  /** Inter-source contamination matrix: for every source pair, the
+    * count of shared distinct word 3-gram shingles and the overlap
+    * ratio against the smaller side (in integer micro-units) — the
+    * corpus-level view of what decontaminate checks for one benchmark.
+    *
+    * Scale: text reduces to distinct (source, 56-bit shingle hash)
+    * pairs inside the scan; the self-join key fan-out is bounded by the
+    * source count per hash, so the pair matrix costs one hash-keyed
+    * join however big the corpus — output is #sources² rows. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(wordShingles(words, OverlapShingleN)).as("g"))
+      .select(col("source"), hash56(col("g")).as("h"))
+      .distinct()
+    val tot = sh.groupBy("source").agg(count(lit(1)).as("t"))
+    sh.select(col("source").as("s1"), col("h"))
+      .join(sh.select(col("source").as("s2"), col("h")), "h")
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(tot.select(col("source").as("s1"), col("t").as("ta"))), "s1")
+      .join(broadcast(tot.select(col("source").as("s2"), col("t").as("tb"))), "s2")
+      .selectExpr("s1", "s2", "n_shared", "ta", "tb",
+        "(n_shared * 1000000) DIV least(ta, tb) AS overlap_micro")
+      .orderBy("s1", "s2")
+  }
+
+  /** Per-document language consistency: language-ID at [[SegSize]]-word
+    * segment grain (the q_lang_id marker heuristic per tile), then
+    * switch counting along the tile order — mixed-language and
+    * boilerplate-stitched documents surface as high switch counts.
+    * One exchange on doc_id carries both the lag window and the rollup. */
+  def langConsistency(spark: SparkSession, dir: String): DataFrame = {
+    val nSegs = floor((size(col("w")) + lit(SegSize - 1)) / lit(SegSize)).cast("int")
+    val segs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), words.as("w"))
+      .select(col("doc_id"), col("lang"),
+        posexplode(transform(sequence(lit(0), nSegs - 1),
+          i => slice(col("w"), i * SegSize + 1, lit(SegSize)))).as(Seq("pos", "ws")))
+    val scored = segs.select(
+      (Seq(col("doc_id"), col("lang"), col("pos")) ++
+        langMarkers.map { case (l, m) => markerCount(col("ws"), m).as(s"s_$l") }): _*)
+    val mx = greatest(langMarkers.map { case (l, _) => col(s"s_$l") }: _*)
+    val pred = langMarkers.foldRight(lit("und")) { case ((l, _), acc) =>
+      when(mx > lit(0) && col(s"s_$l") === mx, lit(l)).otherwise(acc)
+    }
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    scored.select(col("doc_id"), col("lang"), col("pos"), pred.as("p"))
+      .withColumn("switch",
+        when(lag("p", 1).over(byDoc).isNotNull &&
+          lag("p", 1).over(byDoc) =!= col("p"), 1L).otherwise(0L))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_segs"),
+        countDistinct(col("p")).as("n_langs"),
+        sum("switch").as("n_switches"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_token_count" -> (tokenCount _),
     "q_text_quality" -> (textQuality _),
@@ -616,7 +676,9 @@ object TextAnalysis {
     "q_top_words" -> (topWords _),
     "q_segment_dedup" -> (segmentDedup _),
     "q_collocations" -> (collocations _),
-    "q_tfidf_terms" -> (tfidfTerms _))
+    "q_tfidf_terms" -> (tfidfTerms _),
+    "q_source_overlap" -> (sourceOverlap _),
+    "q_lang_consistency" -> (langConsistency _))
 
   private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -826,5 +888,46 @@ object TextAnalysis {
          |      ORDER BY (tf.tf * 1000000) // df.df DESC, tf.term) AS rk
          |  FROM tf JOIN df ON tf.term = df.term)
          |SELECT doc_id, rk, term, tf::BIGINT AS tf, score_micro::BIGINT AS score_micro
-         |FROM r WHERE rk <= $TfidfTopK ORDER BY doc_id, rk""".stripMargin)
+         |FROM r WHERE rk <= $TfidfTopK ORDER BY doc_id, rk""".stripMargin,
+    "q_source_overlap" ->
+      s"""WITH d AS (SELECT source,
+         |    ${wordShinglesSql(wordsSql, OverlapShingleN)} AS gs FROM documents),
+         |sh AS (SELECT DISTINCT source, ${hash56Sql("g")} AS h
+         |  FROM (SELECT source, unnest(gs) AS g FROM d)),
+         |tot AS (SELECT source, count(*) AS t FROM sh GROUP BY source),
+         |p AS (SELECT x.source AS s1, y.source AS s2, count(*) AS n_shared
+         |  FROM sh x JOIN sh y ON x.h = y.h AND x.source < y.source
+         |  GROUP BY x.source, y.source)
+         |SELECT s1, s2, n_shared::BIGINT AS n_shared,
+         |  x.t::BIGINT AS ta, y.t::BIGINT AS tb,
+         |  ((n_shared * 1000000) // least(x.t, y.t))::BIGINT AS overlap_micro
+         |FROM p JOIN tot x ON p.s1 = x.source JOIN tot y ON p.s2 = y.source
+         |ORDER BY s1, s2""".stripMargin,
+    "q_lang_consistency" -> {
+      val scores = langMarkers
+        .map { case (l, m) => s"${markerCountSql("ws", m)} AS s_$l" }
+        .mkString(",\n  ")
+      val mx = langMarkers.map { case (l, _) => s"s_$l" }
+        .mkString("greatest(", ", ", ")")
+      val pred = langMarkers
+        .map { case (l, _) => s"WHEN s_$l = mx THEN '$l'" }.mkString(" ")
+      s"""WITH d AS (SELECT doc_id, lang, $wordsSql AS w FROM documents),
+         |sg AS (SELECT doc_id, lang,
+         |    unnest(range(0, (len(w) + ${SegSize - 1}) // $SegSize)) AS pos,
+         |    unnest(list_transform(range(0, (len(w) + ${SegSize - 1}) // $SegSize),
+         |      i -> list_slice(w, i * $SegSize + 1, (i + 1) * $SegSize))) AS ws
+         |  FROM d),
+         |sc AS (SELECT doc_id, lang, pos, $scores FROM sg),
+         |pr AS (SELECT doc_id, lang, pos,
+         |    CASE WHEN mx = 0 THEN 'und' $pred ELSE 'und' END AS p
+         |  FROM (SELECT *, $mx AS mx FROM sc)),
+         |sw AS (SELECT doc_id, lang, p,
+         |    CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+         |      AND lag(p) OVER (PARTITION BY doc_id ORDER BY pos) <> p
+         |      THEN 1 ELSE 0 END AS switch
+         |  FROM pr)
+         |SELECT doc_id, lang, count(*)::BIGINT AS n_segs,
+         |  count(DISTINCT p) AS n_langs, sum(switch)::BIGINT AS n_switches
+         |FROM sw GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
+    })
 }
