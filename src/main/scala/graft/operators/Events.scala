@@ -226,6 +226,105 @@ object Events {
           .as("avg_sec_convert"))
   }
 
+  val AttributionHorizonUs = 1800L * 1000000L
+
+  /** Position-based (40/20/40) multi-touch attribution: every purchase
+    * credits the clicks of the same user inside the preceding 30 minutes
+    * — first and last touch get 40% each, the middles split the
+    * remaining 20% evenly; 1 touch takes all, 2 touches split 50/50.
+    * Credits are integer basis points with the integer-division
+    * remainder assigned to the first touch, so the per-purchase split
+    * always sums to exactly 10000.
+    *
+    * Scale: NOT a self-join — a conditional count/min over a RANGE
+    * frame on the merged per-user stream, so the whole op is one
+    * shuffle of (user_id, us) pairs and a key-local sort; the credit
+    * split is a pure expression of the touch count. */
+  def attributionMulti(spark: SparkSession, dir: String): DataFrame = {
+    val byU = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-AttributionHorizonUs, -1L)
+    val n = col("n_touch")
+    val midEach = expr("2000 div (n_touch - 2)")
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("n_touch",
+        count(when(col("event_type") === "click", 1)).over(byU))
+      .withColumn("first_us",
+        min(when(col("event_type") === "click", col("us"))).over(byU))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), n,
+        when(n === 0, 0L).when(n === 1, 10000L).when(n === 2, 5000L)
+          .otherwise(lit(4000L) + (lit(2000L) - (n - 2) * midEach))
+          .as("first_bp"),
+        when(n <= 1, 0L).when(n === 2, 5000L).otherwise(4000L).as("last_bp"),
+        when(n <= 2, 0L).otherwise(midEach).as("mid_each_bp"),
+        when(n > 0, expr("(us - first_us) div 1000000")).as("window_sec"))
+      .orderBy("event_id")
+  }
+
+  /** Within-session Markov transition matrix: for every ordered pair of
+    * consecutive events inside a 30-min-gap session, the transition
+    * count and probability (micro units, integer DIV by the from-state
+    * total). The lead() pair and the led session id ride the
+    * sessionizer's single user_id exchange (monotone session ids — one
+    * membership compare); the census is a ≤ |types|² partial+final agg
+    * and the from-state totals broadcast back onto it. */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_id", sum("new_s").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .withColumn("to_session", lead("session_id", 1).over(w))
+      .filter(col("to_session") === col("session_id"))
+    val counts = pairs.groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type").agg(sum("n").as("tot"))
+    counts.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 1000000) div tot").as("p_micro"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Funnel latency distribution: per converting user, the integer
+    * seconds from first view to first strictly-later purchase, then the
+    * exact p50/p90 of those latencies via the bounded bracketed
+    * selection (never a value buffer) plus the conversion count. The
+    * per-user stage reuses the funnel's one-exchange window pattern;
+    * latencies are integers so quantile interpolation midpoints are
+    * exactly representable in both engines. */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val lat = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("tv",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("tp",
+        min(when(col("event_type") === "purchase" && col("ts") > col("tv"),
+          col("ts"))).over(w))
+      .groupBy("user_id")
+      .agg(min("tv").as("tv"), min("tp").as("tp"))
+      .filter(col("tp").isNotNull)
+      .select(col("user_id"),
+        ((unix_micros(col("tp")) - unix_micros(col("tv")))
+          .cast("long") / lit(1000000L)).cast("long").cast("double")
+          .as("lat_sec"))
+    val q = ExactQuantiles.quantiles(
+      lat, "lat_sec", Seq("p50_sec" -> 0.5, "p90_sec" -> 0.9))
+    lat.agg(count(lit(1)).as("n_converted"),
+        min("lat_sec").cast("long").as("min_sec"),
+        max("lat_sec").cast("long").as("max_sec"))
+      .crossJoin(broadcast(q.select(
+        round(col("p50_sec"), 4).as("p50_sec"),
+        round(col("p90_sec"), 4).as("p90_sec"))))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_events_window" -> (tumblingWindow _),
     "q_events_session" -> (sessionize _),
@@ -235,7 +334,10 @@ object Events {
     "q_asof_forward" -> (asofForward _),
     "q_interval_join" -> (intervalJoin _),
     "q_cohort_retention" -> (cohortRetention _),
-    "q_top_paths" -> (topPaths _))
+    "q_top_paths" -> (topPaths _),
+    "q_attribution_multi" -> (attributionMulti _),
+    "q_markov_transitions" -> (markovTransitions _),
+    "q_funnel_time" -> (funnelLatency _))
 
   val oracles: Map[String, String] = Map(
     "q_events_window" ->
@@ -350,5 +452,66 @@ object Events {
         |  count(tc) AS n_view_click, count(tp) AS n_full_funnel,
         |  round(avg(CASE WHEN tp IS NOT NULL
         |    THEN epoch_us(tp) - epoch_us(tv) END) / 1e6, 2) AS avg_sec_convert
-        |FROM u""".stripMargin)
+        |FROM u""".stripMargin,
+    "q_attribution_multi" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+         |  FROM events),
+         |w AS (SELECT *,
+         |    count(CASE WHEN event_type = 'click' THEN 1 END)
+         |      OVER win AS n_touch,
+         |    min(CASE WHEN event_type = 'click' THEN us END)
+         |      OVER win AS first_us
+         |  FROM e
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY us
+         |    RANGE BETWEEN $AttributionHorizonUs PRECEDING AND 1 PRECEDING))
+         |SELECT event_id, user_id, n_touch,
+         |  CASE WHEN n_touch = 0 THEN 0 WHEN n_touch = 1 THEN 10000
+         |       WHEN n_touch = 2 THEN 5000
+         |       ELSE 4000 + (2000 - (n_touch - 2) * (2000 // (n_touch - 2)))
+         |  END AS first_bp,
+         |  CASE WHEN n_touch <= 1 THEN 0 WHEN n_touch = 2 THEN 5000
+         |       ELSE 4000 END AS last_bp,
+         |  CASE WHEN n_touch <= 2 THEN 0
+         |       ELSE 2000 // (n_touch - 2) END AS mid_each_bp,
+         |  CASE WHEN n_touch > 0 THEN (us - first_us) // 1000000
+         |  END AS window_sec
+         |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q_markov_transitions" ->
+      """WITH l AS (SELECT user_id, event_id, ts, event_type,
+        |    lag(epoch_us(ts)) OVER w AS prev_us,
+        |    lead(event_type, 1) OVER w AS to_type
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *,
+        |    sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM l),
+        |t AS (SELECT *,
+        |    lead(session_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_session
+        |  FROM s),
+        |c AS (SELECT event_type AS from_type, to_type, count(*) AS n
+        |  FROM t WHERE to_session = session_id GROUP BY 1, 2),
+        |tt AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY from_type)
+        |SELECT from_type, to_type, n,
+        |  ((n * 1000000) // tot)::BIGINT AS p_micro
+        |FROM c JOIN tt USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+    "q_funnel_time" ->
+      """WITH s AS (SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS tv
+        |  FROM events),
+        |s2 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > tv THEN ts END)
+        |      OVER (PARTITION BY user_id) AS tp FROM s),
+        |u AS (SELECT user_id, min(tv) AS tv, min(tp) AS tp
+        |  FROM s2 GROUP BY user_id),
+        |lat AS (SELECT ((epoch_us(tp) - epoch_us(tv)) // 1000000) AS lat_sec
+        |  FROM u WHERE tp IS NOT NULL)
+        |SELECT count(*) AS n_converted,
+        |  min(lat_sec)::BIGINT AS min_sec, max(lat_sec)::BIGINT AS max_sec,
+        |  round(quantile_cont(lat_sec, 0.5), 4) AS p50_sec,
+        |  round(quantile_cont(lat_sec, 0.9), 4) AS p90_sec
+        |FROM lat""".stripMargin)
 }

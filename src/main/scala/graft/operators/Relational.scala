@@ -787,6 +787,41 @@ object Relational {
       .orderBy("r_score", "f_score", "m_score")
   }
 
+  /** Period-over-period mix-shift decomposition: split the order history
+    * at the midpoint date, then per priority segment report revenue in
+    * both halves, revenue share (integer bp, DIV by the half's total),
+    * the share delta, and segment growth (bp vs own first-half revenue,
+    * computed as `(rev2·10⁴ DIV rev1) − 10⁴` so every integer division
+    * stays positive-over-positive — truncation and floor agree there,
+    * keeping the result engine-portable even for shrinking segments).
+    *
+    * Scale: one scan with two conditional sums per segment (partial+
+    * final agg), a 2-row broadcast for the date bounds, a ≤|segments|
+    * broadcast for the totals — no join touches the fact table twice. */
+  def mixShift(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("pri"), to_date(col("o_orderdate")).as("d"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val bounds = o.agg(min("d").as("d0"), max("d").as("d1"))
+      .selectExpr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT)) AS cut_d")
+    val seg = o.crossJoin(broadcast(bounds))
+      .groupBy("pri")
+      .agg(sum(when(col("d") < col("cut_d"), col("cents"))).as("r1"),
+        sum(when(col("d") >= col("cut_d"), col("cents"))).as("r2"))
+      .select(col("pri"), coalesce(col("r1"), lit(0L)).as("rev1_cents"),
+        coalesce(col("r2"), lit(0L)).as("rev2_cents"))
+    val tot = seg.agg(sum("rev1_cents").as("t1"), sum("rev2_cents").as("t2"))
+    seg.crossJoin(broadcast(tot))
+      .selectExpr("pri", "rev1_cents", "rev2_cents",
+        "(rev1_cents * 10000) div t1 AS share1_bp",
+        "(rev2_cents * 10000) div t2 AS share2_bp",
+        "((rev2_cents * 10000) div t2) - ((rev1_cents * 10000) div t1)" +
+          " AS mix_delta_bp",
+        "CASE WHEN rev1_cents > 0 THEN ((rev2_cents * 10000) div rev1_cents)" +
+          " - 10000 END AS growth_bp")
+      .orderBy("pri")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pricing_summary" -> (pricingSummary _),
     "q_filter_project" -> (filterProject _),
@@ -827,7 +862,8 @@ object Relational {
     "q_skyline" -> (skyline _),
     "q_skew_stats" -> (skewStats _),
     "q_freq_pairs" -> (frequentPairs _),
-    "q_rfm_segments" -> (rfmSegments _)
+    "q_rfm_segments" -> (rfmSegments _),
+    "q_mix_shift" -> (mixShift _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1179,6 +1215,29 @@ object Relational {
         |    AS m_score,
         |  count(*)::BIGINT AS n_customers
         |FROM r CROSS JOIN b
-        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_mix_shift" ->
+      """WITH o AS (SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |b AS (SELECT min(d) AS d0, max(d) AS d1 FROM o),
+        |pv AS (SELECT d0 + (date_diff('day', d0, d1) // 2) * INTERVAL '1 day'
+        |    AS cut_d FROM b),
+        |seg AS (SELECT pri,
+        |    coalesce(sum(CASE WHEN d < cut_d THEN cents END), 0)::BIGINT
+        |      AS rev1_cents,
+        |    coalesce(sum(CASE WHEN d >= cut_d THEN cents END), 0)::BIGINT
+        |      AS rev2_cents
+        |  FROM o CROSS JOIN pv GROUP BY pri),
+        |t AS (SELECT sum(rev1_cents)::BIGINT AS t1, sum(rev2_cents)::BIGINT AS t2
+        |  FROM seg)
+        |SELECT pri, rev1_cents, rev2_cents,
+        |  ((rev1_cents * 10000) // t1)::BIGINT AS share1_bp,
+        |  ((rev2_cents * 10000) // t2)::BIGINT AS share2_bp,
+        |  (((rev2_cents * 10000) // t2) - ((rev1_cents * 10000) // t1))::BIGINT
+        |    AS mix_delta_bp,
+        |  (CASE WHEN rev1_cents > 0
+        |    THEN ((rev2_cents * 10000) // rev1_cents) - 10000 END)::BIGINT
+        |    AS growth_bp
+        |FROM seg CROSS JOIN t ORDER BY pri""".stripMargin
   )
 }

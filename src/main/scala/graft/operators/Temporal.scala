@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -100,9 +100,75 @@ object Temporal {
       .orderBy("pri")
   }
 
+  val EwmaLags = 8
+
+  /** Trailing-8-observation EWMA of daily revenue per priority with
+    * dyadic weights (most recent 128 … oldest 1) — an exponential
+    * smoother whose weights, inputs (summed integer cents), and output
+    * (milli-cents, integer DIV by the sum of PRESENT weights) are all
+    * integers, so the smoothed series is bit-identical in any engine:
+    * no fp decay factor to drift across platforms.
+    *
+    * Scale: the 8 bounded lags all ride ONE exchange on the series key
+    * (Catalyst collapses same-window lags into a single Window node),
+    * after a partial+final daily rollup — the 100 TB cost is the daily
+    * aggregation shuffle; the smoother itself is key-local. */
+  def ewmaSmooth(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("pri"), to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy("pri").orderBy("d")
+    val lagged = (1 until EwmaLags).foldLeft(daily) { (df, j) =>
+      df.withColumn(s"l$j", lag("cents", j).over(w))
+    }
+    def wt(j: Int): Long = 1L << (EwmaLags - 1 - j)
+    def lcol(j: Int): Column = if (j == 0) col("cents") else col(s"l$j")
+    val num = (0 until EwmaLags)
+      .map(j => coalesce(lcol(j) * lit(wt(j)), lit(0L))).reduce(_ + _)
+    val den = (0 until EwmaLags)
+      .map(j => when(lcol(j).isNotNull, lit(wt(j))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    lagged.withColumn("num", num).withColumn("den", den)
+      .selectExpr("pri", "d", "cents", "(num * 1000) div den AS ewma_millicents")
+      .orderBy("pri", "d")
+  }
+
+  /** CUSUM level-shift detection on daily event counts per type — the
+    * classic one-sided cumulative sum S_t = max(0, S_{t-1} + (x_t − μ)),
+    * computed WITHOUT recursion via the prefix-sum identity
+    * S_t = P_t − min(0, min_{j≤t} P_j): a running sum and a running min
+    * over the same key-ordered window. Deviations are in integer milli
+    * units (μ is the per-type mean scaled by 1000 and floored), the
+    * alarm fires when the accumulated excess passes 5 average days.
+    *
+    * Scale: the daily census is a partial+final agg; the per-type
+    * baseline is a tiny broadcast; both windows share one exchange on
+    * event_type — no recursion, no driver loop, no global sort. */
+  def cusumShift(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type").as("et"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val base = daily.groupBy("et")
+      .agg(sum("x").as("tx"), count(lit(1)).as("nd"))
+      .selectExpr("et", "(tx * 1000) div nd AS mu_milli")
+    val wc = Window.partitionBy("et").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(base), "et")
+      .withColumn("dev", col("x") * lit(1000L) - col("mu_milli"))
+      .withColumn("p", sum("dev").over(wc))
+      .withColumn("m", min("p").over(wc))
+      .select(col("et"), col("d"), col("x"),
+        (col("p") - least(lit(0L), col("m"))).as("cusum_milli"),
+        when(col("p") - least(lit(0L), col("m")) > lit(5L) * col("mu_milli"), 1)
+          .otherwise(0).as("alarm"))
+      .orderBy("et", "d")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_scd2" -> (scdType2 _),
-    "q_gap_fill" -> (gapFillInterp _)
+    "q_gap_fill" -> (gapFillInterp _),
+    "q_ewma_smooth" -> (ewmaSmooth _),
+    "q_cusum_shift" -> (cusumShift _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -163,6 +229,46 @@ object Temporal {
         |  sum(CASE WHEN rev IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_filled,
         |  round(sum(filled), 2) AS sum_filled,
         |  round(avg(filled), 4) AS avg_filled
-        |FROM filled GROUP BY pri ORDER BY pri""".stripMargin
+        |FROM filled GROUP BY pri ORDER BY pri""".stripMargin,
+    "q_ewma_smooth" -> {
+      def c(j: Int) = if (j == 0) "cents" else s"l$j"
+      def wt(j: Int) = 1L << (EwmaLags - 1 - j)
+      val lags = (1 until EwmaLags)
+        .map(j => s"lag(cents, $j) OVER w AS l$j").mkString(",\n  ")
+      val num = (0 until EwmaLags)
+        .map(j => s"coalesce(${c(j)} * ${wt(j)}, 0)").mkString(" + ")
+      val den = (0 until EwmaLags)
+        .map(j => s"CASE WHEN ${c(j)} IS NOT NULL THEN ${wt(j)} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH daily AS (SELECT o_orderpriority AS pri,
+         |    CAST(o_orderdate AS DATE) AS d,
+         |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+         |  FROM orders GROUP BY 1, 2),
+         |l AS (SELECT pri, d, cents, $lags
+         |  FROM daily WINDOW w AS (PARTITION BY pri ORDER BY d))
+         |SELECT pri, d, cents,
+         |  ((($num) * 1000) // ($den))::BIGINT AS ewma_millicents
+         |FROM l ORDER BY pri, d""".stripMargin
+    },
+    "q_cusum_shift" ->
+      """WITH daily AS (SELECT event_type AS et, CAST(ts AS DATE) AS d,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT et,
+        |    ((sum(x)::BIGINT * 1000) // count(*))::BIGINT AS mu_milli
+        |  FROM daily GROUP BY et),
+        |w AS (SELECT daily.et, d, x, x * 1000 - mu_milli AS dev, mu_milli
+        |  FROM daily JOIN b USING (et)),
+        |p1 AS (SELECT et, d, x, mu_milli,
+        |    sum(dev) OVER (PARTITION BY et ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |  FROM w),
+        |p2 AS (SELECT et, d, x, mu_milli, p,
+        |    min(p) OVER (PARTITION BY et ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+        |  FROM p1)
+        |SELECT et, d, x, (p - least(0, m))::BIGINT AS cusum_milli,
+        |  CASE WHEN p - least(0, m) > 5 * mu_milli THEN 1 ELSE 0 END AS alarm
+        |FROM p2 ORDER BY et, d""".stripMargin
   )
 }

@@ -659,6 +659,30 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  val VocabCutsPct = Seq(1, 5, 10, 25, 50, 100)
+
+  /** Vocabulary growth (Heaps-law) curve: distinct-term counts at
+    * doc_id-prefix cuts of the corpus (1% … 100% of the id range) —
+    * the "is the vocabulary saturating" diagnostic that sizes tokenizer
+    * vocabularies and flags boilerplate-heavy corpora (flat curve).
+    *
+    * Scale: ONE term-keyed shuffle computes first-occurrence doc ids;
+    * the cut table is 6 broadcast rows and the fan-out join multiplies
+    * each term by at most |cuts| — linear in the vocabulary, never in
+    * the corpus; the census is a tiny partial+final agg. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val firstSeen = docs.select(col("doc_id"), explode(words).as("term"))
+      .groupBy("term").agg(min("doc_id").as("fd"))
+    val cuts = docs.agg(max("doc_id").as("mx"))
+      .select(explode(array(VocabCutsPct.map(lit): _*)).as("cut_pct"), col("mx"))
+      .selectExpr("cut_pct", "(mx * cut_pct) div 100 AS cut_doc")
+    firstSeen.join(broadcast(cuts), col("fd") <= col("cut_doc"))
+      .groupBy("cut_pct", "cut_doc")
+      .agg(count(lit(1)).as("n_terms"))
+      .orderBy("cut_pct")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_token_count" -> (tokenCount _),
     "q_text_quality" -> (textQuality _),
@@ -678,7 +702,8 @@ object TextAnalysis {
     "q_collocations" -> (collocations _),
     "q_tfidf_terms" -> (tfidfTerms _),
     "q_source_overlap" -> (sourceOverlap _),
-    "q_lang_consistency" -> (langConsistency _))
+    "q_lang_consistency" -> (langConsistency _),
+    "q_vocab_growth" -> (vocabGrowth _))
 
   private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -929,5 +954,14 @@ object TextAnalysis {
          |SELECT doc_id, lang, count(*)::BIGINT AS n_segs,
          |  count(DISTINCT p) AS n_langs, sum(switch)::BIGINT AS n_switches
          |FROM sw GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
-    })
+    },
+    "q_vocab_growth" ->
+      s"""WITH t AS (SELECT doc_id, unnest($wordsSql) AS term FROM documents),
+         |fs AS (SELECT term, min(doc_id) AS fd FROM t GROUP BY term),
+         |cuts AS (SELECT cut_pct, ((SELECT max(doc_id) FROM documents) * cut_pct)
+         |      // 100 AS cut_doc
+         |  FROM (SELECT unnest([${VocabCutsPct.mkString(", ")}]) AS cut_pct))
+         |SELECT cut_pct, cut_doc::BIGINT AS cut_doc, count(*) AS n_terms
+         |FROM fs JOIN cuts ON fs.fd <= cuts.cut_doc
+         |GROUP BY cut_pct, cut_doc ORDER BY cut_pct""".stripMargin)
 }
