@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Invariant and naive-replay checks for the event/time-series analytics
+  * additions (multi-touch attribution, Markov transitions, funnel
+  * latency, EWMA, CUSUM, vocabulary growth, mix shift), plus plan-shape
+  * asserts for the ones whose 100 TB viability depends on structure:
+  * attribution must be a pure window (never a self-join), and the
+  * 8-lag EWMA / prefix-sum CUSUM must each collapse into ONE Window
+  * node so all their window columns ride a single key exchange. */
+class AnalyticsOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("attributionMulti credits always sum to exactly 10000 bp") {
+    val rows = Events.attributionMulti(spark, dir).collect()
+    assert(rows.nonEmpty)
+    var touched = 0
+    rows.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n_touch"))
+      val first = r.getLong(r.fieldIndex("first_bp"))
+      val last = r.getLong(r.fieldIndex("last_bp"))
+      val mid = r.getLong(r.fieldIndex("mid_each_bp"))
+      if (n == 0) {
+        assert(first == 0 && last == 0 && mid == 0)
+        assert(r.isNullAt(r.fieldIndex("window_sec")))
+      } else {
+        touched += 1
+        val total = first + last + math.max(0L, n - 2) * mid
+        assert(total == 10000L, s"n=$n first=$first last=$last mid=$mid")
+        assert(r.getLong(r.fieldIndex("window_sec")) >= 0L)
+      }
+    }
+    assert(touched > 0, "test data must exercise the credited path")
+  }
+
+  test("attributionMulti is a pure window plan — no self-join anywhere") {
+    val plan = Events.attributionMulti(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"attribution must not join:\n$plan")
+    assert(plan.contains("Window"), s"expected a window plan:\n$plan")
+  }
+
+  test("cusumShift matches the naive recursive CUSUM replay") {
+    val got = Temporal.cusumShift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(3), r.getInt(4))).toMap
+    val daily = graft.Tables.events(spark, dir)
+      .selectExpr("event_type AS et", "CAST(ts AS DATE) AS d")
+      .groupBy("et", "d").count().collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (et, rows) =>
+      val series = rows.sortBy(_._2).map(x => (x._2, x._3))
+      val mu = series.map(_._2).sum * 1000L / series.length
+      var s = 0L
+      series.foreach { case (d, x) =>
+        s = math.max(0L, s + x * 1000L - mu)
+        val (cusum, alarm) = got((et, d))
+        assert(cusum == s, s"$et $d: got $cusum want $s")
+        assert(alarm == (if (s > 5L * mu) 1 else 0), s"$et $d alarm")
+      }
+    }
+    assert(got.size == daily.length)
+  }
+
+  test("ewmaSmooth matches the naive dyadic-weight replay") {
+    val got = Temporal.ewmaSmooth(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(3)).toMap
+    val daily = graft.Tables.orders(spark, dir)
+      .selectExpr("o_orderpriority AS pri", "CAST(o_orderdate AS DATE) AS d",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS c")
+      .groupBy("pri", "d").sum("c").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (pri, rows) =>
+      val series = rows.sortBy(_._2)
+      series.indices.foreach { i =>
+        val lags = (0 until Temporal.EwmaLags).flatMap { j =>
+          if (i - j >= 0) Some((1L << (Temporal.EwmaLags - 1 - j), series(i - j)._3))
+          else None
+        }
+        val want = lags.map { case (w, v) => w * v }.sum * 1000L / lags.map(_._1).sum
+        assert(got((pri, series(i)._2)) == want, s"$pri ${series(i)._2}")
+      }
+    }
+  }
+
+  test("EWMA and CUSUM each collapse into one Window node") {
+    def windows(plan: String): Int =
+      plan.linesIterator.count(_.contains("Window ["))
+    val ewma = Temporal.ewmaSmooth(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(windows(ewma) == 1, s"8 lags must share one Window node:\n$ewma")
+    // CUSUM's running min consumes the prefix sum, so the two Window
+    // nodes are a dependent chain — the scale invariant is that no
+    // exchange sits between them (they share the et partitioning)
+    val cusum = Temporal.cusumShift(spark, dir)
+      .queryExecution.executedPlan.toString
+    val lines = cusum.linesIterator.toVector
+    val wIdx = lines.zipWithIndex.filter(_._1.contains("Window [")).map(_._2)
+    assert(wIdx.length == 2, s"expected the chained pair of Window nodes:\n$cusum")
+    assert(!lines.slice(wIdx.min + 1, wIdx.max).exists(_.contains("Exchange")),
+      s"prefix sum and running min must share one exchange:\n$cusum")
+  }
+
+  test("markovTransitions probabilities are consistent with the counts") {
+    val rows = Events.markovTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, ts) =>
+      val tot = ts.map(_._3).sum
+      ts.foreach { case (f, t, n, p) =>
+        assert(p == n * 1000000L / tot, s"$f->$t")
+      }
+      val pSum = ts.map(_._4).sum
+      assert(pSum <= 1000000L && pSum > 1000000L - ts.length,
+        s"per-from probabilities must sum to 1e6 minus truncation dust, got $pSum")
+    }
+  }
+
+  test("vocabGrowth is monotone and ends at the full vocabulary") {
+    val rows = TextAnalysis.vocabGrowth(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == TextAnalysis.VocabCutsPct)
+    assert(rows.sliding(2).forall(p => p(0)._2 <= p(1)._2), "monotone")
+    val total = graft.Tables.documents(spark, dir)
+      .selectExpr("explode(split(trim(text), '\\\\s+')) AS term")
+      .select("term").distinct().count()
+    assert(rows.last._2 == total, s"100% cut must equal |vocabulary| $total")
+  }
+
+  test("mixShift shares sum to 10000 bp minus truncation dust") {
+    val rows = Relational.mixShift(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val s1 = rows.map(_.getLong(3)).sum
+    val s2 = rows.map(_.getLong(4)).sum
+    assert(s1 > 10000L - rows.length && s1 <= 10000L, s"share1 sum $s1")
+    assert(s2 > 10000L - rows.length && s2 <= 10000L, s"share2 sum $s2")
+    assert(rows.map(_.getLong(5)).sum == s2 - s1, "delta decomposes")
+  }
+
+  test("funnelLatency quantiles are ordered within min/max") {
+    val r = Events.funnelLatency(spark, dir).head()
+    assert(r.getLong(0) > 0, "test data must convert someone")
+    val (mn, mx) = (r.getLong(1), r.getLong(2))
+    val (p50, p90) = (r.getDouble(3), r.getDouble(4))
+    assert(mn <= p50 && p50 <= p90 && p90 <= mx, s"$mn $p50 $p90 $mx")
+  }
+}
