@@ -235,8 +235,49 @@ object Dedup {
         .orderBy("cell", "vec_a", "vec_b"))(e.unpersist(false))
   }
 
+  val ContainmentMicro = 800000L
+
+  /** Asymmetric shingle containment (Broder): pairs where the SMALLER
+    * document's shingle set sits ≥80% inside the other's —
+    * C = |A∩B| / min(|A|,|B|) in integer micro units. Catches the
+    * subset duplication symmetric Jaccard is blind to: a paragraph-sized
+    * doc quoted whole inside a long one has Jaccard ≈ |A|/|B| ≈ 0 but
+    * containment ≈ 1 (the CCNet/RefinedWeb "contained quote" case).
+    *
+    * Plan shape is the inverted-index self-join of [[ngramJaccard]]
+    * (shingle equi-join → shared count → set sizes joined back), and the
+    * same `dfCap` hot-shingle knob bounds candidate fan-out at scale
+    * (gate mode runs uncapped for the exact oracle). */
+  def containment(spark: SparkSession, dir: String, dfCap: Int = 0): DataFrame = {
+    val sh = shinglesDf(spark, dir).cache()
+    val cap = if (dfCap >= 0) dfCap else autoDfCap(sh.count())
+    val exAll = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val ex =
+      if (cap <= 0) exAll
+      else {
+        val rare = exAll.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("s")
+        exAll.join(rare, "s")
+      }
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val sz = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    graft.GateUtil.pinned(
+      inter
+        .join(sz.as("x"), col("doc_a") === col("x.doc_id"))
+        .join(sz.as("y"), col("doc_b") === col("y.doc_id"))
+        .selectExpr("doc_a", "doc_b", "n_shared",
+          "least(x.n, y.n) AS n_small",
+          "(n_shared * 1000000) div least(x.n, y.n) AS containment_micro")
+        .filter(col("containment_micro") >= ContainmentMicro)
+        .orderBy("doc_a", "doc_b"))(sh.unpersist(false))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> (exact _),
+    "q_dedup_containment" -> ((s, d) => containment(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "q_dedup_minhash_lsh" -> (minhashLsh _),
     "q_dedup_simhash" -> (simhash _),
@@ -305,6 +346,21 @@ object Dedup {
          |  round(inter::DOUBLE / (x.n + y.n - inter), 6) AS jaccard
          |FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
          |WHERE inter::DOUBLE / (x.n + y.n - inter) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_containment" ->
+      s"""WITH sh AS (SELECT doc_id, $shinglesSql AS s FROM $wordsSubquery),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS n_shared
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, len(s)::BIGINT AS n FROM sh)
+         |SELECT doc_a, doc_b, n_shared::BIGINT AS n_shared,
+         |  least(x.n, y.n) AS n_small,
+         |  ((n_shared * 1000000) // least(x.n, y.n))::BIGINT
+         |    AS containment_micro
+         |FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+         |WHERE (n_shared * 1000000) // least(x.n, y.n) >= $ContainmentMicro
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_minhash_lsh" ->
       s"""WITH $minhashPairCtesSql

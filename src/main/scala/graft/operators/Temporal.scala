@@ -164,11 +164,32 @@ object Temporal {
       .orderBy("et", "d")
   }
 
+  /** Day-of-week seasonality profile: per priority segment, each
+    * weekday's revenue index vs a uniform week (10000 bp = an average
+    * day; integer DIV so the profile is engine-exact). Weekday numbering
+    * is Monday = 0 in both engines (Spark `weekday`, DuckDB `isodow−1`).
+    *
+    * Scale: one partial+final rollup to ≤ |segments|·7 rows and a tiny
+    * broadcast of per-segment totals — the classic one-scan profile. */
+  def seasonalityProfile(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("pri"),
+        expr("weekday(CAST(o_orderdate AS DATE))").as("dow"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .groupBy("pri", "dow").agg(sum("c").as("cents"))
+    val tot = agg.groupBy("pri").agg(sum("cents").as("tot"))
+    agg.join(broadcast(tot), "pri")
+      .selectExpr("pri", "dow", "cents",
+        "(cents * 7 * 10000) div tot AS index_bp")
+      .orderBy("pri", "dow")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_scd2" -> (scdType2 _),
     "q_gap_fill" -> (gapFillInterp _),
     "q_ewma_smooth" -> (ewmaSmooth _),
-    "q_cusum_shift" -> (cusumShift _)
+    "q_cusum_shift" -> (cusumShift _),
+    "q_seasonality" -> (seasonalityProfile _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -269,6 +290,15 @@ object Temporal {
         |  FROM p1)
         |SELECT et, d, x, (p - least(0, m))::BIGINT AS cusum_milli,
         |  CASE WHEN p - least(0, m) > 5 * mu_milli THEN 1 ELSE 0 END AS alarm
-        |FROM p2 ORDER BY et, d""".stripMargin
+        |FROM p2 ORDER BY et, d""".stripMargin,
+    "q_seasonality" ->
+      """WITH o AS (SELECT o_orderpriority AS pri,
+        |    (isodow(CAST(o_orderdate AS DATE)) - 1)::INT AS dow,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+        |a AS (SELECT pri, dow, sum(c)::BIGINT AS cents FROM o GROUP BY 1, 2),
+        |t AS (SELECT pri, sum(cents)::BIGINT AS tot FROM a GROUP BY pri)
+        |SELECT pri, dow, cents,
+        |  ((cents * 7 * 10000) // tot)::BIGINT AS index_bp
+        |FROM a JOIN t USING (pri) ORDER BY pri, dow""".stripMargin
   )
 }
