@@ -176,10 +176,67 @@ object Graph {
     out
   }
 
+  val KcoreK = 3
+  val KcorePasses = 6
+  val KcoreMinW = 2
+
+  /** Bounded-pass k-core peeling ([[KcoreK]]-core, [[KcorePasses]]
+    * synchronous passes) of the REPEAT-co-purchase graph: parts that
+    * shared at least [[KcoreMinW]] distinct orders (the raw co-purchase
+    * graph is near-complete at every SF; the weight threshold is the
+    * standard sparsification that leaves real structure). Each pass
+    * simultaneously removes every node of current degree < k; the
+    * output is the per-pass (surviving nodes, surviving edges) trace —
+    * pass 0 is the unpeeled graph, and a converged pass repeats its
+    * predecessor, so the trace pins the fixpoint behavior too.
+    *
+    * Scale: each pass is one endpoint-stacked degree aggregate plus two
+    * semi-joins, all hash-partitioned on node/edge keys, over a
+    * monotonically shrinking edge set — the standard distributed
+    * peeling round. Pass count is fixed, survivors are checkpointed
+    * per pass (iterative-trim posture, same as pageRank), and the
+    * driver only ever sees the log-sized census. */
+  def kCore(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val pairs = l.select(col("o"), col("p").as("a"))
+      .join(l.select(col("o"), col("p").as("b")), "o")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= KcoreMinW).select("a", "b")
+    kCorePairs(pairs)
+  }
+
+  /** Core over any distinct undirected edge frame (a, b); see [[kCore]]. */
+  private[graft] def kCorePairs(edges0: DataFrame): DataFrame = {
+    def census(e: DataFrame, pass: Int): DataFrame =
+      e.select(explode(array(col("a"), col("b"))).as("v"))
+        .agg(countDistinct(col("v")).as("n_nodes"),
+          expr("count(1) DIV 2").as("n_edges"))
+        .select(lit(pass).as("pass"), col("n_nodes"), col("n_edges"))
+    var cur = edges0.localCheckpoint(true)
+    val traces = Seq.newBuilder[DataFrame]
+    traces += census(cur, 0)
+    for (p <- 1 to KcorePasses) {
+      val keep = cur.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= KcoreK).select("v")
+      cur = cur
+        .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint(true)
+      traces += census(cur, p)
+    }
+    traces.result().reduce(_ unionAll _).orderBy("pass")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pagerank" -> (pageRank _),
     "q_triangles" -> (triangleCensus _),
-    "q_bfs_layers" -> (bfsLayers _))
+    "q_bfs_layers" -> (bfsLayers _),
+    "q_kcore" -> (kCore _))
 
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> {
@@ -225,6 +282,29 @@ object Graph {
         |  (CASE WHEN st.wd = 0 THEN 0
         |    ELSE (3 * tri.t * 1000000) // st.wd END)::BIGINT AS global_cc_micro
         |FROM st CROSS JOIN tri""".stripMargin,
+    "q_kcore" -> {
+      val peels = (1 to KcorePasses).map { p =>
+        s"""k$p AS MATERIALIZED (SELECT v FROM (
+           |    SELECT a AS v FROM e${p - 1} UNION ALL SELECT b FROM e${p - 1})
+           |  GROUP BY v HAVING count(*) >= $KcoreK),
+           |e$p AS MATERIALIZED (SELECT a, b FROM e${p - 1}
+           |  WHERE a IN (SELECT v FROM k$p) AND b IN (SELECT v FROM k$p))"""
+          .stripMargin
+      }.mkString(",\n")
+      val trace = (0 to KcorePasses).map { p =>
+        s"""SELECT CAST($p AS INT) AS pass,
+           |  (SELECT count(DISTINCT v) FROM (
+           |    SELECT a AS v FROM e$p UNION ALL SELECT b FROM e$p))::BIGINT AS n_nodes,
+           |  (SELECT count(*) FROM e$p)::BIGINT AS n_edges""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH l AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |pw AS MATERIALIZED (SELECT x.p::BIGINT AS a, y.p::BIGINT AS b, count(*) AS w
+         |  FROM l x JOIN l y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2),
+         |e0 AS MATERIALIZED (SELECT a, b FROM pw WHERE w >= $KcoreMinW),
+         |$peels
+         |$trace
+         |ORDER BY pass""".stripMargin
+    },
     "q_bfs_layers" -> {
       val layers = (1 to BfsHops).map { k =>
         s"""d$k AS (SELECT node, min(dist)::BIGINT AS dist FROM (

@@ -184,12 +184,107 @@ object Temporal {
       .orderBy("pri", "dow")
   }
 
+  val AcfMaxLag = 7
+
+  /** Autocorrelation function of the daily revenue series at calendar
+    * lags 1..[[AcfMaxLag]]: Pearson correlation of (xₜ, xₜ₊ℓ) pairs built
+    * by a DATE-offset self-join (gap days simply contribute no pair —
+    * the ACF is defined on calendar lag, not row lag). The daily inputs
+    * are exact integer cents; the correlation itself follows the
+    * q_corr_cov convention (round 6 absorbs low-bit summation-order
+    * differences between engines).
+    *
+    * Scale: one partial+final daily rollup, then a self-join of the
+    * ~series-length frame against itself fanned ×[[AcfMaxLag]] — at
+    * 100 TB the rollup shuffle dominates and the ACF join is over a
+    * days-sized table, so the plan costs one fact-scan regardless of
+    * lag count. No window over a single partition anywhere. */
+  def acfDaily(spark: SparkSession, dir: String): DataFrame =
+    acfOf(Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents")))
+
+  /** Core over any (d DATE, cents LONG) daily frame; see [[acfDaily]]. */
+  private[graft] def acfOf(daily: DataFrame): DataFrame = {
+    val lags = daily.sparkSession.range(1, AcfMaxLag + 1)
+      .select(col("id").cast("int").as("lag_d"))
+    daily.as("a").crossJoin(broadcast(lags))
+      .join(daily.as("b"), col("b.d") === date_add(col("a.d"), col("lag_d")))
+      .groupBy("lag_d")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(corr(col("a.cents").cast("double"), col("b.cents").cast("double")), 6)
+          .as("acf"))
+      .orderBy("lag_d")
+  }
+
+  val AnomalyKUsdDiv = 100000L
+
+  /** Day-of-week-adjusted anomaly days: daily revenue in integer
+    * kilodollars, baselined against its own weekday's population mean
+    * and variance, flagged when it sits beyond 2σ. The 2σ test is the
+    * cross-multiplied ALL-INTEGER inequality
+    * (n·x − Σx)² > 4·(n·Σx² − (Σx)²) — no fp mean, no fp sqrt, so day
+    * membership (the risky part of an anomaly gate) is engine-exact;
+    * score_bp = 10⁴·(n·x−Σx)² DIV (4·(n·Σx²−(Σx)²)) grades how far past
+    * the threshold (>10⁴ ⟺ anomalous).
+    *
+    * Scale: a daily partial+final rollup, a 7-row broadcast of weekday
+    * stats, one codegen'd filter — the detection pass adds nothing to
+    * the rollup cost. Complements q_cusum_shift (level shifts) and
+    * q_seasonality (the profile this op deseasonalizes against). */
+  def anomalyDow(spark: SparkSession, dir: String): DataFrame =
+    anomalyDowOf(Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .selectExpr("d", s"cents DIV $AnomalyKUsdDiv AS x"))
+
+  /** Core over any (d DATE, x LONG) daily frame; see [[anomalyDow]]. */
+  private[graft] def anomalyDowOf(dailyX: DataFrame): DataFrame = {
+    val daily = dailyX.selectExpr("d", "x", "weekday(d) AS dow")
+    val stats = daily.groupBy("dow")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"))
+    daily.join(broadcast(stats), "dow")
+      .withColumn("dev", col("n") * col("x") - col("sx"))
+      .withColumn("v4", lit(4L) * (col("n") * col("sxx") - col("sx") * col("sx")))
+      .filter(col("dev") * col("dev") > col("v4"))
+      .select(col("d"), col("dow"), col("x").as("x_kusd"),
+        expr("(dev * dev * 10000) DIV v4").as("score_bp"))
+      .orderBy("d")
+  }
+
+  /** Burstiness census of the event stream: per event type, the Fano
+    * factor (population variance-to-mean ratio) of daily arrival counts
+    * in integer micro-units — 10⁶·(n·Σc²−(Σc)²) DIV (n·Σc) — plus the
+    * peak-to-mean ratio in basis points. Fano ≈ 10⁶ is Poisson; above
+    * is bursty, below is regular. All sums are exact integers.
+    *
+    * Scale: one partial+final (type, day) census then a types-sized
+    * final aggregate — the canonical two-level rollup, map-side
+    * combining on both levels. */
+  def burstiness(spark: SparkSession, dir: String): DataFrame =
+    burstinessOf(Tables.events(spark, dir)
+      .groupBy(col("event_type").as("et"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c")))
+
+  /** Core over any (et, d, c LONG) daily-count frame; see [[burstiness]]. */
+  private[graft] def burstinessOf(daily: DataFrame): DataFrame =
+    daily.groupBy("et")
+      .agg(count(lit(1)).as("n_days"), sum("c").as("total"),
+        sum(col("c") * col("c")).as("scc"), max("c").as("peak"))
+      .selectExpr("et", "n_days", "total",
+        "((n_days * scc - total * total) * 1000000) DIV (n_days * total) AS fano_micro",
+        "(peak * n_days * 10000) DIV total AS peak_bp")
+      .orderBy("et")
+
   val queries: Map[String, Q] = Map(
     "q_scd2" -> (scdType2 _),
     "q_gap_fill" -> (gapFillInterp _),
     "q_ewma_smooth" -> (ewmaSmooth _),
     "q_cusum_shift" -> (cusumShift _),
-    "q_seasonality" -> (seasonalityProfile _)
+    "q_seasonality" -> (seasonalityProfile _),
+    "q_acf" -> (acfDaily _),
+    "q_anomaly_dow" -> (anomalyDow _),
+    "q_burstiness" -> (burstiness _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -291,6 +386,43 @@ object Temporal {
         |SELECT et, d, x, (p - least(0, m))::BIGINT AS cusum_milli,
         |  CASE WHEN p - least(0, m) > 5 * mu_milli THEN 1 ELSE 0 END AS alarm
         |FROM p2 ORDER BY et, d""".stripMargin,
+    "q_acf" ->
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+         |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+         |  FROM orders GROUP BY 1),
+         |lags AS (SELECT CAST(unnest(range(1, ${AcfMaxLag + 1})) AS INT) AS lag_d)
+         |SELECT lag_d, count(*) AS n_pairs,
+         |  round(corr(a.cents::DOUBLE, b.cents::DOUBLE), 6) AS acf
+         |FROM daily a CROSS JOIN lags
+         |JOIN daily b ON b.d = a.d + lag_d
+         |GROUP BY lag_d ORDER BY lag_d""".stripMargin,
+    "q_anomaly_dow" ->
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+         |    (sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+         |      // $AnomalyKUsdDiv)::BIGINT AS x
+         |  FROM orders GROUP BY 1),
+         |dd AS (SELECT d, x, (isodow(d) - 1)::INT AS dow FROM daily),
+         |st AS (SELECT dow, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         |    sum(x * x)::BIGINT AS sxx
+         |  FROM dd GROUP BY dow)
+         |SELECT d, dow, x AS x_kusd,
+         |  (((n * x - sx) * (n * x - sx)) * 10000
+         |    // (4 * (n * sxx - sx * sx)))::BIGINT AS score_bp
+         |FROM dd JOIN st USING (dow)
+         |WHERE (n * x - sx) * (n * x - sx) > 4 * (n * sxx - sx * sx)
+         |ORDER BY d""".stripMargin,
+    "q_burstiness" ->
+      """WITH daily AS (SELECT event_type AS et, CAST(ts AS DATE) AS d,
+        |    count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT et, count(*)::BIGINT AS n_days, sum(c)::BIGINT AS total,
+        |    sum(c * c)::BIGINT AS scc, max(c)::BIGINT AS peak
+        |  FROM daily GROUP BY et)
+        |SELECT et, n_days, total,
+        |  (((n_days * scc - total * total) * 1000000)
+        |    // (n_days * total))::BIGINT AS fano_micro,
+        |  ((peak * n_days * 10000) // total)::BIGINT AS peak_bp
+        |FROM a ORDER BY et""".stripMargin,
     "q_seasonality" ->
       """WITH o AS (SELECT o_orderpriority AS pri,
         |    (isodow(CAST(o_orderdate AS DATE)) - 1)::INT AS dow,

@@ -683,7 +683,91 @@ object TextAnalysis {
       .orderBy("cut_pct")
   }
 
+  val SweepMinChars = 200
+
+  /** Corpus filter what-if sweep: ONE scan computes three boolean
+    * quality flags per document (length floor, English, ≥50% unique
+    * tokens — the uniqueness test is the integer inequality
+    * 2·distinct ≥ total, no fp ratio), then a CUBE over the flags
+    * yields surviving doc and token counts for every one of the 2³
+    * filter combinations plus all marginals — the "how much data does
+    * each filter cost me" table that otherwise takes 8 pipeline runs.
+    * ALL-cells surface as flag = −1.
+    *
+    * Scale: a single map-side pass producing 8 grouping sets over a
+    * 3-bit key space — the shuffle moves ≤ 27 partial rows per task
+    * regardless of corpus size. */
+  def filterSweep(spark: SparkSession, dir: String): DataFrame =
+    filterSweepDf(Tables.documents(spark, dir))
+
+  /** Core over any (n_chars, lang, text) frame; see [[filterSweep]]. */
+  private[graft] def filterSweepDf(docs: DataFrame): DataFrame =
+    docs.select(col("n_chars"), col("lang"), words.as("w"))
+      .select(
+        when(col("n_chars") >= SweepMinChars, 1).otherwise(0).as("len_ok"),
+        when(col("lang") === "en", 1).otherwise(0).as("lang_en"),
+        when(size(array_distinct(col("w"))) * 2 >= size(col("w")), 1)
+          .otherwise(0).as("uniq_ok"),
+        size(col("w")).cast("long").as("n_tokens"))
+      .cube("len_ok", "lang_en", "uniq_ok")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+      .select(coalesce(col("len_ok"), lit(-1)).as("len_ok"),
+        coalesce(col("lang_en"), lit(-1)).as("lang_en"),
+        coalesce(col("uniq_ok"), lit(-1)).as("uniq_ok"),
+        col("n_docs"), col("sum_tokens"))
+      .orderBy("len_ok", "lang_en", "uniq_ok")
+
+  val WaterfillBudgetPct = 60L
+
+  /** Token-budget waterfilling across sources: allocate a global budget
+    * ([[WaterfillBudgetPct]]% of all tokens) over the per-source token
+    * capacities so every source gets an equal share except those whose
+    * whole capacity fits under the water level — the classic max-min
+    * fair allocation that balances a training mix without oversampling
+    * small sources. The level is found closed-form: with sources sorted
+    * by capacity, the first rank where (remaining budget) DIV (remaining
+    * sources) fits under that rank's capacity IS the level (min_by over
+    * the valid ranks); everything is integer tokens with floor division,
+    * so the allocation is engine-exact. Complements q_token_budget_select
+    * (which picks the documents) by planning the per-source quotas.
+    *
+    * Scale: the corpus collapses to |sources| rows in one partial+final
+    * agg; the rank/cumsum windows run over that sources-sized frame —
+    * a deliberate post-aggregation single partition of a few rows, never
+    * the corpus. */
+  def waterfillBudget(spark: SparkSession, dir: String): DataFrame =
+    waterfillOf(Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(size(words)).as("cap")))
+
+  /** Core over any (source, cap LONG) capacity frame; see
+    * [[waterfillBudget]]. */
+  private[graft] def waterfillOf(caps: DataFrame): DataFrame = {
+    val wOrd = Window.orderBy("cap", "source")
+    val ranked = caps
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("cum", sum("cap").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("tot", sum("cap").over(Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("budget", expr(s"(tot * $WaterfillBudgetPct) DIV 100"))
+    val level = ranked
+      .selectExpr("rn", "cap", "(budget - (cum - cap)) DIV (m - rn + 1) AS cand")
+      .filter(col("cand") <= col("cap"))
+      .agg(expr("min_by(cand, rn)").as("level"))
+    ranked.crossJoin(broadcast(level))
+      .selectExpr("source", "cap AS cap_tokens",
+        "least(cap, coalesce(level, cap)) AS alloc_tokens",
+        "(least(cap, coalesce(level, cap)) * 10000) DIV cap AS fill_bp")
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_filter_sweep" -> (filterSweep _),
+    "q_waterfill_budget" -> (waterfillBudget _),
     "q_token_count" -> (tokenCount _),
     "q_text_quality" -> (textQuality _),
     "q_lang_id" -> (langId _),
@@ -708,6 +792,37 @@ object TextAnalysis {
   private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
 
   val oracles: Map[String, String] = Map(
+    "q_filter_sweep" ->
+      s"""WITH f AS (SELECT
+         |    CASE WHEN n_chars >= $SweepMinChars THEN 1 ELSE 0 END AS len_ok,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lang_en,
+         |    CASE WHEN len(list_distinct(w)) * 2 >= len(w) THEN 1 ELSE 0 END
+         |      AS uniq_ok,
+         |    len(w)::BIGINT AS n_tokens
+         |  FROM (SELECT n_chars, lang, $wordsSql AS w FROM documents))
+         |SELECT coalesce(len_ok, -1) AS len_ok,
+         |  coalesce(lang_en, -1) AS lang_en,
+         |  coalesce(uniq_ok, -1) AS uniq_ok,
+         |  count(*) AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens
+         |FROM f GROUP BY CUBE (len_ok, lang_en, uniq_ok)
+         |ORDER BY len_ok, lang_en, uniq_ok""".stripMargin,
+    "q_waterfill_budget" ->
+      s"""WITH caps AS (SELECT source, sum(len($wordsSql))::BIGINT AS cap
+         |  FROM documents GROUP BY source),
+         |r AS (SELECT source, cap,
+         |    row_number() OVER (ORDER BY cap, source) AS rn,
+         |    sum(cap) OVER (ORDER BY cap, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    count(*) OVER () AS m,
+         |    (sum(cap) OVER () * $WaterfillBudgetPct) // 100 AS budget
+         |  FROM caps),
+         |lvl AS (SELECT min_by(cand, rn) AS level FROM (
+         |    SELECT rn, cap, (budget - (cum - cap)) // (m - rn + 1) AS cand
+         |    FROM r) WHERE cand <= cap)
+         |SELECT source, cap AS cap_tokens,
+         |  least(cap, coalesce(level, cap))::BIGINT AS alloc_tokens,
+         |  ((least(cap, coalesce(level, cap)) * 10000) // cap)::BIGINT AS fill_bp
+         |FROM r CROSS JOIN lvl ORDER BY source""".stripMargin,
     "q_token_count" ->
       s"""SELECT doc_id, len($wordsSql) AS n_tokens,
          |  ceil(n_chars / 4.0)::BIGINT AS n_bpe_est

@@ -146,4 +146,101 @@ class AnalyticsOpsSpec extends SparkSpec {
     val (p50, p90) = (r.getDouble(3), r.getDouble(4))
     assert(mn <= p50 && p50 <= p90 && p90 <= mx, s"$mn $p50 $p90 $mx")
   }
+
+  test("acfOf recovers a pure weekly period: acf(7) = 1, off-lags < 1") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 70 days of an exact period-7 sawtooth (plus a trend-free base):
+    // lag-7 pairs are identical → Pearson r = 1; other lags mix phases
+    val daily = (0 until 70).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+        1000L + (i % 7) * 37L)
+    }.toDF("d", "cents")
+    val rows = Temporal.acfOf(daily).collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(rows(7) == 1.0, s"lag-7 of a period-7 series: ${rows(7)}")
+    (1 to 6).foreach(l => assert(rows(l) < 1.0, s"lag $l"))
+    assert(rows.size == Temporal.AcfMaxLag)
+  }
+
+  test("anomalyDow integer 2-sigma test agrees with the fp z-score") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = java.time.LocalDate.of(2024, 1, 1)
+    val series = (0 until 140).map { i =>
+      val spike = if (i == 33 || i == 94) 4000L else 0L
+      (java.sql.Date.valueOf(base.plusDays(i)), 1000L + rnd.nextInt(200) + spike)
+    }
+    val got = Temporal.anomalyDowOf(series.toDF("d", "x")).collect()
+      .map(r => r.getDate(0).toString).toSet
+    // naive fp replay: per-dow population mean/var, |x-mu| > 2*sigma
+    val byDow = series.groupBy(t => t._1.toLocalDate.getDayOfWeek)
+    val expect = series.filter { case (d, x) =>
+      val g = byDow(d.toLocalDate.getDayOfWeek).map(_._2.toDouble)
+      val mu = g.sum / g.size
+      val v = g.map(e => (e - mu) * (e - mu)).sum / g.size
+      (x - mu) * (x - mu) > 4 * v
+    }.map(_._1.toString).toSet
+    assert(got == expect, s"got $got expect $expect")
+    assert(got.contains("2024-02-03") && got.contains("2024-04-04"),
+      "both planted spikes must be flagged")
+  }
+
+  test("burstinessOf: constant series has Fano 0, a bursty one exceeds 1e6") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.time.LocalDate.of(2024, 1, 1)
+    def day(i: Int) = java.sql.Date.valueOf(base.plusDays(i))
+    val daily =
+      (0 until 30).map(i => ("flat", day(i), 5L)) ++
+        (0 until 30).map(i => ("bursty", day(i), if (i % 10 == 0) 91L else 1L))
+    val rows = Temporal.burstinessOf(daily.toDF("et", "d", "c")).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(rows("flat")._1 == 0L, "constant daily counts: zero variance")
+    assert(rows("flat")._2 == 10000L, "peak equals mean")
+    assert(rows("bursty")._1 > 1000000L, "super-Poisson burst train")
+    assert(rows("bursty")._2 > 80000L, "peak is ~9x the mean")
+  }
+
+  test("waterfillOf is max-min fair and exhausts the budget up to floor dust") {
+    val spark2 = spark
+    import spark2.implicits._
+    val caps = Seq(("tiny", 50L), ("small", 300L), ("mid", 1000L),
+      ("big", 5000L), ("huge", 9000L)).toDF("source", "cap")
+    val rows = TextAnalysis.waterfillOf(caps).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val budget = 15350L * TextAnalysis.WaterfillBudgetPct / 100L
+    val spent = rows.map(_._3).sum
+    assert(rows.forall { case (_, cap, alloc) => alloc <= cap }, "cap respected")
+    assert(spent <= budget, s"spent $spent budget $budget")
+    assert(budget - spent < rows.length, "floor dust only")
+    val level = rows.map(_._3).max
+    rows.foreach { case (s, cap, alloc) =>
+      assert(alloc == math.min(cap, level), s"$s not waterfilled: $alloc")
+    }
+    assert(rows.count(_._3 == level) >= 2, "the big sources share one level")
+  }
+
+  test("filterSweep is one scan + one Expand — never 8 pipeline passes") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "a b c", "en", 250L), (2L, "x x x", "fr", 10L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val qe = TextAnalysis.filterSweepDf(docs).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("Expand"), s"cube must plan as Expand:\n$plan")
+    val scans = "LocalTableScan".r.findAllIn(plan).length
+    assert(scans == 1, s"exactly one scan of the corpus:\n$plan")
+    val rows = TextAnalysis.filterSweepDf(docs).collect()
+    // flag tuples (1,1,1) and (0,0,0): every grouping set splits them
+    // except the empty one -> 2 rows x 7 sets + 1 = 15
+    assert(rows.length == 15, s"got ${rows.length}")
+    val all = rows.find(r => r.getInt(0) == -1 && r.getInt(1) == -1 &&
+      r.getInt(2) == -1).get
+    assert(all.getLong(3) == 2L && all.getLong(4) == 6L)
+    val strict = rows.find(r => r.getInt(0) == 1 && r.getInt(1) == 1 &&
+      r.getInt(2) == 1).get
+    assert(strict.getLong(3) == 1L && strict.getLong(4) == 3L)
+  }
 }

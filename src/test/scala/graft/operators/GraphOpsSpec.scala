@@ -73,6 +73,40 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("kCorePairs peels exactly the sub-k-degree cascade, any partitioning") {
+    val spark2 = spark
+    import spark2.implicits._
+    // K4 {1,2,3,4} (the 3-core) + a tail 4-5-6 and a pendant 3-7: the
+    // tail and pendant peel over two passes, the K4 survives forever
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (3L, 7L)
+    ).toDF("a", "b")
+    def naive(es: Seq[(Long, Long)]): Seq[(Int, Long, Long)] = {
+      var cur = es
+      (0 to Graph.KcorePasses).map { p =>
+        if (p > 0) {
+          var stepped = cur // one simultaneous peel per pass
+          val deg = stepped.flatMap(e => Seq(e._1, e._2))
+            .groupBy(identity).map { case (v, xs) => v -> xs.size }
+          val keep = deg.filter(_._2 >= Graph.KcoreK).keySet
+          stepped = stepped.filter(e => keep(e._1) && keep(e._2))
+          cur = stepped
+        }
+        val nodes = cur.flatMap(e => Seq(e._1, e._2)).distinct.size.toLong
+        (p, nodes, cur.size.toLong)
+      }
+    }
+    val expect = naive(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (3L, 7L)))
+    assert(expect.last == (Graph.KcorePasses, 4L, 6L), "K4 survives")
+    for (parts <- Seq(1, 4)) {
+      val got = Graph.kCorePairs(edges.repartition(parts)).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == expect, s"parts=$parts: $got vs $expect")
+    }
+  }
+
   test("pageRank matches a naive integer replay, any partitioning") {
     val spark2 = spark
     import spark2.implicits._
