@@ -27,6 +27,7 @@ object SparkEntry {
         "q_multimodal" -> (graft.multimodal.Multimodal.query _),
         "q_tensor_ops" -> (graft.tensor.TensorSet.query _),
         "q_io_roundtrip" -> (graft.sources.Sources.roundtripQuery _),
+        "q_partition_prune" -> (graft.sources.Sources.partitionPruneQuery _),
         "q_bucket_join" -> (graft.sources.Sources.bucketJoinQuery _))
 
   def oracleSql: Map[String, String] =
@@ -39,5 +40,6 @@ object SparkEntry {
         "q_multimodal" -> graft.multimodal.Multimodal.oracle,
         "q_tensor_ops" -> graft.tensor.TensorSet.oracle,
         "q_io_roundtrip" -> graft.sources.Sources.roundtripOracle,
+        "q_partition_prune" -> graft.sources.Sources.partitionPruneOracle,
         "q_bucket_join" -> graft.sources.Sources.bucketJoinOracle)
 }

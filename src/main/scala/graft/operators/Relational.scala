@@ -822,7 +822,112 @@ object Relational {
       .orderBy("pri")
   }
 
+  /** Arbitrary GROUPING SETS — the general form rollup/cube specialize:
+    * mixed-dimension sets ((flag, status), (flag), (shipdate-year), ())
+    * in ONE Expand+aggregate pass, with grouping_id disambiguating which
+    * set each row belongs to (the ALL placeholder alone is ambiguous
+    * when sets overlap). Expressed through the SQL surface — Catalyst
+    * plans it identically to cube (one Expand, one shuffle on the
+    * grouping-set key space).
+    *
+    * Scale: the Expand multiplies each row by |sets| = 4 BEFORE the
+    * partial aggregate, which collapses to the tiny key space map-side
+    * — the shuffle is grouping-cells-sized, not fact-sized. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_li_gs")
+    spark.sql(s"""
+      SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        coalesce(l_linestatus, 'ALL') AS status,
+        coalesce(year(CAST(l_shipdate AS DATE)), -1) AS ship_year,
+        CAST(grouping_id(l_returnflag, l_linestatus,
+          year(CAST(l_shipdate AS DATE))) AS INT) AS gid,
+        count(1) AS n_rows,
+        sum(CAST(round(l_extendedprice * 100) AS LONG)) AS cents
+      FROM graft_li_gs
+      GROUP BY GROUPING SETS (
+        (l_returnflag, l_linestatus),
+        (l_returnflag),
+        (year(CAST(l_shipdate AS DATE))),
+        ())
+      ORDER BY gid, flag, status, ship_year""")
+  }
+
+  /** Incremental aggregate maintenance (the IVM pattern): a persisted
+    * per-customer aggregate built from the pre-cutoff history is
+    * updated with a delta batch (post-cutoff orders) by aggregating the
+    * DELTA ONLY and full-outer-merging the two states — never
+    * re-scanning history. The gate's oracle is the from-scratch
+    * aggregate, pinning the IVM contract: merged state ≡ full recompute
+    * (count and sum are the self-mergeable aggregates; the same merge
+    * works for any commutative monoid state).
+    *
+    * Scale: at 100 TB the base state is a stored table read once and
+    * the delta is a day's partition — the merge is one key-partitioned
+    * full-outer join, shuffling state + delta, never history. */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame =
+    incrementalAggOf(Tables.orders(spark, dir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
+        round(col("o_totalprice") * 100).cast("long").as("cents")))
+
+  /** Core over any (o_custkey, d DATE, cents LONG) change stream; see
+    * [[incrementalAgg]]. */
+  private[graft] def incrementalAggOf(o: DataFrame): DataFrame = {
+    val bounds = o.agg(min("d").as("d0"), max("d").as("d1"))
+      .selectExpr("date_add(d0, CAST((datediff(d1, d0) * 9) div 10 AS INT)) AS cut_d")
+    val stamped = o.crossJoin(broadcast(bounds))
+    def aggState(df: DataFrame) = df.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), sum("cents").as("c"))
+    val base = aggState(stamped.filter(col("d") < col("cut_d")))
+    val delta = aggState(stamped.filter(col("d") >= col("cut_d")))
+    base.withColumnRenamed("n", "bn").withColumnRenamed("c", "bc")
+      .join(delta.withColumnRenamed("n", "dn").withColumnRenamed("c", "dc"),
+        Seq("o_custkey"), "full_outer")
+      .selectExpr("o_custkey",
+        "coalesce(bn, 0L) + coalesce(dn, 0L) AS n_orders",
+        "coalesce(bc, 0L) + coalesce(dc, 0L) AS cents")
+      .orderBy("o_custkey")
+  }
+
+  val AucBucketCents = 100000L
+
+  /** AUC (Mann–Whitney) of price as a predictor of order urgency, by
+    * the HISTOGRAM method: scores bucketed to [[AucBucketCents]]-cent
+    * cells, per-bucket positive/negative counts, one ordered pass
+    * accumulating negatives-below — U2 = Σ np_s·(2·cumneg_below + nn_s)
+    * counts ties as half (×2 scale keeps it integer), and
+    * auc_micro = U2·10⁶ DIV (2·n_pos·n_neg). Engine-exact: no fp rank
+    * averaging anywhere.
+    *
+    * Scale: the classic distributed-AUC shape — the fact table
+    * collapses to |buckets| rows in one partial+final agg; the ordered
+    * cumulative pass runs over that bounded bucket table (score range /
+    * bucket width, independent of row count), a deliberate
+    * post-aggregation single partition. */
+  def aucHistogram(spark: SparkSession, dir: String): DataFrame =
+    aucOfScores(Tables.orders(spark, dir)
+      .selectExpr(
+        s"(CAST(round(o_totalprice * 100) AS LONG)) DIV $AucBucketCents AS s",
+        "CASE WHEN o_orderpriority = '1-URGENT' THEN 1L ELSE 0L END AS pos"))
+
+  /** Core over any (s LONG bucketed score, pos 0/1 LONG) frame; see
+    * [[aucHistogram]]. */
+  private[graft] def aucOfScores(scored: DataFrame): DataFrame = {
+    val b = scored
+      .groupBy("s")
+      .agg(sum("pos").as("np"), (count(lit(1)) - sum("pos")).as("nn"))
+    val w = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.withColumn("cumnn", sum("nn").over(w) - col("nn"))
+      .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
+        sum(col("np") * (lit(2L) * col("cumnn") + col("nn"))).as("u2"))
+      .selectExpr("n_pos", "n_neg",
+        "(u2 * 1000000) DIV (2 * n_pos * n_neg) AS auc_micro")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_grouping_sets" -> (groupingSets _),
+    "q_incremental_agg" -> (incrementalAgg _),
+    "q_auc" -> (aucHistogram _),
     "q_pricing_summary" -> (pricingSummary _),
     "q_filter_project" -> (filterProject _),
     "q_topk" -> (topK _),
@@ -867,6 +972,43 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  coalesce(year(CAST(l_shipdate AS DATE)), -1)::INT AS ship_year,
+        |  grouping(l_returnflag, l_linestatus,
+        |    year(CAST(l_shipdate AS DATE)))::INT AS gid,
+        |  count(*) AS n_rows,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS cents
+        |FROM lineitem
+        |GROUP BY GROUPING SETS (
+        |  (l_returnflag, l_linestatus),
+        |  (l_returnflag),
+        |  (year(CAST(l_shipdate AS DATE))),
+        |  ())
+        |ORDER BY gid, flag, status, ship_year""".stripMargin,
+    "q_incremental_agg" ->
+      """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_custkey, count(*) AS n_orders, sum(cents)::BIGINT AS cents
+        |FROM o GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_auc" ->
+      s"""WITH b AS (SELECT
+         |    CAST(round(o_totalprice * 100) AS BIGINT) // $AucBucketCents AS s,
+         |    sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT
+         |      AS np,
+         |    (count(*) - sum(CASE WHEN o_orderpriority = '1-URGENT'
+         |      THEN 1 ELSE 0 END))::BIGINT AS nn
+         |  FROM orders GROUP BY 1),
+         |w AS (SELECT s, np, nn,
+         |    (sum(nn) OVER (ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nn)::BIGINT
+         |      AS cumnn
+         |  FROM b)
+         |SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
+         |  ((sum(np * (2 * cumnn + nn)) * 1000000)
+         |    // (2 * sum(np) * sum(nn)))::BIGINT AS auc_micro
+         |FROM w""".stripMargin,
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -765,7 +765,34 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Per-document unigram cross-entropy vs the corpus language model —
+    * the CCNet-style "perplexity" quality score (low = the doc looks
+    * like the corpus, high = rare-token soup): for each token,
+    * surprisal ln(T/c_w) under the corpus unigram distribution,
+    * averaged per document (natural-log nats, round-4 per the
+    * source_divergence fp convention). Self-corpus LM, so there is no
+    * OOV path; a held-out LM swaps in by replacing the vocab frame.
+    *
+    * Scale: the token explosion is the only corpus-sized stage; the
+    * vocab table is Heaps-law-bounded (≪ corpus) and broadcast into
+    * the stream, so the per-doc aggregate rides the SAME shuffle that
+    * grouped the tokens — one wide pass, vocab-sized support data. */
+  def docPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val tw = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words).as("word"))
+      .filter(length(col("word")) > 0)
+    val vocab = tw.groupBy("word").agg(count(lit(1)).as("c"))
+    val tot = vocab.agg(sum("c").as("t"))
+    tw.join(broadcast(vocab), "word").crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(log(col("t").cast("double") / col("c"))) / count(lit(1)), 4)
+          .as("xent_nats"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_doc_perplexity" -> (docPerplexity _),
     "q_filter_sweep" -> (filterSweep _),
     "q_waterfill_budget" -> (waterfillBudget _),
     "q_token_count" -> (tokenCount _),
@@ -792,6 +819,15 @@ object TextAnalysis {
   private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
 
   val oracles: Map[String, String] = Map(
+    "q_doc_perplexity" ->
+      s"""WITH tw AS (SELECT doc_id, unnest($wordsSql) AS word FROM documents),
+         |tf AS (SELECT doc_id, word FROM tw WHERE len(word) > 0),
+         |v AS (SELECT word, count(*)::BIGINT AS c FROM tf GROUP BY word),
+         |t AS (SELECT sum(c)::BIGINT AS t FROM v)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  round(sum(ln(t.t::DOUBLE / v.c)) / count(*), 4) AS xent_nats
+         |FROM tf JOIN v USING (word) CROSS JOIN t
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_filter_sweep" ->
       s"""WITH f AS (SELECT
          |    CASE WHEN n_chars >= $SweepMinChars THEN 1 ELSE 0 END AS len_ok,

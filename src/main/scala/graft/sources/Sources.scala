@@ -282,4 +282,46 @@ object Sources {
       .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
+
+  val PruneYear = 1995
+
+  /** Hive-style partitioned layout + partition pruning: write orders
+    * partitioned by order year, read back with a partition-key filter,
+    * and aggregate per month. The pruning contract — a year filter must
+    * touch ONLY that year's directory, turning a full-table scan into a
+    * 1-partition read — is what makes time-partitioned 100 TB layouts
+    * queryable; SourcesSpec asserts the physical plan carries the
+    * filter in `PartitionFilters` (metadata-level pruning, zero data
+    * files from other years opened). The scratch copy is removed after
+    * the stats materialize, roundtrip-style. */
+  def partitionPruneQuery(spark: SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables.orders(spark, dir)
+      .withColumn("o_year", year(to_date(col("o_orderdate"))))
+    val base = java.nio.file.Files.createTempDirectory("graft-pp").toString
+    o.write.mode(SaveMode.Overwrite).partitionBy("o_year")
+      .parquet(s"$base/orders_by_year")
+    val out = prunedMonthlyAgg(spark.read.parquet(s"$base/orders_by_year"))
+    val rows = out.collect()
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(base)).iterator().asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  /** The pruned read over any o_year-partitioned orders frame; factored
+    * so the spec can assert PartitionFilters on the live plan. */
+  private[graft] def prunedMonthlyAgg(partitioned: DataFrame): DataFrame =
+    partitioned.filter(col("o_year") === PruneYear)
+      .groupBy(month(to_date(col("o_orderdate"))).as("m"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .orderBy("m")
+
+  /** Oracle: the same monthly aggregate from an explicit year filter. */
+  val partitionPruneOracle: String =
+    s"""SELECT month(CAST(o_orderdate AS DATE))::INT AS m,
+       |  count(*) AS n_orders,
+       |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+       |FROM orders WHERE year(CAST(o_orderdate AS DATE)) = $PruneYear
+       |GROUP BY 1 ORDER BY m""".stripMargin
 }

@@ -222,6 +222,42 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(rows.count(_._3 == level) >= 2, "the big sources share one level")
   }
 
+  test("aucOfScores: perfect separation = 1e6, ties-only = 500000, replay") {
+    val spark2 = spark
+    import spark2.implicits._
+    def auc(rows: Seq[(Long, Long)]): Long =
+      Relational.aucOfScores(rows.toDF("s", "pos")).head().getLong(2)
+    // all positives above all negatives
+    assert(auc(Seq((10L, 1L), (11L, 1L), (1L, 0L), (2L, 0L))) == 1000000L)
+    // inverted ranking
+    assert(auc(Seq((1L, 1L), (2L, 1L), (10L, 0L), (11L, 0L))) == 0L)
+    // everything tied: exactly chance
+    assert(auc(Seq((5L, 1L), (5L, 1L), (5L, 0L), (5L, 0L))) == 500000L)
+    // mixed case vs the naive pairwise count (ties = half)
+    val mixed = Seq((1L, 0L), (2L, 1L), (2L, 0L), (3L, 1L), (4L, 0L), (5L, 1L))
+    val pos = mixed.filter(_._2 == 1L).map(_._1)
+    val neg = mixed.filter(_._2 == 0L).map(_._1)
+    val u2 = (for (p <- pos; n <- neg)
+      yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+    assert(auc(mixed) == u2 * 1000000L / (2L * pos.size * neg.size))
+  }
+
+  test("incrementalAggOf merge handles base-only and delta-only keys") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.time.LocalDate.of(2024, 1, 1)
+    def day(i: Int) = java.sql.Date.valueOf(base.plusDays(i))
+    // cutoff at 90% of [0,100] = day 90: cust 1 spans both sides,
+    // cust 2 is base-only, cust 3 appears ONLY in the delta window
+    val o = Seq((1L, day(0), 100L), (1L, day(95), 10L),
+      (2L, day(50), 200L), (3L, day(99), 77L), (1L, day(100), 5L))
+      .toDF("o_custkey", "d", "cents")
+    val got = Relational.incrementalAggOf(o).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 3L, 115L), (2L, 1L, 200L), (3L, 1L, 77L)),
+      s"merge must equal full recompute: $got")
+  }
+
   test("filterSweep is one scan + one Expand — never 8 pipeline passes") {
     val spark2 = spark
     import spark2.implicits._

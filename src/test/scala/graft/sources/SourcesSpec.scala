@@ -140,6 +140,31 @@ class SourcesSpec extends SparkSpec {
       assert(math.abs(got(i, j) - vals(i * 12 + j)) < 1e-9)
   }
 
+  test("partition pruning: the year filter lands in PartitionFilters") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = Files.createTempDirectory("graft-pp-spec").toString
+    val df = Seq(
+      (1L, "1994-03-01", 10.0), (2L, "1995-06-15", 20.0),
+      (3L, "1995-11-30", 30.0), (4L, "1996-01-02", 40.0)
+    ).toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_year", year(to_date(col("o_orderdate"))))
+    df.write.partitionBy("o_year").parquet(s"$base/t")
+    val pruned = Sources.prunedMonthlyAgg(spark.read.parquet(s"$base/t"))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"expected pruning:\n$plan")
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("o_year"), s"filter must be on the partition key: $pf")
+    // the data filter must NOT degrade into a post-scan Filter on o_year
+    assert(!plan.linesIterator.exists(l =>
+      l.trim.startsWith("+- Filter") && l.contains("o_year")), plan)
+    val got = pruned.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((6, 1L, 2000L), (11, 1L, 3000L)), got.mkString(","))
+    import scala.jdk.CollectionConverters._
+    Files.walk(java.nio.file.Paths.get(base)).iterator().asScala
+      .toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+  }
+
   test("shuffle is a seeded permutation: same multiset, same order across runs") {
     val spark2 = spark
     import spark2.implicits._
