@@ -325,7 +325,44 @@ object Events {
         round(col("p90_sec"), 4).as("p90_sec"))))
   }
 
+  val RollingDays = 7
+
+  /** Rolling 7-day distinct active users (WAU) per day — the classic
+    * sliding-distinct that has NO window-function form (exact COUNT
+    * DISTINCT over a moving frame isn't mergeable): compute the DAILY
+    * distinct (user, day) table first, fan each active-day out to the
+    * [[RollingDays]] calendar days it contributes to, and re-distinct
+    * per target day. stickiness_bp = 10⁴·DAU DIV WAU (the DAU/WAU
+    * engagement ratio), integers throughout.
+    *
+    * Scale: the raw stream collapses to the daily-active table in one
+    * partial+final distinct BEFORE the ×7 fan-out — the explosion is on
+    * users·days, never on events, and the second distinct shuffles on
+    * (day, user), the same key layout. Days with no history shorter
+    * than the window are reported as-is (partial windows, standard
+    * dashboard semantics). */
+  def rollingDau(spark: SparkSession, dir: String): DataFrame =
+    rollingDauOf(Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct())
+
+  /** Core over any distinct (d DATE, user_id) daily-active frame; see
+    * [[rollingDau]]. */
+  private[graft] def rollingDauOf(daily: DataFrame): DataFrame = {
+    val fanned = daily
+      .select(explode(sequence(lit(0), lit(RollingDays - 1))).as("off"),
+        col("d"), col("user_id"))
+      .select(date_add(col("d"), col("off")).as("wd"), col("user_id"))
+    val wau = fanned.groupBy("wd").agg(countDistinct("user_id").as("wau"))
+    val dau = daily.groupBy(col("d").as("wd")).agg(count(lit(1)).as("dau"))
+    // inner join: report only days that themselves had activity (fan-out
+    // tail days past the last active day are dashboard noise)
+    dau.join(wau, "wd")
+      .selectExpr("wd", "dau", "wau", "(dau * 10000) DIV wau AS stickiness_bp")
+      .orderBy("wd")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_rolling_dau" -> (rollingDau _),
     "q_events_window" -> (tumblingWindow _),
     "q_events_session" -> (sessionize _),
     "q_events_json" -> (jsonProps _),
@@ -340,6 +377,18 @@ object Events {
     "q_funnel_time" -> (funnelLatency _))
 
   val oracles: Map[String, String] = Map(
+    "q_rolling_dau" ->
+      s"""WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+         |  FROM events),
+         |fanned AS (SELECT d + off AS wd, user_id
+         |  FROM daily CROSS JOIN (
+         |    SELECT unnest(range(0, $RollingDays))::INT AS off)),
+         |wau AS (SELECT wd, count(DISTINCT user_id)::BIGINT AS wau
+         |  FROM fanned GROUP BY wd),
+         |dau AS (SELECT d AS wd, count(*)::BIGINT AS dau
+         |  FROM daily GROUP BY d)
+         |SELECT wd, dau, wau, ((dau * 10000) // wau)::BIGINT AS stickiness_bp
+         |FROM dau JOIN wau USING (wd) ORDER BY wd""".stripMargin,
     "q_events_window" ->
       """SELECT time_bucket(INTERVAL '10 minutes', ts) AS wstart, event_type,
         |  count(*) AS n_events, round(sum(value), 4) AS sum_value

@@ -258,6 +258,31 @@ class AnalyticsOpsSpec extends SparkSpec {
       s"merge must equal full recompute: $got")
   }
 
+  test("rollingDauOf equals the naive trailing-7-day distinct union") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.time.LocalDate.of(2024, 3, 1)
+    def day(i: Int) = java.sql.Date.valueOf(base.plusDays(i))
+    val rnd = new scala.util.Random(11)
+    // 20 days of activity with a gap (days 8-9 silent) and churn
+    val daily = (0 until 20).filterNot(i => i == 8 || i == 9).flatMap { i =>
+      (0 until 5 + rnd.nextInt(5)).map(_ => (day(i), (rnd.nextInt(12) + 1).toLong))
+    }.distinct
+    val got = Events.rollingDauOf(daily.toDF("d", "user_id")).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+    val activeDays = daily.map(_._1.toLocalDate).distinct
+    val expect = activeDays.sorted.map { d =>
+      val dau = daily.count(_._1.toLocalDate == d).toLong
+      val wau = daily.filter { case (dd, _) =>
+        val off = java.time.temporal.ChronoUnit.DAYS.between(dd.toLocalDate, d)
+        off >= 0 && off < Events.RollingDays
+      }.map(_._2).distinct.size.toLong
+      (d.toString, dau, wau, dau * 10000L / wau)
+    }
+    assert(got.toSeq == expect, s"got ${got.toSeq}\nexp $expect")
+    assert(got.forall { case (_, dau, wau, _) => wau >= dau }, "WAU >= DAU")
+  }
+
   test("filterSweep is one scan + one Expand — never 8 pipeline passes") {
     val spark2 = spark
     import spark2.implicits._
