@@ -279,7 +279,10 @@ object Bench {
         "q_heavy_hitters", "q_scd2",
         // graph ops at 10× edges: oriented wedge join and the
         // ranks-only per-pass shuffle must scale with edges, not pairs
-        "q_triangles", "q_pagerank")
+        "q_triangles", "q_pagerank",
+        // k-core's per-pass peel joins at 10× edges; rolling-DAU's ×7
+        // fan-out must track users·days, not the 10× event stream
+        "q_kcore", "q_rolling_dau")
       val runs = heavy.map(n =>
         timed(s"sf1_$n")(materialize(SparkEntry.queries(n)(spark, sf1Dir))))
       val base = results.toMap
