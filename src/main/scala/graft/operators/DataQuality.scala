@@ -61,9 +61,68 @@ object DataQuality {
       .orderBy("check")
   }
 
-  val queries: Map[String, Q] = Map("q_data_quality" -> (dataQuality _))
+  val PsiBucketCents = 2500000L
+
+  /** Population stability index — the standard production drift monitor
+    * — of the order-value distribution between the first and second
+    * half of the date range: fixed $25k value buckets, Laplace-smoothed
+    * shares p=(c₁+1)/(n₁+B), q=(c₂+1)/(n₂+B) over the observed bucket
+    * set (smoothing makes one-sided buckets well-defined — the textbook
+    * recipe), per-bucket contribution (p−q)·ln(p/q) ≥ 0 in round-6
+    * doubles (the divergence-family fp convention). Σcontrib > 0.25 is
+    * the conventional "investigate" threshold.
+    *
+    * Scale: one scan with a 1-row broadcast date cut, a partial+final
+    * agg onto the bounded bucket space, and a 1-row broadcast of
+    * totals — drift monitoring costs one pass regardless of history
+    * size. Complements q_mix_shift (share movement) with the
+    * distribution-shape metric. */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("d"),
+        expr(s"CAST(round(o_totalprice * 100) AS LONG) DIV $PsiBucketCents")
+          .as("bucket"))
+    val bounds = o.agg(min("d").as("d0"), max("d").as("d1"))
+      .selectExpr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT)) AS cut_d")
+    val counts = o.crossJoin(broadcast(bounds))
+      .groupBy("bucket")
+      .agg(sum(when(col("d") < col("cut_d"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("d") >= col("cut_d"), 1L).otherwise(0L)).as("c2"))
+    val tot = counts.agg(sum("c1").as("n1"), sum("c2").as("n2"),
+      count(lit(1)).as("nb"))
+    counts.crossJoin(broadcast(tot))
+      .selectExpr("bucket", "c1", "c2",
+        """round(
+          |  ((c1 + 1.0) / (n1 + nb) - (c2 + 1.0) / (n2 + nb)) *
+          |  ln(((c1 + 1.0) / (n1 + nb)) / ((c2 + 1.0) / (n2 + nb))), 6)
+          |  AS psi_contrib""".stripMargin)
+      .orderBy("bucket")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_data_quality" -> (dataQuality _),
+    "q_psi_drift" -> (psiDrift _))
 
   val oracles: Map[String, String] = Map(
+    "q_psi_drift" ->
+      s"""WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) // $PsiBucketCents
+         |      AS bucket
+         |  FROM orders),
+         |b AS (SELECT min(d) + (date_diff('day', min(d), max(d)) // 2)
+         |    * INTERVAL '1 day' AS cut_d
+         |  FROM o),
+         |c AS (SELECT bucket,
+         |    sum(CASE WHEN d < cut_d THEN 1 ELSE 0 END)::BIGINT AS c1,
+         |    sum(CASE WHEN d >= cut_d THEN 1 ELSE 0 END)::BIGINT AS c2
+         |  FROM o CROSS JOIN b GROUP BY bucket),
+         |t AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2,
+         |    count(*)::BIGINT AS nb FROM c)
+         |SELECT bucket, c1, c2,
+         |  round(((c1 + 1.0) / (n1 + nb) - (c2 + 1.0) / (n2 + nb)) *
+         |    ln(((c1 + 1.0) / (n1 + nb)) / ((c2 + 1.0) / (n2 + nb))), 6)
+         |    AS psi_contrib
+         |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin,
     "q_data_quality" ->
       """WITH os AS (SELECT
         |    (count(*) - count(DISTINCT o_orderkey))::BIGINT AS pk_dup,

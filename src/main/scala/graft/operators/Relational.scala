@@ -924,7 +924,36 @@ object Relational {
         "(u2 * 1000000) DIV (2 * n_pos * n_neg) AS auc_micro")
   }
 
+  /** Score-calibration reliability table (the companion diagnostic to
+    * [[aucHistogram]]): rows bucketed into equi-depth score deciles via
+    * 9 exact breakpoints from the bounded bracketed selection
+    * (ExactQuantiles — no whole-column buffer), then per decile the
+    * observed positive rate in integer bp. A calibrated score has
+    * monotone pos_rate_bp; flat = no signal.
+    *
+    * Scale: the breakpoint computation is ExactQuantiles' narrow
+    * passes; the assignment is a 9-value broadcast + codegen'd when
+    * chain; the table is a 10-row partial+final agg — one effective
+    * scan. */
+  def calibration(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val fr = (1 to 9).map(i => s"q$i" -> i / 10.0)
+    val bks = ExactQuantiles.quantiles(o, "o_totalprice", fr)
+    val decile = (1 to 9).foldLeft(lit(0)) { (acc, i) =>
+      when(col("o_totalprice") >= col(s"q$i"), i).otherwise(acc)
+    }
+    o.crossJoin(broadcast(bks))
+      .groupBy(decile.as("decile"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+          .as("n_pos"))
+      .selectExpr("decile", "n", "n_pos",
+        "(n_pos * 10000) DIV n AS pos_rate_bp")
+      .orderBy("decile")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_calibration" -> (calibration _),
     "q_grouping_sets" -> (groupingSets _),
     "q_incremental_agg" -> (incrementalAgg _),
     "q_auc" -> (aucHistogram _),
@@ -972,6 +1001,21 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_calibration" -> {
+      val bks = (1 to 9).map(i =>
+        s"quantile_cont(o_totalprice, ${i / 10.0}) AS q$i").mkString(", ")
+      val cases = (9 to 1 by -1).map(i =>
+        s"WHEN o_totalprice >= q$i THEN $i").mkString(" ")
+      s"""WITH b AS (SELECT $bks FROM orders)
+         |SELECT CASE $cases ELSE 0 END AS decile,
+         |  count(*) AS n,
+         |  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_pos,
+         |  ((sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+         |    * 10000) // count(*))::BIGINT AS pos_rate_bp
+         |FROM orders CROSS JOIN b
+         |GROUP BY decile ORDER BY decile""".stripMargin
+    },
     "q_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         |  coalesce(l_linestatus, 'ALL') AS status,

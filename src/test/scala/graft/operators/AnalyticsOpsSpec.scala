@@ -283,6 +283,29 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got.forall { case (_, dau, wau, _) => wau >= dau }, "WAU >= DAU")
   }
 
+  test("psiDrift contributions are non-negative and counts conserve") {
+    val rows = DataQuality.psiDrift(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0, s"(p-q)ln(p/q) >= 0: $r")
+      assert(r.getLong(1) + r.getLong(2) > 0, "observed buckets only")
+    }
+    val nOrders = graft.Tables.orders(spark, dir).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == nOrders,
+      "every order lands in exactly one (bucket, half)")
+  }
+
+  test("calibration deciles are equi-depth within interpolation slack") {
+    val rows = Relational.calibration(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (0 to 9), "all ten deciles present")
+    val ns = rows.map(_._2)
+    val ideal = ns.sum / 10.0
+    ns.foreach(n => assert(math.abs(n - ideal) <= ideal * 0.05 + 2,
+      s"equi-depth: $n vs $ideal"))
+    rows.foreach { case (_, n, bp) => assert(bp >= 0 && bp <= 10000 && n > 0) }
+  }
+
   test("filterSweep is one scan + one Expand — never 8 pipeline passes") {
     val spark2 = spark
     import spark2.implicits._
