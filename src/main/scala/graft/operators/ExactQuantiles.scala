@@ -69,7 +69,7 @@ object ExactQuantiles {
       fractions: Seq[(String, Double)],
       groupBy: Seq[String] = Nil,
       bins: Int = 128,
-      budget: Long = 1L << 18): DataFrame = {
+      budget: Long = 1L << 16): DataFrame = {
     require(fractions.nonEmpty, "need at least one fraction")
     require(fractions.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
       "fractions must be in [0, 1]")
@@ -171,7 +171,23 @@ object ExactQuantiles {
       // comparison halving pass (2 bins split at the overflow-free
       // midpoint) until the width is representable.
       def tooWide(t: Target): Boolean = (t.hi - t.lo).isInfinity
-      val binExprs: Seq[Column] = active.toSeq.map { t =>
+      // Targets sharing a bracket (ubiquitous: every rank of a group
+      // starts from the same [min,max], and nearby fractions keep
+      // colliding while the brackets are wide) share ONE histogram —
+      // the scan payload is per distinct bracket, not per rank.
+      // Brackets are keyed by raw bits: -0.0 vs 0.0 or any other
+      // equal-but-different-bits pair must not split a key.
+      val brackets: Array[(Int, Long, Long)] = active.map(t =>
+        (t.gid, java.lang.Double.doubleToLongBits(t.lo),
+          java.lang.Double.doubleToLongBits(t.hi))).distinct
+      val bracketIdx: Map[(Int, Long, Long), Int] = brackets.zipWithIndex.toMap
+      def bidOf(t: Target): Int = bracketIdx(
+        (t.gid, java.lang.Double.doubleToLongBits(t.lo),
+          java.lang.Double.doubleToLongBits(t.hi)))
+      val repr: Array[Target] = brackets.map { b =>
+        active.find(t => bidOf(t) == bracketIdx(b)).get
+      }
+      val binExprs: Seq[Column] = repr.toSeq.map { t =>
         if (tooWide(t)) {
           val mid = t.lo / 2 + t.hi / 2
           when(!groupMatch(t.gid), lit(null))
@@ -193,7 +209,8 @@ object ExactQuantiles {
         .collect()
         .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
 
-      active.zipWithIndex.foreach { case (t, tid) =>
+      active.foreach { t =>
+        val tid = bidOf(t)
         val below = counts.getOrElse((tid, -1), 0L)
         val hist = Array.tabulate(bins)(b => counts.getOrElse((tid, b), 0L))
         val idx = t.rank - below // index of the target among in-bracket rows
@@ -232,7 +249,20 @@ object ExactQuantiles {
     // rows per target) + exact below-bracket count, one scan for all targets.
     val unresolved = targets.filter(!_.resolved)
     if (unresolved.nonEmpty) {
-      val cellExprs: Seq[Column] = unresolved.toSeq.map { t =>
+      // Same bracket-dedup as the narrowing passes: ranks that finished
+      // in the same bracket (common when a bracket holds several nearby
+      // order statistics) share one per-distinct-value census.
+      val fBrackets: Array[(Int, Long, Long)] = unresolved.map(t =>
+        (t.gid, java.lang.Double.doubleToLongBits(t.lo),
+          java.lang.Double.doubleToLongBits(t.hi))).distinct
+      val fIdx: Map[(Int, Long, Long), Int] = fBrackets.zipWithIndex.toMap
+      def fBidOf(t: Target): Int = fIdx(
+        (t.gid, java.lang.Double.doubleToLongBits(t.lo),
+          java.lang.Double.doubleToLongBits(t.hi)))
+      val fRepr: Array[Target] = fBrackets.map { b =>
+        unresolved.find(t => fBidOf(t) == fIdx(b)).get
+      }
+      val cellExprs: Seq[Column] = fRepr.toSeq.map { t =>
         when(!groupMatch(t.gid), lit(null))
           .when(v < t.lo, struct(lit(0).as("k"), lit(0.0).as("x")))
           .when(v <= t.hi, struct(lit(1).as("k"), v.as("x")))
@@ -246,7 +276,8 @@ object ExactQuantiles {
         .collect()
 
       val byTid = rows.groupBy(_.getInt(0))
-      unresolved.zipWithIndex.foreach { case (t, tid) =>
+      unresolved.foreach { t =>
+        val tid = fBidOf(t)
         val rs = byTid.getOrElse(tid, Array.empty[Row])
         val below = rs.filter(_.getInt(1) == 0).map(_.getLong(3)).sum
         val inVals = rs.filter(_.getInt(1) == 1)
