@@ -168,6 +168,58 @@ object Multimodal {
     })
   }
 
+  /** Deterministic nearest-neighbor resize: out(x,y) = in(⌊x·sw⌋,⌊y·sh⌋)
+    * with integer source-index selection — bit-identical on any JVM
+    * (no Graphics2D rendering pipeline, whose interpolation is
+    * implementation-defined). The training-data thumbnail kernel:
+    * aspect ratio is the CALLER's policy; this is the raw kernel. */
+  private[multimodal] def resizeImage(img: java.awt.image.BufferedImage,
+      outW: Int, outH: Int): java.awt.image.BufferedImage = {
+    require(outW > 0 && outH > 0, "resize target must be positive")
+    val out = new java.awt.image.BufferedImage(
+      outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val (inW, inH) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < outH) {
+      val sy = (y.toLong * inH / outH).toInt
+      var x = 0
+      while (x < outW) {
+        val sx = (x.toLong * inW / outW).toInt
+        out.setRGB(x, y, img.getRGB(sx, sy) & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  case class Thumbnail(media_id: Long, in_w: Int, in_h: Int,
+      out_w: Int, out_h: Int, phash: Long)
+
+  /** Aspect-preserving thumbnail pass: images are decoded and
+    * nearest-neighbor-downscaled so the longer side equals `maxDim`
+    * (never upscaled), emitting dimensions + the pixel hash of the
+    * RESIZED image. Per-partition kernels in the scan stage — the
+    * standard multimodal preprocessing shape; non-images and
+    * undecodable payloads yield no row. */
+  def resizeThumbnails(media: Dataset[MediaRow], maxDim: Int): Dataset[Thumbnail] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      val img = if (m.kind == "image") decodeImage(m.bytes) else null
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val scaleDen = math.max(w, h)
+        val (ow, oh) =
+          if (scaleDen <= maxDim) (w, h)
+          else (math.max(1, w * maxDim / scaleDen),
+            math.max(1, h * maxDim / scaleDen))
+        val thumb = if (ow == w && oh == h) img else resizeImage(img, ow, oh)
+        Some(Thumbnail(m.media_id, w, h, ow, oh, pixelHash(thumb)))
+      }
+    })
+  }
+
   /** Deterministic frame sampling: every `stride`-th frame index up to
     * the decoded frame count (plumbing for video pipelines). */
   def sampleFrameIndexes(meta: Dataset[DecodedMeta], stride: Int): DataFrame = {
