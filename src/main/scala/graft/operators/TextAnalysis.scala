@@ -791,7 +791,47 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  val ShardCount = 8
+
+  /** Token-balanced shard assignment for training data loaders: docs
+    * ranked by (token count desc, doc_id) and dealt round-robin across
+    * [[ShardCount]] shards — the deterministic relaxation of
+    * longest-processing-time greedy (dealing size-sorted items bounds
+    * any shard at ideal + max_item). Output is the per-shard manifest:
+    * doc count, token total, and imbalance vs the ideal share in basis
+    * points — what a loader needs to pick up equal-work shards.
+    *
+    * Scale: the rank is a global sort of (tokens, id) PAIRS — never
+    * text — i.e. the TeraSort posture (range-partitioned, no single
+    * partition); the manifest is a |shards|-row aggregate. The real
+    * pipeline would then co-write payloads bucketed by shard_id. */
+  def shardBalance(spark: SparkSession, dir: String): DataFrame =
+    shardBalanceOf(Tables.documents(spark, dir)
+      .select(col("doc_id"), size(words).cast("long").as("toks")))
+
+  /** Core over any (doc_id, toks LONG) frame; see [[shardBalance]]. */
+  private[graft] def shardBalanceOf(sized: DataFrame): DataFrame = {
+    val spark2 = sized.sparkSession
+    import spark2.implicits._
+    // global rank WITHOUT a single-partition window: range-partitioned
+    // sort (TeraSort posture), then zipWithIndex's per-partition offset
+    // pass — the deal survives any row count
+    val dealt = sized.orderBy(col("toks").desc, col("doc_id"))
+      .select(col("doc_id"), col("toks")).as[(Long, Long)]
+      .rdd.zipWithIndex()
+      .map { case ((id, toks), idx) => (id, toks, (idx % ShardCount).toInt) }
+      .toDF("doc_id", "toks", "shard_id")
+    val tot = dealt.agg(sum("toks").as("grand"))
+    dealt.groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("tokens"))
+      .crossJoin(broadcast(tot))
+      .selectExpr("shard_id", "n_docs", "tokens",
+        s"((tokens * $ShardCount - grand) * 10000) DIV grand AS imbalance_bp")
+      .orderBy("shard_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_shard_balance" -> (shardBalance _),
     "q_doc_perplexity" -> (docPerplexity _),
     "q_filter_sweep" -> (filterSweep _),
     "q_waterfill_budget" -> (waterfillBudget _),
@@ -819,6 +859,19 @@ object TextAnalysis {
   private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
 
   val oracles: Map[String, String] = Map(
+    "q_shard_balance" ->
+      s"""WITH sized AS (SELECT doc_id, len($wordsSql)::BIGINT AS toks
+         |  FROM documents),
+         |dealt AS (SELECT doc_id, toks,
+         |    ((row_number() OVER (ORDER BY toks DESC, doc_id) - 1)
+         |      % $ShardCount)::INT AS shard_id
+         |  FROM sized),
+         |t AS (SELECT sum(toks)::BIGINT AS grand FROM dealt)
+         |SELECT shard_id, count(*) AS n_docs, sum(toks)::BIGINT AS tokens,
+         |  (((sum(toks)::BIGINT * $ShardCount - grand) * 10000)
+         |    // grand)::BIGINT AS imbalance_bp
+         |FROM dealt CROSS JOIN t
+         |GROUP BY shard_id, grand ORDER BY shard_id""".stripMargin,
     "q_doc_perplexity" ->
       s"""WITH tw AS (SELECT doc_id, unnest($wordsSql) AS word FROM documents),
          |tf AS (SELECT doc_id, word FROM tw WHERE len(word) > 0),

@@ -216,4 +216,29 @@ class TextOpsSpec extends SparkSpec {
       assert(got == expect, s"k=$k parts=$parts")
     }
   }
+
+  test("shardBalanceOf: sorted round-robin deal bounds shard imbalance") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(3)
+    // heavy-tailed sizes: a few giants + many small docs
+    val sized = (1L to 400L).map(id =>
+      (id, if (id <= 5) 5000L + rnd.nextInt(2000) else 10L + rnd.nextInt(200)))
+    for (parts <- Seq(1, 7)) {
+      val rows = TextAnalysis.shardBalanceOf(
+        sized.toDF("doc_id", "toks").repartition(parts)).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.map(_._1).toSeq == (0 until TextAnalysis.ShardCount))
+      assert(rows.map(_._3).sum == sized.map(_._2).sum, "tokens conserved")
+      assert(rows.map(_._2).sum == 400L, "docs conserved")
+      // the sorted deal bounds any shard by ideal + one max item:
+      // with S shards, |shard - ideal| * S <= S * max_item
+      val ideal = sized.map(_._2).sum / TextAnalysis.ShardCount
+      val maxItem = sized.map(_._2).max
+      rows.foreach { case (sid, _, toks, bp) =>
+        assert(math.abs(toks - ideal) <= maxItem, s"shard $sid: $toks vs $ideal")
+        assert(math.abs(bp) <= 10000L * maxItem / ideal + 1, s"bp $bp")
+      }
+    }
+  }
 }
