@@ -179,15 +179,20 @@ object Multimodal {
     val out = new java.awt.image.BufferedImage(
       outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val (inW, inH) = (img.getWidth, img.getHeight)
+    // bulk row get/set: one ColorModel conversion per ROW, not per pixel
+    // (identical output to the per-pixel form — same index arithmetic)
+    val rowBuf = new Array[Int](inW)
+    val outBuf = new Array[Int](outW)
     var y = 0
     while (y < outH) {
       val sy = (y.toLong * inH / outH).toInt
+      img.getRGB(0, sy, inW, 1, rowBuf, 0, inW)
       var x = 0
       while (x < outW) {
-        val sx = (x.toLong * inW / outW).toInt
-        out.setRGB(x, y, img.getRGB(sx, sy) & 0xffffff)
+        outBuf(x) = rowBuf((x.toLong * inW / outW).toInt) & 0xffffff
         x += 1
       }
+      out.setRGB(0, y, outW, 1, outBuf, 0, outW)
       y += 1
     }
     out

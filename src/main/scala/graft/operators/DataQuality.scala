@@ -82,8 +82,7 @@ object DataQuality {
       .select(to_date(col("o_orderdate")).as("d"),
         expr(s"CAST(round(o_totalprice * 100) AS LONG) DIV $PsiBucketCents")
           .as("bucket"))
-    val bounds = o.agg(min("d").as("d0"), max("d").as("d1"))
-      .selectExpr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT)) AS cut_d")
+    val bounds = Relational.dateCutBounds(o, 1, 2)
     val counts = o.crossJoin(broadcast(bounds))
       .groupBy("bucket")
       .agg(sum(when(col("d") < col("cut_d"), 1L).otherwise(0L)).as("c1"),

@@ -51,6 +51,22 @@ object ExactQuantiles {
       var value: Double = Double.NaN,
       var resolved: Boolean = false)
 
+  /** Distinct-bracket grouping: targets sharing (gid, lo, hi) map to one
+    * scan expression. Keys use raw double BITS — an equal-but-different-
+    * bits pair (-0.0 vs 0.0) must not split a group, and bitwise-equal
+    * brackets always hash together. First occurrence is the
+    * representative; the returned lookup gives each target its group
+    * index. Shared by the narrowing and final passes. */
+  private def bracketGroups(ts: Array[Target]): (Array[Target], Target => Int) = {
+    def key(t: Target): (Int, Long, Long) =
+      (t.gid, java.lang.Double.doubleToLongBits(t.lo),
+        java.lang.Double.doubleToLongBits(t.hi))
+    val firsts = scala.collection.mutable.LinkedHashMap.empty[(Int, Long, Long), Target]
+    ts.foreach(t => if (!firsts.contains(key(t))) firsts(key(t)) = t)
+    val lookup = firsts.keysIterator.zipWithIndex.toMap
+    (firsts.valuesIterator.toArray, t => lookup(key(t)))
+  }
+
   /** Exact quantiles of `valueCol` (optionally per group). Returns one row
     * per group: groupBy columns ++ one DoubleType column per
     * `(outName, fraction)`. NULL values are excluded and NaN values are
@@ -175,18 +191,7 @@ object ExactQuantiles {
       // starts from the same [min,max], and nearby fractions keep
       // colliding while the brackets are wide) share ONE histogram —
       // the scan payload is per distinct bracket, not per rank.
-      // Brackets are keyed by raw bits: -0.0 vs 0.0 or any other
-      // equal-but-different-bits pair must not split a key.
-      val brackets: Array[(Int, Long, Long)] = active.map(t =>
-        (t.gid, java.lang.Double.doubleToLongBits(t.lo),
-          java.lang.Double.doubleToLongBits(t.hi))).distinct
-      val bracketIdx: Map[(Int, Long, Long), Int] = brackets.zipWithIndex.toMap
-      def bidOf(t: Target): Int = bracketIdx(
-        (t.gid, java.lang.Double.doubleToLongBits(t.lo),
-          java.lang.Double.doubleToLongBits(t.hi)))
-      val repr: Array[Target] = brackets.map { b =>
-        active.find(t => bidOf(t) == bracketIdx(b)).get
-      }
+      val (repr, bidOf) = bracketGroups(active)
       val binExprs: Seq[Column] = repr.toSeq.map { t =>
         if (tooWide(t)) {
           val mid = t.lo / 2 + t.hi / 2
@@ -252,16 +257,7 @@ object ExactQuantiles {
       // Same bracket-dedup as the narrowing passes: ranks that finished
       // in the same bracket (common when a bracket holds several nearby
       // order statistics) share one per-distinct-value census.
-      val fBrackets: Array[(Int, Long, Long)] = unresolved.map(t =>
-        (t.gid, java.lang.Double.doubleToLongBits(t.lo),
-          java.lang.Double.doubleToLongBits(t.hi))).distinct
-      val fIdx: Map[(Int, Long, Long), Int] = fBrackets.zipWithIndex.toMap
-      def fBidOf(t: Target): Int = fIdx(
-        (t.gid, java.lang.Double.doubleToLongBits(t.lo),
-          java.lang.Double.doubleToLongBits(t.hi)))
-      val fRepr: Array[Target] = fBrackets.map { b =>
-        unresolved.find(t => fBidOf(t) == fIdx(b)).get
-      }
+      val (fRepr, fBidOf) = bracketGroups(unresolved)
       val cellExprs: Seq[Column] = fRepr.toSeq.map { t =>
         when(!groupMatch(t.gid), lit(null))
           .when(v < t.lo, struct(lit(0).as("k"), lit(0.0).as("x")))

@@ -802,8 +802,7 @@ object Relational {
     val o = Tables.orders(spark, dir)
       .select(col("o_orderpriority").as("pri"), to_date(col("o_orderdate")).as("d"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
-    val bounds = o.agg(min("d").as("d0"), max("d").as("d1"))
-      .selectExpr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT)) AS cut_d")
+    val bounds = dateCutBounds(o, 1, 2)
     val seg = o.crossJoin(broadcast(bounds))
       .groupBy("pri")
       .agg(sum(when(col("d") < col("cut_d"), col("cents"))).as("r1"),
@@ -821,6 +820,15 @@ object Relational {
           " - 10000 END AS growth_bp")
       .orderBy("pri")
   }
+
+  /** 1-row broadcastable date cut at num/den of the frame's [min(d),
+    * max(d)] span — the period split shared by mixShift, incrementalAgg,
+    * and DataQuality.psiDrift (their DuckDB twins mirror this exact
+    * expression; keep them in lockstep). */
+  private[operators] def dateCutBounds(o: DataFrame, num: Int, den: Int): DataFrame =
+    o.agg(min("d").as("d0"), max("d").as("d1"))
+      .selectExpr(
+        s"date_add(d0, CAST((datediff(d1, d0) * $num) div $den AS INT)) AS cut_d")
 
   /** Arbitrary GROUPING SETS — the general form rollup/cube specialize:
     * mixed-dimension sets ((flag, status), (flag), (shipdate-year), ())
@@ -872,8 +880,7 @@ object Relational {
   /** Core over any (o_custkey, d DATE, cents LONG) change stream; see
     * [[incrementalAgg]]. */
   private[graft] def incrementalAggOf(o: DataFrame): DataFrame = {
-    val bounds = o.agg(min("d").as("d0"), max("d").as("d1"))
-      .selectExpr("date_add(d0, CAST((datediff(d1, d0) * 9) div 10 AS INT)) AS cut_d")
+    val bounds = dateCutBounds(o, 9, 10)
     val stamped = o.crossJoin(broadcast(bounds))
     def aggState(df: DataFrame) = df.groupBy("o_custkey")
       .agg(count(lit(1)).as("n"), sum("cents").as("c"))
@@ -917,11 +924,19 @@ object Relational {
       .agg(sum("pos").as("np"), (count(lit(1)) - sum("pos")).as("nn"))
     val w = Window.orderBy("s")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // u2 ~ n_pos·n_neg is quadratic in row count: Long dies near 4e9
+    // rows (and ANSI mode throws, it doesn't wrap) — the pair count and
+    // the ×10⁶ scale live in DECIMAL(38,0) (exact integers to 1e38, the
+    // engine twin of DuckDB's HUGEINT promotion), only the ≤10⁶ result
+    // returns to BIGINT
     b.withColumn("cumnn", sum("nn").over(w) - col("nn"))
       .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
-        sum(col("np") * (lit(2L) * col("cumnn") + col("nn"))).as("u2"))
+        sum(col("np").cast("decimal(38,0)")
+          * (lit(2L) * col("cumnn") + col("nn"))).as("u2"))
       .selectExpr("n_pos", "n_neg",
-        "(u2 * 1000000) DIV (2 * n_pos * n_neg) AS auc_micro")
+        """CAST((u2 * 1000000) DIV
+          |  (CAST(n_pos AS DECIMAL(38,0)) * 2 * n_neg) AS LONG)
+          |  AS auc_micro""".stripMargin)
   }
 
   /** Score-calibration reliability table (the companion diagnostic to
@@ -1050,8 +1065,8 @@ object Relational {
          |      AS cumnn
          |  FROM b)
          |SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
-         |  ((sum(np * (2 * cumnn + nn)) * 1000000)
-         |    // (2 * sum(np) * sum(nn)))::BIGINT AS auc_micro
+         |  ((sum(np::HUGEINT * (2 * cumnn + nn)) * 1000000)
+         |    // (2 * sum(np)::HUGEINT * sum(nn)))::BIGINT AS auc_micro
          |FROM w""".stripMargin,
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

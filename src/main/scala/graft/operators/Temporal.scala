@@ -242,13 +242,20 @@ object Temporal {
   private[graft] def anomalyDowOf(dailyX: DataFrame): DataFrame = {
     val daily = dailyX.selectExpr("d", "x", "weekday(d) AS dow")
     val stats = daily.groupBy("dow")
-      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"))
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+    // dev² and n·Σx² are quadratic in the revenue scale: the 2σ test
+    // and the bp score run in DECIMAL(38,0) (ANSI Long would throw on
+    // exactly the anomalous rows at large SF); membership stays an
+    // exact-integer comparison
     daily.join(broadcast(stats), "dow")
-      .withColumn("dev", col("n") * col("x") - col("sx"))
-      .withColumn("v4", lit(4L) * (col("n") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("dev",
+        col("n").cast("decimal(38,0)") * col("x") - col("sx"))
+      .withColumn("v4", lit(4L) * (col("n").cast("decimal(38,0)") * col("sxx")
+        - col("sx").cast("decimal(38,0)") * col("sx")))
       .filter(col("dev") * col("dev") > col("v4"))
       .select(col("d"), col("dow"), col("x").as("x_kusd"),
-        expr("(dev * dev * 10000) DIV v4").as("score_bp"))
+        expr("CAST((dev * dev * 10000) DIV v4 AS LONG)").as("score_bp"))
       .orderBy("d")
   }
 
@@ -268,12 +275,20 @@ object Temporal {
 
   /** Core over any (et, d, c LONG) daily-count frame; see [[burstiness]]. */
   private[graft] def burstinessOf(daily: DataFrame): DataFrame =
+    // n²·variance is quadratic in the count scale — c², total² and the
+    // ×10⁶ term overflow Long (ANSI: throw) for heavy keys, so the
+    // moment arithmetic runs in DECIMAL(38,0) (exact-integer twin of
+    // DuckDB's HUGEINT); the bounded ratios come back to BIGINT
     daily.groupBy("et")
       .agg(count(lit(1)).as("n_days"), sum("c").as("total"),
-        sum(col("c") * col("c")).as("scc"), max("c").as("peak"))
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("scc"),
+        max("c").as("peak"))
       .selectExpr("et", "n_days", "total",
-        "((n_days * scc - total * total) * 1000000) DIV (n_days * total) AS fano_micro",
-        "(peak * n_days * 10000) DIV total AS peak_bp")
+        """CAST(((n_days * scc - CAST(total AS DECIMAL(38,0)) * total)
+          |  * 1000000) DIV (CAST(n_days AS DECIMAL(38,0)) * total) AS LONG)
+          |  AS fano_micro""".stripMargin,
+        """CAST((CAST(peak AS DECIMAL(38,0)) * n_days * 10000)
+          |  DIV CAST(total AS DECIMAL(38,0)) AS LONG) AS peak_bp""".stripMargin)
       .orderBy("et")
 
   val queries: Map[String, Q] = Map(
@@ -403,25 +418,26 @@ object Temporal {
          |  FROM orders GROUP BY 1),
          |dd AS (SELECT d, x, (isodow(d) - 1)::INT AS dow FROM daily),
          |st AS (SELECT dow, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
-         |    sum(x * x)::BIGINT AS sxx
+         |    sum(x::HUGEINT * x) AS sxx
          |  FROM dd GROUP BY dow)
          |SELECT d, dow, x AS x_kusd,
-         |  (((n * x - sx) * (n * x - sx)) * 10000
-         |    // (4 * (n * sxx - sx * sx)))::BIGINT AS score_bp
+         |  (((n::HUGEINT * x - sx) * (n::HUGEINT * x - sx)) * 10000
+         |    // (4 * (n * sxx - sx::HUGEINT * sx)))::BIGINT AS score_bp
          |FROM dd JOIN st USING (dow)
-         |WHERE (n * x - sx) * (n * x - sx) > 4 * (n * sxx - sx * sx)
+         |WHERE (n::HUGEINT * x - sx) * (n::HUGEINT * x - sx)
+         |  > 4 * (n * sxx - sx::HUGEINT * sx)
          |ORDER BY d""".stripMargin,
     "q_burstiness" ->
       """WITH daily AS (SELECT event_type AS et, CAST(ts AS DATE) AS d,
         |    count(*)::BIGINT AS c
         |  FROM events GROUP BY 1, 2),
         |a AS (SELECT et, count(*)::BIGINT AS n_days, sum(c)::BIGINT AS total,
-        |    sum(c * c)::BIGINT AS scc, max(c)::BIGINT AS peak
+        |    sum(c::HUGEINT * c) AS scc, max(c)::BIGINT AS peak
         |  FROM daily GROUP BY et)
         |SELECT et, n_days, total,
-        |  (((n_days * scc - total * total) * 1000000)
-        |    // (n_days * total))::BIGINT AS fano_micro,
-        |  ((peak * n_days * 10000) // total)::BIGINT AS peak_bp
+        |  (((n_days * scc - total::HUGEINT * total) * 1000000)
+        |    // (n_days::HUGEINT * total))::BIGINT AS fano_micro,
+        |  ((peak::HUGEINT * n_days * 10000) // total)::BIGINT AS peak_bp
         |FROM a ORDER BY et""".stripMargin,
     "q_seasonality" ->
       """WITH o AS (SELECT o_orderpriority AS pri,

@@ -774,16 +774,20 @@ object TextAnalysis {
     * OOV path; a held-out LM swaps in by replacing the vocab frame.
     *
     * Scale: the token explosion is the only corpus-sized stage; the
-    * vocab table is Heaps-law-bounded (≪ corpus) and broadcast into
-    * the stream, so the per-doc aggregate rides the SAME shuffle that
-    * grouped the tokens — one wide pass, vocab-sized support data. */
+    * vocab table is Heaps-law-small (≪ corpus, but unbounded) and
+    * joined WITHOUT a forced broadcast — AQE broadcasts while it fits
+    * and shuffle-joins on the word key beyond. */
   def docPerplexity(spark: SparkSession, dir: String): DataFrame = {
     val tw = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(words).as("word"))
       .filter(length(col("word")) > 0)
     val vocab = tw.groupBy("word").agg(count(lit(1)).as("c"))
     val tot = vocab.agg(sum("c").as("t"))
-    tw.join(broadcast(vocab), "word").crossJoin(broadcast(tot))
+    // no broadcast hint on vocab: Heaps growth is sublinear but NOT
+    // bounded — AQE broadcasts while it fits and falls back to a
+    // word-keyed shuffle join beyond, instead of dying at the 8 GB
+    // broadcast ceiling
+    tw.join(vocab, "word").crossJoin(broadcast(tot))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         round(sum(log(col("t").cast("double") / col("c"))) / count(lit(1)), 4)

@@ -187,6 +187,20 @@ object Sources {
   def shuffle(df: DataFrame, seed: Long): DataFrame =
     df.withColumn("__r", rand(seed)).orderBy("__r").drop("__r")
 
+  /** Run `f` against a fresh scratch directory, pin its (small) result
+    * (GateUtil.pinned), and remove the directory — exception-safe, so a
+    * failed write can't strand a /tmp copy either. Shared by every gate
+    * that needs a scratch warehouse. */
+  private def withScratchDir(prefix: String)(f: String => DataFrame): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory(prefix).toString
+    try graft.GateUtil.pinned(f(base))(())
+    finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(base)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** Gate query: bucketed co-located join (the 100 TB technique for
     * repeated fact↔fact joins: both sides bucketed+sorted on the join
     * key at write time, so the join runs with ZERO exchange — at scale
@@ -254,7 +268,7 @@ object Sources {
     val li = graft.Tables.lineitem(spark, dir)
       .filter(col("l_quantity") <= 5)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-    val base = java.nio.file.Files.createTempDirectory("graft-rt").toString
+    withScratchDir("graft-rt") { base =>
     saveParquet(li, s"$base/pq")
     saveText(li, s"$base/csv")
     saveOrc(li, s"$base/orc")
@@ -270,17 +284,11 @@ object Sources {
       val r = df.agg(count(lit(1)), round(sum("l_extendedprice"), 2)).head()
       (r.getLong(0), r.getDouble(1))
     }
-    val out = Seq("source" -> stat(li), "parquet" -> stat(pq),
+    Seq("source" -> stat(li), "parquet" -> stat(pq),
       "csv" -> stat(csv), "orc" -> stat(orc), "shuffled" -> stat(sh))
       .map { case (s, (n, v)) => (s, n, v) }
       .toDF("stage", "n_rows", "sum_price").orderBy("stage")
-    // stats are materialized; remove the roundtrip scratch dir (repeated
-    // gate runs would otherwise accumulate copies under /tmp)
-    val rows = out.collect()
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(java.nio.file.Paths.get(base)).iterator().asScala
-      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    }
   }
 
   val PruneYear = 1995
@@ -297,15 +305,11 @@ object Sources {
   def partitionPruneQuery(spark: SparkSession, dir: String): DataFrame = {
     val o = graft.Tables.orders(spark, dir)
       .withColumn("o_year", year(to_date(col("o_orderdate"))))
-    val base = java.nio.file.Files.createTempDirectory("graft-pp").toString
-    o.write.mode(SaveMode.Overwrite).partitionBy("o_year")
-      .parquet(s"$base/orders_by_year")
-    val out = prunedMonthlyAgg(spark.read.parquet(s"$base/orders_by_year"))
-    val rows = out.collect()
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(java.nio.file.Paths.get(base)).iterator().asScala
-      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    withScratchDir("graft-pp") { base =>
+      o.write.mode(SaveMode.Overwrite).partitionBy("o_year")
+        .parquet(s"$base/orders_by_year")
+      prunedMonthlyAgg(spark.read.parquet(s"$base/orders_by_year"))
+    }
   }
 
   /** The pruned read over any o_year-partitioned orders frame; factored
