@@ -834,7 +834,33 @@ object TextAnalysis {
       .orderBy("shard_id")
   }
 
+  val FeatureHashBuckets = 64
+
+  /** Hashing-trick featurization (Weinberger et al. — the fixed-width
+    * featurizer that needs NO vocabulary pass, the standard way to
+    * featurize unbounded token spaces): token → bucket by the portable
+    * 56-bit hash mod B, sign from the hash's next bit (the signed
+    * variant keeps collision noise zero-mean), per-(doc, bucket) signed
+    * counts. Output is the sparse doc×B matrix in COO form.
+    *
+    * Scale: one token explosion → one partial+final agg on (doc,
+    * bucket); no vocabulary state anywhere — the whole point of the
+    * trick. B is the model's knob; 64 keeps the gate output bounded. */
+  def featureHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(col("doc_id"), hash56(col("word")).as("h"))
+      .groupBy(col("doc_id"),
+        pmod(col("h"), lit(FeatureHashBuckets.toLong)).cast("int").as("bucket"))
+      .agg(sum(expr(
+        s"CASE WHEN (h DIV $FeatureHashBuckets) % 2 = 0 THEN 1L ELSE -1L END"))
+        .as("val"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy("doc_id", "bucket")
+
   val queries: Map[String, Q] = Map(
+    "q_feature_hash" -> (featureHash _),
     "q_shard_balance" -> (shardBalance _),
     "q_doc_perplexity" -> (docPerplexity _),
     "q_filter_sweep" -> (filterSweep _),
@@ -863,6 +889,15 @@ object TextAnalysis {
   private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
 
   val oracles: Map[String, String] = Map(
+    "q_feature_hash" ->
+      s"""WITH tw AS (SELECT doc_id, unnest($wordsSql) AS word FROM documents),
+         |h AS (SELECT doc_id, ${hash56Sql("word")} AS h
+         |  FROM tw WHERE len(word) > 0)
+         |SELECT doc_id, (h % $FeatureHashBuckets)::INT AS bucket,
+         |  sum(CASE WHEN (h // $FeatureHashBuckets) % 2 = 0
+         |    THEN 1 ELSE -1 END)::BIGINT AS val,
+         |  count(*) AS n_tokens
+         |FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
     "q_shard_balance" ->
       s"""WITH sized AS (SELECT doc_id, len($wordsSql)::BIGINT AS toks
          |  FROM documents),

@@ -217,6 +217,34 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("featureHash replays the portable-hash bucket/sign arithmetic") {
+    val rows = TextAnalysis.featureHash(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    def h56(w: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(w.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(14)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.flatMap { case (id, text) =>
+      text.trim.split("\\s+").filter(_.nonEmpty).map { w =>
+        val h = h56(w)
+        ((id, (h % TextAnalysis.FeatureHashBuckets).toInt),
+          if ((h / TextAnalysis.FeatureHashBuckets) % 2 == 0) 1L else -1L)
+      }
+    }.groupBy(_._1).map { case (k, xs) =>
+      k -> (xs.map(_._2).sum, xs.length.toLong)
+    }
+    assert(rows == expect, s"${rows.size} cells vs ${expect.size}")
+    // |signed sum| can never exceed the token count in the cell
+    rows.values.foreach { case (v, n) => assert(math.abs(v) <= n) }
+  }
+
   test("shardBalanceOf: sorted round-robin deal bounds shard imbalance") {
     val spark2 = spark
     import spark2.implicits._
