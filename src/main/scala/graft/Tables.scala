@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet star schema (TESTDATA.md).
   *
@@ -19,8 +19,19 @@ object Tables {
   /** Small dimension tables that should always be broadcast in joins. */
   val broadcastable: Set[String] = Set("region", "nation", "supplier", "part", "customer")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) columns (the
+    * testdata generator's `timestamp[us]` arrow type) read as
+    * TIMESTAMP_NTZ in Spark 4, which `unix_micros`/datetime arithmetic
+    * reject. Every graft session pins spark.sql.session.timeZone=UTC, so
+    * casting NTZ→TIMESTAMP is instant-exact (wall time == UTC instant,
+    * exactly how DuckDB loads the same column into its naive µs
+    * TIMESTAMP) — normalize at the single load chokepoint. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

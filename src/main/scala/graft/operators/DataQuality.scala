@@ -98,11 +98,115 @@ object DataQuality {
       .orderBy("bucket")
   }
 
+  /** Functional-dependency profiling (the discovery side of data
+    * quality: does LHS → RHS actually hold in the data?). For each
+    * candidate FD, group by the LHS and count distinct RHS values; a
+    * group with >1 variant violates the dependency. Reports per-FD
+    * group/violation counts and the worst variant fan-out — the
+    * profile a pipeline consults before declaring a column derivable.
+    *
+    * Scale: each FD is one partial+final agg on its LHS key with only
+    * the two key columns projected (column-pruned scan), then a second
+    * tiny rollup; candidate FDs on the same table still scan
+    * independently but each scan is two columns wide. Violating ROWS
+    * are never materialized — counts only, like [[dataQuality]]. */
+  def fdViolations(spark: SparkSession, dir: String): DataFrame = {
+    val fds = Seq(
+      ("customer: nationkey->mktsegment",
+        Tables.customer(spark, dir), "c_nationkey", "c_mktsegment"),
+      ("orders: custkey->orderpriority",
+        Tables.orders(spark, dir), "o_custkey", "o_orderpriority"),
+      ("part: brand->type", Tables.part(spark, dir), "p_brand", "p_type"),
+      ("part: type->size", Tables.part(spark, dir), "p_type", "p_size"))
+    fds.map { case (name, df, lhs, rhs) =>
+      df.select(col(lhs), col(rhs))
+        .groupBy(lhs).agg(countDistinct(rhs).as("k"), count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_groups"),
+          count(when(col("k") > 1, 1)).as("n_violating"),
+          max(col("k")).as("max_variants"),
+          coalesce(sum(when(col("k") > 1, col("n"))), lit(0L))
+            .as("rows_in_violating"))
+        .select(lit(name).as("fd"), col("n_groups"), col("n_violating"),
+          col("max_variants"), col("rows_in_violating"))
+    }.reduce(_.unionAll(_))
+      .withColumn("holds", when(col("n_violating") === 0, "yes").otherwise("no"))
+      .orderBy("fd")
+  }
+
+  /** Benford's-law conformance bp for each expected leading digit —
+    * pinned integer floor(log₁₀(1+1/d)·10⁴) so both engines compare
+    * against byte-identical constants. */
+  val BenfordBp: Seq[(Int, Long)] = Seq(
+    1 -> 3010L, 2 -> 1760L, 3 -> 1249L, 4 -> 969L, 5 -> 791L,
+    6 -> 669L, 7 -> 579L, 8 -> 511L, 9 -> 457L)
+
+  /** Benford's-law leading-digit census (the classic anomaly/fraud
+    * screen for "organic" monetary data): leading digit of the order
+    * value in integer cents — extracted from the decimal string, so no
+    * log₁₀/pow fp path — against the pinned Benford share table, with
+    * the deviation in integer basis points.
+    *
+    * Scale: one two-column scan partial+final-aggregated onto a 9-row
+    * digit space, one 1-row total broadcast, one 9-row literal join —
+    * the whole diagnostic is a single pass at any corpus size. */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.orders(spark, dir)
+      .select(expr("CAST(round(o_totalprice * 100) AS LONG)").as("c"))
+      .filter(col("c") > 0)
+      .select(substring(col("c").cast("string"), 1, 1).cast("int").as("digit"))
+    val counts = cents.groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n").as("total"))
+    val expected = {
+      val spark2 = counts.sparkSession
+      import spark2.implicits._
+      BenfordBp.toDF("digit", "benford_bp")
+    }
+    counts.crossJoin(broadcast(tot))
+      .join(broadcast(expected), Seq("digit"))
+      .selectExpr("digit", "n", "(n * 10000) DIV total AS share_bp",
+        "benford_bp", "(n * 10000) DIV total - benford_bp AS dev_bp")
+      .orderBy("digit")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_data_quality" -> (dataQuality _),
+    "q_fd_violations" -> (fdViolations _),
+    "q_benford" -> (benford _),
     "q_psi_drift" -> (psiDrift _))
 
   val oracles: Map[String, String] = Map(
+    "q_fd_violations" -> {
+      def one(name: String, table: String, lhs: String, rhs: String) =
+        s"""SELECT '$name' AS fd, count(*)::BIGINT AS n_groups,
+           |  sum(CASE WHEN k > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+           |  max(k)::BIGINT AS max_variants,
+           |  coalesce(sum(CASE WHEN k > 1 THEN n END), 0)::BIGINT
+           |    AS rows_in_violating
+           |FROM (SELECT $lhs, count(DISTINCT $rhs) AS k, count(*) AS n
+           |  FROM $table GROUP BY $lhs)""".stripMargin
+      Seq(
+        one("customer: nationkey->mktsegment", "customer",
+          "c_nationkey", "c_mktsegment"),
+        one("orders: custkey->orderpriority", "orders",
+          "o_custkey", "o_orderpriority"),
+        one("part: brand->type", "part", "p_brand", "p_type"),
+        one("part: type->size", "part", "p_type", "p_size"))
+        .mkString("SELECT *, CASE WHEN n_violating = 0 THEN 'yes' ELSE 'no' END AS holds FROM (\n",
+          "\nUNION ALL\n", "\n) ORDER BY fd")
+    },
+    "q_benford" ->
+      s"""WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+         |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+         |  FROM orders WHERE round(o_totalprice * 100) > 0),
+         |c AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit),
+         |t AS (SELECT sum(n)::BIGINT AS total FROM c),
+         |e(digit, benford_bp) AS (VALUES ${DataQuality.BenfordBp
+          .map { case (d, bp) => s"($d, ${bp}::BIGINT)" }.mkString(", ")})
+         |SELECT c.digit, c.n, (c.n * 10000) // t.total AS share_bp,
+         |  e.benford_bp,
+         |  (c.n * 10000) // t.total - e.benford_bp AS dev_bp
+         |FROM c CROSS JOIN t JOIN e ON c.digit = e.digit
+         |ORDER BY c.digit""".stripMargin,
     "q_psi_drift" ->
       s"""WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d,
          |    CAST(round(o_totalprice * 100) AS BIGINT) // $PsiBucketCents

@@ -967,7 +967,102 @@ object Relational {
       .orderBy("decile")
   }
 
+  /** Winsorized robust aggregates: per-group p05/p95 breakpoints from
+    * the bounded bracketed selection (ExactQuantiles — never a value
+    * buffer), rounded to whole cents and used to clamp the tails, then
+    * the winsorized sum/clamp census. The outlier-robust mean that,
+    * unlike trimming, keeps n constant — standard for revenue metrics
+    * polluted by fat fingers.
+    *
+    * Everything downstream of the breakpoints is integer (cents clamp
+    * against a rounded-integer threshold, BIGINT sum), so the result
+    * hashes engine-exactly; only the threshold round() itself leans on
+    * the shared interpolation convention. Scale: ExactQuantiles' narrow
+    * passes + one broadcast of 3×2 thresholds + one partial+final agg. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS LONG)").as("c"))
+    val bks = ExactQuantiles.quantiles(v, "c",
+      Seq("plo" -> 0.05, "phi" -> 0.95), groupBy = Seq("l_returnflag"))
+      .select(col("l_returnflag"),
+        round(col("plo")).cast("long").as("tlo"),
+        round(col("phi")).cast("long").as("thi"))
+    v.join(broadcast(bks), Seq("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(max(col("tlo")).as("tlo"), max(col("thi")).as("thi"),
+        sum(greatest(least(col("c"), col("thi")), col("tlo")))
+          .as("win_sum_cents"),
+        count(when(col("c") < col("tlo"), 1)).as("n_lo"),
+        count(when(col("c") > col("thi"), 1)).as("n_hi"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Join-cardinality forecast from key histograms — the diagnostic an
+    * engine (or an engineer) runs BEFORE committing to a 100 TB join:
+    * for the events-by-user self-join, per-key counts give the exact
+    * output size Σc², the heaviest key's share, and the blow-up factor
+    * vs the input — the number that says "salt this key" while it is
+    * still one cheap aggregation instead of a dead executor.
+    *
+    * Scale: one partial+final count agg on the join key (key column
+    * only), then a second tiny agg; the join itself never runs. */
+  def joinSizeForecast(spark: SparkSession, dir: String): DataFrame = {
+    val perKey = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+    perKey.agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
+      sum(col("c") * col("c")).as("selfjoin_pairs"),
+      max(col("c") * col("c")).as("top_key_pairs"))
+      .selectExpr("n_keys", "n_rows", "selfjoin_pairs", "top_key_pairs",
+        "(top_key_pairs * 10000) DIV selfjoin_pairs AS top_share_bp",
+        "selfjoin_pairs DIV n_rows AS blowup_x")
+  }
+
+  val SnWindow = 4L
+  val SnMaxDist = 12
+
+  /** Sorted-neighborhood entity-resolution blocking (Hernández–Stolfo):
+    * sort records on the blocking key, candidates are only pairs within
+    * a fixed window W of the sorted order — the classic alternative to
+    * equi-key blocking ([[fuzzyJoin]]) that catches near-dups whose
+    * FIRST tokens differ but sort adjacently. Ranks come from the
+    * range-partitioned sort + per-partition offset pass (TeraSort
+    * posture — no single-partition window at any scale); the window
+    * join is an equi-join on rank DIV W with each left row exploded to
+    * its own and the next block (j−i ≤ W ⊂ blk ∪ blk+1), then the
+    * exact Levenshtein filter.
+    *
+    * Scale: candidate volume is N·W by construction — linear in the
+    * corpus, the whole point of the method; the explode is a fixed 2×
+    * fan-out of (rank, name, key) triples only. */
+  def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val ranked = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(col("p_name"), col("p_partkey"))
+      .as[(Long, String)].rdd.zipWithIndex()
+      .map { case ((k, n), r) => (k, n, r) }
+      .toDF("pk", "name", "rk")
+    val a = ranked.select(col("pk").as("a_key"), col("name").as("a_name"),
+        col("rk").as("a_rk"),
+        explode(array(col("rk") / SnWindow, col("rk") / SnWindow + 1)).as("blk"))
+    val b = ranked.select(col("pk").as("b_key"), col("name").as("b_name"),
+      col("rk").as("b_rk"), (col("rk") / SnWindow).as("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("b_rk") > col("a_rk") && col("b_rk") <= col("a_rk") + SnWindow)
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= SnMaxDist)
+      .select("a_key", "b_key", "dist")
+      .distinct()
+      .orderBy("a_key", "b_key")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_winsorize" -> (winsorize _),
+    "q_join_size" -> (joinSizeForecast _),
+    "q_sorted_neighborhood" -> (sortedNeighborhood _),
     "q_calibration" -> (calibration _),
     "q_grouping_sets" -> (groupingSets _),
     "q_incremental_agg" -> (incrementalAgg _),
