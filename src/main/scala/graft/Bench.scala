@@ -21,7 +21,10 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split(" ")(0).toDouble
       catch { case _: Throwable => 0.0 }
-    val loadMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "4.0").toDouble
+    // Judge r6: r06's official capture started at loadavg 3.36 (passed the
+    // old 4.0 gate) and recorded 2-25× inflated timings — 1.0 is the level
+    // where numbers stay comparable run-to-run on this box.
+    val loadMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "1.0").toDouble
     val loadWaitSec = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT", "600").toLong
     val waitDeadline = System.nanoTime() + loadWaitSec * 1000000000L
     while (load1() > loadMax && System.nanoTime() < waitDeadline) {
@@ -317,8 +320,23 @@ object Bench {
     val outPaths = Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/BENCH_LOCAL.json")) ++
       (if (roundTag.nonEmpty) Seq(s"/root/repo/BENCH_LOCAL$roundTag.json") else Nil)
-    outPaths.foreach { p =>
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
+    // Contention guard (judge r6 ask #2): a capture that started loaded
+    // must never overwrite an idle capture — r06's 19.3-load record buried
+    // the real 503s signal under a 1966s one. Loaded runs land in a
+    // *_contended.json side file instead.
+    def priorLoad(p: java.nio.file.Path): Double =
+      try {
+        val re = """"loadavg_start":([0-9.]+)""".r
+        re.findFirstMatchIn(java.nio.file.Files.readString(p))
+          .map(_.group(1).toDouble).getOrElse(Double.MaxValue)
+      } catch { case _: Throwable => Double.MaxValue }
+    outPaths.foreach { p0 =>
+      val path0 = java.nio.file.Paths.get(p0)
+      val p = if (loadStart > loadMax && priorLoad(path0) <= loadMax) {
+        System.err.println(s"[bench] contended capture (loadavg_start $loadStart) NOT overwriting idle record $p0")
+        java.nio.file.Paths.get(p0.stripSuffix(".json") + "_contended.json")
+      } else path0
+      try java.nio.file.Files.writeString(p, json + "\n")
       catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     }
     spark.stop()

@@ -27,6 +27,12 @@ object Tables {
     * exactly how DuckDB loads the same column into its naive µs
     * TIMESTAMP) — normalize at the single load chokepoint. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The NTZ→TIMESTAMP cast below is instant-exact ONLY under a UTC
+    // session zone; an entrypoint that forgot the pin would silently
+    // shift every timestamp. Fail loud here, at the single chokepoint.
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "Tables.load requires spark.sql.session.timeZone=UTC " +
+        "(set it in the SparkSession builder)")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.collect {
       case f if f.dataType == TimestampNTZType => f.name

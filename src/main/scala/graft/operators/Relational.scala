@@ -1045,11 +1045,14 @@ object Relational {
       .as[(Long, String)].rdd.zipWithIndex()
       .map { case ((k, n), r) => (k, n, r) }
       .toDF("pk", "name", "rk")
+    // Integer block ids (rank DIV W) — Column `/` is fractional division,
+    // which would only ever match pairs exactly W apart.
+    val blkA = expr(s"rk DIV $SnWindow")
     val a = ranked.select(col("pk").as("a_key"), col("name").as("a_name"),
         col("rk").as("a_rk"),
-        explode(array(col("rk") / SnWindow, col("rk") / SnWindow + 1)).as("blk"))
+        explode(array(blkA, blkA + 1)).as("blk"))
     val b = ranked.select(col("pk").as("b_key"), col("name").as("b_name"),
-      col("rk").as("b_rk"), (col("rk") / SnWindow).as("blk"))
+      col("rk").as("b_rk"), expr(s"rk DIV $SnWindow").as("blk"))
     a.join(b, Seq("blk"))
       .filter(col("b_rk") > col("a_rk") && col("b_rk") <= col("a_rk") + SnWindow)
       .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
@@ -1111,6 +1114,47 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_winsorize" ->
+      """WITH v AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        |  FROM lineitem
+        |), bks AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(quantile_cont(c, 0.05)) AS BIGINT) AS tlo,
+        |    CAST(round(quantile_cont(c, 0.95)) AS BIGINT) AS thi
+        |  FROM v GROUP BY l_returnflag
+        |)
+        |SELECT v.l_returnflag,
+        |  max(tlo) AS tlo, max(thi) AS thi,
+        |  sum(greatest(least(c, thi), tlo))::BIGINT AS win_sum_cents,
+        |  count(CASE WHEN c < tlo THEN 1 END)::BIGINT AS n_lo,
+        |  count(CASE WHEN c > thi THEN 1 END)::BIGINT AS n_hi,
+        |  count(*)::BIGINT AS n
+        |FROM v JOIN bks USING (l_returnflag)
+        |GROUP BY v.l_returnflag ORDER BY v.l_returnflag""".stripMargin,
+    "q_join_size" ->
+      """WITH perkey AS (
+        |  SELECT user_id, count(*)::BIGINT AS c FROM events GROUP BY user_id
+        |)
+        |SELECT count(*)::BIGINT AS n_keys, sum(c)::BIGINT AS n_rows,
+        |  sum(c * c)::BIGINT AS selfjoin_pairs,
+        |  max(c * c)::BIGINT AS top_key_pairs,
+        |  ((max(c * c) * 10000) // sum(c * c))::BIGINT AS top_share_bp,
+        |  (sum(c * c) // sum(c))::BIGINT AS blowup_x
+        |FROM perkey""".stripMargin,
+    "q_sorted_neighborhood" ->
+      s"""WITH ranked AS (
+        |  SELECT p_partkey AS pk, p_name AS name,
+        |    row_number() OVER (ORDER BY p_name, p_partkey) - 1 AS rk
+        |  FROM part
+        |)
+        |SELECT DISTINCT a.pk AS a_key, b.pk AS b_key,
+        |  levenshtein(a.name, b.name)::INT AS dist
+        |FROM ranked a JOIN ranked b
+        |  ON b.rk > a.rk AND b.rk <= a.rk + $SnWindow
+        |WHERE levenshtein(a.name, b.name) <= $SnMaxDist
+        |ORDER BY a_key, b_key""".stripMargin,
     "q_calibration" -> {
       val bks = (1 to 9).map(i =>
         s"quantile_cont(o_totalprice, ${i / 10.0}) AS q$i").mkString(", ")
