@@ -139,6 +139,64 @@ object Decompositions {
     (qacc, r)
   }
 
+  /** Selected Q columns of the economic (reduced) QR — the reference's
+    * `reduced_inverse` mode with `indexes` (tsqr/base.py:11-741): there
+    * the factor tree is re-walked end-to-beginning so unrequested Q
+    * columns are never materialized. The Spark-first equivalent of that
+    * saving: Q[:, idx] = A · R⁻¹[:, idx] — identical one-scan shape to
+    * reduced tsqr, but the broadcast shrinks to p×|idx| and each row
+    * task does |idx| dot products instead of p. Uniqueness: with the
+    * positive-diagonal sign convention the economic Q of a full-rank A
+    * is unique, so column selection commutes with reconstruction.
+    * Returns (selected Q columns as indexed rows, full R p×p). */
+  def tsqrQColumns(rows: RDD[(Long, Array[Double])], p: Int,
+      indexes: Seq[Int]): (RDD[(Long, Array[Double])], BDM[Double]) = {
+    require(indexes.nonEmpty && indexes.forall(i => i >= 0 && i < p),
+      s"indexes must be within [0, $p)")
+    val r0 = tsqrR(rows.map(_._2), p)
+    val signs = BDV.tabulate(p)(i => if (r0(i, i) < 0) -1.0 else 1.0)
+    val r = BDM.tabulate(p, p)((i, j) => r0(i, j) * signs(i))
+    val rInv = breeze.linalg.inv(r)
+    val sel = BDM.tabulate(p, indexes.length)((i, c) => rInv(i, indexes(c)))
+    val selB = rows.sparkContext.broadcast(sel)
+    val q = rows.mapValues(v => (new BDM(1, p, v) * selB.value).toArray)
+    (q, r)
+  }
+
+  /** Selected Q columns of the COMPLETE (m×m) factorization — the
+    * reference's `complete_inverse` mode with `indexes`. Columns j < n
+    * coincide with the economic Q (unique under the shared sign
+    * convention) and take the cheap A·R⁻¹ path; any column j ≥ n spans
+    * the orthogonal complement, which only the blocked full QR
+    * materializes — then it's a row-local gather. Returns (selected Q
+    * columns as indexed rows, R n×n). */
+  def fullQrColumns(rows: RDD[(Long, Array[Double])], n: Int,
+      indexes: Seq[Int], panelW: Int = 32): (RDD[(Long, Array[Double])], BDM[Double]) = {
+    require(indexes.nonEmpty && indexes.forall(_ >= 0), "indexes must be >= 0")
+    if (indexes.max < n) tsqrQColumns(rows, n, indexes)
+    else {
+      val (q, r) = fullQr(rows, n, panelW)
+      val idx = indexes.toArray
+      (q.mapValues(v => idx.map(v(_))), r)
+    }
+  }
+
+  /** `r_complete` mode (tsqr/base.py:11-741): the m×n R of the full
+    * factorization — the reduced n×n R stacked over an (m−n)×n zero
+    * block — emitted distributed (indexed rows), reusing the caller's
+    * dense 0..m-1 row ids. One R tree-reduce + one map; no row data
+    * moves. */
+  def tsqrRComplete(rows: RDD[(Long, Array[Double])], p: Int): RDD[(Long, Array[Double])] = {
+    val r0 = tsqrR(rows.map(_._2), p)
+    val signs = BDV.tabulate(p)(i => if (r0(i, i) < 0) -1.0 else 1.0)
+    val r = BDM.tabulate(p, p)((i, j) => r0(i, j) * signs(i))
+    val rB = rows.sparkContext.broadcast(r)
+    rows.map { case (i, _) =>
+      (i, if (i < p) Array.tabulate(p)(j => rB.value(i.toInt, j))
+          else new Array[Double](p))
+    }
+  }
+
   /** Truncated SVD via RowMatrix.computeSVD (ARPACK — reference
     * lanczos/base.py:314-455 maps here; same iterative Krylov family). */
   def svd(rows: RDD[(Long, Array[Double])], p: Int, k: Int):

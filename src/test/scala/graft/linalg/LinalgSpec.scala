@@ -239,6 +239,69 @@ class LinalgSpec extends SparkSpec {
     assert(maxAbs(q.t * q - BDM.eye[Double](p)) < 1e-8)
   }
 
+  test("tsqrQColumns: selected columns equal reduced Q's, orthonormal") {
+    val p = 6
+    val a = rand(200, p, 9)
+    val rows = sc.parallelize((0 until a.rows).map(i => (i.toLong, a(i, ::).t.toArray)), 8)
+    val idx = Seq(0, 2, 5)
+    val (qFullRdd, rFull) = Decompositions.tsqr(rows, p)
+    val (qSelRdd, rSel) = Decompositions.tsqrQColumns(rows, p, idx)
+    assert(maxAbs(rSel - rFull) < 1e-12) // same R either way
+    val qFull = BDM.zeros[Double](a.rows, p)
+    qFullRdd.collect().foreach { case (i, v) => qFull(i.toInt, ::) := BDV(v).t }
+    val qSel = BDM.zeros[Double](a.rows, idx.length)
+    qSelRdd.collect().foreach { case (i, v) =>
+      assert(v.length == idx.length)
+      qSel(i.toInt, ::) := BDV(v).t
+    }
+    for (c <- idx.indices)
+      assert(breeze.linalg.norm(qSel(::, c) - qFull(::, idx(c))) < 1e-10,
+        s"selected column $c differs from reduced Q column ${idx(c)}")
+    assert(maxAbs(qSel.t * qSel - BDM.eye[Double](idx.length)) < 1e-8)
+  }
+
+  test("fullQrColumns: complement columns match fullQr, orthonormal") {
+    val m = 40; val n = 24
+    val a = rand(m, n, 77)
+    val rows = sc.parallelize((0 until m).map(i => (i.toLong, a(i, ::).t.toArray)), 4)
+    val idx = Seq(1, 23, 30, 39) // spans economic + complement columns
+    val (qAllRdd, rAll) = Decompositions.fullQr(rows, n, panelW = 8)
+    val (qSelRdd, rSel) = Decompositions.fullQrColumns(rows, n, idx, panelW = 8)
+    assert(maxAbs(rSel - rAll) < 1e-12)
+    val qAll = BDM.zeros[Double](m, m)
+    qAllRdd.collect().foreach { case (i, v) => qAll(i.toInt, ::) := BDV(v).t }
+    val qSel = BDM.zeros[Double](m, idx.length)
+    qSelRdd.collect().foreach { case (i, v) => qSel(i.toInt, ::) := BDV(v).t }
+    for (c <- idx.indices)
+      assert(breeze.linalg.norm(qSel(::, c) - qAll(::, idx(c))) < 1e-8)
+    assert(maxAbs(qSel.t * qSel - BDM.eye[Double](idx.length)) < 1e-8)
+    // economic-only selection routes through the cheap path and still
+    // agrees with the full factorization's columns
+    val cheapIdx = Seq(0, 7, 23)
+    val (qChRdd, _) = Decompositions.fullQrColumns(rows, n, cheapIdx, panelW = 8)
+    val qCh = BDM.zeros[Double](m, cheapIdx.length)
+    qChRdd.collect().foreach { case (i, v) => qCh(i.toInt, ::) := BDV(v).t }
+    for (c <- cheapIdx.indices)
+      assert(breeze.linalg.norm(qCh(::, c) - qAll(::, cheapIdx(c))) < 1e-8)
+  }
+
+  test("tsqrRComplete: m×n with top block R, zeros below; Qfull·Rc = A") {
+    val m = 40; val n = 10
+    val a = rand(m, n, 31)
+    val rows = sc.parallelize((0 until m).map(i => (i.toLong, a(i, ::).t.toArray)), 4)
+    val (_, rRed) = Decompositions.tsqr(rows, n)
+    val rcRows = Decompositions.tsqrRComplete(rows, n).collect()
+    assert(rcRows.length == m)
+    val rc = BDM.zeros[Double](m, n)
+    rcRows.foreach { case (i, v) => rc(i.toInt, ::) := BDV(v).t }
+    assert(maxAbs(rc(0 until n, ::) - rRed) < 1e-12)
+    assert(maxAbs(rc(n until m, ::)) < 1e-15)
+    val (qRows, _) = Decompositions.fullQr(rows, n, panelW = 8)
+    val q = BDM.zeros[Double](m, m)
+    qRows.collect().foreach { case (i, v) => q(i.toInt, ::) := BDV(v).t }
+    assert(maxAbs(q * rc - a) < 1e-8)
+  }
+
   test("fullQr: Q m×m orthogonal, A = Q·[R;0], R upper-triangular") {
     val m = 40; val n = 24
     val a = rand(m, n, 77)
