@@ -181,6 +181,64 @@ object Sources {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Encode one matrix as .npy v1 bytes: '<f8', C order. */
+  private def npyBytes(rows: Int, cols: Int, vals: Array[Double]): Array[Byte] = {
+    val dict = s"{'descr': '<f8', 'fortran_order': False, 'shape': ($rows, $cols), }"
+    val pad = (64 - (10 + dict.length + 1) % 64) % 64
+    val header = dict + (" " * pad) + "\n"
+    val out = java.nio.ByteBuffer.allocate(10 + header.length + vals.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(0x93.toByte).put("NUMPY".getBytes("US-ASCII"))
+      .put(1.toByte).put(0.toByte)
+    out.putShort(header.length.toShort)
+    out.put(header.getBytes("US-ASCII"))
+    vals.foreach(out.putDouble)
+    out.array()
+  }
+
+  /** Save a DsArray as a directory of `.npy` strips (reference:
+    * save_npy_file, io.py:335-360 — merge_rows=True layout, one file
+    * per horizontal block-row). Names zero-pad the strip index so
+    * [[loadNpy]]'s alphanumeric vstack order reconstructs the array;
+    * the roundtrip is bit-exact ('<f8' C order both ways). Each strip
+    * is assembled and written by ONE task — per-task memory is one
+    * strip, the same bound as the reference's per-strip collect. The
+    * target must be a directory every executor can reach (local mode /
+    * shared mount): NPY is a NumPy-interchange format, parquet remains
+    * the native distributed sink. */
+  def saveNpy(arr: graft.linalg.DsArray, dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val (rpb, cpb) = arr.blockSize
+    val nRows = arr.rows
+    require(arr.cols <= 100000000L, "saveNpy: row width over 100M doubles")
+    val nCols = arr.cols.toInt
+    val nStrips = ((nRows + rpb - 1) / rpb).toInt
+    val target = dir
+    arr.bm.blocks.map { case ((bi, bj), m) => (bi, (bj, m)) }
+      .groupByKey(math.max(1, math.min(nStrips,
+        arr.bm.blocks.getNumPartitions)))
+      .foreach { case (bi, tiles) =>
+        val stripRows = math.min(rpb.toLong, nRows - bi.toLong * rpb).toInt
+        val strip = new Array[Double](stripRows * nCols)
+        tiles.foreach { case (bj, m) =>
+          val c0 = bj * cpb
+          val vals = m.toArray // column-major, dense and sparse alike
+          var j = 0
+          while (j < m.numCols) {
+            var i = 0
+            while (i < m.numRows) {
+              strip(i * nCols + c0 + j) = vals(j * m.numRows + i)
+              i += 1
+            }
+            j += 1
+          }
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(target, f"part-$bi%05d.npy"),
+          npyBytes(stripRows, nCols, strip))
+      }
+  }
+
   /** Global seeded random row shuffle (reference: dislib/utils/base.py:
     * 11-126 shuffle — preserves x/y pairing because whole rows move).
     * One range-partitioned sort on a seeded pseudo-random key. */

@@ -124,6 +124,45 @@ class SourcesSpec extends SparkSpec {
         s"($i,$j): ${got(i, j)} vs ${exp(i)(j)}")
   }
 
+  test("saveNpy: load→save→load bit-equality, strip-per-block-row layout") {
+    val src = tmp() + "/npy_src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    // one irregular 5×3 array (seeded values), loaded with 2-row blocks
+    val rng = new java.util.Random(17)
+    val vals = Array.fill(15)(rng.nextGaussian())
+    def header(rows: Int, cols: Int): Array[Byte] = {
+      val dict = s"{'descr': '<f8', 'fortran_order': False, 'shape': ($rows, $cols), }"
+      val padLen = 64 - ((10 + dict.length + 1) % 64)
+      val h = dict + (" " * padLen) + "\n"
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(Array(0x93.toByte, 'N'.toByte, 'U'.toByte, 'M'.toByte,
+        'P'.toByte, 'Y'.toByte, 1.toByte, 0.toByte))
+      bos.write(h.length & 0xff); bos.write((h.length >> 8) & 0xff)
+      bos.write(h.getBytes("US-ASCII"))
+      val bb = java.nio.ByteBuffer.allocate(rows * cols * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(bb.putDouble)
+      bos.write(bb.array())
+      bos.toByteArray
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$src/a.npy"), header(5, 3))
+    val d = Sources.loadNpy(spark, src, rowsPerBlock = 2, colsPerBlock = 2)
+    val out = tmp() + "/npy_out"
+    Sources.saveNpy(d, out)
+    // 5 rows at 2 per block-row → 3 strip files, zero-padded names
+    val written = new java.io.File(out).listFiles().map(_.getName).sorted
+    assert(written.toSeq == Seq("part-00000.npy", "part-00001.npy", "part-00002.npy"))
+    val d2 = Sources.loadNpy(spark, out, rowsPerBlock = 2, colsPerBlock = 2)
+    assert(d2.rows == 5 && d2.cols == 3)
+    val got = d2.collect(); val orig = d.collect()
+    for (i <- 0 until 5; j <- 0 until 3) {
+      // bit-exact: '<f8' in, '<f8' out, no rounding anywhere
+      assert(java.lang.Double.doubleToLongBits(got(i, j)) ==
+        java.lang.Double.doubleToLongBits(orig(i, j)), s"bits differ at ($i,$j)")
+      assert(got(i, j) == vals(i * 3 + j))
+    }
+  }
+
   test("mdcrd roundtrip: fixed-width snapshots with a ragged last line") {
     // 2 snapshots × 4 atoms × 3 coords = 24 floats → 10+10+4 per snapshot? No:
     // values stream continuously after the title line, 10 per line.
