@@ -93,10 +93,40 @@ object Neighbors {
     * all-pairs join). */
   def daura(points: DataFrame, idCol: String, vCol: String,
       cutoff: Double): Seq[(Long, Seq[Long])] = {
-    val spark = points.sparkSession
-    import spark.implicits._
     // edge list once (self-loops included → degree counts the point itself)
     val (edges0, salts) = epsEdgesWithSalts(points, idCol, vCol, cutoff)
+    greedyClusters(edges0, salts)
+  }
+
+  /** Daura over a PRECOMPUTED n×n distance matrix — the reference's
+    * literal input surface (daura/base.py:38-45 takes the distance
+    * ds-array, not points). Edges are the block-local entries with
+    * dist(i,j) ≤ cutoff: one narrow map over the tiles — no join, no
+    * shuffle — feeding the same greedy max-degree loop as the point
+    * API, so both paths agree wherever the matrix holds the pairwise
+    * distances of the points. */
+  def dauraFromDistances(dist: graft.linalg.DsArray,
+      cutoff: Double): Seq[(Long, Seq[Long])] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val (rpb, cpb) = dist.blockSize
+    val edges = dist.bm.blocks.flatMap { case ((bi, bj), m) =>
+      val r0 = bi.toLong * rpb; val c0 = bj.toLong * cpb
+      val vals = m.toArray // column-major, dense and sparse alike
+      (0 until m.numCols).iterator.flatMap { j =>
+        (0 until m.numRows).iterator
+          .filter(i => vals(j * m.numRows + i) <= cutoff)
+          .map(i => (r0 + i, c0 + j))
+      }
+    }.toDF("src", "dst")
+    greedyClusters(edges, None)
+  }
+
+  /** Shared greedy max-degree removal loop over an eps-edge list. */
+  private def greedyClusters(edges0: DataFrame,
+      salts: Option[DataFrame]): Seq[(Long, Seq[Long])] = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
     var edges = edges0.cache()
     val clusters = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
     var remaining = edges.select(countDistinct("src")).head().getLong(0)

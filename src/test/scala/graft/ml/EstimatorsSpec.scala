@@ -68,6 +68,23 @@ class EstimatorsSpec extends SparkSpec {
     assert(clusters(2) == ((5L, Seq(5L))))
   }
 
+  test("daura from a precomputed distance matrix agrees with the point API") {
+    val pts = Seq(
+      (0L, Array(0.0)), (1L, Array(0.1)), (2L, Array(0.2)),
+      (3L, Array(10.0)), (4L, Array(10.1)), (5L, Array(20.0)))
+    val spark2 = spark
+    import spark2.implicits._
+    val fromPoints = Neighbors.daura(pts.toDF("id", "v"), "id", "v", cutoff = 0.5)
+    // the same structure as an explicit 6×6 distance ds-array (2×2 tiles
+    // so the edge scan crosses block boundaries)
+    val dm = breeze.linalg.DenseMatrix.tabulate[Double](6, 6)((i, j) =>
+      math.abs(pts(i)._2(0) - pts(j)._2(0)))
+    val dist = graft.linalg.DsArray.fromBreeze(sc, dm, 2, 2)
+    val fromMatrix = Neighbors.dauraFromDistances(dist, cutoff = 0.5)
+    assert(fromMatrix == fromPoints)
+    assert(fromMatrix.head._1 == 0L && fromMatrix.head._2.toSet == Set(0L, 1L, 2L))
+  }
+
   test("epsEdges matches brute force and plans a hash join, not all-pairs") {
     val rng = new java.util.Random(7)
     val pts = Seq.tabulate(80)(i =>
