@@ -228,7 +228,60 @@ object LinalgQueries {
       .toDF("i", "j", "val").orderBy("i", "j")
   }
 
+  /** Positional WRITE gate (reference __setitem__, array.py:162-204,
+    * 719-748): element write at (7,1) and a partial column write on
+    * col 2 (even vec_ids only — odd rows must keep their data), checked
+    * through per-column sum/sum-of-squares, which pin every merged cell
+    * to either the original data or the written value. Both writes
+    * rebuild only the touched tiles (narrow map, no shuffle). */
+  def setItem(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id"),
+        transform(slice(col("embedding"), 1, 4), x => x.cast("double")).as("v"))
+      .rdd.map(r => IndexedRow(r.getLong(0), Vectors.dense(r.getSeq[Double](1).toArray)))
+    val a = DsArray.fromIndexedRows(rows, 100, 4, 16, 2)
+    val colVals = (0L until 100L by 2).map(i => i -> i * 0.01).toMap
+    val b = a.setElement(7, 1, 3.25).setColumn(2, colVals)
+    def colSums(x: DsArray) = x.applyAlongAxis(0)(
+      m => breeze.linalg.sum(m(::, breeze.linalg.*)).t, _ + _).collect()
+    val sums = colSums(b)
+    val sq = colSums(b.hadamard(b))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark2 = spark
+    import spark2.implicits._
+    (0 until 4).map(i => (i, r6(sums(0, i)), r6(sq(0, i))))
+      .toDF("dim", "sum_v", "sum_sq").orderBy("dim")
+  }
+
+  /** apply_along_axis gate (reference array.py:1320-1380 via
+    * math/base.py apply_along_axis): axis 1 = per-row L2 norm of the
+    * first 50 rows (row-order-pinning output, one value per row);
+    * axis 0 = per-column max over the whole table (per-partition Breeze
+    * reduce + treeReduce combine). */
+  def applyAxis(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(slice(col("embedding"), 1, 6), x => x.cast("double")).as("v"))
+      .rdd.map(r => IndexedRow(r.getLong(0), Vectors.dense(r.getSeq[Double](1).toArray)))
+    val n = base.count()
+    val a = DsArray.fromIndexedRows(base, n, 6, 100, 3)
+    val rowNorms = a.sliceRows(0, 50).applyAlongAxis(1)(m =>
+      breeze.linalg.DenseVector(breeze.linalg.norm(m.toDenseVector))).collect()
+    val colMax = a.applyAlongAxis(0)(
+      m => breeze.linalg.max(m(::, breeze.linalg.*)).t,
+      (x, y) => breeze.linalg.max(x, y)).collect()
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark2 = spark
+    import spark2.implicits._
+    ((0 until 50).map(i => ("row", i, r6(rowNorms(i, 0)))) ++
+      (0 until 6).map(j => ("colmax", j, r6(colMax(0, j)))))
+      .toDF("part", "pos", "val").orderBy("part", "pos")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_set_item" -> (setItem _),
+    "q_apply_axis" -> (applyAxis _),
     "q_qr_full" -> (qrFull _),
     "q_sparse_gram" -> (sparseGram _),
     "q_fancy_index" -> (fancyIndex _),
@@ -248,6 +301,29 @@ object LinalgQueries {
        |    FROM e CROSS JOIN idx GROUP BY i, j)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_set_item" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding[1:4], x -> x::DOUBLE) AS v
+        |    FROM embeddings WHERE vec_id < 100),
+        |m AS (SELECT vec_id, [v[1],
+        |    CASE WHEN vec_id = 7 THEN 3.25 ELSE v[2] END,
+        |    CASE WHEN vec_id % 2 = 0 THEN vec_id * 0.01 ELSE v[3] END,
+        |    v[4]] AS w
+        |  FROM e)
+        |SELECT (i - 1)::INT AS dim, round(sum(w[i]), 6) AS sum_v,
+        |  round(sum(w[i] * w[i]), 6) AS sum_sq
+        |FROM m CROSS JOIN generate_series(1, 4) g(i)
+        |GROUP BY i ORDER BY dim""".stripMargin,
+    "q_apply_axis" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding[1:6], x -> x::DOUBLE) AS v
+        |    FROM embeddings),
+        |r AS (SELECT 'row' AS part, vec_id::INT AS pos,
+        |    round(sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS val
+        |  FROM e WHERE vec_id < 50),
+        |c AS (SELECT 'colmax' AS part, (i - 1)::INT AS pos,
+        |    round(max(v[i]), 6) AS val
+        |  FROM e CROSS JOIN generate_series(1, 6) g(i) GROUP BY i)
+        |SELECT * FROM r UNION ALL SELECT * FROM c
+        |ORDER BY part, pos""".stripMargin,
     "q_sparse_gram" ->
       s"""WITH e AS (SELECT list_transform(embedding[1:$P],
          |      x -> CASE WHEN abs(x::DOUBLE) > 0.15 THEN x::DOUBLE ELSE 0.0::DOUBLE END) AS v
