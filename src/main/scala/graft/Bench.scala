@@ -34,6 +34,29 @@ object Bench {
     val loadStart = load1()
     if (loadStart > loadMax)
       System.err.println(f"[bench] WARNING: starting at loadavg $loadStart%.1f > $loadMax%.1f — timings may be inflated up to 3x")
+    // Box-speed calibration: a fixed single-thread integer workload timed
+    // before Spark starts. This guest's loadavg cannot see host-neighbor
+    // contention (r07 evidence: identical code measured 3-17× apart on
+    // different days, both at loadavg_start ≤ 1.1), so every capture
+    // carries its own speed factor — cross-round comparisons should
+    // normalize by the calib ratio before calling anything a regression.
+    val calibSec: Double = {
+      var best = Double.MaxValue
+      var rep = 0
+      while (rep < 3) { // best-of-3 damps scheduler hiccups
+        val t0 = System.nanoTime()
+        var x = 0x9E3779B97F4A7C15L
+        var i = 0L
+        while (i < 300000000L) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+        }
+        if (x == 42L) System.err.println("") // defeat dead-code elimination
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        rep += 1
+      }
+      best
+    }
+    System.err.println(f"[bench] calib_sec $calibSec%.3f (single-thread xorshift, best of 3)")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -305,7 +328,7 @@ object Bench {
     // only interpretable next to the load they ran under
     val loadavg = try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
       .split(" ").take(3).mkString(" ") catch { case _: Throwable => "" }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":"$loadavg","loadavg_start":$loadStart}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":"$loadavg","loadavg_start":$loadStart,"calib_sec":$calibSec}"""
     println(json)
     // stdout tails get truncated by the driver (BENCH_r02's cut mid-JSON);
     // the file copy keeps rounds comparable, and a per-round copy keeps
