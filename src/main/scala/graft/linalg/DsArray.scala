@@ -316,6 +316,32 @@ final class DsArray(val bm: BlockMatrix, val sparseTiles: Boolean = false) {
     DsArray.fromIndexedRows(all, rows, cols + o.cols, bm.rowsPerBlock, bm.colsPerBlock)
   }
 
+  /** Bottom/right constant padding (reference dislib.data.util.pad,
+    * data/util/base.py:11-80). The reference cannot grow the block grid
+    * (NotImplementedError past the regular block size); this version is
+    * compositional — concat with constant-filled arrays — so it has no
+    * such limit. Top/left padding is unimplemented in the reference and
+    * intentionally not added here either. */
+  def pad(padBottom: Int, padRight: Int, value: Double = 0.0): DsArray = {
+    require(padBottom >= 0 && padRight >= 0, "pad sizes must be >= 0")
+    val sc = bm.blocks.sparkContext
+    val (rpb, cpb) = blockSize
+    val a1 = if (padBottom > 0)
+      concatRows(DsArray.full(sc, padBottom, cols.toInt, rpb, cpb, value))
+    else this
+    if (padRight > 0)
+      a1.concatCols(DsArray.full(sc, a1.rows.toInt, padRight, rpb, cpb, value))
+    else a1
+  }
+
+  /** Drop the trailing n rows (reference remove_last_rows,
+    * data/util/base.py:143-186). */
+  def removeLastRows(n: Long): DsArray = sliceRows(0, rows - n)
+
+  /** Drop the trailing n columns (reference remove_last_columns,
+    * data/util/base.py:187-217). */
+  def removeLastCols(n: Int): DsArray = slice2D(0, rows, 0, cols.toInt - n)
+
   /** apply_along_axis (reference array.py:1577-1649 — the generic UDF
     * surface): axis 0 reduces each column via `seq`/`comb` over
     * per-partition Breeze columns; axis 1 maps each row to a scalar.

@@ -239,6 +239,25 @@ class LinalgSpec extends SparkSpec {
     assert(maxAbs(q.t * q - BDM.eye[Double](p)) < 1e-8)
   }
 
+  test("pad / removeLastRows / removeLastCols (data.util surface)") {
+    val a = rand(11, 7, 23)
+    val d = DsArray.fromBreeze(sc, a, 4, 3)
+    // bottom+right pad past the regular block size (grows the grid —
+    // the reference raises NotImplementedError there; we must not)
+    val p = d.pad(6, 5, value = 2.5)
+    assert(p.rows == 17 && p.cols == 12)
+    val pc = p.collect()
+    assert(maxAbs(pc(0 until 11, 0 until 7) - a) < 1e-12)
+    for (i <- 0 until 17; j <- 0 until 12 if i >= 11 || j >= 7)
+      assert(pc(i, j) == 2.5, s"pad value at ($i,$j)")
+    // pad is invertible by the remove_last surface
+    val back = p.removeLastRows(6).removeLastCols(5)
+    assert(back.rows == 11 && back.cols == 7)
+    assert(maxAbs(back.collect() - a) < 1e-12)
+    // zero-fill default
+    assert(d.pad(1, 0).collect()(11, ::).t.toArray.forall(_ == 0.0))
+  }
+
   test("tsqrQColumns: selected columns equal reduced Q's, orthonormal") {
     val p = 6
     val a = rand(200, p, 9)
