@@ -349,6 +349,43 @@ class PlanAssertSpec extends SparkSpec {
     }
   }
 
+  test("sorted-neighborhood window join is a keyed join on the block id — no BNLJ") {
+    withStructuralPlans {
+      val df = graft.operators.Relational.sortedNeighborhood(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      noAllPairs(plan, "sorted-neighborhood")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"the blk candidate join must be a hash/merge join:\n$plan")
+      // the block id must be integral: a fractional blk silently degrades
+      // the window to exact-W-apart pairs (the round-6 bug)
+      assert(df.count() > 0)
+    }
+  }
+
+  test("winsorize broadcasts the 3x2 thresholds; the value column aggregates partial+final") {
+    withStructuralPlans {
+      val df = graft.operators.Relational.winsorize(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      noAllPairs(plan, "winsorize")
+      // the explicit broadcast() of the per-group thresholds must survive
+      // even with auto-broadcast off — the lineitem side never shuffles
+      // for the join
+      assert(plan.contains("BroadcastHashJoin"),
+        s"threshold join must be a broadcast hash join:\n$plan")
+    }
+  }
+
+  test("join-size forecast never executes a join — aggregations only") {
+    withStructuralPlans {
+      val df = graft.operators.Relational.joinSizeForecast(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"),
+        s"the forecast must cost two aggregations, never the join itself:\n$plan")
+      assert(plan.contains("HashAggregate"),
+        s"expected partial+final aggregation:\n$plan")
+    }
+  }
+
   test("bucketed join runs with zero exchange on the join key (self-enforced) and returns rows") {
     // bucketJoinQuery require()s zero Exchange on l_orderkey internally —
     // this test pins that contract plus a non-empty result
