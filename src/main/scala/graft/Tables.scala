@@ -30,9 +30,13 @@ object Tables {
     // The NTZ→TIMESTAMP cast below is instant-exact ONLY under a UTC
     // session zone; an entrypoint that forgot the pin would silently
     // shift every timestamp. Fail loud here, at the single chokepoint.
-    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
-      "Tables.load requires spark.sql.session.timeZone=UTC " +
-        "(set it in the SparkSession builder)")
+    // Any fixed zero-offset zone id qualifies (UTC, Etc/UTC, GMT, Z …).
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    require(java.time.ZoneId.of(tz).getRules.isFixedOffset &&
+        java.time.ZoneId.of(tz).getRules.getOffset(java.time.Instant.EPOCH)
+          .getTotalSeconds == 0,
+      s"Tables.load requires a UTC session timeZone, got '$tz' " +
+        "(set spark.sql.session.timeZone=UTC in the SparkSession builder)")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.collect {
       case f if f.dataType == TimestampNTZType => f.name

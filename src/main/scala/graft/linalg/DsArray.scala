@@ -324,6 +324,8 @@ final class DsArray(val bm: BlockMatrix, val sparseTiles: Boolean = false) {
     * intentionally not added here either. */
   def pad(padBottom: Int, padRight: Int, value: Double = 0.0): DsArray = {
     require(padBottom >= 0 && padRight >= 0, "pad sizes must be >= 0")
+    require(cols <= Int.MaxValue && (padRight == 0 || rows + padBottom <= Int.MaxValue),
+      "pad: filler-array dimensions exceed Int range")
     val sc = bm.blocks.sparkContext
     val (rpb, cpb) = blockSize
     val a1 = if (padBottom > 0)

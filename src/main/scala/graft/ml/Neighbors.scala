@@ -104,9 +104,16 @@ object Neighbors {
     * dist(i,j) ≤ cutoff: one narrow map over the tiles — no join, no
     * shuffle — feeding the same greedy max-degree loop as the point
     * API, so both paths agree wherever the matrix holds the pairwise
-    * distances of the points. */
+    * distances of the points.
+    *
+    * The matrix must be DENSE (as the reference's is): in a sparse-tile
+    * DsArray an absent entry means 0.0, which would read as distance
+    * zero — i.e. an edge — for every unstored pair. */
   def dauraFromDistances(dist: graft.linalg.DsArray,
       cutoff: Double): Seq[(Long, Seq[Long])] = {
+    require(!dist.sparseTiles,
+      "dauraFromDistances needs a dense distance matrix: sparse tiles " +
+        "read absent entries as distance 0 (an edge) for every unstored pair")
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
     val (rpb, cpb) = dist.blockSize
