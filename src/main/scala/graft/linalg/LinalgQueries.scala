@@ -254,6 +254,30 @@ object LinalgQueries {
       .toDF("dim", "sum_v", "sum_sq").orderBy("dim")
   }
 
+  /** pad gate (reference dislib.data.util.pad, data/util/base.py:11-80):
+    * bottom/right constant padding past the regular block size (the
+    * reference's unsupported case), pinned by per-column sum /
+    * sum-of-squares — original columns carry the data plus the pad
+    * contribution, new columns are pure fill. */
+  def padGate(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 60)
+      .select(col("vec_id"),
+        transform(slice(col("embedding"), 1, 3), x => x.cast("double")).as("v"))
+      .rdd.map(r => IndexedRow(r.getLong(0), Vectors.dense(r.getSeq[Double](1).toArray)))
+    val a = DsArray.fromIndexedRows(rows, 60, 3, 16, 2)
+    val p = a.pad(4, 2, value = 1.5) // 64×5
+    def colSums(x: DsArray) = x.applyAlongAxis(0)(
+      m => breeze.linalg.sum(m(::, breeze.linalg.*)).t, _ + _).collect()
+    val sums = colSums(p)
+    val sq = colSums(p.hadamard(p))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark2 = spark
+    import spark2.implicits._
+    (0 until 5).map(i => (i, r6(sums(0, i)), r6(sq(0, i))))
+      .toDF("dim", "sum_v", "sum_sq").orderBy("dim")
+  }
+
   /** apply_along_axis gate (reference array.py:1320-1380 via
     * math/base.py apply_along_axis): axis 1 = per-row L2 norm of the
     * first 50 rows (row-order-pinning output, one value per row);
@@ -282,6 +306,7 @@ object LinalgQueries {
   val queries: Map[String, Q] = Map(
     "q_set_item" -> (setItem _),
     "q_apply_axis" -> (applyAxis _),
+    "q_pad" -> (padGate _),
     "q_qr_full" -> (qrFull _),
     "q_sparse_gram" -> (sparseGram _),
     "q_fancy_index" -> (fancyIndex _),
@@ -312,6 +337,14 @@ object LinalgQueries {
         |SELECT (i - 1)::INT AS dim, round(sum(w[i]), 6) AS sum_v,
         |  round(sum(w[i] * w[i]), 6) AS sum_sq
         |FROM m CROSS JOIN generate_series(1, 4) g(i)
+        |GROUP BY i ORDER BY dim""".stripMargin,
+    "q_pad" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding[1:3], x -> x::DOUBLE) AS v
+        |    FROM embeddings WHERE vec_id < 60)
+        |SELECT (i - 1)::INT AS dim,
+        |  round(CASE WHEN i <= 3 THEN sum(v[i]) + 4 * 1.5 ELSE 64 * 1.5 END, 6) AS sum_v,
+        |  round(CASE WHEN i <= 3 THEN sum(v[i] * v[i]) + 4 * 2.25 ELSE 64 * 2.25 END, 6) AS sum_sq
+        |FROM e CROSS JOIN generate_series(1, 5) g(i)
         |GROUP BY i ORDER BY dim""".stripMargin,
     "q_apply_axis" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding[1:6], x -> x::DOUBLE) AS v
