@@ -280,12 +280,19 @@ object KMeansGraft {
 
   /** Gate query: fit on `embeddings`, emit per-cluster size, center norm,
     * and mean point-to-center distance. */
-  def query(spark: SparkSession, dir: String): DataFrame = {
+  def query(spark: SparkSession, dir: String): DataFrame =
+    queryVia(spark, dir, identity)
+
+  /** [[query]] with a model pass-through hook: the ModelIO gate threads
+    * a parquet save→load roundtrip here, so its (identical) oracle
+    * hash-checks that persistence preserves the exact fitted params. */
+  def queryVia(spark: SparkSession, dir: String,
+      via: Model => Model): DataFrame = {
     val pts = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         transform(slice(col("embedding"), 1, QDim), x => x.cast("double")).as("v"))
       .cache()
-    val model = fit(pts, "v", "vec_id", K, Iters)
+    val model = via(fit(pts, "v", "vec_id", K, Iters))
     val norms = model.centers.indices
       .map(i => (i, BigDecimal(model.centerNorm(i))
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))

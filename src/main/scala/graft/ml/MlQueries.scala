@@ -8,6 +8,20 @@ object MlQueries {
 
   val queries: Map[String, Q] = Map(
     "q_kmeans" -> ((s, d) => KMeansGraft.query(s, d)),
+    // model persistence gate: identical contract to q_kmeans, but the
+    // fitted model takes a parquet save→load roundtrip before emitting —
+    // the shared oracle hash-checks that persistence is param-exact
+    "q_model_io" -> ((s, d) => KMeansGraft.queryVia(s, d, m => {
+      val p = java.nio.file.Files.createTempDirectory("graft-modelio")
+      try {
+        ModelIO.saveKMeans(s, s"$p/km", m)
+        ModelIO.loadKMeans(s, s"$p/km") // collects eagerly — dir can go
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(q => java.nio.file.Files.deleteIfExists(q))
+      }
+    })),
     "q_knn_classify" -> ((s, d) => Knn.classify(s, d)),
     "q_standard_scaler" -> ((s, d) => Scalers.standardQuery(s, d)),
     "q_minmax_scaler" -> ((s, d) => Scalers.minmaxQuery(s, d)),
@@ -78,6 +92,7 @@ object MlQueries {
 
   val oracles: Map[String, String] = Map(
     "q_kmeans" -> KMeansGraft.oracle,
+    "q_model_io" -> KMeansGraft.oracle,
     "q_knn_classify" -> Knn.oracle,
     "q_knn_weighted" -> Knn.weightedOracle,
     "q_standard_scaler" -> Scalers.standardOracle,
