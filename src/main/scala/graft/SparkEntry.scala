@@ -27,6 +27,7 @@ object SparkEntry {
         "q_multimodal" -> (graft.multimodal.Multimodal.query _),
         "q_tensor_ops" -> (graft.tensor.TensorSet.query _),
         "q_io_roundtrip" -> (graft.sources.Sources.roundtripQuery _),
+        "q_svmlight" -> (graft.sources.Sources.svmlightQuery _),
         "q_partition_prune" -> (graft.sources.Sources.partitionPruneQuery _),
         "q_bucket_join" -> (graft.sources.Sources.bucketJoinQuery _))
 
@@ -40,6 +41,7 @@ object SparkEntry {
         "q_multimodal" -> graft.multimodal.Multimodal.oracle,
         "q_tensor_ops" -> graft.tensor.TensorSet.oracle,
         "q_io_roundtrip" -> graft.sources.Sources.roundtripOracle,
+        "q_svmlight" -> graft.sources.Sources.svmlightOracle,
         "q_partition_prune" -> graft.sources.Sources.partitionPruneOracle,
         "q_bucket_join" -> graft.sources.Sources.bucketJoinOracle)
 }

@@ -349,6 +349,54 @@ object Sources {
     }
   }
 
+  /** Gate query: the libsvm loader gated end-to-end. Embeddings' first
+    * 6 dims are scaled to exact integer micro-units, rendered as SPARSE
+    * libsvm lines (zero entries omitted — the sparse path is what the
+    * format exists for), parsed back by [[loadSvmlight]], and reduced
+    * to per-dim sums the oracle recomputes straight from parquet.
+    * Integer payloads make the text roundtrip exact by construction. */
+  def svmlightQuery(spark: SparkSession, dir: String): DataFrame = {
+    val rows = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 80)
+      .select(col("vec_id"),
+        transform(slice(col("embedding"), 1, 6),
+          x => round(x.cast("double") * 1000000).cast("long")).as("v"))
+      .orderBy("vec_id").collect()
+    val lines = rows.map { r =>
+      val label = r.getLong(0) % 3
+      val feats = r.getSeq[Long](1).zipWithIndex
+        .filter(_._1 != 0L)
+        .map { case (v, i) => s"${i + 1}:$v" }.mkString(" ")
+      s"$label $feats".trim
+    }
+    withScratchDir("graft-svml") { base =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(base, "data.txt"),
+        String.join("\n", lines: _*).getBytes)
+      val arr = loadSvmlight(spark, base, numFeatures = 6)
+        .select(col("label"),
+          org.apache.spark.ml.functions.vector_to_array(col("features")).as("f"))
+      val aggs = sum(col("label").cast("long")).as("lsum") +:
+        (0 until 6).map(i =>
+          sum(element_at(col("f"), i + 1).cast("long")).as(s"s$i"))
+      val r = arr.agg(aggs.head, aggs.tail: _*).head()
+      val spark2 = spark
+      import spark2.implicits._
+      ((-1, r.getLong(0)) +: (0 until 6).map(i => (i, r.getLong(i + 1))))
+        .toDF("dim", "sum_scaled").orderBy("dim")
+    }
+  }
+
+  val svmlightOracle: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding[1:6],
+      |      x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS v
+      |  FROM embeddings WHERE vec_id < 80)
+      |SELECT (i - 1)::INT AS dim, sum(v[i])::BIGINT AS sum_scaled
+      |FROM e CROSS JOIN generate_series(1, 6) g(i) GROUP BY i
+      |UNION ALL
+      |SELECT -1, sum(vec_id % 3)::BIGINT FROM e
+      |ORDER BY dim""".stripMargin
+
   val PruneYear = 1995
 
   /** Hive-style partitioned layout + partition pruning: write orders
