@@ -28,6 +28,7 @@ object SparkEntry {
         "q_tensor_ops" -> (graft.tensor.TensorSet.query _),
         "q_io_roundtrip" -> (graft.sources.Sources.roundtripQuery _),
         "q_svmlight" -> (graft.sources.Sources.svmlightQuery _),
+        "q_mdcrd" -> (graft.sources.Sources.mdcrdQuery _),
         "q_partition_prune" -> (graft.sources.Sources.partitionPruneQuery _),
         "q_bucket_join" -> (graft.sources.Sources.bucketJoinQuery _))
 
@@ -42,6 +43,7 @@ object SparkEntry {
         "q_tensor_ops" -> graft.tensor.TensorSet.oracle,
         "q_io_roundtrip" -> graft.sources.Sources.roundtripOracle,
         "q_svmlight" -> graft.sources.Sources.svmlightOracle,
+        "q_mdcrd" -> graft.sources.Sources.mdcrdOracle,
         "q_partition_prune" -> graft.sources.Sources.partitionPruneOracle,
         "q_bucket_join" -> graft.sources.Sources.bucketJoinOracle)
 }

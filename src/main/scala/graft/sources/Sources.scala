@@ -386,6 +386,49 @@ object Sources {
     }
   }
 
+  /** Gate query: the AMBER `.mdcrd` fixed-width parser gated end-to-end.
+    * Embeddings' first 6 dims become 60 snapshots of a 2-atom
+    * trajectory (%8.3f columns, 10 per line — so snapshot boundaries
+    * fall mid-line, the format's awkward case), parsed back by
+    * [[loadMdcrd]], and reduced to per-coordinate milli-unit integer
+    * sums. Exactness: "d.ddd" parses to the nearest double, and DuckDB's
+    * round(x*1000)/1000 is the identically-rounded IEEE value, so
+    * re-scaling to integers after the parse is exact on both engines. */
+  def mdcrdQuery(spark: SparkSession, dir: String): DataFrame = {
+    val rows = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 60)
+      .select(col("vec_id"),
+        transform(slice(col("embedding"), 1, 6),
+          x => round(x.cast("double") * 1000).cast("long")).as("v"))
+      .orderBy("vec_id").collect()
+    val vals = rows.flatMap(_.getSeq[Long](1)).map(_ / 1000.0)
+    val text = new StringBuilder("graft mdcrd gate\n")
+    vals.grouped(10).foreach { g =>
+      text.append(g.map(v => f"$v%8.3f").mkString).append('\n')
+    }
+    withScratchDir("graft-mdcrd") { base =>
+      val p = java.nio.file.Paths.get(base, "traj.mdcrd")
+      java.nio.file.Files.write(p, text.toString.getBytes("US-ASCII"))
+      val a = loadMdcrd(spark, p.toString, nAtoms = 2) // 60 snapshots × 6
+      val sums = a.applyAlongAxis(0)(
+        m => breeze.linalg.sum(m(::, breeze.linalg.*)).t.map(x => math.rint(x * 1000)),
+        _ + _).collect()
+      val spark2 = spark
+      import spark2.implicits._
+      (0 until 6).map(i => (i, sums(0, i).toLong))
+        .toDF("coord", "sum_milli").orderBy("coord")
+    }
+  }
+
+  val mdcrdOracle: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding[1:6],
+      |      x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS v
+      |  FROM embeddings WHERE vec_id < 60)
+      |SELECT (i - 1)::INT AS coord, sum(v[i])::BIGINT AS sum_milli
+      |FROM e CROSS JOIN generate_series(1, 6) g(i)
+      |GROUP BY i ORDER BY coord""".stripMargin
+
   val svmlightOracle: String =
     """WITH e AS (SELECT vec_id,
       |    list_transform(embedding[1:6],
