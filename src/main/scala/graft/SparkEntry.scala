@@ -29,6 +29,7 @@ object SparkEntry {
         "q_io_roundtrip" -> (graft.sources.Sources.roundtripQuery _),
         "q_svmlight" -> (graft.sources.Sources.svmlightQuery _),
         "q_mdcrd" -> (graft.sources.Sources.mdcrdQuery _),
+        "q_npy_hstack" -> (graft.sources.Sources.npyHstackQuery _),
         "q_partition_prune" -> (graft.sources.Sources.partitionPruneQuery _),
         "q_bucket_join" -> (graft.sources.Sources.bucketJoinQuery _))
 
@@ -44,6 +45,7 @@ object SparkEntry {
         "q_io_roundtrip" -> graft.sources.Sources.roundtripOracle,
         "q_svmlight" -> graft.sources.Sources.svmlightOracle,
         "q_mdcrd" -> graft.sources.Sources.mdcrdOracle,
+        "q_npy_hstack" -> graft.sources.Sources.npyHstackOracle,
         "q_partition_prune" -> graft.sources.Sources.partitionPruneOracle,
         "q_bucket_join" -> graft.sources.Sources.bucketJoinOracle)
 }

@@ -386,6 +386,49 @@ object Sources {
     }
   }
 
+  /** Gate query: the NPY sink+source and the hstack composition gated
+    * end-to-end — two DsArrays (embeddings dims 1-3 and 4-5) go out
+    * through [[saveNpy]], come back through [[loadNpy]] (multi-file dir
+    * vstack), hstack via concatCols (= load_hstack_npy_files), and
+    * reduce to per-column sums the oracle recomputes from parquet. The
+    * '<f8' roundtrip is bit-exact, so only the usual agg-order rounding
+    * applies. */
+  def npyHstackQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.mllib.linalg.Vectors
+    import org.apache.spark.mllib.linalg.distributed.IndexedRow
+    def arr(lo: Int, len: Int) = graft.linalg.DsArray.fromIndexedRows(
+      graft.Tables.embeddings(spark, dir).filter(col("vec_id") < 50)
+        .select(col("vec_id"),
+          transform(slice(col("embedding"), lo, len), x => x.cast("double")).as("v"))
+        .rdd.map(r => IndexedRow(r.getLong(0),
+          Vectors.dense(r.getSeq[Double](1).toArray))),
+      50, len, 16, 2)
+    withScratchDir("graft-npy") { base =>
+      saveNpy(arr(1, 3), s"$base/a")
+      saveNpy(arr(4, 2), s"$base/b")
+      val h = loadNpy(spark, s"$base/a", 16, 2)
+        .concatCols(loadNpy(spark, s"$base/b", 16, 2)) // 50×5
+      val sums = h.applyAlongAxis(0)(
+        m => breeze.linalg.sum(m(::, breeze.linalg.*)).t, _ + _).collect()
+      val sq = h.hadamard(h).applyAlongAxis(0)(
+        m => breeze.linalg.sum(m(::, breeze.linalg.*)).t, _ + _).collect()
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val spark2 = spark
+      import spark2.implicits._
+      (0 until 5).map(i => (i, r6(sums(0, i)), r6(sq(0, i))))
+        .toDF("dim", "sum_v", "sum_sq").orderBy("dim")
+    }
+  }
+
+  val npyHstackOracle: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding[1:5], x -> x::DOUBLE) AS v
+      |  FROM embeddings WHERE vec_id < 50)
+      |SELECT (i - 1)::INT AS dim, round(sum(v[i]), 6) AS sum_v,
+      |  round(sum(v[i] * v[i]), 6) AS sum_sq
+      |FROM e CROSS JOIN generate_series(1, 5) g(i)
+      |GROUP BY i ORDER BY dim""".stripMargin
+
   /** Gate query: the AMBER `.mdcrd` fixed-width parser gated end-to-end.
     * Embeddings' first 6 dims become 60 snapshots of a 2-atom
     * trajectory (%8.3f columns, 10 per line — so snapshot boundaries
