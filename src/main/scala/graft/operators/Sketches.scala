@@ -1,0 +1,204 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Engine-portable probabilistic sketches — Count-Min frequency
+  * estimation and HyperLogLog distinct counting — built entirely from
+  * the md5-derived `hash56`, so every counter, bucket, and final
+  * estimate is bit-replayable in the DuckDB oracle (unlike Spark's
+  * built-in `approx_count_distinct`, whose sketch is engine-private and
+  * gate-checkable only as a tolerance bound — that check lives in
+  * `q_sketches`).
+  *
+  * Scale posture (the whole point of sketches at 100 TB):
+  *  - Count-Min: aggregation state is a FIXED depth×width grid (4×64
+  *    here) regardless of corpus size — partial sketches combine
+  *    map-side, the final merge moves ≤256 rows per task. The corpus
+  *    is read once; no vocabulary-sized shuffle exists anywhere in the
+  *    sketch path (the gate's exact top-10 comparison side does one
+  *    vocab-bounded groupBy, which is the thing the sketch replaces).
+  *  - HyperLogLog: per-group state is ≤64 (bucket, max-rho) pairs; the
+  *    register max combines map-side, so a 10¹²-row group still ships
+  *    64 rows. The harmonic sum is kept in EXACT integer arithmetic
+  *    (Σ 2^(51−rho) over a 2^51 scale — max 64·2^51 < 2^57), so
+  *    cross-engine equality is bit-level until the single final
+  *    divide.
+  *
+  * Reference: dislib has no sketch surface (SURVEY.md §2.5 covers only
+  * exact partial+final aggregation); these follow Cormode–Muthukrishnan
+  * (CM sketch, J.Algorithms 2005) and Flajolet et al. (HLL, AofA 2007).
+  */
+object Sketches {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Count-Min geometry: depth 4 independent rows × width 16 — width is
+    * deliberately small relative to the gate vocabulary so hash collisions
+    * actually occur and the one-sided `est ≥ true` guarantee is exercised
+    * (over_c > 0 on most heavy words), not vacuously true. */
+  val CmsDepth = 4
+  val CmsWidth = 16
+  val CmsTopK = 10
+
+  /** HLL geometry: 64 buckets (6 index bits), rho over the remaining 50
+    * hash bits, harmonic sum scaled by 2^51 (= 2^(maxRho)). */
+  val HllBuckets = 64
+  val HllIndexBits = 6
+  val HllRhoMax = 51 // 50 payload bits -> rho in [1, 51]
+  /** alpha_64 · m² · 2^51, folded to one double so both engines parse the
+    * identical constant (DuckDB would otherwise read 0.709 as DECIMAL and
+    * overflow the product). */
+  val HllNumerator: Double = 0.709 * 4096.0 * 2251799813685248.0
+
+  private def words = tokens(col("text"))
+
+  private def tokenStream(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(words).as("w"))
+      .filter(length(col("w")) > 0)
+
+  /** Count-Min sketch over the corpus token stream, validated against the
+    * exact top-10: build the 4×64 counter grid in one pass, then estimate
+    * each heavy word as min over the 4 rows — the sketch guarantee is
+    * est ≥ true (one-sided error), surfaced as `over_c`.
+    *
+    * Row hashes are `hash56(j || '#' || w) mod width` — independent-ish
+    * rows from the j prefix, portable to the oracle. */
+  def countMin(spark: SparkSession, dir: String): DataFrame =
+    countMinDf(tokenStream(spark, dir))
+
+  /** Core over any single-column token stream `w` (tests feed synthetic
+    * streams; the gate feeds the documents token stream). */
+  def countMinDf(tw: DataFrame): DataFrame = {
+    def cellOf(j: Int) =
+      pmod(hash56(concat(lit(j.toString), lit("#"), col("w"))), lit(CmsWidth))
+
+    val sketch = tw
+      .select(posexplode(array((0 until CmsDepth).map(cellOf): _*)).as(Seq("d", "cell")))
+      .groupBy("d", "cell").agg(count(lit(1)).as("c"))
+
+    val top = tw.groupBy("w").agg(count(lit(1)).as("true_c"))
+      .orderBy(desc("true_c"), asc("w")).limit(CmsTopK)
+
+    // 10 candidates × 4 rows probe the ≤256-row sketch — broadcast join.
+    top.select(col("w"), col("true_c"),
+        posexplode(array((0 until CmsDepth).map(cellOf): _*)).as(Seq("d", "cell")))
+      .join(broadcast(sketch), Seq("d", "cell"))
+      .groupBy("w", "true_c").agg(min("c").as("est_c"))
+      .select(col("w").as("word"), col("true_c"), col("est_c"),
+        (col("est_c") - col("true_c")).as("over_c"))
+      .orderBy(desc("true_c"), asc("word"))
+  }
+
+  /** HLL distinct estimates vs exact counts over two keyed streams —
+    * per-source document vocabulary (cardinality ~30: the linear-counting
+    * small-range branch fires) and per-returnflag lineitem part keys
+    * (cardinality ~2000 ≫ 64 buckets: the raw harmonic-mean branch
+    * fires) — so BOTH estimator regimes are pinned. The register table,
+    * harmonic sum (exact integer), and rounded estimate are reproduced
+    * bit-identically by the oracle; `err_bp` pins the accuracy actually
+    * achieved (expected ~1.04/√64 ≈ 13%). */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame =
+    hllDistinctDf(tokenStream(spark, dir)
+      .select(concat(lit("words:"), col("source")).as("scope"), col("w").as("v"))
+      .unionAll(Tables.lineitem(spark, dir)
+        .select(concat(lit("partkey:"), col("l_returnflag")).as("scope"),
+          col("l_partkey").cast("string").as("v"))))
+
+  /** Core over any keyed value stream (`scope`, `v`). */
+  def hllDistinctDf(tw: DataFrame): DataFrame = {
+    val h = tw.select(col("scope"), hash56(col("v")).as("h"))
+    val regs = h.select(col("scope"),
+        pmod(col("h"), lit(HllBuckets.toLong)).as("bucket"),
+        when(shiftright(col("h"), HllIndexBits) === 0, lit(HllRhoMax))
+          .otherwise(lit(HllRhoMax) - length(bin(shiftright(col("h"), HllIndexBits))))
+          .as("rho"))
+      .groupBy("scope", "bucket").agg(max("rho").as("mrho"))
+    val summed = regs.groupBy("scope").agg(
+      count(lit(1)).as("used"),
+      // SQL shiftleft: the Scala functions.shiftleft only takes literal bits
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRhoMax - CAST(mrho AS INT))"))
+        .as("ss"))
+    val est = summed.select(col("scope"),
+      col("used").cast("long").as("buckets_used"),
+      (col("ss") + (lit(HllBuckets.toLong) - col("used")) * lit(1L << HllRhoMax))
+        .as("s_scaled"))
+      .withColumn("raw", lit(HllNumerator) / col("s_scaled").cast("double"))
+      .withColumn("zeros", lit(HllBuckets.toLong) - col("buckets_used"))
+      .withColumn("est_distinct",
+        round(when(col("raw") <= lit(2.5 * HllBuckets) && col("zeros") > 0,
+            lit(HllBuckets.toDouble) * log(lit(HllBuckets.toDouble) / col("zeros").cast("double")))
+          .otherwise(col("raw"))).cast("long"))
+    val exact = tw.groupBy("scope")
+      .agg(countDistinct(col("v")).as("true_distinct"))
+    est.join(exact, "scope")
+      .select(col("scope"), col("true_distinct"), col("buckets_used"),
+        col("s_scaled"), col("est_distinct"),
+        expr("CAST((abs(est_distinct - true_distinct) * 10000) DIV true_distinct AS BIGINT)")
+          .as("err_bp"))
+      .orderBy("scope")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_countmin" -> (countMin _),
+    "q_hll_distinct" -> (hllDistinct _))
+
+  private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
+
+  val oracles: Map[String, String] = Map(
+    "q_countmin" -> {
+      val cellSql = (wExpr: String, jExpr: String) =>
+        s"${hash56Sql(s"$jExpr || '#' || $wExpr")} % $CmsWidth"
+      s"""WITH t AS (SELECT source, unnest($wordsSql) AS w FROM documents),
+         |tw AS (SELECT w FROM t WHERE len(w) > 0),
+         |grid AS (SELECT w, unnest(range($CmsDepth)) AS d FROM tw),
+         |sketch AS (SELECT d, ${cellSql("w", "d::VARCHAR")} AS cell,
+         |    count(*)::BIGINT AS c
+         |  FROM grid GROUP BY 1, 2),
+         |top AS (SELECT w, count(*)::BIGINT AS true_c FROM tw
+         |  GROUP BY w ORDER BY true_c DESC, w LIMIT $CmsTopK),
+         |probe AS (SELECT w, true_c, unnest(range($CmsDepth)) AS d FROM top)
+         |SELECT probe.w AS word, true_c, min(c)::BIGINT AS est_c,
+         |  (min(c) - true_c)::BIGINT AS over_c
+         |FROM probe JOIN sketch
+         |  ON sketch.d = probe.d
+         | AND sketch.cell = ${cellSql("probe.w", "probe.d::VARCHAR")}
+         |GROUP BY probe.w, true_c ORDER BY true_c DESC, word""".stripMargin
+    },
+    "q_hll_distinct" ->
+      s"""WITH t AS (SELECT source, unnest($wordsSql) AS w FROM documents),
+         |tw AS (SELECT 'words:' || source AS scope, w AS v FROM t
+         |    WHERE len(w) > 0
+         |  UNION ALL
+         |  SELECT 'partkey:' || l_returnflag, l_partkey::VARCHAR FROM lineitem),
+         |h AS (SELECT scope, ${hash56Sql("v")} AS h FROM tw),
+         |regs AS (SELECT scope, h % $HllBuckets AS bucket,
+         |    max(CASE WHEN h >> $HllIndexBits = 0 THEN $HllRhoMax
+         |      ELSE $HllRhoMax - length(bin(h >> $HllIndexBits)) END) AS mrho
+         |  FROM h GROUP BY 1, 2),
+         |s AS (SELECT scope, count(*)::BIGINT AS used,
+         |    sum((1::BIGINT << ($HllRhoMax - mrho)))::BIGINT AS ss
+         |  FROM regs GROUP BY scope),
+         |est AS (SELECT scope, used AS buckets_used,
+         |    (ss + ($HllBuckets - used) * (1::BIGINT << $HllRhoMax))::BIGINT
+         |      AS s_scaled,
+         |    ($HllBuckets - used) AS zeros
+         |  FROM s),
+         |est2 AS (SELECT scope, buckets_used, s_scaled,
+         |    $HllNumerator / s_scaled::DOUBLE AS raw, zeros FROM est),
+         |est3 AS (SELECT scope, buckets_used, s_scaled,
+         |    round(CASE WHEN raw <= ${2.5 * HllBuckets} AND zeros > 0
+         |      THEN ${HllBuckets.toDouble} * ln(${HllBuckets.toDouble} / zeros::DOUBLE)
+         |      ELSE raw END)::BIGINT AS est_distinct
+         |  FROM est2),
+         |ex AS (SELECT scope, count(DISTINCT v)::BIGINT AS true_distinct
+         |  FROM tw GROUP BY scope)
+         |SELECT est3.scope, true_distinct, buckets_used, s_scaled,
+         |  est_distinct,
+         |  (abs(est_distinct - true_distinct) * 10000 // true_distinct)::BIGINT
+         |    AS err_bp
+         |FROM est3 JOIN ex ON est3.scope = ex.scope
+         |ORDER BY est3.scope""".stripMargin)
+}
