@@ -23,6 +23,7 @@ object MlQueries {
       }
     })),
     "q_knn_classify" -> ((s, d) => Knn.classify(s, d)),
+    "q_naive_bayes" -> ((s, d) => NaiveBayesGraft.query(s, d)),
     "q_standard_scaler" -> ((s, d) => Scalers.standardQuery(s, d)),
     "q_minmax_scaler" -> ((s, d) => Scalers.minmaxQuery(s, d)),
     "q_hash_split" -> ((s, d) => Knn.hashSplit(s, d)),
@@ -94,6 +95,7 @@ object MlQueries {
     "q_kmeans" -> KMeansGraft.oracle,
     "q_model_io" -> KMeansGraft.oracle,
     "q_knn_classify" -> Knn.oracle,
+    "q_naive_bayes" -> NaiveBayesGraft.oracle,
     "q_knn_weighted" -> Knn.weightedOracle,
     "q_standard_scaler" -> Scalers.standardOracle,
     "q_minmax_scaler" -> Scalers.minmaxOracle,
