@@ -145,9 +145,67 @@ object Similarity {
       .toSeq.toDF("qid", "rank", "neighbor_id", "cosine")
   }
 
+  /** Sparse-vector similarity parameters: queries are doc_id < SparseQ,
+    * idf in milli-nats, top-[[SparseK]] neighbors per query. */
+  val SparseQ = 20
+  val SparseK = 5
+  val IdfScale = 1000L
+
+  /** Sparse TF-IDF cosine top-k over documents — the TEXT-side companion
+    * of the dense-embedding ANN paths: no embedding model needed, the
+    * classic bag-of-words retrieval/near-dup ranker. idf is rounded to
+    * integer milli-nats at computation, so every weight, dot product,
+    * and squared norm is EXACT INTEGER arithmetic (engine-replayable);
+    * the only fp ops are one sqrt/divide at the end.
+    *
+    * Scale: candidates come from an inverted-index join on shared words
+    * — never doc×doc. Query weights (bounded query set × doc vocabulary)
+    * broadcast; the per-(query, candidate) dot partial-aggregates
+    * map-side. At web scale the same df-cap used by the Jaccard dedup
+    * path (Dedup.autoDfCap) bounds hot-word posting lists; idf already
+    * down-weights exactly those words, so capping them changes rankings
+    * negligibly — this gate's corpus is vocab-bounded and runs uncapped. */
+  def sparseCosineTopK(spark: SparkSession, dir: String): DataFrame =
+    sparseCosineDf(Tables.documents(spark, dir), SparseQ, SparseK)
+
+  /** Core over any (doc_id, text) frame: queries are doc_id < q. */
+  def sparseCosineDf(docs: DataFrame, q: Long, k: Int): DataFrame = {
+    import graft.functions.TextFns.tokens
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("w"),
+        round(log(col("n_docs").cast("double") / col("df").cast("double"))
+          * IdfScale).cast("long").as("idf"))
+    val wts = tf.join(idf, "w")
+      .select(col("doc_id"), col("w"), (col("tf") * col("idf")).as("wt"))
+    val norms = wts.groupBy("doc_id")
+      .agg(sum(col("wt") * col("wt")).as("n2")).filter(col("n2") > 0)
+    val qw = wts.filter(col("doc_id") < q)
+      .select(col("doc_id").as("qid"), col("w"), col("wt").as("qwt"))
+    val scored = qw.join(wts, "w").filter(col("doc_id") =!= col("qid"))
+      .groupBy("qid", "doc_id").agg(sum(col("qwt") * col("wt")).as("dot"))
+      .join(norms.select(col("doc_id").as("qid"), col("n2").as("qn2")), "qid")
+      .join(norms, "doc_id")
+      .withColumn("cosine",
+        col("dot").cast("double") / sqrt(col("qn2").cast("double") * col("n2").cast("double")))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc_id").as("neighbor_id"),
+        col("dot"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ann_brute" -> (bruteTopK _),
     "q_ann_lsh" -> (lshTopK _),
+    "q_cosine_sparse" -> (sparseCosineTopK _),
     "q_ann_ivf" -> ((s, d) => ivfTopK(s, d, nlist = IvfLists)))
 
   private val embCte =
@@ -159,6 +217,38 @@ object Similarity {
     "list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)]) / (q.nrm * c.nrm)"
 
   val oracles: Map[String, String] = Map(
+    "q_cosine_sparse" ->
+      s"""WITH toks AS (SELECT doc_id, w
+         |  FROM (SELECT doc_id,
+         |      unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |    FROM documents) WHERE len(w) > 0),
+         |tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf FROM toks
+         |  GROUP BY doc_id, w),
+         |nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+         |idf AS (SELECT w,
+         |    round(ln(n_docs::DOUBLE / df::DOUBLE) * $IdfScale)::BIGINT AS idf
+         |  FROM (SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY w)
+         |  CROSS JOIN nd),
+         |wts AS (SELECT doc_id, tf.w, (tf * idf)::BIGINT AS wt
+         |  FROM tf JOIN idf ON tf.w = idf.w),
+         |norms AS (SELECT doc_id, sum(wt * wt)::BIGINT AS n2 FROM wts
+         |  GROUP BY doc_id HAVING sum(wt * wt) > 0),
+         |dots AS (SELECT q.doc_id AS qid, c.doc_id AS cid,
+         |    sum(q.wt * c.wt)::BIGINT AS dot
+         |  FROM wts q JOIN wts c ON q.w = c.w
+         |  WHERE q.doc_id < $SparseQ AND c.doc_id <> q.doc_id
+         |  GROUP BY 1, 2),
+         |scored AS (SELECT qid, cid, dot,
+         |    dot::DOUBLE / sqrt(qn.n2::DOUBLE * cn.n2::DOUBLE) AS cosine
+         |  FROM dots
+         |  JOIN norms qn ON qn.doc_id = qid
+         |  JOIN norms cn ON cn.doc_id = cid)
+         |SELECT qid, rank, neighbor_id, dot, cosine FROM (
+         |  SELECT qid, cid AS neighbor_id, dot, round(cosine, 6) AS cosine,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, cid) AS rank
+         |  FROM scored)
+         |WHERE rank <= $SparseK ORDER BY qid, rank""".stripMargin,
     "q_ann_brute" ->
       s"""$embCte
          |SELECT qid, rank, neighbor_id, cosine FROM (
