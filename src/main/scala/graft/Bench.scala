@@ -353,9 +353,16 @@ object Bench {
         re.findFirstMatchIn(java.nio.file.Files.readString(p))
           .map(_.group(1).toDouble).getOrElse(Double.MaxValue)
       } catch { case _: Throwable => Double.MaxValue }
+    // Subset guard: a BENCH_ONLY/ALGO_ONLY dev run must never replace a
+    // full-suite record (a 4-query timing pass once clobbered the
+    // 196-entry round capture); partial runs land in *_partial.json.
+    val isSubset = only.nonEmpty || algoOnly.nonEmpty
     outPaths.foreach { p0 =>
       val path0 = java.nio.file.Paths.get(p0)
-      val p = if (loadStart > loadMax && priorLoad(path0) <= loadMax) {
+      val p = if (isSubset) {
+        System.err.println(s"[bench] subset run NOT overwriting full record $p0")
+        java.nio.file.Paths.get(p0.stripSuffix(".json") + "_partial.json")
+      } else if (loadStart > loadMax && priorLoad(path0) <= loadMax) {
         System.err.println(s"[bench] contended capture (loadavg_start $loadStart) NOT overwriting idle record $p0")
         java.nio.file.Paths.get(p0.stripSuffix(".json") + "_contended.json")
       } else path0
