@@ -202,10 +202,72 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** BM25 keyword query + parameters (Robertson k1/b defaults; Lucene's
+    * sanitized idf ln(1 + (N−df+0.5)/(df+0.5)) so scores stay ≥ 0). */
+  val Bm25Terms: Seq[String] = Seq("join", "hash", "scan")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25K = 10
+
+  /** BM25 ranked keyword retrieval — the other classic sparse ranker
+    * next to [[sparseCosineTopK]] (TF saturation + length normalization,
+    * which raw cosine lacks). Per-document scores are a SINGLE
+    * left-associated row expression over the pivoted per-term tf columns
+    * — no floating-point aggregation anywhere — so the doubles are
+    * IEEE-deterministic and the DuckDB oracle (generated from the same
+    * term list with the identical expression shape) matches bit-for-bit.
+    *
+    * Scale: tf pivots per doc in one partial+final agg over only the
+    * query terms (filter pushed to the scan); df and avgdl are two
+    * broadcast one-row frames; scoring is map-side; the global top-k
+    * plans a WindowGroupLimit-style rank (single reduce of k-row heaps,
+    * never a full sort of the corpus). */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25Df(Tables.documents(spark, dir), Bm25Terms, Bm25K)
+
+  /** Core over any (doc_id, text) frame. */
+  def bm25Df(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    import graft.functions.TextFns.tokens
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = toks.filter(col("w").isInCollection(terms))
+      .groupBy("doc_id").pivot("w", terms).agg(count(lit(1)))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val dfs = toks.filter(col("w").isInCollection(terms))
+      .select(col("doc_id"), col("w")).distinct()
+      .groupBy().pivot("w", terms).agg(count(lit(1)))
+      .select(terms.map(t => coalesce(col(s"`$t`"), lit(0L)).as(s"df_$t")): _*)
+    val scored = dl
+      .join(tf.select(col("doc_id") +:
+        terms.map(t => col(s"`$t`").as(s"tf_$t")): _*), Seq("doc_id"), "left")
+      .na.fill(0L, terms.map(t => s"tf_$t"))
+      .crossJoin(broadcast(stats)).crossJoin(broadcast(dfs))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("score", terms.map { t =>
+        val tfc = col(s"tf_$t").cast("double")
+        val dfc = col(s"df_$t").cast("double")
+        val idf = log((col("n_docs").cast("double") - dfc + lit(0.5)) / (dfc + lit(0.5)) + lit(1.0))
+        idf * (tfc * lit(Bm25K1 + 1)) /
+          (tfc + lit(Bm25K1) * (lit(1 - Bm25B) + lit(Bm25B) * (col("dl").cast("double") / col("avgdl"))))
+      }.reduce(_ + _))
+    // global top-k as orderBy+limit -> TakeOrderedAndProject (k-row heaps
+    // per partition + one k-row reduce), NEVER an unpartitioned window
+    // over the corpus; the rank window then runs on k rows only
+    val top = scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(Seq(col("rank"), col("doc_id"), col("dl")) ++
+        terms.map(t => col(s"tf_$t")) :+ round(col("score"), 4).as("bm25"): _*)
+      .orderBy("rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ann_brute" -> (bruteTopK _),
     "q_ann_lsh" -> (lshTopK _),
     "q_cosine_sparse" -> (sparseCosineTopK _),
+    "q_bm25" -> (bm25TopK _),
     "q_ann_ivf" -> ((s, d) => ivfTopK(s, d, nlist = IvfLists)))
 
   private val embCte =
@@ -217,6 +279,43 @@ object Similarity {
     "list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)]) / (q.nrm * c.nrm)"
 
   val oracles: Map[String, String] = Map(
+    "q_bm25" -> {
+      // constants via toString so both engines parse the identical double
+      // (1.2 + 1 in binary is NOT the same double as a literal 2.2)
+      val k1p1 = (Bm25K1 + 1).toString
+      val k1 = Bm25K1.toString
+      val oneMinusB = (1 - Bm25B).toString
+      val b = Bm25B.toString
+      val tfCols = Bm25Terms.map(t =>
+        s"sum(CASE WHEN w = '$t' THEN 1 ELSE 0 END)::BIGINT AS tf_$t").mkString(",\n    ")
+      val dfCols = Bm25Terms.map(t =>
+        s"count(DISTINCT CASE WHEN w = '$t' THEN doc_id END)::BIGINT AS df_$t").mkString(",\n    ")
+      val scoreExpr = Bm25Terms.map(t =>
+        s"ln((n_docs::DOUBLE - df_$t::DOUBLE + 0.5) / (df_$t::DOUBLE + 0.5) + 1.0)" +
+          s" * (tf_$t::DOUBLE * $k1p1) / (tf_$t::DOUBLE + $k1 * ($oneMinusB + $b * (dl::DOUBLE / avgdl)))")
+        .mkString(" + ")
+      val tfOut = Bm25Terms.map(t => s"tf_$t").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, w
+         |  FROM (SELECT doc_id,
+         |      unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |    FROM documents) WHERE len(w) > 0),
+         |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+         |st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+         |tf AS (SELECT doc_id,
+         |    $tfCols
+         |  FROM toks GROUP BY doc_id),
+         |dfs AS (SELECT
+         |    $dfCols
+         |  FROM toks),
+         |scored AS (SELECT dl.doc_id, dl.dl, $tfOut,
+         |    $scoreExpr AS score
+         |  FROM dl JOIN tf USING (doc_id) CROSS JOIN st CROSS JOIN dfs,
+         |    (SELECT sum_dl::DOUBLE / n_docs::DOUBLE AS avgdl FROM st) a)
+         |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+         |  doc_id, dl, $tfOut, round(score, 4) AS bm25
+         |FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT $Bm25K)
+         |ORDER BY rank""".stripMargin
+    },
     "q_cosine_sparse" ->
       s"""WITH toks AS (SELECT doc_id, w
          |  FROM (SELECT doc_id,
