@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextFns._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` / `embeddings` — exact,
@@ -133,6 +133,62 @@ object Dedup {
         coalesce(sum("hit"), lit(0)).cast("long").as("n_contaminated"),
         round(avg(coalesce(col("hit"), lit(0)).cast("double")), 4)
           .as("contamination_rate"))
+      .orderBy("source")
+  }
+
+  /** Bloom geometry for [[bloomDecontaminate]]: 2^14 bits × 3 md5-derived
+    * hashes — sized against the gate's ~1.1k bench shingles for ~18%
+    * fill, so document-level false positives actually occur (the
+    * accounting column is non-vacuous) while flagged ⊇ true stays
+    * guaranteed (no false negatives). A production filter sizes m from
+    * the benchmark cardinality the same way — ~10 bits/element for 1%. */
+  val BloomBits = 16384L
+  val BloomHashes = 3
+
+  /** Bloom-filter decontamination — the BROADCAST form of
+    * [[decontaminate]]: the benchmark's shingle set compresses into a
+    * fixed 2^17-bit filter, so at 100 TB the corpus side tests
+    * membership map-side against ~16 KiB of bits instead of
+    * semi-joining a shingle table that scales with the benchmark
+    * (GPT-3's actual decontamination shape). The filter is represented
+    * relationally as its distinct set-bit positions (≤ BloomBits rows,
+    * broadcast) and membership = all K positions present — semantically
+    * identical to a bitmap test and bit-replayable in DuckDB via the
+    * same md5-derived position hashes. Reports per-source flagged vs
+    * exact-truth counts: n_false_pos = flagged − true ≥ 0 quantifies the
+    * precision actually traded for the broadcast. */
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    bloomDecontaminateDf(Tables.documents(spark, dir)
+      .withColumn("is_bench",
+        pmod(hash56(col("doc_id").cast("string")), lit(20)) === 0))
+
+  /** Core over any (doc_id, source, text, is_bench) frame. */
+  def bloomDecontaminateDf(docs: DataFrame): DataFrame = {
+    def positions(s: Column) =
+      posexplode(array((0 until BloomHashes).map(i =>
+        pmod(hash56(concat(lit(i.toString), lit("#"), s)), lit(BloomBits))): _*))
+    val sh = docs.select(col("doc_id"), col("is_bench"),
+      explode(wordShingles(tokens(col("text")), 3)).as("s"))
+    val benchSh = sh.filter(col("is_bench")).select("s").distinct()
+    val bits = benchSh.select(positions(col("s")).as(Seq("i", "pos")))
+      .select("pos").distinct()
+    val corpSh = sh.filter(!col("is_bench")).select("doc_id", "s")
+    val flagged = corpSh
+      .select(col("doc_id"), col("s"), positions(col("s")).as(Seq("i", "pos")))
+      .join(broadcast(bits), "pos")
+      .groupBy("doc_id", "s").agg(countDistinct("i").as("nk"))
+      .filter(col("nk") === BloomHashes)
+      .select("doc_id").distinct().withColumn("bloom_hit", lit(1))
+    val exact = corpSh.join(benchSh, "s")
+      .select("doc_id").distinct().withColumn("true_hit", lit(1))
+    docs.filter(!col("is_bench")).select("doc_id", "source")
+      .join(flagged, Seq("doc_id"), "left")
+      .join(exact, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_corpus_docs"),
+        coalesce(sum("bloom_hit"), lit(0)).cast("long").as("n_flagged"),
+        coalesce(sum("true_hit"), lit(0)).cast("long").as("n_true"))
+      .withColumn("n_false_pos", col("n_flagged") - col("n_true"))
       .orderBy("source")
   }
 
@@ -284,6 +340,7 @@ object Dedup {
     "q_dedup_embedding" -> ((s: SparkSession, d: String) =>
       embeddingNearDup(s, d, nlist = Similarity.IvfLists)),
     "q_decontaminate" -> (decontaminate _),
+    "q_bloom_decon" -> (bloomDecontaminate _),
     "q_dedup_clusters" -> (dedupClusters _))
 
   /** Shared CTE chain replaying the pinned MinHash-LSH pair semantics up
@@ -320,6 +377,34 @@ object Dedup {
         |  count(DISTINCT md5(lower(trim(text)))) AS n_unique,
         |  count(*) - count(DISTINCT md5(lower(trim(text)))) AS n_dupes
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_bloom_decon" ->
+      s"""WITH sh AS (SELECT doc_id, $shinglesSql AS s FROM $wordsSubquery),
+         |d AS (SELECT doc_id, source,
+         |    ${hash56Sql("doc_id::VARCHAR")} % 20 = 0 AS is_bench FROM documents),
+         |eg AS (SELECT sh.doc_id, unnest(s) AS g FROM sh),
+         |bs AS (SELECT DISTINCT g FROM eg JOIN d USING (doc_id) WHERE is_bench),
+         |ii AS (SELECT unnest(range($BloomHashes)) AS i),
+         |bits AS (SELECT DISTINCT
+         |    ${hash56Sql("i::VARCHAR || '#' || g")} % $BloomBits AS pos
+         |  FROM bs CROSS JOIN ii),
+         |cs AS (SELECT eg.doc_id, g FROM eg JOIN d USING (doc_id)
+         |  WHERE NOT is_bench),
+         |probe AS (SELECT doc_id, g, i,
+         |    ${hash56Sql("i::VARCHAR || '#' || g")} % $BloomBits AS pos
+         |  FROM cs CROSS JOIN ii),
+         |flag AS (SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_id, g, count(DISTINCT i) AS nk
+         |    FROM probe JOIN bits USING (pos) GROUP BY doc_id, g)
+         |  WHERE nk = $BloomHashes),
+         |tru AS (SELECT DISTINCT doc_id FROM cs JOIN bs USING (g))
+         |SELECT d.source, count(*) AS n_corpus_docs,
+         |  count(flag.doc_id)::BIGINT AS n_flagged,
+         |  count(tru.doc_id)::BIGINT AS n_true,
+         |  (count(flag.doc_id) - count(tru.doc_id))::BIGINT AS n_false_pos
+         |FROM d LEFT JOIN flag ON d.doc_id = flag.doc_id
+         |LEFT JOIN tru ON d.doc_id = tru.doc_id
+         |WHERE NOT d.is_bench
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q_decontaminate" ->
       s"""WITH sh AS (SELECT doc_id, $shinglesSql AS s FROM $wordsSubquery),
          |d AS (SELECT doc_id, source,
