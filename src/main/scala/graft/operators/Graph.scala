@@ -232,13 +232,92 @@ object Graph {
     traces.result().reduce(_ unionAll _).orderBy("pass")
   }
 
+  val LpaIters = 3
+
+  /** Synchronous label-propagation community detection ([[LpaIters]]
+    * passes): every node starts in its
+    * own community; each pass it adopts the most frequent label among
+    * its neighbors, ties to the SMALLEST label. Labels and counts are
+    * longs — the whole recurrence is integer-exact, so the unrolled
+    * DuckDB replay matches bit-for-bit (same pinning as PageRank,
+    * without even needing a scale factor).
+    *
+    * Runs on the weight-≥2 part co-purchase graph (kCore's edge set) —
+    * sparse enough to keep real community structure; LPA on the dense
+    * bipartite order graph degenerately collapses both sides by
+    * oscillation (a known LPA artifact, and a boring gate).
+    *
+    * Scale posture mirrors [[pageRankPairs]]: edges are partitioned
+    * once on the neighbor key and cached; each pass ships only the
+    * node-sized label table into that fixed layout, the (v, lbl)
+    * frequency count partial-aggregates map-side, and the per-node
+    * argmax is a per-key top-1 (WindowGroupLimit heaps), never a global
+    * sort. localCheckpoint truncates the 3-pass lineage. */
+  def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val pairs = l.select(col("o"), col("p").as("a"))
+      .join(l.select(col("o"), col("p").as("b")), "o")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= KcoreMinW).select("a", "b")
+    labelPropPairs(pairs, topK = 20)
+  }
+
+  /** Core over any distinct undirected edge frame (a, b), a < b. */
+  private[graft] def labelPropPairs(e: DataFrame, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = e.select(col("a").as("v"), col("b").as("u"))
+      .union(e.select(col("b").as("v"), col("a").as("u")))
+      .repartition(col("u")).persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("v").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to LpaIters) {
+      val cnt = edges.join(labels, col("u") === col("node"))
+        .groupBy("v", "lbl").agg(count(lit(1)).as("c"))
+      labels = cnt
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("v").orderBy(desc("c"), asc("lbl"))))
+        .filter(col("rk") === 1)
+        .select(col("v").as("node"), col("lbl"))
+    }
+    val fin = labels.localCheckpoint(true)
+    edges.unpersist(false)
+    fin.groupBy("lbl").agg(count(lit(1)).as("n_members"))
+      .orderBy(desc("n_members"), asc("lbl")).limit(topK)
+      .select(col("lbl").as("community"), col("n_members"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pagerank" -> (pageRank _),
     "q_triangles" -> (triangleCensus _),
     "q_bfs_layers" -> (bfsLayers _),
+    "q_label_prop" -> (labelProp _),
     "q_kcore" -> (kCore _))
 
   val oracles: Map[String, String] = Map(
+    "q_label_prop" -> {
+      val passes = (1 to LpaIters).map { k =>
+        s"""c$k AS MATERIALIZED (SELECT ed.v, l.lbl, count(*) AS c
+           |  FROM ed JOIN p${k - 1} l ON l.node = ed.u
+           |  GROUP BY ed.v, l.lbl),
+           |p$k AS MATERIALIZED (SELECT v AS node, lbl FROM (
+           |    SELECT v, lbl, row_number() OVER (PARTITION BY v
+           |      ORDER BY c DESC, lbl) AS rk FROM c$k) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH l AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |pw AS MATERIALIZED (SELECT x.p::BIGINT AS a, y.p::BIGINT AS b, count(*) AS w
+         |  FROM l x JOIN l y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2),
+         |e0 AS MATERIALIZED (SELECT a, b FROM pw WHERE w >= $KcoreMinW),
+         |ed AS MATERIALIZED (SELECT a AS v, b AS u FROM e0
+         |  UNION ALL SELECT b, a FROM e0),
+         |p0 AS (SELECT DISTINCT v AS node, v AS lbl FROM ed),
+         |$passes
+         |SELECT lbl AS community, count(*)::BIGINT AS n_members
+         |FROM p$LpaIters GROUP BY lbl
+         |ORDER BY n_members DESC, community LIMIT 20""".stripMargin
+    },
     "q_pagerank" -> {
       val iters = (1 to PrIters).map { k =>
         s"""c$k AS (SELECT ed.dst, sum(((r${k - 1}.r * 85) // 100) // deg.d) AS rc
