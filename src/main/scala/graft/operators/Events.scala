@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.TextFns.{hash56, hash56Sql}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -361,7 +362,59 @@ object Events {
       .orderBy("wd")
   }
 
+  /** "Converted" = at least this many purchase events (the mean is ~13
+    * purchases/user in the synthetic stream, so an above-average cut
+    * splits users non-degenerately at every SF). */
+  val AbConvMin = 15
+  /** χ²(1df) 95% critical value in micro-units. */
+  val AbCritMicro = 3841459L
+
+  /** Two-proportion A/B significance test — the experimentation
+    * primitive over the event stream: users hash-split into arms
+    * (portable hash56, the same resumable-membership contract as
+    * corpusSample), per-arm conversion counted, and the pooled
+    * two-proportion z² computed ENTIRELY in integer arithmetic as
+    * z²·10⁶ ≈ (|t|·10⁶ DIV n_a·n_b) · (|t|·N DIV c·(N−c)) with
+    * t = c_a·n_b − c_b·n_a — the cross-multiplied form, so no fp
+    * mean/sqrt touches the decision (same discipline as anomalyDow's
+    * 2σ test). Output is one row: arm sizes, conversions, cvr in bp,
+    * z²-micro, and the significance verdict at χ²₁ 95%.
+    *
+    * Scale: one distinct-users pass + one filtered purchase count,
+    * both partial-aggregated; the final arithmetic runs on a 2-row
+    * frame. Degenerate pools (c = 0 or c = N) pin z² = 0. */
+  def abTest(spark: SparkSession, dir: String): DataFrame =
+    abTestDf(Tables.events(spark, dir))
+
+  /** Core over any (user_id, event_type) frame. */
+  def abTestDf(ev: DataFrame): DataFrame = {
+    val users = ev.select(col("user_id")).distinct()
+      .withColumn("arm", pmod(hash56(col("user_id").cast("string")), lit(2)))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(count(lit(1)).as("np"))
+      .filter(col("np") >= AbConvMin)
+      .select(col("user_id")).withColumn("cv", lit(1L))
+    users.join(conv, Seq("user_id"), "left")
+      .groupBy("arm").agg(count(lit(1)).as("n"),
+        coalesce(sum("cv"), lit(0L)).as("c"))
+      .agg(
+        sum(when(col("arm") === 0, col("n"))).as("n_a"),
+        sum(when(col("arm") === 0, col("c"))).as("c_a"),
+        sum(when(col("arm") === 1, col("n"))).as("n_b"),
+        sum(when(col("arm") === 1, col("c"))).as("c_b"))
+      .selectExpr("n_a", "c_a", "n_b", "c_b",
+        "CAST((c_a * 10000) DIV n_a AS BIGINT) AS cvr_a_bp",
+        "CAST((c_b * 10000) DIV n_b AS BIGINT) AS cvr_b_bp",
+        s"""CAST(CASE WHEN (c_a + c_b) = 0 OR (c_a + c_b) = (n_a + n_b) THEN 0
+           | ELSE (abs(c_a * n_b - c_b * n_a) * 1000000 DIV (n_a * n_b))
+           |    * (abs(c_a * n_b - c_b * n_a) * (n_a + n_b)
+           |       DIV ((c_a + c_b) * (n_a + n_b - c_a - c_b)))
+           | END AS BIGINT) AS z2_micro""".stripMargin)
+      .withColumn("significant", col("z2_micro") > AbCritMicro)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ab_test" -> (abTest _),
     "q_rolling_dau" -> (rollingDau _),
     "q_events_window" -> (tumblingWindow _),
     "q_events_session" -> (sessionize _),
@@ -377,6 +430,32 @@ object Events {
     "q_funnel_time" -> (funnelLatency _))
 
   val oracles: Map[String, String] = Map(
+    "q_ab_test" ->
+      s"""WITH u AS (SELECT user_id,
+         |    ${hash56Sql("user_id::VARCHAR")} % 2 AS arm
+         |  FROM (SELECT DISTINCT user_id FROM events)),
+         |cv AS (SELECT user_id, 1::BIGINT AS cv FROM events
+         |  WHERE event_type = 'purchase'
+         |  GROUP BY user_id HAVING count(*) >= $AbConvMin),
+         |a AS (SELECT arm, count(*)::BIGINT AS n,
+         |    coalesce(sum(cv), 0)::BIGINT AS c
+         |  FROM u LEFT JOIN cv USING (user_id) GROUP BY arm),
+         |p AS (SELECT
+         |    sum(CASE WHEN arm = 0 THEN n END)::BIGINT AS n_a,
+         |    sum(CASE WHEN arm = 0 THEN c END)::BIGINT AS c_a,
+         |    sum(CASE WHEN arm = 1 THEN n END)::BIGINT AS n_b,
+         |    sum(CASE WHEN arm = 1 THEN c END)::BIGINT AS c_b
+         |  FROM a)
+         |SELECT n_a, c_a, n_b, c_b,
+         |  ((c_a * 10000) // n_a)::BIGINT AS cvr_a_bp,
+         |  ((c_b * 10000) // n_b)::BIGINT AS cvr_b_bp,
+         |  z2_micro, z2_micro > $AbCritMicro AS significant
+         |FROM (SELECT *,
+         |  (CASE WHEN (c_a + c_b) = 0 OR (c_a + c_b) = (n_a + n_b) THEN 0
+         |   ELSE (abs(c_a * n_b - c_b * n_a) * 1000000 // (n_a * n_b))
+         |      * (abs(c_a * n_b - c_b * n_a) * (n_a + n_b)
+         |         // ((c_a + c_b) * (n_a + n_b - c_a - c_b)))
+         |   END)::BIGINT AS z2_micro FROM p)""".stripMargin,
     "q_rolling_dau" ->
       s"""WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
          |  FROM events),

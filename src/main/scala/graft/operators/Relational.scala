@@ -1062,7 +1062,44 @@ object Relational {
       .orderBy("a_key", "b_key")
   }
 
+  /** Weight-of-evidence / information-value encoding — the classic
+    * credit-scoring categorical encoder (and leakage-free alternative
+    * to target encoding): per category, WOE = ln(pos-share / neg-share)
+    * and its IV contribution (pos-share − neg-share)·WOE. WOE rounds to
+    * integer micro-nats at computation; shares are integer micro by
+    * DIV, and the IV product is clamped at 0 before its own DIV so
+    * truncation semantics can't diverge between engines (IV terms are
+    * mathematically ≥ 0 — only micro-rounding can graze below). Label:
+    * bulk lines (l_quantity > 25); category: ship mode.
+    *
+    * Scale: one partial+final (category) rollup + a broadcast 1-row
+    * totals frame — |categories| output rows at any fact size. */
+  def woeEncode(spark: SparkSession, dir: String): DataFrame =
+    woeEncodeDf(Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("cat"),
+        (col("l_quantity") > 25).cast("long").as("pos")))
+
+  /** Core over any (cat, pos∈{0,1}) frame. */
+  def woeEncodeDf(li: DataFrame): DataFrame = {
+    val cats = li.groupBy("cat").agg(sum("pos").as("p"),
+      (count(lit(1)) - sum("pos")).as("n"))
+    val tot = cats.agg(sum("p").as("pt"), sum("n").as("nt"))
+    cats.crossJoin(broadcast(tot))
+      .selectExpr("cat", "p AS n_pos", "n AS n_neg",
+        """CAST(CASE WHEN p = 0 OR n = 0 THEN NULL
+          | ELSE round(ln(CAST(p * nt AS DOUBLE) / CAST(n * pt AS DOUBLE))
+          |   * 1000000) END AS BIGINT) AS woe_micro""".stripMargin,
+        "CAST((p * 1000000) DIV pt AS BIGINT) AS pos_share_micro",
+        "CAST((n * 1000000) DIV nt AS BIGINT) AS neg_share_micro")
+      .selectExpr("cat", "n_pos", "n_neg", "woe_micro",
+        """CAST(CASE WHEN woe_micro IS NULL THEN NULL
+          | ELSE greatest((pos_share_micro - neg_share_micro) * woe_micro, 0)
+          |   DIV 1000000 END AS BIGINT) AS iv_micro""".stripMargin)
+      .orderBy("cat")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_woe_encode" -> (woeEncode _),
     "q_winsorize" -> (winsorize _),
     "q_join_size" -> (joinSizeForecast _),
     "q_sorted_neighborhood" -> (sortedNeighborhood _),
@@ -1114,6 +1151,24 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_woe_encode" ->
+      """WITH c AS (SELECT l_returnflag AS cat,
+        |    sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)::BIGINT AS p,
+        |    sum(CASE WHEN l_quantity > 25 THEN 0 ELSE 1 END)::BIGINT AS n
+        |  FROM lineitem GROUP BY l_returnflag),
+        |t AS (SELECT sum(p)::BIGINT AS pt, sum(n)::BIGINT AS nt FROM c),
+        |w AS (SELECT cat, p AS n_pos, n AS n_neg,
+        |    (CASE WHEN p = 0 OR n = 0 THEN NULL
+        |     ELSE round(ln((p * nt)::DOUBLE / (n * pt)::DOUBLE)
+        |       * 1000000) END)::BIGINT AS woe_micro,
+        |    ((p * 1000000) // pt)::BIGINT AS psm,
+        |    ((n * 1000000) // nt)::BIGINT AS nsm
+        |  FROM c CROSS JOIN t)
+        |SELECT cat, n_pos, n_neg, woe_micro,
+        |  (CASE WHEN woe_micro IS NULL THEN NULL
+        |   ELSE greatest((psm - nsm) * woe_micro, 0) // 1000000
+        |   END)::BIGINT AS iv_micro
+        |FROM w ORDER BY cat""".stripMargin,
     "q_winsorize" ->
       """WITH v AS (
         |  SELECT l_returnflag,

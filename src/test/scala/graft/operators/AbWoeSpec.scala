@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Hand-computed cases for the A/B z²-test and WOE/IV encoder. */
+class AbWoeSpec extends SparkSpec {
+
+  /** JVM replica of hash56 % 2 — picks user ids with known arms. */
+  private def arm(uid: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(uid.toString.getBytes("UTF-8"))
+    val hex = md.map("%02x".format(_)).mkString.substring(0, 14)
+    java.lang.Long.parseLong(hex, 16) % 2
+  }
+
+  test("perfectly separated arms are significant; identical arms give z2 = 0") {
+    val spark2 = spark
+    import spark2.implicits._
+    val as = (1L to 400L).filter(arm(_) == 0).take(50)
+    val bs = (1L to 400L).filter(arm(_) == 1).take(50)
+    // arm A converts (>=15 purchases), arm B never does
+    val sep = (as.flatMap(u => Seq.fill(15)((u, "purchase"))) ++
+      bs.map(u => (u, "view"))).toDF("user_id", "event_type")
+    val r = Events.abTestDf(sep).collect()(0)
+    assert(r.getAs[Long]("n_a") == 50 && r.getAs[Long]("c_a") == 50)
+    assert(r.getAs[Long]("n_b") == 50 && r.getAs[Long]("c_b") == 0)
+    // z^2 = N for total separation (p1=1, p2=0): 100e6 micro
+    assert(r.getAs[Long]("z2_micro") == 100000000L)
+    assert(r.getAs[Boolean]("significant"))
+
+    val same = (as ++ bs).flatMap(u => Seq.fill(15)((u, "purchase")))
+      .toDF("user_id", "event_type")
+    val r2 = Events.abTestDf(same).collect()(0)
+    assert(r2.getAs[Long]("z2_micro") == 0L && !r2.getAs[Boolean]("significant"))
+  }
+
+  test("woe/iv matches the hand computation on a 3:1 split") {
+    val spark2 = spark
+    import spark2.implicits._
+    // X: pos 3 / neg 1, Y: pos 1 / neg 3 -> woe_X = ln 3, symmetric IV
+    val df = (Seq.fill(3)(("X", 1L)) ++ Seq(("X", 0L)) ++
+      Seq(("Y", 1L)) ++ Seq.fill(3)(("Y", 0L))).toDF("cat", "pos")
+    val got = Relational.woeEncodeDf(df).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4))).toSeq
+    val w = math.round(math.log(3.0) * 1000000) // 1098612
+    assert(got == Seq(("X", w, 500000L * w / 1000000), ("Y", -w, 500000L * w / 1000000)))
+  }
+
+  test("one-sided category yields null woe/iv, not infinity") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(("Z", 1L), ("Z", 1L), ("W", 1L), ("W", 0L)).toDF("cat", "pos")
+    val z = Relational.woeEncodeDf(df).collect().find(_.getString(0) == "Z").get
+    assert(z.isNullAt(3) && z.isNullAt(4))
+  }
+}
