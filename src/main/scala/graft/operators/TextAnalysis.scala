@@ -670,6 +670,71 @@ object TextAnalysis {
     * the cut table is 6 broadcast rows and the fan-out join multiplies
     * each term by at most |cuts| — linear in the vocabulary, never in
     * the corpus; the census is a tiny partial+final agg. */
+  /** BPE merge steps to learn in the gate. */
+  val BpeMerges = 5
+
+  /** Distributed BPE-merge training — the tokenizer-construction half of
+    * the token-counting surface (tokenCount estimates BPE tokens; this
+    * LEARNS the merges). Classic Sennrich BPE: train on the corpus
+    * word-frequency table, not the corpus — one (word, count) groupBy
+    * makes every later pass vocabulary-bounded (Heaps: sublinear in
+    * corpus size), exactly how production tokenizers are trained at TB
+    * scale. Each step counts weighted adjacent symbol pairs (ALL
+    * occurrences, overlapping, per the reference get_stats convention),
+    * picks the most frequent (tie → lexicographically smallest pair),
+    * and merges via single-pass left-to-right non-overlapping string
+    * replace — the exact semantics `replace()` has in BOTH engines, so
+    * the 5-step recurrence replays bit-identically in DuckDB.
+    *
+    * Deliberate deviation from textbook BPE, pinned by spec: inside a
+    * RUN of the same pair ("a a a a") the replace consumes the shared
+    * separator, so one step yields "aa a a" rather than "aa aa"; the
+    * remaining pairs merge on later steps. Off-run merges are textbook.
+    *
+    * Scale: pair counts partial-aggregate map-side over the vocab table;
+    * the per-step argmax is a 1-row TakeOrdered collect (bounded, like
+    * KMeans centroids); merges apply as column expressions, no
+    * driver-side vocabulary. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainDf(spark,
+      Tables.documents(spark, dir)
+        .select(explode(words).as("w")).filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("cnt")))
+
+  /** Core over any (w, cnt) word-frequency frame. */
+  def bpeTrainDf(spark: SparkSession, wordCounts: DataFrame): DataFrame = {
+    var vocab = wordCounts
+      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("seq"), col("cnt"))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (step <- 1 to BpeMerges) {
+      val syms = split(col("seq"), " ")
+      val len = size(syms)
+      val pairs = zip_with(
+        slice(syms, lit(1), greatest(len - 1, lit(0))),
+        slice(syms, lit(2), greatest(len - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+      val best = vocab
+        .select(explode(pairs).as("pair"), col("cnt"))
+        .groupBy("pair").agg(sum("cnt").as("c"))
+        .orderBy(desc("c"), asc("pair")).limit(1)
+        .collect()
+      if (best.nonEmpty) {
+        val (pair, c) = (best(0).getString(0), best(0).getLong(1))
+        val Array(l, r) = pair.split(" ", 2)
+        merges += ((step, l, r, c))
+        vocab = vocab.select(
+          trim(replace(
+            concat(lit(" "), col("seq"), lit(" ")),
+            lit(s" $pair "), lit(" " + l + r + " "))).as("seq"),
+          col("cnt"))
+      }
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    merges.result().toDF("step", "left_sym", "right_sym", "pair_count")
+      .orderBy("step")
+  }
+
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val firstSeen = docs.select(col("doc_id"), explode(words).as("term"))
@@ -884,6 +949,7 @@ object TextAnalysis {
     "q_tfidf_terms" -> (tfidfTerms _),
     "q_source_overlap" -> (sourceOverlap _),
     "q_lang_consistency" -> (langConsistency _),
+    "q_bpe_train" -> (bpeTrain _),
     "q_vocab_growth" -> (vocabGrowth _))
 
   private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1197,6 +1263,34 @@ object TextAnalysis {
          |SELECT doc_id, lang, count(*)::BIGINT AS n_segs,
          |  count(DISTINCT p) AS n_langs, sum(switch)::BIGINT AS n_switches
          |FROM sw GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
+    },
+    "q_bpe_train" -> {
+      val steps = (1 to BpeMerges).map { k =>
+        s"""p$k AS (SELECT pair, sum(cnt)::BIGINT AS c FROM (
+           |    SELECT unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))])
+           |      AS pair, cnt
+           |    FROM (SELECT string_split(seq, ' ') AS s, cnt FROM v${k - 1}))
+           |  GROUP BY pair),
+           |b$k AS MATERIALIZED (SELECT pair, c FROM p$k
+           |  ORDER BY c DESC, pair LIMIT 1),
+           |v$k AS MATERIALIZED (SELECT trim(replace(' ' || seq || ' ',
+           |    ' ' || (SELECT pair FROM b$k) || ' ',
+           |    ' ' || (SELECT replace(pair, ' ', '') FROM b$k) || ' ')) AS seq,
+           |    cnt FROM v${k - 1})""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to BpeMerges).map { k =>
+        s"""SELECT $k AS step, split_part(pair, ' ', 1) AS left_sym,
+           |  split_part(pair, ' ', 2) AS right_sym, c AS pair_count FROM b$k"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH wc AS (SELECT w, count(*)::BIGINT AS cnt FROM (
+         |    SELECT unnest($wordsSql) AS w FROM documents)
+         |  WHERE len(w) > 0 GROUP BY w),
+         |v0 AS MATERIALIZED (SELECT
+         |    trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq, cnt FROM wc),
+         |$steps
+         |$out
+         |ORDER BY step""".stripMargin
     },
     "q_vocab_growth" ->
       s"""WITH t AS (SELECT doc_id, unnest($wordsSql) AS term FROM documents),
