@@ -1098,7 +1098,42 @@ object Relational {
       .orderBy("cat")
   }
 
+  /** Mutual information between a categorical feature and a binary
+    * label — WOE's symmetric companion for feature selection: per cell
+    * the pointwise MI rounds to integer micro-nats at computation, the
+    * cell contribution is (c_xy · pmi_micro) DIV N, and the total MI is
+    * a sum of those integers — deterministic and oracle-replayable.
+    * Feature: return flag; label: bulk lines (l_quantity > 25).
+    *
+    * Scale: one partial+final (x, y) contingency rollup (≤|X|·2 cells),
+    * two broadcast marginal frames — cell-table-sized output at any
+    * fact size. */
+  def mutualInfo(spark: SparkSession, dir: String): DataFrame =
+    mutualInfoDf(Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("x"),
+        (col("l_quantity") > 25).cast("long").as("y")))
+
+  /** Core over any (x, y∈{0,1}) frame. */
+  def mutualInfoDf(df: DataFrame): DataFrame = {
+    val cells = df.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+    val mx = df.groupBy("x").agg(count(lit(1)).as("c_x"))
+    val my = df.groupBy("y").agg(count(lit(1)).as("c_y"))
+    val n = df.agg(count(lit(1)).as("n"))
+    cells.join(mx, "x").join(my, "y").crossJoin(broadcast(n))
+      .selectExpr("x", "y", "c_xy", "n",
+        """CAST(round(ln(CAST(c_xy * n AS DOUBLE) / CAST(c_x * c_y AS DOUBLE))
+          | * 1000000) AS BIGINT) AS pmi_micro""".stripMargin)
+      // negative pmi cells exist; pin truncate-toward-zero explicitly so
+      // Spark DIV (trunc) and DuckDB // (floor) cannot diverge
+      .selectExpr("x", "y", "c_xy", "pmi_micro",
+        """CAST(CASE WHEN pmi_micro >= 0 THEN (c_xy * pmi_micro) DIV n
+          | ELSE -((c_xy * -pmi_micro) DIV n) END AS BIGINT)
+          | AS mi_contrib_micro""".stripMargin)
+      .orderBy("x", "y")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_mutual_info" -> (mutualInfo _),
     "q_woe_encode" -> (woeEncode _),
     "q_winsorize" -> (winsorize _),
     "q_join_size" -> (joinSizeForecast _),
@@ -1151,6 +1186,22 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_mutual_info" ->
+      """WITH d AS (SELECT l_returnflag AS x,
+        |    CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END::BIGINT AS y
+        |  FROM lineitem),
+        |cells AS (SELECT x, y, count(*)::BIGINT AS c_xy FROM d GROUP BY x, y),
+        |mx AS (SELECT x, count(*)::BIGINT AS c_x FROM d GROUP BY x),
+        |my AS (SELECT y, count(*)::BIGINT AS c_y FROM d GROUP BY y),
+        |n AS (SELECT count(*)::BIGINT AS n FROM d),
+        |p AS (SELECT x, y, c_xy, n.n,
+        |    round(ln((c_xy * n.n)::DOUBLE / (c_x * c_y)::DOUBLE)
+        |      * 1000000)::BIGINT AS pmi_micro
+        |  FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN n)
+        |SELECT x, y, c_xy, pmi_micro,
+        |  (CASE WHEN pmi_micro >= 0 THEN (c_xy * pmi_micro) // n
+        |   ELSE -((c_xy * -pmi_micro) // n) END)::BIGINT AS mi_contrib_micro
+        |FROM p ORDER BY x, y""".stripMargin,
     "q_woe_encode" ->
       """WITH c AS (SELECT l_returnflag AS cat,
         |    sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)::BIGINT AS p,

@@ -703,6 +703,16 @@ object TextAnalysis {
 
   /** Core over any (w, cnt) word-frequency frame. */
   def bpeTrainDf(spark: SparkSession, wordCounts: DataFrame): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    bpeFit(wordCounts)._1.toDF("step", "left_sym", "right_sym", "pair_count")
+      .orderBy("step")
+  }
+
+  /** Fit loop shared by the train and encode gates: returns the learned
+    * merges and the final (seq, cnt) vocabulary frame. */
+  private def bpeFit(wordCounts: DataFrame)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     var vocab = wordCounts
       .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("seq"), col("cnt"))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
@@ -729,10 +739,29 @@ object TextAnalysis {
           col("cnt"))
       }
     }
-    val spark2 = spark
-    import spark2.implicits._
-    merges.result().toDF("step", "left_sym", "right_sym", "pair_count")
-      .orderBy("step")
+    (merges.result(), vocab)
+  }
+
+  /** BPE encoding summary — applies the freshly learned merges back to
+    * the word-frequency table and reports the corpus-weighted token
+    * compression (chars → BPE symbols), i.e. the number a tokenizer
+    * throughput pipeline actually budgets by. Same vocab-bounded scale
+    * posture as [[bpeTrain]]; the summary is a 1-row aggregate. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val wc = Tables.documents(spark, dir)
+      .select(explode(words).as("w")).filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val (_, vocab) = bpeFit(wc)
+    val before = wc.select(
+      sum(col("cnt")).as("total_words"),
+      sum(col("cnt") * length(col("w"))).as("symbols_before"),
+      count(lit(1)).as("n_distinct_words"))
+    val after = vocab.select(
+      sum(col("cnt") * size(split(col("seq"), " "))).as("symbols_after"))
+    before.crossJoin(after)
+      .selectExpr("n_distinct_words", "total_words", "symbols_before",
+        "symbols_after",
+        "CAST((symbols_after * 10000) DIV symbols_before AS BIGINT) AS compression_bp")
   }
 
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
@@ -950,9 +979,34 @@ object TextAnalysis {
     "q_source_overlap" -> (sourceOverlap _),
     "q_lang_consistency" -> (langConsistency _),
     "q_bpe_train" -> (bpeTrain _),
+    "q_bpe_encode" -> (bpeEncode _),
     "q_vocab_growth" -> (vocabGrowth _))
 
   private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** Shared CTE chain replaying [[bpeFit]]: wc (word counts), v0 (char
+    * sequences), and per-step pair-count/argmax/merge CTEs p_k/b_k/v_k. */
+  private lazy val bpeCtesSql: String = {
+    val steps = (1 to BpeMerges).map { k =>
+      s"""p$k AS (SELECT pair, sum(cnt)::BIGINT AS c FROM (
+         |    SELECT unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))])
+         |      AS pair, cnt
+         |    FROM (SELECT string_split(seq, ' ') AS s, cnt FROM v${k - 1}))
+         |  GROUP BY pair),
+         |b$k AS MATERIALIZED (SELECT pair, c FROM p$k
+         |  ORDER BY c DESC, pair LIMIT 1),
+         |v$k AS MATERIALIZED (SELECT trim(replace(' ' || seq || ' ',
+         |    ' ' || (SELECT pair FROM b$k) || ' ',
+         |    ' ' || (SELECT replace(pair, ' ', '') FROM b$k) || ' ')) AS seq,
+         |    cnt FROM v${k - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""wc AS MATERIALIZED (SELECT w, count(*)::BIGINT AS cnt FROM (
+       |    SELECT unnest($wordsSql) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |v0 AS MATERIALIZED (SELECT
+       |    trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq, cnt FROM wc),
+       |$steps""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q_feature_hash" ->
@@ -1265,33 +1319,25 @@ object TextAnalysis {
          |FROM sw GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
     },
     "q_bpe_train" -> {
-      val steps = (1 to BpeMerges).map { k =>
-        s"""p$k AS (SELECT pair, sum(cnt)::BIGINT AS c FROM (
-           |    SELECT unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))])
-           |      AS pair, cnt
-           |    FROM (SELECT string_split(seq, ' ') AS s, cnt FROM v${k - 1}))
-           |  GROUP BY pair),
-           |b$k AS MATERIALIZED (SELECT pair, c FROM p$k
-           |  ORDER BY c DESC, pair LIMIT 1),
-           |v$k AS MATERIALIZED (SELECT trim(replace(' ' || seq || ' ',
-           |    ' ' || (SELECT pair FROM b$k) || ' ',
-           |    ' ' || (SELECT replace(pair, ' ', '') FROM b$k) || ' ')) AS seq,
-           |    cnt FROM v${k - 1})""".stripMargin
-      }.mkString(",\n")
       val out = (1 to BpeMerges).map { k =>
         s"""SELECT $k AS step, split_part(pair, ' ', 1) AS left_sym,
            |  split_part(pair, ' ', 2) AS right_sym, c AS pair_count FROM b$k"""
           .stripMargin
       }.mkString("\nUNION ALL\n")
-      s"""WITH wc AS (SELECT w, count(*)::BIGINT AS cnt FROM (
-         |    SELECT unnest($wordsSql) AS w FROM documents)
-         |  WHERE len(w) > 0 GROUP BY w),
-         |v0 AS MATERIALIZED (SELECT
-         |    trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq, cnt FROM wc),
-         |$steps
+      s"""WITH $bpeCtesSql
          |$out
          |ORDER BY step""".stripMargin
     },
+    "q_bpe_encode" ->
+      s"""WITH $bpeCtesSql
+         |SELECT (SELECT count(*) FROM wc)::BIGINT AS n_distinct_words,
+         |  (SELECT sum(cnt) FROM wc)::BIGINT AS total_words,
+         |  (SELECT sum(cnt * len(w)) FROM wc)::BIGINT AS symbols_before,
+         |  (SELECT sum(cnt * len(string_split(seq, ' ')))
+         |    FROM v$BpeMerges)::BIGINT AS symbols_after,
+         |  (((SELECT sum(cnt * len(string_split(seq, ' '))) FROM v$BpeMerges)
+         |    * 10000) // (SELECT sum(cnt * len(w)) FROM wc))::BIGINT
+         |    AS compression_bp""".stripMargin,
     "q_vocab_growth" ->
       s"""WITH t AS (SELECT doc_id, unnest($wordsSql) AS term FROM documents),
          |fs AS (SELECT term, min(doc_id) AS fd FROM t GROUP BY term),

@@ -46,6 +46,20 @@ class AbWoeSpec extends SparkSpec {
     assert(got == Seq(("X", w, 500000L * w / 1000000), ("Y", -w, 500000L * w / 1000000)))
   }
 
+  test("mutual information: zero for independence, ln 2 for perfect dependence") {
+    val spark2 = spark
+    import spark2.implicits._
+    val indep = Seq(("A", 0L), ("A", 1L), ("B", 0L), ("B", 1L)).toDF("x", "y")
+    assert(Relational.mutualInfoDf(indep).collect()
+      .forall(r => r.getLong(3) == 0L && r.getLong(4) == 0L))
+
+    val dep = Seq(("A", 0L), ("A", 0L), ("B", 1L), ("B", 1L)).toDF("x", "y")
+    val rows = Relational.mutualInfoDf(dep).collect()
+    val ln2 = math.round(math.log(2.0) * 1000000) // 693147
+    assert(rows.forall(_.getLong(3) == ln2))
+    assert(rows.map(_.getLong(4)).sum == 2 * (2 * ln2 / 4))
+  }
+
   test("one-sided category yields null woe/iv, not infinity") {
     val spark2 = spark
     import spark2.implicits._
