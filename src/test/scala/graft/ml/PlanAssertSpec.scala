@@ -392,4 +392,44 @@ class PlanAssertSpec extends SparkSpec {
     val df = graft.sources.Sources.bucketJoinQuery(spark, "/root/testdata/sf0.001")
     assert(df.count() > 0)
   }
+
+  test("retrieval/graph round-7 operators keep scale-safe plan shapes") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.operators.{Similarity, Graph, Dedup}
+    val docs = Seq.tabulate(60)(i =>
+      (i.toLong, s"w${i % 7} w${i % 11} w${i % 13} filler common"))
+      .toDF("doc_id", "text")
+    withStructuralPlans {
+      // bm25: global top-k must be TakeOrderedAndProject, never a full
+      // sort or an unbroadcast cartesian (1-row stat crossJoins are
+      // hinted broadcasts — BNLJ on those is the intended shape)
+      val bm = Similarity.bm25Df(docs, Seq("common", "filler"), 5)
+      val bmPlan = bm.queryExecution.executedPlan.toString
+      assert(bmPlan.contains("TakeOrderedAndProject"),
+        s"bm25 global top-k must plan TakeOrderedAndProject:\n$bmPlan")
+      assert(!bmPlan.contains("CartesianProduct"), s"bm25:\n$bmPlan")
+
+      // sparse cosine: the candidate join is the inverted-index equi-join
+      // on the word key — never an unkeyed product
+      val sc = Similarity.sparseCosineDf(docs, q = 5, k = 3)
+      assert(!sc.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+        "sparse cosine candidate generation must stay keyed")
+
+      // label propagation: every pass is a keyed equi-join + window top-1
+      val lpa = Graph.labelPropPairs(
+        Seq.tabulate(30)(i => (i.toLong, (i + 1).toLong)).toDF("a", "b"), 10)
+      val lpaPlan = lpa.queryExecution.executedPlan.toString
+      assert(!lpaPlan.contains("BroadcastNestedLoopJoin") &&
+        !lpaPlan.contains("CartesianProduct"), s"labelProp:\n$lpaPlan")
+
+      // bloom decontamination: membership is an equi-join on the bit
+      // position, truth is an equi-join on the shingle — never all-pairs
+      val bd = Dedup.bloomDecontaminateDf(docs
+        .select(col("doc_id"), lit("s").as("source"), col("text"),
+          (col("doc_id") % 10 === 0).as("is_bench")))
+      assert(!bd.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+        "bloom decontamination must stay keyed")
+    }
+  }
 }
