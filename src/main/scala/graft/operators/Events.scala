@@ -413,7 +413,61 @@ object Events {
       .withColumn("significant", col("z2_micro") > AbCritMicro)
   }
 
+  /** Kaplan–Meier time-to-conversion curve — survival analysis with
+    * censoring, the piece simple funnel latency (q_funnel_time) cannot
+    * express: users who never purchase still contribute risk-set time
+    * until the observation window ends. Durations are whole days from
+    * first view to first subsequent purchase (event) or to the global
+    * last event day (censored). The KM product is the integer recurrence
+    * S_k = (S_{k-1} · (n_k − d_k)) DIV n_k in micro-units from 10⁶ —
+    * engine-exact, replayed by a recursive-CTE oracle.
+    *
+    * Scale: per-user durations are one groupBy over the stream; the
+    * risk-set table is a DAY-GRAIN histogram (bounded by the observation
+    * horizon, not the user count), so its suffix-sum window and the
+    * driver fold both run on ≤ horizon rows at any scale. */
+  def survivalKm(spark: SparkSession, dir: String): DataFrame =
+    survivalKmDf(Tables.events(spark, dir))
+
+  /** Core over any (user_id, event_type, ts) frame. */
+  def survivalKmDf(ev: DataFrame): DataFrame = {
+    val spark2 = ev.sparkSession
+    import spark2.implicits._
+    val t0 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t0"))
+    val firstPurchase = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val maxDay = ev.agg(max(to_date(col("ts"))).as("maxd"))
+    val durs = t0
+      .join(firstPurchase, col("user_id") === col("pu") && col("pts") >= col("t0"), "left")
+      .groupBy(col("user_id"), col("t0")).agg(min(col("pts")).as("p"))
+      .crossJoin(broadcast(maxDay))
+      .select(
+        when(col("p").isNotNull,
+          datediff(to_date(col("p")), to_date(col("t0"))))
+          .otherwise(datediff(col("maxd"), to_date(col("t0")))).as("dur"),
+        when(col("p").isNotNull, lit(1L)).otherwise(lit(0L)).as("event"))
+    val hist = durs.groupBy("dur")
+      .agg(count(lit(1)).as("m"), sum("event").as("d"))
+    // suffix sum over the bounded day-grain histogram -> risk set n_t
+    val w = Window.orderBy("dur")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val table = hist.withColumn("n_risk", sum("m").over(w))
+      .filter(col("d") >= 1)
+      .select(col("dur").cast("int").as("day"), col("n_risk"), col("d"))
+      .orderBy("day")
+      .collect() // bounded by the day horizon, not by user count
+    var s = 1000000L
+    val rows = table.map { r =>
+      val (day, n, d) = (r.getInt(0), r.getLong(1), r.getLong(2))
+      s = s * (n - d) / n
+      (day, n, d, s)
+    }
+    rows.toSeq.toDF("day", "n_risk", "n_events", "surv_micro").orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_survival_km" -> (survivalKm _),
     "q_ab_test" -> (abTest _),
     "q_rolling_dau" -> (rollingDau _),
     "q_events_window" -> (tumblingWindow _),
@@ -430,6 +484,36 @@ object Events {
     "q_funnel_time" -> (funnelLatency _))
 
   val oracles: Map[String, String] = Map(
+    "q_survival_km" ->
+      """WITH RECURSIVE t0 AS (SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |fp AS (SELECT t0.user_id, t0.t0, min(e.ts) AS p
+        |  FROM t0 LEFT JOIN events e ON e.user_id = t0.user_id
+        |    AND e.event_type = 'purchase' AND e.ts >= t0.t0
+        |  GROUP BY t0.user_id, t0.t0),
+        |md AS (SELECT max(ts::DATE) AS maxd FROM events),
+        |durs AS (SELECT CASE WHEN p IS NOT NULL
+        |      THEN date_diff('day', t0::DATE, p::DATE)
+        |      ELSE date_diff('day', t0::DATE, maxd) END AS dur,
+        |    (CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS event
+        |  FROM fp CROSS JOIN md),
+        |hist AS (SELECT dur, count(*)::BIGINT AS m, sum(event)::BIGINT AS d
+        |  FROM durs GROUP BY dur),
+        |tab AS (SELECT dur, d, sum(m) OVER (ORDER BY dur
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT AS n_risk
+        |  FROM hist),
+        |ev AS (SELECT dur::INT AS day, n_risk, d,
+        |    row_number() OVER (ORDER BY dur) AS rn
+        |  FROM tab WHERE d >= 1),
+        |rec AS (
+        |  SELECT rn, day, n_risk, d,
+        |    (1000000 * (n_risk - d)) // n_risk AS surv FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT ev.rn, ev.day, ev.n_risk, ev.d,
+        |    (rec.surv * (ev.n_risk - ev.d)) // ev.n_risk
+        |  FROM rec JOIN ev ON ev.rn = rec.rn + 1)
+        |SELECT day, n_risk, d AS n_events, surv::BIGINT AS surv_micro
+        |FROM rec ORDER BY day""".stripMargin,
     "q_ab_test" ->
       s"""WITH u AS (SELECT user_id,
          |    ${hash56Sql("user_id::VARCHAR")} % 2 AS arm
