@@ -308,7 +308,11 @@ object Bench {
         "q_triangles", "q_pagerank",
         // k-core's per-pass peel joins at 10× edges; rolling-DAU's ×7
         // fan-out must track users·days, not the 10× event stream
-        "q_kcore", "q_rolling_dau")
+        "q_kcore", "q_rolling_dau",
+        // round-7 additions: LPA's per-pass label shuffle at 10× edges;
+        // BPE's merge passes must track the (Heaps-sublinear) vocab, not
+        // the 10× corpus; bloom membership stays a map-side broadcast
+        "q_label_prop", "q_bpe_train", "q_bloom_decon")
       val runs = heavy.map(n =>
         timed(s"sf1_$n")(materialize(SparkEntry.queries(n)(spark, sf1Dir))))
       val base = results.toMap
