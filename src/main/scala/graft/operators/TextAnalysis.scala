@@ -670,6 +670,78 @@ object TextAnalysis {
     * the cut table is 6 broadcast rows and the fan-out join multiplies
     * each term by at most |cuts| — linear in the vocabulary, never in
     * the corpus; the census is a tiny partial+final agg. */
+  /** Per-source token budget for the e2e pipeline's selection stage. */
+  val PipelineBudgetPct = 60L
+
+  /** END-TO-END training-data pipeline in ONE declarative plan — the
+    * full batch an LLM-data run executes, composed from the operators
+    * this library gates individually: Gopher-style quality rules →
+    * exact-dedup winners → benchmark decontamination → per-source
+    * quality-ordered token-budget selection — with per-source survivor
+    * accounting at every stage (the funnel report a data team actually
+    * reads).
+    *
+    * Composition is the point at 100 TB: Catalyst fuses the quality
+    * metrics into the scan and prunes `text` before any exchange; the
+    * content-hash dedup partial-aggregates; decontamination moves only
+    * (doc_id, shingle) pairs; the selection stage's cumulative window
+    * partitions BY SOURCE (a keyed exchange, never a global funnel) with
+    * the per-source caps broadcast back. Five logical stages, zero
+    * materialization barriers. */
+  def pipelineE2e(spark: SparkSession, dir: String): DataFrame =
+    pipelineE2eDf(Tables.documents(spark, dir)
+      .withColumn("is_bench",
+        pmod(hash56(col("doc_id").cast("string")), lit(20)) === 0))
+
+  /** Core over any (doc_id, source, text, is_bench) frame. */
+  def pipelineE2eDf(d: DataFrame): DataFrame = {
+    val base = d.filter(!col("is_bench"))
+      .select(col("source"), col("doc_id"), col("text"), words.as("w"))
+      .withColumn("n_words", size(col("w")))
+      .withColumn("awl",
+        aggregate(transform(col("w"), x => length(x)), lit(0L), (a, x) => a + x)
+          .cast("double") / col("n_words"))
+      .withColumn("uniq",
+        size(array_distinct(col("w"))).cast("double") / col("n_words"))
+      .withColumn("q_ok", col("n_words") >= 10 &&
+        col("awl") >= 2.0 && col("awl") <= 15.0 && col("uniq") >= 0.3)
+    val winners = base.filter(col("q_ok"))
+      .groupBy(md5(lower(trim(col("text")))).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id")).withColumn("dedup_kept", lit(1))
+    val benchSh = d.filter(col("is_bench"))
+      .select(explode(wordShingles(tokens(col("text")), 3)).as("s")).distinct()
+    val contam = base
+      .select(col("doc_id"), explode(wordShingles(col("w"), 3)).as("s"))
+      .join(benchSh, "s").select("doc_id").distinct()
+      .withColumn("contam", lit(1))
+    val flagged = base
+      .join(winners, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("clean", col("dedup_kept").isNotNull && col("contam").isNull)
+    val cleanDocs = flagged.filter(col("clean"))
+      .select(col("source"), col("doc_id"),
+        col("n_words").cast("long").as("nt"), col("uniq"))
+    val caps = cleanDocs.groupBy("source")
+      .agg(expr(s"CAST((sum(nt) * $PipelineBudgetPct) DIV 100 AS BIGINT)").as("cap"))
+    val wSpec = Window.partitionBy("source")
+      .orderBy(col("uniq").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sel = cleanDocs.withColumn("cum", sum("nt").over(wSpec))
+      .join(broadcast(caps), "source")
+      .filter(col("cum") - col("nt") < col("cap"))
+      .groupBy("source").agg(count(lit(1)).as("n_selected"),
+        sum("nt").as("tok_selected"))
+    flagged.groupBy("source").agg(
+        count(lit(1)).as("n_raw"),
+        sum(col("q_ok").cast("long")).as("n_quality"),
+        sum(when(col("dedup_kept").isNotNull, 1L).otherwise(0L)).as("n_dedup"),
+        sum(col("clean").cast("long")).as("n_clean"))
+      .join(sel, Seq("source"), "left")
+      .na.fill(0L, Seq("n_selected", "tok_selected"))
+      .orderBy("source")
+  }
+
   /** BPE merge steps to learn in the gate. */
   val BpeMerges = 5
 
@@ -980,6 +1052,7 @@ object TextAnalysis {
     "q_lang_consistency" -> (langConsistency _),
     "q_bpe_train" -> (bpeTrain _),
     "q_bpe_encode" -> (bpeEncode _),
+    "q_pipeline_e2e" -> (pipelineE2e _),
     "q_vocab_growth" -> (vocabGrowth _))
 
   private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1328,6 +1401,49 @@ object TextAnalysis {
          |$out
          |ORDER BY step""".stripMargin
     },
+    "q_pipeline_e2e" ->
+      s"""WITH d AS (SELECT doc_id, source, text,
+         |    ${hash56Sql("doc_id::VARCHAR")} % 20 = 0 AS is_bench,
+         |    $wordsSql AS w FROM documents),
+         |base AS (SELECT doc_id, source, text, w, len(w) AS n_words,
+         |    list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w) AS awl,
+         |    len(list_distinct(w))::DOUBLE / len(w) AS uniq
+         |  FROM d WHERE NOT is_bench),
+         |qd AS (SELECT *, (n_words >= 10 AND awl >= 2.0 AND awl <= 15.0
+         |    AND uniq >= 0.3) AS q_ok FROM base),
+         |winners AS (SELECT min(doc_id) AS doc_id FROM qd WHERE q_ok
+         |  GROUP BY md5(lower(trim(text)))),
+         |benchsh AS (SELECT DISTINCT g FROM (SELECT unnest(sh) AS g FROM (
+         |    SELECT ${wordShinglesSql("w", 3)} AS sh FROM d WHERE is_bench))),
+         |contam AS (SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_id, unnest(${wordShinglesSql("w", 3)}) AS g FROM qd)
+         |  JOIN benchsh USING (g)),
+         |fl AS (SELECT qd.source, qd.doc_id, qd.n_words, qd.uniq, qd.q_ok,
+         |    (wi.doc_id IS NOT NULL) AS dedup_kept,
+         |    (co.doc_id IS NOT NULL) AS is_contam
+         |  FROM qd LEFT JOIN winners wi ON wi.doc_id = qd.doc_id
+         |  LEFT JOIN contam co ON co.doc_id = qd.doc_id),
+         |clean AS (SELECT source, doc_id, n_words::BIGINT AS nt, uniq
+         |  FROM fl WHERE dedup_kept AND NOT is_contam),
+         |caps AS (SELECT source, (sum(nt) * $PipelineBudgetPct) // 100 AS cap
+         |  FROM clean GROUP BY source),
+         |cum AS (SELECT source, nt, sum(nt) OVER (PARTITION BY source
+         |    ORDER BY uniq DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM clean),
+         |sel AS (SELECT source, count(*)::BIGINT AS n_selected,
+         |    sum(nt)::BIGINT AS tok_selected
+         |  FROM cum JOIN caps USING (source) WHERE cum - nt < cap
+         |  GROUP BY source)
+         |SELECT fl.source, count(*) AS n_raw,
+         |  sum(CASE WHEN q_ok THEN 1 ELSE 0 END)::BIGINT AS n_quality,
+         |  sum(CASE WHEN dedup_kept THEN 1 ELSE 0 END)::BIGINT AS n_dedup,
+         |  sum(CASE WHEN dedup_kept AND NOT is_contam THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_clean,
+         |  coalesce(any_value(n_selected), 0)::BIGINT AS n_selected,
+         |  coalesce(any_value(tok_selected), 0)::BIGINT AS tok_selected
+         |FROM fl LEFT JOIN sel ON sel.source = fl.source
+         |GROUP BY fl.source ORDER BY fl.source""".stripMargin,
     "q_bpe_encode" ->
       s"""WITH $bpeCtesSql
          |SELECT (SELECT count(*) FROM wc)::BIGINT AS n_distinct_words,
