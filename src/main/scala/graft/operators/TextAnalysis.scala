@@ -670,6 +670,60 @@ object TextAnalysis {
     * the cut table is 6 broadcast rows and the fan-out join multiplies
     * each term by at most |cuts| — linear in the vocabulary, never in
     * the corpus; the census is a tiny partial+final agg. */
+  /** Bigram LM surprisal with Stupid Backoff — the sequence-aware
+    * upgrade of [[docPerplexity]]'s unigram proxy (CCNet-style quality
+    * scoring actually uses an n-gram LM): train the bigram/unigram
+    * tables on even doc_ids, score odd docs so UNSEEN bigrams genuinely
+    * occur and the 0.4-backoff path is exercised (self-scoring would
+    * make backoff dead code). Per-pair surprisal rounds to integer
+    * micro-nats — seen: ln(C(w1)/C(w1,w2)); backoff: ln(10·T/(4·C(w2)))
+    * (0.4 as the exact rational 4/10, keeping every ln argument a ratio
+    * of integers); pairs whose history is unseen are skipped. Per-doc
+    * sums are then integer-exact; avg by DIV.
+    *
+    * Scale: the LM is two vocab-bounded count tables (Heaps-sublinear),
+    * joined to the scored pair stream without a forced broadcast — AQE
+    * broadcasts while they fit. One pair explosion, two keyed joins,
+    * one (doc) rollup. */
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    bigramSurprisalDf(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("is_train", col("doc_id") % 2 === 0))
+
+  /** Core over any (doc_id, text, is_train) frame. */
+  def bigramSurprisalDf(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn.select(col("doc_id"), words.as("w"), col("is_train"))
+    def pairsOf(w: Column) = zip_with(
+      slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+      slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val pairs = docs.select(col("doc_id"), col("is_train"),
+        explode(pairsOf(col("w"))).as("pr"))
+    val c2 = pairs.filter(col("is_train"))
+      .groupBy("pr").agg(count(lit(1)).as("c2"))
+    val trainToks = docs.filter(col("is_train"))
+      .select(explode(col("w")).as("tw")).filter(length(col("tw")) > 0)
+    val c1 = trainToks.groupBy("tw").agg(count(lit(1)).as("c1"))
+    val tot = trainToks.agg(count(lit(1)).as("t"))
+    pairs.filter(!col("is_train"))
+      .withColumn("w1", split(col("pr"), " ").getItem(0))
+      .withColumn("w2", split(col("pr"), " ").getItem(1))
+      .join(c1.select(col("tw").as("w1"), col("c1").as("c1w1")), "w1") // history must be seen
+      .join(c1.select(col("tw").as("w2"), col("c1").as("c1w2")), Seq("w2"), "left")
+      .join(c2, Seq("pr"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("s", when(col("c2").isNotNull,
+          round(log(col("c1w1").cast("double") / col("c2").cast("double")) * 1000000L))
+        .when(col("c1w2").isNotNull,
+          round(log((col("t") * 10L).cast("double") / (col("c1w2") * 4L).cast("double")) * 1000000L)))
+      .filter(col("s").isNotNull)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_scored"), sum(col("s").cast("long")).as("sum_micro"))
+      .selectExpr("doc_id", "n_scored",
+        "CAST(sum_micro DIV n_scored AS BIGINT) AS avg_surprisal_micro")
+      .orderBy("doc_id")
+  }
+
   /** Per-source token budget for the e2e pipeline's selection stage. */
   val PipelineBudgetPct = 60L
 
@@ -1053,6 +1107,7 @@ object TextAnalysis {
     "q_bpe_train" -> (bpeTrain _),
     "q_bpe_encode" -> (bpeEncode _),
     "q_pipeline_e2e" -> (pipelineE2e _),
+    "q_bigram_surprisal" -> (bigramSurprisal _),
     "q_vocab_growth" -> (vocabGrowth _))
 
   private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1401,6 +1456,33 @@ object TextAnalysis {
          |$out
          |ORDER BY step""".stripMargin
     },
+    "q_bigram_surprisal" ->
+      s"""WITH d AS (SELECT doc_id, $wordsSql AS w, doc_id % 2 = 0 AS is_train
+         |  FROM documents),
+         |prs AS (SELECT doc_id, is_train,
+         |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS pr
+         |  FROM d),
+         |c2 AS (SELECT pr, count(*)::BIGINT AS c2 FROM prs WHERE is_train
+         |  GROUP BY pr),
+         |tt AS (SELECT tw FROM (SELECT unnest(w) AS tw FROM d WHERE is_train)
+         |  WHERE len(tw) > 0),
+         |c1 AS (SELECT tw, count(*)::BIGINT AS c1 FROM tt GROUP BY tw),
+         |t AS (SELECT count(*)::BIGINT AS t FROM tt),
+         |sc AS (SELECT doc_id,
+         |    CASE WHEN c2.c2 IS NOT NULL
+         |      THEN round(ln(a.c1::DOUBLE / c2.c2::DOUBLE) * 1000000)
+         |    WHEN b.c1 IS NOT NULL
+         |      THEN round(ln((t.t * 10)::DOUBLE / (b.c1 * 4)::DOUBLE) * 1000000)
+         |    END AS s
+         |  FROM (SELECT doc_id, pr, split_part(pr, ' ', 1) AS w1,
+         |      split_part(pr, ' ', 2) AS w2 FROM prs WHERE NOT is_train) x
+         |  JOIN c1 a ON a.tw = x.w1
+         |  LEFT JOIN c1 b ON b.tw = x.w2
+         |  LEFT JOIN c2 ON c2.pr = x.pr
+         |  CROSS JOIN t)
+         |SELECT doc_id, count(*)::BIGINT AS n_scored,
+         |  (sum(s::BIGINT) // count(*))::BIGINT AS avg_surprisal_micro
+         |FROM sc WHERE s IS NOT NULL GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_pipeline_e2e" ->
       s"""WITH d AS (SELECT doc_id, source, text,
          |    ${hash56Sql("doc_id::VARCHAR")} % 20 = 0 AS is_bench,
