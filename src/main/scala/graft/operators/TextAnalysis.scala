@@ -670,6 +670,48 @@ object TextAnalysis {
     * the cut table is 6 broadcast rows and the fan-out join multiplies
     * each term by at most |cuts| — linear in the vocabulary, never in
     * the corpus; the census is a tiny partial+final agg. */
+  /** Rendezvous (highest-random-weight) shard counts before/after scale-up. */
+  val HrwOld = 8
+  val HrwNew = 9
+
+  /** Consistent (rendezvous) hashing shard-stability audit — the
+    * repartition-cost primitive behind [[shardBalance]]: when a shard is
+    * ADDED, HRW guarantees only the documents whose new slot's weight
+    * beats their old maximum move (~1/(N+1) of the corpus), versus
+    * `hash mod N` which relocates (N−1)/N of everything. Both the old-
+    * and new-epoch assignments come from ONE slot-hash explosion and a
+    * conditional struct-max (ties pinned to the larger slot in both
+    * engines' lexicographic struct order, unreachable at 56-bit hashes);
+    * the audit reports moved fraction vs the 1/(N+1) expectation plus
+    * the new-epoch occupancy spread.
+    *
+    * Scale: ×9 map-side fan-out, one (doc) partial+final struct-max, a
+    * 9-row occupancy rollup — no join, no window, nothing driver-side. */
+  def consistentHash(spark: SparkSession, dir: String): DataFrame =
+    consistentHashDf(Tables.documents(spark, dir).select(col("doc_id")))
+
+  /** Core over any single-column (doc_id) frame. */
+  def consistentHashDf(ids: DataFrame): DataFrame = {
+    val h = ids.select(col("doc_id"),
+      posexplode(array((0 until HrwNew).map(s =>
+        hash56(concat(col("doc_id").cast("string"), lit("#"), lit(s.toString)))): _*))
+        .as(Seq("s", "h")))
+    val assign = h.groupBy("doc_id").agg(
+        max(when(col("s") < HrwOld, struct(col("h"), col("s")))).as("o"),
+        max(struct(col("h"), col("s"))).as("n"))
+      .select(col("doc_id"), col("o.s").as("old_shard"), col("n.s").as("new_shard"))
+    val occ = assign.groupBy("new_shard").agg(count(lit(1)).as("c"))
+      .agg(min("c").as("min_shard_docs"), max("c").as("max_shard_docs"))
+    assign.agg(count(lit(1)).as("n_docs"),
+        sum(when(col("old_shard") =!= col("new_shard"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .crossJoin(broadcast(occ))
+      .selectExpr("n_docs", "n_moved",
+        "CAST((n_moved * 10000) DIV n_docs AS BIGINT) AS moved_bp",
+        s"CAST(10000 DIV $HrwNew AS BIGINT) AS expected_bp",
+        "min_shard_docs", "max_shard_docs")
+  }
+
   /** Bigram LM surprisal with Stupid Backoff — the sequence-aware
     * upgrade of [[docPerplexity]]'s unigram proxy (CCNet-style quality
     * scoring actually uses an n-gram LM): train the bigram/unigram
@@ -1108,6 +1150,7 @@ object TextAnalysis {
     "q_bpe_encode" -> (bpeEncode _),
     "q_pipeline_e2e" -> (pipelineE2e _),
     "q_bigram_surprisal" -> (bigramSurprisal _),
+    "q_consistent_hash" -> (consistentHash _),
     "q_vocab_growth" -> (vocabGrowth _))
 
   private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1456,6 +1499,27 @@ object TextAnalysis {
          |$out
          |ORDER BY step""".stripMargin
     },
+    "q_consistent_hash" ->
+      s"""WITH h AS (SELECT doc_id, s,
+         |    ${hash56Sql("doc_id::VARCHAR || '#' || s::VARCHAR")} AS h
+         |  FROM (SELECT doc_id FROM documents)
+         |  CROSS JOIN (SELECT unnest(range($HrwNew)) AS s)),
+         |a AS (SELECT doc_id,
+         |    max(CASE WHEN s < $HrwOld THEN {'h': h, 's': s} END) AS o,
+         |    max({'h': h, 's': s}) AS n
+         |  FROM h GROUP BY doc_id),
+         |b AS (SELECT doc_id, o['s'] AS old_shard, n['s'] AS new_shard FROM a),
+         |occ AS (SELECT min(c)::BIGINT AS min_shard_docs,
+         |    max(c)::BIGINT AS max_shard_docs
+         |  FROM (SELECT new_shard, count(*) AS c FROM b GROUP BY new_shard))
+         |SELECT (SELECT count(*) FROM b)::BIGINT AS n_docs,
+         |  (SELECT sum(CASE WHEN old_shard <> new_shard THEN 1 ELSE 0 END)
+         |    FROM b)::BIGINT AS n_moved,
+         |  (((SELECT sum(CASE WHEN old_shard <> new_shard THEN 1 ELSE 0 END)
+         |    FROM b) * 10000) // (SELECT count(*) FROM b))::BIGINT AS moved_bp,
+         |  (10000 // $HrwNew)::BIGINT AS expected_bp,
+         |  min_shard_docs, max_shard_docs
+         |FROM occ""".stripMargin,
     "q_bigram_surprisal" ->
       s"""WITH d AS (SELECT doc_id, $wordsSql AS w, doc_id % 2 = 0 AS is_train
          |  FROM documents),
