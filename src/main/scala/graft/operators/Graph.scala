@@ -289,14 +289,57 @@ object Graph {
       .select(col("lbl").as("community"), col("n_members"))
   }
 
+  /** Connected-component size census of the weight-≥2 co-purchase graph
+    * — the first DIRECT gate on the shared scale-adaptive CC core
+    * (Components.connected: driver union-find ≤5M edges, GraphX above)
+    * that DBSCAN's merge and duplicate-cluster resolution already ride;
+    * the oracle is the same recursive-CTE min-label propagation run to
+    * fixpoint, so the component labels (min node id) match exactly. */
+  def connectedComponents(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val pairs = l.select(col("o"), col("p").as("a"))
+      .join(l.select(col("o"), col("p").as("b")), "o")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= KcoreMinW).select("a", "b")
+    val comp = Components.connected(pairs)
+    graft.GateUtil.pinned(
+      comp.groupBy("comp").agg(count(lit(1)).as("csize"))
+        .groupBy("csize")
+        .agg(count(lit(1)).as("n_components"),
+          (col("csize") * count(lit(1))).as("n_nodes"),
+          sum("comp").as("sum_labels"))
+        .orderBy("csize"))(comp.unpersist(false))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pagerank" -> (pageRank _),
     "q_triangles" -> (triangleCensus _),
     "q_bfs_layers" -> (bfsLayers _),
     "q_label_prop" -> (labelProp _),
+    "q_connected_components" -> (connectedComponents _),
     "q_kcore" -> (kCore _))
 
   val oracles: Map[String, String] = Map(
+    "q_connected_components" ->
+      s"""WITH l AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |pw AS MATERIALIZED (SELECT x.p::BIGINT AS a, y.p::BIGINT AS b, count(*) AS w
+         |  FROM l x JOIN l y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2),
+         |e0 AS MATERIALIZED (SELECT a, b FROM pw WHERE w >= $KcoreMinW),
+         |edges AS (SELECT a AS src, b AS dst FROM e0
+         |  UNION ALL SELECT b, a FROM e0),
+         |cc AS (WITH RECURSIVE r(id, lbl) AS (
+         |    SELECT DISTINCT src, src FROM edges
+         |    UNION
+         |    SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.id)
+         |  SELECT id, min(lbl) AS comp FROM r GROUP BY id),
+         |sizes AS (SELECT comp, count(*) AS csize FROM cc GROUP BY comp)
+         |SELECT csize, count(*) AS n_components,
+         |  (csize * count(*))::BIGINT AS n_nodes,
+         |  sum(comp)::BIGINT AS sum_labels
+         |FROM sizes GROUP BY csize ORDER BY csize""".stripMargin,
     "q_label_prop" -> {
       val passes = (1 to LpaIters).map { k =>
         s"""c$k AS MATERIALIZED (SELECT ed.v, l.lbl, count(*) AS c
