@@ -267,20 +267,20 @@ object Graph {
 
   /** Core over any distinct undirected edge frame (a, b), a < b. */
   private[graft] def labelPropPairs(e: DataFrame, topK: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val edges = e.select(col("a").as("v"), col("b").as("u"))
       .union(e.select(col("b").as("v"), col("a").as("u")))
       .repartition(col("u")).persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("v").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     for (_ <- 1 to LpaIters) {
-      val cnt = edges.join(labels, col("u") === col("node"))
+      // per-node argmax as a struct-max AGGREGATION, not a window: both
+      // grouping stages partial-aggregate map-side and neither sorts.
+      // max(struct(c, -lbl)) = lexicographic (count desc, label asc) —
+      // exactly the pinned tie-break
+      labels = edges.join(labels, col("u") === col("node"))
         .groupBy("v", "lbl").agg(count(lit(1)).as("c"))
-      labels = cnt
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("v").orderBy(desc("c"), asc("lbl"))))
-        .filter(col("rk") === 1)
-        .select(col("v").as("node"), col("lbl"))
+        .groupBy("v").agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("v").as("node"), (-col("m.nl")).as("lbl"))
     }
     val fin = labels.localCheckpoint(true)
     edges.unpersist(false)
