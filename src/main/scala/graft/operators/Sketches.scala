@@ -141,6 +141,41 @@ object Sketches {
       .orderBy("scope")
   }
 
+  // ---- JVM replicas of the HLL column math, shared by the streaming
+  // state operator (graft.streaming) so incremental register state
+  // converges to EXACTLY the batch estimate ----
+
+  /** JVM twin of the md5-derived hash56 column. */
+  def hash56Jvm(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      md.map("%02x".format(_)).mkString.substring(0, 14), 16)
+  }
+
+  /** rho over the 50 payload bits — twin of the length(bin(h>>6)) column. */
+  def rho56(h: Long): Long = {
+    val rest = h >>> HllIndexBits
+    if (rest == 0) HllRhoMax.toLong
+    else HllRhoMax.toLong - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+  }
+
+  /** (buckets_used, s_scaled, est_distinct) from a 64-register array —
+    * twin of the [[hllDistinctDf]] estimate columns (same Math.log /
+    * half-up rounding the Catalyst expressions evaluate to). */
+  def estimateRegs(regs: Array[Long]): (Long, Long, Long) = {
+    val used = regs.count(_ > 0).toLong
+    val ss = regs.iterator.filter(_ > 0).map(m => 1L << (HllRhoMax - m)).sum
+    val sScaled = ss + (HllBuckets - used) * (1L << HllRhoMax)
+    val raw = HllNumerator / sScaled.toDouble
+    val zeros = HllBuckets - used
+    val est =
+      if (raw <= 2.5 * HllBuckets && zeros > 0)
+        Math.round(HllBuckets.toDouble * Math.log(HllBuckets.toDouble / zeros))
+      else Math.round(raw)
+    (used, sScaled, est)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_countmin" -> (countMin _),
     "q_hll_distinct" -> (hllDistinct _))

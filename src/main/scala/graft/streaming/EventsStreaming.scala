@@ -265,6 +265,39 @@ object EventsStreaming {
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
 
+  final case class ScopedValue(scope: String, v: String)
+  final case class HllEstimate(scope: String, buckets_used: Long,
+      est_distinct: Long)
+
+  /** Streaming HyperLogLog — the incremental face of
+    * graft.operators.Sketches.hllDistinct: 64 max-merged rho registers
+    * per scope live in keyed state (fixed 512 bytes/key at ANY
+    * cardinality — the reason to sketch a stream at all), and each batch
+    * emits the scope's refreshed estimate. Register max-merge is
+    * idempotent and commutative, so duplicates and out-of-order arrival
+    * cannot change the converged value — no watermark needed. The state
+    * math is the exact JVM twin of the batch estimate columns
+    * (Sketches.{hash56Jvm,rho56,estimateRegs}), so after the last batch
+    * the streaming estimate EQUALS the batch gate's, pinned by spec. */
+  def hllDistinctStream(rows: Dataset[ScopedValue]): Dataset[HllEstimate] = {
+    import rows.sparkSession.implicits._
+    import graft.operators.Sketches
+    rows.groupByKey(_.scope)
+      .mapGroupsWithState[Array[Long], HllEstimate](GroupStateTimeout.NoTimeout()) {
+        case (scope, it, state: GroupState[Array[Long]]) =>
+          val regs = state.getOption.getOrElse(Array.fill(Sketches.HllBuckets)(0L))
+          it.foreach { sv =>
+            val h = Sketches.hash56Jvm(sv.v)
+            val b = (h % Sketches.HllBuckets).toInt
+            val r = Sketches.rho56(h)
+            if (r > regs(b)) regs(b) = r
+          }
+          state.update(regs)
+          val (used, _, est) = Sketches.estimateRegs(regs)
+          HllEstimate(scope, used, est)
+      }
+  }
+
   /** Convenience: run a streaming frame to completion against a memory
     * sink and return the sink table (test/demo harness). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {

@@ -281,6 +281,31 @@ class StreamingSpec extends SparkSpec {
     assert(ids.sameElements(Array(1L, 2L, 3L)))
   }
 
+  test("streaming HLL converges to the batch estimate across batches, dups, disorder") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark2.sqlContext
+    import EventsStreaming.ScopedValue
+    val all = (1 to 900).map(i => ScopedValue(s"g${i % 2}", s"v${i % 450}"))
+    val (b1, b2) = all.splitAt(400)
+    val mem = MemoryStream[ScopedValue]
+    val q = EventsStreaming.hllDistinctStream(mem.toDS())
+      .writeStream.format("memory").queryName("hll_stream").outputMode("update").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    // batch 2 is shuffled and overlaps batch 1 — max-merge must not care
+    mem.addData(scala.util.Random.shuffle(b2 ++ b1.take(50)): _*)
+    q.processAllAvailable(); q.stop()
+    // registers only grow, so used/est are nondecreasing across batches
+    // and max = the final emission (row order in the sink is arbitrary)
+    val streamed = spark.table("hll_stream")
+      .groupBy("scope").agg(max("buckets_used").as("u"), max("est_distinct").as("e"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val batch = graft.operators.Sketches.hllDistinctDf(
+        all.toDF("scope", "v"))
+      .collect().map(r => (r.getString(0), (r.getLong(2), r.getLong(4)))).toMap
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+  }
+
   test("mapGroupsWithState running totals equal batch groupBy") {
     val spark2 = spark
     import spark2.implicits._
