@@ -32,6 +32,25 @@ object LinalgQueries {
 
   /** Gram matrix through the blocked-GEMM path: A as a multi-block
     * DsArray, G = Aᵀ %*% A (BlockMatrix shuffle multiply), collected. */
+  /** Rechunk invisibility gate: re-tile the 8×2 block grid to uneven
+    * 17×3 blocks, then compute the SAME Gramian as q_matmul_gram — the
+    * DsArray.rechunk surface (load_blocks_rechunk, previously spec-only)
+    * must be a pure layout change, pinned against the identical oracle.
+    * (Block-sum order changes with the tiling; the shared round-6 output
+    * already dominates that fp noise, same as the base gate.) */
+  def rechunkGram(spark: SparkSession, dir: String): DataFrame = {
+    val rows = embRows(spark, dir).map { case (i, v) =>
+      IndexedRow(i, Vectors.dense(v)) }
+    val n = rows.count()
+    val a = DsArray.fromIndexedRows(rows, n, P, 64, 4).rechunk(17, 3)
+    val g = (a.transpose %*% a).collect()
+    val spark2 = spark
+    import spark2.implicits._
+    (for (i <- 0 until P; j <- 0 until P) yield
+      (i, j, BigDecimal(g(i, j)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("i", "j", "val").orderBy("i", "j")
+  }
+
   def matmulGram(spark: SparkSession, dir: String): DataFrame = {
     val rows = embRows(spark, dir).map { case (i, v) =>
       IndexedRow(i, Vectors.dense(v)) }
@@ -311,6 +330,7 @@ object LinalgQueries {
     "q_sparse_gram" -> (sparseGram _),
     "q_fancy_index" -> (fancyIndex _),
     "q_matmul_gram" -> (matmulGram _),
+    "q_rechunk_gram" -> (rechunkGram _),
     "q_tsqr_r" -> (tsqrR _),
     "q_svd_moments" -> (svdMoments _),
     "q_randsvd_moments" -> (randSvdMoments _),
@@ -381,6 +401,10 @@ object LinalgQueries {
         |SELECT * FROM fancy UNION ALL SELECT * FROM sl
         |ORDER BY part, pos""".stripMargin,
     "q_matmul_gram" ->
+      s"""$gramCte
+         |SELECT i - 1 AS i, j - 1 AS j, round(gij, 6) AS val FROM g
+         |ORDER BY i, j""".stripMargin,
+    "q_rechunk_gram" ->
       s"""$gramCte
          |SELECT i - 1 AS i, j - 1 AS j, round(gij, 6) AS val FROM g
          |ORDER BY i, j""".stripMargin,
