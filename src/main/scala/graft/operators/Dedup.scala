@@ -136,6 +136,53 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** Jaccard threshold for the prefix-filtered similarity join. */
+  val PrefixJacT = 0.8
+
+  /** Prefix-filtered set-similarity join (Bayardo AllPairs / PPJoin
+    * family) — the LOSSLESS scale upgrade of the plain inverted-index
+    * candidate join: under a global canonical token order (document
+    * frequency asc, token asc — rarest first), a pair with Jaccard ≥ t
+    * MUST share a token inside each side's first |x| − ⌈t·|x|⌉ + 1
+    * tokens, so only that prefix is indexed. At t = 0.8 the posting lists
+    * carry ~20% of each document's tokens and hot-token lists shrink the
+    * most (hot tokens sort LAST, out of every prefix) — the df-cap
+    * heuristic's guarantee-free pruning, derived instead of assumed.
+    * ⌈t·|x|⌉ is computed as the INTEGER (4·n + 4) DIV 5 — fp 0.8·n
+    * rounds 4.000…0002 for n = 5 and ceils to 5, the classic lossy-ceil
+    * bug. Candidates verify on the full shingle sets; the oracle is the
+    * prefix-free naive join, pinning losslessness at the gate corpus. */
+  def prefixJaccard(spark: SparkSession, dir: String): DataFrame =
+    prefixJaccardDf(shinglesDf(spark, dir))
+
+  /** Core over any (doc_id, sh: array<string>) distinct-shingle frame. */
+  def prefixJaccardDf(shIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shIn.cache()
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val pref = ex.join(dfTab, "s")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(asc("df"), asc("s"))))
+      .join(sh.select(col("doc_id"), size(col("sh")).as("n")), "doc_id")
+      .filter(col("rk") <= col("n") - expr("(4 * n + 4) DIV 5") + 1)
+      .select("doc_id", "s")
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    graft.GateUtil.pinned(
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+        .withColumn("jaccard", col("inter").cast("double")
+          / (size(col("sha")) + size(col("shb")) - col("inter")))
+        .filter(col("jaccard") >= PrefixJacT)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b"))(sh.unpersist(false))
+  }
+
   /** Bloom geometry for [[bloomDecontaminate]]: 2^14 bits × 3 md5-derived
     * hashes — sized against the gate's ~1.1k bench shingles for ~18%
     * fill, so document-level false positives actually occur (the
@@ -341,6 +388,7 @@ object Dedup {
       embeddingNearDup(s, d, nlist = Similarity.IvfLists)),
     "q_decontaminate" -> (decontaminate _),
     "q_bloom_decon" -> (bloomDecontaminate _),
+    "q_jaccard_prefix" -> (prefixJaccard _),
     "q_dedup_clusters" -> (dedupClusters _))
 
   /** Shared CTE chain replaying the pinned MinHash-LSH pair semantics up
@@ -377,6 +425,19 @@ object Dedup {
         |  count(DISTINCT md5(lower(trim(text)))) AS n_unique,
         |  count(*) - count(DISTINCT md5(lower(trim(text)))) AS n_dupes
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_jaccard_prefix" ->
+      s"""WITH sh AS (SELECT doc_id, $shinglesSql AS s FROM $wordsSubquery),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  round(len(list_intersect(x.s, y.s))::DOUBLE
+         |    / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) AS jaccard
+         |FROM cand JOIN sh x ON doc_a = x.doc_id JOIN sh y ON doc_b = y.doc_id
+         |WHERE len(list_intersect(x.s, y.s))::DOUBLE
+         |    / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
+         |  >= $PrefixJacT
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_bloom_decon" ->
       s"""WITH sh AS (SELECT doc_id, $shinglesSql AS s FROM $wordsSubquery),
          |d AS (SELECT doc_id, source,
