@@ -263,11 +263,90 @@ object Similarity {
       .orderBy("rank")
   }
 
+  /** Product-quantization geometry: 4 subspaces × 16 dims, 8 centroids
+    * each (3-bit codes, 12 bits per vector), trained with the standard
+    * KMeansGraft determinism contract. */
+  val PqM = 4
+  val PqSubDim = 16
+  val PqK = 8
+  val PqIters = 3
+  val PqTopK = 5
+
+  /** Product-quantization ANN (Jégou et al., PAMI 2011) — THE embedding
+    * compression trick for corpus-scale search: each vector stores only
+    * [[PqM]] sub-codebook ids (12 bits here vs 2 KiB of floats), and a
+    * query scores the WHOLE corpus through a per-query distance TABLE
+    * (asymmetric distance: exact query subvector vs coded centroid) —
+    * [[PqM]] additions per candidate, no float vector ever read at scan
+    * time. At 100 TB the codes column is ~170000× smaller than the
+    * embeddings it stands in for.
+    *
+    * Everything replays in DuckDB: the four sub-quantizers train under
+    * KMeansGraft's rounded-per-iteration contract, encoding uses the
+    * same argmin chains, the ADC tables are (20 queries × 8 codes)
+    * left-associated expression chains, and the final distance is the
+    * FIXED d0+d1+d2+d3 association — no fp aggregation anywhere. */
+  def pqTopK(spark: SparkSession, dir: String): DataFrame =
+    pqTopKDf(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v")), PqM * PqSubDim)
+
+  /** Core over any (vec_id, v: array<double>) frame of dimension `dim`
+    * (must be PqM · PqSubDim-shaped when defaults are used; tests pass
+    * smaller geometry via the fields). */
+  def pqTopKDf(fullIn: DataFrame, dim: Int): DataFrame = {
+    import graft.ml.KMeansGraft
+    require(dim == PqM * PqSubDim, s"dim $dim != ${PqM * PqSubDim}")
+    val spark = fullIn.sparkSession
+    val full = fullIn.cache()
+    val subCol = (j: Int) => slice(col("v"), j * PqSubDim + 1, PqSubDim)
+    val models = (0 until PqM).map { j =>
+      KMeansGraft.fit(full.select(col("vec_id"), subCol(j).as("sv")),
+        "sv", "vec_id", PqK, maxIter = PqIters)
+    }
+    val enc = full.select(col("vec_id") +:
+      (0 until PqM).map(j => models(j).assignCol(subCol(j)).as(s"code$j")): _*)
+    val queries = full.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    // per-query ADC tables: PqM × (20 queries × PqK centroids) tiny frames
+    val spark2 = spark
+    import spark2.implicits._
+    val dtabs = (0 until PqM).map { j =>
+      val cdf = models(j).centers.zipWithIndex
+        .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+        .toDF(s"code$j", "cv")
+      queries.crossJoin(broadcast(cdf))
+        .select(col("qid"), col(s"code$j"),
+          (1 to PqSubDim).map { i =>
+            val d = element_at(col("qv"), lit(j * PqSubDim + i)) - element_at(col("cv"), i)
+            d * d
+          }.reduce(_ + _).as(s"d$j"))
+    }
+    val scored = dtabs.zipWithIndex
+      .foldLeft(enc.crossJoin(broadcast(queries.select("qid")))) {
+        case (acc, (dt, j)) => acc.join(broadcast(dt), Seq("qid", s"code$j"))
+      }
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adc",
+        (0 until PqM).map(j => col(s"d$j")).reduce(_ + _))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    val out = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= PqTopK)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("adc"), 6).as("adc_dist"))
+      .orderBy("qid", "rank")
+      .collect() // small; materialize so the corpus cache can be freed
+    full.unpersist(false)
+    out.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.toDF("qid", "rank", "neighbor_id", "adc_dist")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ann_brute" -> (bruteTopK _),
     "q_ann_lsh" -> (lshTopK _),
     "q_cosine_sparse" -> (sparseCosineTopK _),
     "q_bm25" -> (bm25TopK _),
+    "q_ann_pq" -> (pqTopK _),
     "q_ann_ivf" -> ((s, d) => ivfTopK(s, d, nlist = IvfLists)))
 
   private val embCte =
@@ -279,6 +358,51 @@ object Similarity {
     "list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)]) / (q.nrm * c.nrm)"
 
   val oracles: Map[String, String] = Map(
+    "q_ann_pq" -> {
+      import graft.ml.KMeansGraft.{assignCteSql, lloydCtesSql}
+      def offChain(off: Int) = (1 to PqSubDim).map(i =>
+        s"(q.qv[${off + i}]-c.v[$i])*(q.qv[${off + i}]-c.v[$i])").mkString(" + ")
+      val subs = (0 until PqM).map { j =>
+        s"""sv$j AS (SELECT vec_id,
+           |  v[${j * PqSubDim + 1}:${(j + 1) * PqSubDim}] AS v FROM full0)"""
+          .stripMargin
+      }.mkString(",\n")
+      val lloyds = (0 until PqM)
+        .map(j => lloydCtesSql(s"sv$j", PqSubDim, PqK, PqIters)).mkString(",\n")
+      val assigns = (0 until PqM)
+        .map(j => assignCteSql(s"enc$j", s"sv$j", s"csv$j$PqIters", PqSubDim))
+        .mkString(",\n")
+      val encCols = (0 until PqM).map(j => s"e$j.cl AS code$j").mkString(", ")
+      val encJoins = (1 until PqM)
+        .map(j => s"JOIN enc$j e$j ON e$j.vec_id = e0.vec_id").mkString(" ")
+      val dts = (0 until PqM).map { j =>
+        s"""dt$j AS (SELECT q.qid, c.cl AS code$j,
+           |  ${offChain(j * PqSubDim)} AS d$j
+           |  FROM q CROSS JOIN csv$j$PqIters c)""".stripMargin
+      }.mkString(",\n")
+      val dtJoins = (0 until PqM)
+        .map(j => s"JOIN dt$j ON dt$j.qid = q2.qid AND dt$j.code$j = e.code$j")
+        .mkString(" ")
+      val adcSum = (0 until PqM).map(j => s"dt$j.d$j").mkString(" + ")
+      s"""WITH full0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |    FROM embeddings),
+         |$subs,
+         |$lloyds,
+         |$assigns,
+         |enc AS (SELECT e0.vec_id, $encCols FROM enc0 e0 $encJoins),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM full0 WHERE vec_id < 20),
+         |$dts,
+         |adc AS (SELECT q2.qid, e.vec_id, $adcSum AS adc
+         |  FROM enc e CROSS JOIN (SELECT qid FROM q) q2
+         |  $dtJoins
+         |  WHERE e.vec_id <> q2.qid)
+         |SELECT qid, rank, neighbor_id, adc_dist FROM (
+         |  SELECT qid, vec_id AS neighbor_id, round(adc, 6) AS adc_dist,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY adc ASC, vec_id ASC) AS rank
+         |  FROM adc)
+         |WHERE rank <= $PqTopK ORDER BY qid, rank""".stripMargin
+    },
     "q_bm25" -> {
       // constants via toString so both engines parse the identical double
       // (1.2 + 1 in binary is NOT the same double as a literal 2.2)
