@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Measured retrieval QUALITY of the approximate ANN paths against
+  * ground truth on the gate data — correctness gates pin that each
+  * method computes what it defines; this suite pins that what they
+  * define is actually a good approximation (the round-1 single-table
+  * LSH passed its gate while returning near-random neighbors at
+  * recall 0.02 — exactly the failure a recall floor catches). */
+class AnnRecallSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def topMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+
+  private def recallAt(got: Map[Long, Seq[Long]], truth: Map[Long, Seq[Long]],
+      k: Int): Double = {
+    val per = truth.keys.toSeq.map { q =>
+      val t = truth(q).take(k).toSet
+      got.get(q).map(g => g.take(k).toSet.intersect(t).size.toDouble / k)
+        .getOrElse(0.0)
+    }
+    per.sum / per.size
+  }
+
+  test("multi-table LSH and IVF beat recall floors vs cosine brute") {
+    val truth = topMap(Similarity.bruteTopK(spark, dir))
+    val lsh = recallAt(topMap(Similarity.lshTopK(spark, dir)), truth, 3)
+    assert(lsh >= 0.3, f"multi-table LSH recall@3 $lsh%.3f (single-table scored 0.02)")
+    val ivf = recallAt(
+      topMap(Similarity.ivfTopK(spark, dir, nlist = Similarity.IvfLists)), truth, 3)
+    assert(ivf >= 0.4, f"IVF recall@3 $ivf%.3f")
+  }
+
+  test("PQ beats a recall floor vs exact L2 ground truth") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.functions.VectorFns.asDouble
+    import org.apache.spark.sql.functions._
+    val full = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val vecs = full.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val qids = vecs.keys.filter(_ < 20).toSeq
+    def sqd(a: Array[Double], b: Array[Double]) =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val truth = qids.map { q =>
+      q -> vecs.collect { case (id, v) if id != q => (sqd(vecs(q), v), id) }
+        .toSeq.sorted.take(Similarity.PqTopK).map(_._2)
+    }.toMap
+    val pq = recallAt(topMap(Similarity.pqTopKDf(full, 64)), truth, Similarity.PqTopK)
+    assert(pq >= 0.15, f"PQ recall@5 vs exact L2 $pq%.3f " +
+      "(12-bit codes on unclustered gaussian data - coarse by design)")
+  }
+}
