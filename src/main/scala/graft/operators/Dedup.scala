@@ -136,6 +136,54 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** Incremental (cross-epoch) exact dedup — the daily-pipeline shape:
+    * a new batch dedups against ALL history while the retained state is
+    * only the distinct 56-bit content-hash set, never historical text
+    * (the IVM posture applied to dedup; at 100 TB the state is ~10⁻⁴ of
+    * the corpus and the batch-side join is hash-keyed). Epoch membership
+    * is a portable id-hash split (70% history), deterministic at any SF.
+    * Accounting per source: within-batch losers, cross-epoch duplicates
+    * (batch winners whose hash exists in history), and net-new docs. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame =
+    incrementalDedupDf(Tables.part(spark, dir)
+      .select(col("p_partkey").as("doc_id"), col("p_brand").as("source"),
+        col("p_name").as("text"))
+      .withColumn("is_hist",
+        pmod(hash56(col("doc_id").cast("string")), lit(10)) < 7))
+
+  /** Core over any (doc_id, source, text, is_hist) frame. The gate runs
+    * it on the part CATALOG keyed by normalized p_name (64 distinct
+    * names across 2000 parts — entity-registry dedup with real
+    * collisions; the documents table has zero exact duplicates, which
+    * would make every dup column vacuously 0), epoch membership from
+    * the portable id hash so it does not correlate with the grouping. */
+  def incrementalDedupDf(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"), col("source"), col("is_hist"),
+      hash56(lower(trim(col("text")))).as("h"))
+    val histHashes = hashed.filter(col("is_hist")).select("h").distinct()
+    val batch = hashed.filter(!col("is_hist"))
+    val winners = batch.groupBy("h").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id")).withColumn("is_winner", lit(1))
+    val crossDup = batch.join(winners, Seq("doc_id"), "left_semi")
+      .join(histHashes, Seq("h"), "left_semi")
+      .select("doc_id").withColumn("is_cross", lit(1))
+    batch
+      .join(winners, Seq("doc_id"), "left")
+      .join(crossDup, Seq("doc_id"), "left")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_batch"),
+        sum(when(col("is_winner").isNull, 1L).otherwise(0L)).as("n_within_dup"),
+        coalesce(sum("is_cross"), lit(0)).cast("long").as("n_cross_dup"),
+        sum(when(col("is_winner").isNotNull && col("is_cross").isNull, 1L)
+          .otherwise(0L)).as("n_new"))
+      .join(hashed.filter(col("is_hist")).groupBy("source")
+        .agg(count(lit(1)).as("n_history")), Seq("source"), "left")
+      .na.fill(0L, Seq("n_history"))
+      .select("source", "n_history", "n_batch", "n_within_dup",
+        "n_cross_dup", "n_new")
+      .orderBy("source")
+  }
+
   /** Jaccard threshold for the prefix-filtered similarity join. */
   val PrefixJacT = 0.8
 
@@ -389,6 +437,7 @@ object Dedup {
     "q_decontaminate" -> (decontaminate _),
     "q_bloom_decon" -> (bloomDecontaminate _),
     "q_jaccard_prefix" -> (prefixJaccard _),
+    "q_dedup_incremental" -> (incrementalDedup _),
     "q_dedup_clusters" -> (dedupClusters _))
 
   /** Shared CTE chain replaying the pinned MinHash-LSH pair semantics up
@@ -425,6 +474,31 @@ object Dedup {
         |  count(DISTINCT md5(lower(trim(text)))) AS n_unique,
         |  count(*) - count(DISTINCT md5(lower(trim(text)))) AS n_dupes
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_dedup_incremental" ->
+      s"""WITH hashed AS (SELECT p_partkey AS doc_id, p_brand AS source,
+         |    ${hash56Sql("p_partkey::VARCHAR")} % 10 < 7 AS is_hist,
+         |    ${hash56Sql("lower(trim(p_name))")} AS h FROM part),
+         |hh AS (SELECT DISTINCT h FROM hashed WHERE is_hist),
+         |batch AS (SELECT * FROM hashed WHERE NOT is_hist),
+         |winners AS (SELECT min(doc_id) AS doc_id FROM batch GROUP BY h),
+         |cross_dup AS (SELECT b.doc_id FROM batch b
+         |  JOIN winners w ON w.doc_id = b.doc_id
+         |  JOIN hh ON hh.h = b.h),
+         |hist AS (SELECT source, count(*)::BIGINT AS n_history FROM hashed
+         |  WHERE is_hist GROUP BY source)
+         |SELECT b.source, coalesce(any_value(hist.n_history), 0)::BIGINT AS n_history,
+         |  count(*) AS n_batch,
+         |  sum(CASE WHEN w.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_within_dup,
+         |  sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_cross_dup,
+         |  sum(CASE WHEN w.doc_id IS NOT NULL AND c.doc_id IS NULL
+         |    THEN 1 ELSE 0 END)::BIGINT AS n_new
+         |FROM batch b
+         |LEFT JOIN winners w ON w.doc_id = b.doc_id
+         |LEFT JOIN cross_dup c ON c.doc_id = b.doc_id
+         |LEFT JOIN hist ON hist.source = b.source
+         |GROUP BY b.source ORDER BY b.source""".stripMargin,
     "q_jaccard_prefix" ->
       s"""WITH sh AS (SELECT doc_id, $shinglesSql AS s FROM $wordsSubquery),
          |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
