@@ -1132,7 +1132,35 @@ object Relational {
       .orderBy("x", "y")
   }
 
+  /** Three-valued-logic pin — NULL handling is where engines (and
+    * hand-written pipelines) silently diverge, so the exact semantics
+    * ride a gate: count(*) vs count(col), NULL as a grouping key,
+    * aggregate null-skipping, DISTINCT over nulls, null-safe equality
+    * (<=> / IS NOT DISTINCT FROM), and the NOT IN + NULL trap (the
+    * predicate is UNKNOWN for every row, so the count is 0 — pinned so
+    * nobody "fixes" it). Derived nullable columns via nullif/CASE on
+    * lineitem; one partial+final rollup. */
+  def nullSemantics(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.lineitem(spark, dir).select(
+      nullif(col("l_returnflag"), lit("N")).as("k"),
+      when(col("l_quantity") > 25, col("l_quantity")).as("v"))
+    d.groupBy("k").agg(
+        count(lit(1)).as("n_rows"),
+        count(col("v")).as("n_nonnull_v"),
+        countDistinct(col("v")).as("n_distinct_v"),
+        coalesce(sum("v"), lit(0)).cast("long").as("sum_v"),
+        sum((col("k") <=> lit(null)).cast("long")).as("n_nullsafe_null_k"),
+        // NOT IN (..., NULL) is never TRUE — must be exactly 0
+        sum(when(expr("v NOT IN (1, 2, NULL)"), 1L).otherwise(0L))
+          .as("n_notin_trap"))
+      // the driver's row-sort compare cannot order NULL next to strings,
+      // so the null GROUP (the point of the gate) displays as a sentinel
+      .withColumn("k", coalesce(col("k"), lit("<null>")))
+      .orderBy("k")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_null_semantics" -> (nullSemantics _),
     "q_mutual_info" -> (mutualInfo _),
     "q_woe_encode" -> (woeEncode _),
     "q_winsorize" -> (winsorize _),
@@ -1186,6 +1214,18 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_null_semantics" ->
+      """WITH d AS (SELECT nullif(l_returnflag, 'N') AS k,
+        |    CASE WHEN l_quantity > 25 THEN l_quantity END AS v
+        |  FROM lineitem)
+        |SELECT coalesce(k, '<null>') AS k, count(*) AS n_rows,
+        |  count(v)::BIGINT AS n_nonnull_v,
+        |  count(DISTINCT v)::BIGINT AS n_distinct_v,
+        |  coalesce(sum(v), 0)::BIGINT AS sum_v,
+        |  sum((k IS NOT DISTINCT FROM NULL)::INT)::BIGINT AS n_nullsafe_null_k,
+        |  sum(CASE WHEN v NOT IN (1, 2, NULL) THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_notin_trap
+        |FROM d GROUP BY k ORDER BY k""".stripMargin,
     "q_mutual_info" ->
       """WITH d AS (SELECT l_returnflag AS x,
         |    CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END::BIGINT AS y
