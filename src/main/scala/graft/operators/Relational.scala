@@ -1159,7 +1159,30 @@ object Relational {
       .orderBy("k")
   }
 
+  /** Distribution-rank window family — ntile / percent_rank / cume_dist
+    * (the window functions q_window_rank/range/running don't cover),
+    * pinned over a TOTAL ordering (price, key) so tile boundaries and
+    * rank fractions are engine-exact; fractions are exact rationals of
+    * row counts, rounded 6. One keyed exchange; ≤ 4·|priorities| rows
+    * out at any scale. */
+  def windowNtile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy("o_orderpriority", "quartile")
+      .agg(count(lit(1)).as("n_orders"),
+        round(min("pr"), 6).as("min_pctrank"),
+        round(max("cd"), 6).as("max_cumedist"))
+      .orderBy("o_orderpriority", "quartile")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_window_ntile" -> (windowNtile _),
     "q_null_semantics" -> (nullSemantics _),
     "q_mutual_info" -> (mutualInfo _),
     "q_woe_encode" -> (woeEncode _),
@@ -1214,6 +1237,18 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_window_ntile" ->
+      """WITH d AS (SELECT o_orderpriority,
+        |    ntile(4) OVER w AS quartile,
+        |    percent_rank() OVER w AS pr,
+        |    cume_dist() OVER w AS cd
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey))
+        |SELECT o_orderpriority, quartile, count(*) AS n_orders,
+        |  round(min(pr), 6) AS min_pctrank,
+        |  round(max(cd), 6) AS max_cumedist
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_null_semantics" ->
       """WITH d AS (SELECT nullif(l_returnflag, 'N') AS k,
         |    CASE WHEN l_quantity > 25 THEN l_quantity END AS v
