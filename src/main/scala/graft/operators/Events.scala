@@ -466,7 +466,32 @@ object Events {
     rows.toSeq.toDF("day", "n_risk", "n_events", "surv_micro").orderBy("day")
   }
 
+  /** OHLC candlestick bars — the canonical time-series downsample
+    * (open/high/low/close + volume per bucket) the tumbling-count
+    * window gate doesn't cover. Open/close are pinned by struct-min/max
+    * over the TOTAL (ts, event_id) order — one partial+final aggregate,
+    * no window, no sort — and are raw selected values (bit-identical
+    * cross-engine); only volume is an fp sum, rounded 4 per the
+    * q_events_window convention. Purchase stream, 30-minute bars. */
+  def ohlcBars(spark: SparkSession, dir: String): DataFrame =
+    ohlcBarsDf(Tables.events(spark, dir).filter(col("event_type") === "purchase"))
+
+  /** Core over any (ts, event_id, value) frame. */
+  def ohlcBarsDf(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_trades"),
+        min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+        round(sum("value"), 4).as("volume"))
+      .select(col("w.start").as("wstart"), col("n_trades"),
+        col("o.value").as("open"), col("high"), col("low"),
+        col("c.value").as("close"), col("volume"))
+      .orderBy("wstart")
+
   val queries: Map[String, Q] = Map(
+    "q_ohlc_bars" -> (ohlcBars _),
     "q_survival_km" -> (survivalKm _),
     "q_ab_test" -> (abTest _),
     "q_rolling_dau" -> (rollingDau _),
@@ -484,6 +509,15 @@ object Events {
     "q_funnel_time" -> (funnelLatency _))
 
   val oracles: Map[String, String] = Map(
+    "q_ohlc_bars" ->
+      """SELECT time_bucket(INTERVAL '30 minutes', ts) AS wstart,
+        |  count(*) AS n_trades,
+        |  min({'t': ts, 'e': event_id, 'v': value})['v'] AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max({'t': ts, 'e': event_id, 'v': value})['v'] AS close,
+        |  round(sum(value), 4) AS volume
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_survival_km" ->
       """WITH RECURSIVE t0 AS (SELECT user_id, min(ts) AS t0 FROM events
         |  WHERE event_type = 'view' GROUP BY user_id),
