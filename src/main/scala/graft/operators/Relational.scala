@@ -1181,7 +1181,38 @@ object Relational {
       .orderBy("o_orderpriority", "quartile")
   }
 
+  /** Salt replication factor for the skew-join gate. */
+  val SaltFactor = 8
+
+  /** Salted skew join — the standard hot-key treatment made first-class
+    * and RESULT-GATED: the fact side carries a deterministic salt
+    * (portable row hash mod [[SaltFactor]]), the dimension side
+    * replicates each row across all salts, and the join key becomes
+    * (key, salt) so one hot key spreads over SaltFactor reducers
+    * instead of melting one. The oracle is the plain unsalted join —
+    * identical aggregates prove salting is a pure layout transform
+    * (the same guarantee-not-assumption posture as q_jaccard_prefix
+    * and q_rechunk_gram). Revenue is summed in exact integer cents so
+    * no fp-order noise can hide a salting bug. */
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        pmod(graft.functions.TextFns.hash56(
+          concat_ws("-", col("l_orderkey"), col("l_linenumber"))),
+          lit(SaltFactor.toLong)).as("salt"))
+    val dim = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"))
+      .withColumn("salt", explode(sequence(lit(0L), lit(SaltFactor - 1L))))
+    li.join(dim,
+        li("l_partkey") === dim("p_partkey") && li("salt") === dim("salt"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"), sum("cents").as("revenue_cents"))
+      .orderBy("p_brand")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_salted_join" -> (saltedJoin _),
     "q_window_ntile" -> (windowNtile _),
     "q_null_semantics" -> (nullSemantics _),
     "q_mutual_info" -> (mutualInfo _),
@@ -1237,6 +1268,11 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_salted_join" ->
+      """SELECT p_brand, count(*) AS n_lines,
+        |  sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS revenue_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q_window_ntile" ->
       """WITH d AS (SELECT o_orderpriority,
         |    ntile(4) OVER w AS quartile,

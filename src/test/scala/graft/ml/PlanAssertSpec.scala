@@ -393,6 +393,18 @@ class PlanAssertSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("salted join shuffles on (key, salt) — hot keys actually spread") {
+    withStructuralPlans {
+      val df = graft.operators.Relational.saltedJoin(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      val saltedExchange = plan.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning") &&
+          l.contains("salt") && (l.contains("l_partkey") || l.contains("p_partkey")))
+      assert(saltedExchange,
+        s"the join exchange must partition on the salted composite key:\n$plan")
+    }
+  }
+
   test("retrieval/graph round-7 operators keep scale-safe plan shapes") {
     val spark2 = spark
     import spark2.implicits._
