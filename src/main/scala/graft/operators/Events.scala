@@ -490,7 +490,36 @@ object Events {
         col("c.value").as("close"), col("volume"))
       .orderBy("wstart")
 
+  /** Time-weighted average value (TWAP) per user-day — the sampling-
+    * rate-proof mean (a burst of identical readings must not outweigh a
+    * long-held value; the plain AVG the other gates use is sampling-
+    * biased by construction). Each observation holds until the user's
+    * next event that day; the last observation of a day carries zero
+    * weight (dropped — the interval is unknown). Arithmetic is exact:
+    * value in integer cents × duration in integer micros, one DIV at
+    * the end — no fp aggregation. One (user) keyed window exchange +
+    * a (user, day) rollup. */
+  def twap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "d").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("d", to_date(col("ts")))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withColumn("next_us", lead(unix_micros(col("ts")), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .withColumn("dur_us", col("next_us") - unix_micros(col("ts")))
+      .groupBy("user_id", "d")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("cents") * col("dur_us")).as("wsum"),
+        sum("dur_us").as("dur_total_us"))
+      .filter(col("dur_total_us") > 0)
+      .selectExpr("user_id", "d", "n_intervals",
+        "CAST(wsum DIV dur_total_us AS BIGINT) AS twap_cents")
+      .orderBy("user_id", "d")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_twap" -> (twap _),
     "q_ohlc_bars" -> (ohlcBars _),
     "q_survival_km" -> (survivalKm _),
     "q_ab_test" -> (abTest _),
@@ -509,6 +538,19 @@ object Events {
     "q_funnel_time" -> (funnelLatency _))
 
   val oracles: Map[String, String] = Map(
+    "q_twap" ->
+      """WITH p AS (SELECT user_id, ts::DATE AS d,
+        |    round(value * 100)::BIGINT AS cents,
+        |    epoch_us(ts) AS us,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id, ts::DATE
+        |      ORDER BY ts, event_id) AS next_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, d, count(*)::BIGINT AS n_intervals,
+        |  (sum(cents * (next_us - us)) // sum(next_us - us))::BIGINT
+        |    AS twap_cents
+        |FROM p WHERE next_us IS NOT NULL
+        |GROUP BY user_id, d HAVING sum(next_us - us) > 0
+        |ORDER BY user_id, d""".stripMargin,
     "q_ohlc_bars" ->
       """SELECT time_bucket(INTERVAL '30 minutes', ts) AS wstart,
         |  count(*) AS n_trades,
