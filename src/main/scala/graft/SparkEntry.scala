@@ -31,6 +31,7 @@ object SparkEntry {
         "q_mdcrd" -> (graft.sources.Sources.mdcrdQuery _),
         "q_npy_hstack" -> (graft.sources.Sources.npyHstackQuery _),
         "q_partition_prune" -> (graft.sources.Sources.partitionPruneQuery _),
+        "q_schema_evolution" -> (graft.sources.Sources.schemaEvolutionQuery _),
         "q_bucket_join" -> (graft.sources.Sources.bucketJoinQuery _))
 
   def oracleSql: Map[String, String] =
@@ -47,5 +48,6 @@ object SparkEntry {
         "q_mdcrd" -> graft.sources.Sources.mdcrdOracle,
         "q_npy_hstack" -> graft.sources.Sources.npyHstackOracle,
         "q_partition_prune" -> graft.sources.Sources.partitionPruneOracle,
+        "q_schema_evolution" -> graft.sources.Sources.schemaEvolutionOracle,
         "q_bucket_join" -> graft.sources.Sources.bucketJoinOracle)
 }

@@ -259,6 +259,43 @@ object Sources {
     }
   }
 
+  /** Schema-evolution read — the data-lake reality the fixed-schema
+    * loaders skip: epoch 1 wrote (key, price), epoch 2 added a column;
+    * `mergeSchema` must surface epoch-1 rows with NULL in the new
+    * column, not fail or drop them. The gate splits orders by key
+    * parity into two parquet epochs, reads the directory merged, and
+    * accounts both populations (sums in exact integer cents — fp sum
+    * order cannot blur a lost row). Oracle recomputes from the orders
+    * table with the same parity split. */
+  def schemaEvolutionQuery(spark: SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables.orders(spark, dir)
+    withScratchDir("graft-se") { base =>
+      saveParquet(o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents")),
+        s"$base/t/epoch=1")
+      saveParquet(o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderpriority")),
+        s"$base/t/epoch=2")
+      spark.read.option("mergeSchema", "true").parquet(s"$base/t")
+        .groupBy(col("o_orderpriority").isNull.as("missing_col"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum("cents").as("sum_cents"),
+          countDistinct("o_orderpriority").as("n_priorities"))
+        .orderBy("missing_col")
+    }
+  }
+
+  /** Oracle: the same split recomputed from the orders table. */
+  val schemaEvolutionOracle: String =
+    """SELECT (o_orderkey % 2 = 0) AS missing_col, count(*) AS n_orders,
+      |  sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents,
+      |  count(DISTINCT CASE WHEN o_orderkey % 2 = 1
+      |    THEN o_orderpriority END)::BIGINT AS n_priorities
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Gate query: bucketed co-located join (the 100 TB technique for
     * repeated fact↔fact joins: both sides bucketed+sorted on the join
     * key at write time, so the join runs with ZERO exchange — at scale
