@@ -40,7 +40,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // subset runs dump only the matching oracles so tools/check.py can
+    // consume the directory directly (full runs are unaffected)
     val json = SparkEntry.oracleSql
+      .filter { case (n, _) => only.isEmpty || only(n) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
