@@ -242,8 +242,8 @@ object Dedup {
 
   /** Bloom-filter decontamination — the BROADCAST form of
     * [[decontaminate]]: the benchmark's shingle set compresses into a
-    * fixed 2^17-bit filter, so at 100 TB the corpus side tests
-    * membership map-side against ~16 KiB of bits instead of
+    * fixed 2^14-bit filter, so at 100 TB the corpus side tests
+    * membership map-side against ~2 KiB of bits instead of
     * semi-joining a shingle table that scales with the benchmark
     * (GPT-3's actual decontamination shape). The filter is represented
     * relationally as its distinct set-bit positions (≤ BloomBits rows,

@@ -374,10 +374,11 @@ object Events {
     * (portable hash56, the same resumable-membership contract as
     * corpusSample), per-arm conversion counted, and the pooled
     * two-proportion z² computed ENTIRELY in integer arithmetic as
-    * z²·10⁶ ≈ (|t|·10⁶ DIV n_a·n_b) · (|t|·N DIV c·(N−c)) with
-    * t = c_a·n_b − c_b·n_a — the cross-multiplied form, so no fp
-    * mean/sqrt touches the decision (same discipline as anomalyDow's
-    * 2σ test). Output is one row: arm sizes, conversions, cvr in bp,
+    * z²·10⁶ ≈ (|t|·10³ DIV n_a·n_b) · (|t|·10³·N DIV c·(N−c)) with
+    * t = c_a·n_b − c_b·n_a — the cross-multiplied form with the scale
+    * split across both factors (truncation ~2·10⁻³ of z², far inside
+    * the χ² threshold), so no fp mean/sqrt touches the decision (same
+    * discipline as anomalyDow's 2σ test). Output is one row: arm sizes, conversions, cvr in bp,
     * z²-micro, and the significance verdict at χ²₁ 95%.
     *
     * Scale: one distinct-users pass + one filtered purchase count,
@@ -403,11 +404,18 @@ object Events {
         sum(when(col("arm") === 1, col("n"))).as("n_b"),
         sum(when(col("arm") === 1, col("c"))).as("c_b"))
       .selectExpr("n_a", "c_a", "n_b", "c_b",
-        "CAST((c_a * 10000) DIV n_a AS BIGINT) AS cvr_a_bp",
-        "CAST((c_b * 10000) DIV n_b AS BIGINT) AS cvr_b_bp",
-        s"""CAST(CASE WHEN (c_a + c_b) = 0 OR (c_a + c_b) = (n_a + n_b) THEN 0
-           | ELSE (abs(c_a * n_b - c_b * n_a) * 1000000 DIV (n_a * n_b))
-           |    * (abs(c_a * n_b - c_b * n_a) * (n_a + n_b)
+        // empty-arm guard: DIV-by-zero is NULL in Spark but an ERROR in
+        // DuckDB — pin the degenerate case to 0 in both engines
+        "CAST(CASE WHEN coalesce(n_a, 0) = 0 THEN 0 ELSE (c_a * 10000) DIV n_a END AS BIGINT) AS cvr_a_bp",
+        "CAST(CASE WHEN coalesce(n_b, 0) = 0 THEN 0 ELSE (c_b * 10000) DIV n_b END AS BIGINT) AS cvr_b_bp",
+        // both factors carry a 10^3 scale (product 10^6): truncation error
+        // is ~2e-3 of z² instead of the up-to-1-z²-unit loss of an
+        // unscaled second factor. Overflow bound: |t|·1000·N ≤ 2^63 →
+        // valid to ~3·10^5 users/arm; beyond that, test on a hash sample
+        s"""CAST(CASE WHEN coalesce(n_a, 0) = 0 OR coalesce(n_b, 0) = 0
+           |   OR (c_a + c_b) = 0 OR (c_a + c_b) = (n_a + n_b) THEN 0
+           | ELSE (abs(c_a * n_b - c_b * n_a) * 1000 DIV (n_a * n_b))
+           |    * (abs(c_a * n_b - c_b * n_a) * 1000 * (n_a + n_b)
            |       DIV ((c_a + c_b) * (n_a + n_b - c_a - c_b)))
            | END AS BIGINT) AS z2_micro""".stripMargin)
       .withColumn("significant", col("z2_micro") > AbCritMicro)
@@ -607,13 +615,16 @@ object Events {
          |    sum(CASE WHEN arm = 1 THEN c END)::BIGINT AS c_b
          |  FROM a)
          |SELECT n_a, c_a, n_b, c_b,
-         |  ((c_a * 10000) // n_a)::BIGINT AS cvr_a_bp,
-         |  ((c_b * 10000) // n_b)::BIGINT AS cvr_b_bp,
+         |  (CASE WHEN coalesce(n_a, 0) = 0 THEN 0
+         |    ELSE (c_a * 10000) // n_a END)::BIGINT AS cvr_a_bp,
+         |  (CASE WHEN coalesce(n_b, 0) = 0 THEN 0
+         |    ELSE (c_b * 10000) // n_b END)::BIGINT AS cvr_b_bp,
          |  z2_micro, z2_micro > $AbCritMicro AS significant
          |FROM (SELECT *,
-         |  (CASE WHEN (c_a + c_b) = 0 OR (c_a + c_b) = (n_a + n_b) THEN 0
-         |   ELSE (abs(c_a * n_b - c_b * n_a) * 1000000 // (n_a * n_b))
-         |      * (abs(c_a * n_b - c_b * n_a) * (n_a + n_b)
+         |  (CASE WHEN coalesce(n_a, 0) = 0 OR coalesce(n_b, 0) = 0
+         |     OR (c_a + c_b) = 0 OR (c_a + c_b) = (n_a + n_b) THEN 0
+         |   ELSE (abs(c_a * n_b - c_b * n_a) * 1000 // (n_a * n_b))
+         |      * (abs(c_a * n_b - c_b * n_a) * 1000 * (n_a + n_b)
          |         // ((c_a + c_b) * (n_a + n_b - c_a - c_b)))
          |   END)::BIGINT AS z2_micro FROM p)""".stripMargin,
     "q_rolling_dau" ->

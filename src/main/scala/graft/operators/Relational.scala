@@ -1070,7 +1070,7 @@ object Relational {
     * DIV, and the IV product is clamped at 0 before its own DIV so
     * truncation semantics can't diverge between engines (IV terms are
     * mathematically ≥ 0 — only micro-rounding can graze below). Label:
-    * bulk lines (l_quantity > 25); category: ship mode.
+    * bulk lines (l_quantity > 25); category: return flag.
     *
     * Scale: one partial+final (category) rollup + a broadcast 1-row
     * totals frame — |categories| output rows at any fact size. */
@@ -1089,8 +1089,10 @@ object Relational {
         """CAST(CASE WHEN p = 0 OR n = 0 THEN NULL
           | ELSE round(ln(CAST(p * nt AS DOUBLE) / CAST(n * pt AS DOUBLE))
           |   * 1000000) END AS BIGINT) AS woe_micro""".stripMargin,
-        "CAST((p * 1000000) DIV pt AS BIGINT) AS pos_share_micro",
-        "CAST((n * 1000000) DIV nt AS BIGINT) AS neg_share_micro")
+        // pt/nt = 0 (globally one-sided label): DIV-by-zero is NULL in
+        // Spark but an ERROR in DuckDB — pin NULL in both
+        "CAST(CASE WHEN pt = 0 THEN NULL ELSE (p * 1000000) DIV pt END AS BIGINT) AS pos_share_micro",
+        "CAST(CASE WHEN nt = 0 THEN NULL ELSE (n * 1000000) DIV nt END AS BIGINT) AS neg_share_micro")
       .selectExpr("cat", "n_pos", "n_neg", "woe_micro",
         """CAST(CASE WHEN woe_micro IS NULL THEN NULL
           | ELSE greatest((pos_share_micro - neg_share_micro) * woe_micro, 0)
@@ -1123,8 +1125,8 @@ object Relational {
       .selectExpr("x", "y", "c_xy", "n",
         """CAST(round(ln(CAST(c_xy * n AS DOUBLE) / CAST(c_x * c_y AS DOUBLE))
           | * 1000000) AS BIGINT) AS pmi_micro""".stripMargin)
-      // negative pmi cells exist; pin truncate-toward-zero explicitly so
-      // Spark DIV (trunc) and DuckDB // (floor) cannot diverge
+      // negative pmi cells exist; both engines truncate toward zero, but
+      // the CASE pins that semantic explicitly rather than relying on it
       .selectExpr("x", "y", "c_xy", "pmi_micro",
         """CAST(CASE WHEN pmi_micro >= 0 THEN (c_xy * pmi_micro) DIV n
           | ELSE -((c_xy * -pmi_micro) DIV n) END AS BIGINT)
@@ -1323,8 +1325,10 @@ object Relational {
         |    (CASE WHEN p = 0 OR n = 0 THEN NULL
         |     ELSE round(ln((p * nt)::DOUBLE / (n * pt)::DOUBLE)
         |       * 1000000) END)::BIGINT AS woe_micro,
-        |    ((p * 1000000) // pt)::BIGINT AS psm,
-        |    ((n * 1000000) // nt)::BIGINT AS nsm
+        |    (CASE WHEN pt = 0 THEN NULL
+        |      ELSE (p * 1000000) // pt END)::BIGINT AS psm,
+        |    (CASE WHEN nt = 0 THEN NULL
+        |      ELSE (n * 1000000) // nt END)::BIGINT AS nsm
         |  FROM c CROSS JOIN t)
         |SELECT cat, n_pos, n_neg, woe_micro,
         |  (CASE WHEN woe_micro IS NULL THEN NULL

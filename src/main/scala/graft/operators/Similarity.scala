@@ -27,7 +27,6 @@ object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
   val Dim = 64
-  val NumPlanes = 8
   val TopK = 5
   /** Deterministic pseudo-random hyperplane component in [-1, 1):
     * plane j, dim i → (hash56("j:i") mod 2001)/1000 - 1. */
@@ -321,9 +320,8 @@ object Similarity {
     pqTopKDf(Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v")), PqM * PqSubDim)
 
-  /** Core over any (vec_id, v: array<double>) frame of dimension `dim`
-    * (must be PqM · PqSubDim-shaped when defaults are used; tests pass
-    * smaller geometry via the fields). */
+  /** Core over any (vec_id, v: array<double>) frame; `dim` must equal
+    * PqM · PqSubDim = 64 (the geometry the oracle unrolls). */
   def pqTopKDf(fullIn: DataFrame, dim: Int): DataFrame = {
     import graft.ml.KMeansGraft
     require(dim == PqM * PqSubDim, s"dim $dim != ${PqM * PqSubDim}")

@@ -14,9 +14,9 @@ import org.apache.spark.sql.functions._
   * `q_sketches`).
   *
   * Scale posture (the whole point of sketches at 100 TB):
-  *  - Count-Min: aggregation state is a FIXED depth×width grid (4×64
+  *  - Count-Min: aggregation state is a FIXED depth×width grid (4×16
   *    here) regardless of corpus size — partial sketches combine
-  *    map-side, the final merge moves ≤256 rows per task. The corpus
+  *    map-side, the final merge moves ≤64 rows per task. The corpus
   *    is read once; no vocabulary-sized shuffle exists anywhere in the
   *    sketch path (the gate's exact top-10 comparison side does one
   *    vocab-bounded groupBy, which is the thing the sketch replaces).
@@ -60,7 +60,7 @@ object Sketches {
       .filter(length(col("w")) > 0)
 
   /** Count-Min sketch over the corpus token stream, validated against the
-    * exact top-10: build the 4×64 counter grid in one pass, then estimate
+    * exact top-10: build the 4×16 counter grid in one pass, then estimate
     * each heavy word as min over the 4 rows — the sketch guarantee is
     * est ≥ true (one-sided error), surfaced as `over_c`.
     *
@@ -82,7 +82,7 @@ object Sketches {
     val top = tw.groupBy("w").agg(count(lit(1)).as("true_c"))
       .orderBy(desc("true_c"), asc("w")).limit(CmsTopK)
 
-    // 10 candidates × 4 rows probe the ≤256-row sketch — broadcast join.
+    // 10 candidates × 4 rows probe the ≤64-cell sketch — broadcast join.
     top.select(col("w"), col("true_c"),
         posexplode(array((0 until CmsDepth).map(cellOf): _*)).as(Seq("d", "cell")))
       .join(broadcast(sketch), Seq("d", "cell"))

@@ -873,15 +873,24 @@ object TextAnalysis {
   def bpeTrainDf(spark: SparkSession, wordCounts: DataFrame): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
-    bpeFit(wordCounts)._1.toDF("step", "left_sym", "right_sym", "pair_count")
+    val (merges, _, wc) = bpeFit(wordCounts)
+    wc.unpersist(false) // merges are already collected
+    merges.toDF("step", "left_sym", "right_sym", "pair_count")
       .orderBy("step")
   }
 
   /** Fit loop shared by the train and encode gates: returns the learned
-    * merges and the final (seq, cnt) vocabulary frame. */
+    * merges, the final (seq, cnt) vocabulary frame (materialized via
+    * localCheckpoint so it survives the cache release), and the CACHED
+    * word-count frame — callers must unpersist it. */
   private def bpeFit(wordCounts: DataFrame)
-      : (Seq[(Int, String, String, Long)], DataFrame) = {
-    var vocab = wordCounts
+      : (Seq[(Int, String, String, Long)], DataFrame, DataFrame) = {
+    // cache the word-count table: each merge step's 1-row argmax collect
+    // is its own action, and without this every step would re-run the
+    // corpus tokenize+groupBy (the vocab-bounded posture only holds if
+    // later passes start FROM the vocab table)
+    val wc = wordCounts.cache()
+    var vocab = wc
       .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("seq"), col("cnt"))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (step <- 1 to BpeMerges) {
@@ -907,7 +916,7 @@ object TextAnalysis {
           col("cnt"))
       }
     }
-    (merges.result(), vocab)
+    (merges.result(), vocab.localCheckpoint(true), wc)
   }
 
   /** BPE encoding summary — applies the freshly learned merges back to
@@ -919,17 +928,18 @@ object TextAnalysis {
     val wc = Tables.documents(spark, dir)
       .select(explode(words).as("w")).filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-    val (_, vocab) = bpeFit(wc)
-    val before = wc.select(
+    val (_, vocab, wcc) = bpeFit(wc)
+    val before = wcc.select(
       sum(col("cnt")).as("total_words"),
       sum(col("cnt") * length(col("w"))).as("symbols_before"),
       count(lit(1)).as("n_distinct_words"))
     val after = vocab.select(
       sum(col("cnt") * size(split(col("seq"), " "))).as("symbols_after"))
-    before.crossJoin(after)
+    graft.GateUtil.pinned(before.crossJoin(after)
       .selectExpr("n_distinct_words", "total_words", "symbols_before",
         "symbols_after",
-        "CAST((symbols_after * 10000) DIV symbols_before AS BIGINT) AS compression_bp")
+        "CAST((symbols_after * 10000) DIV symbols_before AS BIGINT) AS compression_bp"))(
+      wcc.unpersist(false))
   }
 
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
@@ -1156,7 +1166,11 @@ object TextAnalysis {
   private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
 
   /** Shared CTE chain replaying [[bpeFit]]: wc (word counts), v0 (char
-    * sequences), and per-step pair-count/argmax/merge CTEs p_k/b_k/v_k. */
+    * sequences), and per-step pair-count/argmax/merge CTEs p_k/b_k/v_k.
+    * When a step's pair table is EMPTY (vocabulary fully merged), the
+    * scalar subqueries go NULL and `replace(s, NULL, x)` would NULL the
+    * whole chain — the coalesce guards turn the step into a no-op
+    * (search = an unmatchable chr(1)), matching bpeFit's skip. */
   private lazy val bpeCtesSql: String = {
     val steps = (1 to BpeMerges).map { k =>
       s"""p$k AS (SELECT pair, sum(cnt)::BIGINT AS c FROM (
@@ -1167,8 +1181,9 @@ object TextAnalysis {
          |b$k AS MATERIALIZED (SELECT pair, c FROM p$k
          |  ORDER BY c DESC, pair LIMIT 1),
          |v$k AS MATERIALIZED (SELECT trim(replace(' ' || seq || ' ',
-         |    ' ' || (SELECT pair FROM b$k) || ' ',
-         |    ' ' || (SELECT replace(pair, ' ', '') FROM b$k) || ' ')) AS seq,
+         |    coalesce(' ' || (SELECT pair FROM b$k) || ' ', chr(1)),
+         |    coalesce(' ' || (SELECT replace(pair, ' ', '') FROM b$k) || ' ',
+         |      ''))) AS seq,
          |    cnt FROM v${k - 1})""".stripMargin
     }.mkString(",\n")
     s"""wc AS MATERIALIZED (SELECT w, count(*)::BIGINT AS cnt FROM (
