@@ -268,6 +268,40 @@ object EventsStreaming {
   final case class ScopedValue(scope: String, v: String)
   final case class HllEstimate(scope: String, buckets_used: Long,
       est_distinct: Long)
+  final case class CmsEstimate(scope: String, n_seen: Long, est_c: Long)
+
+  /** Streaming Count-Min — the frequency twin of [[hllDistinctStream]]:
+    * the fixed 4×16 counter grid lives in keyed state (one long array
+    * per scope at ANY stream length) and partial counts ADD, so batch
+    * boundaries are invisible by construction. Each batch emits the
+    * refreshed min-over-rows estimate for a probe token; the state math
+    * reuses Sketches' portable hashes, so the converged estimate equals
+    * the batch countMinDf cell values — pinned by spec. */
+  def countMinStream(rows: Dataset[ScopedValue], probe: String): Dataset[CmsEstimate] = {
+    import rows.sparkSession.implicits._
+    import graft.operators.Sketches
+    val cells = Sketches.CmsDepth * Sketches.CmsWidth
+    rows.groupByKey(_.scope)
+      .mapGroupsWithState[Array[Long], CmsEstimate](GroupStateTimeout.NoTimeout()) {
+        case (scope, it, state: GroupState[Array[Long]]) =>
+          // slot `cells` carries the total-seen counter
+          val grid = state.getOption.getOrElse(Array.fill(cells + 1)(0L))
+          it.foreach { sv =>
+            (0 until Sketches.CmsDepth).foreach { d =>
+              val cell = (Sketches.hash56Jvm(s"$d#${sv.v}")
+                % Sketches.CmsWidth).toInt
+              grid(d * Sketches.CmsWidth + cell) += 1L
+            }
+            grid(cells) += 1L
+          }
+          state.update(grid)
+          val est = (0 until Sketches.CmsDepth).map { d =>
+            val cell = (Sketches.hash56Jvm(s"$d#$probe") % Sketches.CmsWidth).toInt
+            grid(d * Sketches.CmsWidth + cell)
+          }.min
+          CmsEstimate(scope, grid(cells), est)
+      }
+  }
 
   /** Streaming HyperLogLog — the incremental face of
     * graft.operators.Sketches.hllDistinct: 64 max-merged rho registers

@@ -306,6 +306,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"stream $streamed vs batch $batch")
   }
 
+  test("streaming count-min converges to the batch sketch estimate") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark2.sqlContext
+    import EventsStreaming.ScopedValue
+    // heavy token 'hot' 40x + tail across two batches, single scope
+    val all = Seq.fill(40)("hot") ++ (1 to 60).map(i => s"t${i % 20}")
+    val (b1, b2) = all.splitAt(45)
+    val mem = MemoryStream[ScopedValue]
+    val q = EventsStreaming.countMinStream(
+        mem.toDS(), probe = "hot")
+      .writeStream.format("memory").queryName("cms_stream").outputMode("update").start()
+    mem.addData(b1.map(ScopedValue("s", _)): _*); q.processAllAvailable()
+    mem.addData(b2.map(ScopedValue("s", _)): _*); q.processAllAvailable()
+    q.stop()
+    // counters only grow: max = the final emission
+    val last = spark.table("cms_stream")
+      .groupBy("scope").agg(max("n_seen").as("n"), max("est_c").as("e"))
+      .collect()(0)
+    assert(last.getLong(1) == 100L)
+    val batch = graft.operators.Sketches.countMinDf(all.toDF("w"))
+      .collect().find(_.getString(0) == "hot").get
+    assert(last.getLong(2) == batch.getLong(2),
+      s"stream est ${last.getLong(2)} vs batch est ${batch.getLong(2)}")
+    assert(last.getLong(2) >= 40L, "never underestimates the true 40")
+  }
+
   test("mapGroupsWithState running totals equal batch groupBy") {
     val spark2 = spark
     import spark2.implicits._
