@@ -368,6 +368,13 @@ object Events {
   val AbConvMin = 15
   /** χ²(1df) 95% critical value in micro-units. */
   val AbCritMicro = 3841459L
+  /** Largest pooled user count for which the integer z² formula cannot
+    * overflow Long: worst case |t| ≤ (N/2)², so the big product is
+    * bounded by 250·N³ ≤ 2⁶³ → N ≤ 3.3·10⁵. Past this the operator
+    * returns a NULL verdict instead of a silently wrapped one — the
+    * documented remedy is running the test on a hash sample of users
+    * (the hash56-mod arm split is already sample-stable). */
+  val AbZ2MaxN = 300000L
 
   /** Two-proportion A/B significance test — the experimentation
     * primitive over the event stream: users hash-split into arms
@@ -410,9 +417,12 @@ object Events {
         "CAST(CASE WHEN coalesce(n_b, 0) = 0 THEN 0 ELSE (c_b * 10000) DIV n_b END AS BIGINT) AS cvr_b_bp",
         // both factors carry a 10^3 scale (product 10^6): truncation error
         // is ~2e-3 of z² instead of the up-to-1-z²-unit loss of an
-        // unscaled second factor. Overflow bound: |t|·1000·N ≤ 2^63 →
-        // valid to ~3·10^5 users/arm; beyond that, test on a hash sample
-        s"""CAST(CASE WHEN coalesce(n_a, 0) = 0 OR coalesce(n_b, 0) = 0
+        // unscaled second factor. Overflow guard: Spark WRAPS Long
+        // overflow where DuckDB errors, so past AbZ2MaxN pooled users
+        // the verdict is NULLed at runtime (never silently flipped) —
+        // rerun on a hash sample of users to test bigger pools
+        s"""CAST(CASE WHEN n_a + n_b > $AbZ2MaxN THEN NULL
+           | WHEN coalesce(n_a, 0) = 0 OR coalesce(n_b, 0) = 0
            |   OR (c_a + c_b) = 0 OR (c_a + c_b) = (n_a + n_b) THEN 0
            | ELSE (abs(c_a * n_b - c_b * n_a) * 1000 DIV (n_a * n_b))
            |    * (abs(c_a * n_b - c_b * n_a) * 1000 * (n_a + n_b)
@@ -621,7 +631,8 @@ object Events {
          |    ELSE (c_b * 10000) // n_b END)::BIGINT AS cvr_b_bp,
          |  z2_micro, z2_micro > $AbCritMicro AS significant
          |FROM (SELECT *,
-         |  (CASE WHEN coalesce(n_a, 0) = 0 OR coalesce(n_b, 0) = 0
+         |  (CASE WHEN n_a + n_b > $AbZ2MaxN THEN NULL
+         |   WHEN coalesce(n_a, 0) = 0 OR coalesce(n_b, 0) = 0
          |     OR (c_a + c_b) = 0 OR (c_a + c_b) = (n_a + n_b) THEN 0
          |   ELSE (abs(c_a * n_b - c_b * n_a) * 1000 // (n_a * n_b))
          |      * (abs(c_a * n_b - c_b * n_a) * 1000 * (n_a + n_b)

@@ -145,10 +145,11 @@ object Relational {
     // when undersized); one cheap job against a single pruned column
     val nKeys = math.max(keys.count(), 1L)
     val bloom = keys.stat.bloomFilter("c_custkey", nKeys, 0.01)
-    val bc = spark.sparkContext.broadcast(bloom)
-    val mightContain =
-      udf((k: Long) => bc.value.mightContainLong(k)).withName("bloom_might_contain")
-    o.filter(mightContain(col("o_custkey")))
+    // codegen'd probe expression (not a Scala UDF): the scan→filter
+    // stage stays whole-stage-fused, and the filter reaches executors
+    // via the stage's broadcast task binary
+    o.filter(graft.functions.SketchExprs.bloomMightContain(
+        col("o_custkey").cast("long"), bloom))
       .join(keys, col("o_custkey") === col("c_custkey"), "left_semi")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
@@ -1150,7 +1151,10 @@ object Relational {
         count(lit(1)).as("n_rows"),
         count(col("v")).as("n_nonnull_v"),
         countDistinct(col("v")).as("n_distinct_v"),
-        coalesce(sum("v"), lit(0)).cast("long").as("sum_v"),
+        // round-then-cast: Spark CAST(double AS BIGINT) truncates while
+        // DuckDB ::BIGINT rounds — pinning round() on BOTH sides keeps
+        // the gate honest for non-integral value columns too
+        round(coalesce(sum("v"), lit(0))).cast("long").as("sum_v"),
         sum((col("k") <=> lit(null)).cast("long")).as("n_nullsafe_null_k"),
         // NOT IN (..., NULL) is never TRUE — must be exactly 0
         sum(when(expr("v NOT IN (1, 2, NULL)"), 1L).otherwise(0L))
@@ -1294,7 +1298,7 @@ object Relational {
         |SELECT coalesce(k, '<null>') AS k, count(*) AS n_rows,
         |  count(v)::BIGINT AS n_nonnull_v,
         |  count(DISTINCT v)::BIGINT AS n_distinct_v,
-        |  coalesce(sum(v), 0)::BIGINT AS sum_v,
+        |  round(coalesce(sum(v), 0))::BIGINT AS sum_v,
         |  sum((k IS NOT DISTINCT FROM NULL)::INT)::BIGINT AS n_nullsafe_null_k,
         |  sum(CASE WHEN v NOT IN (1, 2, NULL) THEN 1 ELSE 0 END)::BIGINT
         |    AS n_notin_trap

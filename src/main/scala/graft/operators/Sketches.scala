@@ -145,12 +145,25 @@ object Sketches {
   // state operator (graft.streaming) so incremental register state
   // converges to EXACTLY the batch estimate ----
 
-  /** JVM twin of the md5-derived hash56 column. */
+  /** Per-thread MD5 instance — the streaming Count-Min/HLL state
+    * operators hash several times per event, so digest setup must not
+    * be a per-call allocation. */
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** JVM twin of the md5-derived hash56 column: the first 14 hex chars
+    * of md5 = the first 7 digest bytes big-endian. Derived directly
+    * from the bytes (no hex formatting/parsing) on a thread-local
+    * digest — bit-identical to the former parseLong(hex) form. */
   def hash56Jvm(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    java.lang.Long.parseLong(
-      md.map("%02x".format(_)).mkString.substring(0, 14), 16)
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
   }
 
   /** rho over the 50 payload bits — twin of the length(bin(h>>6)) column. */

@@ -309,6 +309,10 @@ class PlanAssertSpec extends SparkSpec {
       }
       assert(exchanges.exists(_.child.toString.contains("bloom_might_contain")),
         s"bloom probe must run below the fact-side exchange:\n$plan")
+      // the probe is a codegen'd Expression, NOT a Scala UDF — no eval
+      // fence inside the probe-side scan stage
+      assert(!plan.toString.contains("ScalaUDF") && !plan.toString.contains("UDF("),
+        s"bloom probe must not be a Scala UDF:\n$plan")
       // and the exact semi-join still runs (false positives removed)
       assert(plan.toString.contains("LeftSemi"),
         s"exact semi-join must follow the probe:\n$plan")
