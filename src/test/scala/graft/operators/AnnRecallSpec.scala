@@ -28,11 +28,19 @@ class AnnRecallSpec extends SparkSpec {
 
   test("multi-table LSH and IVF beat recall floors vs cosine brute") {
     val truth = topMap(Similarity.bruteTopK(spark, dir))
+    // measure BOTH before asserting so one failure doesn't mask the
+    // other method's number
+    // gate geometry: 24 tables × 6 bits (6×6 measured ~0.5, 16×6 0.68
+    // on this near-random corpus — the adversarial case for sign-LSH)
     val lsh = recallAt(topMap(Similarity.lshTopK(spark, dir)), truth, 3)
-    assert(lsh >= 0.3, f"multi-table LSH recall@3 $lsh%.3f (single-table scored 0.02)")
+    // gate geometry: nProbe 8 of nlist 16 (nProbe 4 measured ~0.4)
     val ivf = recallAt(
       topMap(Similarity.ivfTopK(spark, dir, nlist = Similarity.IvfLists)), truth, 3)
-    assert(ivf >= 0.4, f"IVF recall@3 $ivf%.3f")
+    info(f"LSH recall@3 = $lsh%.3f (${Similarity.LshTables} tables x ${Similarity.LshBits} bits)")
+    info(f"IVF recall@3 = $ivf%.3f (nProbe ${Similarity.IvfProbe} of ${Similarity.IvfLists})")
+    assert(lsh >= 0.7, f"multi-table LSH recall@3 $lsh%.3f at " +
+      s"${Similarity.LshTables}x${Similarity.LshBits} (6x6 scored ~0.5, single-table 0.02)")
+    assert(ivf >= 0.7, f"IVF recall@3 $ivf%.3f at nProbe ${Similarity.IvfProbe}")
   }
 
   test("PQ beats a recall floor vs exact L2 ground truth") {
@@ -52,7 +60,9 @@ class AnnRecallSpec extends SparkSpec {
         .toSeq.sorted.take(Similarity.PqTopK).map(_._2)
     }.toMap
     val pq = recallAt(topMap(Similarity.pqTopKDf(full, 64)), truth, Similarity.PqTopK)
-    assert(pq >= 0.15, f"PQ recall@5 vs exact L2 $pq%.3f " +
-      "(12-bit codes on unclustered gaussian data - coarse by design)")
+    assert(pq >= 0.7, f"PQ recall@5 vs exact L2 $pq%.3f " +
+      s"(ADC shortlist x${Similarity.PqRerank} + exact L2 re-rank; " +
+      "ADC-only measured 0.15 on this corpus)")
+    info(f"PQ recall@5 = $pq%.3f (shortlist ${Similarity.PqTopK * Similarity.PqRerank}, exact re-rank)")
   }
 }
