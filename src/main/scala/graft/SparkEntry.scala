@@ -25,6 +25,7 @@ object SparkEntry {
       graft.linalg.LinalgQueries.queries ++
       Map("q_terasort_cols" -> (TeraSort.query _),
         "q_multimodal" -> (graft.multimodal.Multimodal.query _),
+        "q_video_meta" -> (graft.multimodal.Multimodal.videoMetaQuery _),
         "q_tensor_ops" -> (graft.tensor.TensorSet.query _),
         "q_io_roundtrip" -> (graft.sources.Sources.roundtripQuery _),
         "q_svmlight" -> (graft.sources.Sources.svmlightQuery _),
@@ -42,6 +43,7 @@ object SparkEntry {
       graft.linalg.LinalgQueries.oracles ++
       Map("q_terasort_cols" -> TeraSort.oracle,
         "q_multimodal" -> graft.multimodal.Multimodal.oracle,
+        "q_video_meta" -> graft.multimodal.Multimodal.videoMetaOracle,
         "q_tensor_ops" -> graft.tensor.TensorSet.oracle,
         "q_io_roundtrip" -> graft.sources.Sources.roundtripOracle,
         "q_svmlight" -> graft.sources.Sources.svmlightOracle,

@@ -11,12 +11,14 @@ import org.apache.spark.sql.functions._
   *
   * Decode is REAL for the formats the JDK ships codecs for — PNG/JPEG/
   * BMP/GIF via javax.imageio, WAV/AIFF/AU PCM via javax.sound.sampled —
-  * and falls back to a deterministic fake (clearly marked below) for
-  * payloads those codecs reject, including video: MP4/H.264 has no
-  * pure-JDK decoder, so video frame counts remain STUBBED. Either way
-  * the plan shape is identical: decode runs embarrassingly parallel
-  * inside the scan stage at 100 TB; a JNI/FFI video codec would slot
-  * into the same mapPartitions kernel.
+  * and for video CONTAINER metadata via [[VideoContainers]] (MP4
+  * moov/mvhd/tkhd/stsd/stsz and WebM EBML readers: duration,
+  * dimensions, frame count, codec fourcc — no frame decoding needed).
+  * Only payloads every reader rejects (truncated/foreign bytes) fall
+  * back to the deterministic fake (clearly marked below); pixel-level
+  * video decode would need a JNI/FFI codec and would slot into the
+  * same mapPartitions kernel. Either way the plan shape is identical:
+  * decode runs embarrassingly parallel inside the scan stage at 100 TB.
   */
 object Multimodal {
 
@@ -82,12 +84,18 @@ object Multimodal {
         // clamp: a >2^31-frame stream must not wrap negative
         if (frames >= 0) (0, 0, math.min(frames, Int.MaxValue.toLong).toInt)
         else decodeStub(kind, bytes)
-      case _ => decodeStub(kind, bytes) // video: no pure-JDK codec, stub only
+      case _ =>
+        // video: container metadata is real (MP4/WebM headers); only
+        // payloads neither reader accepts fall to the stub
+        VideoContainers.parseVideoMeta(bytes)
+          .map(m => (m.width, m.height, m.nFrames))
+          .getOrElse(decodeStub(kind, bytes))
     }
 
-  /** ==== STUB ==== deterministic fake decoder for payloads the JDK
-    * codecs can't parse (and for video, which has none): derives stable
-    * pseudo-dimensions from the byte content so tests are exact. */
+  /** ==== STUB ==== deterministic fake decoder for payloads no real
+    * reader accepts (non-container video bytes, undecodable images):
+    * derives stable pseudo-dimensions from the byte content so tests
+    * are exact. */
   private[multimodal] def decodeStub(kind: String, bytes: Array[Byte]): (Int, Int, Int) = {
     val h = byteHash(bytes)
     def pick(lo: Int, hi: Int, salt: Int): Int =
@@ -299,4 +307,51 @@ object Multimodal {
        |  round(sqrt($normChain), 6) AS feat_norm
        |FROM c ORDER BY media_id""".stripMargin
   }
+
+  /** Video container-metadata gate: the "video" rows of the derived
+    * media table get a deterministic real MP4 (even ids) or WebM (odd
+    * ids) container built from id-derived parameters, which the
+    * [[VideoContainers]] READERS then parse back — the emitted metadata
+    * is what the parser extracted from the bytes, not the parameters.
+    * The DuckDB oracle recomputes the parameters arithmetically, so a
+    * reader/writer offset bug breaks the gate; reader independence from
+    * the writer is separately pinned by MultimodalSpec against fixture
+    * files produced by tools/make_media_fixtures.py (Python struct
+    * packing, no shared code). Parse failure surfaces as a NULL row
+    * (never silently stubs) — the oracle has no NULLs, so any fallback
+    * fails the gate. */
+  def videoMetaQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id")).filter(pmod(col("doc_id"), lit(3)) === 2)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 320 + (id % 1601).toInt
+        val h = 240 + (id % 841).toInt
+        val f = 24 + (id % 7177).toInt
+        val bytes =
+          if (id % 2 == 0) VideoContainers.buildMp4(w, h, f)
+          else VideoContainers.buildWebm(w, h, f)
+        VideoContainers.parseVideoMeta(bytes) match {
+          case Some(m) =>
+            (id, m.container, m.width, m.height, m.nFrames, m.durationMs, m.codec)
+          case None => (id, null: String, 0, 0, 0, 0L, null: String)
+        }
+      })
+      .toDF("media_id", "container", "width", "height", "n_frames",
+        "duration_ms", "codec")
+      .orderBy("media_id")
+  }
+
+  /** DuckDB oracle: the id-derived container parameters, recomputed
+    * arithmetically (25 fps ⇒ duration_ms = 40·frames). */
+  val videoMetaOracle: String =
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'webm' END AS container,
+      |  (320 + doc_id % 1601)::INT AS width,
+      |  (240 + doc_id % 841)::INT AS height,
+      |  (24 + doc_id % 7177)::INT AS n_frames,
+      |  ((24 + doc_id % 7177) * 40)::BIGINT AS duration_ms,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'V_VP9' END AS codec
+      |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""".stripMargin
 }
