@@ -23,6 +23,7 @@ object SparkEntry {
       TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Events.queries ++ graft.ml.MlQueries.queries ++
       graft.linalg.LinalgQueries.queries ++
+      graft.streaming.StreamingGates.queries ++
       Map("q_terasort_cols" -> (TeraSort.query _),
         "q_multimodal" -> (graft.multimodal.Multimodal.query _),
         "q_video_meta" -> (graft.multimodal.Multimodal.videoMetaQuery _),
@@ -41,6 +42,7 @@ object SparkEntry {
       TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Events.oracles ++ graft.ml.MlQueries.oracles ++
       graft.linalg.LinalgQueries.oracles ++
+      graft.streaming.StreamingGates.oracles ++
       Map("q_terasort_cols" -> TeraSort.oracle,
         "q_multimodal" -> graft.multimodal.Multimodal.oracle,
         "q_video_meta" -> graft.multimodal.Multimodal.videoMetaOracle,

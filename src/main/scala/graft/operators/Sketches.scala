@@ -54,10 +54,21 @@ object Sketches {
 
   private def words = tokens(col("text"))
 
-  private def tokenStream(spark: SparkSession, dir: String): DataFrame =
+  /** Corpus token stream (source, w) — shared with the streaming parity
+    * gates so stream and batch provably read the same rows. */
+  def tokenStream(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("source"), explode(words).as("w"))
       .filter(length(col("w")) > 0)
+
+  /** The q_hll_distinct input frame (scope, v) — shared with the
+    * streaming parity gate. */
+  def hllInput(spark: SparkSession, dir: String): DataFrame =
+    tokenStream(spark, dir)
+      .select(concat(lit("words:"), col("source")).as("scope"), col("w").as("v"))
+      .unionAll(Tables.lineitem(spark, dir)
+        .select(concat(lit("partkey:"), col("l_returnflag")).as("scope"),
+          col("l_partkey").cast("string").as("v")))
 
   /** Count-Min sketch over the corpus token stream, validated against the
     * exact top-10: build the 4×16 counter grid in one pass, then estimate
@@ -101,11 +112,7 @@ object Sketches {
     * bit-identically by the oracle; `err_bp` pins the accuracy actually
     * achieved (expected ~1.04/√64 ≈ 13%). */
   def hllDistinct(spark: SparkSession, dir: String): DataFrame =
-    hllDistinctDf(tokenStream(spark, dir)
-      .select(concat(lit("words:"), col("source")).as("scope"), col("w").as("v"))
-      .unionAll(Tables.lineitem(spark, dir)
-        .select(concat(lit("partkey:"), col("l_returnflag")).as("scope"),
-          col("l_partkey").cast("string").as("v"))))
+    hllDistinctDf(hllInput(spark, dir))
 
   /** Core over any keyed value stream (`scope`, `v`). */
   def hllDistinctDf(tw: DataFrame): DataFrame = {
@@ -193,7 +200,9 @@ object Sketches {
     "q_countmin" -> (countMin _),
     "q_hll_distinct" -> (hllDistinct _))
 
-  private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
+  /** DuckDB tokenizer mirroring [[graft.functions.TextFns.tokens]] —
+    * shared with the streaming parity-gate oracles. */
+  val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
 
   val oracles: Map[String, String] = Map(
     "q_countmin" -> {

@@ -266,7 +266,7 @@ object EventsStreaming {
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
 
   final case class ScopedValue(scope: String, v: String)
-  final case class HllEstimate(scope: String, buckets_used: Long,
+  final case class HllEstimate(scope: String, n_seen: Long, buckets_used: Long,
       est_distinct: Long)
   final case class CmsEstimate(scope: String, n_seen: Long, est_c: Long)
 
@@ -319,16 +319,20 @@ object EventsStreaming {
     rows.groupByKey(_.scope)
       .mapGroupsWithState[Array[Long], HllEstimate](GroupStateTimeout.NoTimeout()) {
         case (scope, it, state: GroupState[Array[Long]]) =>
-          val regs = state.getOption.getOrElse(Array.fill(Sketches.HllBuckets)(0L))
+          // slot HllBuckets carries the values-seen counter: strictly
+          // increasing per emitted update, so "the row with max n_seen"
+          // IS the final state — the parity gate's selection key
+          val regs = state.getOption.getOrElse(Array.fill(Sketches.HllBuckets + 1)(0L))
           it.foreach { sv =>
             val h = Sketches.hash56Jvm(sv.v)
             val b = (h % Sketches.HllBuckets).toInt
             val r = Sketches.rho56(h)
             if (r > regs(b)) regs(b) = r
+            regs(Sketches.HllBuckets) += 1L
           }
           state.update(regs)
-          val (used, _, est) = Sketches.estimateRegs(regs)
-          HllEstimate(scope, used, est)
+          val (used, _, est) = Sketches.estimateRegs(regs.take(Sketches.HllBuckets))
+          HllEstimate(scope, regs(Sketches.HllBuckets), used, est)
       }
   }
 

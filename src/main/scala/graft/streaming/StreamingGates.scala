@@ -1,0 +1,145 @@
+package graft.streaming
+
+import graft.functions.TextFns.hash56Sql
+import graft.operators.Sketches
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Driver-protocol gates for the streaming sketch operators — the
+  * batch/stream EQUIVALENCE as a hash-matched artifact, not just a
+  * ScalaTest assertion: the exact input frame of an already-gated batch
+  * query is re-played through a FILE-SOURCE micro-batch stream (several
+  * files, `maxFilesPerTrigger` 1, so state genuinely crosses batch
+  * boundaries), the keyed sketch state evolves incrementally, and the
+  * FINAL state row per scope (selected by the strictly-increasing
+  * `n_seen` counter) must hash-match the DuckDB oracle that recomputes
+  * the sketch from scratch — stream == batch == oracle.
+  *
+  * Scale: identical posture to the batch gates — fixed-size keyed state
+  * (512 B HLL registers / 4×16 CMS grid per scope), watermark-free
+  * because both merges are commutative + idempotent-or-additive, so
+  * disorder and batch splits cannot change the converged value. */
+object StreamingGates {
+  import EventsStreaming.{ScopedValue, countMinStream, hllDistinctStream, runToMemory}
+
+  /** Stage the frame as `nFiles` parquet files and open it as a
+    * micro-batch stream (one file per trigger). */
+  private def fileStream(df: DataFrame, schema: String, nFiles: Int): (DataFrame, java.nio.file.Path) = {
+    val spark = df.sparkSession
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_gate_")
+    df.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
+    (stream, tmp)
+  }
+
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    try java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    catch { case _: Exception => }
+  }
+
+  /** Streaming HLL parity: q_hll_distinct's input → 6-batch file stream
+    * → incremental registers → final per-scope state must equal the
+    * batch estimate columns (oracle = trimmed q_hll_distinct SQL). */
+  def hllStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (stream, tmp) = fileStream(Sketches.hllInput(spark, dir),
+      "scope STRING, v STRING", nFiles = 6)
+    try {
+      val sink = runToMemory(hllDistinctStream(stream.as[ScopedValue]).toDF(),
+        "hll_parity_sink", OutputMode.Update())
+      // n_seen strictly increases per emitted update, so max_by picks
+      // the post-final-batch state row
+      sink.groupBy("scope")
+        .agg(max_by(struct(col("buckets_used"), col("est_distinct")),
+          col("n_seen")).as("f"), max("n_seen").as("n_seen"))
+        .select(col("scope"), col("n_seen"), col("f.buckets_used"),
+          col("f.est_distinct"))
+        .orderBy("scope")
+        .localCheckpoint() // materialize before the staged files vanish
+    } finally rmTree(tmp)
+  }
+
+  /** Streaming Count-Min parity: the corpus token stream keyed to one
+    * scope, probed at the corpus's most frequent token; the final grid
+    * estimate must equal the from-scratch oracle sketch. */
+  def cmsStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tw = Sketches.tokenStream(spark, dir).select(col("w"))
+    val probe = tw.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("w")).limit(1).collect()(0).getString(0)
+    val (stream, tmp) = fileStream(
+      tw.select(lit("all").as("scope"), col("w").as("v")),
+      "scope STRING, v STRING", nFiles = 6)
+    try {
+      val sink = runToMemory(
+        countMinStream(stream.as[ScopedValue], probe).toDF(),
+        "cms_parity_sink", OutputMode.Update())
+      sink.groupBy("scope")
+        .agg(max_by(col("est_c"), col("n_seen")).as("est_c"),
+          max("n_seen").as("n_seen"))
+        .select(col("scope"), lit(probe).as("probe_w"), col("n_seen"),
+          col("est_c"))
+        .orderBy("scope")
+        .localCheckpoint()
+    } finally rmTree(tmp)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hll_stream_parity" -> (hllStreamParity _),
+    "q_cms_stream_parity" -> (cmsStreamParity _))
+
+  val oracles: Map[String, String] = Map(
+    "q_hll_stream_parity" ->
+      s"""WITH t AS (SELECT source, unnest(${Sketches.wordsSql}) AS w FROM documents),
+         |tw AS (SELECT 'words:' || source AS scope, w AS v FROM t
+         |    WHERE len(w) > 0
+         |  UNION ALL
+         |  SELECT 'partkey:' || l_returnflag, l_partkey::VARCHAR FROM lineitem),
+         |h AS (SELECT scope, ${hash56Sql("v")} AS h FROM tw),
+         |regs AS (SELECT scope, h % ${Sketches.HllBuckets} AS bucket,
+         |    max(CASE WHEN h >> ${Sketches.HllIndexBits} = 0 THEN ${Sketches.HllRhoMax}
+         |      ELSE ${Sketches.HllRhoMax} - length(bin(h >> ${Sketches.HllIndexBits})) END) AS mrho
+         |  FROM h GROUP BY 1, 2),
+         |s AS (SELECT scope, count(*)::BIGINT AS used,
+         |    sum((1::BIGINT << (${Sketches.HllRhoMax} - mrho)))::BIGINT AS ss
+         |  FROM regs GROUP BY scope),
+         |est AS (SELECT scope, used AS buckets_used,
+         |    (ss + (${Sketches.HllBuckets} - used) * (1::BIGINT << ${Sketches.HllRhoMax}))::BIGINT
+         |      AS s_scaled,
+         |    (${Sketches.HllBuckets} - used) AS zeros
+         |  FROM s),
+         |est2 AS (SELECT scope, buckets_used, s_scaled,
+         |    ${Sketches.HllNumerator} / s_scaled::DOUBLE AS raw, zeros FROM est),
+         |est3 AS (SELECT scope, buckets_used,
+         |    round(CASE WHEN raw <= ${2.5 * Sketches.HllBuckets} AND zeros > 0
+         |      THEN ${Sketches.HllBuckets.toDouble} * ln(${Sketches.HllBuckets.toDouble} / zeros::DOUBLE)
+         |      ELSE raw END)::BIGINT AS est_distinct
+         |  FROM est2),
+         |n AS (SELECT scope, count(*)::BIGINT AS n_seen FROM tw GROUP BY scope)
+         |SELECT est3.scope, n_seen, buckets_used, est_distinct
+         |FROM est3 JOIN n ON est3.scope = n.scope
+         |ORDER BY est3.scope""".stripMargin,
+    "q_cms_stream_parity" -> {
+      val cellSql = (wExpr: String, jExpr: String) =>
+        s"${hash56Sql(s"$jExpr || '#' || $wExpr")} % ${Sketches.CmsWidth}"
+      s"""WITH t AS (SELECT unnest(${Sketches.wordsSql}) AS w FROM documents),
+         |tw AS (SELECT w FROM t WHERE len(w) > 0),
+         |top1 AS (SELECT w FROM tw GROUP BY w
+         |  ORDER BY count(*) DESC, w LIMIT 1),
+         |grid AS (SELECT w, unnest(range(${Sketches.CmsDepth})) AS d FROM tw),
+         |sketch AS (SELECT d, ${cellSql("w", "d::VARCHAR")} AS cell,
+         |    count(*)::BIGINT AS c
+         |  FROM grid GROUP BY 1, 2),
+         |probe AS (SELECT w, unnest(range(${Sketches.CmsDepth})) AS d FROM top1)
+         |SELECT 'all' AS scope, (SELECT w FROM top1) AS probe_w,
+         |  (SELECT count(*) FROM tw)::BIGINT AS n_seen,
+         |  min(c)::BIGINT AS est_c
+         |FROM probe JOIN sketch
+         |  ON sketch.d = probe.d
+         | AND sketch.cell = ${cellSql("probe.w", "probe.d::VARCHAR")}""".stripMargin
+    })
+}
