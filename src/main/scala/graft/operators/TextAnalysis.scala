@@ -885,6 +885,18 @@ object TextAnalysis {
     * word-count frame — callers must unpersist it. */
   private def bpeFit(wordCounts: DataFrame)
       : (Seq[(Int, String, String, Long)], DataFrame, DataFrame) = {
+    // JOB-COUNT CAP: each merge step costs one 1-row argmax ACTION plus
+    // one more nested `replace` in the vocab plan, so steps = Spark jobs
+    // = expression depth. Both are fine at tens of merges over the
+    // CACHED vocab table, but a real 30k-merge tokenizer vocabulary
+    // would mean 30k scheduler round-trips and an unplannable
+    // expression tree — that regime needs the batched variant (apply
+    // the top-P mutually non-overlapping pairs per pass, P≈64; identical
+    // semantics at P=1), which this guard exists to point at.
+    require(BpeMerges <= 64,
+      s"bpeFit runs one Spark job per merge step — capped at 64 steps " +
+        s"(BpeMerges = $BpeMerges); batch top-P non-overlapping merges " +
+        "per pass for production-size tokenizer vocabularies")
     // cache the word-count table: each merge step's 1-row argmax collect
     // is its own action, and without this every step would re-run the
     // corpus tokenize+groupBy (the vocab-bounded posture only holds if
