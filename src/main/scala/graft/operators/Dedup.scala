@@ -426,7 +426,58 @@ object Dedup {
         .orderBy("doc_a", "doc_b"))(sh.unpersist(false))
   }
 
+  val SubKLen = 25
+  val SubStride = 10
+  val SubMinDocs = 2
+
+  /** Exact substring-level dedup — the suffix-array family (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better")
+    * approximated by stride-sampled character k-grams: every document
+    * contributes its overlapping [[SubKLen]]-char windows at stride
+    * [[SubStride]]; a window whose 56-bit hash occurs in ≥[[SubMinDocs]]
+    * distinct documents marks a duplicated character span. Character
+    * windows catch copy-paste runs that cross token-block boundaries —
+    * q_segment_dedup is the disjoint token-segment variant; a true
+    * suffix array adds only span *maximality*, which the stride bounds
+    * to ±[[SubStride]] chars.
+    *
+    * Scale: the window explosion is (len/stride)× the corpus — stride is
+    * the knob (Lee et al. anchor at 50-char spans); the distinct-doc
+    * window-hash rollup is one shuffle on the hash, the dup set is a
+    * tiny fraction and joins back hash-keyed (AQE broadcasts it when it
+    * fits). Text never survives past the scan stage — only 56-bit
+    * hashes shuffle. */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame =
+    substringDedupDf(Tables.documents(spark, dir), SubKLen, SubStride, SubMinDocs)
+
+  private[graft] def substringDedupDf(docs: DataFrame, k: Int, stride: Int,
+      minDocs: Int): DataFrame = {
+    val grams = docs
+      .filter(length(col("text")) >= k)
+      .select(col("source"), col("doc_id"),
+        explode(transform(
+          sequence(lit(0L), expr(s"(length(text) - $k) DIV $stride").cast("long")),
+          i => substring(col("text"), (i * stride + 1).cast("int"), lit(k))))
+          .as("gram"))
+      .select(col("source"), col("doc_id"), hash56(col("gram")).as("h"))
+    val dup = grams.select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"), lit(1L).as("isdup"))
+    grams.join(dup, Seq("h"), "left")
+      .groupBy("source", "doc_id")
+      .agg(count(lit(1)).as("n_win"),
+        sum(coalesce(col("isdup"), lit(0L))).as("n_dup"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_win").as("win_total"),
+        sum("n_dup").as("win_dup"),
+        sum(when(col("n_dup") > 0, 1L).otherwise(0L)).as("docs_hit"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_substring_dedup" -> (substringDedup _),
     "q_dedup_exact" -> (exact _),
     "q_dedup_containment" -> ((s, d) => containment(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
@@ -469,6 +520,24 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_substring_dedup" ->
+      s"""WITH g AS (SELECT source, doc_id,
+         |    unnest(list_transform(
+         |      range(0, (length(text) - $SubKLen) // $SubStride + 1),
+         |      i -> substr(text, (i * $SubStride + 1)::INT, $SubKLen))) AS gram
+         |  FROM documents WHERE length(text) >= $SubKLen),
+         |hs AS (SELECT source, doc_id, ${hash56Sql("gram")} AS h FROM g),
+         |dup AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM hs)
+         |  GROUP BY h HAVING count(*) >= $SubMinDocs),
+         |pd AS (SELECT hs.source, hs.doc_id, count(*) AS n_win,
+         |    sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+         |  FROM hs LEFT JOIN dup ON hs.h = dup.h
+         |  GROUP BY hs.source, hs.doc_id)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(n_win)::BIGINT AS win_total,
+         |  sum(n_dup)::BIGINT AS win_dup,
+         |  sum(CASE WHEN n_dup > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_hit
+         |FROM pd GROUP BY source ORDER BY source""".stripMargin,
     "q_dedup_exact" ->
       """SELECT source, count(*) AS n_docs,
         |  count(DISTINCT md5(lower(trim(text)))) AS n_unique,

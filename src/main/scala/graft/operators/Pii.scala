@@ -59,9 +59,67 @@ object Pii {
         sum("n_phones").as("n_phones"))
       .orderBy("source")
 
-  val queries: Map[String, Q] = Map("q_pii_scan" -> (piiScan _))
+  /** Positive-path redaction gate: deterministically inject an email +
+    * phone into every third document (synthesized from doc_id, so both
+    * engines build the identical string), redact, and pin the *redacted
+    * text itself* cross-engine via a summed 56-bit content hash — the
+    * gate fails if either engine's regex replaces one character
+    * differently. Complements q_pii_scan, which pins the zero-signal
+    * path on the clean corpus.
+    *
+    * Scale: injection + redaction are per-row codegen'd expressions in
+    * the scan stage; the rollup is a tiny partial+final aggregate. The
+    * checksum folds each hash mod 10⁹+7 before summing so the per-source
+    * sum stays far from Long range at any corpus size. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val injected = Tables.documents(spark, dir)
+      .withColumn("text2", when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" reach user"),
+          col("doc_id").cast("string"), lit("@example.com or +1 555 867 "),
+          lpad((col("doc_id") * 7919 % 10000).cast("string"), 4, "0")))
+        .otherwise(col("text")))
+    redact(injected, "text2")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_emails") + col("n_ips") + col("n_cards")
+          + col("n_phones") > 0, 1L).otherwise(0L)).as("docs_with_pii"),
+        sum("n_emails").as("n_emails"),
+        sum("n_phones").as("n_phones"),
+        sum(graft.functions.TextFns.hash56(col("redacted")) % 1000000007L)
+          .as("redacted_sum"))
+      .orderBy("source")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_pii_scan" -> (piiScan _),
+    "q_pii_redact" -> (piiRedact _))
 
   val oracles: Map[String, String] = Map(
+    "q_pii_redact" -> {
+      val red = Recognizers.foldLeft("text2") { case (e, (_, re, tag)) =>
+        s"regexp_replace($e, '$re', '$tag', 'g')"
+      }
+      val counts = Recognizers.map { case (kind, re, _) =>
+        s"len(regexp_extract_all(text2, '$re'))::BIGINT AS n_$kind"
+      }.mkString(",\n    ")
+      s"""WITH inj AS (
+         |  SELECT source, CASE WHEN doc_id % 3 = 0 THEN
+         |      text || ' reach user' || CAST(doc_id AS VARCHAR)
+         |        || '@example.com or +1 555 867 '
+         |        || lpad(CAST(doc_id * 7919 % 10000 AS VARCHAR), 4, '0')
+         |    ELSE text END AS text2
+         |  FROM documents),
+         |r AS (SELECT source, $counts,
+         |    ${graft.functions.TextFns.hash56Sql(red)} % 1000000007 AS h
+         |  FROM inj)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN n_emails + n_ips + n_cards + n_phones > 0
+         |    THEN 1 ELSE 0 END)::BIGINT AS docs_with_pii,
+         |  sum(n_emails)::BIGINT AS n_emails,
+         |  sum(n_phones)::BIGINT AS n_phones,
+         |  sum(h)::BIGINT AS redacted_sum
+         |FROM r GROUP BY source ORDER BY source""".stripMargin
+    },
     "q_pii_scan" -> {
       val sums = Recognizers.map { case (kind, re, _) =>
         s"sum(len(regexp_extract_all(text, '$re')))::BIGINT AS n_$kind"

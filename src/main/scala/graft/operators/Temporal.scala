@@ -217,6 +217,44 @@ object Temporal {
       .orderBy("lag_d")
   }
 
+  val XcorrMaxLag = 7
+  val XcorrLead = "click"
+  val XcorrLag = "purchase"
+
+  /** Lagged cross-correlation between two event-type daily series —
+    * does [[XcorrLead]] volume on day t predict [[XcorrLag]] volume on
+    * day t+ℓ? Pearson correlation of (lead_t, lag_{t+ℓ}) pairs for
+    * ℓ ∈ [−[[XcorrMaxLag]], +[[XcorrMaxLag]]], built by a DATE-offset
+    * join exactly like [[acfOf]] (gap days contribute no pair; negative
+    * lags cover the reverse direction so the asymmetry itself is
+    * evidence of lead/lag structure). Daily inputs are exact integer
+    * counts; the correlation follows the q_corr_cov round-6 convention.
+    *
+    * Scale: two filtered partial+final daily rollups from one events
+    * scan, then a days-sized self-join fanned ×(2·maxLag+1) — lag count
+    * never touches the fact-scan cost. */
+  def crossCorrDaily(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin(XcorrLead, XcorrLag))
+      .groupBy(col("event_type").as("et"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    crossCorrOf(ev.filter(col("et") === XcorrLead).select("d", "c"),
+      ev.filter(col("et") === XcorrLag).select("d", "c"))
+  }
+
+  /** Core over two (d DATE, c LONG) daily frames; see [[crossCorrDaily]]. */
+  private[graft] def crossCorrOf(lead: DataFrame, lagS: DataFrame): DataFrame = {
+    val lags = lead.sparkSession.range(-XcorrMaxLag, XcorrMaxLag + 1)
+      .select(col("id").cast("int").as("lag_d"))
+    lead.as("a").crossJoin(broadcast(lags))
+      .join(lagS.as("b"), col("b.d") === date_add(col("a.d"), col("lag_d")))
+      .groupBy("lag_d")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(corr(col("a.c").cast("double"), col("b.c").cast("double")), 6)
+          .as("xcorr"))
+      .orderBy("lag_d")
+  }
+
   val AnomalyKUsdDiv = 100000L
 
   /** Day-of-week-adjusted anomaly days: daily revenue in integer
@@ -298,6 +336,7 @@ object Temporal {
     "q_cusum_shift" -> (cusumShift _),
     "q_seasonality" -> (seasonalityProfile _),
     "q_acf" -> (acfDaily _),
+    "q_cross_corr" -> (crossCorrDaily _),
     "q_anomaly_dow" -> (anomalyDow _),
     "q_burstiness" -> (burstiness _)
   )
@@ -410,6 +449,18 @@ object Temporal {
          |  round(corr(a.cents::DOUBLE, b.cents::DOUBLE), 6) AS acf
          |FROM daily a CROSS JOIN lags
          |JOIN daily b ON b.d = a.d + lag_d
+         |GROUP BY lag_d ORDER BY lag_d""".stripMargin,
+    "q_cross_corr" ->
+      s"""WITH lead_s AS (SELECT CAST(ts AS DATE) AS d, count(*)::BIGINT AS c
+         |  FROM events WHERE event_type = '$XcorrLead' GROUP BY 1),
+         |lag_s AS (SELECT CAST(ts AS DATE) AS d, count(*)::BIGINT AS c
+         |  FROM events WHERE event_type = '$XcorrLag' GROUP BY 1),
+         |lags AS (SELECT CAST(unnest(range(-$XcorrMaxLag, ${XcorrMaxLag + 1}))
+         |    AS INT) AS lag_d)
+         |SELECT lag_d, count(*) AS n_pairs,
+         |  round(corr(a.c::DOUBLE, b.c::DOUBLE), 6) AS xcorr
+         |FROM lead_s a CROSS JOIN lags
+         |JOIN lag_s b ON b.d = a.d + lag_d
          |GROUP BY lag_d ORDER BY lag_d""".stripMargin,
     "q_anomaly_dow" ->
       s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,

@@ -1049,6 +1049,65 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Temperature-weighted source sampling (the multilingual-LM mixing
+    * rule of XLM-R / mT5: p_s ∝ n_s^(1/T)) at T=2, i.e. p_s ∝ √n_s —
+    * upweights small sources relative to their natural share without
+    * letting any source dominate. √ is the one fractional power that is
+    * IEEE-754 correctly-rounded in every engine, so the only cross-engine
+    * fp freedom is the Σ√n summation order, absorbed by the round-6
+    * output convention (the q_corr_cov precedent). Complements
+    * q_waterfill_budget (max-min fair capacity quota) with the
+    * probability-mixing view a sampler actually consumes.
+    *
+    * Scale: the corpus collapses to |sources| rows in one partial+final
+    * agg; everything after runs on that tiny frame. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame =
+    temperatureMixOf(Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(size(words)).as("n_tokens")))
+
+  /** Core over any (source, n_tokens LONG) frame; see [[temperatureMix]]. */
+  private[graft] def temperatureMixOf(caps: DataFrame): DataFrame = {
+    val tot = caps.agg(sum("n_tokens").as("tot"),
+      sum(sqrt(col("n_tokens").cast("double"))).as("tot_sq"))
+    caps.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("tot"), 6).as("share_p"),
+        round(sqrt(col("n_tokens").cast("double")) / col("tot_sq"), 6).as("mix_p"))
+      .orderBy("source")
+  }
+
+  val OovVocabK = 32
+
+  /** Out-of-vocabulary rate per source against the corpus top-[[OovVocabK]]
+    * vocabulary — the coverage statistic that decides whether a tokenizer
+    * vocab (or a frequency-pruned embedding table) serves every source
+    * equally; a high-OOV source is the one whose text will fragment into
+    * rare tokens. Vocabulary rank ties break on the word itself, and the
+    * rate is integer basis points with floor division — engine-exact.
+    * Complements q_doc_perplexity (self-corpus LM has no OOV path by
+    * construction; this op bounds the vocab and measures what falls out).
+    *
+    * Scale: one token-count shuffle (vocabulary-bounded output), top-K on
+    * that small frame, then the vocab broadcasts onto the token stream —
+    * the corpus-sized stage is a map-side scan + one partial+final agg. */
+  def oovRate(spark: SparkSession, dir: String): DataFrame =
+    oovRateDf(Tables.documents(spark, dir), OovVocabK)
+
+  private[graft] def oovRateDf(docs: DataFrame, vocabK: Int): DataFrame = {
+    val tok = docs.select(col("source"), explode(words).as("word"))
+    val vocab = tok.groupBy("word").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word")).limit(vocabK)
+      .select(col("word"), lit(1L).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("tokens_total"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("tokens_oov"))
+      .selectExpr("source", "tokens_total", "tokens_oov",
+        "(tokens_oov * 10000) DIV tokens_total AS oov_bp")
+      .orderBy("source")
+  }
+
   /** Per-document unigram cross-entropy vs the corpus language model —
     * the CCNet-style "perplexity" quality score (low = the doc looks
     * like the corpus, high = rare-token soup): for each token,
@@ -1149,6 +1208,8 @@ object TextAnalysis {
     "q_doc_perplexity" -> (docPerplexity _),
     "q_filter_sweep" -> (filterSweep _),
     "q_waterfill_budget" -> (waterfillBudget _),
+    "q_temperature_mix" -> (temperatureMix _),
+    "q_oov_rate" -> (oovRate _),
     "q_token_count" -> (tokenCount _),
     "q_text_quality" -> (textQuality _),
     "q_lang_id" -> (langId _),
@@ -1207,6 +1268,28 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_temperature_mix" ->
+      s"""WITH caps AS (SELECT source, len($wordsSql)::BIGINT AS n FROM documents),
+         |s AS (SELECT source, sum(n)::BIGINT AS n_tokens FROM caps GROUP BY source),
+         |t AS (SELECT sum(n_tokens)::BIGINT AS tot,
+         |    sum(sqrt(n_tokens::DOUBLE)) AS tot_sq FROM s)
+         |SELECT source, n_tokens,
+         |  round(n_tokens::DOUBLE / tot, 6) AS share_p,
+         |  round(sqrt(n_tokens::DOUBLE) / tot_sq, 6) AS mix_p
+         |FROM s CROSS JOIN t ORDER BY source""".stripMargin,
+    "q_oov_rate" ->
+      s"""WITH tok AS (SELECT source, unnest($wordsSql) AS word FROM documents),
+         |voc AS (SELECT word FROM (
+         |    SELECT word, count(*) AS c FROM tok GROUP BY word)
+         |  ORDER BY c DESC, word LIMIT $OovVocabK),
+         |agg AS (SELECT source, count(*)::BIGINT AS tokens_total,
+         |    sum(CASE WHEN voc.word IS NULL THEN 1 ELSE 0 END)::BIGINT
+         |      AS tokens_oov
+         |  FROM tok LEFT JOIN voc ON tok.word = voc.word
+         |  GROUP BY source)
+         |SELECT source, tokens_total, tokens_oov,
+         |  (tokens_oov * 10000 // tokens_total)::BIGINT AS oov_bp
+         |FROM agg ORDER BY source""".stripMargin,
     "q_feature_hash" ->
       s"""WITH tw AS (SELECT doc_id, unnest($wordsSql) AS word FROM documents),
          |h AS (SELECT doc_id, ${hash56Sql("word")} AS h

@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Hand-computed fixtures for the round-8 curation operators:
+  * substring-level dedup, temperature mixing, OOV rate, lagged
+  * cross-correlation, and the PII-injection positive path. */
+class CurationOpsSpec extends SparkSpec {
+
+  test("substringDedup finds shared character windows across docs") {
+    val spark2 = spark
+    import spark2.implicits._
+    // k=5, stride=2: doc0/doc1 share the "abcde" and "cdefg" windows;
+    // doc2 is all-unique. Window count per len-10 doc = (10-5) DIV 2 + 1 = 3.
+    val docs = Seq(
+      ("srcA", 0L, "abcdefghij"),
+      ("srcA", 1L, "zzabcdefgh"),
+      ("srcB", 2L, "qrstuvwxyz")
+    ).toDF("source", "doc_id", "text")
+    val r = Dedup.substringDedupDf(docs, k = 5, stride = 2, minDocs = 2)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r("srcA") == ((2L, 6L, 4L, 2L)),
+      "srcA: 2 docs, 6 windows, 4 duplicated (abcde+cdefg in both), both hit")
+    assert(r("srcB") == ((1L, 3L, 0L, 0L)))
+  }
+
+  test("substringDedup catches duplication that token segments miss") {
+    val spark2 = spark
+    import spark2.implicits._
+    // The same 25-char run embedded at different word offsets: disjoint
+    // token blocks disagree, overlapping char windows still collide.
+    val run = "the quick brown fox jumps"
+    val docs = Seq(
+      ("s", 0L, s"AA BB $run CC"),
+      ("s", 1L, s"XX $run YY ZZ")
+    ).toDF("source", "doc_id", "text")
+    val r = Dedup.substringDedupDf(docs, k = 25, stride = 1, minDocs = 2)
+      .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(r("s") >= 2L, "stride-1 char windows must hit the shared run")
+  }
+
+  test("temperatureMix upweights small sources vs natural share") {
+    val spark2 = spark
+    import spark2.implicits._
+    val caps = Seq(("srcA", 100L), ("srcB", 400L)).toDF("source", "n_tokens")
+    val r = TextAnalysis.temperatureMixOf(caps).collect()
+      .map(x => x.getString(0) -> ((x.getDouble(2), x.getDouble(3)))).toMap
+    assert(r("srcA") == ((0.2, 0.333333)), "sqrt(100)/(10+20) = 1/3")
+    assert(r("srcB") == ((0.8, 0.666667)))
+    assert(r("srcA")._2 > r("srcA")._1, "small source upweighted")
+    assert(r("srcB")._2 < r("srcB")._1, "large source downweighted")
+  }
+
+  test("oovRate against the corpus top-K vocabulary, ties on word") {
+    val spark2 = spark
+    import spark2.implicits._
+    // counts: a=3 b=3 c=1 d=1 e=1; top-2 = {a, b} (c desc, word asc)
+    val docs = Seq(
+      ("srcA", "a a b c"),
+      ("srcB", "a b b d e")
+    ).toDF("source", "text")
+    val r = TextAnalysis.oovRateDf(docs, vocabK = 2).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r("srcA") == ((4L, 1L, 2500L)), "c is OOV: 1/4 = 2500bp")
+    assert(r("srcB") == ((5L, 2L, 4000L)), "d,e are OOV: 2/5 = 4000bp")
+  }
+
+  test("crossCorr peaks at the constructed lead/lag offset") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d0 = java.sql.Date.valueOf("2024-01-01")
+    def day(i: Int) = java.sql.Date.valueOf(d0.toLocalDate.plusDays(i))
+    val lead = (0 until 5).map(i => (day(i), (i + 1).toLong)).toDF("d", "c")
+    // lag series = 2*lead shifted +2 days: perfect corr at lag_d = 2
+    val lagS = (0 until 5).map(i => (day(i + 2), 2L * (i + 1))).toDF("d", "c")
+    val r = Temporal.crossCorrOf(lead, lagS).collect()
+      .map(x => x.getInt(0) -> ((x.getLong(1),
+        if (x.isNullAt(2)) Double.NaN else x.getDouble(2)))).toMap
+    assert(r(2) == ((5L, 1.0)), "all 5 pairs align at lag 2, corr exactly 1")
+    // lags with no aligned days contribute no row (the acfOf convention)
+    assert(r.keys.min == -2 && r.keys.max == 6,
+      "fixture alignment spans lag -2..6 only")
+    assert(r.keys.forall(l => l >= -Temporal.XcorrMaxLag && l <= Temporal.XcorrMaxLag))
+  }
+
+  test("piiRedact's injected synthetics match the recognizers exactly") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (0L, "end of doc reach user123@example.com or +1 555 867 0042"))
+      .toDF("doc_id", "text")
+    val red = Pii.redact(docs, "text").select("redacted")
+      .as[String].head()
+    assert(red == "end of doc reach [EMAIL] or [PHONE]",
+      "the q_pii_redact injection must be fully scrubbed")
+  }
+}
