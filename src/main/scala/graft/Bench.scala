@@ -341,7 +341,11 @@ object Bench {
         // inverted-index candidates, pivoted tf + broadcast stats,
         // prefix-filtered pair join, and PQ's code-only ADC scan must
         // all track the corpus, never corpus²
-        "q_cosine_sparse", "q_bm25", "q_jaccard_prefix", "q_ann_pq")
+        "q_cosine_sparse", "q_bm25", "q_jaccard_prefix", "q_ann_pq",
+        // round-8: the stride-window explosion is (len/stride)× the
+        // corpus — the ratio must track that constant, not blow up in
+        // the dup-set join
+        "q_substring_dedup")
       val runs = heavy.map { n =>
         val k = s"sf1_$n"
         rerun(k) = () => materialize(SparkEntry.queries(n)(spark, sf1Dir))

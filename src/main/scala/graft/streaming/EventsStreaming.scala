@@ -336,6 +336,33 @@ object EventsStreaming {
       }
   }
 
+  final case class DistinctCount(scope: String, n_seen: Long, n_unique: Long)
+
+  /** Streaming exact-distinct registry — the incremental face of
+    * operators.Dedup.{exact,incrementalDedup}: keyed state IS the
+    * distinct 56-bit hash set, O(unique) per key — the honest cost of
+    * EXACT dedup ([[hllDistinctStream]] is the fixed-512B approximate
+    * alternative when that cost is unaffordable; Dedup.incrementalDedup
+    * is the same registry maintained batch-to-batch). Set insertion is
+    * idempotent and commutative, so duplicates, disorder, and batch
+    * splits cannot change the converged set — no watermark needed. */
+  def distinctStream(rows: Dataset[ScopedValue]): Dataset[DistinctCount] = {
+    import rows.sparkSession.implicits._
+    import graft.operators.Sketches
+    rows.groupByKey(_.scope)
+      .mapGroupsWithState[(Long, Array[Long]), DistinctCount](
+        GroupStateTimeout.NoTimeout()) {
+        case (scope, it, state: GroupState[(Long, Array[Long])]) =>
+          val (n0, arr) = state.getOption.getOrElse((0L, Array.empty[Long]))
+          val set = scala.collection.mutable.HashSet.empty[Long]
+          set ++= arr
+          var n = n0
+          it.foreach { sv => n += 1L; set += Sketches.hash56Jvm(sv.v) }
+          state.update((n, set.toArray))
+          DistinctCount(scope, n, set.size.toLong)
+      }
+  }
+
   /** Convenience: run a streaming frame to completion against a memory
     * sink and return the sink table (test/demo harness). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {

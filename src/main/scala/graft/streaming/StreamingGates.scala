@@ -88,11 +88,40 @@ object StreamingGates {
     } finally rmTree(tmp)
   }
 
+  /** Streaming exact-dedup parity: the q_dedup_exact input re-played as
+    * a 6-batch file stream through the keyed distinct-hash registry —
+    * the final per-source state must equal the batch distinct counts
+    * (oracle = the q_dedup_exact SQL verbatim). */
+  def dedupStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val input = graft.Tables.documents(spark, dir)
+      .select(col("source").as("scope"), lower(trim(col("text"))).as("v"))
+    val (stream, tmp) = fileStream(input, "scope STRING, v STRING", nFiles = 6)
+    try {
+      val sink = runToMemory(
+        EventsStreaming.distinctStream(stream.as[ScopedValue]).toDF(),
+        "dedup_parity_sink", OutputMode.Update())
+      sink.groupBy("scope")
+        .agg(max_by(col("n_unique"), col("n_seen")).as("n_unique"),
+          max("n_seen").as("n_seen"))
+        .select(col("scope").as("source"), col("n_seen").as("n_docs"),
+          col("n_unique"), (col("n_seen") - col("n_unique")).as("n_dupes"))
+        .orderBy("source")
+        .localCheckpoint()
+    } finally rmTree(tmp)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hll_stream_parity" -> (hllStreamParity _),
-    "q_cms_stream_parity" -> (cmsStreamParity _))
+    "q_cms_stream_parity" -> (cmsStreamParity _),
+    "q_dedup_stream_parity" -> (dedupStreamParity _))
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_stream_parity" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(lower(trim(text)))) AS n_unique,
+        |  count(*) - count(DISTINCT md5(lower(trim(text)))) AS n_dupes
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_hll_stream_parity" ->
       s"""WITH t AS (SELECT source, unnest(${Sketches.wordsSql}) AS w FROM documents),
          |tw AS (SELECT 'words:' || source AS scope, w AS v FROM t

@@ -333,6 +333,32 @@ class StreamingSpec extends SparkSpec {
     assert(last.getLong(2) >= 40L, "never underestimates the true 40")
   }
 
+  test("streaming distinct registry equals batch distinct across dups and disorder") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark2.sqlContext
+    import EventsStreaming.ScopedValue
+    // 300 values, only 75 distinct per scope; batch 2 shuffled + overlaps
+    val all = (1 to 300).map(i => ScopedValue(s"g${i % 2}", s"v${i % 150}"))
+    val (b1, b2) = all.splitAt(130)
+    val mem = MemoryStream[ScopedValue]
+    val q = EventsStreaming.distinctStream(mem.toDS())
+      .writeStream.format("memory").queryName("dst_stream").outputMode("update").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(scala.util.Random.shuffle(b2 ++ b1.take(30)): _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("dst_stream")
+      .groupBy("scope").agg(max("n_unique").as("u"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val batch = all.toDF("scope", "v").groupBy("scope")
+      .agg(countDistinct("v").as("u"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    // n_seen counts every arrival: 150 per scope + 15 replayed dups
+    val seen = spark.table("dst_stream").agg(max("n_seen")).collect()(0).getLong(0)
+    assert(seen == 165L, s"per-scope arrivals $seen != 165")
+  }
+
   test("mapGroupsWithState running totals equal batch groupBy") {
     val spark2 = spark
     import spark2.implicits._
