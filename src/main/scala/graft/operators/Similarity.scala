@@ -414,7 +414,41 @@ object Similarity {
       .toSeq.toDF("qid", "rank", "neighbor_id", "adc_dist", "l2_dist")
   }
 
+  val PhraseWords: Seq[String] = Seq("hash", "join")
+
+  /** Exact phrase search via positional posting intersection — the
+    * inverted-index mechanic BM25 lacks (bag-of-words can't see
+    * adjacency): each phrase word's posting list (doc_id, position) is
+    * filtered out of a posexplode'd token stream, then consecutive
+    * postings equi-join on (doc, position+offset). Per-source match
+    * rollup; occurrences counted at every start position.
+    *
+    * Scale: the per-word filters push into the scan, so each join input
+    * is one TERM's posting list (corpus-frequency-sized, not
+    * corpus-sized) — the plan a positional index would serve from disk;
+    * at 100 TB you materialize the posting table once, bucketed by
+    * word, and this query touches only the phrase's buckets. The joins
+    * are hash-equi on (doc_id, pos), AQE-broadcast when a term is rare. */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame =
+    phraseSearchDf(graft.Tables.documents(spark, dir), PhraseWords)
+
+  private[graft] def phraseSearchDf(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty)
+    val pos = docs
+      .select(col("source"), col("doc_id"),
+        posexplode(graft.functions.TextFns.tokens(col("text"))).as(Seq("p", "w")))
+    val matches = phrase.zipWithIndex.map { case (word, i) =>
+      pos.filter(col("w") === word)
+        .select(col("source"), col("doc_id"), (col("p") - i).as("start"))
+    }.reduce(_.join(_, Seq("source", "doc_id", "start")))
+    matches.groupBy("source")
+      .agg(countDistinct("doc_id").as("docs_matched"),
+        count(lit(1)).as("n_occurrences"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_phrase_search" -> (phraseSearch _),
     "q_ann_brute" -> (bruteTopK _),
     "q_ann_lsh" -> (lshTopK _),
     "q_cosine_sparse" -> (sparseCosineTopK _),
@@ -430,7 +464,26 @@ object Similarity {
   private val cosSql =
     "list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)]) / (q.nrm * c.nrm)"
 
+  private lazy val phraseSearchOracle: String = {
+    val posting = (w: String, i: Int) =>
+      s"SELECT source, doc_id, s.p - $i AS start FROM p WHERE s.w = '$w'"
+    val joins = PhraseWords.zipWithIndex.map { case (w, i) => s"m$i AS (${posting(w, i)})" }
+    val chain = (1 until PhraseWords.size)
+      .map(i => s"JOIN m$i USING (source, doc_id, start)").mkString(" ")
+    s"""WITH w AS (SELECT source, doc_id,
+       |    regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+       |p AS (SELECT source, doc_id,
+       |    unnest(list_transform(range(1, len(ws) + 1),
+       |      i -> {'p': i, 'w': ws[i]})) AS s FROM w),
+       |${joins.mkString(",\n")}
+       |SELECT source, count(DISTINCT doc_id) AS docs_matched,
+       |  count(*) AS n_occurrences
+       |FROM m0 $chain
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_phrase_search" -> phraseSearchOracle,
     "q_ann_pq" -> {
       import graft.ml.KMeansGraft.{assignCteSql, chainSql, lloydCtesSql}
       def offChain(off: Int) = (1 to PqSubDim).map(i =>

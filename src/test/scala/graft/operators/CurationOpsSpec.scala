@@ -85,6 +85,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(r.keys.forall(l => l >= -Temporal.XcorrMaxLag && l <= Temporal.XcorrMaxLag))
   }
 
+  test("phraseSearch counts overlapping occurrences and respects boundaries") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      ("s1", 0L, "a a a b"),        // "a a" overlaps: starts at 0 and 1
+      ("s1", 1L, "b a a"),          // phrase at doc end
+      ("s2", 2L, "a b a"),          // non-adjacent: no match
+      ("s2", 3L, "x y z a a q")     // mid-doc
+    ).toDF("source", "doc_id", "text")
+    val r = Similarity.phraseSearchDf(docs, Seq("a", "a")).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r("s1") == ((2L, 3L)), "doc0 has 2 overlapping starts, doc1 has 1")
+    assert(r("s2") == ((1L, 1L)), "only doc3 matches; 'a b a' must not")
+    val tri = Similarity.phraseSearchDf(docs, Seq("a", "a", "b")).collect()
+      .map(x => x.getString(0) -> x.getLong(2)).toMap
+    assert(tri == Map("s1" -> 1L), "3-gram only in doc0 at position 1")
+  }
+
   test("piiRedact's injected synthetics match the recognizers exactly") {
     val spark2 = spark
     import spark2.implicits._
