@@ -524,6 +524,59 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Segment-dedup REWRITE — the curation pass that actually produces
+    * the cleaned corpus: every cross-doc-repeated [[SegSize]]-word tile
+    * (q_segment_dedup's dup set, recomputed identically) is dropped and
+    * each document is rebuilt from its surviving tiles in order. The
+    * rebuilt text itself is pinned cross-engine by a summed 56-bit
+    * content hash, so the gate proves the *rewrite*, not just the flag
+    * counts. Documents that are entirely duplicated tiles rebuild to the
+    * empty string and count 0 words (pinned in both engines — the naive
+    * split('') would say 1).
+    *
+    * Scale: the dup table is still (hash)-only; unlike the flag-only
+    * q_segment_dedup, segment text must survive to the rebuild groupBy —
+    * that per-doc shuffle is the unavoidable cost of any rewriter (it IS
+    * the output write), and it carries each doc exactly once. */
+  def dedupRewrite(spark: SparkSession, dir: String): DataFrame =
+    dedupRewriteDf(Tables.documents(spark, dir), SegSize, SegDupMinDocs)
+
+  private[graft] def dedupRewriteDf(docs: DataFrame, segSize: Int,
+      minDocs: Int): DataFrame = {
+    val nSegs = floor((size(col("w")) + lit(segSize - 1)) / lit(segSize)).cast("int")
+    val segs = docs
+      .select(col("source"), col("doc_id"), words.as("w"))
+      .select(col("source"), col("doc_id"), size(col("w")).as("nw"),
+        explode(transform(sequence(lit(0), nSegs - 1),
+          i => struct(i.as("pos"),
+            concat_ws(" ", slice(col("w"), i * segSize + 1, lit(segSize))).as("seg"))))
+          .as("s"))
+      .select(col("source"), col("doc_id"), col("nw"),
+        col("s.pos").as("pos"), col("s.seg").as("seg"),
+        hash56(col("s.seg")).as("h"))
+    val dup = segs.select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"), lit(1).as("isdup"))
+    val reb = segs.join(dup, Seq("h"), "left")
+      .groupBy("source", "doc_id")
+      .agg(first("nw").as("words_before"),
+        sum(coalesce(col("isdup"), lit(0))).as("n_dup"),
+        concat_ws(" ", transform(
+          filter(array_sort(collect_list(struct(col("pos"),
+            coalesce(col("isdup"), lit(0)).as("isdup"), col("seg")))),
+            x => x.getField("isdup") === 0),
+          x => x.getField("seg"))).as("rebuilt"))
+    reb.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_dup") > 0, 1L).otherwise(0L)).as("docs_modified"),
+        sum("words_before").as("words_before"),
+        sum(when(col("rebuilt") === "", 0)
+          .otherwise(size(split(col("rebuilt"), " ")))).as("words_after"),
+        sum(hash56(col("rebuilt")) % 1000000007L).as("rebuilt_sum"))
+      .orderBy("source")
+  }
+
   val CollocMin = 5
   val CollocK = 20
 
@@ -1249,6 +1302,7 @@ object TextAnalysis {
     "q_weighted_sample" -> (weightedSample _),
     "q_top_words" -> (topWords _),
     "q_segment_dedup" -> (segmentDedup _),
+    "q_dedup_rewrite" -> (dedupRewrite _),
     "q_collocations" -> (collocations _),
     "q_tfidf_terms" -> (tfidfTerms _),
     "q_source_overlap" -> (sourceOverlap _),
@@ -1292,6 +1346,30 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_rewrite" ->
+      s"""WITH d AS (SELECT source, doc_id, $wordsSql AS w FROM documents),
+         |segs AS (SELECT source, doc_id, len(w) AS nw, s.pos AS pos,
+         |    s.seg AS seg, ${hash56Sql("s.seg")} AS h
+         |  FROM (SELECT source, doc_id, w,
+         |      unnest(list_transform(range(0, (len(w) + ${SegSize - 1}) // $SegSize),
+         |        i -> {'pos': i, 'seg': array_to_string(
+         |          list_slice(w, i * $SegSize + 1, (i + 1) * $SegSize), ' ')})) AS s
+         |    FROM d)),
+         |dup AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM segs)
+         |  GROUP BY h HAVING count(*) >= $SegDupMinDocs),
+         |reb AS (SELECT source, doc_id, any_value(nw) AS words_before,
+         |    sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) AS n_dup,
+         |    coalesce(string_agg(seg, ' ' ORDER BY pos)
+         |      FILTER (WHERE dup.h IS NULL), '') AS rebuilt
+         |  FROM segs LEFT JOIN dup ON segs.h = dup.h
+         |  GROUP BY source, doc_id)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN n_dup > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_modified,
+         |  sum(words_before)::BIGINT AS words_before,
+         |  sum(CASE WHEN rebuilt = '' THEN 0
+         |    ELSE len(string_split(rebuilt, ' ')) END)::BIGINT AS words_after,
+         |  sum(${hash56Sql("rebuilt")} % 1000000007)::BIGINT AS rebuilt_sum
+         |FROM reb GROUP BY source ORDER BY source""".stripMargin,
     "q_temperature_mix" ->
       s"""WITH caps AS (SELECT source, len($wordsSql)::BIGINT AS n FROM documents),
          |s AS (SELECT source, sum(n)::BIGINT AS n_tokens FROM caps GROUP BY source),

@@ -85,6 +85,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(r.keys.forall(l => l >= -Temporal.XcorrMaxLag && l <= Temporal.XcorrMaxLag))
   }
 
+  test("dedupRewrite drops repeated tiles, keeps order, zeroes empty docs") {
+    val spark2 = spark
+    import spark2.implicits._
+    // segSize=2 tiles: doc0 = [shared]["u1 u2"], doc1 = [shared],
+    // doc2 = ["v1 v2"]["v3"] (odd tail tile), all in one source
+    val docs = Seq(
+      ("s", 0L, "dup dup u1 u2"),
+      ("s", 1L, "dup dup"),
+      ("s", 2L, "v1 v2 v3")
+    ).toDF("source", "doc_id", "text")
+    val r = TextAnalysis.dedupRewriteDf(docs, segSize = 2, minDocs = 2)
+      .collect().map(x => (x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4))).head
+    // 3 docs, 2 modified (doc0+doc1 lose the shared tile),
+    // words 4+2+3=9 before; after: doc0="u1 u2"(2), doc1=""(0), doc2=3
+    assert(r == ((3L, 2L, 9L, 5L)), s"got $r")
+  }
+
   test("phraseSearch counts overlapping occurrences and respects boundaries") {
     val spark2 = spark
     import spark2.implicits._
