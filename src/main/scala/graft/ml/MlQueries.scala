@@ -27,6 +27,8 @@ object MlQueries {
     "q_standard_scaler" -> ((s, d) => Scalers.standardQuery(s, d)),
     "q_minmax_scaler" -> ((s, d) => Scalers.minmaxQuery(s, d)),
     "q_hash_split" -> ((s, d) => Knn.hashSplit(s, d)),
+    "q_class_balance" -> ((s, d) => ModelSelection.classBalance(
+      graft.Tables.embeddings(s, d), "label", "vec_id")),
     "q_linreg_multi" -> ((s, d) => LinearRegressionGraft.query(s, d)),
     "q_pca_cov" -> ((s, d) => PCAGraft.covQuery(s, d)),
     "q_pca" -> ((s, d) => PCAGraft.query(s, d)),
@@ -100,6 +102,23 @@ object MlQueries {
     "q_standard_scaler" -> Scalers.standardOracle,
     "q_minmax_scaler" -> Scalers.minmaxOracle,
     "q_hash_split" -> Knn.hashSplitOracle,
+    "q_class_balance" -> {
+      val h = graft.functions.TextFns.hash56Sql("vec_id::VARCHAR")
+      s"""WITH c AS (SELECT label, count(*)::BIGINT AS n_orig
+         |  FROM embeddings GROUP BY label),
+         |t AS (SELECT max(n_orig)::BIGINT AS t FROM c),
+         |r AS (SELECT label, vec_id,
+         |    row_number() OVER (PARTITION BY label ORDER BY $h, vec_id) - 1 AS r
+         |  FROM embeddings),
+         |j AS (SELECT r.label, vec_id,
+         |    (t // n_orig) + CASE WHEN r < t % n_orig THEN 1 ELSE 0 END AS copies,
+         |    n_orig
+         |  FROM r JOIN c USING (label) CROSS JOIN t)
+         |SELECT label, any_value(n_orig) AS n_orig,
+         |  sum(copies)::BIGINT AS n_after, max(copies)::BIGINT AS max_copies,
+         |  sum(copies * (vec_id % 1000003))::BIGINT AS copies_check
+         |FROM j GROUP BY label ORDER BY label""".stripMargin
+    },
     "q_linreg_multi" -> LinearRegressionGraft.oracle,
     "q_pca_cov" -> PCAGraft.covOracle,
     "q_pca_invariants" -> PCAGraft.invariantsOracle,

@@ -14,6 +14,36 @@ import scala.concurrent.duration.Duration
   * with the FAIR-scheduler pool playing COMPSs' task queue. */
 object ModelSelection {
 
+  /** Deterministic class-balanced oversampling — balance every class to
+    * the majority count T: rows rank 0..n−1 inside their class by
+    * portable hash (tie: id), and row r replicates ⌊T/n⌋ + (r < T mod n)
+    * times, so the resampled multiset is engine-exact (no RNG) and any
+    * two runs — or engines — agree on WHICH rows gained copies. The gate
+    * pins the full assignment via an id-weighted copy checksum.
+    *
+    * Scale: one count-by-class rollup (broadcast back), one rank window
+    * partitioned BY CLASS — each class sorts independently, so the plan
+    * never single-partitions; a class too hot for one window partition
+    * would switch to the hash-bin rank trick noted inline. */
+  def classBalance(df: DataFrame, labelCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(labelCol).agg(count(lit(1)).as("n_orig"))
+    val target = counts.agg(max("n_orig").as("t"))
+    val ranked = df.select(col(labelCol), col(idCol),
+        graft.functions.TextFns.hash56(col(idCol).cast("string")).as("hr"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(labelCol).orderBy(col("hr"), col(idCol))) - 1)
+    ranked.join(broadcast(counts), labelCol).crossJoin(broadcast(target))
+      .withColumn("copies",
+        expr("t DIV n_orig") + when(col("r") < expr("t % n_orig"), 1L).otherwise(0L))
+      .groupBy(labelCol)
+      .agg(first("n_orig").as("n_orig"),
+        sum("copies").as("n_after"),
+        max("copies").as("max_copies"),
+        sum(col("copies") * (col(idCol) % 1000003L)).as("copies_check"))
+      .orderBy(labelCol)
+  }
+
   /** Seeded random split preserving row pairing (train_test_split,
     * _split.py:14-76). */
   def trainTestSplit(df: DataFrame, testSize: Double, seed: Long): (DataFrame, DataFrame) = {

@@ -121,6 +121,20 @@ class CurationOpsSpec extends SparkSpec {
     assert(tri == Map("s1" -> 1L), "3-gram only in doc0 at position 1")
   }
 
+  test("classBalance oversamples every class exactly to the majority") {
+    val spark2 = spark
+    import spark2.implicits._
+    // classes: a=5 rows, b=2, c=1 → everyone balances to T=5
+    val df = ((1L to 5L).map(i => (i, "a")) ++ Seq((10L, "b"), (11L, "b"), (20L, "c")))
+      .toDF("vec_id", "label")
+    val r = graft.ml.ModelSelection.classBalance(df, "label", "vec_id")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r("a") == ((5L, 5L, 1L)), "majority class untouched")
+    assert(r("b") == ((2L, 5L, 3L)), "2 rows -> copies 3+2")
+    assert(r("c") == ((1L, 5L, 5L)), "1 row replicated 5x")
+  }
+
   test("piiRedact's injected synthetics match the recognizers exactly") {
     val spark2 = spark
     import spark2.implicits._
