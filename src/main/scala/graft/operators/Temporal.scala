@@ -217,6 +217,55 @@ object Temporal {
       .orderBy("lag_d")
   }
 
+  /** Holt linear-trend (double exponential) smoothing of daily revenue
+    * per priority — the level+trend upgrade of [[ewmaSmooth]] (which has
+    * no trend state): l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1}),
+    * b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1} at α=1/5, β=1/10, ENTIRELY in
+    * milli-unit integer arithmetic with truncating division (Spark DIV
+    * and DuckDB // both truncate toward zero — verified — so the coupled
+    * recurrence replays engine-bit-exactly even through negative trend
+    * values; the idiv-by-double-cast below is exact while numerators sit
+    * under 2^53, i.e. daily revenue to ~10^15 milli-cents). The fold
+    * indexes the series by observation order (gap days are not
+    * interpolated — q_gap_fill is that op).
+    *
+    * Scale: one partial+final daily rollup, then a per-key fold over the
+    * collected series — key-local, array-sized by days-per-key, never a
+    * corpus-sized window; the DuckDB oracle replays it as a recursive
+    * CTE. */
+  def holtLinear(spark: SparkSession, dir: String): DataFrame =
+    holtOf(Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("pri"), to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents")))
+
+  /** Core over any (pri, d DATE, cents LONG) daily frame. */
+  private[graft] def holtOf(daily: DataFrame): DataFrame = {
+    // exact truncating integer division while |a| < 2^53 (doc above)
+    def idiv(a: Column, den: Long): Column = (a / lit(den.toDouble)).cast("long")
+    val outType = "ARRAY<STRUCT<d: DATE, cents: BIGINT, l: BIGINT, b: BIGINT>>"
+    val folded = daily
+      .groupBy("pri")
+      .agg(array_sort(collect_list(struct(col("d"), col("cents")))).as("s"))
+      .select(col("pri"), aggregate(col("s"),
+        expr(s"CAST(array() AS $outType)"),
+        (acc, x) => {
+          val prev = element_at(acc, -1)
+          val xm = x.getField("cents") * lit(1000L)
+          val first = size(acc) === 0
+          val l = when(first, xm)
+            .otherwise(idiv(xm + lit(4L) * (prev.getField("l") + prev.getField("b")), 5L))
+          val b = when(first, lit(0L))
+            .otherwise(idiv(l - prev.getField("l") + lit(9L) * prev.getField("b"), 10L))
+          concat(acc, array(struct(x.getField("d").as("d"),
+            x.getField("cents").as("cents"), l.as("l"), b.as("b"))))
+        }).as("out"))
+    folded.select(col("pri"), explode(col("out")).as("o"))
+      .select(col("pri"), col("o.d").as("d"), col("o.cents").as("cents"),
+        col("o.l").as("level_milli"), col("o.b").as("trend_milli"),
+        (col("o.l") + col("o.b")).as("forecast_milli"))
+      .orderBy("pri", "d")
+  }
+
   val XcorrMaxLag = 7
   val XcorrLead = "click"
   val XcorrLag = "purchase"
@@ -337,6 +386,7 @@ object Temporal {
     "q_seasonality" -> (seasonalityProfile _),
     "q_acf" -> (acfDaily _),
     "q_cross_corr" -> (crossCorrDaily _),
+    "q_holt_linear" -> (holtLinear _),
     "q_anomaly_dow" -> (anomalyDow _),
     "q_burstiness" -> (burstiness _)
   )
@@ -450,6 +500,24 @@ object Temporal {
          |FROM daily a CROSS JOIN lags
          |JOIN daily b ON b.d = a.d + lag_d
          |GROUP BY lag_d ORDER BY lag_d""".stripMargin,
+    "q_holt_linear" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS d,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |seq AS (SELECT pri, d, cents,
+        |    row_number() OVER (PARTITION BY pri ORDER BY d) AS rn FROM daily),
+        |rec AS (
+        |  SELECT pri, d, cents, rn, cents * 1000 AS l, 0::BIGINT AS b
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.pri, s.d, s.cents, s.rn,
+        |    (s.cents * 1000 + 4 * (r.l + r.b)) // 5 AS l,
+        |    (((s.cents * 1000 + 4 * (r.l + r.b)) // 5) - r.l + 9 * r.b) // 10 AS b
+        |  FROM rec r JOIN seq s ON s.pri = r.pri AND s.rn = r.rn + 1)
+        |SELECT pri, d, cents, l AS level_milli, b AS trend_milli,
+        |  l + b AS forecast_milli
+        |FROM rec ORDER BY pri, d""".stripMargin,
     "q_cross_corr" ->
       s"""WITH lead_s AS (SELECT CAST(ts AS DATE) AS d, count(*)::BIGINT AS c
          |  FROM events WHERE event_type = '$XcorrLead' GROUP BY 1),

@@ -121,6 +121,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(tri == Map("s1" -> 1L), "3-gram only in doc0 at position 1")
   }
 
+  test("holtLinear replays the coupled recurrence incl. negative trend") {
+    val spark2 = spark
+    import spark2.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    // x = [100, 50, 50]: hand-replay of l/b at alpha=1/5, beta=1/10
+    val daily = Seq(("p", day(0), 100L), ("p", day(1), 50L), ("p", day(2), 50L))
+      .toDF("pri", "d", "cents")
+    val r = Temporal.holtOf(daily).collect()
+      .map(x => (x.getLong(3), x.getLong(4), x.getLong(5)))
+    assert(r(0) == ((100000L, 0L, 100000L)), "init: level=x1, trend=0")
+    assert(r(1) == ((90000L, -1000L, 89000L)),
+      "l2=(50000+4*100000)/5, b2=(90000-100000)/10 — trend goes NEGATIVE")
+    assert(r(2) == ((81200L, -1780L, 79420L)),
+      "l3=(50000+4*89000)/5=81200, b3=(81200-90000-9000)/10=-1780")
+  }
+
   test("classBalance oversamples every class exactly to the majority") {
     val spark2 = spark
     import spark2.implicits._
