@@ -414,6 +414,46 @@ object Similarity {
       .toSeq.toDF("qid", "rank", "neighbor_id", "adc_dist", "l2_dist")
   }
 
+  val RrfC = 60       // the standard RRF damping constant
+  val RrfN = 20       // per-ranker candidate depth
+  val RrfTopK = 10
+
+  /** Reciprocal-rank fusion of two retrieval rankings — the standard
+    * hybrid-retrieval combiner (score = Σ_r 1/(c + rank_r), here in
+    * exact integer micro-units 10⁶ DIV (c + rank)): the BM25 ranking and
+    * a raw matched-term-frequency ranking over the same query terms are
+    * each cut at depth [[RrfN]], then fused; a doc missing from one
+    * ranking simply contributes nothing from it. Both input rankings tie
+    * break on doc_id, and the fused score is all-integer, so the final
+    * top-k is engine-exact.
+    *
+    * Scale: each ranker is already a global-top-N plan (k-row heaps,
+    * never a corpus sort); the fusion joins two N-row frames — free. */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame =
+    rrfDf(Tables.documents(spark, dir), Bm25Terms)
+
+  private[graft] def rrfDf(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val bm = bm25Df(docs, terms, RrfN)
+      .select(col("doc_id"), col("rank").as("rank_bm25"))
+    val toks = docs
+      .select(col("doc_id"), explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
+      .filter(col("w").isInCollection(terms))
+    val tfTop = toks.groupBy("doc_id").agg(count(lit(1)).as("tfsum"))
+      .orderBy(col("tfsum").desc, col("doc_id").asc).limit(RrfN)
+    val tfRank = tfTop.withColumn("rank_tf",
+      row_number().over(Window.orderBy(col("tfsum").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("rank_tf"))
+    val fused = bm.join(tfRank, Seq("doc_id"), "full_outer")
+      .withColumn("score_rrf",
+        expr(s"coalesce(1000000 DIV ($RrfC + rank_bm25), 0)") +
+          expr(s"coalesce(1000000 DIV ($RrfC + rank_tf), 0)"))
+      .orderBy(col("score_rrf").desc, col("doc_id").asc).limit(RrfTopK)
+    fused.withColumn("rank",
+        row_number().over(Window.orderBy(col("score_rrf").desc, col("doc_id").asc)))
+      .select("rank", "doc_id", "score_rrf", "rank_bm25", "rank_tf")
+      .orderBy("rank")
+  }
+
   val PhraseWords: Seq[String] = Seq("hash", "join")
 
   /** Exact phrase search via positional posting intersection — the
@@ -448,6 +488,7 @@ object Similarity {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_rrf_fusion" -> (rrfFusion _),
     "q_phrase_search" -> (phraseSearch _),
     "q_ann_brute" -> (bruteTopK _),
     "q_ann_lsh" -> (lshTopK _),
@@ -482,7 +523,65 @@ object Similarity {
        |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** Shared DuckDB CTE chain replaying the pinned BM25 scoring up to a
+    * `scored(doc_id, dl, tf_*, score)` relation — used by the BM25 gate
+    * and the RRF-fusion gate on top of it. Constants via toString so
+    * both engines parse the identical double (1.2 + 1 in binary is NOT
+    * the same double as a literal 2.2). */
+  private lazy val bm25ScoredCtes: String = {
+    val k1p1 = (Bm25K1 + 1).toString
+    val k1 = Bm25K1.toString
+    val oneMinusB = (1 - Bm25B).toString
+    val b = Bm25B.toString
+    val tfCols = Bm25Terms.map(t =>
+      s"sum(CASE WHEN w = '$t' THEN 1 ELSE 0 END)::BIGINT AS tf_$t").mkString(",\n    ")
+    val dfCols = Bm25Terms.map(t =>
+      s"count(DISTINCT CASE WHEN w = '$t' THEN doc_id END)::BIGINT AS df_$t").mkString(",\n    ")
+    val scoreExpr = Bm25Terms.map(t =>
+      s"ln((n_docs::DOUBLE - df_$t::DOUBLE + 0.5) / (df_$t::DOUBLE + 0.5) + 1.0)" +
+        s" * (tf_$t::DOUBLE * $k1p1) / (tf_$t::DOUBLE + $k1 * ($oneMinusB + $b * (dl::DOUBLE / avgdl)))")
+      .mkString(" + ")
+    val tfOut = Bm25Terms.map(t => s"tf_$t").mkString(", ")
+    s"""toks AS (SELECT doc_id, w
+       |  FROM (SELECT doc_id,
+       |      unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |    FROM documents) WHERE len(w) > 0),
+       |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+       |st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+       |tf AS (SELECT doc_id,
+       |    $tfCols
+       |  FROM toks GROUP BY doc_id),
+       |dfs AS (SELECT
+       |    $dfCols
+       |  FROM toks),
+       |scored AS (SELECT dl.doc_id, dl.dl, $tfOut,
+       |    $scoreExpr AS score
+       |  FROM dl JOIN tf USING (doc_id) CROSS JOIN st CROSS JOIN dfs,
+       |    (SELECT sum_dl::DOUBLE / n_docs::DOUBLE AS avgdl FROM st) a)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_rrf_fusion" ->
+      s"""WITH $bm25ScoredCtes,
+         |bm AS (SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank_bm25,
+         |    doc_id
+         |  FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT $RrfN)),
+         |tfsum AS (SELECT doc_id, count(*)::BIGINT AS tfsum FROM toks
+         |  WHERE w IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY doc_id),
+         |tfr AS (SELECT row_number() OVER (ORDER BY tfsum DESC, doc_id) AS rank_tf,
+         |    doc_id
+         |  FROM (SELECT * FROM tfsum ORDER BY tfsum DESC, doc_id LIMIT $RrfN)),
+         |fused AS (SELECT coalesce(bm.doc_id, tfr.doc_id) AS doc_id,
+         |    coalesce(1000000 // ($RrfC + rank_bm25), 0)
+         |      + coalesce(1000000 // ($RrfC + rank_tf), 0) AS score_rrf,
+         |    rank_bm25, rank_tf
+         |  FROM bm FULL OUTER JOIN tfr ON bm.doc_id = tfr.doc_id)
+         |SELECT row_number() OVER (ORDER BY score_rrf DESC, doc_id) AS rank,
+         |  doc_id, score_rrf::BIGINT AS score_rrf,
+         |  rank_bm25::BIGINT AS rank_bm25, rank_tf::BIGINT AS rank_tf
+         |FROM (SELECT * FROM fused ORDER BY score_rrf DESC, doc_id LIMIT $RrfTopK)
+         |ORDER BY rank""".stripMargin,
     "q_phrase_search" -> phraseSearchOracle,
     "q_ann_pq" -> {
       import graft.ml.KMeansGraft.{assignCteSql, chainSql, lloydCtesSql}
@@ -539,37 +638,8 @@ object Similarity {
          |WHERE rank <= $PqTopK ORDER BY qid, rank""".stripMargin
     },
     "q_bm25" -> {
-      // constants via toString so both engines parse the identical double
-      // (1.2 + 1 in binary is NOT the same double as a literal 2.2)
-      val k1p1 = (Bm25K1 + 1).toString
-      val k1 = Bm25K1.toString
-      val oneMinusB = (1 - Bm25B).toString
-      val b = Bm25B.toString
-      val tfCols = Bm25Terms.map(t =>
-        s"sum(CASE WHEN w = '$t' THEN 1 ELSE 0 END)::BIGINT AS tf_$t").mkString(",\n    ")
-      val dfCols = Bm25Terms.map(t =>
-        s"count(DISTINCT CASE WHEN w = '$t' THEN doc_id END)::BIGINT AS df_$t").mkString(",\n    ")
-      val scoreExpr = Bm25Terms.map(t =>
-        s"ln((n_docs::DOUBLE - df_$t::DOUBLE + 0.5) / (df_$t::DOUBLE + 0.5) + 1.0)" +
-          s" * (tf_$t::DOUBLE * $k1p1) / (tf_$t::DOUBLE + $k1 * ($oneMinusB + $b * (dl::DOUBLE / avgdl)))")
-        .mkString(" + ")
       val tfOut = Bm25Terms.map(t => s"tf_$t").mkString(", ")
-      s"""WITH toks AS (SELECT doc_id, w
-         |  FROM (SELECT doc_id,
-         |      unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
-         |    FROM documents) WHERE len(w) > 0),
-         |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
-         |st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
-         |tf AS (SELECT doc_id,
-         |    $tfCols
-         |  FROM toks GROUP BY doc_id),
-         |dfs AS (SELECT
-         |    $dfCols
-         |  FROM toks),
-         |scored AS (SELECT dl.doc_id, dl.dl, $tfOut,
-         |    $scoreExpr AS score
-         |  FROM dl JOIN tf USING (doc_id) CROSS JOIN st CROSS JOIN dfs,
-         |    (SELECT sum_dl::DOUBLE / n_docs::DOUBLE AS avgdl FROM st) a)
+      s"""WITH $bm25ScoredCtes
          |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
          |  doc_id, dl, $tfOut, round(score, 4) AS bm25
          |FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT $Bm25K)

@@ -121,6 +121,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(tri == Map("s1" -> 1L), "3-gram only in doc0 at position 1")
   }
 
+  test("rrfFusion fuses hand-computed BM25 and tf rankings exactly") {
+    val spark2 = spark
+    import spark2.implicits._
+    // tf ranks (a+b counts): doc0=1 (8), doc1=2 (4), doc2=3 (2);
+    // BM25 ranks: doc1=1 (has BOTH terms), doc0=2, doc2=3; doc3 matches
+    // neither ranker and must be absent entirely
+    val docs = Seq(
+      (0L, "a a a a a a a a"),
+      (1L, "a b b b"),
+      (2L, "b b c c c"),
+      (3L, "c c c c")
+    ).toDF("doc_id", "text")
+    val r = Similarity.rrfDf(docs, Seq("a", "b")).collect()
+      .map(x => x.getInt(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // 10^6 DIV 61 = 16393, DIV 62 = 16129, DIV 63 = 15873
+    assert(r(1) == ((0L, 32522L)), "doc0: tf#1 + bm25#2 = 16393+16129")
+    assert(r(2) == ((1L, 32522L)), "doc1 ties doc0, doc_id breaks the tie")
+    assert(r(3) == ((2L, 31746L)), "doc2: #3 in both = 2*15873")
+    // depth N exceeds the matched set here, so BM25's zero-score tail
+    // pads the candidate list: doc3 ranks 4th in BM25 only (score 0),
+    // fusing to exactly one reciprocal term — and lands last
+    assert(r(4) == ((3L, 15625L)), "doc3: bm25#4 only = 10^6 DIV 64")
+  }
+
   test("holtLinear replays the coupled recurrence incl. negative trend") {
     val spark2 = spark
     import spark2.implicits._
