@@ -304,6 +304,47 @@ object Temporal {
       .orderBy("lag_d")
   }
 
+  /** Mann–Kendall monotonic-trend test on daily event counts per type —
+    * the nonparametric "is this metric actually trending?" companion to
+    * [[holtLinear]] (which smooths) and [[cusumShift]] (which finds level
+    * shifts): S = Σ_{i<j} sign(x_j − x_i), Var·18 = n(n−1)(2n+5) −
+    * Σ_ties t(t−1)(2t+5), and the 95% two-sided verdict is the
+    * cross-multiplied ALL-INTEGER inequality S²·45000 > 9604·Var18
+    * (z > 1.96 ⟺ z² > 9604/2500, ×18 clears the /18) — no fp sqrt in
+    * the decision, so trend membership is engine-exact (the q_ab_test
+    * discipline; continuity correction deliberately omitted, noted
+    * here). All-tied series → Var18 = 0 → NULL score, 'none'.
+    *
+    * Scale: the pair join is over the DAILY rollup — n is calendar days
+    * per key, so the n²/2 pair fan-out is constant in corpus size
+    * (S²·45000 stays under Long to n ≈ 5000 days ≈ 13 years); the only
+    * corpus-sized stage is the daily partial+final agg. */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame =
+    mannKendallOf(Tables.events(spark, dir)
+      .groupBy(col("event_type").as("et"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x")))
+
+  /** Core over any (et, d DATE, x LONG) daily frame. */
+  private[graft] def mannKendallOf(daily: DataFrame): DataFrame = {
+    val s = daily.as("a")
+      .join(daily.as("b"), col("a.et") === col("b.et") && col("a.d") < col("b.d"))
+      .groupBy(col("a.et").as("et"))
+      .agg(sum(when(col("b.x") > col("a.x"), 1L)
+        .when(col("b.x") < col("a.x"), -1L).otherwise(0L)).as("s_stat"))
+    val n = daily.groupBy("et").agg(count(lit(1)).as("n"))
+    val ties = daily.groupBy("et", "x").agg(count(lit(1)).as("t"))
+      .groupBy("et").agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie18"))
+    n.join(s, "et").join(ties, "et")
+      .selectExpr("et", "n AS n_days", "s_stat",
+        "n * (n - 1) * (2 * n + 5) - tie18 AS var18")
+      .selectExpr("et", "n_days", "s_stat", "var18",
+        "(s_stat * s_stat * 45000) DIV nullif(var18, 0) AS score",
+        """CASE WHEN s_stat * s_stat * 45000 > 9604 * var18
+          |  THEN CASE WHEN s_stat > 0 THEN 'increasing' ELSE 'decreasing' END
+          |  ELSE 'none' END AS trend""".stripMargin)
+      .orderBy("et")
+  }
+
   val AnomalyKUsdDiv = 100000L
 
   /** Day-of-week-adjusted anomaly days: daily revenue in integer
@@ -387,6 +428,7 @@ object Temporal {
     "q_acf" -> (acfDaily _),
     "q_cross_corr" -> (crossCorrDaily _),
     "q_holt_linear" -> (holtLinear _),
+    "q_mann_kendall" -> (mannKendall _),
     "q_anomaly_dow" -> (anomalyDow _),
     "q_burstiness" -> (burstiness _)
   )
@@ -500,6 +542,28 @@ object Temporal {
          |FROM daily a CROSS JOIN lags
          |JOIN daily b ON b.d = a.d + lag_d
          |GROUP BY lag_d ORDER BY lag_d""".stripMargin,
+    "q_mann_kendall" ->
+      """WITH daily AS (SELECT event_type AS et, CAST(ts AS DATE) AS d,
+        |    count(*)::BIGINT AS x FROM events GROUP BY 1, 2),
+        |s AS (SELECT a.et,
+        |    sum(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
+        |      ELSE 0 END)::BIGINT AS s_stat
+        |  FROM daily a JOIN daily b ON a.et = b.et AND a.d < b.d
+        |  GROUP BY a.et),
+        |n AS (SELECT et, count(*)::BIGINT AS n FROM daily GROUP BY et),
+        |ties AS (SELECT et,
+        |    sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie18
+        |  FROM (SELECT et, x, count(*)::BIGINT AS t FROM daily GROUP BY et, x)
+        |  GROUP BY et),
+        |v AS (SELECT et, n AS n_days, s_stat,
+        |    n * (n - 1) * (2 * n + 5) - tie18 AS var18
+        |  FROM n JOIN s USING (et) JOIN ties USING (et))
+        |SELECT et, n_days, s_stat, var18,
+        |  (s_stat * s_stat * 45000) // nullif(var18, 0) AS score,
+        |  CASE WHEN s_stat * s_stat * 45000 > 9604 * var18
+        |    THEN CASE WHEN s_stat > 0 THEN 'increasing' ELSE 'decreasing' END
+        |    ELSE 'none' END AS trend
+        |FROM v ORDER BY et""".stripMargin,
     "q_holt_linear" ->
       """WITH RECURSIVE daily AS (
         |  SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS d,

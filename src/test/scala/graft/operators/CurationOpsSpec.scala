@@ -162,6 +162,26 @@ class CurationOpsSpec extends SparkSpec {
       "l3=(50000+4*89000)/5=81200, b3=(81200-90000-9000)/10=-1780")
   }
 
+  test("mannKendall: increasing / tied / alternating hand-replays") {
+    val spark2 = spark
+    import spark2.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    val daily = ((0 until 10).map(i => ("up", day(i), (i + 1).toLong)) ++
+      (0 until 5).map(i => ("flat", day(i), 7L)) ++
+      Seq(1L, 2L, 1L, 2L, 1L).zipWithIndex.map { case (x, i) => ("zig", day(i), x) })
+      .toDF("et", "d", "x")
+    val r = Temporal.mannKendallOf(daily).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        if (x.isNullAt(4)) -1L else x.getLong(4), x.getString(5)))).toMap
+    assert(r("up") == ((10L, 45L, 2250L, 40500L, "increasing")),
+      "all 45 pairs concordant; S^2*45000/var18 = 40500 >> 9604")
+    assert(r("flat") == ((5L, 0L, 0L, -1L, "none")),
+      "all-tied: var18 = 300-300 = 0, NULL score")
+    assert(r("zig") == ((5L, 0L, 216L, 0L, "none")),
+      "S=0; ties 3,2 give tie18 = 66+18, var18 = 300-84")
+  }
+
   test("classBalance oversamples every class exactly to the majority") {
     val spark2 = spark
     import spark2.implicits._
