@@ -345,6 +345,37 @@ object Temporal {
       .orderBy("et")
   }
 
+  /** Theil–Sen robust slope — the trend MAGNITUDE to [[mannKendall]]'s
+    * significance (and the robust twin of least-squares: breakdown point
+    * 29% vs 0): the lower median of all pairwise slopes
+    * (x_j−x_i)·10⁶ DIV (d_j−d_i days), every step integer (truncating
+    * division matches across engines for negative slopes too), median
+    * selected as the ⌈n/2⌉-th order statistic — a VALUE from the data,
+    * not an interpolated average, so the answer is engine-exact.
+    *
+    * Scale: identical pair posture to mannKendall — the n²/2 fan-out is
+    * over the daily rollup (constant in corpus size) and the selection
+    * window partitions by key, never a global sort. */
+  def theilSen(spark: SparkSession, dir: String): DataFrame =
+    theilSenOf(Tables.events(spark, dir)
+      .groupBy(col("event_type").as("et"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x")))
+
+  /** Core over any (et, d DATE, x LONG) daily frame. */
+  private[graft] def theilSenOf(daily: DataFrame): DataFrame = {
+    val slopes = daily.as("a")
+      .join(daily.as("b"), col("a.et") === col("b.et") && col("a.d") < col("b.d"))
+      .select(col("a.et").as("et"),
+        expr("(b.x - a.x) * 1000000 DIV datediff(b.d, a.d)").as("slope_micro"))
+    val w = Window.partitionBy("et").orderBy("slope_micro")
+    slopes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy("et")))
+      .filter(col("rn") === expr("(np + 1) DIV 2"))
+      .select(col("et"), col("np").as("n_pairs"), col("slope_micro"))
+      .orderBy("et")
+  }
+
   val AnomalyKUsdDiv = 100000L
 
   /** Day-of-week-adjusted anomaly days: daily revenue in integer
@@ -429,6 +460,7 @@ object Temporal {
     "q_cross_corr" -> (crossCorrDaily _),
     "q_holt_linear" -> (holtLinear _),
     "q_mann_kendall" -> (mannKendall _),
+    "q_theil_sen" -> (theilSen _),
     "q_anomaly_dow" -> (anomalyDow _),
     "q_burstiness" -> (burstiness _)
   )
@@ -542,6 +574,18 @@ object Temporal {
          |FROM daily a CROSS JOIN lags
          |JOIN daily b ON b.d = a.d + lag_d
          |GROUP BY lag_d ORDER BY lag_d""".stripMargin,
+    "q_theil_sen" ->
+      """WITH daily AS (SELECT event_type AS et, CAST(ts AS DATE) AS d,
+        |    count(*)::BIGINT AS x FROM events GROUP BY 1, 2),
+        |slopes AS (SELECT a.et,
+        |    (b.x - a.x) * 1000000 // date_diff('day', a.d, b.d) AS slope_micro
+        |  FROM daily a JOIN daily b ON a.et = b.et AND a.d < b.d),
+        |ranked AS (SELECT et, slope_micro,
+        |    row_number() OVER (PARTITION BY et ORDER BY slope_micro) AS rn,
+        |    count(*) OVER (PARTITION BY et) AS np
+        |  FROM slopes)
+        |SELECT et, np AS n_pairs, slope_micro
+        |FROM ranked WHERE rn = (np + 1) // 2 ORDER BY et""".stripMargin,
     "q_mann_kendall" ->
       """WITH daily AS (SELECT event_type AS et, CAST(ts AS DATE) AS d,
         |    count(*)::BIGINT AS x FROM events GROUP BY 1, 2),

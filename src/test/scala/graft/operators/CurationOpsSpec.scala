@@ -182,6 +182,20 @@ class CurationOpsSpec extends SparkSpec {
       "S=0; ties 3,2 give tie18 = 66+18, var18 = 300-84")
   }
 
+  test("theilSen median slope shrugs off an outlier endpoint") {
+    val spark2 = spark
+    import spark2.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    // x = [0,10,20,100]: 6 pairwise slopes sorted are
+    // [10M,10M,10M,33333333,45M,80M]; lower median (rn 3 of 6) = 10M —
+    // the day-3 outlier cannot move it (OLS slope would be ~31M)
+    val daily = Seq(0L, 10L, 20L, 100L).zipWithIndex
+      .map { case (x, i) => ("e", day(i), x) }.toDF("et", "d", "x")
+    val r = Temporal.theilSenOf(daily).collect().head
+    assert((r.getLong(1), r.getLong(2)) == ((6L, 10000000L)), r.toString)
+  }
+
   test("classBalance oversamples every class exactly to the majority") {
     val spark2 = spark
     import spark2.implicits._
