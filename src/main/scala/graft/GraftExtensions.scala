@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{VecDot, VecNormSq, VecSqDist}
+import graft.functions.{DeflateLen, Gammaln, VecDot, VecNormSq, VecSqDist}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -28,7 +28,11 @@ object GraftExtensions {
     ("vec_sqdist", info("vec_sqdist", "squared L2 distance of two array<double>"),
       (c: Seq[Expression]) => VecSqDist(c(0), c(1))),
     ("vec_normsq", info("vec_normsq", "squared L2 norm of an array<double>"),
-      (c: Seq[Expression]) => VecNormSq(c(0))))
+      (c: Seq[Expression]) => VecNormSq(c(0))),
+    ("gammaln", info("gammaln", "log-gamma of a double"),
+      (c: Seq[Expression]) => Gammaln(c(0))),
+    ("deflate_len", info("deflate_len", "zlib-deflated byte length of a string"),
+      (c: Seq[Expression]) => DeflateLen(c(0))))
 
   /** Register the functions on a live session (no restart needed). */
   def register(spark: SparkSession): Unit =

@@ -17,6 +17,11 @@ class FunctionsSpec extends SparkSpec {
     // null propagation
     val n = spark.sql("SELECT vec_dot(NULL, array(1D))").head()
     assert(n.isNullAt(0))
+    // the round-8 additions ride the same registry
+    val g = spark.sql(
+      "SELECT gammaln(5D) AS g, deflate_len('abcabcabcabc') AS dl").head()
+    assert(math.abs(g.getDouble(0) - math.log(24.0)) < 1e-12)
+    assert(g.getInt(1) > 0 && g.getInt(1) < 20, "repetition deflates")
   }
 
   test("gammaln matches closed-form log-gamma values in codegen and interpreted eval") {
