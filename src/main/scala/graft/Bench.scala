@@ -345,7 +345,12 @@ object Bench {
         // round-8: the stride-window explosion is (len/stride)× the
         // corpus — the ratio must track that constant, not blow up in
         // the dup-set join
-        "q_substring_dedup")
+        "q_substring_dedup",
+        // the rewrite carries text through its per-doc shuffle (the
+        // honest rewriter cost) — must stay ~linear; Mann-Kendall's
+        // pair join is over the DAILY rollup, so 10× events should be
+        // ~FLAT (the constant-fan-out claim, measured)
+        "q_dedup_rewrite", "q_mann_kendall")
       val runs = heavy.map { n =>
         val k = s"sf1_$n"
         rerun(k) = () => materialize(SparkEntry.queries(n)(spark, sf1Dir))
