@@ -148,6 +148,81 @@ object Sketches {
       .orderBy("scope")
   }
 
+  /** Shared register→estimate chain (the [[hllDistinctDf]] math, keyed
+    * generically so pair-union sketches reuse it verbatim). Input must
+    * have (keys..., mrho) one row per occupied register. */
+  private def hllEstimate(regs: DataFrame, keys: Seq[String],
+      out: String): DataFrame =
+    regs.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("used"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRhoMax - CAST(mrho AS INT))"))
+          .as("ss"))
+      .withColumn("s_scaled",
+        col("ss") + (lit(HllBuckets.toLong) - col("used")) * lit(1L << HllRhoMax))
+      .withColumn("raw", lit(HllNumerator) / col("s_scaled").cast("double"))
+      .withColumn("zeros", lit(HllBuckets.toLong) - col("used"))
+      .withColumn(out,
+        round(when(col("raw") <= lit(2.5 * HllBuckets) && col("zeros") > 0,
+            lit(HllBuckets.toDouble) *
+              log(lit(HllBuckets.toDouble) / col("zeros").cast("double")))
+          .otherwise(col("raw"))).cast("long"))
+      .select((keys.map(col) :+ col(out)): _*)
+
+  /** HLL SET-OPERATION overlap — the audience-overlap estimator that
+    * makes sketches worth keeping around: registers are max-MERGEABLE,
+    * so |A∪B| comes from merging the two 64-register sketches (no data
+    * re-scan) and |A∩B| by inclusion–exclusion est_a+est_b−est_union.
+    * Gate input: distinct users per event_type pair; the exact overlap
+    * rides along as the accuracy diagnostic (inclusion–exclusion on
+    * ±13% sketches can even go negative — the raw value is pinned, not
+    * clamped, so the error behavior is visible).
+    *
+    * Scale: the corpus collapses to ≤64 register rows per scope in one
+    * agg; every pair operation is on those tiny frames — overlap for
+    * ANY pair of 10⁹-cardinality sets costs a 64-row merge. The exact
+    * column is a gate-scale diagnostic a 100 TB run would drop. */
+  def hllOverlap(spark: SparkSession, dir: String): DataFrame =
+    hllOverlapDf(Tables.events(spark, dir)
+      .select(col("event_type").as("scope"), col("user_id").cast("string").as("v")))
+
+  /** Core over any keyed value stream (`scope`, `v`). */
+  private[graft] def hllOverlapDf(tw: DataFrame): DataFrame = {
+    val h = tw.select(col("scope"), hash56(col("v")).as("h"))
+    val regs = h.select(col("scope"),
+        pmod(col("h"), lit(HllBuckets.toLong)).as("bucket"),
+        when(shiftright(col("h"), HllIndexBits) === 0, lit(HllRhoMax))
+          .otherwise(lit(HllRhoMax) - length(bin(shiftright(col("h"), HllIndexBits))))
+          .as("rho"))
+      .groupBy("scope", "bucket").agg(max("rho").as("mrho"))
+    val single = hllEstimate(regs, Seq("scope"), "est")
+    val scopes = regs.select("scope").distinct()
+    val pairs = scopes.as("x").crossJoin(scopes.as("y"))
+      .filter(col("x.scope") < col("y.scope"))
+      .select(col("x.scope").as("et_a"), col("y.scope").as("et_b"))
+    val unionRegs = pairs
+      .select(col("et_a"), col("et_b"),
+        explode(array(col("et_a"), col("et_b"))).as("scope"))
+      .join(regs, "scope")
+      .groupBy("et_a", "et_b", "bucket").agg(max("mrho").as("mrho"))
+    val estU = hllEstimate(unionRegs, Seq("et_a", "et_b"), "est_union")
+    val du = tw.select("scope", "v").distinct()
+    val exact = du.as("a")
+      .join(du.as("b"), col("a.v") === col("b.v") && col("a.scope") < col("b.scope"))
+      .groupBy(col("a.scope").as("et_a"), col("b.scope").as("et_b"))
+      .agg(count(lit(1)).as("true_overlap"))
+    pairs
+      .join(single.select(col("scope").as("et_a"), col("est").as("est_a")), "et_a")
+      .join(single.select(col("scope").as("et_b"), col("est").as("est_b")), "et_b")
+      .join(estU, Seq("et_a", "et_b"))
+      .join(exact, Seq("et_a", "et_b"), "left")
+      .selectExpr("et_a", "et_b", "est_a", "est_b", "est_union",
+        "est_a + est_b - est_union AS est_overlap",
+        "coalesce(true_overlap, 0) AS true_overlap",
+        """(abs(est_a + est_b - est_union - coalesce(true_overlap, 0)) * 10000)
+          |  DIV nullif(coalesce(true_overlap, 0), 0) AS err_bp""".stripMargin)
+      .orderBy("et_a", "et_b")
+  }
+
   // ---- JVM replicas of the HLL column math, shared by the streaming
   // state operator (graft.streaming) so incremental register state
   // converges to EXACTLY the batch estimate ----
@@ -198,13 +273,64 @@ object Sketches {
 
   val queries: Map[String, Q] = Map(
     "q_countmin" -> (countMin _),
-    "q_hll_distinct" -> (hllDistinct _))
+    "q_hll_distinct" -> (hllDistinct _),
+    "q_hll_overlap" -> (hllOverlap _))
 
   /** DuckDB tokenizer mirroring [[graft.functions.TextFns.tokens]] —
     * shared with the streaming parity-gate oracles. */
   val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
 
+  /** DuckDB fragment: register table keyed by `keys` → `$out(keys, est)`
+    * — the exact SQL twin of [[hllEstimate]]. */
+  private def hllEstSql(regsCte: String, keys: String, out: String): String =
+    s"""${out}_s AS (SELECT $keys, count(*)::BIGINT AS used,
+       |    sum((1::BIGINT << ($HllRhoMax - mrho)))::BIGINT AS ss
+       |  FROM $regsCte GROUP BY $keys),
+       |${out}_e AS (SELECT $keys,
+       |    (ss + ($HllBuckets - used) * (1::BIGINT << $HllRhoMax))::BIGINT
+       |      AS s_scaled, ($HllBuckets - used) AS zeros
+       |  FROM ${out}_s),
+       |$out AS (SELECT $keys,
+       |    round(CASE WHEN $HllNumerator / s_scaled::DOUBLE
+       |        <= ${2.5 * HllBuckets} AND zeros > 0
+       |      THEN ${HllBuckets.toDouble} * ln(${HllBuckets.toDouble} / zeros::DOUBLE)
+       |      ELSE $HllNumerator / s_scaled::DOUBLE END)::BIGINT AS est
+       |  FROM ${out}_e)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_hll_overlap" ->
+      s"""WITH tw AS (SELECT event_type AS scope, user_id::VARCHAR AS v
+         |  FROM events),
+         |h AS (SELECT scope, ${hash56Sql("v")} AS h FROM tw),
+         |regs AS (SELECT scope, h % $HllBuckets AS bucket,
+         |    max(CASE WHEN h >> $HllIndexBits = 0 THEN $HllRhoMax
+         |      ELSE $HllRhoMax - length(bin(h >> $HllIndexBits)) END) AS mrho
+         |  FROM h GROUP BY 1, 2),
+         |${hllEstSql("regs", "scope", "e1")},
+         |sc AS (SELECT DISTINCT scope FROM regs),
+         |pairs AS (SELECT a.scope AS et_a, b.scope AS et_b
+         |  FROM sc a JOIN sc b ON a.scope < b.scope),
+         |uregs AS (SELECT et_a, et_b, bucket, max(mrho) AS mrho
+         |  FROM pairs JOIN regs ON regs.scope = et_a OR regs.scope = et_b
+         |  GROUP BY 1, 2, 3),
+         |${hllEstSql("uregs", "et_a, et_b", "eu")},
+         |du AS (SELECT DISTINCT scope, v FROM tw),
+         |ex AS (SELECT a.scope AS et_a, b.scope AS et_b,
+         |    count(*)::BIGINT AS true_overlap
+         |  FROM du a JOIN du b ON a.v = b.v AND a.scope < b.scope
+         |  GROUP BY 1, 2)
+         |SELECT p.et_a, p.et_b, ea.est AS est_a, eb.est AS est_b,
+         |  eu.est AS est_union,
+         |  ea.est + eb.est - eu.est AS est_overlap,
+         |  coalesce(true_overlap, 0) AS true_overlap,
+         |  (abs(ea.est + eb.est - eu.est - coalesce(true_overlap, 0)) * 10000
+         |    // nullif(coalesce(true_overlap, 0), 0))::BIGINT AS err_bp
+         |FROM pairs p
+         |JOIN e1 ea ON ea.scope = p.et_a
+         |JOIN e1 eb ON eb.scope = p.et_b
+         |JOIN eu ON eu.et_a = p.et_a AND eu.et_b = p.et_b
+         |LEFT JOIN ex ON ex.et_a = p.et_a AND ex.et_b = p.et_b
+         |ORDER BY p.et_a, p.et_b""".stripMargin,
     "q_countmin" -> {
       val cellSql = (wExpr: String, jExpr: String) =>
         s"${hash56Sql(s"$jExpr || '#' || $wExpr")} % $CmsWidth"

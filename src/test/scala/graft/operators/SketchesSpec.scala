@@ -49,6 +49,29 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - 5000L) < 5000 * 0.39, s"est $est too far from 5000")
   }
 
+  test("hll overlap: identical sets merge idempotently, shifted sets estimate the intersection") {
+    val spark2 = spark
+    import spark2.implicits._
+    // A == C (identical values, different scope): union must equal the
+    // single estimate EXACTLY (register max-merge idempotence), so
+    // est_overlap == est_a; B shifts by half — overlap truth is 500
+    val tw = ((1 to 1000).map(i => ("A", s"v$i")) ++
+      (501 to 1500).map(i => ("B", s"v$i")) ++
+      (1 to 1000).map(i => ("C", s"v$i"))).toDF("scope", "v")
+    val r = Sketches.hllOverlapDf(tw).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5), x.getLong(6)))).toMap
+    val (estA, _, unionAC, overlapAC, trueAC) = r(("A", "C"))
+    assert(unionAC == estA, "A==C: merged registers ARE A's registers")
+    assert(overlapAC == estA && trueAC == 1000L)
+    val (_, _, _, overlapAB, trueAB) = r(("A", "B"))
+    assert(trueAB == 500L)
+    // inclusion-exclusion compounds three ~13%-sigma estimates: allow
+    // 3 sigma of the 1500-element union on either side of 500
+    assert(math.abs(overlapAB - 500L) < 1500 * 0.39,
+      s"A∩B est $overlapAB too far from 500")
+  }
+
   test("hll small regime (linear counting) is near-exact and duplicate-insensitive") {
     val spark2 = spark
     import spark2.implicits._
