@@ -80,6 +80,60 @@ object Graph {
       .limit(topK)
   }
 
+  val PprSeedMod = 17L
+
+  /** Personalized PageRank — PageRank's teleport redirected to a SEED
+    * set (suppliers ≡ 0 mod [[PprSeedMod]]): proximity-to-the-seeds
+    * ranking, the classic related-entity / recommendation primitive.
+    * Same scaled-integer recurrence as [[pageRank]] (engine-bit-exact),
+    * with two deliberate representation choices: ranks are a SPARSE
+    * frame (unreached nodes are absent = 0 — at 100 TB the frontier
+    * grows from |seeds|, never materializing cold nodes), and each pass
+    * re-adds the restart mass to seeds via a full-outer join so a seed
+    * with no in-links still holds its teleport share.
+    *
+    * Scale: identical posture to pageRank — edges partitioned once and
+    * cached, per-pass shuffle is (nonzero-)ranks-only. */
+  def personalizedPageRank(spark: SparkSession, dir: String): DataFrame =
+    pprPairs(scPairs(spark, dir), topK = 20)
+
+  /** Core over any distinct bipartite (s, c) pair frame. */
+  private[graft] def pprPairs(e: DataFrame, topK: Int): DataFrame = {
+    val edges = e.select(col("s").as("src"), (col("c") + CustOffset).as("dst"))
+      .union(e.select((col("c") + CustOffset).as("src"), col("s").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val edgesD = edges.join(deg, "src")
+      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val seeds = e.select(col("s").cast("long").as("node")).distinct()
+      .filter(col("node") % PprSeedMod === 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nSeeds = seeds.count() // bounded driver action, materializes cache
+    val basePpr = (PrScale * 15L / 100L) / nSeeds
+    var ranks = seeds.select(col("node"), lit(PrScale / nSeeds).as("r"))
+    for (_ <- 1 to PrIters) {
+      val contrib = edgesD.join(ranks, col("src") === col("node"))
+        .selectExpr("dst", "((r * 85) DIV 100) DIV d AS contrib")
+        .groupBy("dst").agg(sum("contrib").as("rc"))
+      ranks = contrib
+        .join(seeds.select(col("node"), lit(basePpr).as("b")),
+          col("dst") === col("node"), "full_outer")
+        .select(coalesce(col("dst"), col("node")).as("node"),
+          (coalesce(col("rc"), lit(0L)) + coalesce(col("b"), lit(0L))).as("r"))
+    }
+    val finalRanks = ranks.localCheckpoint(true)
+    edgesD.unpersist(false)
+    seeds.unpersist(false)
+    finalRanks
+      .select(
+        when(col("node") >= CustOffset, lit("cust")).otherwise(lit("supp"))
+          .as("node_type"),
+        when(col("node") >= CustOffset, col("node") - CustOffset)
+          .otherwise(col("node")).as("node_id"),
+        col("r").as("ppr_units"))
+      .orderBy(col("ppr_units").desc, col("node_type"), col("node_id"))
+      .limit(topK)
+  }
+
   /** Triangle census of the part co-purchase graph (parts sharing an
     * order; per-order line counts are bounded, so the pair fan-out is
     * linear in the fact table). Output: nodes/edges/triangles/wedges and
@@ -316,6 +370,7 @@ object Graph {
 
   val queries: Map[String, Q] = Map(
     "q_pagerank" -> (pageRank _),
+    "q_ppr" -> (personalizedPageRank _),
     "q_triangles" -> (triangleCensus _),
     "q_bfs_layers" -> (bfsLayers _),
     "q_label_prop" -> (labelProp _),
@@ -360,6 +415,35 @@ object Graph {
          |SELECT lbl AS community, count(*)::BIGINT AS n_members
          |FROM p$LpaIters GROUP BY lbl
          |ORDER BY n_members DESC, community LIMIT 20""".stripMargin
+    },
+    "q_ppr" -> {
+      val iters = (1 to PrIters).map { k =>
+        s"""c$k AS (SELECT ed.dst, sum(((r${k - 1}.r * 85) // 100) // deg.d) AS rc
+           |  FROM ed JOIN r${k - 1} ON ed.src = r${k - 1}.node
+           |  JOIN deg ON ed.src = deg.src
+           |  GROUP BY ed.dst),
+           |r$k AS (SELECT coalesce(c$k.dst, sd.node) AS node,
+           |  (coalesce(rc, 0) + coalesce(b, 0))::BIGINT AS r
+           |  FROM c$k FULL OUTER JOIN sd ON c$k.dst = sd.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT DISTINCT l_suppkey::BIGINT AS s, o_custkey::BIGINT AS c
+         |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |ed AS (SELECT s AS src, c + $CustOffset AS dst FROM e
+         |  UNION ALL SELECT c + $CustOffset, s FROM e),
+         |deg AS (SELECT src, count(*) AS d FROM ed GROUP BY src),
+         |seeds AS (SELECT DISTINCT s AS node FROM e WHERE s % $PprSeedMod = 0),
+         |n2 AS (SELECT count(*) AS ns FROM seeds),
+         |sd AS (SELECT node, (${PrScale * 15L / 100L} // ns) AS b
+         |  FROM seeds CROSS JOIN n2),
+         |r0 AS (SELECT node, $PrScale // ns AS r FROM seeds CROSS JOIN n2),
+         |$iters
+         |SELECT CASE WHEN node >= $CustOffset THEN 'cust' ELSE 'supp' END
+         |    AS node_type,
+         |  CASE WHEN node >= $CustOffset THEN node - $CustOffset ELSE node END
+         |    AS node_id,
+         |  r AS ppr_units
+         |FROM r$PrIters
+         |ORDER BY ppr_units DESC, node_type, node_id LIMIT 20""".stripMargin
     },
     "q_pagerank" -> {
       val iters = (1 to PrIters).map { k =>

@@ -107,6 +107,39 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("personalized pageRank restarts only at seeds, naive integer replay") {
+    val spark2 = spark
+    import spark2.implicits._
+    // suppliers 17 and 34 are seeds (≡ 0 mod PprSeedMod); 5 is not
+    val pairs = Seq((17L, 1L), (17L, 2L), (34L, 2L), (5L, 3L)).toDF("s", "c")
+    val off = Graph.CustOffset
+    val adj = Map(
+      17L -> Seq(off + 1L, off + 2L), 34L -> Seq(off + 2L), 5L -> Seq(off + 3L),
+      (off + 1L) -> Seq(17L), (off + 2L) -> Seq(17L, 34L), (off + 3L) -> Seq(5L))
+    val seeds = Seq(17L, 34L)
+    val base = (Graph.PrScale * 15L / 100L) / seeds.size
+    var r: Map[Long, Long] = seeds.map(_ -> Graph.PrScale / seeds.size).toMap
+    for (_ <- 1 to Graph.PrIters) {
+      val contribs = r.toSeq.flatMap { case (src, ru) =>
+        val dsts = adj(src)
+        val per = (ru * 85L / 100L) / dsts.size
+        dsts.map(_ -> per)
+      }.groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).sum }
+      r = (contribs.keySet ++ seeds).map(n =>
+        n -> (contribs.getOrElse(n, 0L) +
+          (if (seeds.contains(n)) base else 0L))).toMap
+    }
+    val expect = r.toSeq.map { case (n, ru) =>
+      (if (n >= off) "cust" else "supp", if (n >= off) n - off else n, ru)
+    }.sortBy(t => (-t._3, t._1, t._2))
+    val got = Graph.pprPairs(pairs, topK = 10)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(got == expect, s"$got vs $expect")
+    // supplier 5 and cust 3 sit OFF the seeds' component: rank 0, absent
+    assert(!got.exists(t => t._1 == "supp" && t._2 == 5L))
+    assert(!got.exists(t => t._1 == "cust" && t._2 == 3L))
+  }
+
   test("pageRank matches a naive integer replay, any partitioning") {
     val spark2 = spark
     import spark2.implicits._
