@@ -32,6 +32,7 @@ object SparkEntry {
         "q_svmlight" -> (graft.sources.Sources.svmlightQuery _),
         "q_mdcrd" -> (graft.sources.Sources.mdcrdQuery _),
         "q_npy_hstack" -> (graft.sources.Sources.npyHstackQuery _),
+        "q_npz_roundtrip" -> (graft.sources.Sources.npzRoundtripQuery _),
         "q_partition_prune" -> (graft.sources.Sources.partitionPruneQuery _),
         "q_schema_evolution" -> (graft.sources.Sources.schemaEvolutionQuery _),
         "q_bucket_join" -> (graft.sources.Sources.bucketJoinQuery _))
@@ -51,6 +52,7 @@ object SparkEntry {
         "q_svmlight" -> graft.sources.Sources.svmlightOracle,
         "q_mdcrd" -> graft.sources.Sources.mdcrdOracle,
         "q_npy_hstack" -> graft.sources.Sources.npyHstackOracle,
+        "q_npz_roundtrip" -> graft.sources.Sources.npzRoundtripOracle,
         "q_partition_prune" -> graft.sources.Sources.partitionPruneOracle,
         "q_schema_evolution" -> graft.sources.Sources.schemaEvolutionOracle,
         "q_bucket_join" -> graft.sources.Sources.bucketJoinOracle)

@@ -116,6 +116,91 @@ object Sources {
       rowsPerBlock, colsPerBlock)
   }
 
+  /** Zip entries of an `.npz` payload (NumPy savez/savez_compressed is
+    * plain ZIP of `<key>.npy` members — both STORED and DEFLATED forms
+    * read through ZipInputStream). */
+  private[graft] def npzEntries(b: Array[Byte]): Seq[(String, Array[Byte])] = {
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(b))
+    val out = Seq.newBuilder[(String, Array[Byte])]
+    var e = zin.getNextEntry
+    while (e != null) {
+      if (e.getName.endsWith(".npy")) out += ((e.getName, zin.readAllBytes()))
+      zin.closeEntry()
+      e = zin.getNextEntry
+    }
+    zin.close()
+    out.result()
+  }
+
+  /** `.npz` → DsArray: NumPy's zip container ingested with the exact
+    * [[loadNpy]] semantics — member arrays vstack in (file, entry-name)
+    * order, a header-only metadata pass fixes global row offsets, and
+    * each `.npz` file parses in one task (the container is a single
+    * sequential stream; PARALLELISM comes from many files, the same
+    * shape as numpy's own savez sharding). Read-side interchange only —
+    * [[saveNpy]] + [[saveNpz]] are the write path. */
+  def loadNpz(spark: SparkSession, path: String,
+      rowsPerBlock: Int, colsPerBlock: Int): graft.linalg.DsArray = {
+    import org.apache.spark.mllib.linalg.distributed.IndexedRow
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.npz").load(path)
+      .select(col("path"), col("content"))
+    val meta = files.rdd.flatMap { r =>
+      npzEntries(r.getAs[Array[Byte]](1)).map { case (n, b) =>
+        ((r.getString(0), n), parseNpyHeader(b))
+      }
+    }.collect().sortBy(_._1)
+    require(meta.nonEmpty, s"no .npy members in .npz files at $path")
+    val nCols = meta.head._2._2
+    require(meta.forall(_._2._2 == nCols), "npz: column counts differ across members")
+    val offsets = meta.scanLeft(0L) { case (acc, (_, (r, _, _, _, _))) => acc + r }
+    val nRows = offsets.last
+    val offByKey = meta.map(_._1).zip(offsets.init).toMap
+    val bc = spark.sparkContext.broadcast(offByKey)
+    val rows = files.rdd.flatMap { r =>
+      npzEntries(r.getAs[Array[Byte]](1)).iterator.flatMap { case (n, b) =>
+        val (nr, nc, vals) = parseNpy(b)
+        val off = bc.value((r.getString(0), n))
+        Iterator.range(0, nr).map(i => IndexedRow(off + i,
+          org.apache.spark.mllib.linalg.Vectors.dense(
+            java.util.Arrays.copyOfRange(vals, i * nc, (i + 1) * nc))))
+      }
+    }
+    graft.linalg.DsArray.fromIndexedRows(rows, nRows, nCols,
+      rowsPerBlock, colsPerBlock)
+  }
+
+  /** Package a [[saveNpy]] strip directory into one `.npz` (driver-side
+    * convenience for NumPy interchange — the distributed write IS the
+    * strip directory; zipping is a sequential container concern, exactly
+    * like numpy's own single-writer savez). STORED (no deflate): `.npy`
+    * doubles rarely compress and STORED keeps the roundtrip byte-exact
+    * and seekable. */
+  def saveNpz(npyDir: String, npzPath: String): Unit = {
+    val dir = java.nio.file.Paths.get(npyDir)
+    val zout = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(npzPath)))
+    zout.setMethod(java.util.zip.ZipOutputStream.STORED)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(dir).iterator().asScala.toSeq
+      .filter(_.toString.endsWith(".npy")).sortBy(_.getFileName.toString)
+      .foreach { p =>
+        val bytes = java.nio.file.Files.readAllBytes(p)
+        val e = new java.util.zip.ZipEntry(p.getFileName.toString)
+        e.setMethod(java.util.zip.ZipEntry.STORED)
+        e.setSize(bytes.length.toLong)
+        e.setCompressedSize(bytes.length.toLong)
+        val crc = new java.util.zip.CRC32
+        crc.update(bytes)
+        e.setCrc(crc.getValue)
+        zout.putNextEntry(e)
+        zout.write(bytes)
+        zout.closeEntry()
+      }
+    zout.close()
+  }
+
   /** AMBER `.mdcrd` trajectory → DsArray of snapshots (reference:
     * load_mdcrd_file, io.py:183-228 — title line, then 8-char fixed-width
     * floats, 10 per line; each snapshot = nAtoms·3 coordinates). A
@@ -456,6 +541,47 @@ object Sources {
         .toDF("dim", "sum_v", "sum_sq").orderBy("dim")
     }
   }
+
+  /** Gate query: the `.npz` container roundtrip gated end-to-end —
+    * 40×4 doubles strip-saved, packaged into ONE .npz, re-ingested by
+    * [[loadNpz]] (bit-exact '<f8'), reduced to per-dim sums; the oracle
+    * recomputes from the source table. Strips of 16 rows mean member
+    * arrays vstack across entry boundaries — the order-sensitive case. */
+  def npzRoundtripQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.mllib.linalg.Vectors
+    import org.apache.spark.mllib.linalg.distributed.IndexedRow
+    val arr = graft.linalg.DsArray.fromIndexedRows(
+      graft.Tables.embeddings(spark, dir).filter(col("vec_id") < 40)
+        .select(col("vec_id"),
+          transform(slice(col("embedding"), 6, 4), x => x.cast("double")).as("v"))
+        .rdd.map(r => IndexedRow(r.getLong(0),
+          Vectors.dense(r.getSeq[Double](1).toArray))),
+      40, 4, 16, 2)
+    withScratchDir("graft-npz") { base =>
+      saveNpy(arr, s"$base/strips")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/z"))
+      saveNpz(s"$base/strips", s"$base/z/data.npz")
+      val h = loadNpz(spark, s"$base/z", 16, 2)
+      val sums = h.applyAlongAxis(0)(
+        m => breeze.linalg.sum(m(::, breeze.linalg.*)).t, _ + _).collect()
+      val sq = h.hadamard(h).applyAlongAxis(0)(
+        m => breeze.linalg.sum(m(::, breeze.linalg.*)).t, _ + _).collect()
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val spark2 = spark
+      import spark2.implicits._
+      (0 until 4).map(i => (i, r6(sums(0, i)), r6(sq(0, i))))
+        .toDF("dim", "sum_v", "sum_sq").orderBy("dim")
+    }
+  }
+
+  val npzRoundtripOracle: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding[6:9], x -> x::DOUBLE) AS v
+      |  FROM embeddings WHERE vec_id < 40)
+      |SELECT (i - 1)::INT AS dim, round(sum(v[i]), 6) AS sum_v,
+      |  round(sum(v[i] * v[i]), 6) AS sum_sq
+      |FROM e CROSS JOIN generate_series(1, 4) g(i)
+      |GROUP BY i ORDER BY dim""".stripMargin
 
   val npyHstackOracle: String =
     """WITH e AS (SELECT vec_id,

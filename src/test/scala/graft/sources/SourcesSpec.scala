@@ -163,6 +163,46 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("npz: STORED roundtrip bit-exact; DEFLATED (savez_compressed) reads too") {
+    val src = tmp() + "/npz_src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    val rng = new java.util.Random(23)
+    val vals = Array.fill(12)(rng.nextGaussian())
+    // write a 6×2 array via the production writer, then package it
+    val spark2 = spark
+    import org.apache.spark.mllib.linalg.Vectors
+    import org.apache.spark.mllib.linalg.distributed.IndexedRow
+    val d = graft.linalg.DsArray.fromIndexedRows(
+      sc.parallelize((0 until 6).map(i =>
+        IndexedRow(i.toLong, Vectors.dense(vals(i * 2), vals(i * 2 + 1))))),
+      6, 2, 2, 2)
+    Sources.saveNpy(d, s"$src/strips")
+    val zdir = tmp() + "/npz_z"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(zdir))
+    Sources.saveNpz(s"$src/strips", s"$zdir/a.npz")
+    val back = Sources.loadNpz(spark, zdir, 2, 2)
+    assert(back.rows == 6 && back.cols == 2)
+    val got = back.collect()
+    for (i <- 0 until 6; j <- 0 until 2)
+      assert(java.lang.Double.doubleToLongBits(got(i, j)) ==
+        java.lang.Double.doubleToLongBits(vals(i * 2 + j)), s"bits at ($i,$j)")
+    // DEFLATED container (numpy savez_compressed) must read identically
+    val zdir2 = tmp() + "/npz_z2"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(zdir2))
+    val zout = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(
+        java.nio.file.Paths.get(s"$zdir2/a.npz")))
+    new java.io.File(s"$src/strips").listFiles().sortBy(_.getName).foreach { f =>
+      zout.putNextEntry(new java.util.zip.ZipEntry(f.getName)) // DEFLATED default
+      zout.write(java.nio.file.Files.readAllBytes(f.toPath))
+      zout.closeEntry()
+    }
+    zout.close()
+    val back2 = Sources.loadNpz(spark, zdir2, 3, 2).collect()
+    for (i <- 0 until 6; j <- 0 until 2)
+      assert(back2(i, j) == vals(i * 2 + j), s"deflated at ($i,$j)")
+  }
+
   test("mdcrd roundtrip: fixed-width snapshots with a ragged last line") {
     // 2 snapshots × 4 atoms × 3 coords = 24 floats → 10+10+4 per snapshot? No:
     // values stream continuously after the title line, 10 per line.
