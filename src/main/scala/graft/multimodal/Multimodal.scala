@@ -41,14 +41,38 @@ object Multimodal {
     try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     catch { case _: Exception => null }
 
-  /** REAL audio frame count (WAV/AIFF/AU PCM — pure-JDK
-    * javax.sound.sampled). -1 when not decodable audio. */
+  /** FLAC STREAMINFO (pure byte arithmetic — javax.sound has no FLAC
+    * SPI): "fLaC" magic, first metadata block is STREAMINFO by spec;
+    * sample rate (20 bits), channels−1 (3), bits−1 (5), total samples
+    * (36) unpack from the packed field at block offset 10. */
+  private[multimodal] def parseFlacInfo(
+      bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u(i: Int): Int = bytes(i) & 0xff
+    if (bytes.length < 8 + 34 || bytes(0) != 'f' || bytes(1) != 'L' ||
+        bytes(2) != 'a' || bytes(3) != 'C' || (bytes(4) & 0x7f) != 0) None
+    else {
+      val s = 8
+      val rate = (u(s + 10) << 12) | (u(s + 11) << 4) | (u(s + 12) >> 4)
+      val channels = ((u(s + 12) >> 1) & 0x7) + 1
+      val bits = (((u(s + 12) & 1) << 4) | (u(s + 13) >> 4)) + 1
+      val total = ((u(s + 13) & 0x0f).toLong << 32) |
+        (u(s + 14).toLong << 24) | (u(s + 15).toLong << 16) |
+        (u(s + 16).toLong << 8) | u(s + 17).toLong
+      if (rate == 0) None else Some((rate, channels, bits, total))
+    }
+  }
+
+  /** REAL audio frame count (WAV/AIFF/AU PCM via pure-JDK
+    * javax.sound.sampled; FLAC via [[parseFlacInfo]] — javax.sound has
+    * no FLAC SPI, but STREAMINFO carries the frame count directly).
+    * -1 when not decodable audio. */
   private[multimodal] def decodeAudioFrames(bytes: Array[Byte]): Long =
-    try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      try in.getFrameLength finally in.close()
-    } catch { case _: Exception => -1L }
+    parseFlacInfo(bytes).map(_._4).getOrElse(
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try in.getFrameLength finally in.close()
+      } catch { case _: Exception => -1L })
 
   /** Row-major (R,G,B) pixel-byte hash of a decoded image — the same
     * portable fold as [[byteHash]], but over pixel CONTENT, so two
