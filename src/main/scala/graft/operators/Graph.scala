@@ -134,6 +134,58 @@ object Graph {
       .limit(topK)
   }
 
+  val HitsScale = 1000000000L // hub/authority mass in 1e-9 units
+  val HitsIters = 3
+  val HitsTopK = 15
+
+  /** HITS hubs & authorities on the DIRECTED supplier→customer graph —
+    * the bipartite ranking PageRank can't give (PR needs the symmetric
+    * expansion; HITS keeps the two roles distinct: hub suppliers feed
+    * many strong customers, authority customers are fed by many strong
+    * suppliers). Each half-pass is a sum-propagation plus an L1
+    * normalization to [[HitsScale]] — (mass·Scale) DIV total in
+    * DECIMAL(38,0), the q_anomaly_dow widening discipline, so the
+    * iteration is engine-bit-exact with no fp norm anywhere.
+    *
+    * Scale: per half-pass one ranks-sized shuffle plus a 1-row
+    * broadcast total — the pageRank posture; scores stay sparse on the
+    * reachable side only. */
+  def hits(spark: SparkSession, dir: String): DataFrame =
+    hitsPairs(scPairs(spark, dir), HitsTopK)
+
+  /** Core over any distinct directed bipartite (s, c) pair frame. */
+  private[graft] def hitsPairs(e: DataFrame, topK: Int): DataFrame = {
+    val edges = e.persist(StorageLevel.MEMORY_AND_DISK)
+    val nS = edges.select("s").distinct().count()
+    def normalize(raw: DataFrame, key: String, in: String, out: String): DataFrame = {
+      val tot = raw.agg(sum(in).as("tot"))
+      raw.crossJoin(broadcast(tot))
+        .select(col(key),
+          expr(s"CAST((CAST($in AS DECIMAL(38,0)) * $HitsScale) DIV tot AS BIGINT)")
+            .as(out))
+    }
+    var h = edges.select(col("s")).distinct()
+      .select(col("s"), lit(HitsScale / nS).as("h"))
+    var a: DataFrame = null
+    for (_ <- 1 to HitsIters) {
+      a = normalize(edges.join(h, "s").groupBy("c").agg(sum("h").as("ar")),
+        "c", "ar", "a")
+      h = normalize(edges.join(a, "c").groupBy("s").agg(sum("a").as("hr")),
+        "s", "hr", "h")
+    }
+    val hubs = h.orderBy(col("h").desc, col("s")).limit(topK)
+      .select(lit("hub").as("role"), col("s").cast("long").as("node_id"),
+        col("h").as("score_units"))
+    val auths = a.orderBy(col("a").desc, col("c")).limit(topK)
+      .select(lit("authority").as("role"), col("c").cast("long").as("node_id"),
+        col("a").as("score_units"))
+    val out = hubs.union(auths)
+      .orderBy(col("role"), col("score_units").desc, col("node_id"))
+      .localCheckpoint(true)
+    edges.unpersist(false)
+    out
+  }
+
   /** Triangle census of the part co-purchase graph (parts sharing an
     * order; per-order line counts are bounded, so the pair fan-out is
     * linear in the fact table). Output: nodes/edges/triangles/wedges and
@@ -371,6 +423,7 @@ object Graph {
   val queries: Map[String, Q] = Map(
     "q_pagerank" -> (pageRank _),
     "q_ppr" -> (personalizedPageRank _),
+    "q_hits" -> (hits _),
     "q_triangles" -> (triangleCensus _),
     "q_bfs_layers" -> (bfsLayers _),
     "q_label_prop" -> (labelProp _),
@@ -415,6 +468,31 @@ object Graph {
          |SELECT lbl AS community, count(*)::BIGINT AS n_members
          |FROM p$LpaIters GROUP BY lbl
          |ORDER BY n_members DESC, community LIMIT 20""".stripMargin
+    },
+    "q_hits" -> {
+      val iters = (1 to HitsIters).map { k =>
+        s"""a${k}r AS (SELECT c, sum(h) AS ar
+           |  FROM e JOIN h${k - 1} USING (s) GROUP BY c),
+           |a$k AS (SELECT c, ((ar::HUGEINT * $HitsScale)
+           |    // (SELECT sum(ar) FROM a${k}r))::BIGINT AS a FROM a${k}r),
+           |h${k}r AS (SELECT s, sum(a) AS hr
+           |  FROM e JOIN a$k USING (c) GROUP BY s),
+           |h$k AS (SELECT s, ((hr::HUGEINT * $HitsScale)
+           |    // (SELECT sum(hr) FROM h${k}r))::BIGINT AS h FROM h${k}r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT DISTINCT l_suppkey::BIGINT AS s, o_custkey::BIGINT AS c
+         |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |ns AS (SELECT count(DISTINCT s) AS n FROM e),
+         |h0 AS (SELECT DISTINCT s, $HitsScale // n AS h FROM e CROSS JOIN ns),
+         |$iters
+         |SELECT role, node_id, score_units FROM (
+         |  SELECT 'hub' AS role, s AS node_id, h AS score_units
+         |  FROM h$HitsIters ORDER BY h DESC, s LIMIT $HitsTopK)
+         |UNION ALL
+         |SELECT role, node_id, score_units FROM (
+         |  SELECT 'authority' AS role, c AS node_id, a AS score_units
+         |  FROM a$HitsIters ORDER BY a DESC, c LIMIT $HitsTopK)
+         |ORDER BY role, score_units DESC, node_id""".stripMargin
     },
     "q_ppr" -> {
       val iters = (1 to PrIters).map { k =>

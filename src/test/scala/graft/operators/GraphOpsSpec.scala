@@ -107,6 +107,39 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("HITS hubs/authorities match a naive integer replay") {
+    val spark2 = spark
+    import spark2.implicits._
+    // s1 feeds two customers (hub), c2 is fed twice (authority)
+    val pairs = Seq((1L, 1L), (1L, 2L), (2L, 2L), (3L, 3L)).toDF("s", "c")
+    val edges = Seq((1L, 1L), (1L, 2L), (2L, 2L), (3L, 3L))
+    val scale = BigInt(Graph.HitsScale)
+    var h: Map[Long, BigInt] =
+      edges.map(_._1).distinct.map(_ -> scale / 3).toMap
+    var a: Map[Long, BigInt] = Map.empty
+    def norm(m: Map[Long, BigInt]): Map[Long, BigInt] = {
+      val tot = m.values.sum
+      m.map { case (k, v) => k -> (v * scale / tot) }
+    }
+    for (_ <- 1 to Graph.HitsIters) {
+      a = norm(edges.groupBy(_._2).map { case (c, es) =>
+        c -> es.map(e => h(e._1)).sum })
+      h = norm(edges.groupBy(_._1).map { case (s, es) =>
+        s -> es.map(e => a(e._2)).sum })
+    }
+    val expect = (h.toSeq.map { case (n, v) => ("hub", n, v.toLong) } ++
+      a.toSeq.map { case (n, v) => ("authority", n, v.toLong) })
+      .sortBy(t => (t._1, -t._3, t._2))
+    val got = Graph.hitsPairs(pairs, topK = 10)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(got == expect, s"$got vs $expect")
+    // s1 must out-rank the single-edge hubs; c2 the single-feed authorities
+    val hubTop = got.filter(_._1 == "hub").head
+    val authTop = got.filter(_._1 == "authority").head
+    assert(hubTop._2 == 1L, s"s1 is the hub: $hubTop")
+    assert(authTop._2 == 2L, s"c2 is the authority: $authTop")
+  }
+
   test("personalized pageRank restarts only at seeds, naive integer replay") {
     val spark2 = spark
     import spark2.implicits._
