@@ -376,6 +376,42 @@ object Temporal {
       .orderBy("et")
   }
 
+  /** Per-group OLS trend line — the classical least-squares companion to
+    * [[theilSen]] (which is the robust one): slope = (nΣxy − ΣxΣy) /
+    * (nΣx² − (Σx)²) over (day-index, daily cents), emitted in integer
+    * micro-units via cross-multiplied DECIMAL(38,0) division (ΣxΣy
+    * overflows Long at year-scale series, the q_anomaly_dow widening) —
+    * no fp means, engine-exact. Day index = days since the group's first
+    * day, so gaps weigh correctly and the intercept is the first-day
+    * level.
+    *
+    * Scale: one daily partial+final rollup, then a 5-sums aggregate per
+    * group — nothing beyond the rollup shuffle at any corpus size. */
+  def olsTrend(spark: SparkSession, dir: String): DataFrame =
+    olsTrendOf(Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("pri"), to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents")))
+
+  /** Core over any (pri, d DATE, cents LONG) daily frame. */
+  private[graft] def olsTrendOf(daily: DataFrame): DataFrame =
+    daily
+      .withColumn("d0", min("d").over(Window.partitionBy("pri")))
+      .selectExpr("pri", "datediff(d, d0) AS x", "cents AS y")
+      .groupBy("pri")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+      .selectExpr("pri", "n",
+        """CAST(((CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)
+          |  * 1000000) DIV (CAST(n AS DECIMAL(38,0)) * sxx
+          |  - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)
+          |  AS slope_micro""".stripMargin,
+        """CAST((CAST(sy AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sxy)
+          |  DIV (CAST(n AS DECIMAL(38,0)) * sxx
+          |  - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)
+          |  AS intercept_cents""".stripMargin)
+      .orderBy("pri")
+
   val AnomalyKUsdDiv = 100000L
 
   /** Day-of-week-adjusted anomaly days: daily revenue in integer
@@ -461,6 +497,7 @@ object Temporal {
     "q_holt_linear" -> (holtLinear _),
     "q_mann_kendall" -> (mannKendall _),
     "q_theil_sen" -> (theilSen _),
+    "q_ols_trend" -> (olsTrend _),
     "q_anomaly_dow" -> (anomalyDow _),
     "q_burstiness" -> (burstiness _)
   )
@@ -574,6 +611,25 @@ object Temporal {
          |FROM daily a CROSS JOIN lags
          |JOIN daily b ON b.d = a.d + lag_d
          |GROUP BY lag_d ORDER BY lag_d""".stripMargin,
+    "q_ols_trend" ->
+      """WITH daily AS (SELECT o_orderpriority AS pri,
+        |    CAST(o_orderdate AS DATE) AS d,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |xy AS (SELECT pri,
+        |    date_diff('day', min(d) OVER (PARTITION BY pri), d)::BIGINT AS x,
+        |    cents AS y
+        |  FROM daily),
+        |s AS (SELECT pri, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |    sum(y)::BIGINT AS sy, sum(x::HUGEINT * x) AS sxx,
+        |    sum(x::HUGEINT * y) AS sxy
+        |  FROM xy GROUP BY pri)
+        |SELECT pri, n,
+        |  (((n::HUGEINT * sxy - sx::HUGEINT * sy) * 1000000)
+        |    // (n::HUGEINT * sxx - sx::HUGEINT * sx))::BIGINT AS slope_micro,
+        |  ((sy::HUGEINT * sxx - sx::HUGEINT * sxy)
+        |    // (n::HUGEINT * sxx - sx::HUGEINT * sx))::BIGINT AS intercept_cents
+        |FROM s ORDER BY pri""".stripMargin,
     "q_theil_sen" ->
       """WITH daily AS (SELECT event_type AS et, CAST(ts AS DATE) AS d,
         |    count(*)::BIGINT AS x FROM events GROUP BY 1, 2),

@@ -182,6 +182,20 @@ class CurationOpsSpec extends SparkSpec {
       "S=0; ties 3,2 give tie18 = 66+18, var18 = 300-84")
   }
 
+  test("olsTrend recovers exact lines, positive and negative slope") {
+    val spark2 = spark
+    import spark2.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    val daily = ((0 until 5).map(i => ("up", day(i), 100L + 7L * i)) ++
+      (0 until 5).map(i => ("dn", day(i), 1000L - 3L * i)))
+      .toDF("pri", "d", "cents")
+    val r = Temporal.olsTrendOf(daily).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r("up") == ((5L, 7000000L, 100L)), s"exact +7/day line: ${r("up")}")
+    assert(r("dn") == ((5L, -3000000L, 1000L)), s"exact -3/day line: ${r("dn")}")
+  }
+
   test("theilSen median slope shrugs off an outlier endpoint") {
     val spark2 = spark
     import spark2.implicits._
