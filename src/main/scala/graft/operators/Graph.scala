@@ -157,7 +157,11 @@ object Graph {
   private[graft] def hitsPairs(e: DataFrame, topK: Int): DataFrame = {
     val edges = e.persist(StorageLevel.MEMORY_AND_DISK)
     val nS = edges.select("s").distinct().count()
-    def normalize(raw: DataFrame, key: String, in: String, out: String): DataFrame = {
+    def normalize(raw0: DataFrame, key: String, in: String, out: String): DataFrame = {
+      // Eager checkpoint: `raw` feeds BOTH the 1-row total and the scores, and
+      // each half-pass builds on the previous one — without truncation the
+      // plan doubles per half-pass (2^6 recomputes of the base join by iter 3).
+      val raw = raw0.localCheckpoint(true)
       val tot = raw.agg(sum(in).as("tot"))
       raw.crossJoin(broadcast(tot))
         .select(col(key),
