@@ -424,7 +424,107 @@ object Graph {
         .orderBy("csize"))(comp.unpersist(false))
   }
 
+  val LinkPredMaxDeg = 64L
+  val LinkPredTopK = 20
+
+  /** Common-neighbor / Jaccard link prediction over the supplier
+    * projection of the bipartite order graph: for supplier pairs a < b,
+    * `common` = customers they both serve, `jaccard_ppm` =
+    * common·10⁶ DIV (|N(a)| + |N(b)| − common). The classic
+    * related-entity candidate generator (cf. the neighbors-based
+    * semantics in dislib/neighbors/base.py:39-130, here lifted to
+    * set-overlap prediction). Integer counts and a ppm floor-division
+    * keep it engine-bit-exact.
+    *
+    * Scale: pair enumeration fans out d(d−1)/2 per customer, so HUB
+    * REMOVAL is built in — customers serving more than
+    * [[LinkPredMaxDeg]] suppliers are excluded BEFORE pairing (the
+    * standard link-prediction sparsification: hubs contribute quadratic
+    * pairs and near-zero signal). The pair aggregate partial-combines
+    * map-side; the driver sees only top-k. */
+  def linkPredict(spark: SparkSession, dir: String): DataFrame =
+    linkPredictPairs(scPairs(spark, dir), LinkPredTopK)
+
+  /** Core over any distinct bipartite (s, c) pair frame. */
+  private[graft] def linkPredictPairs(e0: DataFrame, topK: Int): DataFrame = {
+    val keepC = e0.groupBy("c").agg(count(lit(1)).as("cd"))
+      .filter(col("cd") <= LinkPredMaxDeg).select("c")
+    val e = e0.join(keepC, Seq("c"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("s").agg(count(lit(1)).as("d"))
+    val common = e.select(col("c"), col("s").as("a"))
+      .join(e.select(col("c"), col("s").as("b")), "c")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    val out = common
+      .join(deg.select(col("s").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("s").as("b"), col("d").as("db")), "b")
+      .select(col("a"), col("b"), col("common"),
+        expr("common * 1000000 DIV (da + db - common)").as("jaccard_ppm"))
+      .orderBy(desc("common"), desc("jaccard_ppm"), asc("a"), asc("b"))
+      .limit(topK)
+      .localCheckpoint(true)
+    e.unpersist(false)
+    out
+  }
+
+  val SsspPasses = 4
+  val SsspTopK = 20
+
+  /** Weighted single-source shortest paths, synchronous Bellman-Ford:
+    * [[SsspPasses]] relaxation rounds give the min-cost path using at
+    * most that many edges. Edge weight = cheapest line (extendedprice
+    * in exact cents) linking the supplier–customer pair; source = the
+    * smallest supplier id. Integer weights, min-aggregation — nothing
+    * to round, the oracle unrolls the identical relaxation.
+    *
+    * Scale: per round one (dist ⋈ edges) hash join + a min-agg keyed on
+    * node — dist-sized shuffles against a once-partitioned cached edge
+    * set, the pregel posture shared with [[bfsLayersPairs]]; only the
+    * top-k nearest nodes reach the driver. */
+  def sssp(spark: SparkSession, dir: String): DataFrame = {
+    val w = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey").cast("long").as("s"),
+        col("o_custkey").cast("long").as("c"))
+      .agg(min("cents").as("w"))
+    ssspPairs(w, SsspTopK)
+  }
+
+  /** Core over a weighted bipartite (s, c, w) frame. */
+  private[graft] def ssspPairs(wp: DataFrame, topK: Int): DataFrame = {
+    val edges = wp.select(col("s").as("src"), (col("c") + CustOffset).as("dst"), col("w"))
+      .union(wp.select((col("c") + CustOffset).as("src"), col("s").as("dst"), col("w")))
+      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val src0 = wp.agg(min("s")).head().getLong(0)
+    var dist = edges.sparkSession.range(1)
+      .select(lit(src0).as("node"), lit(0L).as("dist"))
+    for (_ <- 1 to SsspPasses) {
+      val relaxed = edges.join(dist, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(relaxed).groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint(true) // linear-lineage trim, one small table per round
+    }
+    val out = dist
+      .select(
+        when(col("node") >= CustOffset, lit("cust")).otherwise(lit("supp"))
+          .as("node_type"),
+        when(col("node") >= CustOffset, col("node") - CustOffset)
+          .otherwise(col("node")).as("node_id"),
+        col("dist").as("dist_cents"))
+      .orderBy(asc("dist_cents"), asc("node_type"), asc("node_id"))
+      .limit(topK)
+      .localCheckpoint(true)
+    edges.unpersist(false)
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_link_predict" -> (linkPredict _),
+    "q_sssp" -> (sssp _),
     "q_pagerank" -> (pageRank _),
     "q_ppr" -> (personalizedPageRank _),
     "q_hits" -> (hits _),
@@ -435,6 +535,41 @@ object Graph {
     "q_kcore" -> (kCore _))
 
   val oracles: Map[String, String] = Map(
+    "q_link_predict" ->
+      s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT l_suppkey::BIGINT AS s, o_custkey::BIGINT AS c
+         |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |keepc AS (SELECT c FROM e0 GROUP BY c HAVING count(*) <= $LinkPredMaxDeg),
+         |e AS MATERIALIZED (SELECT s, c FROM e0 SEMI JOIN keepc USING (c)),
+         |deg AS (SELECT s, count(*) AS d FROM e GROUP BY s),
+         |cm AS (SELECT x.s AS a, y.s AS b, count(*)::BIGINT AS common
+         |  FROM e x JOIN e y ON x.c = y.c AND x.s < y.s GROUP BY 1, 2)
+         |SELECT cm.a, cm.b, cm.common,
+         |  (cm.common * 1000000 // (da.d + db.d - cm.common))::BIGINT AS jaccard_ppm
+         |FROM cm JOIN deg da ON da.s = cm.a JOIN deg db ON db.s = cm.b
+         |ORDER BY cm.common DESC, jaccard_ppm DESC, cm.a, cm.b
+         |LIMIT $LinkPredTopK""".stripMargin,
+    "q_sssp" -> {
+      val rounds = (1 to SsspPasses).map { k =>
+        s"""d$k AS MATERIALIZED (SELECT node, min(dist)::BIGINT AS dist FROM (
+           |  SELECT node, dist FROM d${k - 1}
+           |  UNION ALL
+           |  SELECT ed.dst AS node, p.dist + ed.w
+           |  FROM ed JOIN d${k - 1} p ON ed.src = p.node
+           |) GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH w AS MATERIALIZED (SELECT l_suppkey::BIGINT AS s, o_custkey::BIGINT AS c,
+         |    min(round(l_extendedprice * 100)::BIGINT) AS w
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+         |ed AS MATERIALIZED (SELECT s AS src, c + $CustOffset AS dst, w FROM w
+         |  UNION ALL SELECT c + $CustOffset, s, w FROM w),
+         |d0 AS (SELECT min(s) AS node, 0::BIGINT AS dist FROM w),
+         |$rounds
+         |SELECT CASE WHEN node >= $CustOffset THEN 'cust' ELSE 'supp' END AS node_type,
+         |  CASE WHEN node >= $CustOffset THEN node - $CustOffset ELSE node END AS node_id,
+         |  dist AS dist_cents
+         |FROM d$SsspPasses
+         |ORDER BY dist_cents, node_type, node_id LIMIT $SsspTopK""".stripMargin
+    },
     "q_connected_components" ->
       s"""WITH l AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
          |pw AS MATERIALIZED (SELECT x.p::BIGINT AS a, y.p::BIGINT AS b, count(*) AS w

@@ -202,4 +202,46 @@ class GraphOpsSpec extends SparkSpec {
       assert(got == expect, s"parts=$parts: $got vs $expect")
     }
   }
+
+  test("linkPredict: common-neighbor counts, jaccard ppm, hub exclusion") {
+    val spark2 = spark
+    import spark2.implicits._
+    // suppliers 1,2 share customers 10,11; 2,3 share 11; customer 99
+    // serves ALL suppliers but is a hub (degree 3 > cap when cap=2 is
+    // impossible here, so instead drive the cap via LinkPredMaxDeg=64:
+    // 99 has degree 3 ≤ 64 and is kept — exercise the math, and
+    // separately check a synthetic hub via a degree-65 customer)
+    val base = Seq(
+      (1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 11L), (3L, 12L))
+    val hub = (1L to 65L).map(s => (100L + s, 999L)) // degree-65 hub customer
+    val e = (base ++ hub).toDF("s", "c")
+    val got = Graph.linkPredictPairs(e, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // hub customer 999 excluded → no pairs among suppliers 101..165;
+    // deg: 1→2, 2→2, 3→2. common(1,2)=2 → j=2e6/(2+2-2)=1000000;
+    // common(1,3)=1 → 1e6/3=333333; common(2,3)=1 → 333333
+    assert(got.toSeq == Seq(
+      (1L, 2L, 2L, 1000000L),
+      (1L, 3L, 1L, 333333L),
+      (2L, 3L, 1L, 333333L)))
+  }
+
+  test("ssspPairs relaxes min-cost paths within the pass budget") {
+    val spark2 = spark
+    import spark2.implicits._
+    // source = min supplier = 1. Direct edge 1-c10 costs 100; the
+    // two-hop path 1-c20(=5) + s2-c20(=5) reaches s2 at 10, then
+    // s2-c10 at 10+3=13 beats the direct 100 within 3 hops.
+    val wp = Seq(
+      (1L, 10L, 100L), (1L, 20L, 5L), (2L, 20L, 5L), (2L, 10L, 3L))
+      .toDF("s", "c", "w")
+    val got = Graph.ssspPairs(wp, topK = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val expect = Seq(
+      ("supp", 1L, 0L),   // source
+      ("cust", 20L, 5L),  // 1→c20
+      ("supp", 2L, 10L),  // 1→c20→s2
+      ("cust", 10L, 13L)) // 1→c20→s2→c10 (beats direct 100)
+    assert(got == expect, s"$got")
+  }
 }
