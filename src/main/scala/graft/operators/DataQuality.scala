@@ -168,13 +168,104 @@ object DataQuality {
       .orderBy("digit")
   }
 
+  /** χ² 95% critical values in micro-units for df 1..6 — pinned
+    * literals (the table is public math, not data). */
+  val Chi2Crit95Micro: Seq[(Int, Long)] = Seq(
+    1 -> 3841459L, 2 -> 5991465L, 3 -> 7814728L,
+    4 -> 9487729L, 5 -> 11070498L, 6 -> 12591587L)
+
+  private def chi2CritCase(df: String): String =
+    "CASE " + Chi2Crit95Micro.map { case (d, c) =>
+      s"WHEN $df = $d THEN $c" }.mkString(" ") + " END"
+
+  /** χ² feature selection: rank categorical lineitem features by their
+    * chi-square statistic against the bulk-line label (quantity > 25) —
+    * WOE/IV's and mutual information's frequentist sibling, the classic
+    * filter-method feature screen. The statistic is computed per FULL
+    * contingency cell (absent observed cells still contribute their
+    * expected mass) as (obs·N − row·col)²·10⁶ DIV (N·row·col) in
+    * DECIMAL(38,0) / HUGEINT — obs·N reaches N², so Long would overflow
+    * past ~3M rows; wide decimals carry it to any corpus size — then
+    * summed, so every engine replays identical integers. Verdict column
+    * compares against the pinned 95% critical value for the feature's
+    * degrees of freedom.
+    *
+    * Scale: ONE fact scan fanned out by a 4-way stack generator, one
+    * partial+final (feature, x, y) rollup (≤ Σ|Xᵢ|·2 cells), marginal
+    * frames that are cell-table-sized, and a features-sized output —
+    * the fact table is never shuffled, only its contingency cells. */
+  def chi2Select(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.lineitem(spark, dir).selectExpr(
+      """stack(4,
+        |  'returnflag', l_returnflag,
+        |  'linestatus', l_linestatus,
+        |  'linenumber', CAST(l_linenumber AS STRING),
+        |  'disc_pct',   CAST(CAST(round(l_discount * 100) AS INT) AS STRING))
+        |  AS (feature, x)""".stripMargin,
+      "CAST(l_quantity > 25 AS INT) AS y")
+    chi2SelectDf(st)
+  }
+
+  /** Core over any (feature, x, y) frame. */
+  def chi2SelectDf(st: DataFrame): DataFrame = {
+    val cells = st.groupBy("feature", "x", "y").agg(count(lit(1)).as("c_xy"))
+    val fx = cells.groupBy("feature", "x").agg(sum("c_xy").as("c_x"))
+    val fy = cells.groupBy("feature", "y").agg(sum("c_xy").as("c_y"))
+    val fn = cells.groupBy("feature").agg(sum("c_xy").as("n"),
+      countDistinct("x").as("nx"), countDistinct("y").as("ny"))
+    fx.join(fy, "feature") // full r×c grid — zero cells included
+      .join(cells, Seq("feature", "x", "y"), "left")
+      .join(broadcast(fn), "feature")
+      .selectExpr("feature", "nx", "ny",
+        """CAST(((CAST(coalesce(c_xy, 0) AS DECIMAL(38,0)) * n - CAST(c_x AS DECIMAL(38,0)) * c_y)
+          |  * (CAST(coalesce(c_xy, 0) AS DECIMAL(38,0)) * n - CAST(c_x AS DECIMAL(38,0)) * c_y)
+          |  * 1000000)
+          | DIV (CAST(n AS DECIMAL(38,0)) * c_x * c_y) AS BIGINT) AS cell""".stripMargin)
+      .groupBy("feature", "nx", "ny")
+      .agg(count(lit(1)).as("n_cells"), sum("cell").as("chi2_micro"))
+      .selectExpr("feature", "n_cells", "(nx - 1) * (ny - 1) AS df", "chi2_micro")
+      .selectExpr("feature", "n_cells", "df", "chi2_micro",
+        s"""CASE WHEN chi2_micro > ${chi2CritCase("df")}
+           | THEN 'yes' ELSE 'no' END AS significant""".stripMargin)
+      .orderBy(desc("chi2_micro"), asc("feature"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_chi2_select" -> (chi2Select _),
     "q_data_quality" -> (dataQuality _),
     "q_fd_violations" -> (fdViolations _),
     "q_benford" -> (benford _),
     "q_psi_drift" -> (psiDrift _))
 
   val oracles: Map[String, String] = Map(
+    "q_chi2_select" ->
+      s"""WITH st AS MATERIALIZED (
+         |  SELECT f.feature, f.x, CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS y
+         |  FROM lineitem, LATERAL (VALUES
+         |    ('returnflag', l_returnflag), ('linestatus', l_linestatus),
+         |    ('linenumber', CAST(l_linenumber AS VARCHAR)),
+         |    ('disc_pct', CAST(CAST(round(l_discount * 100) AS INT) AS VARCHAR)))
+         |    AS f(feature, x)),
+         |cells AS MATERIALIZED (SELECT feature, x, y, count(*)::HUGEINT AS c_xy
+         |  FROM st GROUP BY 1, 2, 3),
+         |fx AS (SELECT feature, x, sum(c_xy) AS c_x FROM cells GROUP BY 1, 2),
+         |fy AS (SELECT feature, y, sum(c_xy) AS c_y FROM cells GROUP BY 1, 2),
+         |fn AS (SELECT feature, sum(c_xy) AS n, count(DISTINCT x) AS nx,
+         |    count(DISTINCT y) AS ny FROM cells GROUP BY 1),
+         |cc AS (SELECT fx.feature, fn.nx, fn.ny,
+         |    ((coalesce(c.c_xy, 0) * fn.n - fx.c_x * fy.c_y)
+         |     * (coalesce(c.c_xy, 0) * fn.n - fx.c_x * fy.c_y)
+         |     * 1000000) // (fn.n * fx.c_x * fy.c_y) AS cell
+         |  FROM fx JOIN fy USING (feature)
+         |  LEFT JOIN cells c ON c.feature = fx.feature AND c.x = fx.x AND c.y = fy.y
+         |  JOIN fn USING (feature)),
+         |agg AS (SELECT feature, count(*)::BIGINT AS n_cells,
+         |    ((nx - 1) * (ny - 1))::BIGINT AS df, sum(cell)::BIGINT AS chi2_micro
+         |  FROM cc GROUP BY feature, nx, ny)
+         |SELECT feature, n_cells, df, chi2_micro,
+         |  CASE WHEN chi2_micro > ${chi2CritCase("df")} THEN 'yes' ELSE 'no' END
+         |    AS significant
+         |FROM agg ORDER BY chi2_micro DESC, feature""".stripMargin,
     "q_fd_violations" -> {
       def one(name: String, table: String, lhs: String, rhs: String) =
         s"""SELECT '$name' AS fd, count(*)::BIGINT AS n_groups,

@@ -67,4 +67,36 @@ class AbWoeSpec extends SparkSpec {
     val z = Relational.woeEncodeDf(df).collect().find(_.getString(0) == "Z").get
     assert(z.isNullAt(3) && z.isNullAt(4))
   }
+
+  test("chi2: zero under independence, hand value for a 2x2, zero cells count") {
+    val spark2 = spark
+    import spark2.implicits._
+    // indep: x ⊥ y, every cell obs == expected → chi2 exactly 0
+    val indep = for (x <- Seq("a", "b"); y <- Seq(0, 1); _ <- 1 to 10)
+      yield ("indep", x, y)
+    // dep 2x2: [[30,10],[10,30]] → chi2 = n(ad-bc)^2/(r1 r2 c1 c2) = 80*640000/2560000 = 20
+    val dep = Seq.fill(30)(("dep", "a", 0)) ++ Seq.fill(10)(("dep", "a", 1)) ++
+      Seq.fill(10)(("dep", "b", 0)) ++ Seq.fill(30)(("dep", "b", 1))
+    // zerocell: category c only ever sees y=0 — the absent (c,1) cell
+    // must still contribute expected mass (full-grid requirement)
+    val zc = Seq.fill(4)(("zc", "a", 0)) ++ Seq.fill(4)(("zc", "a", 1)) ++
+      Seq.fill(4)(("zc", "c", 0))
+    val st = (indep ++ dep ++ zc).toDF("feature", "x", "y")
+    val got = DataQuality.chi2SelectDf(st).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    assert(got("indep") == ((4L, 1L, 0L, "no")))
+    // naive per-cell replay of (obs·n − row·col)²·1e6 // (n·row·col)
+    val n = 80L
+    val expChi = Seq((30L, 40L, 40L), (10L, 40L, 40L), (10L, 40L, 40L), (30L, 40L, 40L))
+      .map { case (o, rx, cy) =>
+        val num = BigInt(o) * n - BigInt(rx) * cy
+        (num * num * 1000000 / (BigInt(n) * rx * cy)).toLong }.sum
+    assert(got("dep") == ((4L, 1L, expChi, "yes")))
+    assert(expChi == 20000000L, s"hand chi2 = 20.0 exactly, got $expChi")
+    // zerocell: n=12, rows a=8 c=4, cols y0=8 y1=4; exp grid: a0 16/3,
+    // a1 8/3, c0 8/3, c1 4/3; chi2 = Σ (obs-exp)²/exp = 3.0 exactly
+    assert(got("zc")._1 == 4L, "absent (c,1) cell still gridded")
+    assert(got("zc")._3 == 2999998L, s"floor-div cells of exact 3.0: ${got("zc")}")
+  }
 }
