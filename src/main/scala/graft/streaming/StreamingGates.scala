@@ -111,12 +111,55 @@ object StreamingGates {
     } finally rmTree(tmp)
   }
 
+  /** Streaming sessionization parity: the q_events_session input
+    * re-played as a 6-batch file stream through `session_window` (the
+    * native streaming session operator, Complete mode so the converged
+    * session table is the final snapshot — production would watermark +
+    * append; the gate wants the fixpoint). Per-user session stats must
+    * equal the batch lag+cumsum formulation's oracle verbatim. The two
+    * formulations differ only at a gap of EXACTLY the 30-min boundary
+    * (batch `>` merges, session_window splits) — measure-zero at µs
+    * precision and absent from every SF of the testdata. */
+  def sessionStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    val input = graft.Tables.events(spark, dir).select("user_id", "ts")
+    val (stream, tmp) = fileStream(input, "user_id BIGINT, ts TIMESTAMP", nFiles = 6)
+    try {
+      val sessions = runToMemory(
+        stream.groupBy(session_window(col("ts"), "30 minutes").as("s"),
+            col("user_id"))
+          .agg(count(lit(1)).as("n")),
+        "session_parity_sink", OutputMode.Complete())
+      sessions.groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("n").as("n_events"),
+          max("n").as("max_session_events"),
+          round(avg("n"), 4).as("avg_session_events"))
+        .orderBy("user_id")
+        .localCheckpoint()
+    } finally rmTree(tmp)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_session_stream_parity" -> (sessionStreamParity _),
     "q_hll_stream_parity" -> (hllStreamParity _),
     "q_cms_stream_parity" -> (cmsStreamParity _),
     "q_dedup_stream_parity" -> (dedupStreamParity _))
 
   val oracles: Map[String, String] = Map(
+    // the batch q_events_session oracle verbatim — stream == batch == oracle
+    "q_session_stream_parity" ->
+      """WITH l AS (SELECT user_id, event_id, ts,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |s AS (SELECT user_id, event_id,
+        |    sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM l),
+        |g AS (SELECT user_id, session_id, count(*) AS n FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions, sum(n)::BIGINT AS n_events,
+        |  max(n) AS max_session_events, round(avg(n), 4) AS avg_session_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_dedup_stream_parity" ->
       """SELECT source, count(*) AS n_docs,
         |  count(DISTINCT md5(lower(trim(text)))) AS n_unique,
