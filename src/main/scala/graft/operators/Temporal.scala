@@ -266,6 +266,66 @@ object Temporal {
       .orderBy("pri", "d")
   }
 
+  val HwPeriod = 7
+
+  /** Holt–Winters ADDITIVE seasonal smoothing (weekly period
+    * [[HwPeriod]]) — the seasonal upgrade of [[holtLinear]]: coupled
+    * level/trend/seasonal recurrences l_t = α(y−s_{t−m}) + (1−α)(l+b),
+    * b_t = β(l−l′) + (1−β)b′, s_t = γ(y−l′−b′) + (1−γ)s_{t−m} at
+    * α=γ=1/5, β=1/10, ENTIRELY in milli-unit integer arithmetic (same
+    * truncating idiv contract as holt). The m-slot seasonal ring rides
+    * the fold state as an array — the oracle carries the identical ring
+    * as a recursive-CTE LIST column. Pinned init: first row anchors
+    * l=y, b=0, ring of zeros (seasonals activate as real history
+    * accumulates — a documented convention, not an estimate).
+    * forecast_milli = l + b + the ring slot that applies to t+1.
+    *
+    * Scale: identical posture to holt — one daily partial+final rollup,
+    * then one fold per series; series length is days-sized, never
+    * fact-sized, and groups fold in parallel. */
+  def holtWinters(spark: SparkSession, dir: String): DataFrame =
+    holtWintersOf(Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("pri"), to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents")))
+
+  /** Core over any (pri, d DATE, cents LONG) daily frame. */
+  private[graft] def holtWintersOf(daily: DataFrame): DataFrame = {
+    def idiv(a: Column, den: Long): Column = (a / lit(den.toDouble)).cast("long")
+    val outType = "ARRAY<STRUCT<d: DATE, cents: BIGINT, l: BIGINT, b: BIGINT, " +
+      "s: BIGINT, seas: ARRAY<BIGINT>>>"
+    val zeroRing = expr(s"array_repeat(0L, $HwPeriod)")
+    val folded = daily
+      .groupBy("pri")
+      .agg(array_sort(collect_list(struct(col("d"), col("cents")))).as("ser"))
+      .select(col("pri"), aggregate(col("ser"),
+        expr(s"CAST(array() AS $outType)"),
+        (acc, x) => {
+          val prev = element_at(acc, -1)
+          val xm = x.getField("cents") * lit(1000L)
+          val first = size(acc) === 0
+          val sm = element_at(prev.getField("seas"), 1) // the t−m seasonal
+          val l = when(first, xm)
+            .otherwise(idiv(xm - sm +
+              lit(4L) * (prev.getField("l") + prev.getField("b")), 5L))
+          val b = when(first, lit(0L))
+            .otherwise(idiv(l - prev.getField("l") + lit(9L) * prev.getField("b"), 10L))
+          val s = when(first, lit(0L))
+            .otherwise(idiv(xm - prev.getField("l") - prev.getField("b") + lit(4L) * sm, 5L))
+          val ring = when(first, zeroRing)
+            .otherwise(concat(slice(prev.getField("seas"), 2, HwPeriod - 1), array(s)))
+          concat(acc, array(struct(x.getField("d").as("d"),
+            x.getField("cents").as("cents"), l.as("l"), b.as("b"),
+            s.as("s"), ring.as("seas"))))
+        }).as("out"))
+    folded.select(col("pri"), explode(col("out")).as("o"))
+      .select(col("pri"), col("o.d").as("d"), col("o.cents").as("cents"),
+        col("o.l").as("level_milli"), col("o.b").as("trend_milli"),
+        col("o.s").as("seasonal_milli"),
+        (col("o.l") + col("o.b") + element_at(col("o.seas"), 1))
+          .as("forecast_milli"))
+      .orderBy("pri", "d")
+  }
+
   val XcorrMaxLag = 7
   val XcorrLead = "click"
   val XcorrLag = "purchase"
@@ -495,6 +555,7 @@ object Temporal {
     "q_acf" -> (acfDaily _),
     "q_cross_corr" -> (crossCorrDaily _),
     "q_holt_linear" -> (holtLinear _),
+    "q_holt_winters" -> (holtWinters _),
     "q_mann_kendall" -> (mannKendall _),
     "q_theil_sen" -> (theilSen _),
     "q_ols_trend" -> (olsTrend _),
@@ -682,6 +743,30 @@ object Temporal {
         |SELECT pri, d, cents, l AS level_milli, b AS trend_milli,
         |  l + b AS forecast_milli
         |FROM rec ORDER BY pri, d""".stripMargin,
+    "q_holt_winters" ->
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS d,
+         |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+         |  FROM orders GROUP BY 1, 2),
+         |seq AS (SELECT pri, d, cents,
+         |    row_number() OVER (PARTITION BY pri ORDER BY d) AS rn FROM daily),
+         |rec AS (
+         |  SELECT pri, d, cents, rn, cents * 1000 AS l, 0::BIGINT AS b,
+         |    0::BIGINT AS s,
+         |    [0, 0, 0, 0, 0, 0, 0]::BIGINT[] AS seas
+         |  FROM seq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT q.pri, q.d, q.cents, q.rn,
+         |    (q.cents * 1000 - r.seas[1] + 4 * (r.l + r.b)) // 5 AS l,
+         |    (((q.cents * 1000 - r.seas[1] + 4 * (r.l + r.b)) // 5) - r.l
+         |      + 9 * r.b) // 10 AS b,
+         |    (q.cents * 1000 - r.l - r.b + 4 * r.seas[1]) // 5 AS s,
+         |    list_append(r.seas[2:$HwPeriod],
+         |      (q.cents * 1000 - r.l - r.b + 4 * r.seas[1]) // 5) AS seas
+         |  FROM rec r JOIN seq q ON q.pri = r.pri AND q.rn = r.rn + 1)
+         |SELECT pri, d, cents, l AS level_milli, b AS trend_milli,
+         |  s AS seasonal_milli, l + b + seas[1] AS forecast_milli
+         |FROM rec ORDER BY pri, d""".stripMargin,
     "q_cross_corr" ->
       s"""WITH lead_s AS (SELECT CAST(ts AS DATE) AS d, count(*)::BIGINT AS c
          |  FROM events WHERE event_type = '$XcorrLead' GROUP BY 1),

@@ -162,6 +162,39 @@ class CurationOpsSpec extends SparkSpec {
       "l3=(50000+4*89000)/5=81200, b3=(81200-90000-9000)/10=-1780")
   }
 
+  test("holtWinters replays the seasonal ring across a full period") {
+    val spark2 = spark
+    import spark2.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    // 10 days of a period-7 sawtooth — long enough that the ring wraps
+    // and the t-7 seasonal re-enters the level recurrence at t=8,9,10
+    val xs = Seq(100L, 50L, 80L, 120L, 60L, 90L, 110L, 100L, 50L, 80L)
+    val daily = xs.zipWithIndex.map { case (x, i) => ("p", day(i), x) }
+      .toDF("pri", "d", "cents")
+    // naive scala replay of the pinned integer recurrences
+    def idiv(a: Long, d: Long): Long = a / d // JVM / truncates toward zero
+    var (l, b) = (0L, 0L)
+    var ring = Vector.fill(7)(0L)
+    val expect = xs.zipWithIndex.map { case (x, i) =>
+      val xm = x * 1000
+      if (i == 0) { l = xm; b = 0L }
+      else {
+        val sm = ring.head
+        val l2 = idiv(xm - sm + 4 * (l + b), 5)
+        val b2 = idiv(l2 - l + 9 * b, 10)
+        val s2 = idiv(xm - l - b + 4 * sm, 5)
+        l = l2; b = b2; ring = ring.tail :+ s2
+      }
+      (l, b, if (i == 0) 0L else ring.last, l + b + ring.head)
+    }
+    val got = Temporal.holtWintersOf(daily).collect()
+      .map(x => (x.getLong(3), x.getLong(4), x.getLong(5), x.getLong(6))).toSeq
+    assert(got == expect, s"\ngot:    $got\nexpect: $expect")
+    // sanity: the ring actually wrapped (t=8's level saw s_1 ≠ 0)
+    assert(expect(7)._3 != 0L || expect(1)._3 != 0L)
+  }
+
   test("mannKendall: increasing / tied / alternating hand-replays") {
     val spark2 = spark
     import spark2.implicits._
