@@ -138,13 +138,77 @@ object StreamingGates {
     } finally rmTree(tmp)
   }
 
+  /** Streaming funnel parity: the q_events_funnel input re-played as a
+    * 6-batch TIME-ORDERED file stream (slices written sequentially so
+    * file mtimes increase — FileStreamSource processes oldest-first,
+    * which realizes funnelStages' per-user ordered-arrival contract
+    * across batch boundaries; within a batch the handler sorts). The
+    * keyed three-slot state machine crosses batch boundaries; the final
+    * per-user stage table must replay to the batch funnel oracle
+    * verbatim. Staging's global ntile sort is gate-only scaffolding —
+    * production feeds an already-ordered log. */
+  def funnelStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables.events(spark, dir)
+      .select("event_id", "user_id", "event_type", "ts")
+    val nUsers = ev.select("user_id").distinct().count()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_funnel_gate_")
+    val sliced = ev.withColumn("slice",
+      ntile(6).over(Window.orderBy(col("ts"), col("event_id"))))
+      .localCheckpoint() // one sort, six filtered writes
+    for (i <- 1 to 6)
+      sliced.filter(col("slice") === i).drop("slice")
+        .coalesce(1).write.mode("append").parquet(tmp.toString)
+    try {
+      val stream = spark.readStream
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
+      val sink = runToMemory(
+        EventsStreaming.funnelStages(stream.as[EventsStreaming.RawEvent]).toDF(),
+        "funnel_parity_sink", OutputMode.Append())
+      // state never re-emits a stage, so min() is pure extraction
+      sink.groupBy("user_id").agg(
+          min(when(col("stage") === 1, col("ts"))).as("tv"),
+          min(when(col("stage") === 2, col("ts"))).as("tc"),
+          min(when(col("stage") === 3, col("ts"))).as("tp"))
+        .agg(count(col("tv")).as("n_view"),
+          count(col("tc")).as("n_view_click"),
+          count(col("tp")).as("n_full_funnel"),
+          round(avg(when(col("tp").isNotNull,
+            unix_micros(col("tp")) - unix_micros(col("tv")))) / 1e6, 2)
+            .as("avg_sec_convert"))
+        .select(lit(nUsers).as("n_users"), col("n_view"),
+          col("n_view_click"), col("n_full_funnel"), col("avg_sec_convert"))
+        .localCheckpoint()
+    } finally rmTree(tmp)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel_stream_parity" -> (funnelStreamParity _),
     "q_session_stream_parity" -> (sessionStreamParity _),
     "q_hll_stream_parity" -> (hllStreamParity _),
     "q_cms_stream_parity" -> (cmsStreamParity _),
     "q_dedup_stream_parity" -> (dedupStreamParity _))
 
   val oracles: Map[String, String] = Map(
+    // the batch q_events_funnel oracle verbatim — stream == batch == oracle
+    "q_funnel_stream_parity" ->
+      """WITH s AS (SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS tv
+        |  FROM events),
+        |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > tv THEN ts END)
+        |      OVER (PARTITION BY user_id) AS tc FROM s),
+        |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > tc THEN ts END)
+        |      OVER (PARTITION BY user_id) AS tp FROM s2),
+        |u AS (SELECT user_id, min(tv) AS tv, min(tc) AS tc, min(tp) AS tp
+        |  FROM s3 GROUP BY user_id)
+        |SELECT count(*) AS n_users, count(tv) AS n_view,
+        |  count(tc) AS n_view_click, count(tp) AS n_full_funnel,
+        |  round(avg(CASE WHEN tp IS NOT NULL
+        |    THEN epoch_us(tp) - epoch_us(tv) END) / 1e6, 2) AS avg_sec_convert
+        |FROM u""".stripMargin,
     // the batch q_events_session oracle verbatim — stream == batch == oracle
     "q_session_stream_parity" ->
       """WITH l AS (SELECT user_id, event_id, ts,
