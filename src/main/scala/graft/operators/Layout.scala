@@ -86,9 +86,83 @@ object Layout {
     parts.sortWithinPartitions("zkey")
   }
 
-  val queries: Map[String, Q] = Map("q_zorder_cells" -> (zorderCells _))
+  val SpatialMod = 100000L // coordinate space [0, 1e5)²
+  val SpatialR = 1500L     // radius; also the grid cell edge
+  val SpatialTopK = 15
+
+  /** Grid-partitioned spatial radius self-join — the standard
+    * distributed spatial-join pattern (uniform grid with cell edge =
+    * radius, one side replicated to its 3×3 cell neighborhood, exact
+    * integer distance² filter): every pair within the radius lands in
+    * adjacent cells, and each qualifying pair matches EXACTLY once
+    * because the cell offset between two fixed points is unique — no
+    * post-join dedup. Customer points get deterministic coordinates
+    * from the engine-portable 56-bit hash, so the oracle can derive the
+    * identical point set and brute-force the pairs.
+    *
+    * Scale: the candidate join is a hash join keyed on cells — fact
+    * rows shuffle once (9× replication of one side, the textbook
+    * constant), never the O(n²) cross product the oracle uses; density
+    * per cell, not corpus size, bounds the per-key work. */
+  def spatialJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns.hash56
+    val pts = Tables.customer(spark, dir).select(
+      col("c_custkey").cast("long").as("id"),
+      pmod(hash56(concat(lit("x#"), col("c_custkey").cast("string"))),
+        lit(SpatialMod)).as("x"),
+      pmod(hash56(concat(lit("y#"), col("c_custkey").cast("string"))),
+        lit(SpatialMod)).as("y"))
+    spatialJoinDf(pts, SpatialR, SpatialTopK)
+  }
+
+  /** Core over any (id, x, y) integer point frame. */
+  def spatialJoinDf(pts: DataFrame, r: Long, topK: Int): DataFrame = {
+    val spark = pts.sparkSession
+    val base = pts.select(col("id"), col("x"), col("y"),
+      expr(s"x DIV $r").as("cx"), expr(s"y DIV $r").as("cy"))
+    val offsets = spark.range(9).select(
+      (col("id") / 3).cast("long").minus(1L).as("dx"),
+      (col("id") % 3).cast("long").minus(1L).as("dy"))
+    val repl = base.select(col("id").as("idb"), col("x").as("xb"),
+        col("y").as("yb"), col("cx").as("bcx"), col("cy").as("bcy"))
+      .crossJoin(broadcast(offsets))
+      .select(col("idb"), col("xb"), col("yb"),
+        (col("bcx") + col("dx")).as("ncx"), (col("bcy") + col("dy")).as("ncy"))
+    val pairs = base.join(repl,
+        col("cx") === col("ncx") && col("cy") === col("ncy") &&
+          col("id") < col("idb"))
+      .select(col("id").as("a"), col("idb").as("b"),
+        ((col("x") - col("xb")) * (col("x") - col("xb")) +
+          (col("y") - col("yb")) * (col("y") - col("yb"))).as("dist2"))
+      .filter(col("dist2") <= r * r)
+      .localCheckpoint(true) // pairs feed both the count and the top-k
+    val tot = pairs.agg(count(lit(1)).as("n_pairs"))
+    pairs.crossJoin(broadcast(tot))
+      .orderBy(asc("dist2"), asc("a"), asc("b"))
+      .limit(topK)
+      .select(col("a"), col("b"), col("dist2"), col("n_pairs"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_zorder_cells" -> (zorderCells _),
+    "q_spatial_join" -> (spatialJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q_spatial_join" ->
+      s"""WITH p AS MATERIALIZED (SELECT c_custkey::BIGINT AS id,
+         |    ('0x'||substr(md5('x#'||c_custkey::VARCHAR),1,14))::UBIGINT::BIGINT
+         |      % $SpatialMod AS x,
+         |    ('0x'||substr(md5('y#'||c_custkey::VARCHAR),1,14))::UBIGINT::BIGINT
+         |      % $SpatialMod AS y
+         |  FROM customer),
+         |pairs AS MATERIALIZED (SELECT a.id AS a, b.id AS b,
+         |    (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS dist2
+         |  FROM p a JOIN p b ON a.id < b.id
+         |  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+         |    <= ${SpatialR * SpatialR}),
+         |tot AS (SELECT count(*)::BIGINT AS n_pairs FROM pairs)
+         |SELECT a, b, dist2, n_pairs FROM pairs CROSS JOIN tot
+         |ORDER BY dist2, a, b LIMIT $SpatialTopK""".stripMargin,
     "q_zorder_cells" -> {
       val n = 1 << ZBits
       def q(x: String, mn: String, mx: String) = // mirrors quantize incl. the constant-dimension branch

@@ -52,4 +52,29 @@ class LayoutSpec extends SparkSpec {
     // a0,b0,a1,b1,a2,b2 = 1,1,0,1,1,0 → 0b011011 = 27
     assert(k == 27L, s"got $k")
   }
+
+  test("spatialJoin finds cross-cell pairs exactly once, excludes r+1") {
+    val spark2 = spark
+    import spark2.implicits._
+    // r=10, cells of 10: (9,9)-(11,11) straddles a cell CORNER (diag
+    // neighbor), (19,5)-(21,5) a vertical edge; (40,40)-(40,51) is
+    // dist 11 > 10 → excluded; (70,70)-(76,78) same cell dist2=100=r²
+    // → included at exactly the boundary
+    val pts = Seq(
+      (1L, 9L, 9L), (2L, 11L, 11L),
+      (3L, 19L, 5L), (4L, 21L, 5L),
+      (5L, 40L, 40L), (6L, 40L, 51L),
+      (7L, 70L, 70L), (8L, 76L, 78L)
+    ).toDF("id", "x", "y")
+    for (parts <- Seq(1, 4)) {
+      val got = Layout.spatialJoinDf(pts.repartition(parts), r = 10L, topK = 10)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+      assert(got.toSeq == Seq(
+        (3L, 4L, 4L, 4L),   // dist2 4, n_pairs 4
+        (1L, 2L, 8L, 4L),   // corner-straddling pair, found once
+        (2L, 3L, 100L, 4L), // (11,11)-(19,5): cross-cell at exactly r²
+        (7L, 8L, 100L, 4L)  // same cell at exactly r² — boundary inclusive
+      ), s"parts=$parts: ${got.toSeq}")
+    }
+  }
 }
