@@ -208,7 +208,10 @@ object DataQuality {
 
   /** Core over any (feature, x, y) frame. */
   def chi2SelectDf(st: DataFrame): DataFrame = {
+    // eager checkpoint: marginals + grid all derive from the cell rollup —
+    // without it each of the four branches re-scans the fact table
     val cells = st.groupBy("feature", "x", "y").agg(count(lit(1)).as("c_xy"))
+      .localCheckpoint(true)
     val fx = cells.groupBy("feature", "x").agg(sum("c_xy").as("c_x"))
     val fy = cells.groupBy("feature", "y").agg(sum("c_xy").as("c_y"))
     val fn = cells.groupBy("feature").agg(sum("c_xy").as("n"),
