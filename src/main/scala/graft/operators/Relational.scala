@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1063,6 +1063,78 @@ object Relational {
       .orderBy("a_key", "b_key")
   }
 
+  val FsMSeg = 0.95 // pinned m = P(agree | match) per field —
+  val FsMBal = 0.90 // textbook defaults; u is ESTIMATED from the
+  val FsMSfx = 0.85 // candidate pairs (agreement share), the
+                    // standard data-driven half of Fellegi–Sunter
+
+  /** Shared agree/disagree weight SQL fragments — interpolated into BOTH
+    * the Spark expression and the DuckDB oracle so the fp literals
+    * (incl. the non-representable 1−m tails) are character-identical. */
+  private[graft] def fsAgreeW(m: Double, na: String): String =
+    s"CASE WHEN $na = 0 THEN NULL ELSE " +
+      s"CAST(round(ln($m * np / $na) * 1000000) AS BIGINT) END"
+  private[graft] def fsDisagreeW(m: Double, na: String): String =
+    s"CASE WHEN np = $na THEN NULL ELSE " +
+      s"CAST(round(ln(${1 - m} * np / (np - $na)) * 1000000) AS BIGINT) END"
+
+  /** Fellegi–Sunter probabilistic record-linkage scoring — the classical
+    * model behind every production entity-resolution engine, upgrading
+    * the fuzzy/sorted-neighborhood CANDIDATE generators to calibrated
+    * match scores: candidate pairs come from nation blocking, each pair
+    * gets a 3-field agreement pattern (market segment, $1k account-
+    * balance bucket, 2-char name suffix), and each pattern scores
+    * Σ_field ln(m/u) [agree] or ln((1−m)/(1−u)) [disagree] — m pinned
+    * (textbook 0.85–0.95), u estimated exactly from the candidate-pair
+    * agreement shares. Weights round to integer micro-nats at
+    * computation (the q_woe_encode discipline) so the per-pattern score
+    * is an exact integer sum; degenerate u (0 or 1) pins NULL in both
+    * engines. Output: the 8 patterns with their counts, weights, score,
+    * and a score>0 match verdict.
+    *
+    * Scale: the pair fan-out is blocking-bounded (Σ_b n_b² — the
+    * block key's job; skewed blocks salt exactly like q_salted_join),
+    * the pattern rollup partial-aggregates map-side onto ≤2³ rows, and
+    * the u-estimation + scoring all happen on that 8-row frame. */
+  def fellegiSunter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(
+      col("c_custkey").as("id"), col("c_nationkey").as("blk"),
+      col("c_mktsegment").as("seg"),
+      expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000").as("balk"),
+      expr("substring(c_name, -2, 2)").as("sfx"))
+    fellegiSunterDf(c)
+  }
+
+  /** Core over any (id, blk, seg, balk, sfx) record frame. */
+  def fellegiSunterDf(c: DataFrame): DataFrame = {
+    val a = c.select(col("id").as("ida"), col("blk"), col("seg").as("sega"),
+      col("balk").as("balka"), col("sfx").as("sfxa"))
+    val b = c.select(col("id").as("idb"), col("blk"), col("seg").as("segb"),
+      col("balk").as("balkb"), col("sfx").as("sfxb"))
+    val pat = a.join(b, Seq("blk")).filter(col("ida") < col("idb"))
+      .select((col("sega") === col("segb")).cast("long").as("seg_a"),
+        (col("balka") === col("balkb")).cast("long").as("bal_a"),
+        (col("sfxa") === col("sfxb")).cast("long").as("sfx_a"))
+      .groupBy("seg_a", "bal_a", "sfx_a").agg(count(lit(1)).as("n_pairs"))
+    val tot = pat.agg(sum("n_pairs").as("np"),
+      sum(col("n_pairs") * col("seg_a")).as("na_seg"),
+      sum(col("n_pairs") * col("bal_a")).as("na_bal"),
+      sum(col("n_pairs") * col("sfx_a")).as("na_sfx"))
+    def w(m: Double, na: String, agree: Column): Column =
+      when(agree === 1L, expr(fsAgreeW(m, na))).otherwise(expr(fsDisagreeW(m, na)))
+    pat.crossJoin(broadcast(tot))
+      .withColumn("w_seg", w(FsMSeg, "na_seg", col("seg_a")))
+      .withColumn("w_bal", w(FsMBal, "na_bal", col("bal_a")))
+      .withColumn("w_sfx", w(FsMSfx, "na_sfx", col("sfx_a")))
+      .select(col("seg_a"), col("bal_a"), col("sfx_a"), col("n_pairs"),
+        col("w_seg"), col("w_bal"), col("w_sfx"),
+        (col("w_seg") + col("w_bal") + col("w_sfx")).as("score_micro"))
+      .withColumn("verdict",
+        when(col("score_micro") > 0, lit("match")).otherwise(lit("non-match")))
+      .orderBy(desc_nulls_last("score_micro"),
+        col("seg_a"), col("bal_a"), col("sfx_a"))
+  }
+
   /** Weight-of-evidence / information-value encoding — the classic
     * credit-scoring categorical encoder (and leakage-free alternative
     * to target encoding): per category, WOE = ln(pos-share / neg-share)
@@ -1226,6 +1298,7 @@ object Relational {
     "q_winsorize" -> (winsorize _),
     "q_join_size" -> (joinSizeForecast _),
     "q_sorted_neighborhood" -> (sortedNeighborhood _),
+    "q_record_linkage" -> (fellegiSunter _),
     "q_calibration" -> (calibration _),
     "q_grouping_sets" -> (groupingSets _),
     "q_incremental_agg" -> (incrementalAgg _),
@@ -1368,6 +1441,38 @@ object Relational {
         |  ((max(c * c) * 10000) // sum(c * c))::BIGINT AS top_share_bp,
         |  (sum(c * c) // sum(c))::BIGINT AS blowup_x
         |FROM perkey""".stripMargin,
+    "q_record_linkage" ->
+      s"""WITH c AS MATERIALIZED (SELECT c_custkey AS id, c_nationkey AS blk,
+         |    c_mktsegment AS seg,
+         |    CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS balk,
+         |    substring(c_name, -2, 2) AS sfx
+         |  FROM customer),
+         |pat AS MATERIALIZED (SELECT
+         |    (a.seg = b.seg)::BIGINT AS seg_a,
+         |    (a.balk = b.balk)::BIGINT AS bal_a,
+         |    (a.sfx = b.sfx)::BIGINT AS sfx_a,
+         |    count(*)::BIGINT AS n_pairs
+         |  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+         |  GROUP BY 1, 2, 3),
+         |tot AS (SELECT sum(n_pairs)::BIGINT AS np,
+         |    sum(n_pairs * seg_a)::BIGINT AS na_seg,
+         |    sum(n_pairs * bal_a)::BIGINT AS na_bal,
+         |    sum(n_pairs * sfx_a)::BIGINT AS na_sfx
+         |  FROM pat),
+         |scored AS (SELECT seg_a, bal_a, sfx_a, n_pairs,
+         |    CASE WHEN seg_a = 1 THEN ${fsAgreeW(FsMSeg, "na_seg")}
+         |      ELSE ${fsDisagreeW(FsMSeg, "na_seg")} END AS w_seg,
+         |    CASE WHEN bal_a = 1 THEN ${fsAgreeW(FsMBal, "na_bal")}
+         |      ELSE ${fsDisagreeW(FsMBal, "na_bal")} END AS w_bal,
+         |    CASE WHEN sfx_a = 1 THEN ${fsAgreeW(FsMSfx, "na_sfx")}
+         |      ELSE ${fsDisagreeW(FsMSfx, "na_sfx")} END AS w_sfx
+         |  FROM pat CROSS JOIN tot)
+         |SELECT seg_a, bal_a, sfx_a, n_pairs, w_seg, w_bal, w_sfx,
+         |  w_seg + w_bal + w_sfx AS score_micro,
+         |  CASE WHEN w_seg + w_bal + w_sfx > 0 THEN 'match'
+         |    ELSE 'non-match' END AS verdict
+         |FROM scored
+         |ORDER BY score_micro DESC NULLS LAST, seg_a, bal_a, sfx_a""".stripMargin,
     "q_sorted_neighborhood" ->
       s"""WITH ranked AS (
         |  SELECT p_partkey AS pk, p_name AS name,

@@ -99,4 +99,33 @@ class AbWoeSpec extends SparkSpec {
     assert(got("zc")._1 == 4L, "absent (c,1) cell still gridded")
     assert(got("zc")._3 == 2999998L, s"floor-div cells of exact 3.0: ${got("zc")}")
   }
+
+  test("fellegiSunter: weights replay ln(m/u) micro; degenerate u is NULL") {
+    val spark2 = spark
+    import spark2.implicits._
+    // one block, 4 records → 6 pairs. seg: A,A,B,B → 2/6 agree.
+    // balk: all 7 → u=1 (degenerate, disagree weight NULL but never used,
+    // agree weight ln(m/1)). sfx: w,x,y,z → 0/6 agree (u=0 degenerate:
+    // agree weight NULL but never used; disagree ln((1-m)/1)).
+    val c = Seq(
+      (1L, 0L, "A", 7L, "w"), (2L, 0L, "A", 7L, "x"),
+      (3L, 0L, "B", 7L, "y"), (4L, 0L, "B", 7L, "z"))
+      .toDF("id", "blk", "seg", "balk", "sfx")
+    val rows = Relational.fellegiSunterDf(c).collect()
+    def micro(x: Double): Long = math.round(math.log(x) * 1000000)
+    // patterns present: (1,1,0) ×2 and (0,1,0) ×4
+    val byPat = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+      r).toMap
+    val agreePat = byPat((1L, 1L, 0L))
+    assert(agreePat.getLong(3) == 2L)
+    assert(agreePat.getLong(4) == micro(0.95 * 6 / 2), "seg agree ln(m/u)")
+    assert(agreePat.getLong(5) == micro(0.90 * 6 / 6), "bal agree, u=1")
+    assert(agreePat.getLong(6) == micro((1 - 0.85) * 6 / 6), "sfx disagree, u=0")
+    val disPat = byPat((0L, 1L, 0L))
+    assert(disPat.getLong(3) == 4L)
+    assert(disPat.getLong(4) == micro((1 - 0.95) * 6 / 4), "seg disagree")
+    // score = exact integer sum of the micro weights
+    assert(agreePat.getLong(7) ==
+      agreePat.getLong(4) + agreePat.getLong(5) + agreePat.getLong(6))
+  }
 }
