@@ -93,6 +93,32 @@ object LinalgQueries {
       .toDF("i", "j", "val").orderBy("i", "j")
   }
 
+  /** Blocked Cholesky gate: G = XᵀX comes from the distributed
+    * treeAggregate gram (the heavy half — feature count small next to
+    * rows, the tall-skinny normal-equations posture shared with
+    * LinearRegression), L = chol(G) factors the P×P result, and the
+    * gate pins L to the data through the reconstruction identity
+    * LLᵀ = G (round-6, same discipline as q_qr_full's RᵀR) plus a
+    * structural flag row: L strictly-lower-triangular with positive
+    * diagonal. The oracle recomputes G directly in SQL. */
+  def choleskyGram(spark: SparkSession, dir: String): DataFrame = {
+    val g = Decompositions.gram(embRows(spark, dir).values, P)
+    val l = breeze.linalg.cholesky(g)
+    val rec = l * l.t
+    val structOk = {
+      val upperZero = (0 until P).forall(i =>
+        (i + 1 until P).forall(j => l(i, j) == 0.0))
+      val diagPos = (0 until P).forall(i => l(i, i) > 0.0)
+      if (upperZero && diagPos) 1.0 else 0.0
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    ((for (i <- 0 until P; j <- i until P) yield
+      (i, j, BigDecimal(rec(i, j)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      :+ ((-1, -1, structOk)))
+      .toDF("i", "j", "val").orderBy("i", "j")
+  }
+
   /** TSQR R factor checked through RᵀR = AᵀA (upper triangle). */
   def tsqrR(spark: SparkSession, dir: String): DataFrame = {
     val (_, r) = Decompositions.tsqr(embRows(spark, dir), P)
@@ -327,6 +353,7 @@ object LinalgQueries {
     "q_apply_axis" -> (applyAxis _),
     "q_pad" -> (padGate _),
     "q_qr_full" -> (qrFull _),
+    "q_cholesky" -> (choleskyGram _),
     "q_sparse_gram" -> (sparseGram _),
     "q_fancy_index" -> (fancyIndex _),
     "q_matmul_gram" -> (matmulGram _),
@@ -419,6 +446,12 @@ object LinalgQueries {
          |    CROSS JOIN generate_series(1, $P) h(j)),
          |g AS (SELECT i, j, sum(v[i] * v[j]) AS gij
          |    FROM e CROSS JOIN idx GROUP BY i, j)
+         |SELECT i - 1 AS i, j - 1 AS j, round(gij, 6) AS val FROM g
+         |WHERE i <= j
+         |UNION ALL SELECT -1, -1, 1.0::DOUBLE
+         |ORDER BY i, j""".stripMargin,
+    "q_cholesky" ->
+      s"""$gramCte
          |SELECT i - 1 AS i, j - 1 AS j, round(gij, 6) AS val FROM g
          |WHERE i <= j
          |UNION ALL SELECT -1, -1, 1.0::DOUBLE

@@ -371,6 +371,18 @@ class LinalgSpec extends SparkSpec {
     assert(maxAbs(Decompositions.gram(rows, p) - a.t * a) < 1e-8)
   }
 
+  test("cholesky of the distributed gram: LLᵀ = G, lower-triangular, diag > 0") {
+    val p = 6
+    val a = rand(200, p, 29)
+    val rows = sc.parallelize((0 until a.rows).map(i => a(i, ::).t.toArray), 8)
+    val g = Decompositions.gram(rows, p)
+    val l = breeze.linalg.cholesky(g)
+    assert(maxAbs(l * l.t - g) < 1e-8, "reconstruction")
+    for (i <- 0 until p; j <- i + 1 until p)
+      assert(l(i, j) == 0.0, s"strictly lower: l($i,$j)")
+    for (i <- 0 until p) assert(l(i, i) > 0.0, s"positive diag at $i")
+  }
+
   test("hadamard / sliceRows / deleteRow / concat") {
     val a = rand(10, 6, 20); val b = rand(10, 6, 21)
     val da = DsArray.fromBreeze(sc, a, 4, 3)
