@@ -350,7 +350,11 @@ object Bench {
         // honest rewriter cost) — must stay ~linear; Mann-Kendall's
         // pair join is over the DAILY rollup, so 10× events should be
         // ~FLAT (the constant-fan-out claim, measured)
-        "q_dedup_rewrite", "q_mann_kendall")
+        "q_dedup_rewrite", "q_mann_kendall",
+        // round-8 batch-op additions: link prediction's hub-capped pair
+        // join and SSSP's per-round dist⋈edges must track edges; chi2's
+        // stack fan-out and Holt-Winters' days-sized folds stay linear
+        "q_link_predict", "q_sssp", "q_chi2_select", "q_holt_winters")
       val runs = heavy.map { n =>
         val k = s"sf1_$n"
         rerun(k) = () => materialize(SparkEntry.queries(n)(spark, sf1Dir))

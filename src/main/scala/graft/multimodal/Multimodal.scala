@@ -367,6 +367,39 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** TIFF/EXIF metadata gate: id-derived parameters → minimal TIFF
+    * bytes (BOTH endiannesses, by id parity) → IFD reader → the oracle
+    * recomputes the parameters arithmetically. Same writer→reader
+    * independence shape as [[videoMetaQuery]]. */
+  def tiffMetaQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id")).filter(pmod(col("doc_id"), lit(3)) === 1)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 100L + id % 4000
+        val h = 100L + id % 3000
+        val o = 1 + (id % 8).toInt
+        val dpi = 72L + id % 528
+        val bytes = TiffExif.buildTiff(w, h, o, dpi, littleEndian = id % 2 == 0)
+        TiffExif.parseTiff(bytes) match {
+          case Some(m) => (id, m.byteOrder, m.width, m.height, m.orientation, m.dpi)
+          case None => (id, null: String, -1L, -1L, -1, -1L)
+        }
+      })
+      .toDF("media_id", "byte_order", "width", "height", "orientation", "dpi")
+      .orderBy("media_id")
+  }
+
+  val tiffMetaOracle: String =
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+      |  (100 + doc_id % 4000)::BIGINT AS width,
+      |  (100 + doc_id % 3000)::BIGINT AS height,
+      |  (1 + doc_id % 8)::INT AS orientation,
+      |  (72 + doc_id % 528)::BIGINT AS dpi
+      |FROM documents WHERE doc_id % 3 = 1 ORDER BY media_id""".stripMargin
+
   /** DuckDB oracle: the id-derived container parameters, recomputed
     * arithmetically (25 fps ⇒ duration_ms = 40·frames). */
   val videoMetaOracle: String =
