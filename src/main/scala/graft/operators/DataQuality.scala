@@ -233,7 +233,39 @@ object DataQuality {
       .orderBy(desc("chi2_micro"), asc("feature"))
   }
 
+  /** Per-column Shannon entropy over the same categorical stack as
+    * [[chi2Select]] — the information-content profiling metric (near-
+    * zero entropy flags dead columns, near-ln(k) flags keys; the
+    * univariate companion to mutual information). Per category the
+    * pointwise −p·ln p lands as (c · round(ln(n/c)·10⁶)) DIV n — the
+    * q_mutual_info discipline: the ln micro-rounds at computation, the
+    * weighting is integer, so engines replay identical longs.
+    *
+    * Scale: one fact scan through the stack generator, a partial+final
+    * (feature, x) rollup, a features-sized broadcast of totals, and a
+    * features-sized output. */
+  def columnEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.lineitem(spark, dir).selectExpr(
+      """stack(4,
+        |  'returnflag', l_returnflag,
+        |  'linestatus', l_linestatus,
+        |  'linenumber', CAST(l_linenumber AS STRING),
+        |  'disc_pct',   CAST(CAST(round(l_discount * 100) AS INT) AS STRING))
+        |  AS (feature, x)""".stripMargin)
+    val cells = st.groupBy("feature", "x").agg(count(lit(1)).as("c"))
+    val fn = cells.groupBy("feature")
+      .agg(sum("c").as("n"), count(lit(1)).as("n_distinct"))
+    cells.join(broadcast(fn), "feature")
+      .selectExpr("feature", "n_distinct",
+        """(c * CAST(round(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000)
+          |  AS BIGINT)) DIV n AS contrib""".stripMargin)
+      .groupBy("feature", "n_distinct")
+      .agg(sum("contrib").as("entropy_micro"))
+      .orderBy(desc("entropy_micro"), asc("feature"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_col_entropy" -> (columnEntropy _),
     "q_chi2_select" -> (chi2Select _),
     "q_data_quality" -> (dataQuality _),
     "q_fd_violations" -> (fdViolations _),
@@ -241,6 +273,24 @@ object DataQuality {
     "q_psi_drift" -> (psiDrift _))
 
   val oracles: Map[String, String] = Map(
+    "q_col_entropy" ->
+      """WITH st AS MATERIALIZED (
+        |  SELECT f.feature, f.x
+        |  FROM lineitem, LATERAL (VALUES
+        |    ('returnflag', l_returnflag), ('linestatus', l_linestatus),
+        |    ('linenumber', CAST(l_linenumber AS VARCHAR)),
+        |    ('disc_pct', CAST(CAST(round(l_discount * 100) AS INT) AS VARCHAR)))
+        |    AS f(feature, x)),
+        |cells AS (SELECT feature, x, count(*)::BIGINT AS c
+        |  FROM st GROUP BY 1, 2),
+        |fn AS (SELECT feature, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_distinct
+        |  FROM cells GROUP BY 1)
+        |SELECT feature, n_distinct,
+        |  sum((c * CAST(round(ln(n::DOUBLE / c::DOUBLE) * 1000000) AS BIGINT))
+        |    // n)::BIGINT AS entropy_micro
+        |FROM cells JOIN fn USING (feature)
+        |GROUP BY feature, n_distinct
+        |ORDER BY entropy_micro DESC, feature""".stripMargin,
     "q_chi2_select" ->
       s"""WITH st AS MATERIALIZED (
          |  SELECT f.feature, f.x, CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS y

