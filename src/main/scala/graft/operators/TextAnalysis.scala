@@ -1279,7 +1279,42 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"))
       .orderBy("doc_id", "bucket")
 
+  /** Flesch–Kincaid grade-level readability per source — the classic
+    * curation quality signal (readability filters are standard in
+    * corpus pipelines next to [[textQuality]]'s ratio screens):
+    * grade = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59,
+    * with sentences = [.!?]+ runs, words = \\S+ runs, and syllables
+    * approximated by vowel-group runs ([aeiouy]+) — the textbook
+    * heuristic, and count-of-regexp-runs is engine-portable. The
+    * formula lands entirely in integer micro-units by DIV (both
+    * engines truncate toward zero, q_holt_linear's proven contract),
+    * so per-doc grades are exact longs.
+    *
+    * Scale: one regexp-count scan over the corpus (codegen'd, no
+    * UDF), then a partial+final per-source rollup — sources-sized
+    * output at any corpus size. */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    readabilityDf(Tables.documents(spark, dir)
+      .select(col("source"), lower(col("text")).as("t")))
+
+  /** Core over any (source, t lowercased text) frame. */
+  private[graft] def readabilityDf(d: DataFrame): DataFrame =
+    d.selectExpr("source",
+        "greatest(regexp_count(t, '\\\\S+'), 1L) AS words",
+        "greatest(regexp_count(t, '[.!?]+'), 1L) AS sents",
+        "greatest(regexp_count(t, '[aeiouy]+'), 1L) AS syl")
+      .selectExpr("source",
+        """(390000 * words) DIV sents + (11800000 * syl) DIV words
+          | - 15590000 AS g""".stripMargin)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(g) DIV count(1)").as("avg_grade_micro"),
+        expr("(sum(CASE WHEN g > 12000000 THEN 1 ELSE 0 END) * 10000)" +
+          " DIV count(1)").as("hard_share_bp"))
+      .orderBy("source")
+
   val queries: Map[String, Q] = Map(
+    "q_readability" -> (readability _),
     "q_feature_hash" -> (featureHash _),
     "q_shard_balance" -> (shardBalance _),
     "q_doc_perplexity" -> (docPerplexity _),
@@ -1346,6 +1381,24 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_readability" ->
+      """WITH per AS (SELECT source,
+        |    greatest(length(regexp_extract_all(lower(text), '\S+')), 1)::BIGINT
+        |      AS words,
+        |    greatest(length(regexp_extract_all(lower(text), '[.!?]+')), 1)::BIGINT
+        |      AS sents,
+        |    greatest(length(regexp_extract_all(lower(text), '[aeiouy]+')), 1)::BIGINT
+        |      AS syl
+        |  FROM documents),
+        |g AS (SELECT source,
+        |    (390000 * words) // sents + (11800000 * syl) // words
+        |      - 15590000 AS g
+        |  FROM per)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  (sum(g) // count(*))::BIGINT AS avg_grade_micro,
+        |  ((sum(CASE WHEN g > 12000000 THEN 1 ELSE 0 END) * 10000)
+        |    // count(*))::BIGINT AS hard_share_bp
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
     "q_dedup_rewrite" ->
       s"""WITH d AS (SELECT source, doc_id, $wordsSql AS w FROM documents),
          |segs AS (SELECT source, doc_id, len(w) AS nw, s.pos AS pos,

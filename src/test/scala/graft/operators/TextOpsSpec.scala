@@ -269,4 +269,23 @@ class TextOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("readability: FK grade replays the integer micro formula") {
+    val spark2 = spark
+    import spark2.implicits._
+    // "the cat sat. it is fat." → words 6, sentences 2, vowel runs 6
+    // g = 390000·6/2 + 11800000·6/6 − 15590000 = −2620000 (easy text)
+    // hard: one 40-word 1-sentence run of multi-vowel-group words
+    val hardText = (1 to 40).map(_ => "cooperation").mkString(" ") + "."
+    // cooperation: oo, e, a, io → 4 runs ×40 = 160; words 40, sents 1
+    val hardG = 390000L * 40 / 1 + 11800000L * 160 / 40 - 15590000L
+    val d = Seq(("easy", "the cat sat. it is fat."), ("hard", hardText))
+      .toDF("source", "t")
+    val got = TextAnalysis.readabilityDf(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got("easy") == ((1L, -2620000L, 0L)), s"${got("easy")}")
+    assert(got("hard") == ((1L, hardG, 10000L)), s"expected $hardG: ${got("hard")}")
+    assert(hardG > 12000000L, "the hard doc must clear the grade-12 bar")
+  }
 }
