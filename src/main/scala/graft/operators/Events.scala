@@ -264,6 +264,44 @@ object Events {
       .orderBy("event_id")
   }
 
+  val DecayHalfLifeUs = 300L * 1000000L // 5-min half-life inside the horizon
+
+  /** Time-decay multi-touch attribution — the exponential companion to
+    * [[attributionMulti]]'s position weights (the other standard
+    * marketing model): every click in the 30-min horizon before a
+    * purchase earns 1024 >> (age DIV halflife) units — power-of-two
+    * halving, so decay is EXACT integer arithmetic, no exp() anywhere —
+    * and first/last-touch shares come out in bp of the summed units.
+    * First/last weights derive from min/max click time (weight is a
+    * pure function of the timestamp, so equal-µs ties cannot diverge).
+    *
+    * Scale: the pair join is the interval-join posture — hash on user,
+    * fan-out bounded by horizon÷click-rate, never users²; one
+    * partial+final per-purchase rollup. */
+  def attributionDecay(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_id"),
+      col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("us").as("pus"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("cus"))
+    p.join(c, Seq("user_id"))
+      .filter(col("cus") < col("pus") &&
+        col("cus") >= col("pus") - AttributionHorizonUs)
+      .withColumn("w", expr("shiftright(1024L, " +
+        s"CAST(least((pus - cus) DIV $DecayHalfLifeUs, 10L) AS INT))"))
+      .groupBy("purchase_id")
+      .agg(count(lit(1)).as("n_touch"), sum("w").as("w_total_units"),
+        max("pus").as("pus"), min("cus").as("fc"), max("cus").as("lc"))
+      .selectExpr("purchase_id", "n_touch", "w_total_units",
+        s"""(shiftright(1024L, CAST(least((pus - fc) DIV $DecayHalfLifeUs, 10L)
+           |  AS INT)) * 10000) DIV w_total_units AS first_share_bp""".stripMargin,
+        s"""(shiftright(1024L, CAST(least((pus - lc) DIV $DecayHalfLifeUs, 10L)
+           |  AS INT)) * 10000) DIV w_total_units AS last_share_bp""".stripMargin)
+      .orderBy("purchase_id")
+  }
+
   /** Within-session Markov transition matrix: for every ordered pair of
     * consecutive events inside a 30-min-gap session, the transition
     * count and probability (micro units, integer DIV by the from-state
@@ -552,6 +590,7 @@ object Events {
     "q_cohort_retention" -> (cohortRetention _),
     "q_top_paths" -> (topPaths _),
     "q_attribution_multi" -> (attributionMulti _),
+    "q_attribution_decay" -> (attributionDecay _),
     "q_markov_transitions" -> (markovTransitions _),
     "q_funnel_time" -> (funnelLatency _))
 
@@ -763,6 +802,27 @@ object Events {
         |  round(avg(CASE WHEN tp IS NOT NULL
         |    THEN epoch_us(tp) - epoch_us(tv) END) / 1e6, 2) AS avg_sec_convert
         |FROM u""".stripMargin,
+    "q_attribution_decay" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+         |  FROM events),
+         |p AS (SELECT event_id AS purchase_id, user_id, us AS pus FROM e
+         |  WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, us AS cus FROM e WHERE event_type = 'click'),
+         |pr AS (SELECT purchase_id, pus, cus,
+         |    (1024::BIGINT >> least((pus - cus) // $DecayHalfLifeUs, 10)::INT)
+         |      AS w
+         |  FROM p JOIN c USING (user_id)
+         |  WHERE cus < pus AND cus >= pus - $AttributionHorizonUs),
+         |g AS (SELECT purchase_id, count(*)::BIGINT AS n_touch,
+         |    sum(w)::BIGINT AS w_total_units, max(pus) AS pus,
+         |    min(cus) AS fc, max(cus) AS lc
+         |  FROM pr GROUP BY purchase_id)
+         |SELECT purchase_id, n_touch, w_total_units,
+         |  (((1024::BIGINT >> least((pus - fc) // $DecayHalfLifeUs, 10)::INT)
+         |    * 10000) // w_total_units)::BIGINT AS first_share_bp,
+         |  (((1024::BIGINT >> least((pus - lc) // $DecayHalfLifeUs, 10)::INT)
+         |    * 10000) // w_total_units)::BIGINT AS last_share_bp
+         |FROM g ORDER BY purchase_id""".stripMargin,
     "q_attribution_multi" ->
       s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
          |  FROM events),

@@ -35,6 +35,25 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(touched > 0, "test data must exercise the credited path")
   }
 
+  test("attributionDecay halving weights and boundary shares on the gate frame") {
+    val rows = Events.attributionDecay(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n_touch"))
+      val wt = r.getLong(r.fieldIndex("w_total_units"))
+      val fb = r.getLong(r.fieldIndex("first_share_bp"))
+      val lb = r.getLong(r.fieldIndex("last_share_bp"))
+      assert(n >= 1 && wt >= 1, s"n=$n wt=$wt")
+      // every weight is a power of two in [1, 1024]; totals bounded
+      assert(wt <= 1024 * n, s"wt=$wt n=$n")
+      assert(wt >= n, "min weight unit is 1")
+      // the most recent click can never be out-credited by the oldest
+      assert(lb >= fb, s"decay must favor recency: first=$fb last=$lb")
+      assert(fb >= 0 && lb <= 10000)
+      if (n == 1) assert(fb == 10000 && lb == 10000)
+    }
+  }
+
   test("attributionMulti is a pure window plan — no self-join anywhere") {
     val plan = Events.attributionMulti(spark, dir)
       .queryExecution.executedPlan.toString
