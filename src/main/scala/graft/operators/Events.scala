@@ -469,6 +469,61 @@ object Events {
       .withColumn("significant", col("z2_micro") > AbCritMicro)
   }
 
+  val SprtUpliftNum = 11L // H1: p1 = (11/10)·p0 — a pinned +10% uplift
+  val SprtUpliftDen = 10L
+  val SprtLnUpliftMicro = math.round(math.log(11.0 / 10.0) * 1e6)
+  val SprtBoundMicro = math.round(math.log(19.0) * 1e6) // α=β=0.05
+
+  /** Wald SPRT for conversion uplift — the PEEKING-SAFE sequential
+    * companion to [[abTestDf]]'s fixed-horizon z² (run it on every
+    * ingest batch; the likelihood-ratio boundaries keep α/β valid under
+    * continuous monitoring, which the z-test famously does not):
+    * H₀ p = p₀ (arm A's observed rate) vs H₁ p = 1.1·p₀, LLR over arm B
+    * = c_B·ln(1.1) + (n_B−c_B)·ln((1−1.1·p₀)/(1−p₀)). The second log's
+    * argument reduces to the INTEGER ratio (10·n_A − 11·c_A)/(10·(n_A −
+    * c_A)), so both engines micro-round the same double (the woe
+    * discipline); the LLR is then an exact integer sum, compared to the
+    * ±ln 19 boundaries in micro. Degenerate p₀ (0, or ≥ 1/1.1) pins a
+    * NULL verdict in both engines.
+    *
+    * Scale: identical posture to q_ab_test — two user-keyed rollups to
+    * a 2-arm frame, then 1-row arithmetic. */
+  def sprtTest(spark: SparkSession, dir: String): DataFrame =
+    sprtDf(Tables.events(spark, dir))
+
+  /** Core over any (user_id, event_type) frame. */
+  def sprtDf(ev: DataFrame): DataFrame = {
+    val users = ev.select(col("user_id")).distinct()
+      .withColumn("arm", pmod(hash56(col("user_id").cast("string")), lit(2)))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(count(lit(1)).as("np"))
+      .filter(col("np") >= AbConvMin)
+      .select(col("user_id")).withColumn("cv", lit(1L))
+    users.join(conv, Seq("user_id"), "left")
+      .groupBy("arm").agg(count(lit(1)).as("n"),
+        coalesce(sum("cv"), lit(0L)).as("c"))
+      .agg(
+        sum(when(col("arm") === 0, col("n"))).as("n_a"),
+        sum(when(col("arm") === 0, col("c"))).as("c_a"),
+        sum(when(col("arm") === 1, col("n"))).as("n_b"),
+        sum(when(col("arm") === 1, col("c"))).as("c_b"))
+      .selectExpr("n_a", "c_a", "n_b", "c_b",
+        s"""CAST(CASE WHEN coalesce(c_a, 0) = 0
+           |  OR $SprtUpliftDen * n_a <= $SprtUpliftNum * c_a THEN NULL
+           | ELSE round(ln(CAST($SprtUpliftDen * n_a - $SprtUpliftNum * c_a
+           |     AS DOUBLE) / CAST($SprtUpliftDen * (n_a - c_a) AS DOUBLE))
+           |   * 1000000) END AS BIGINT) AS term0_micro""".stripMargin)
+      .selectExpr("n_a", "c_a", "n_b", "c_b", "term0_micro",
+        s"""CAST(CASE WHEN term0_micro IS NULL THEN NULL
+           | ELSE c_b * $SprtLnUpliftMicro + (n_b - c_b) * term0_micro
+           | END AS BIGINT) AS llr_micro""".stripMargin)
+      .selectExpr("n_a", "c_a", "n_b", "c_b", "term0_micro", "llr_micro",
+        s"""CASE WHEN llr_micro IS NULL THEN NULL
+           | WHEN llr_micro >= $SprtBoundMicro THEN 'uplift'
+           | WHEN llr_micro <= -$SprtBoundMicro THEN 'no_uplift'
+           | ELSE 'continue' END AS verdict""".stripMargin)
+  }
+
   /** Kaplan–Meier time-to-conversion curve — survival analysis with
     * censoring, the piece simple funnel latency (q_funnel_time) cannot
     * express: users who never purchase still contribute risk-set time
@@ -579,6 +634,7 @@ object Events {
     "q_ohlc_bars" -> (ohlcBars _),
     "q_survival_km" -> (survivalKm _),
     "q_ab_test" -> (abTest _),
+    "q_sprt" -> (sprtTest _),
     "q_rolling_dau" -> (rollingDau _),
     "q_events_window" -> (tumblingWindow _),
     "q_events_session" -> (sessionize _),
@@ -647,6 +703,40 @@ object Events {
         |  FROM rec JOIN ev ON ev.rn = rec.rn + 1)
         |SELECT day, n_risk, d AS n_events, surv::BIGINT AS surv_micro
         |FROM rec ORDER BY day""".stripMargin,
+    "q_sprt" ->
+      s"""WITH u AS (SELECT user_id,
+         |    ${hash56Sql("user_id::VARCHAR")} % 2 AS arm
+         |  FROM (SELECT DISTINCT user_id FROM events)),
+         |cv AS (SELECT user_id, 1::BIGINT AS cv FROM events
+         |  WHERE event_type = 'purchase'
+         |  GROUP BY user_id HAVING count(*) >= $AbConvMin),
+         |a AS (SELECT arm, count(*)::BIGINT AS n,
+         |    coalesce(sum(cv), 0)::BIGINT AS c
+         |  FROM u LEFT JOIN cv USING (user_id) GROUP BY arm),
+         |p AS (SELECT
+         |    sum(CASE WHEN arm = 0 THEN n END)::BIGINT AS n_a,
+         |    sum(CASE WHEN arm = 0 THEN c END)::BIGINT AS c_a,
+         |    sum(CASE WHEN arm = 1 THEN n END)::BIGINT AS n_b,
+         |    sum(CASE WHEN arm = 1 THEN c END)::BIGINT AS c_b
+         |  FROM a),
+         |t AS (SELECT *,
+         |    (CASE WHEN coalesce(c_a, 0) = 0
+         |      OR $SprtUpliftDen * n_a <= $SprtUpliftNum * c_a THEN NULL
+         |     ELSE round(ln(($SprtUpliftDen * n_a - $SprtUpliftNum * c_a)::DOUBLE
+         |       / ($SprtUpliftDen * (n_a - c_a))::DOUBLE) * 1000000)
+         |     END)::BIGINT AS term0_micro
+         |  FROM p),
+         |l AS (SELECT *,
+         |    (CASE WHEN term0_micro IS NULL THEN NULL
+         |     ELSE c_b * $SprtLnUpliftMicro + (n_b - c_b) * term0_micro
+         |     END)::BIGINT AS llr_micro
+         |  FROM t)
+         |SELECT n_a, c_a, n_b, c_b, term0_micro, llr_micro,
+         |  CASE WHEN llr_micro IS NULL THEN NULL
+         |   WHEN llr_micro >= $SprtBoundMicro THEN 'uplift'
+         |   WHEN llr_micro <= -$SprtBoundMicro THEN 'no_uplift'
+         |   ELSE 'continue' END AS verdict
+         |FROM l""".stripMargin,
     "q_ab_test" ->
       s"""WITH u AS (SELECT user_id,
          |    ${hash56Sql("user_id::VARCHAR")} % 2 AS arm

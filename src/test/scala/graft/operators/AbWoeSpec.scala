@@ -100,6 +100,36 @@ class AbWoeSpec extends SparkSpec {
     assert(got("zc")._3 == 2999998L, s"floor-div cells of exact 3.0: ${got("zc")}")
   }
 
+  test("sprt: uplift / no-uplift / continue / degenerate-p0 verdicts") {
+    val spark2 = spark
+    import spark2.implicits._
+    def arm(u: Long): Int = (Sketches.hash56Jvm(u.toString) % 2).toInt
+    val users = (1L to 2000L).toSeq
+    val (a, b) = users.partition(arm(_) == 0)
+    def frame(convA: Seq[Long], convB: Seq[Long]) = {
+      val conv = (convA ++ convB).toSet
+      users.flatMap { u =>
+        if (conv(u)) Seq.fill(15)((u, "purchase")) else Seq((u, "view"))
+      }.toDF("user_id", "event_type")
+    }
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val r = Events.sprtDf(df).head()
+      (if (r.isNullAt(6)) null else r.getString(6), r)
+    }
+    // arm A 10% converts, arm B 30% → LLR far above ln 19
+    val (v1, _) = run(frame(a.take(a.size / 10), b.take(3 * b.size / 10)))
+    assert(v1 == "uplift", s"got $v1")
+    // arm B converts nothing → LLR strongly negative
+    val (v2, _) = run(frame(a.take(a.size / 10), Nil))
+    assert(v2 == "no_uplift", s"got $v2")
+    // B converting at ~baseline (LLR ≈ 0, inside the ±ln19 band) → continue
+    val (v3, _) = run(frame(a.take(a.size / 10), b.take(105 * b.size / 1000)))
+    assert(v3 == "continue", s"got $v3")
+    // degenerate p0 = 0 → NULL verdict, not a crash or a fake verdict
+    val (v4, r4) = run(frame(Nil, b.take(5)))
+    assert(v4 == null && r4.isNullAt(5), s"got $v4 / $r4")
+  }
+
   test("columnEntropy shape: uniform ≈ ln k, constant = 0 (via gate frame)") {
     // exercised through the real gate frame: entropy non-negative,
     // bounded by ln(n_distinct)+rounding, and the disc_pct column (most
