@@ -472,6 +472,65 @@ object Temporal {
           |  AS intercept_cents""".stripMargin)
       .orderBy("pri")
 
+  val WfFolds = 3
+
+  /** Walk-forward (rolling-origin) validation of the per-group OLS
+    * trend — the time-series counterpart of KFold that KFold gets WRONG
+    * for temporal data (random folds leak the future into training):
+    * fold k trains on the first k/5 of each series' days and scores the
+    * NEXT fifth, reporting the refit slope and the out-of-sample MAE.
+    * Fit is [[olsTrendOf]]'s 5-sums closed form in DECIMAL(38,0);
+    * predictions are integer (intercept + slope_micro·x DIV 10⁶), so
+    * the error metric is an exact integer — the whole protocol
+    * replays engine-bit-exact. Folds with under 2 train days or an
+    * empty test window drop out deterministically.
+    *
+    * Scale: the fold dimension is a 3-row broadcast against the DAILY
+    * rollup (never the fact table); per (group, fold) one partial+final
+    * 5-sums agg and one test-window join — fold count never touches
+    * the fact-scan cost. */
+  def walkForward(spark: SparkSession, dir: String): DataFrame =
+    walkForwardOf(Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("pri"), to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents")))
+
+  /** Core over any (pri, d DATE, cents LONG) daily frame. */
+  private[graft] def walkForwardOf(daily: DataFrame): DataFrame = {
+    val spark = daily.sparkSession
+    val idx = daily
+      .withColumn("d0", min("d").over(Window.partitionBy("pri")))
+      .selectExpr("pri", "datediff(d, d0) AS x", "cents AS y")
+    val t = idx.groupBy("pri").agg((max("x") + 1).as("tdays"))
+    val folds = spark.range(1, WfFolds + 1).select(col("id").as("fold"))
+    val wf = idx.join(broadcast(t), "pri").crossJoin(broadcast(folds))
+      .selectExpr("pri", "fold", "x", "y",
+        "(tdays * fold) DIV 5 AS cutoff", "tdays DIV 5 AS h")
+    val train = wf.filter(col("x") < col("cutoff"))
+      .groupBy("pri", "fold")
+      .agg(count(lit(1)).as("n_train"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+      .filter(col("n_train") >= 2)
+      .selectExpr("pri", "fold", "n_train",
+        """CAST(((CAST(n_train AS DECIMAL(38,0)) * sxy
+          |  - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000)
+          | DIV (CAST(n_train AS DECIMAL(38,0)) * sxx
+          |  - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT) AS slope_micro""".stripMargin,
+        """CAST((CAST(sy AS DECIMAL(38,0)) * sxx
+          |  - CAST(sx AS DECIMAL(38,0)) * sxy)
+          | DIV (CAST(n_train AS DECIMAL(38,0)) * sxx
+          |  - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT) AS intercept_cents""".stripMargin)
+    wf.filter(col("x") >= col("cutoff") && col("x") < col("cutoff") + col("h"))
+      .join(train, Seq("pri", "fold"))
+      .selectExpr("pri", "fold", "n_train", "slope_micro", "intercept_cents",
+        "abs(y - (intercept_cents + (slope_micro * x) DIV 1000000)) AS ae")
+      .groupBy("pri", "fold", "n_train", "slope_micro", "intercept_cents")
+      .agg(count(lit(1)).as("n_test"),
+        expr("sum(ae) DIV count(1)").as("mae_cents"))
+      .selectExpr("pri", "fold", "n_train", "n_test", "slope_micro", "mae_cents")
+      .orderBy("pri", "fold")
+  }
+
   val AnomalyKUsdDiv = 100000L
 
   /** Day-of-week-adjusted anomaly days: daily revenue in integer
@@ -556,6 +615,7 @@ object Temporal {
     "q_cross_corr" -> (crossCorrDaily _),
     "q_holt_linear" -> (holtLinear _),
     "q_holt_winters" -> (holtWinters _),
+    "q_walk_forward" -> (walkForward _),
     "q_mann_kendall" -> (mannKendall _),
     "q_theil_sen" -> (theilSen _),
     "q_ols_trend" -> (olsTrend _),
@@ -743,6 +803,38 @@ object Temporal {
         |SELECT pri, d, cents, l AS level_milli, b AS trend_milli,
         |  l + b AS forecast_milli
         |FROM rec ORDER BY pri, d""".stripMargin,
+    "q_walk_forward" ->
+      s"""WITH daily AS (SELECT o_orderpriority AS pri,
+         |    CAST(o_orderdate AS DATE) AS d,
+         |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+         |  FROM orders GROUP BY 1, 2),
+         |idx AS (SELECT pri,
+         |    date_diff('day', min(d) OVER (PARTITION BY pri), d)::BIGINT AS x,
+         |    cents AS y
+         |  FROM daily),
+         |t AS (SELECT pri, max(x) + 1 AS tdays FROM idx GROUP BY pri),
+         |wf AS (SELECT idx.pri, f.fold, idx.x, idx.y,
+         |    (t.tdays * f.fold) // 5 AS cutoff, t.tdays // 5 AS h
+         |  FROM idx JOIN t USING (pri)
+         |  CROSS JOIN (SELECT unnest(range(1, ${WfFolds + 1})) AS fold) f),
+         |tr AS (SELECT pri, fold, count(*)::BIGINT AS n_train,
+         |    sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+         |    sum(x::HUGEINT * x) AS sxx, sum(x::HUGEINT * y) AS sxy
+         |  FROM wf WHERE x < cutoff GROUP BY 1, 2 HAVING count(*) >= 2),
+         |fit AS (SELECT pri, fold, n_train,
+         |    (((n_train * sxy - sx * sy) * 1000000)
+         |      // (n_train * sxx - sx * sx))::BIGINT AS slope_micro,
+         |    ((sy * sxx - sx * sxy)
+         |      // (n_train * sxx - sx * sx))::BIGINT AS intercept_cents
+         |  FROM tr)
+         |SELECT w.pri, w.fold, f.n_train, count(*)::BIGINT AS n_test,
+         |  f.slope_micro,
+         |  (sum(abs(w.y - (f.intercept_cents + (f.slope_micro * w.x) // 1000000)))
+         |    // count(*))::BIGINT AS mae_cents
+         |FROM wf w JOIN fit f ON f.pri = w.pri AND f.fold = w.fold
+         |WHERE w.x >= w.cutoff AND w.x < w.cutoff + w.h
+         |GROUP BY w.pri, w.fold, f.n_train, f.slope_micro, f.intercept_cents
+         |ORDER BY w.pri, w.fold""".stripMargin,
     "q_holt_winters" ->
       s"""WITH RECURSIVE daily AS (
          |  SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS d,

@@ -195,6 +195,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(expect(7)._3 != 0L || expect(1)._3 != 0L)
   }
 
+  test("walkForward: exact linear series refits exactly; piecewise breaks it") {
+    val spark2 = spark
+    import spark2.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    // y = 100 + 7x for 50 days → every fold: slope 7e6 micro, MAE 0
+    val lin = (0 until 50).map(i => ("lin", day(i), 100L + 7L * i))
+    // first fifth flat at 100, then jumps to 1000: fold-1 trains on the
+    // flat part only (NO future leakage) → slope 0, MAE = 900 on test
+    val brk = (0 until 50).map(i => ("brk", day(i), if (i < 10) 100L else 1000L))
+    val got = Temporal.walkForwardOf((lin ++ brk).toDF("pri", "d", "cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    for (k <- 1L to 3L) {
+      val (nTr, nTe, slope, mae) = got(("lin", k))
+      assert(nTr == 10 * k && nTe == 10, s"fold $k sizes: $nTr/$nTe")
+      assert(slope == 7000000L && mae == 0L, s"fold $k: slope=$slope mae=$mae")
+    }
+    val (_, _, s1, mae1) = got(("brk", 1L))
+    assert(s1 == 0L && mae1 == 900L, s"leak check: slope=$s1 mae=$mae1")
+  }
+
   test("mannKendall: increasing / tied / alternating hand-replays") {
     val spark2 = spark
     import spark2.implicits._
