@@ -577,6 +577,50 @@ object Events {
     rows.toSeq.toDF("day", "n_risk", "n_events", "surv_micro").orderBy("day")
   }
 
+  /** Nelson–Aalen cumulative hazard — [[survivalKmDf]]'s estimator twin
+    * (H(t) = Σ d/n vs KM's Π(1−d/n); NA is the one epidemiologists
+    * overlay to read the hazard RATE): per event day the hazard is
+    * (d·10⁶) DIV n_risk and the curve is a running SUM — additive, so
+    * unlike KM's product it needs NO driver fold: the whole estimator
+    * is a histogram, a suffix-sum window, and a prefix-sum window,
+    * fully distributed end to end.
+    *
+    * Scale: the duration histogram is day-grain bounded; both windows
+    * run over that bounded table, never over users. */
+  def nelsonAalen(spark: SparkSession, dir: String): DataFrame =
+    nelsonAalenDf(Tables.events(spark, dir))
+
+  /** Core over any (user_id, event_type, ts) frame. */
+  def nelsonAalenDf(ev: DataFrame): DataFrame = {
+    val t0 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t0"))
+    val firstPurchase = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val maxDay = ev.agg(max(to_date(col("ts"))).as("maxd"))
+    val durs = t0
+      .join(firstPurchase, col("user_id") === col("pu") && col("pts") >= col("t0"), "left")
+      .groupBy(col("user_id"), col("t0")).agg(min(col("pts")).as("p"))
+      .crossJoin(broadcast(maxDay))
+      .select(
+        when(col("p").isNotNull,
+          datediff(to_date(col("p")), to_date(col("t0"))))
+          .otherwise(datediff(col("maxd"), to_date(col("t0")))).as("dur"),
+        when(col("p").isNotNull, lit(1L)).otherwise(lit(0L)).as("event"))
+    val hist = durs.groupBy("dur")
+      .agg(count(lit(1)).as("m"), sum("event").as("d"))
+    val wSuf = Window.orderBy("dur")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wPre = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("n_risk", sum("m").over(wSuf))
+      .filter(col("d") >= 1)
+      .withColumn("haz_micro", expr("(d * 1000000) DIV n_risk"))
+      .withColumn("cumhaz_micro", sum("haz_micro").over(wPre))
+      .select(col("dur").cast("int").as("day"), col("n_risk"),
+        col("d").as("n_events"), col("haz_micro"), col("cumhaz_micro"))
+      .orderBy("day")
+  }
+
   /** OHLC candlestick bars — the canonical time-series downsample
     * (open/high/low/close + volume per bucket) the tumbling-count
     * window gate doesn't cover. Open/close are pinned by struct-min/max
@@ -633,6 +677,7 @@ object Events {
     "q_twap" -> (twap _),
     "q_ohlc_bars" -> (ohlcBars _),
     "q_survival_km" -> (survivalKm _),
+    "q_nelson_aalen" -> (nelsonAalen _),
     "q_ab_test" -> (abTest _),
     "q_sprt" -> (sprtTest _),
     "q_rolling_dau" -> (rollingDau _),
@@ -673,6 +718,32 @@ object Events {
         |  round(sum(value), 4) AS volume
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_nelson_aalen" ->
+      """WITH t0 AS (SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |fp AS (SELECT t0.user_id, t0.t0, min(e.ts) AS p
+        |  FROM t0 LEFT JOIN events e ON e.user_id = t0.user_id
+        |    AND e.event_type = 'purchase' AND e.ts >= t0.t0
+        |  GROUP BY t0.user_id, t0.t0),
+        |md AS (SELECT max(ts::DATE) AS maxd FROM events),
+        |durs AS (SELECT CASE WHEN p IS NOT NULL
+        |      THEN date_diff('day', t0::DATE, p::DATE)
+        |      ELSE date_diff('day', t0::DATE, maxd) END AS dur,
+        |    (CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS event
+        |  FROM fp CROSS JOIN md),
+        |hist AS (SELECT dur, count(*)::BIGINT AS m, sum(event)::BIGINT AS d
+        |  FROM durs GROUP BY dur),
+        |tab AS (SELECT dur, d, sum(m) OVER (ORDER BY dur
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT AS n_risk
+        |  FROM hist),
+        |hz AS (SELECT dur::INT AS day, n_risk, d,
+        |    (d * 1000000) // n_risk AS haz_micro
+        |  FROM tab WHERE d >= 1)
+        |SELECT day, n_risk, d AS n_events, haz_micro::BIGINT AS haz_micro,
+        |  sum(haz_micro) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS cumhaz_micro
+        |FROM hz ORDER BY day""".stripMargin,
     "q_survival_km" ->
       """WITH RECURSIVE t0 AS (SELECT user_id, min(ts) AS t0 FROM events
         |  WHERE event_type = 'view' GROUP BY user_id),

@@ -28,5 +28,13 @@ class SurvivalSpec extends SparkSpec {
     // risk sets: d0 -> 3 users, d2 -> 2 (u3 left at d0), d4 censor only
     // S(0) = 1e6 * 2/3 = 666666; S(2) = 666666 * 1/2 = 333333
     assert(got == Seq((0, 3L, 1L, 666666L), (2, 2L, 1L, 333333L)))
+
+    // Nelson–Aalen on the same fixture: h(0) = 1e6/3 = 333333,
+    // h(2) = 1e6/2 = 500000, H = running sum — additive, not product
+    val na = Events.nelsonAalenDf(ev).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(na == Seq((0, 3L, 1L, 333333L, 333333L),
+      (2, 2L, 1L, 500000L, 833333L)), s"$na")
   }
 }
