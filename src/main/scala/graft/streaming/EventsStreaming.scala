@@ -100,6 +100,38 @@ object EventsStreaming {
       }
   }
 
+  final case class PriDay(pri: String, d: java.sql.Date, cents: Long)
+  final case class EwmaOut(pri: String, d: java.sql.Date, cents: Long,
+      ewma_millicents: Long)
+
+  /** Streaming 8-lag EWMA (twin of operators.Temporal.ewmaSmooth):
+    * keyed state is the ≤7 most-recent daily values per series —
+    * constant 56 bytes/key — and each arriving day emits the same
+    * halving-weight average the batch window computes, under the
+    * time-ordered per-key arrival contract shared with
+    * [[funnelStages]]. Weights are powers of two and the divide is
+    * truncating integer — bit-identical to the batch twin. */
+  def ewmaStream(rows: Dataset[PriDay]): Dataset[EwmaOut] = {
+    import rows.sparkSession.implicits._
+    val L = graft.operators.Temporal.EwmaLags
+    rows.groupByKey(_.pri)
+      .flatMapGroupsWithState[Seq[Long], EwmaOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (pri, it, state: GroupState[Seq[Long]]) =>
+          var hist = state.getOption.getOrElse(Seq.empty) // most-recent-first
+          val out = it.toSeq.sortBy(_.d.getTime).map { r =>
+            def wt(j: Int): Long = 1L << (L - 1 - j)
+            val num = r.cents * wt(0) +
+              hist.zipWithIndex.map { case (v, k) => v * wt(k + 1) }.sum
+            val den = wt(0) + hist.indices.map(k => wt(k + 1)).sum
+            hist = (r.cents +: hist).take(L - 1)
+            EwmaOut(pri, r.d, r.cents, num * 1000L / den)
+          }
+          state.update(hist)
+          out.iterator
+      }
+  }
+
   final case class FunnelUpdate(user_id: Long, stage: Int, ts: java.sql.Timestamp)
 
   /** Streaming conversion funnel (twin of operators.Events.funnel):

@@ -184,7 +184,39 @@ object StreamingGates {
     } finally rmTree(tmp)
   }
 
+  /** Streaming EWMA parity: the q_ewma_smooth daily rollup re-played as
+    * a 6-batch time-ordered file stream (same sequential-write staging
+    * as the funnel gate) through the constant-state keyed EWMA; every
+    * emitted row must hash-match the batch window formulation's oracle
+    * verbatim. */
+  def ewmaStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = graft.Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("pri"),
+        to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ewma_gate_")
+    val sliced = daily.withColumn("slice",
+      ntile(6).over(Window.orderBy(col("d"), col("pri"))))
+      .localCheckpoint()
+    for (i <- 1 to 6)
+      sliced.filter(col("slice") === i).drop("slice")
+        .coalesce(1).write.mode("append").parquet(tmp.toString)
+    try {
+      val stream = spark.readStream
+        .schema("pri STRING, d DATE, cents BIGINT")
+        .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
+      runToMemory(
+        EventsStreaming.ewmaStream(stream.as[EventsStreaming.PriDay]).toDF(),
+        "ewma_parity_sink", OutputMode.Append())
+        .orderBy("pri", "d")
+        .localCheckpoint()
+    } finally rmTree(tmp)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ewma_stream_parity" -> (ewmaStreamParity _),
     "q_funnel_stream_parity" -> (funnelStreamParity _),
     "q_session_stream_parity" -> (sessionStreamParity _),
     "q_hll_stream_parity" -> (hllStreamParity _),
@@ -192,6 +224,8 @@ object StreamingGates {
     "q_dedup_stream_parity" -> (dedupStreamParity _))
 
   val oracles: Map[String, String] = Map(
+    // the batch q_ewma_smooth oracle verbatim — stream == batch == oracle
+    "q_ewma_stream_parity" -> graft.operators.Temporal.oracles("q_ewma_smooth"),
     // the batch q_events_funnel oracle verbatim — stream == batch == oracle
     "q_funnel_stream_parity" ->
       """WITH s AS (SELECT user_id, event_type, ts,

@@ -374,4 +374,35 @@ class StreamingSpec extends SparkSpec {
     assert(last(1L) == ((4L, 4.5)))
     assert(last(2L) == ((3L, 13.0)))
   }
+
+  test("streaming EWMA state carries the lag ring across batch boundaries") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark2.sqlContext
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    val xs = Seq(100L, 200L, 50L, 400L, 300L, 250L, 150L, 500L, 75L, 600L)
+    val mem = MemoryStream[EventsStreaming.PriDay]
+    val q = EventsStreaming.ewmaStream(mem.toDS())
+      .writeStream.format("memory").queryName("ewma_x").outputMode("append").start()
+    // 10 days split 4|3|3 across batches; within-batch order shuffled —
+    // the handler sorts by day, state bridges the batch cuts
+    Seq(xs.zipWithIndex.take(4).reverse, xs.zipWithIndex.slice(4, 7),
+      xs.zipWithIndex.drop(7).reverse).foreach { b =>
+      mem.addData(b.map { case (v, i) =>
+        EventsStreaming.PriDay("p", day(i), v) }: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("ewma_x").orderBy("d").collect()
+      .map(r => r.getLong(3)).toSeq
+    // naive replay of the batch 8-lag halving-weight formula
+    val L = graft.operators.Temporal.EwmaLags
+    val expect = xs.indices.map { i =>
+      val lags = (0 until L).flatMap(j =>
+        if (i - j >= 0) Some((xs(i - j), 1L << (L - 1 - j))) else None)
+      lags.map { case (v, w) => v * w }.sum * 1000L / lags.map(_._2).sum
+    }
+    assert(got == expect, s"\ngot:    $got\nexpect: $expect")
+  }
 }
