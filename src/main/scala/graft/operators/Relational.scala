@@ -1014,6 +1014,50 @@ object Relational {
         col("m.dev_bp").as("ks_bp"), (-col("m.ns")).as("ks_at_s"))
   }
 
+  /** Isotonic regression calibration (pool-adjacent-violators) over the
+    * score buckets — the FIX to the miscalibration [[calibration]]
+    * diagnoses: the monotone-non-decreasing fit of the per-bucket
+    * positive rate, computed via PAV's closed MINIMAX form
+    * ŷᵢ = max_{j≤i} min_{l≥i} mean(rate over buckets j..l) — no
+    * iterative merging, so the whole fit is prefix sums + a bounded
+    * O(k²) range-mean join, and every range mean is an integer bp DIV:
+    * engine-exact, and the monotonicity of the output is a theorem the
+    * spec checks. Same score/label frame as [[aucHistogram]].
+    *
+    * Scale: the bucket table is bounded (price DIV bucket), so the
+    * quadratic range join is over k², not rows²; one fact rollup
+    * feeds it. */
+  def isotonicCalibration(spark: SparkSession, dir: String): DataFrame =
+    isotonicOfScores(Tables.orders(spark, dir)
+      .selectExpr(
+        s"(CAST(round(o_totalprice * 100) AS LONG)) DIV $AucBucketCents AS s",
+        "CASE WHEN o_orderpriority = '1-URGENT' THEN 1L ELSE 0L END AS pos"))
+
+  /** Core over any (s LONG bucketed score, pos 0/1 LONG) frame. */
+  private[graft] def isotonicOfScores(scored: DataFrame): DataFrame = {
+    val b = scored.groupBy("s")
+      .agg(count(lit(1)).as("n"), sum("pos").as("p"))
+    val w = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = b.select(col("s"), col("n"), col("p"),
+      sum("n").over(w).as("cn"), sum("p").over(w).as("cp"))
+      .localCheckpoint(true) // bounded bucket table feeds a 3-way self-join
+    val lo = pre.select(col("s").as("j"), (col("cn") - col("n")).as("cn0"),
+      (col("cp") - col("p")).as("cp0"))
+    val hi = pre.select(col("s").as("l"), col("cn").as("cn1"), col("cp").as("cp1"))
+    val ranges = lo.join(hi, col("j") <= col("l"))
+      .select(col("j"), col("l"),
+        expr("((cp1 - cp0) * 10000) DIV (cn1 - cn0)").as("m_bp"))
+    pre.select(col("s"), col("n"), col("p"),
+        expr("(p * 10000) DIV n").as("rate_bp"))
+      .join(ranges, col("j") <= col("s") && col("s") <= col("l"))
+      .groupBy("s", "n", "p", "rate_bp", "j")
+      .agg(min("m_bp").as("inner_min")) // min over l ≥ i for this j
+      .groupBy("s", "n", "p", "rate_bp")
+      .agg(max("inner_min").as("iso_bp")) // max over j ≤ i
+      .orderBy("s")
+  }
+
   /** Score-calibration reliability table (the companion diagnostic to
     * [[aucHistogram]]): rows bucketed into equi-depth score deciles via
     * 9 exact breakpoints from the bounded bracketed selection
@@ -1379,6 +1423,7 @@ object Relational {
     "q_auc" -> (aucHistogram _),
     "q_ks_stat" -> (ksStat _),
     "q_gini" -> (giniConcentration _),
+    "q_isotonic" -> (isotonicCalibration _),
     "q_pricing_summary" -> (pricingSummary _),
     "q_filter_project" -> (filterProject _),
     "q_topk" -> (topK _),
@@ -1613,6 +1658,28 @@ object Relational {
          |  ((sum(np::HUGEINT * (2 * cumnn + nn)) * 1000000)
          |    // (2 * sum(np)::HUGEINT * sum(nn)))::BIGINT AS auc_micro
          |FROM w""".stripMargin,
+    "q_isotonic" ->
+      s"""WITH b AS (SELECT
+         |    CAST(round(o_totalprice * 100) AS BIGINT) // $AucBucketCents AS s,
+         |    count(*)::BIGINT AS n,
+         |    sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT
+         |      AS p
+         |  FROM orders GROUP BY 1),
+         |pre AS (SELECT s, n, p,
+         |    sum(n) OVER (ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+         |    sum(p) OVER (ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+         |  FROM b),
+         |rg AS (SELECT lo.s AS j, hi.s AS l,
+         |    ((hi.cp - (lo.cp - lo.p)) * 10000) // (hi.cn - (lo.cn - lo.n)) AS m_bp
+         |  FROM pre lo JOIN pre hi ON lo.s <= hi.s),
+         |im AS (SELECT pre.s, pre.n, pre.p, rg.j, min(rg.m_bp) AS inner_min
+         |  FROM pre JOIN rg ON rg.j <= pre.s AND pre.s <= rg.l
+         |  GROUP BY pre.s, pre.n, pre.p, rg.j)
+         |SELECT s, n, p, ((p * 10000) // n)::BIGINT AS rate_bp,
+         |  max(inner_min)::BIGINT AS iso_bp
+         |FROM im GROUP BY s, n, p ORDER BY s""".stripMargin,
     "q_gini" ->
       """WITH x AS (SELECT c_mktsegment AS seg,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey

@@ -100,6 +100,27 @@ class AbWoeSpec extends SparkSpec {
     assert(got("zc")._3 == 2999998L, s"floor-div cells of exact 3.0: ${got("zc")}")
   }
 
+  test("isotonic PAV: violators pool, monotone output, conforming buckets kept") {
+    val spark2 = spark
+    import spark2.implicits._
+    // rates per bucket: 10%, 30%, 10% (equal n) → PAV pools the last two
+    // into 20%: iso = [1000, 2000, 2000] bp; bucket 1 untouched
+    def bucket(s: Long, pos: Int, n: Int) =
+      (0 until n).map(i => (s, if (i < pos) 1L else 0L))
+    val scored = (bucket(1, 1, 10) ++ bucket(2, 3, 10) ++ bucket(3, 1, 10))
+      .toDF("s", "pos")
+    val got = Relational.isotonicOfScores(scored).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq((1L, 1000L, 1000L), (2L, 3000L, 2000L),
+      (3L, 1000L, 2000L)), s"$got")
+    // already-monotone input is a fixpoint
+    val mono = (bucket(1, 1, 10) ++ bucket(2, 2, 10) ++ bucket(3, 5, 10))
+      .toDF("s", "pos")
+    val got2 = Relational.isotonicOfScores(mono).collect()
+      .map(r => (r.getLong(3), r.getLong(4))).toSeq
+    assert(got2.forall { case (r, i) => r == i }, s"$got2")
+  }
+
   test("sprt: uplift / no-uplift / continue / degenerate-p0 verdicts") {
     val spark2 = spark
     import spark2.implicits._
