@@ -424,6 +424,31 @@ object Graph {
         .orderBy("csize"))(comp.unpersist(false))
   }
 
+  /** Generic UNIPARTITE integer PageRank over a distinct undirected
+    * (a, b) edge frame — the same 10⁻¹²-unit recurrence as
+    * [[pageRankPairs]] without the bipartite node offsetting; returns
+    * the full (node, rank_units) table (nodes-sized — callers bound the
+    * node universe, e.g. a df-capped vocabulary). */
+  private[graft] def pageRankNodes(e: DataFrame): DataFrame = {
+    val edges = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val edgesD = edges.join(deg, "src")
+      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val nNodes = deg.count()
+    val base = (PrScale * 15L / 100L) / nNodes
+    var ranks = deg.select(col("src").as("node"), lit(PrScale / nNodes).as("r"))
+    for (_ <- 1 to PrIters) {
+      ranks = edgesD.join(ranks, col("src") === col("node"))
+        .selectExpr("dst", "((r * 85) DIV 100) DIV d AS contrib")
+        .groupBy("dst").agg(sum("contrib").as("rc"))
+        .select(col("dst").as("node"), (col("rc") + lit(base)).as("r"))
+    }
+    val fin = ranks.localCheckpoint(true)
+    edgesD.unpersist(false)
+    fin.select(col("node"), col("r").as("rank_units"))
+  }
+
   val LinkPredMaxDeg = 64L
   val LinkPredTopK = 20
 

@@ -1313,7 +1313,57 @@ object TextAnalysis {
           " DIV count(1)").as("hard_share_bp"))
       .orderBy("source")
 
+  val TrVocab = 400
+  val TrTopK = 20
+
+  /** TextRank keyword extraction — PageRank over the word co-occurrence
+    * graph (Mihalcea & Tarau 2004), composed from two already-gated
+    * cores: edges are consecutive-word pairs restricted to the top-
+    * [[TrVocab]] vocabulary (the standard df-cap that bounds the graph),
+    * ranking is [[graft.operators.Graph.pageRankNodes]]'s 10⁻¹²-unit
+    * integer recurrence — so the full keyword ranking replays
+    * engine-bit-exact through an unrolled-CTE oracle.
+    *
+    * Scale: the corpus scan produces vocab-bounded edges (≤ V²/2
+    * distinct, V pinned); the vocabulary window runs over the
+    * vocab-sized count table, not the corpus; PR iterations shuffle
+    * ranks-only per pass. */
+  def textrank(spark: SparkSession, dir: String): DataFrame =
+    textrankDf(Tables.documents(spark, dir).select(col("text")))
+
+  /** Core over any (text) frame. */
+  private[graft] def textrankDf(docsIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = docsIn.select(words.as("w"))
+    val toks = docs.select(explode(col("w")).as("tw"))
+      .filter(length(col("tw")) > 0)
+    val vocab = toks.groupBy("tw").agg(count(lit(1)).as("c"))
+      .withColumn("vid", row_number()
+        .over(Window.orderBy(desc("c"), asc("tw"))).cast("long"))
+      .filter(col("vid") <= TrVocab)
+      .select("tw", "vid")
+      .localCheckpoint(true) // vocab-sized; feeds two joins + the readback
+    def pairsOf(w: Column) = zip_with(
+      slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+      slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val edges = docs.select(explode(pairsOf(col("w"))).as("pr"))
+      .withColumn("w1", split(col("pr"), " ").getItem(0))
+      .withColumn("w2", split(col("pr"), " ").getItem(1))
+      .join(broadcast(vocab.select(col("tw").as("w1"), col("vid").as("v1"))), "w1")
+      .join(broadcast(vocab.select(col("tw").as("w2"), col("vid").as("v2"))), "w2")
+      .filter(col("v1") =!= col("v2"))
+      .select(least(col("v1"), col("v2")).as("a"),
+        greatest(col("v1"), col("v2")).as("b"))
+      .distinct()
+    graft.operators.Graph.pageRankNodes(edges)
+      .join(broadcast(vocab), col("node") === col("vid"))
+      .select(col("tw").as("keyword"), col("rank_units"))
+      .orderBy(desc("rank_units"), asc("keyword")).limit(TrTopK)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_textrank" -> (textrank _),
     "q_readability" -> (readability _),
     "q_feature_hash" -> (featureHash _),
     "q_shard_balance" -> (shardBalance _),
@@ -1381,6 +1431,41 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_textrank" -> {
+      import graft.operators.Graph.{PrIters, PrScale}
+      val iters = (1 to PrIters).map { k =>
+        s"""c$k AS (SELECT ed.dst, sum(((r${k - 1}.r * 85) // 100) // deg.d) AS rc
+           |  FROM ed JOIN r${k - 1} ON ed.src = r${k - 1}.node
+           |  JOIN deg ON ed.src = deg.src
+           |  GROUP BY ed.dst),
+           |r$k AS (SELECT c$k.dst AS node,
+           |  ((${PrScale * 15L / 100L} // nn) + rc)::BIGINT AS r
+           |  FROM c$k CROSS JOIN n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS MATERIALIZED (SELECT $wordsSql AS w FROM documents),
+         |toks AS (SELECT tw FROM (SELECT unnest(w) AS tw FROM d)
+         |  WHERE len(tw) > 0),
+         |vc AS (SELECT tw, count(*)::BIGINT AS c FROM toks GROUP BY tw),
+         |vocab AS MATERIALIZED (SELECT tw, vid FROM (SELECT tw,
+         |    row_number() OVER (ORDER BY c DESC, tw) AS vid FROM vc)
+         |  WHERE vid <= $TrVocab),
+         |prs AS (SELECT unnest([w[i] || ' ' || w[i+1]
+         |    for i in range(1, len(w))]) AS pr FROM d),
+         |e AS MATERIALIZED (SELECT DISTINCT least(a.vid, b.vid) AS a,
+         |    greatest(a.vid, b.vid) AS b
+         |  FROM prs JOIN vocab a ON a.tw = split_part(pr, ' ', 1)
+         |  JOIN vocab b ON b.tw = split_part(pr, ' ', 2)
+         |  WHERE a.vid <> b.vid),
+         |ed AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
+         |  UNION ALL SELECT b, a FROM e),
+         |deg AS (SELECT src, count(*) AS d FROM ed GROUP BY src),
+         |n AS (SELECT count(*) AS nn FROM deg),
+         |r0 AS (SELECT src AS node, $PrScale // nn AS r FROM deg CROSS JOIN n),
+         |$iters
+         |SELECT v.tw AS keyword, r.r AS rank_units
+         |FROM r$PrIters r JOIN vocab v ON v.vid = r.node
+         |ORDER BY rank_units DESC, keyword LIMIT $TrTopK""".stripMargin
+    },
     "q_readability" ->
       """WITH per AS (SELECT source,
         |    greatest(length(regexp_extract_all(lower(text), '\S+')), 1)::BIGINT

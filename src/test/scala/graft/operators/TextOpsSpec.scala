@@ -270,6 +270,25 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("textrank: the co-occurrence hub outranks the leaves, any partitioning") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 'hub' neighbors every leaf; leaves only see 'hub' (star graph) →
+    // hub concentrates rank; leaf ordering ties break on the word
+    val docs = Seq("hub alpha", "hub beta", "hub gamma", "hub delta",
+      "hub epsilon hub zeta").toDF("text")
+    for (parts <- Seq(1, 3)) {
+      val got = TextAnalysis.textrankDf(docs.repartition(parts)).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(got.head._1 == "hub", s"parts=$parts: ${got.toSeq}")
+      assert(got.head._2 > got(1)._2, "hub strictly dominates")
+      assert(got.length == 7, s"all 7 vocabulary words ranked: ${got.length}")
+      val leaves = got.tail
+      assert(leaves.map(_._1).toSeq == leaves.map(_._1).sorted.toSeq,
+        "equal-rank leaves order by word")
+    }
+  }
+
   test("readability: FK grade replays the integer micro formula") {
     val spark2 = spark
     import spark2.implicits._
