@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DeflateLen, Gammaln, VecDot, VecNormSq, VecSqDist}
+import graft.functions.{DeflateLen, Gammaln, JaroSimilarity, JaroWinklerSimilarity, VecDot, VecNormSq, VecSqDist}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -32,7 +32,11 @@ object GraftExtensions {
     ("gammaln", info("gammaln", "log-gamma of a double"),
       (c: Seq[Expression]) => Gammaln(c(0))),
     ("deflate_len", info("deflate_len", "zlib-deflated byte length of a string"),
-      (c: Seq[Expression]) => DeflateLen(c(0))))
+      (c: Seq[Expression]) => DeflateLen(c(0))),
+    ("jaro_sim", info("jaro_sim", "Jaro similarity of two strings"),
+      (c: Seq[Expression]) => JaroSimilarity(c(0), c(1))),
+    ("jaro_winkler", info("jaro_winkler", "Jaro-Winkler similarity of two strings"),
+      (c: Seq[Expression]) => JaroWinklerSimilarity(c(0), c(1))))
 
   /** Register the functions on a live session (no restart needed). */
   def register(spark: SparkSession): Unit =

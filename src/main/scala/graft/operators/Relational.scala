@@ -1253,6 +1253,33 @@ object Relational {
         col("seg_a"), col("bal_a"), col("sfx_a"))
   }
 
+  /** Jaro–Winkler fuzzy scoring of adjacent part names — exercises the
+    * native codegen'd [[graft.functions.StringSim]] expressions (the ER
+    * name-matching measure Spark lacks; [[fuzzyJoin]]'s levenshtein is
+    * edit distance, a different signal) against DuckDB's own
+    * jaro_similarity/jaro_winkler_similarity as the oracle: same match
+    * window, transposition, prefix-boost, and empty-string conventions,
+    * scores micro-rounded. Pairs = consecutive partkeys (a deterministic
+    * pair generator; production pairs come from any blocking stage).
+    *
+    * Scale: pairing is a 1-offset self-join on the key (co-partitioned,
+    * no fan-out); the expression runs inside whole-stage codegen —
+    * PlanAssertSpec-style, no UDF boxing. */
+  def jaroPairs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.StringSim
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
+    val q = p.select((col("p_partkey") - 1).as("p_partkey"),
+      col("p_name").as("next_name"))
+    p.join(q, "p_partkey")
+      .select(col("p_partkey"),
+        round(StringSim.jaroSim(col("p_name"), col("next_name")) * 1000000)
+          .cast("long").as("jaro_micro"),
+        round(StringSim.jaroWinkler(col("p_name"), col("next_name")) * 1000000)
+          .cast("long").as("jw_micro"))
+      .orderBy(desc("jw_micro"), desc("jaro_micro"), asc("p_partkey"))
+      .limit(20)
+  }
+
   /** Weight-of-evidence / information-value encoding — the classic
     * credit-scoring categorical encoder (and leakage-free alternative
     * to target encoding): per category, WOE = ln(pos-share / neg-share)
@@ -1424,6 +1451,7 @@ object Relational {
     "q_ks_stat" -> (ksStat _),
     "q_gini" -> (giniConcentration _),
     "q_isotonic" -> (isotonicCalibration _),
+    "q_jaro_pairs" -> (jaroPairs _),
     "q_pricing_summary" -> (pricingSummary _),
     "q_filter_project" -> (filterProject _),
     "q_topk" -> (topK _),
@@ -1658,6 +1686,15 @@ object Relational {
          |  ((sum(np::HUGEINT * (2 * cumnn + nn)) * 1000000)
          |    // (2 * sum(np)::HUGEINT * sum(nn)))::BIGINT AS auc_micro
          |FROM w""".stripMargin,
+    "q_jaro_pairs" ->
+      """SELECT a.p_partkey,
+        |  round(jaro_similarity(a.p_name, b.p_name) * 1000000)::BIGINT
+        |    AS jaro_micro,
+        |  round(jaro_winkler_similarity(a.p_name, b.p_name) * 1000000)::BIGINT
+        |    AS jw_micro
+        |FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+        |ORDER BY jw_micro DESC, jaro_micro DESC, a.p_partkey
+        |LIMIT 20""".stripMargin,
     "q_isotonic" ->
       s"""WITH b AS (SELECT
          |    CAST(round(o_totalprice * 100) AS BIGINT) // $AucBucketCents AS s,

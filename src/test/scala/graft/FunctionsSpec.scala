@@ -51,4 +51,21 @@ class FunctionsSpec extends SparkSpec {
     // sanity: IVF probes a subset, so it can't return MORE than brute top-3 per query
     assert(ivf.size <= brute.size)
   }
+
+  test("jaro / jaro-winkler textbook values, conventions, SQL registration") {
+    import graft.functions.StringSim._
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    assert(close(jaro("martha", "marhta"), 0.9444444444444445))
+    assert(close(jaroWinkler("martha", "marhta"), 0.9611111111111111))
+    assert(close(jaroWinkler("dixon", "dicksonx"), 0.8133333333333332))
+    // boost threshold: jaro <= 0.7 stays unboosted despite the prefix
+    assert(close(jaroWinkler("aaxxxx", "aayyyy"), 0.5555555555555555))
+    assert(jaro("", "") == 0.0 && jaroWinkler("", "x") == 0.0)
+    assert(jaro("same", "same") == 1.0 && jaroWinkler("same", "same") == 1.0)
+    // SQL surface + codegen path: evaluate through a projected column
+    graft.GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT round(jaro_winkler('martha', 'marhta'), 6) AS jw").head().getDouble(0)
+    assert(got == 0.961111, s"$got")
+  }
 }
