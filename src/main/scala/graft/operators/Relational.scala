@@ -940,6 +940,64 @@ object Relational {
           |  AS auc_micro""".stripMargin)
   }
 
+  val MwSegA = "BUILDING"
+  val MwSegB = "MACHINERY"
+
+  /** Mann–Whitney U rank-sum test between two segments' order values —
+    * the NONPARAMETRIC two-sample test (no normality assumption, the
+    * robust companion to [[Events.abTestDf]]'s proportions z²):
+    * doubled average ranks keep ties integer (a tied run over ranks
+    * [a, a+t−1] has 2·avg = 2a+t−1), U comes from the rank sum, and
+    * the normal-approximation z² is the single cross-multiplied
+    * integer inequality z²·10⁶ = 3·n(n−1)·(2U−n₁n₂·2)²/4 ... all in
+    * DECIMAL(38,0)/HUGEINT with the tie-corrected variance
+    * n₁n₂[(n+1)n(n−1) − Σ(t³−t)]/(12n(n−1)) — no fp mean, no sqrt.
+    *
+    * Scale: one value-grain rollup (two counts per distinct value), a
+    * prefix-sum window over the bounded value table, and a 1-row
+    * output. */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame =
+    mannWhitneyDf(Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin(MwSegA, MwSegB))
+      .select((col("c_mktsegment") === MwSegA).cast("long").as("g1"),
+        expr("CAST(round(o_totalprice * 100) AS LONG)").as("v")))
+
+  /** Core over any (g1 ∈ {0,1}, v LONG) frame. */
+  private[graft] def mannWhitneyDf(xs: DataFrame): DataFrame = {
+    val byV = xs.groupBy("v").agg(count(lit(1)).as("t"), sum("g1").as("t1"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byV
+      .withColumn("cum", sum("t").over(w))
+      // doubled average rank of the tied run ending at this value
+      .selectExpr("t", "t1", "2 * (cum - t) + t + 1 AS rank2",
+        "CAST(t AS DECIMAL(38,0)) * t * t - t AS tie3")
+    ranked.agg(
+        sum("t").as("n"), sum("t1").as("n1"),
+        sum(col("t1") * col("rank2")).as("r1_2"),
+        sum("tie3").as("ties"))
+      .selectExpr("n", "n1", "n - n1 AS n2", "r1_2", "ties")
+      // 2U = r1_2 − n1(n1+1); E[2U] = n1·n2; dev = 2U − n1·n2
+      .selectExpr("n", "n1", "n2",
+        "CAST(r1_2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS DECIMAL(38,0)) AS u2",
+        "ties")
+      // two-factor split (the q_ab_test discipline): dev²/(n₁n₂) first —
+      // the full product would pass 10³⁸ near 10⁶ rows/side — then the
+      // 3·10⁶·n(n−1) scale against the tie-corrected denominator
+      .selectExpr("n", "n1", "n2", "CAST(u2 DIV 2 AS BIGINT) AS u",
+        """CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE
+          |  (CAST((u2 - CAST(n1 AS DECIMAL(38,0)) * n2)
+          |     * (u2 - CAST(n1 AS DECIMAL(38,0)) * n2)
+          |     DIV (CAST(n1 AS DECIMAL(38,0)) * n2) AS DECIMAL(38,0))
+          |   * 3000000 * n * (n - 1))
+          |  DIV ((CAST(n AS DECIMAL(38,0)) + 1) * n * (n - 1) - ties)
+          | END AS BIGINT) AS z2_micro""".stripMargin)
+      .withColumn("significant",
+        when(col("z2_micro").isNull, lit(null).cast("boolean"))
+          .otherwise(col("z2_micro") > 3841459L))
+  }
+
   /** Gini coefficient of order-value concentration per market segment —
     * the Lorenz-curve inequality measure (the "do 20% of customers carry
     * 80% of revenue" profiling classic, the concentration companion to
@@ -1452,6 +1510,7 @@ object Relational {
     "q_gini" -> (giniConcentration _),
     "q_isotonic" -> (isotonicCalibration _),
     "q_jaro_pairs" -> (jaroPairs _),
+    "q_mann_whitney" -> (mannWhitney _),
     "q_pricing_summary" -> (pricingSummary _),
     "q_filter_project" -> (filterProject _),
     "q_topk" -> (topK _),
@@ -1686,6 +1745,39 @@ object Relational {
          |  ((sum(np::HUGEINT * (2 * cumnn + nn)) * 1000000)
          |    // (2 * sum(np)::HUGEINT * sum(nn)))::BIGINT AS auc_micro
          |FROM w""".stripMargin,
+    "q_mann_whitney" ->
+      s"""WITH xs AS (SELECT
+         |    (CASE WHEN c_mktsegment = '$MwSegA' THEN 1 ELSE 0 END)::BIGINT AS g1,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  WHERE c_mktsegment IN ('$MwSegA', '$MwSegB')),
+         |byv AS (SELECT v, count(*)::BIGINT AS t, sum(g1)::BIGINT AS t1
+         |  FROM xs GROUP BY v),
+         |rk AS (SELECT t, t1,
+         |    2 * (sum(t) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t) + t + 1
+         |      AS rank2,
+         |    t::HUGEINT * t * t - t AS tie3
+         |  FROM byv),
+         |agg AS (SELECT sum(t)::BIGINT AS n, sum(t1)::BIGINT AS n1,
+         |    sum(t1::HUGEINT * rank2) AS r1_2, sum(tie3) AS ties
+         |  FROM rk),
+         |uu AS (SELECT n, n1, n - n1 AS n2,
+         |    r1_2 - n1::HUGEINT * (n1 + 1) AS u2, ties FROM agg)
+         |SELECT n, n1, n2, (u2 // 2)::BIGINT AS u,
+         |  (CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE
+         |    (((u2 - n1::HUGEINT * n2) * (u2 - n1::HUGEINT * n2)
+         |       // (n1::HUGEINT * n2))
+         |     * 3000000 * n * (n - 1))
+         |    // ((n::HUGEINT + 1) * n * (n - 1) - ties)
+         |   END)::BIGINT AS z2_micro,
+         |  CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+         |    ELSE (((u2 - n1::HUGEINT * n2) * (u2 - n1::HUGEINT * n2)
+         |       // (n1::HUGEINT * n2))
+         |     * 3000000 * n * (n - 1))
+         |    // ((n::HUGEINT + 1) * n * (n - 1) - ties) > 3841459 END
+         |    AS significant
+         |FROM uu""".stripMargin,
     "q_jaro_pairs" ->
       """SELECT a.p_partkey,
         |  round(jaro_similarity(a.p_name, b.p_name) * 1000000)::BIGINT

@@ -100,6 +100,26 @@ class AbWoeSpec extends SparkSpec {
     assert(got("zc")._3 == 2999998L, s"floor-div cells of exact 3.0: ${got("zc")}")
   }
 
+  test("mannWhitney: U and tied ranks replay by hand; separation is significant") {
+    val spark2 = spark
+    import spark2.implicits._
+    // g1 = {1,2,3}, g0 = {2,4,5}: sorted 1,2,2,3,4,5 → doubled ranks
+    // 2,5,5,8,10,12 (the tied 2s average rank 2.5). R1·2 = 2+5+8 = 15,
+    // 2U = 15 − 3·4 = 3 → U = 1 (naive: pairs won by g1 = 1 full + ...)
+    val xs = Seq((1L, 1L), (1L, 2L), (1L, 3L), (0L, 2L), (0L, 4L), (0L, 5L))
+      .toDF("g1", "v")
+    val r = Relational.mannWhitneyDf(xs).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((6L, 3L, 3L, 1L)), r.toString)
+    assert(!r.getBoolean(5), "n=6 cannot reach significance")
+    // full separation at n=200/side must be significant
+    val sep = ((1L to 200L).map(v => (1L, v)) ++
+      (1L to 200L).map(v => (0L, 1000L + v))).toDF("g1", "v")
+    val r2 = Relational.mannWhitneyDf(sep).head()
+    assert(r2.getLong(3) == 0L, "U = 0 under full separation")
+    assert(r2.getBoolean(5), s"z2=${r2.getLong(4)}")
+  }
+
   test("isotonic PAV: violators pool, monotone output, conforming buckets kept") {
     val spark2 = spark
     import spark2.implicits._
