@@ -132,6 +132,34 @@ object EventsStreaming {
       }
   }
 
+  final case class CusumIn(et: String, d: java.sql.Date, x: Long, mu_milli: Long)
+  final case class CusumOut(et: String, d: java.sql.Date, x: Long,
+      cusum_milli: Long, alarm: Int)
+
+  /** Streaming one-sided CUSUM (twin of operators.Temporal.cusumShift):
+    * keyed state is the single accumulated-excess long; the recurrence
+    * S_t = max(0, S_{t−1} + dev) equals the batch prefix-sum identity
+    * P_t − min(0, min_{j≤t} P_j) — a theorem, which the parity gate
+    * turns into a hash-matched artifact. The baseline mean rides each
+    * row (production monitors against a FIXED baseline; the gate
+    * computes it from the same staged input). Same time-ordered
+    * arrival contract as [[ewmaStream]]. */
+  def cusumStream(rows: Dataset[CusumIn]): Dataset[CusumOut] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.et)
+      .flatMapGroupsWithState[Long, CusumOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (et, it, state: GroupState[Long]) =>
+          var s = state.getOption.getOrElse(0L)
+          val out = it.toSeq.sortBy(_.d.getTime).map { r =>
+            s = math.max(0L, s + (r.x * 1000L - r.mu_milli))
+            CusumOut(et, r.d, r.x, s, if (s > 5L * r.mu_milli) 1 else 0)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   final case class FunnelUpdate(user_id: Long, stage: Int, ts: java.sql.Timestamp)
 
   /** Streaming conversion funnel (twin of operators.Events.funnel):

@@ -215,7 +215,42 @@ object StreamingGates {
     } finally rmTree(tmp)
   }
 
+  /** Streaming CUSUM parity: the q_cusum_shift daily census (baseline
+    * mean embedded per row) re-played as a 6-batch time-ordered file
+    * stream through the single-long keyed recurrence; every emitted row
+    * must hash-match the batch prefix-sum-identity oracle verbatim —
+    * the recurrence≡identity theorem as a driver artifact. */
+  def cusumStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type").as("et"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val base = daily.groupBy("et")
+      .agg(sum("x").as("tx"), count(lit(1)).as("nd"))
+      .selectExpr("et", "(tx * 1000) div nd AS mu_milli")
+    val input = daily.join(broadcast(base), "et").select("et", "d", "x", "mu_milli")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cusum_gate_")
+    val sliced = input.withColumn("slice",
+      ntile(6).over(Window.orderBy(col("d"), col("et"))))
+      .localCheckpoint()
+    for (i <- 1 to 6)
+      sliced.filter(col("slice") === i).drop("slice")
+        .coalesce(1).write.mode("append").parquet(tmp.toString)
+    try {
+      val stream = spark.readStream
+        .schema("et STRING, d DATE, x BIGINT, mu_milli BIGINT")
+        .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
+      runToMemory(
+        EventsStreaming.cusumStream(stream.as[EventsStreaming.CusumIn]).toDF(),
+        "cusum_parity_sink", OutputMode.Append())
+        .orderBy("et", "d")
+        .localCheckpoint()
+    } finally rmTree(tmp)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cusum_stream_parity" -> (cusumStreamParity _),
     "q_ewma_stream_parity" -> (ewmaStreamParity _),
     "q_funnel_stream_parity" -> (funnelStreamParity _),
     "q_session_stream_parity" -> (sessionStreamParity _),
@@ -226,6 +261,8 @@ object StreamingGates {
   val oracles: Map[String, String] = Map(
     // the batch q_ewma_smooth oracle verbatim — stream == batch == oracle
     "q_ewma_stream_parity" -> graft.operators.Temporal.oracles("q_ewma_smooth"),
+    // the batch q_cusum_shift oracle verbatim
+    "q_cusum_stream_parity" -> graft.operators.Temporal.oracles("q_cusum_shift"),
     // the batch q_events_funnel oracle verbatim — stream == batch == oracle
     "q_funnel_stream_parity" ->
       """WITH s AS (SELECT user_id, event_type, ts,

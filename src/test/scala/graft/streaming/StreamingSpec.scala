@@ -375,6 +375,38 @@ class StreamingSpec extends SparkSpec {
     assert(last(2L) == ((3L, 13.0)))
   }
 
+  test("streaming CUSUM recurrence equals the prefix-sum identity across batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark2.sqlContext
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    // mean 10 (mu_milli 10000); dips drive S back to the 0 floor
+    val xs = Seq(12L, 5L, 20L, 3L, 3L, 30L, 10L, 41L)
+    val mem = MemoryStream[EventsStreaming.CusumIn]
+    val q = EventsStreaming.cusumStream(mem.toDS())
+      .writeStream.format("memory").queryName("cusum_x").outputMode("append").start()
+    Seq(xs.zipWithIndex.take(3).reverse, xs.zipWithIndex.slice(3, 6),
+      xs.zipWithIndex.drop(6)).foreach { b =>
+      mem.addData(b.map { case (v, i) =>
+        EventsStreaming.CusumIn("e", day(i), v, 10000L) }: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("cusum_x").orderBy("d").collect()
+      .map(r => (r.getLong(3), r.getInt(4))).toSeq
+    // prefix-sum identity replay: P_t - min(0, min P_j), alarm > 5·mu
+    var p = 0L; var mn = 0L
+    val expect = xs.map { x =>
+      p += x * 1000 - 10000; mn = math.min(mn, p)
+      val s = p - math.min(0L, mn)
+      (s, if (s > 50000L) 1 else 0)
+    }
+    assert(got == expect, s"\ngot:    $got\nexpect: $expect")
+    assert(expect.exists(_._2 == 1) && expect.exists(_._1 == 0L),
+      "fixture must exercise both the alarm and the zero floor")
+  }
+
   test("streaming EWMA state carries the lag ring across batch boundaries") {
     val spark2 = spark
     import spark2.implicits._
