@@ -119,6 +119,39 @@ object LinalgQueries {
       .toDF("i", "j", "val").orderBy("i", "j")
   }
 
+  /** Embedding centroid drift between labels — the embedding-space
+    * face of distribution monitoring (q_psi_drift covers scalars; at
+    * 100 TB you watch whether a class's embedding cluster MOVED):
+    * pairwise squared L2 distance between per-label centroids over the
+    * first P dims. Components round to integer micro at ingest, the
+    * per-(label, dim) sums are exact longs, and the centroid difference
+    * cross-multiplies as (s_a·n_b − s_b·n_a)² DIV (n_a²n_b²·10⁶) in
+    * DECIMAL(38,0)/HUGEINT — no fp mean anywhere, so the pairwise
+    * drift table is engine-exact.
+    *
+    * Scale: one partial+final (label, dim) rollup — |labels|·P cells —
+    * then a labels²-sized pair join on that tiny frame. */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(slice(col("embedding"), 1, P)))
+      .selectExpr("label", "pos AS dim",
+        "CAST(round(CAST(col AS DOUBLE) * 1000000) AS BIGINT) AS vm")
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sum("vm").as("s"))
+    val a = cells.selectExpr("label AS la", "dim", "n AS na", "s AS sa")
+    val b = cells.selectExpr("label AS lb", "dim", "n AS nb", "s AS sb")
+    a.join(b, Seq("dim")).filter(col("la") < col("lb"))
+      .groupBy("la", "lb", "na", "nb")
+      .agg(sum(expr(
+        """(CAST(sa AS DECIMAL(38,0)) * nb - CAST(sb AS DECIMAL(38,0)) * na)
+          | * (CAST(sa AS DECIMAL(38,0)) * nb - CAST(sb AS DECIMAL(38,0)) * na)
+          |""".stripMargin)).as("num"))
+      .selectExpr("la AS label_a", "lb AS label_b", "na AS n_a", "nb AS n_b",
+        """CAST(num DIV (CAST(na AS DECIMAL(38,0)) * na * nb * nb * 1000000)
+          | AS BIGINT) AS dist2_micro""".stripMargin)
+      .orderBy("label_a", "label_b")
+  }
+
   /** TSQR R factor checked through RᵀR = AᵀA (upper triangle). */
   def tsqrR(spark: SparkSession, dir: String): DataFrame = {
     val (_, r) = Decompositions.tsqr(embRows(spark, dir), P)
@@ -354,6 +387,7 @@ object LinalgQueries {
     "q_pad" -> (padGate _),
     "q_qr_full" -> (qrFull _),
     "q_cholesky" -> (choleskyGram _),
+    "q_embedding_drift" -> (embeddingDrift _),
     "q_sparse_gram" -> (sparseGram _),
     "q_fancy_index" -> (fancyIndex _),
     "q_matmul_gram" -> (matmulGram _),
@@ -450,6 +484,22 @@ object LinalgQueries {
          |WHERE i <= j
          |UNION ALL SELECT -1, -1, 1.0::DOUBLE
          |ORDER BY i, j""".stripMargin,
+    "q_embedding_drift" ->
+      s"""WITH cells AS (SELECT label, dim, count(*)::BIGINT AS n,
+         |    sum(vm)::BIGINT AS s
+         |  FROM (SELECT label, i AS dim,
+         |      CAST(round(embedding[i + 1]::DOUBLE * 1000000) AS BIGINT) AS vm
+         |    FROM embeddings CROSS JOIN generate_series(0, ${P - 1}) g(i))
+         |  GROUP BY label, dim)
+         |SELECT a.label AS label_a, b.label AS label_b,
+         |  a.n AS n_a, b.n AS n_b,
+         |  (sum((a.s::HUGEINT * b.n - b.s::HUGEINT * a.n)
+         |     * (a.s::HUGEINT * b.n - b.s::HUGEINT * a.n))
+         |   // (a.n::HUGEINT * a.n * b.n * b.n * 1000000))::BIGINT
+         |    AS dist2_micro
+         |FROM cells a JOIN cells b ON a.dim = b.dim AND a.label < b.label
+         |GROUP BY a.label, b.label, a.n, b.n
+         |ORDER BY label_a, label_b""".stripMargin,
     "q_cholesky" ->
       s"""$gramCte
          |SELECT i - 1 AS i, j - 1 AS j, round(gij, 6) AS val FROM g

@@ -383,6 +383,24 @@ class LinalgSpec extends SparkSpec {
     for (i <- 0 until p) assert(l(i, i) > 0.0, s"positive diag at $i")
   }
 
+  test("embeddingDrift: full pair table, nonnegative, exact on a hand pair") {
+    // formula exactness: centroids [1,2] (n=2) vs [3,1] (n=3) → dist² 5
+    val (sa, na) = (Seq(2L, 4L).map(_ * 1000000), 2L)
+    val (sb, nb) = (Seq(9L, 3L).map(_ * 1000000), 3L)
+    val num = sa.zip(sb).map { case (a, b) =>
+      val d = BigInt(a) * nb - BigInt(b) * na; d * d }.sum
+    assert(num / (BigInt(na) * na * nb * nb * 1000000) == BigInt(5000000L))
+    // operator invariants on the gate data: all C(10,2) ordered pairs,
+    // strictly positive drift (distinct random clusters), counts carried
+    val rows = LinalgQueries.embeddingDrift(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == 45, s"${rows.length}")
+    rows.foreach { r =>
+      assert(r.getInt(0) < r.getInt(1), "ordered pairs only")
+      assert(r.getLong(4) > 0L, s"drift must be positive: $r")
+    }
+  }
+
   test("hadamard / sliceRows / deleteRow / concat") {
     val a = rand(10, 6, 20); val b = rand(10, 6, 21)
     val da = DsArray.fromBreeze(sc, a, 4, 3)
