@@ -174,7 +174,7 @@ object DataQuality {
     1 -> 3841459L, 2 -> 5991465L, 3 -> 7814728L,
     4 -> 9487729L, 5 -> 11070498L, 6 -> 12591587L)
 
-  private def chi2CritCase(df: String): String =
+  private[operators] def chi2CritCase(df: String): String =
     "CASE " + Chi2Crit95Micro.map { case (d, c) =>
       s"WHEN $df = $d THEN $c" }.mkString(" ") + " END"
 

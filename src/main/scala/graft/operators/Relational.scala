@@ -998,6 +998,60 @@ object Relational {
           .otherwise(col("z2_micro") > 3841459L))
   }
 
+  /** Kruskal–Wallis H test across ALL market segments — the k-sample
+    * member completing the rank-test family ([[mannWhitney]] is its
+    * k=2 case): doubled average ranks keep ties integer, per-group
+    * rank-sum squares truncate at a PINNED per-group DIV, the H
+    * statistic cross-multiplies in DECIMAL(38,0)/HUGEINT, and the tie
+    * correction scales by (n³−n)/(n³−n−Σ(t³−t)) as a second pinned DIV.
+    * Verdict vs the χ²(k−1) 95% critical value (the
+    * [[DataQuality.Chi2Crit95Micro]] table).
+    *
+    * Scale: one (value, group) rollup, a prefix window over the bounded
+    * value table, a k-row group frame — the fact table never shuffles
+    * twice. */
+  def kruskalWallis(spark: SparkSession, dir: String): DataFrame =
+    kruskalWallisDf(Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("grp"),
+        expr("CAST(round(o_totalprice * 100) AS LONG)").as("v")))
+
+  /** Core over any (grp, v LONG) frame. */
+  private[graft] def kruskalWallisDf(xs: DataFrame): DataFrame = {
+    val byVG = xs.groupBy("v", "grp").agg(count(lit(1)).as("c"))
+    val byV = xs.groupBy("v").agg(count(lit(1)).as("t"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byV.withColumn("cum", sum("t").over(w))
+      .selectExpr("v", "2 * (cum - t) + t + 1 AS rank2",
+        "CAST(t AS DECIMAL(38,0)) * t * t - t AS tie3")
+    val groups = byVG.join(ranked.select("v", "rank2"), "v")
+      .groupBy("grp")
+      .agg(sum("c").as("n_g"),
+        sum(col("c").cast("decimal(38,0)") * col("rank2")).as("r2"))
+      // per-group pinned truncation of R²/n (doubled ranks → /4)
+      .selectExpr("grp", "n_g", "(r2 * r2) DIV (4 * n_g) AS rr")
+    val ties = ranked.agg(sum("tie3").as("tt"))
+    groups.agg(count(lit(1)).as("k"), sum("n_g").as("n"),
+        sum(col("rr").cast("decimal(38,0)")).as("t1"))
+      .crossJoin(broadcast(ties))
+      .selectExpr("k", "n",
+        """CAST((CAST(12000000 AS DECIMAL(38,0)) * t1)
+          | DIV (CAST(n AS DECIMAL(38,0)) * (n + 1))
+          | - CAST(3000000 AS DECIMAL(38,0)) * (n + 1) AS DECIMAL(38,0))
+          | AS h_raw""".stripMargin,
+        "CAST(n AS DECIMAL(38,0)) * n * n - n AS n3n", "tt")
+      .selectExpr("k", "n",
+        """CAST(CASE WHEN n3n = tt THEN NULL
+          | ELSE (h_raw * n3n) DIV (n3n - tt) END AS BIGINT)
+          | AS h_micro""".stripMargin,
+        "k - 1 AS df")
+      .selectExpr("k", "n", "h_micro", "df",
+        s"""CASE WHEN h_micro IS NULL THEN NULL
+           | WHEN h_micro > ${DataQuality.chi2CritCase("df")} THEN 'yes'
+           | ELSE 'no' END AS significant""".stripMargin)
+  }
+
   /** Gini coefficient of order-value concentration per market segment —
     * the Lorenz-curve inequality measure (the "do 20% of customers carry
     * 80% of revenue" profiling classic, the concentration companion to
@@ -1511,6 +1565,7 @@ object Relational {
     "q_isotonic" -> (isotonicCalibration _),
     "q_jaro_pairs" -> (jaroPairs _),
     "q_mann_whitney" -> (mannWhitney _),
+    "q_kruskal_wallis" -> (kruskalWallis _),
     "q_pricing_summary" -> (pricingSummary _),
     "q_filter_project" -> (filterProject _),
     "q_topk" -> (topK _),
@@ -1745,6 +1800,39 @@ object Relational {
          |  ((sum(np::HUGEINT * (2 * cumnn + nn)) * 1000000)
          |    // (2 * sum(np)::HUGEINT * sum(nn)))::BIGINT AS auc_micro
          |FROM w""".stripMargin,
+    "q_kruskal_wallis" ->
+      s"""WITH xs AS (SELECT c_mktsegment AS grp,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+         |  FROM orders JOIN customer ON o_custkey = c_custkey),
+         |byvg AS (SELECT v, grp, count(*)::BIGINT AS c FROM xs GROUP BY 1, 2),
+         |byv AS (SELECT v, count(*)::BIGINT AS t FROM xs GROUP BY v),
+         |rk AS (SELECT v,
+         |    2 * (sum(t) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t) + t + 1
+         |      AS rank2,
+         |    t::HUGEINT * t * t - t AS tie3
+         |  FROM byv),
+         |grps AS (SELECT grp, sum(c)::BIGINT AS n_g,
+         |    sum(c::HUGEINT * rank2) AS r2
+         |  FROM byvg JOIN rk USING (v) GROUP BY grp),
+         |gg AS (SELECT grp, n_g, (r2 * r2) // (4 * n_g::HUGEINT) AS rr FROM grps),
+         |tt AS (SELECT sum(tie3) AS tt FROM rk),
+         |agg AS (SELECT count(*)::BIGINT AS k, sum(n_g)::BIGINT AS n,
+         |    sum(rr) AS t1 FROM gg),
+         |h AS (SELECT k, n,
+         |    (12000000::HUGEINT * t1) // (n::HUGEINT * (n + 1))
+         |      - 3000000::HUGEINT * (n + 1) AS h_raw,
+         |    n::HUGEINT * n * n - n AS n3n, tt
+         |  FROM agg CROSS JOIN tt)
+         |SELECT k, n,
+         |  (CASE WHEN n3n = tt THEN NULL
+         |    ELSE (h_raw * n3n) // (n3n - tt) END)::BIGINT AS h_micro,
+         |  k - 1 AS df,
+         |  CASE WHEN n3n = tt THEN NULL
+         |    WHEN (h_raw * n3n) // (n3n - tt)
+         |      > ${DataQuality.chi2CritCase("k - 1")} THEN 'yes'
+         |    ELSE 'no' END AS significant
+         |FROM h""".stripMargin,
     "q_mann_whitney" ->
       s"""WITH xs AS (SELECT
          |    (CASE WHEN c_mktsegment = '$MwSegA' THEN 1 ELSE 0 END)::BIGINT AS g1,

@@ -120,6 +120,25 @@ class AbWoeSpec extends SparkSpec {
     assert(r2.getBoolean(5), s"z2=${r2.getLong(4)}")
   }
 
+  test("kruskalWallis: pinned integer replay; separated groups significant") {
+    val spark2 = spark
+    import spark2.implicits._
+    // no-tie hand case {1,2} {3,4} {5,6}: rank2 = 2,4,...,12; R2 = 6,14,22;
+    // rr = R2²/(4n_g) DIV-truncated = 4,24,60 → t1 = 88;
+    // H = 12e6·88/42 − 21e6 = 4142857 (pinned truncation), df 2 → 'no'
+    val small = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L),
+      ("c", 5L), ("c", 6L)).toDF("grp", "v")
+    val r = Relational.kruskalWallisDf(small).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getString(4)) == ((3L, 6L, 4142857L, 2L, "no")), r.toString)
+    // three fully separated groups of 30 → H near its max, df 2 → 'yes'
+    val sep = (1L to 90L).map(v =>
+      (if (v <= 30) "a" else if (v <= 60) "b" else "c", v)).toDF("grp", "v")
+    val r2 = Relational.kruskalWallisDf(sep).head()
+    assert(r2.getString(4) == "yes", s"H=${r2.getLong(2)}")
+    assert(r2.getLong(2) > 5991465L)
+  }
+
   test("isotonic PAV: violators pool, monotone output, conforming buckets kept") {
     val spark2 = spark
     import spark2.implicits._
