@@ -940,6 +940,44 @@ object Relational {
           |  AS auc_micro""".stripMargin)
   }
 
+  /** ABC (Pareto) classification of parts by revenue — the classic
+    * inventory-analysis operator ("A items are the 80% of value"):
+    * parts ranked by exact revenue cents desc (ties to the key), the
+    * RUNNING share classifies A (≤8000 bp), B (≤9500 bp), C (rest) —
+    * share as (cum·10⁴) DIV total, so class membership is an exact
+    * integer decision; output is the 3-row class census (n_parts,
+    * revenue share, revenue per part).
+    *
+    * Scale: one fact rollup to the part grain, ONE part-grain window
+    * (range-partitioned sort, the TeraSort posture), 3-row output.
+    * The window runs over parts, never line items. */
+  def abcClassification(spark: SparkSession, dir: String): DataFrame = {
+    val byPart = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS LONG)")).as("cents"))
+    abcOf(byPart)
+  }
+
+  /** Core over any (pk, cents) item-revenue frame. */
+  private[graft] def abcOf(byPart: DataFrame): DataFrame = {
+    val w = Window.orderBy(desc("cents"), asc("pk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byPart.agg(sum("cents").as("total"))
+    byPart.withColumn("cum", sum("cents").over(w))
+      .crossJoin(broadcast(tot))
+      .selectExpr("pk", "cents", "(cum * 10000) DIV total AS cum_bp")
+      .selectExpr("cents", "cum_bp",
+        """CASE WHEN cum_bp <= 8000 THEN 'A'
+          | WHEN cum_bp <= 9500 THEN 'B' ELSE 'C' END AS cls""".stripMargin)
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_parts"), sum("cents").as("revenue_cents"))
+      .crossJoin(broadcast(tot))
+      .selectExpr("cls", "n_parts",
+        "(revenue_cents * 10000) DIV total AS revenue_share_bp",
+        "revenue_cents DIV n_parts AS cents_per_part")
+      .orderBy("cls")
+  }
+
   val MwSegA = "BUILDING"
   val MwSegB = "MACHINERY"
 
@@ -1566,6 +1604,7 @@ object Relational {
     "q_jaro_pairs" -> (jaroPairs _),
     "q_mann_whitney" -> (mannWhitney _),
     "q_kruskal_wallis" -> (kruskalWallis _),
+    "q_abc_class" -> (abcClassification _),
     "q_pricing_summary" -> (pricingSummary _),
     "q_filter_project" -> (filterProject _),
     "q_topk" -> (topK _),
@@ -1800,6 +1839,24 @@ object Relational {
          |  ((sum(np::HUGEINT * (2 * cumnn + nn)) * 1000000)
          |    // (2 * sum(np)::HUGEINT * sum(nn)))::BIGINT AS auc_micro
          |FROM w""".stripMargin,
+    "q_abc_class" ->
+      """WITH bp AS (SELECT l_partkey AS pk,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(cents)::BIGINT AS total FROM bp),
+        |c AS (SELECT cents,
+        |    (sum(cents) OVER (ORDER BY cents DESC, pk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000)
+        |      // total AS cum_bp
+        |  FROM bp CROSS JOIN t),
+        |k AS (SELECT cents,
+        |    CASE WHEN cum_bp <= 8000 THEN 'A'
+        |      WHEN cum_bp <= 9500 THEN 'B' ELSE 'C' END AS cls
+        |  FROM c)
+        |SELECT cls, count(*)::BIGINT AS n_parts,
+        |  (sum(cents) * 10000 // total)::BIGINT AS revenue_share_bp,
+        |  (sum(cents) // count(*))::BIGINT AS cents_per_part
+        |FROM k CROSS JOIN t GROUP BY cls, total ORDER BY cls""".stripMargin,
     "q_kruskal_wallis" ->
       s"""WITH xs AS (SELECT c_mktsegment AS grp,
          |    CAST(round(o_totalprice * 100) AS BIGINT) AS v

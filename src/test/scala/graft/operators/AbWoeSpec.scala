@@ -120,6 +120,19 @@ class AbWoeSpec extends SparkSpec {
     assert(r2.getBoolean(5), s"z2=${r2.getLong(4)}")
   }
 
+  test("abc classification: boundary shares land in the right class") {
+    val spark2 = spark
+    import spark2.implicits._
+    // revenues 50/30/15/5 → cum bp 5000, 8000, 9500, 10000:
+    // both boundaries INCLUSIVE (<=8000 → A, <=9500 → B)
+    val parts = Seq((1L, 50L), (2L, 30L), (3L, 15L), (4L, 5L))
+      .toDF("pk", "cents")
+    val got = Relational.abcOf(parts).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(("A", 2L, 8000L, 40L), ("B", 1L, 1500L, 15L),
+      ("C", 1L, 500L, 5L)), s"$got")
+  }
+
   test("kruskalWallis: pinned integer replay; separated groups significant") {
     val spark2 = spark
     import spark2.implicits._
