@@ -175,6 +175,40 @@ object Events {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Cohort LTV curves — [[cohortRetention]]'s revenue companion (the
+    * other half of every growth dashboard): per (first-week cohort,
+    * week age) purchase revenue in exact cents, the running cumulative
+    * per cohort, and LTV-per-user = cum DIV cohort size. Offsets with
+    * no purchases are ABSENT (pinned; q_gap_fill is the densifier) and
+    * the cumulative window runs over the present offsets — all integer,
+    * engine-exact.
+    *
+    * Scale: one firsts rollup, one purchase rollup onto (cohort, age)
+    * grain, a cohort-partitioned window over that bounded grain, and a
+    * cohort-sizes broadcast. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val firsts = ev.groupBy("user_id").agg(min("ts").as("first_ts"))
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("first_ts"))).as("cw"))
+    val sizes = firsts.groupBy("cw").agg(count(lit(1)).as("cohort_n"))
+    val rev = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("aw"),
+        expr("CAST(round(value * 100) AS LONG)").as("cents"))
+      .join(firsts, "user_id")
+      .groupBy(col("cw"),
+        (datediff(col("aw"), col("cw")) / 7).cast("long").as("week_offset"))
+      .agg(sum("cents").as("revenue_cents"))
+    val w = Window.partitionBy("cw").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.join(broadcast(sizes), "cw")
+      .withColumn("cum_revenue_cents", sum("revenue_cents").over(w))
+      .selectExpr("cw AS cohort_week", "week_offset", "revenue_cents",
+        "cum_revenue_cents", "cohort_n",
+        "cum_revenue_cents DIV cohort_n AS ltv_cents_per_user")
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** Batch interval join — the oracle-checked twin of the streaming
     * stream-stream join (EventsStreaming.viewClickIntervalJoin): every
     * (view, click) pair for a user with the click within 10 minutes
@@ -689,6 +723,7 @@ object Events {
     "q_asof_forward" -> (asofForward _),
     "q_interval_join" -> (intervalJoin _),
     "q_cohort_retention" -> (cohortRetention _),
+    "q_cohort_ltv" -> (cohortLtv _),
     "q_top_paths" -> (topPaths _),
     "q_attribution_multi" -> (attributionMulti _),
     "q_attribution_decay" -> (attributionDecay _),
@@ -912,8 +947,31 @@ object Events {
         |  ON v.user_id = c.user_id
         | AND c.click_ts >= v.view_ts
         | AND c.click_ts <= v.view_ts + INTERVAL 10 MINUTES""".stripMargin,
+    "q_cohort_ltv" ->
+      """WITH firsts AS (SELECT user_id,
+        |    date_trunc('week', min(ts))::DATE AS cw
+        |  FROM events GROUP BY user_id),
+        |sizes AS (SELECT cw, count(*)::BIGINT AS cohort_n FROM firsts
+        |  GROUP BY cw),
+        |rev AS (SELECT f.cw,
+        |    (date_diff('day', f.cw, date_trunc('week', e.ts)::DATE) // 7)::BIGINT
+        |      AS week_offset,
+        |    sum(CAST(round(e.value * 100) AS BIGINT))::BIGINT AS revenue_cents
+        |  FROM events e JOIN firsts f USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2)
+        |SELECT rev.cw AS cohort_week, week_offset, revenue_cents,
+        |  sum(revenue_cents) OVER (PARTITION BY rev.cw ORDER BY week_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS cum_revenue_cents,
+        |  cohort_n,
+        |  (sum(revenue_cents) OVER (PARTITION BY rev.cw ORDER BY week_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   // cohort_n)::BIGINT AS ltv_cents_per_user
+        |FROM rev JOIN sizes ON sizes.cw = rev.cw
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "q_cohort_retention" ->
-      """WITH f AS (SELECT user_id,
+"""WITH f AS (SELECT user_id,
         |    CAST(date_trunc('week', min(ts)) AS DATE) AS cw
         |  FROM events GROUP BY user_id),
         |a AS (SELECT DISTINCT user_id,
