@@ -354,7 +354,11 @@ object Bench {
         // round-8 batch-op additions: link prediction's hub-capped pair
         // join and SSSP's per-round dist⋈edges must track edges; chi2's
         // stack fan-out and Holt-Winters' days-sized folds stay linear
-        "q_link_predict", "q_sssp", "q_chi2_select", "q_holt_winters")
+        "q_link_predict", "q_sssp", "q_chi2_select", "q_holt_winters",
+        // round-8 second wave: TextRank's vocab-bounded edge build and
+        // readability's regexp scan must track the 10× corpus; cohort
+        // LTV's windows run over the bounded cohort-age grain
+        "q_textrank", "q_readability", "q_cohort_ltv")
       val runs = heavy.map { n =>
         val k = s"sf1_$n"
         rerun(k) = () => materialize(SparkEntry.queries(n)(spark, sf1Dir))
