@@ -209,6 +209,42 @@ object Events {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Per-user activity coverage — the interval-union observability
+    * metric (what share of a user's observed lifetime was spent INSIDE
+    * a session): sessions from the same 30-min-gap logic as
+    * [[sessionize]] are disjoint by construction, so the union is a
+    * plain per-session span sum; coverage = active·10⁴ DIV span
+    * (single-point spans pin NULL in both engines), gaps = sessions−1.
+    * All µs-integer arithmetic.
+    *
+    * Scale: one user-keyed window exchange (shared by the lag, cumsum,
+    * and both rollups) — the sessionizer posture; per-user output. */
+  def activityCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag("us", 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_id", sum("new_s").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    e.groupBy("user_id", "session_id")
+      .agg((max("us") - min("us")).as("sess_us"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("sess_us").as("active_us"))
+      .join(e.groupBy("user_id")
+        .agg((max("us") - min("us")).as("span_us")), "user_id")
+      .selectExpr("user_id", "n_sessions", "n_sessions - 1 AS n_gaps",
+        "active_us DIV 1000000 AS active_sec",
+        "span_us DIV 1000000 AS span_sec",
+        """CAST(CASE WHEN span_us = 0 THEN NULL
+          | ELSE (active_us * 10000) DIV span_us END AS BIGINT)
+          | AS coverage_bp""".stripMargin)
+      .orderBy("user_id")
+  }
+
   /** Batch interval join — the oracle-checked twin of the streaming
     * stream-stream join (EventsStreaming.viewClickIntervalJoin): every
     * (view, click) pair for a user with the click within 10 minutes
@@ -724,6 +760,7 @@ object Events {
     "q_interval_join" -> (intervalJoin _),
     "q_cohort_retention" -> (cohortRetention _),
     "q_cohort_ltv" -> (cohortLtv _),
+    "q_activity_coverage" -> (activityCoverage _),
     "q_top_paths" -> (topPaths _),
     "q_attribution_multi" -> (attributionMulti _),
     "q_attribution_decay" -> (attributionDecay _),
@@ -947,6 +984,30 @@ object Events {
         |  ON v.user_id = c.user_id
         | AND c.click_ts >= v.view_ts
         | AND c.click_ts <= v.view_ts + INTERVAL 10 MINUTES""".stripMargin,
+    "q_activity_coverage" ->
+      """WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_us
+        |  FROM events),
+        |s AS (SELECT user_id, us,
+        |    sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM l),
+        |g AS (SELECT user_id, session_id,
+        |    max(us) - min(us) AS sess_us FROM s GROUP BY 1, 2),
+        |u AS (SELECT user_id, count(*)::BIGINT AS n_sessions,
+        |    sum(sess_us)::BIGINT AS active_us FROM g GROUP BY user_id),
+        |sp AS (SELECT user_id, max(us) - min(us) AS span_us FROM s
+        |  GROUP BY user_id)
+        |SELECT user_id, n_sessions, n_sessions - 1 AS n_gaps,
+        |  (active_us // 1000000)::BIGINT AS active_sec,
+        |  (span_us // 1000000)::BIGINT AS span_sec,
+        |  (CASE WHEN span_us = 0 THEN NULL
+        |    ELSE (active_us * 10000) // span_us END)::BIGINT AS coverage_bp
+        |FROM u JOIN sp USING (user_id) ORDER BY user_id""".stripMargin,
     "q_cohort_ltv" ->
       """WITH firsts AS (SELECT user_id,
         |    date_trunc('week', min(ts))::DATE AS cw
