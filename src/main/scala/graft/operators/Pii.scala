@@ -19,6 +19,38 @@ import org.apache.spark.sql.functions._
   * phones, emails before bare IPv4s (a domain can embed digits).
   */
 object Pii {
+  val KaK = 5L // the k in "rows re-identifiable below k-anonymity k"
+  val KaL = 2L // the l in l-diversity
+
+  /** k-anonymity / l-diversity audit — the quantitative privacy check
+    * that complements [[piiScan]]'s pattern matching (PII scan finds
+    * direct identifiers; THIS measures re-identification risk from
+    * QUASI-identifiers): customers grouped by the QI tuple
+    * (nation, $1k balance bucket), k = equivalence-class size,
+    * l = distinct sensitive values (market segment) per class. Reports
+    * the class census: min k, rows/classes below k=[[KaK]], min l,
+    * classes below l=[[KaL]] — all exact integers.
+    *
+    * Scale: one partial+final QI rollup (with a distinct-count on the
+    * sensitive column), then a 1-row census — the QI class table is
+    * bounded by the QI domain, never by row count. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val classes = graft.Tables.customer(spark, dir)
+      .selectExpr("c_nationkey AS qi1",
+        "CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000 AS qi2",
+        "c_mktsegment AS sens")
+      .groupBy("qi1", "qi2")
+      .agg(count(lit(1)).as("k"), countDistinct("sens").as("l"))
+    classes.agg(
+      sum("k").as("n_rows"),
+      count(lit(1)).as("n_classes"),
+      min("k").as("min_k"),
+      sum(when(col("k") < KaK, col("k")).otherwise(0L)).as("rows_below_k"),
+      sum(when(col("k") < KaK, 1L).otherwise(0L)).as("classes_below_k"),
+      min("l").as("min_l"),
+      sum(when(col("l") < KaL, 1L).otherwise(0L)).as("classes_below_l"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -92,9 +124,23 @@ object Pii {
 
   val queries: Map[String, Q] = Map(
     "q_pii_scan" -> (piiScan _),
-    "q_pii_redact" -> (piiRedact _))
+    "q_pii_redact" -> (piiRedact _),
+    "q_k_anonymity" -> (kAnonymity _))
 
   val oracles: Map[String, String] = Map(
+    "q_k_anonymity" ->
+      s"""WITH cls AS (SELECT c_nationkey AS qi1,
+         |    CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS qi2,
+         |    count(*)::BIGINT AS k,
+         |    count(DISTINCT c_mktsegment)::BIGINT AS l
+         |  FROM customer GROUP BY 1, 2)
+         |SELECT sum(k)::BIGINT AS n_rows, count(*)::BIGINT AS n_classes,
+         |  min(k)::BIGINT AS min_k,
+         |  sum(CASE WHEN k < $KaK THEN k ELSE 0 END)::BIGINT AS rows_below_k,
+         |  sum(CASE WHEN k < $KaK THEN 1 ELSE 0 END)::BIGINT AS classes_below_k,
+         |  min(l)::BIGINT AS min_l,
+         |  sum(CASE WHEN l < $KaL THEN 1 ELSE 0 END)::BIGINT AS classes_below_l
+         |FROM cls""".stripMargin,
     "q_pii_redact" -> {
       val red = Recognizers.foldLeft("text2") { case (e, (_, re, tag)) =>
         s"regexp_replace($e, '$re', '$tag', 'g')"
