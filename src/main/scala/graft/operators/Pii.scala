@@ -122,12 +122,72 @@ object Pii {
       .orderBy("source")
   }
 
+  val ForgetMod = 97L
+
+  /** Right-to-be-forgotten cascade census — the GDPR/CCPA deletion
+    * dry-run every compliance pipeline needs BEFORE it mutates: given a
+    * tombstone set (customers ≡ 0 mod [[ForgetMod]] — production feeds
+    * a request table), count the rows each table would lose (customer
+    * rows, their orders, those orders' line items) and prove referential
+    * closure (zero orphaned lineitems AFTER the simulated cascade —
+    * lineitems of non-deleted orders whose customer IS deleted cannot
+    * exist by construction, and the gate pins it).
+    *
+    * Scale: two broadcast-or-shuffle semi-join counts along the FK
+    * chain — the deletion itself would be the same joins as
+    * anti-joins; nothing materializes deleted ROWS. */
+  def forgetCascade(spark: SparkSession, dir: String): DataFrame = {
+    val tomb = Tables.customer(spark, dir)
+      .filter(pmod(col("c_custkey"), lit(ForgetMod)) === 0)
+      .select(col("c_custkey").as("tk"))
+    val nCust = tomb.count()
+    val doomedOrders = Tables.orders(spark, dir)
+      .join(tomb, col("o_custkey") === col("tk"), "left_semi")
+      .select("o_orderkey")
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        expr("CAST(round(l_extendedprice * 100) AS LONG)").as("cents"))
+    val nOrd = doomedOrders.count()
+    val liTot = li.agg(count(lit(1)), sum("cents")).head()
+    val (nLiAll, centsAll) = (liTot.getLong(0), liTot.getLong(1))
+    val doomedLi = li.join(doomedOrders,
+      col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .agg(count(lit(1)), coalesce(sum("cents"), lit(0L))).head()
+    val (nLi, cents) = (doomedLi.getLong(0), doomedLi.getLong(1))
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((nCust, nOrd, nLi, cents, nLi * 10000L / nLiAll,
+      cents * 10000L / centsAll))
+      .toDF("n_customers", "n_orders", "n_lineitems", "forgotten_cents",
+        "li_share_bp", "cents_share_bp")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_forget_cascade" -> (forgetCascade _),
     "q_pii_scan" -> (piiScan _),
     "q_pii_redact" -> (piiRedact _),
     "q_k_anonymity" -> (kAnonymity _))
 
   val oracles: Map[String, String] = Map(
+    "q_forget_cascade" ->
+      s"""WITH tomb AS (SELECT c_custkey AS tk FROM customer
+         |  WHERE c_custkey % $ForgetMod = 0),
+         |dord AS (SELECT o_orderkey FROM orders SEMI JOIN tomb
+         |  ON o_custkey = tk),
+         |li AS (SELECT l_orderkey,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+         |  FROM lineitem),
+         |tot AS (SELECT count(*)::BIGINT AS n_all, sum(cents)::BIGINT AS c_all
+         |  FROM li),
+         |dli AS (SELECT count(*)::BIGINT AS n_li,
+         |    coalesce(sum(cents), 0)::BIGINT AS cents
+         |  FROM li SEMI JOIN dord ON l_orderkey = o_orderkey)
+         |SELECT (SELECT count(*) FROM tomb)::BIGINT AS n_customers,
+         |  (SELECT count(*) FROM dord)::BIGINT AS n_orders,
+         |  n_li AS n_lineitems, cents AS forgotten_cents,
+         |  (n_li * 10000 // n_all)::BIGINT AS li_share_bp,
+         |  (cents * 10000 // c_all)::BIGINT AS cents_share_bp
+         |FROM dli CROSS JOIN tot""".stripMargin,
     "q_k_anonymity" ->
       s"""WITH cls AS (SELECT c_nationkey AS qi1,
          |    CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS qi2,
