@@ -940,6 +940,38 @@ object Relational {
           |  AS auc_micro""".stripMargin)
   }
 
+  /** Customer value-migration matrix — the "did my best customers stay
+    * my best customers" BI classic: revenue quartile in the FIRST half
+    * of the date window vs the SECOND, as a 5×5 transition census
+    * (quartile 0 = absent that half: acquisitions in the from-row,
+    * churn in the to-column). ntile(4) over (exact cents, custkey) is
+    * fully tie-broken and both engines deal remainder rows to the
+    * leading buckets — engine-exact membership.
+    *
+    * Scale: one fact rollup to (customer, half), two half-partitioned
+    * ntile windows over the customer grain, a full-outer self-align on
+    * the customer key, and a ≤25-row census. */
+  def valueMigration(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey").as("ck"), to_date(col("o_orderdate")).as("d"),
+      expr("CAST(round(o_totalprice * 100) AS LONG)").as("cents"))
+    val mm = o.agg(min("d").as("d0"), max("d").as("d1"))
+    val halves = o.crossJoin(broadcast(mm))
+      .withColumn("h",
+        (col("d") > expr("date_add(d0, CAST(datediff(d1, d0) DIV 2 AS INT))"))
+          .cast("int"))
+      .groupBy("ck", "h").agg(sum("cents").as("v"))
+    val q = halves.withColumn("q", ntile(4).over(
+      Window.partitionBy("h").orderBy(col("v"), col("ck"))))
+    val a = q.filter(col("h") === 0).select(col("ck"), col("q").as("q0"))
+    val b = q.filter(col("h") === 1).select(col("ck").as("ckb"), col("q").as("q1"))
+    a.join(b, col("ck") === col("ckb"), "full_outer")
+      .select(coalesce(col("q0"), lit(0)).as("from_q"),
+        coalesce(col("q1"), lit(0)).as("to_q"))
+      .groupBy("from_q", "to_q").agg(count(lit(1)).as("n_customers"))
+      .orderBy("from_q", "to_q")
+  }
+
   /** ABC (Pareto) classification of parts by revenue — the classic
     * inventory-analysis operator ("A items are the 80% of value"):
     * parts ranked by exact revenue cents desc (ties to the key), the
@@ -1605,6 +1637,7 @@ object Relational {
     "q_mann_whitney" -> (mannWhitney _),
     "q_kruskal_wallis" -> (kruskalWallis _),
     "q_abc_class" -> (abcClassification _),
+    "q_value_migration" -> (valueMigration _),
     "q_pricing_summary" -> (pricingSummary _),
     "q_filter_project" -> (filterProject _),
     "q_topk" -> (topK _),
@@ -1839,6 +1872,23 @@ object Relational {
          |  ((sum(np::HUGEINT * (2 * cumnn + nn)) * 1000000)
          |    // (2 * sum(np)::HUGEINT * sum(nn)))::BIGINT AS auc_micro
          |FROM w""".stripMargin,
+    "q_value_migration" ->
+      """WITH o AS (SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |mm AS (SELECT min(d) AS d0, max(d) AS d1 FROM o),
+        |hv AS (SELECT ck,
+        |    (d > d0 + ((date_diff('day', d0, d1) // 2)::INT * INTERVAL 1 DAY))::INT AS h,
+        |    sum(cents)::BIGINT AS v
+        |  FROM o CROSS JOIN mm GROUP BY 1, 2),
+        |q AS (SELECT ck, h,
+        |    ntile(4) OVER (PARTITION BY h ORDER BY v, ck) AS q FROM hv),
+        |a AS (SELECT ck, q AS q0 FROM q WHERE h = 0),
+        |b AS (SELECT ck, q AS q1 FROM q WHERE h = 1)
+        |SELECT coalesce(q0, 0)::INT AS from_q, coalesce(q1, 0)::INT AS to_q,
+        |  count(*)::BIGINT AS n_customers
+        |FROM a FULL OUTER JOIN b USING (ck)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_abc_class" ->
       """WITH bp AS (SELECT l_partkey AS pk,
         |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS cents
