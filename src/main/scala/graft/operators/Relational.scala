@@ -963,6 +963,7 @@ object Relational {
       .groupBy("ck", "h").agg(sum("cents").as("v"))
     val q = halves.withColumn("q", ntile(4).over(
       Window.partitionBy("h").orderBy(col("v"), col("ck"))))
+      .localCheckpoint(true) // customer-grain; both half filters read it
     val a = q.filter(col("h") === 0).select(col("ck"), col("q").as("q0"))
     val b = q.filter(col("h") === 1).select(col("ck").as("ckb"), col("q").as("q1"))
     a.join(b, col("ck") === col("ckb"), "full_outer")
@@ -991,7 +992,9 @@ object Relational {
   }
 
   /** Core over any (pk, cents) item-revenue frame. */
-  private[graft] def abcOf(byPart: DataFrame): DataFrame = {
+  private[graft] def abcOf(byPart0: DataFrame): DataFrame = {
+    // part-grain table feeds the window chain AND the total — one scan
+    val byPart = byPart0.localCheckpoint(true)
     val w = Window.orderBy(desc("cents"), asc("pk"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = byPart.agg(sum("cents").as("total"))
@@ -1095,6 +1098,7 @@ object Relational {
     val ranked = byV.withColumn("cum", sum("t").over(w))
       .selectExpr("v", "2 * (cum - t) + t + 1 AS rank2",
         "CAST(t AS DECIMAL(38,0)) * t * t - t AS tie3")
+      .localCheckpoint(true) // value-grain table feeds groups AND ties
     val groups = byVG.join(ranked.select("v", "rank2"), "v")
       .groupBy("grp")
       .agg(sum("c").as("n_g"),
@@ -1416,6 +1420,7 @@ object Relational {
         (col("balka") === col("balkb")).cast("long").as("bal_a"),
         (col("sfxa") === col("sfxb")).cast("long").as("sfx_a"))
       .groupBy("seg_a", "bal_a", "sfx_a").agg(count(lit(1)).as("n_pairs"))
+      .localCheckpoint(true) // ≤2³ rows feed BOTH the u-totals and the output
     val tot = pat.agg(sum("n_pairs").as("np"),
       sum(col("n_pairs") * col("seg_a")).as("na_seg"),
       sum(col("n_pairs") * col("bal_a")).as("na_bal"),
