@@ -143,11 +143,83 @@ object Layout {
       .select(col("a"), col("b"), col("dist2"), col("n_pairs"))
   }
 
+  /** Nearest-neighbor distance census — the spatial-statistics classic
+    * (Clark–Evans-style clustering diagnostics read the NN-distance
+    * distribution): per point the nearest neighbor WITHIN the grid
+    * radius via the same 3×3 replication as [[spatialJoinDf]] (both
+    * directions this time — every point needs its own minimum), then a
+    * census over 10 equal dist² buckets plus the isolated count
+    * (bucket −1 = no neighbor within r). Exact integer distances and
+    * bucket arithmetic.
+    *
+    * Scale: identical posture to the spatial join — cells bound the
+    * candidate fan-out; the per-point min is a partial+final agg. */
+  def nnDistance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns.hash56
+    val pts = Tables.customer(spark, dir).select(
+      col("c_custkey").cast("long").as("id"),
+      pmod(hash56(concat(lit("x#"), col("c_custkey").cast("string"))),
+        lit(SpatialMod)).as("x"),
+      pmod(hash56(concat(lit("y#"), col("c_custkey").cast("string"))),
+        lit(SpatialMod)).as("y"))
+    nnDistanceDf(pts, SpatialR)
+  }
+
+  /** Core over any (id, x, y) integer point frame. */
+  def nnDistanceDf(pts0: DataFrame, r: Long): DataFrame = {
+    val pts = pts0.localCheckpoint(true) // feeds base, repl, and the census
+    val spark = pts.sparkSession
+    val base = pts.select(col("id"), col("x"), col("y"),
+      expr(s"x DIV $r").as("cx"), expr(s"y DIV $r").as("cy"))
+    val offsets = spark.range(9).select(
+      (col("id") / 3).cast("long").minus(1L).as("dx"),
+      (col("id") % 3).cast("long").minus(1L).as("dy"))
+    val repl = base.select(col("id").as("idb"), col("x").as("xb"),
+        col("y").as("yb"), col("cx").as("bcx"), col("cy").as("bcy"))
+      .crossJoin(broadcast(offsets))
+      .select(col("idb"), col("xb"), col("yb"),
+        (col("bcx") + col("dx")).as("ncx"), (col("bcy") + col("dy")).as("ncy"))
+    val nn = base.join(repl,
+        col("cx") === col("ncx") && col("cy") === col("ncy") &&
+          col("id") =!= col("idb"))
+      .select(col("id"),
+        ((col("x") - col("xb")) * (col("x") - col("xb")) +
+          (col("y") - col("yb")) * (col("y") - col("yb"))).as("dist2"))
+      .filter(col("dist2") <= r * r)
+      .groupBy("id").agg(min("dist2").as("nn_dist2"))
+    val withIso = pts.join(nn, Seq("id"), "left")
+      .selectExpr(
+        s"""CASE WHEN nn_dist2 IS NULL THEN -1
+           | ELSE CAST((nn_dist2 * 10) DIV ${r * r} AS INT) END AS bucket"""
+          .stripMargin)
+    withIso.groupBy("bucket").agg(count(lit(1)).as("n_points"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_zorder_cells" -> (zorderCells _),
-    "q_spatial_join" -> (spatialJoin _))
+    "q_spatial_join" -> (spatialJoin _),
+    "q_nn_distance" -> (nnDistance _))
 
   val oracles: Map[String, String] = Map(
+    "q_nn_distance" ->
+      s"""WITH p AS MATERIALIZED (SELECT c_custkey::BIGINT AS id,
+         |    ('0x'||substr(md5('x#'||c_custkey::VARCHAR),1,14))::UBIGINT::BIGINT
+         |      % $SpatialMod AS x,
+         |    ('0x'||substr(md5('y#'||c_custkey::VARCHAR),1,14))::UBIGINT::BIGINT
+         |      % $SpatialMod AS y
+         |  FROM customer),
+         |nn AS (SELECT a.id,
+         |    min((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS nn_dist2
+         |  FROM p a JOIN p b ON a.id <> b.id
+         |  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+         |    <= ${SpatialR * SpatialR}
+         |  GROUP BY a.id),
+         |bk AS (SELECT CASE WHEN nn_dist2 IS NULL THEN -1
+         |    ELSE ((nn_dist2 * 10) // ${SpatialR * SpatialR})::INT END AS bucket
+         |  FROM p LEFT JOIN nn USING (id))
+         |SELECT bucket, count(*)::BIGINT AS n_points
+         |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_spatial_join" ->
       s"""WITH p AS MATERIALIZED (SELECT c_custkey::BIGINT AS id,
          |    ('0x'||substr(md5('x#'||c_custkey::VARCHAR),1,14))::UBIGINT::BIGINT

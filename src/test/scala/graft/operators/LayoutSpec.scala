@@ -77,4 +77,18 @@ class LayoutSpec extends SparkSpec {
       ), s"parts=$parts: ${got.toSeq}")
     }
   }
+
+  test("nnDistance buckets nearest neighbors; isolated points report -1") {
+    val spark2 = spark
+    import spark2.implicits._
+    // (0,0)-(3,4) mutual NN at dist2 25 → bucket 25·10 DIV 100 = 2;
+    // (50,50) has no neighbor within r=10 → bucket −1. The NN pair
+    // straddles cells (0,0) and (0,0)… use (9,1)-(12,5): dist2 = 25,
+    // cells (0,0) vs (1,0) — cross-cell NN exercised
+    val pts = Seq((1L, 9L, 1L), (2L, 12L, 5L), (3L, 50L, 50L))
+      .toDF("id", "x", "y")
+    val got = Layout.nnDistanceDf(pts, r = 10L).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got == Seq((-1, 1L), (2, 2L)), s"$got")
+  }
 }
