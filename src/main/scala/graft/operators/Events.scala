@@ -245,6 +245,39 @@ object Events {
       .orderBy("user_id")
   }
 
+  val AbandonHorizonUs = 3600L * 1000000L
+
+  /** Daily abandonment rate — the NEGATIVE-pattern census the funnel
+    * family doesn't cover (funnels count who CONVERTED; product teams
+    * watch who looked and walked away): a view is abandoned when the
+    * user has NO purchase in the following hour. Converted views via a
+    * user-keyed semi-join with the time-range predicate (the interval-
+    * join posture, fan-out horizon-bounded); rates in integer bp.
+    *
+    * Scale: both sides shuffle once on user_id; the census is a
+    * days-sized partial+final rollup. */
+  def abandonment(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), to_date(col("ts")).as("d"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("us"), col("d"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("pus"))
+    val converted = views.join(buys,
+        views("user_id") === buys("user_id") &&
+          col("pus") > col("us") && col("pus") <= col("us") + AbandonHorizonUs,
+        "left_semi")
+      .select(col("event_id")).withColumn("conv", lit(1L))
+    views.join(converted, Seq("event_id"), "left")
+      .groupBy("d")
+      .agg(count(lit(1)).as("n_views"),
+        coalesce(sum("conv"), lit(0L)).as("n_converted"))
+      .selectExpr("d", "n_views", "n_converted",
+        "((n_views - n_converted) * 10000) DIV n_views AS abandoned_bp")
+      .orderBy("d")
+  }
+
   /** Batch interval join — the oracle-checked twin of the streaming
     * stream-stream join (EventsStreaming.viewClickIntervalJoin): every
     * (view, click) pair for a user with the click within 10 minutes
@@ -761,6 +794,7 @@ object Events {
     "q_cohort_retention" -> (cohortRetention _),
     "q_cohort_ltv" -> (cohortLtv _),
     "q_activity_coverage" -> (activityCoverage _),
+    "q_abandonment" -> (abandonment _),
     "q_top_paths" -> (topPaths _),
     "q_attribution_multi" -> (attributionMulti _),
     "q_attribution_decay" -> (attributionDecay _),
@@ -984,6 +1018,22 @@ object Events {
         |  ON v.user_id = c.user_id
         | AND c.click_ts >= v.view_ts
         | AND c.click_ts <= v.view_ts + INTERVAL 10 MINUTES""".stripMargin,
+    "q_abandonment" ->
+      s"""WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+         |    ts::DATE AS d
+         |  FROM events WHERE event_type = 'view'),
+         |p AS (SELECT user_id, epoch_us(ts) AS pus FROM events
+         |  WHERE event_type = 'purchase'),
+         |conv AS (SELECT DISTINCT v.event_id FROM v JOIN p
+         |  ON p.user_id = v.user_id
+         |  AND p.pus > v.us AND p.pus <= v.us + $AbandonHorizonUs)
+         |SELECT d, count(*)::BIGINT AS n_views,
+         |  sum(CASE WHEN conv.event_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_converted,
+         |  ((count(*) - sum(CASE WHEN conv.event_id IS NOT NULL THEN 1 ELSE 0 END))
+         |    * 10000 // count(*))::BIGINT AS abandoned_bp
+         |FROM v LEFT JOIN conv USING (event_id)
+         |GROUP BY d ORDER BY d""".stripMargin,
     "q_activity_coverage" ->
       """WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS us,
         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
