@@ -531,6 +531,40 @@ object Temporal {
       .orderBy("pri", "fold")
   }
 
+  /** Order-fulfillment SLA per priority — the supply-chain latency
+    * census: days from order date to the LAST line shipment, with
+    * exact type-1 percentiles selected by rank (value at row
+    * ⌈q·n⌉ under the total (days, orderkey) order — a value FROM the
+    * data, engine-exact, the q_theil_sen selection discipline).
+    *
+    * Scale: one per-order rollup, then per-priority rank windows over
+    * the order grain — the heavy reduction happens before any sort. */
+  def fulfillmentSla(spark: SparkSession, dir: String): DataFrame = {
+    val perOrder = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey").as("ok")).agg(max("l_shipdate").as("last_ship"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"),
+        col("o_orderdate"), col("o_orderpriority").as("pri")),
+        col("ok") === col("o_orderkey"))
+      .select(col("pri"), col("ok"),
+        datediff(to_date(col("last_ship")), to_date(col("o_orderdate")))
+          .cast("long").as("days"))
+    val w = Window.partitionBy("pri").orderBy(col("days"), col("ok"))
+    val ranked = perOrder
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("pri")))
+      .localCheckpoint(true) // feeds the census and both rank picks
+    val census = ranked.groupBy("pri")
+      .agg(count(lit(1)).as("n_orders"), min("days").as("min_days"),
+        max("days").as("max_days"))
+    def pick(q: Int, name: String) = ranked
+      .filter(col("rn") === expr(s"CAST((n * $q + 99) DIV 100 AS BIGINT)"))
+      .select(col("pri"), col("days").as(name))
+    census
+      .join(pick(50, "p50_days"), "pri")
+      .join(pick(90, "p90_days"), "pri")
+      .orderBy("pri")
+  }
+
   val AnomalyKUsdDiv = 100000L
 
   /** Day-of-week-adjusted anomaly days: daily revenue in integer
@@ -616,6 +650,7 @@ object Temporal {
     "q_holt_linear" -> (holtLinear _),
     "q_holt_winters" -> (holtWinters _),
     "q_walk_forward" -> (walkForward _),
+    "q_fulfillment_sla" -> (fulfillmentSla _),
     "q_mann_kendall" -> (mannKendall _),
     "q_theil_sen" -> (theilSen _),
     "q_ols_trend" -> (olsTrend _),
@@ -803,6 +838,26 @@ object Temporal {
         |SELECT pri, d, cents, l AS level_milli, b AS trend_milli,
         |  l + b AS forecast_milli
         |FROM rec ORDER BY pri, d""".stripMargin,
+    "q_fulfillment_sla" ->
+      """WITH po AS (SELECT l_orderkey AS ok, max(l_shipdate) AS last_ship
+        |  FROM lineitem GROUP BY 1),
+        |d AS (SELECT o_orderpriority AS pri, ok,
+        |    date_diff('day', o_orderdate::DATE, last_ship::DATE)::BIGINT AS days
+        |  FROM po JOIN orders ON ok = o_orderkey),
+        |r AS (SELECT pri, ok, days,
+        |    row_number() OVER (PARTITION BY pri ORDER BY days, ok) AS rn,
+        |    count(*) OVER (PARTITION BY pri) AS n
+        |  FROM d),
+        |census AS (SELECT pri, count(*)::BIGINT AS n_orders,
+        |    min(days)::BIGINT AS min_days, max(days)::BIGINT AS max_days
+        |  FROM d GROUP BY pri),
+        |p50 AS (SELECT pri, days AS p50_days FROM r
+        |  WHERE rn = (n * 50 + 99) // 100),
+        |p90 AS (SELECT pri, days AS p90_days FROM r
+        |  WHERE rn = (n * 90 + 99) // 100)
+        |SELECT census.pri, n_orders, min_days, max_days, p50_days, p90_days
+        |FROM census JOIN p50 USING (pri) JOIN p90 USING (pri)
+        |ORDER BY pri""".stripMargin,
     "q_walk_forward" ->
       s"""WITH daily AS (SELECT o_orderpriority AS pri,
          |    CAST(o_orderdate AS DATE) AS d,
