@@ -164,6 +164,39 @@ object Temporal {
       .orderBy("et", "d")
   }
 
+  val BollWin = 7
+
+  /** Bollinger-band breakouts — the ROLLING-baseline anomaly twin of
+    * [[anomalyDow]] (that one baselines each weekday against its own
+    * population; this one against the trailing [[BollWin]]-day window —
+    * the quant-chart classic next to q_ohlc_bars/q_twap): a day breaks
+    * out when it sits beyond 2σ of its own trailing window, tested via
+    * the cross-multiplied ALL-INTEGER inequality
+    * (w·x − Σx)² > 4·(w·Σx² − (Σx)²) — no fp mean/sqrt; score_bp grades
+    * the excess. Only full windows test (warm-up days are silent).
+    *
+    * Scale: one daily rollup, two rolling sums over ONE day-ordered
+    * window — the detection pass costs nothing beyond the rollup. */
+  def bollingerBreakouts(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .selectExpr("d", s"cents DIV $AnomalyKUsdDiv AS x")
+    val w = Window.orderBy("d").rowsBetween(-(BollWin - 1), 0)
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum("x").over(w))
+      .withColumn("sxx", sum(col("x").cast("decimal(38,0)") * col("x")).over(w))
+      .filter(col("n") === BollWin)
+      .selectExpr("d", "x AS x_kusd",
+        s"""CAST($BollWin AS DECIMAL(38,0)) * x - sx AS dev""",
+        s"4 * (CAST($BollWin AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx) AS denom")
+      .filter(expr("dev * dev > denom"))
+      .selectExpr("d", "x_kusd",
+        "CAST((dev * dev * 10000) DIV denom AS BIGINT) AS score_bp")
+      .orderBy("d")
+  }
+
   /** Day-of-week seasonality profile: per priority segment, each
     * weekday's revenue index vs a uniform week (10000 bp = an average
     * day; integer DIV so the profile is engine-exact). Weekday numbering
@@ -651,6 +684,7 @@ object Temporal {
     "q_holt_winters" -> (holtWinters _),
     "q_walk_forward" -> (walkForward _),
     "q_fulfillment_sla" -> (fulfillmentSla _),
+    "q_bollinger" -> (bollingerBreakouts _),
     "q_mann_kendall" -> (mannKendall _),
     "q_theil_sen" -> (theilSen _),
     "q_ols_trend" -> (olsTrend _),
@@ -838,6 +872,25 @@ object Temporal {
         |SELECT pri, d, cents, l AS level_milli, b AS trend_milli,
         |  l + b AS forecast_milli
         |FROM rec ORDER BY pri, d""".stripMargin,
+    "q_bollinger" ->
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+         |    (sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+         |      // $AnomalyKUsdDiv)::BIGINT AS x
+         |  FROM orders GROUP BY 1),
+         |r AS (SELECT d, x,
+         |    count(*) OVER w AS n,
+         |    sum(x) OVER w AS sx,
+         |    sum(x::HUGEINT * x) OVER w AS sxx
+         |  FROM daily
+         |  WINDOW w AS (ORDER BY d ROWS BETWEEN ${BollWin - 1} PRECEDING
+         |    AND CURRENT ROW)),
+         |f AS (SELECT d, x AS x_kusd,
+         |    $BollWin::HUGEINT * x - sx AS dev,
+         |    4 * ($BollWin::HUGEINT * sxx - sx::HUGEINT * sx) AS denom
+         |  FROM r WHERE n = $BollWin)
+         |SELECT d, x_kusd,
+         |  ((dev * dev * 10000) // denom)::BIGINT AS score_bp
+         |FROM f WHERE dev * dev > denom ORDER BY d""".stripMargin,
     "q_fulfillment_sla" ->
       """WITH po AS (SELECT l_orderkey AS ok, max(l_shipdate) AS last_ship
         |  FROM lineitem GROUP BY 1),
