@@ -197,6 +197,32 @@ object Temporal {
       .orderBy("d")
   }
 
+  /** Maximum drawdown of the daily-revenue level — the canonical
+    * downside-risk measure ([[bollingerBreakouts]]' companion on the
+    * quant shelf): drawdown at t is (peak − x)·10⁴ DIV peak against the
+    * RUNNING peak of the daily series; the gate reports the deepest
+    * drawdown, its date (ties to the earliest), the peak it fell from,
+    * and the trough value — all exact integers.
+    *
+    * Scale: one daily rollup and one unbounded-preceding window over
+    * the bounded day grain; 1-row output. */
+  def maxDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dd = daily
+      .withColumn("peak", max("cents").over(w))
+      .selectExpr("d", "cents", "peak",
+        "((peak - cents) * 10000) DIV peak AS dd_bp")
+      .localCheckpoint(true) // day-grain; feeds the argmax and the census
+    val top = dd.orderBy(desc("dd_bp"), asc("d")).limit(1)
+      .selectExpr("dd_bp AS max_dd_bp", "d AS trough_date",
+        "peak AS peak_cents", "cents AS trough_cents")
+    top.crossJoin(broadcast(dd.agg(count(lit(1)).as("n_days"))))
+  }
+
   /** Day-of-week seasonality profile: per priority segment, each
     * weekday's revenue index vs a uniform week (10000 bp = an average
     * day; integer DIV so the profile is engine-exact). Weekday numbering
@@ -685,6 +711,7 @@ object Temporal {
     "q_walk_forward" -> (walkForward _),
     "q_fulfillment_sla" -> (fulfillmentSla _),
     "q_bollinger" -> (bollingerBreakouts _),
+    "q_drawdown" -> (maxDrawdown _),
     "q_mann_kendall" -> (mannKendall _),
     "q_theil_sen" -> (theilSen _),
     "q_ols_trend" -> (olsTrend _),
@@ -872,6 +899,22 @@ object Temporal {
         |SELECT pri, d, cents, l AS level_milli, b AS trend_milli,
         |  l + b AS forecast_milli
         |FROM rec ORDER BY pri, d""".stripMargin,
+    "q_drawdown" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM orders GROUP BY 1),
+        |dd AS (SELECT d, cents,
+        |    max(cents) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM daily),
+        |s AS (SELECT d, cents, peak,
+        |    ((peak - cents) * 10000) // peak AS dd_bp FROM dd),
+        |top AS (SELECT dd_bp AS max_dd_bp, d AS trough_date,
+        |    peak AS peak_cents, cents AS trough_cents
+        |  FROM s ORDER BY dd_bp DESC, d LIMIT 1)
+        |SELECT max_dd_bp, trough_date, peak_cents, trough_cents,
+        |  (SELECT count(*) FROM s)::BIGINT AS n_days
+        |FROM top""".stripMargin,
     "q_bollinger" ->
       s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
          |    (sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
