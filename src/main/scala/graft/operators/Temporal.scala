@@ -223,6 +223,40 @@ object Temporal {
     top.crossJoin(broadcast(dd.agg(count(lit(1)).as("n_days"))))
   }
 
+  /** Two-level Haar wavelet downsample of daily revenue — the classic
+    * multi-resolution series compression (approx = trend at 2-day and
+    * 4-day scale, detail = what reconstruction needs back): per level
+    * approx = (a+b) DIV 2 and detail = (a−b) DIV 2 over rank-paired
+    * days, truncating integer DIV in both engines, incomplete tail
+    * pairs dropped (pinned). Level-2 runs on level-1's approximations.
+    *
+    * Scale: two pair-keyed partial+final rollups over the bounded day
+    * grain — no window at all beyond the initial ranking. */
+  def haarDownsample(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val l0 = daily
+      .withColumn("rn", row_number().over(Window.orderBy("d")) - 1)
+      .select(col("rn").cast("long").as("rn"), col("cents").as("v"))
+    def level(df: DataFrame): DataFrame =
+      df.withColumn("p", expr("rn DIV 2"))
+        .groupBy("p")
+        .agg(count(lit(1)).as("c"),
+          sum(when(expr("rn % 2 = 0"), col("v"))).as("a"),
+          sum(when(expr("rn % 2 = 1"), col("v"))).as("b"))
+        .filter(col("c") === 2)
+        .selectExpr("p AS rn", "(a + b) DIV 2 AS v", "(a - b) DIV 2 AS det")
+        .localCheckpoint(true) // feeds output AND the next level
+    val l1 = level(l0)
+    val l2 = level(l1.select("rn", "v"))
+    l1.selectExpr("1 AS level", "rn AS idx", "v AS approx_cents",
+        "det AS detail_cents")
+      .unionAll(l2.selectExpr("2 AS level", "rn AS idx", "v AS approx_cents",
+        "det AS detail_cents"))
+      .orderBy("level", "idx")
+  }
+
   /** Day-of-week seasonality profile: per priority segment, each
     * weekday's revenue index vs a uniform week (10000 bp = an average
     * day; integer DIV so the profile is engine-exact). Weekday numbering
@@ -712,6 +746,7 @@ object Temporal {
     "q_fulfillment_sla" -> (fulfillmentSla _),
     "q_bollinger" -> (bollingerBreakouts _),
     "q_drawdown" -> (maxDrawdown _),
+    "q_haar" -> (haarDownsample _),
     "q_mann_kendall" -> (mannKendall _),
     "q_theil_sen" -> (theilSen _),
     "q_ols_trend" -> (olsTrend _),
@@ -899,6 +934,29 @@ object Temporal {
         |SELECT pri, d, cents, l AS level_milli, b AS trend_milli,
         |  l + b AS forecast_milli
         |FROM rec ORDER BY pri, d""".stripMargin,
+    "q_haar" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM orders GROUP BY 1),
+        |l0 AS (SELECT (row_number() OVER (ORDER BY d) - 1)::BIGINT AS rn,
+        |    cents AS v FROM daily),
+        |l1 AS (SELECT rn // 2 AS rn,
+        |    (sum(CASE WHEN rn % 2 = 0 THEN v END)
+        |      + sum(CASE WHEN rn % 2 = 1 THEN v END)) // 2 AS v,
+        |    (sum(CASE WHEN rn % 2 = 0 THEN v END)
+        |      - sum(CASE WHEN rn % 2 = 1 THEN v END)) // 2 AS det
+        |  FROM l0 GROUP BY rn // 2 HAVING count(*) = 2),
+        |l2 AS (SELECT rn // 2 AS rn,
+        |    (sum(CASE WHEN rn % 2 = 0 THEN v END)
+        |      + sum(CASE WHEN rn % 2 = 1 THEN v END)) // 2 AS v,
+        |    (sum(CASE WHEN rn % 2 = 0 THEN v END)
+        |      - sum(CASE WHEN rn % 2 = 1 THEN v END)) // 2 AS det
+        |  FROM l1 GROUP BY rn // 2 HAVING count(*) = 2)
+        |SELECT 1 AS level, rn AS idx, v::BIGINT AS approx_cents,
+        |  det::BIGINT AS detail_cents FROM l1
+        |UNION ALL
+        |SELECT 2, rn, v::BIGINT, det::BIGINT FROM l2
+        |ORDER BY level, idx""".stripMargin,
     "q_drawdown" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
         |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
