@@ -627,6 +627,64 @@ object Events {
            | ELSE 'continue' END AS verdict""".stripMargin)
   }
 
+  /** CUPED variance reduction — the experimentation-stack upgrade the
+    * A/B family ([[abTestDf]], [[sprtDf]]) reads next: using each
+    * user's PRE-period activity as the control covariate,
+    * θ = cov(pre, post)/var(pre) and the variance-reduction factor
+    * ρ² = cov²/(var·var) tell how much sensitivity the adjustment buys.
+    * Both come from exact integer user-level sums, cross-multiplied in
+    * DECIMAL(38,0)/HUGEINT — θ in micro, ρ² in bp, plus the raw
+    * post-period arm difference in micro events/user. Degenerate
+    * variances pin NULL.
+    *
+    * Scale: one user-grain rollup (pre/post counts per user), one
+    * 1-row moment aggregate — the q_ab_test posture. */
+  def cuped(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val mid = ev.agg(
+      expr("timestamp_micros(CAST((min(unix_micros(ts)) + max(unix_micros(ts))) / 2 AS LONG))"))
+      .head().getTimestamp(0)
+    val users = ev.groupBy("user_id").agg(
+        sum(when(col("event_type") === "purchase" && col("ts") <= lit(mid), 1L)
+          .otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase" && col("ts") > lit(mid), 1L)
+          .otherwise(0L)).as("y"))
+      .withColumn("arm", pmod(hash56(col("user_id").cast("string")), lit(2)))
+    users.agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(when(col("arm") === 0, col("y"))).as("ya"),
+        sum(when(col("arm") === 0, 1L)).as("na"),
+        sum(when(col("arm") === 1, col("y"))).as("yb"),
+        sum(when(col("arm") === 1, 1L)).as("nb"))
+      .selectExpr("n", "sx", "sy",
+        """CAST(CASE WHEN CAST(n AS DECIMAL(38,0)) * sxx
+          |    - CAST(sx AS DECIMAL(38,0)) * sx = 0 THEN NULL
+          | ELSE ((CAST(n AS DECIMAL(38,0)) * sxy
+          |    - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000)
+          |   DIV (CAST(n AS DECIMAL(38,0)) * sxx
+          |    - CAST(sx AS DECIMAL(38,0)) * sx) END AS BIGINT)
+          | AS theta_micro""".stripMargin,
+        """CAST(CASE WHEN (CAST(n AS DECIMAL(38,0)) * sxx
+          |      - CAST(sx AS DECIMAL(38,0)) * sx)
+          |    * (CAST(n AS DECIMAL(38,0)) * syy
+          |      - CAST(sy AS DECIMAL(38,0)) * sy) = 0 THEN NULL
+          | ELSE ((CAST(n AS DECIMAL(38,0)) * sxy
+          |     - CAST(sx AS DECIMAL(38,0)) * sy)
+          |    * (CAST(n AS DECIMAL(38,0)) * sxy
+          |     - CAST(sx AS DECIMAL(38,0)) * sy) * 10000)
+          |   DIV ((CAST(n AS DECIMAL(38,0)) * sxx
+          |      - CAST(sx AS DECIMAL(38,0)) * sx)
+          |    * (CAST(n AS DECIMAL(38,0)) * syy
+          |      - CAST(sy AS DECIMAL(38,0)) * sy)) END AS BIGINT)
+          | AS rho2_bp""".stripMargin,
+        """CAST((CAST(yb AS DECIMAL(38,0)) * na - CAST(ya AS DECIMAL(38,0)) * nb)
+          | * 1000000 DIV (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)
+          | AS raw_diff_micro""".stripMargin)
+  }
+
   /** Kaplan–Meier time-to-conversion curve — survival analysis with
     * censoring, the piece simple funnel latency (q_funnel_time) cannot
     * express: users who never purchase still contribute risk-set time
@@ -783,6 +841,7 @@ object Events {
     "q_nelson_aalen" -> (nelsonAalen _),
     "q_ab_test" -> (abTest _),
     "q_sprt" -> (sprtTest _),
+    "q_cuped" -> (cuped _),
     "q_rolling_dau" -> (rollingDau _),
     "q_events_window" -> (tumblingWindow _),
     "q_events_session" -> (sessionize _),
@@ -880,6 +939,39 @@ object Events {
         |  FROM rec JOIN ev ON ev.rn = rec.rn + 1)
         |SELECT day, n_risk, d AS n_events, surv::BIGINT AS surv_micro
         |FROM rec ORDER BY day""".stripMargin,
+    "q_cuped" ->
+      s"""WITH mid AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+         |    AS mu FROM events),
+         |u AS (SELECT user_id,
+         |    sum(CASE WHEN event_type = 'purchase' AND epoch_us(ts) <= mu
+         |      THEN 1 ELSE 0 END)::BIGINT AS x,
+         |    sum(CASE WHEN event_type = 'purchase' AND epoch_us(ts) > mu
+         |      THEN 1 ELSE 0 END)::BIGINT AS y,
+         |    ${hash56Sql("user_id::VARCHAR")} % 2 AS arm
+         |  FROM events CROSS JOIN mid GROUP BY user_id),
+         |m AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         |    sum(y)::BIGINT AS sy,
+         |    sum(x::HUGEINT * x) AS sxx, sum(y::HUGEINT * y) AS syy,
+         |    sum(x::HUGEINT * y) AS sxy,
+         |    sum(CASE WHEN arm = 0 THEN y END)::BIGINT AS ya,
+         |    sum(CASE WHEN arm = 0 THEN 1 END)::BIGINT AS na,
+         |    sum(CASE WHEN arm = 1 THEN y END)::BIGINT AS yb,
+         |    sum(CASE WHEN arm = 1 THEN 1 END)::BIGINT AS nb
+         |  FROM u)
+         |SELECT n, sx, sy,
+         |  (CASE WHEN n::HUGEINT * sxx - sx::HUGEINT * sx = 0 THEN NULL
+         |    ELSE ((n::HUGEINT * sxy - sx::HUGEINT * sy) * 1000000)
+         |      // (n::HUGEINT * sxx - sx::HUGEINT * sx) END)::BIGINT
+         |    AS theta_micro,
+         |  (CASE WHEN (n::HUGEINT * sxx - sx::HUGEINT * sx)
+         |      * (n::HUGEINT * syy - sy::HUGEINT * sy) = 0 THEN NULL
+         |    ELSE ((n::HUGEINT * sxy - sx::HUGEINT * sy)
+         |       * (n::HUGEINT * sxy - sx::HUGEINT * sy) * 10000)
+         |      // ((n::HUGEINT * sxx - sx::HUGEINT * sx)
+         |       * (n::HUGEINT * syy - sy::HUGEINT * sy)) END)::BIGINT AS rho2_bp,
+         |  ((yb::HUGEINT * na - ya::HUGEINT * nb) * 1000000
+         |    // (na::HUGEINT * nb))::BIGINT AS raw_diff_micro
+         |FROM m""".stripMargin,
     "q_sprt" ->
       s"""WITH u AS (SELECT user_id,
          |    ${hash56Sql("user_id::VARCHAR")} % 2 AS arm
