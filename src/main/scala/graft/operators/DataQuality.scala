@@ -172,7 +172,8 @@ object DataQuality {
     * literals (the table is public math, not data). */
   val Chi2Crit95Micro: Seq[(Int, Long)] = Seq(
     1 -> 3841459L, 2 -> 5991465L, 3 -> 7814728L,
-    4 -> 9487729L, 5 -> 11070498L, 6 -> 12591587L)
+    4 -> 9487729L, 5 -> 11070498L, 6 -> 12591587L,
+    7 -> 14067140L, 8 -> 15507313L)
 
   private[operators] def chi2CritCase(df: String): String =
     "CASE " + Chi2Crit95Micro.map { case (d, c) =>
@@ -264,7 +265,44 @@ object DataQuality {
       .orderBy(desc("entropy_micro"), asc("feature"))
   }
 
+  /** Benford goodness-of-fit χ² — turns [[benford]]'s descriptive
+    * deviation table into a STATISTICAL verdict: χ² = Σ(obs−exp)²/exp
+    * against the pinned Benford shares, cross-multiplied so every cell
+    * is ((obs·10⁴ − n·bp)²·100) DIV (n·bp·10⁴·…) — all integer in
+    * DECIMAL(38,0), df = 8, verdict vs the shared critical table.
+    * (Synthetic order values are NOT Benford-distributed — the gate
+    * pins the arithmetic, and the verdict honestly reads 'yes'.)
+    *
+    * Scale: the benford digit census (one scan → 9 rows) + 9-row
+    * arithmetic. */
+  def benfordGof(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(spark, dir)
+      .select(expr("CAST(round(o_totalprice * 100) AS LONG)").as("c"))
+      .filter(col("c") > 0)
+      .select(substring(col("c").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("o"))
+    val expected = {
+      val spark2 = counts.sparkSession
+      import spark2.implicits._
+      BenfordBp.toDF("digit", "bp")
+    }
+    val tot = counts.agg(sum("o").as("n"))
+    counts.join(broadcast(expected), "digit").crossJoin(broadcast(tot))
+      // cell = (obs·1e4 − n·bp)² · 1e6 / (n·bp·1e4)
+      .selectExpr(
+        """CAST(((CAST(o AS DECIMAL(38,0)) * 10000 - CAST(n AS DECIMAL(38,0)) * bp)
+          |  * (CAST(o AS DECIMAL(38,0)) * 10000 - CAST(n AS DECIMAL(38,0)) * bp)
+          |  * 100)
+          | DIV (CAST(n AS DECIMAL(38,0)) * bp) AS BIGINT) AS cell""".stripMargin,
+        "n")
+      .groupBy("n").agg(count(lit(1)).as("n_digits"), sum("cell").as("chi2_micro"))
+      .selectExpr("n AS n_values", "n_digits", "8 AS df", "chi2_micro",
+        s"""CASE WHEN chi2_micro > ${chi2CritCase("8")}
+           | THEN 'yes' ELSE 'no' END AS rejected""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_benford_gof" -> (benfordGof _),
     "q_col_entropy" -> (columnEntropy _),
     "q_chi2_select" -> (chi2Select _),
     "q_data_quality" -> (dataQuality _),
@@ -273,6 +311,25 @@ object DataQuality {
     "q_psi_drift" -> (psiDrift _))
 
   val oracles: Map[String, String] = Map(
+    "q_benford_gof" -> {
+      val expVals = BenfordBp.map { case (d, bp) => s"($d, $bp)" }.mkString(", ")
+      s"""WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+         |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+         |  FROM orders WHERE round(o_totalprice * 100) > 0),
+         |c AS (SELECT digit, count(*)::BIGINT AS o FROM d GROUP BY digit),
+         |e(digit, bp) AS (VALUES $expVals),
+         |t AS (SELECT sum(o)::BIGINT AS n FROM c),
+         |cells AS (SELECT
+         |    ((o::HUGEINT * 10000 - n::HUGEINT * bp)
+         |     * (o::HUGEINT * 10000 - n::HUGEINT * bp) * 100)
+         |    // (n::HUGEINT * bp) AS cell, n
+         |  FROM c JOIN e USING (digit) CROSS JOIN t)
+         |SELECT n AS n_values, count(*)::BIGINT AS n_digits, 8 AS df,
+         |  sum(cell)::BIGINT AS chi2_micro,
+         |  CASE WHEN sum(cell) > ${chi2CritCase("8")} THEN 'yes' ELSE 'no' END
+         |    AS rejected
+         |FROM cells GROUP BY n""".stripMargin
+    },
     "q_col_entropy" ->
       """WITH st AS MATERIALIZED (
         |  SELECT f.feature, f.x
