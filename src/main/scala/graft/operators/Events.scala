@@ -278,6 +278,46 @@ object Events {
       .orderBy("d")
   }
 
+  /** Peak session concurrency — the classic SWEEP-LINE census (how many
+    * sessions were open at once, the capacity-planning number): each
+    * 30-min-gap session emits (+1 at start, −1 at end), the running sum
+    * over the (us, delta) order is the live concurrency, and the gate
+    * reports its maximum, the first microsecond it was attained, and
+    * the session/user totals. Tie order pins delta ASC (ends close
+    * before starts open at the same µs — touching sessions don't
+    * overlap); among identical (us, delta) rows the prefix multiset is
+    * order-invariant, so max and first-attainment are deterministic.
+    *
+    * Scale: the sweep is ONE ordered window over the 2·sessions event
+    * list (range-partitioned sort, TeraSort posture) — never over raw
+    * events. */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val sess = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag("us", 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_id", sum("new_s").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min("us").as("s0"), max("us").as("s1"))
+      .localCheckpoint(true) // feeds the sweep AND the census
+    val sweep = sess.selectExpr("s0 AS us", "1 AS delta")
+      .unionAll(sess.selectExpr("s1 AS us", "-1 AS delta"))
+      .withColumn("live", sum("delta").over(Window.orderBy(col("us"), col("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val peak = sweep.agg(max("live").as("peak")).head().getLong(0)
+    val at = sweep.filter(col("live") === peak).agg(min("us")).head().getLong(0)
+    val census = sess.agg(count(lit(1)).as("n_sessions"),
+      countDistinct("user_id").as("n_users")).head()
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((peak, at, census.getLong(0), census.getLong(1)))
+      .toDF("peak_concurrency", "peak_at_us", "n_sessions", "n_users")
+  }
+
   /** Batch interval join — the oracle-checked twin of the streaming
     * stream-stream join (EventsStreaming.viewClickIntervalJoin): every
     * (view, click) pair for a user with the click within 10 minutes
@@ -854,6 +894,7 @@ object Events {
     "q_cohort_ltv" -> (cohortLtv _),
     "q_activity_coverage" -> (activityCoverage _),
     "q_abandonment" -> (abandonment _),
+    "q_peak_concurrency" -> (peakConcurrency _),
     "q_top_paths" -> (topPaths _),
     "q_attribution_multi" -> (attributionMulti _),
     "q_attribution_decay" -> (attributionDecay _),
@@ -1110,6 +1151,32 @@ object Events {
         |  ON v.user_id = c.user_id
         | AND c.click_ts >= v.view_ts
         | AND c.click_ts <= v.view_ts + INTERVAL 10 MINUTES""".stripMargin,
+    "q_peak_concurrency" ->
+      """WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_us
+        |  FROM events),
+        |s AS (SELECT user_id, us,
+        |    sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM l),
+        |sess AS (SELECT user_id, session_id, min(us) AS s0, max(us) AS s1
+        |  FROM s GROUP BY 1, 2),
+        |sw AS (SELECT us, delta,
+        |    sum(delta) OVER (ORDER BY us, delta
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+        |  FROM (SELECT s0 AS us, 1 AS delta FROM sess
+        |    UNION ALL SELECT s1, -1 FROM sess)),
+        |p AS (SELECT max(live)::BIGINT AS peak FROM sw)
+        |SELECT peak AS peak_concurrency,
+        |  (SELECT min(us) FROM sw CROSS JOIN p WHERE live = peak)::BIGINT
+        |    AS peak_at_us,
+        |  (SELECT count(*) FROM sess)::BIGINT AS n_sessions,
+        |  (SELECT count(DISTINCT user_id) FROM sess)::BIGINT AS n_users
+        |FROM p""".stripMargin,
     "q_abandonment" ->
       s"""WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS us,
          |    ts::DATE AS d
