@@ -257,6 +257,40 @@ object Temporal {
       .orderBy("level", "idx")
   }
 
+  /** One-way ANOVA of daily revenue by weekday — the PARAMETRIC
+    * companion to the rank-based Kruskal–Wallis (and the significance
+    * layer over [[seasonalityProfile]]'s descriptive indexes): effect
+    * size η² = SS_between/SS_total in bp and the F statistic in micro,
+    * both cross-multiplied from exact integer sums in
+    * DECIMAL(38,0)/HUGEINT with the per-group (Σx_d)²·n DIV n_d
+    * truncation PINNED. Degenerate zero variance pins NULL.
+    *
+    * Scale: one daily rollup, a 7-row weekday aggregate, 1-row output. */
+  def anovaDow(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .selectExpr("d", s"cents DIV $AnomalyKUsdDiv AS x",
+        "weekday(CAST(d AS DATE)) AS dow")
+    val g = daily.groupBy("dow").agg(count(lit(1)).as("nd"), sum("x").as("sd"))
+      .localCheckpoint(true)
+    val tot = daily.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+    g.agg(count(lit(1)).as("k"),
+        sum(expr("(CAST(sd AS DECIMAL(38,0)) * sd) DIV nd")).as("t"))
+      .crossJoin(broadcast(tot))
+      .selectExpr("k", "n",
+        "CAST(n AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)) - CAST(sx AS DECIMAL(38,0)) * sx AS ssb_n",
+        "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS sst_n")
+      .selectExpr("k", "n",
+        """CAST(CASE WHEN sst_n = 0 THEN NULL
+          | ELSE (ssb_n * 10000) DIV sst_n END AS BIGINT) AS eta2_bp""".stripMargin,
+        """CAST(CASE WHEN sst_n = ssb_n OR sst_n = 0 THEN NULL
+          | ELSE (ssb_n * (n - k) * 1000000)
+          |   DIV ((sst_n - ssb_n) * (k - 1)) END AS BIGINT)
+          | AS f_micro""".stripMargin)
+  }
+
   /** Day-of-week seasonality profile: per priority segment, each
     * weekday's revenue index vs a uniform week (10000 bp = an average
     * day; integer DIV so the profile is engine-exact). Weekday numbering
@@ -747,6 +781,7 @@ object Temporal {
     "q_bollinger" -> (bollingerBreakouts _),
     "q_drawdown" -> (maxDrawdown _),
     "q_haar" -> (haarDownsample _),
+    "q_anova_dow" -> (anovaDow _),
     "q_mann_kendall" -> (mannKendall _),
     "q_theil_sen" -> (theilSen _),
     "q_ols_trend" -> (olsTrend _),
@@ -934,6 +969,29 @@ object Temporal {
         |SELECT pri, d, cents, l AS level_milli, b AS trend_milli,
         |  l + b AS forecast_milli
         |FROM rec ORDER BY pri, d""".stripMargin,
+    "q_anova_dow" ->
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+         |    (sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+         |      // $AnomalyKUsdDiv)::BIGINT AS x
+         |  FROM orders GROUP BY 1),
+         |dd AS (SELECT x, (isodow(d) - 1)::INT AS dow FROM daily),
+         |g AS (SELECT dow, count(*)::BIGINT AS nd, sum(x)::BIGINT AS sd
+         |  FROM dd GROUP BY dow),
+         |t AS (SELECT count(*)::BIGINT AS k,
+         |    sum((sd::HUGEINT * sd) // nd)::HUGEINT AS t FROM g),
+         |m AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         |    sum(x::HUGEINT * x) AS sxx FROM dd),
+         |s AS (SELECT k, n,
+         |    n::HUGEINT * t - sx::HUGEINT * sx AS ssb_n,
+         |    n::HUGEINT * sxx - sx::HUGEINT * sx AS sst_n
+         |  FROM t CROSS JOIN m)
+         |SELECT k, n,
+         |  (CASE WHEN sst_n = 0 THEN NULL
+         |    ELSE (ssb_n * 10000) // sst_n END)::BIGINT AS eta2_bp,
+         |  (CASE WHEN sst_n = ssb_n OR sst_n = 0 THEN NULL
+         |    ELSE (ssb_n * (n - k) * 1000000)
+         |      // ((sst_n - ssb_n) * (k - 1)) END)::BIGINT AS f_micro
+         |FROM s""".stripMargin,
     "q_haar" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
         |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
