@@ -766,7 +766,84 @@ object Temporal {
           |  DIV CAST(total AS DECIMAL(38,0)) AS LONG) AS peak_bp""".stripMargin)
       .orderBy("et")
 
+  /** Spearman rank correlation between daily revenue and daily order
+    * count, exact through ties. Average ranks are carried doubled
+    * (rank2 = 2·rank, always integral even for .5 averages), so the
+    * whole Pearson-on-ranks pipeline stays in integer arithmetic:
+    * sign(num) and rho² in micro units, where
+    * num = n·Σxy − Σx·Σy over the doubled ranks. Ranking is a
+    * value-grain aggregation + cumulative window + join back — the
+    * same keyed-shuffle shape as the Kruskal–Wallis gate, so it holds
+    * at any series length. Reference: de la Calle-style rank stats in
+    * dislib are driver-side; here the ranks never leave the cluster. */
+  def spearmanDaily(spark: SparkSession, dir: String): DataFrame =
+    spearmanOf(Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v1"),
+        count(lit(1)).as("v2")))
+
+  /** Core over any (d, v1 LONG, v2 LONG) frame; see [[spearmanDaily]]. */
+  private[graft] def spearmanOf(daily: DataFrame): DataFrame = {
+    def rank2(col0: String): DataFrame = {
+      val byV = daily.groupBy(col0).agg(count(lit(1)).as("t"))
+      val w = Window.orderBy(col0)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byV.withColumn("cum", sum("t").over(w))
+        .selectExpr(col0, s"2 * (cum - t) + t + 1 AS r2_$col0")
+    }
+    val ranked = daily.join(rank2("v1"), "v1").join(rank2("v2"), "v2")
+      .selectExpr("CAST(r2_v1 AS DECIMAL(38,0)) AS x",
+        "CAST(r2_v2 AS DECIMAL(38,0)) AS y")
+    ranked.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+        sum(expr("y * y")).as("syy"))
+      .selectExpr("CAST(n AS BIGINT) AS n",
+        "CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS num",
+        "CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS dx",
+        "CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS dy")
+      .selectExpr("n",
+        "CAST(sign(num) AS BIGINT) AS rho_sign",
+        """CAST(CASE WHEN dx = 0 OR dy = 0 THEN NULL
+          | ELSE (num * num * 1000000) DIV (dx * dy) END AS BIGINT)
+          | AS rho2_micro""".stripMargin)
+  }
+
+  /** Kendall tau-b between the same two daily series, via an explicit
+    * concordant/discordant pair census (i<j self-join on the date).
+    * The join is a broadcast nested-loop over the *aggregated* daily
+    * frame — O(days²) pairs, not O(rows²) — which is the standard
+    * at-scale trick: reduce to the series grain first, then the
+    * quadratic step is over thousands, not billions. All tie classes
+    * are counted in the same pass; tau² is reported in micro units
+    * with its sign, exactly rational. */
+  def kendallDaily(spark: SparkSession, dir: String): DataFrame =
+    kendallOf(Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v1"),
+        count(lit(1)).as("v2")))
+
+  /** Core over any (d, v1 LONG, v2 LONG) frame; see [[kendallDaily]]. */
+  private[graft] def kendallOf(daily: DataFrame): DataFrame = {
+    val a = daily.selectExpr("d AS da", "v1 AS xa", "v2 AS ya")
+    val b = daily.selectExpr("d AS db", "v1 AS xb", "v2 AS yb")
+    a.join(broadcast(b), col("da") < col("db"))
+      .selectExpr("CASE WHEN (xa - xb) * (ya - yb) > 0 THEN 1 ELSE 0 END AS c",
+        "CASE WHEN (xa - xb) * (ya - yb) < 0 THEN 1 ELSE 0 END AS dd",
+        "CASE WHEN xa = xb THEN 1 ELSE 0 END AS tx",
+        "CASE WHEN ya = yb THEN 1 ELSE 0 END AS ty")
+      .agg(count(lit(1)).as("n0"), sum("c").as("cc"), sum("dd").as("dc"),
+        sum("tx").as("n1"), sum("ty").as("n2"))
+      .selectExpr("n0", "cc", "dc", "n1", "n2",
+        "CAST(sign(cc - dc) AS BIGINT) AS tau_sign",
+        """CAST(CASE WHEN n0 = n1 OR n0 = n2 THEN NULL
+          | ELSE (CAST(cc - dc AS DECIMAL(38,0)) * (cc - dc) * 1000000)
+          |   DIV (CAST(n0 - n1 AS DECIMAL(38,0)) * (n0 - n2)) END AS BIGINT)
+          | AS tau2_micro""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_spearman" -> (spearmanDaily _),
+    "q_kendall_tau" -> (kendallDaily _),
     "q_scd2" -> (scdType2 _),
     "q_gap_fill" -> (gapFillInterp _),
     "q_ewma_smooth" -> (ewmaSmooth _),
@@ -790,6 +867,50 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_spearman" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS v1,
+        |    count(*)::BIGINT AS v2
+        |  FROM orders GROUP BY 1),
+        |r1 AS (SELECT v1, 2 * (sum(t) OVER (ORDER BY v1
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t) + t + 1
+        |      AS rx
+        |  FROM (SELECT v1, count(*)::BIGINT AS t FROM daily GROUP BY v1)),
+        |r2 AS (SELECT v2, 2 * (sum(t) OVER (ORDER BY v2
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t) + t + 1
+        |      AS ry
+        |  FROM (SELECT v2, count(*)::BIGINT AS t FROM daily GROUP BY v2)),
+        |rk AS (SELECT rx::HUGEINT AS x, ry::HUGEINT AS y
+        |  FROM daily JOIN r1 USING (v1) JOIN r2 USING (v2)),
+        |m AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy FROM rk),
+        |s AS (SELECT n, n::HUGEINT * sxy - sx * sy AS num,
+        |    n::HUGEINT * sxx - sx * sx AS dx,
+        |    n::HUGEINT * syy - sy * sy AS dy FROM m)
+        |SELECT n, sign(num)::BIGINT AS rho_sign,
+        |  (CASE WHEN dx = 0 OR dy = 0 THEN NULL
+        |    ELSE (num * num * 1000000) // (dx * dy) END)::BIGINT
+        |    AS rho2_micro
+        |FROM s""".stripMargin,
+    "q_kendall_tau" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS v1,
+        |    count(*)::BIGINT AS v2
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT
+        |    CASE WHEN (a.v1 - b.v1) * (a.v2 - b.v2) > 0 THEN 1 ELSE 0 END AS c,
+        |    CASE WHEN (a.v1 - b.v1) * (a.v2 - b.v2) < 0 THEN 1 ELSE 0 END AS dd,
+        |    CASE WHEN a.v1 = b.v1 THEN 1 ELSE 0 END AS tx,
+        |    CASE WHEN a.v2 = b.v2 THEN 1 ELSE 0 END AS ty
+        |  FROM daily a JOIN daily b ON a.d < b.d),
+        |agg AS (SELECT count(*)::BIGINT AS n0, sum(c)::BIGINT AS cc,
+        |    sum(dd)::BIGINT AS dc, sum(tx)::BIGINT AS n1,
+        |    sum(ty)::BIGINT AS n2 FROM p)
+        |SELECT n0, cc, dc, n1, n2, sign(cc - dc)::BIGINT AS tau_sign,
+        |  (CASE WHEN n0 = n1 OR n0 = n2 THEN NULL
+        |    ELSE ((cc - dc)::HUGEINT * (cc - dc) * 1000000)
+        |      // ((n0 - n1)::HUGEINT * (n0 - n2)) END)::BIGINT AS tau2_micro
+        |FROM agg""".stripMargin,
     "q_scd2" ->
       """WITH ev AS (
         |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,

@@ -84,6 +84,31 @@ class Round8OpsSpec extends SparkSpec {
     assert(fromCounts.max - fromCounts.min <= 1, s"$fromCounts")
   }
 
+  test("spearman/kendall: exact on monotone, anti-monotone, tied series") {
+    import spark.implicits._
+    def frame(ys: Seq[Long]) = ys.zipWithIndex
+      .map { case (y, i) => (java.sql.Date.valueOf(f"2024-01-${i + 1}%02d"),
+        (i + 1) * 10L, y) }
+      .toDF("d", "v1", "v2")
+    // strictly increasing y: rho = tau = +1 exactly
+    val up = Temporal.spearmanOf(frame(Seq(3, 7, 9, 12, 20))).head()
+    assert(up.getLong(1) == 1L && up.getLong(2) == 1000000L)
+    val kUp = Temporal.kendallOf(frame(Seq(3, 7, 9, 12, 20))).head()
+    assert(kUp.getLong(1) == 10L && kUp.getLong(2) == 0L, "all concordant")
+    assert(kUp.getLong(5) == 1L && kUp.getLong(6) == 1000000L)
+    // strictly decreasing: sign flips, magnitude stays 1
+    val dn = Temporal.spearmanOf(frame(Seq(20, 12, 9, 7, 3))).head()
+    assert(dn.getLong(1) == -1L && dn.getLong(2) == 1000000L)
+    val kDn = Temporal.kendallOf(frame(Seq(20, 12, 9, 7, 3))).head()
+    assert(kDn.getLong(5) == -1L && kDn.getLong(6) == 1000000L)
+    // constant y: zero y-variance -> NULL magnitude, not a crash
+    val tied = Temporal.spearmanOf(frame(Seq(5, 5, 5, 5, 5))).head()
+    assert(tied.isNullAt(2), "rho2 NULL when dy = 0")
+    val kTied = Temporal.kendallOf(frame(Seq(5, 5, 5, 5, 5))).head()
+    assert(kTied.getLong(4) == kTied.getLong(0) && kTied.isNullAt(6),
+      "all pairs y-tied -> n2 = n0, tau2 NULL")
+  }
+
   test("fulfillmentSla: percentiles ordered and inside [min, max]") {
     val rows = Temporal.fulfillmentSla(spark, dir).collect()
     assert(rows.length == 5, "five priorities")
