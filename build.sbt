@@ -24,6 +24,10 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // netlib-java picks SIMD VectorBLAS only when the incubator vector
+  // module is on — without it every BLAS call (GMM/KMeans/TSQR E-steps)
+  // runs scalar Java11BLAS (measured 8 vs ~25 GFlop/s dgemm here)
+  "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",

@@ -358,7 +358,13 @@ object Bench {
         // round-8 second wave: TextRank's vocab-bounded edge build and
         // readability's regexp scan must track the 10× corpus; cohort
         // LTV's windows run over the bounded cohort-age grain
-        "q_textrank", "q_readability", "q_cohort_ltv")
+        "q_textrank", "q_readability", "q_cohort_ltv",
+        // round-9: the five ScaleWindows rewrites (judge r8 ask #8) —
+        // range-partitioned rank/prefix passes replacing the ≤5-
+        // partition windows must scale with their grains (2·sessions,
+        // parts, customers, orders), never funnel one task
+        "q_peak_concurrency", "q_abc_class", "q_value_migration",
+        "q_gini", "q_fulfillment_sla")
       val runs = heavy.map { n =>
         val k = s"sf1_$n"
         rerun(k) = () => materialize(SparkEntry.queries(n)(spark, sf1Dir))
@@ -392,8 +398,20 @@ object Bench {
         t > 2.0 && rerun.contains(n) &&
           prior.get(n).exists(p => t > 3.0 * p) }
       .sortBy(-_._2).take(retimeMax)
+    // contention-aware retime (judge r8 ask #3): r8's q_funnel_time
+    // recorded 5.22s because the first run AND its retime hit the same
+    // host spike — wait (bounded) for an idle window before each re-run
+    // and stamp the loadavg the retime actually started at
+    val retimeWaitSec = sys.env.getOrElse("SPARK_GRAFT_RETIME_WAIT", "120").toLong
+    val retimeLoad = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val retimed: Map[String, (Double, Double)] = suspects.map { case (n, orig) =>
       System.err.println(f"[bench] retiming $n: $orig%.1fs vs prior best ${prior(n)}%.1fs")
+      val rDeadline = System.nanoTime() + retimeWaitSec * 1000000000L
+      while (load1() > loadMax && System.nanoTime() < rDeadline) {
+        System.err.println(f"[bench] retime $n: loadavg ${load1()}%.1f > $loadMax%.1f — waiting")
+        Thread.sleep(5000)
+      }
+      retimeLoad(n) = load1()
       stamp(s"retime_$n")
       val (_, t2) = timed(n)(rerun(n)())
       n -> (orig, t2)
@@ -430,7 +448,8 @@ object Bench {
     // final value came from the retime pass (min of the two runs)
     val ctx = s""","query_load":${numMap(queryLoad)}""" +
       s""","query_calib":${numMap(queryCalib)}""" +
-      s""","retimed_orig":${numMap(retimed.map { case (k, (o, _)) => k -> o })}"""
+      s""","retimed_orig":${numMap(retimed.map { case (k, (o, _)) => k -> o })}""" +
+      s""","retime_load":${numMap(retimeLoad)}"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":"$loadavg","loadavg_start":$loadStart,"calib_sec":$calibSec$ctx}"""
     println(json)
     // stdout tails get truncated by the driver (BENCH_r02's cut mid-JSON);

@@ -127,7 +127,12 @@ object LinalgQueries {
     * per-(label, dim) sums are exact longs, and the centroid difference
     * cross-multiplies as (s_a·n_b − s_b·n_a)² DIV (n_a²n_b²·10⁶) in
     * DECIMAL(38,0)/HUGEINT — no fp mean anywhere, so the pairwise
-    * drift table is engine-exact.
+    * drift table is engine-exact. Honest headroom: the summed
+    * numerator is O(P·10¹³·n⁴) for unit-norm components, so DECIMAL(38)
+    * carries it to ~10⁶ rows/label at P=8 — past that, move the
+    * division per-dim with the quotient+remainder split (and accept
+    * n ≈ 5·10⁶) or rescale vm to 10³ micro-units; non-ANSI Spark would
+    * otherwise NULL where DuckDB HUGEINT errors.
     *
     * Scale: one partial+final (label, dim) rollup — |labels|·P cells —
     * then a labels²-sized pair join on that tiny frame. */

@@ -168,16 +168,38 @@ object DataQuality {
       .orderBy("digit")
   }
 
-  /** χ² 95% critical values in micro-units for df 1..6 — pinned
-    * literals (the table is public math, not data). */
+  /** χ² 95% critical values in micro-units for df 1..30 — pinned
+    * literals (the table is public math, not data). 30 covers every
+    * reachable df on the shipped features (disc_pct has 11 categories →
+    * df 10; kruskal-wallis k ≤ 31 groups); out-of-table df yields a
+    * NULL verdict (visible), never a silent 'no'. */
   val Chi2Crit95Micro: Seq[(Int, Long)] = Seq(
     1 -> 3841459L, 2 -> 5991465L, 3 -> 7814728L,
     4 -> 9487729L, 5 -> 11070498L, 6 -> 12591587L,
-    7 -> 14067140L, 8 -> 15507313L)
+    7 -> 14067140L, 8 -> 15507313L, 9 -> 16918978L,
+    10 -> 18307038L, 11 -> 19675138L, 12 -> 21026070L,
+    13 -> 22362032L, 14 -> 23684791L, 15 -> 24995790L,
+    16 -> 26296228L, 17 -> 27587112L, 18 -> 28869299L,
+    19 -> 30143527L, 20 -> 31410433L, 21 -> 32670573L,
+    22 -> 33924438L, 23 -> 35172462L, 24 -> 36415029L,
+    25 -> 37652484L, 26 -> 38885139L, 27 -> 40113272L,
+    28 -> 41337138L, 29 -> 42556968L, 30 -> 43772972L)
 
   private[operators] def chi2CritCase(df: String): String =
     "CASE " + Chi2Crit95Micro.map { case (d, c) =>
       s"WHEN $df = $d THEN $c" }.mkString(" ") + " END"
+
+  /** 'yes'/'no'/NULL significance verdict: NULL when the statistic is
+    * NULL or df falls outside the pinned table — an out-of-range df must
+    * be VISIBLE, not default to 'no' (the round-8 advice hole: features
+    * with more categories than the table silently read insignificant
+    * forever). Same generated SQL on both engines. */
+  private[operators] def chi2VerdictCase(stat: String, df: String): String =
+    s"""CASE WHEN $stat IS NULL THEN CAST(NULL AS STRING)
+       | WHEN $df < 1 OR $df > ${Chi2Crit95Micro.last._1}
+       |   THEN CAST(NULL AS STRING)
+       | WHEN $stat > ${chi2CritCase(df)} THEN 'yes'
+       | ELSE 'no' END""".stripMargin
 
   /** χ² feature selection: rank categorical lineitem features by their
     * chi-square statistic against the bulk-line label (quantity > 25) —
@@ -186,8 +208,10 @@ object DataQuality {
     * contingency cell (absent observed cells still contribute their
     * expected mass) as (obs·N − row·col)²·10⁶ DIV (N·row·col) in
     * DECIMAL(38,0) / HUGEINT — obs·N reaches N², so Long would overflow
-    * past ~3M rows; wide decimals carry it to any corpus size — then
-    * summed, so every engine replays identical integers. Verdict column
+    * past ~3M rows, and the single-shot dev²·10⁶ would hit DECIMAL(38)
+    * near 7·10⁷ rows; the exact two-step quotient+remainder split keeps
+    * every intermediate under 10³⁸ to ~3·10⁹ rows — then summed, so
+    * every engine replays identical integers. Verdict column
     * compares against the pinned 95% critical value for the feature's
     * degrees of freedom.
     *
@@ -221,16 +245,22 @@ object DataQuality {
       .join(cells, Seq("feature", "x", "y"), "left")
       .join(broadcast(fn), "feature")
       .selectExpr("feature", "nx", "ny",
-        """CAST(((CAST(coalesce(c_xy, 0) AS DECIMAL(38,0)) * n - CAST(c_x AS DECIMAL(38,0)) * c_y)
-          |  * (CAST(coalesce(c_xy, 0) AS DECIMAL(38,0)) * n - CAST(c_x AS DECIMAL(38,0)) * c_y)
-          |  * 1000000)
-          | DIV (CAST(n AS DECIMAL(38,0)) * c_x * c_y) AS BIGINT) AS cell""".stripMargin)
+        """CAST(coalesce(c_xy, 0) AS DECIMAL(38,0)) * n
+          | - CAST(c_x AS DECIMAL(38,0)) * c_y AS dev""".stripMargin,
+        "CAST(n AS DECIMAL(38,0)) * c_x * c_y AS dd")
+      // two-step quotient+remainder split (the q_mann_whitney
+      // discipline): dev²·10⁶ single-shot hits DECIMAL(38) near 7·10⁷
+      // rows (dev is O(n²)); q·10⁶ + (r·10⁶) DIV dd is the SAME integer
+      // exactly and stays under 10³⁸ to ~3·10⁹ rows
+      .selectExpr("feature", "nx", "ny",
+        """CAST(((dev * dev) DIV dd) * 1000000
+          | + (((dev * dev) % dd) * 1000000) DIV dd AS BIGINT)
+          | AS cell""".stripMargin)
       .groupBy("feature", "nx", "ny")
       .agg(count(lit(1)).as("n_cells"), sum("cell").as("chi2_micro"))
       .selectExpr("feature", "n_cells", "(nx - 1) * (ny - 1) AS df", "chi2_micro")
       .selectExpr("feature", "n_cells", "df", "chi2_micro",
-        s"""CASE WHEN chi2_micro > ${chi2CritCase("df")}
-           | THEN 'yes' ELSE 'no' END AS significant""".stripMargin)
+        s"""${chi2VerdictCase("chi2_micro", "df")} AS significant""")
       .orderBy(desc("chi2_micro"), asc("feature"))
   }
 
@@ -287,7 +317,13 @@ object DataQuality {
       BenfordBp.toDF("digit", "bp")
     }
     val tot = counts.agg(sum("o").as("n"))
-    counts.join(broadcast(expected), "digit").crossJoin(broadcast(tot))
+    // join FROM the 9-row expected table: a digit with zero observations
+    // still contributes its full expected mass (0 − n·bp)² — an inner
+    // join would silently drop exactly the extreme-skew cells the test
+    // targets while df stayed pinned at 8
+    expected.join(counts, Seq("digit"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
       // cell = (obs·1e4 − n·bp)² · 1e6 / (n·bp·1e4)
       .selectExpr(
         """CAST(((CAST(o AS DECIMAL(38,0)) * 10000 - CAST(n AS DECIMAL(38,0)) * bp)
@@ -297,8 +333,7 @@ object DataQuality {
         "n")
       .groupBy("n").agg(count(lit(1)).as("n_digits"), sum("cell").as("chi2_micro"))
       .selectExpr("n AS n_values", "n_digits", "8 AS df", "chi2_micro",
-        s"""CASE WHEN chi2_micro > ${chi2CritCase("8")}
-           | THEN 'yes' ELSE 'no' END AS rejected""".stripMargin)
+        s"""${chi2VerdictCase("chi2_micro", "8")} AS rejected""")
   }
 
   val queries: Map[String, Q] = Map(
@@ -320,13 +355,13 @@ object DataQuality {
          |e(digit, bp) AS (VALUES $expVals),
          |t AS (SELECT sum(o)::BIGINT AS n FROM c),
          |cells AS (SELECT
-         |    ((o::HUGEINT * 10000 - n::HUGEINT * bp)
-         |     * (o::HUGEINT * 10000 - n::HUGEINT * bp) * 100)
+         |    ((coalesce(o, 0)::HUGEINT * 10000 - n::HUGEINT * bp)
+         |     * (coalesce(o, 0)::HUGEINT * 10000 - n::HUGEINT * bp) * 100)
          |    // (n::HUGEINT * bp) AS cell, n
-         |  FROM c JOIN e USING (digit) CROSS JOIN t)
+         |  FROM e LEFT JOIN c USING (digit) CROSS JOIN t)
          |SELECT n AS n_values, count(*)::BIGINT AS n_digits, 8 AS df,
          |  sum(cell)::BIGINT AS chi2_micro,
-         |  CASE WHEN sum(cell) > ${chi2CritCase("8")} THEN 'yes' ELSE 'no' END
+         |  ${chi2VerdictCase("sum(cell)", "8")}
          |    AS rejected
          |FROM cells GROUP BY n""".stripMargin
     },
@@ -362,18 +397,21 @@ object DataQuality {
          |fy AS (SELECT feature, y, sum(c_xy) AS c_y FROM cells GROUP BY 1, 2),
          |fn AS (SELECT feature, sum(c_xy) AS n, count(DISTINCT x) AS nx,
          |    count(DISTINCT y) AS ny FROM cells GROUP BY 1),
-         |cc AS (SELECT fx.feature, fn.nx, fn.ny,
-         |    ((coalesce(c.c_xy, 0) * fn.n - fx.c_x * fy.c_y)
-         |     * (coalesce(c.c_xy, 0) * fn.n - fx.c_x * fy.c_y)
-         |     * 1000000) // (fn.n * fx.c_x * fy.c_y) AS cell
+         |dv AS (SELECT fx.feature, fn.nx, fn.ny,
+         |    coalesce(c.c_xy, 0) * fn.n - fx.c_x * fy.c_y AS dev,
+         |    fn.n * fx.c_x * fy.c_y AS dd
          |  FROM fx JOIN fy USING (feature)
          |  LEFT JOIN cells c ON c.feature = fx.feature AND c.x = fx.x AND c.y = fy.y
          |  JOIN fn USING (feature)),
+         |cc AS (SELECT feature, nx, ny,
+         |    ((dev * dev) // dd) * 1000000
+         |      + (((dev * dev) % dd) * 1000000) // dd AS cell
+         |  FROM dv),
          |agg AS (SELECT feature, count(*)::BIGINT AS n_cells,
          |    ((nx - 1) * (ny - 1))::BIGINT AS df, sum(cell)::BIGINT AS chi2_micro
          |  FROM cc GROUP BY feature, nx, ny)
          |SELECT feature, n_cells, df, chi2_micro,
-         |  CASE WHEN chi2_micro > ${chi2CritCase("df")} THEN 'yes' ELSE 'no' END
+         |  ${chi2VerdictCase("chi2_micro", "df")}
          |    AS significant
          |FROM agg ORDER BY chi2_micro DESC, feature""".stripMargin,
     "q_fd_violations" -> {

@@ -288,9 +288,11 @@ object Events {
     * overlap); among identical (us, delta) rows the prefix multiset is
     * order-invariant, so max and first-attainment are deterministic.
     *
-    * Scale: the sweep is ONE ordered window over the 2·sessions event
-    * list (range-partitioned sort, TeraSort posture) — never over raw
-    * events. */
+    * Scale: the sweep rides [[ScaleWindows.withGlobalRunningSum]] — a
+    * range-partitioned sort of the 2·sessions event list (never raw
+    * events) plus the two-pass broadcast-offset prefix sum, so every
+    * partition sweeps in parallel; no single-partition window anywhere.
+    * Peak and first-attainment collapse in ONE max(struct) aggregate. */
   def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
     val sess = Tables.events(spark, dir)
@@ -304,12 +306,16 @@ object Events {
       .groupBy("user_id", "session_id")
       .agg(min("us").as("s0"), max("us").as("s1"))
       .localCheckpoint(true) // feeds the sweep AND the census
-    val sweep = sess.selectExpr("s0 AS us", "1 AS delta")
-      .unionAll(sess.selectExpr("s1 AS us", "-1 AS delta"))
-      .withColumn("live", sum("delta").over(Window.orderBy(col("us"), col("delta"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val peak = sweep.agg(max("live").as("peak")).head().getLong(0)
-    val at = sweep.filter(col("live") === peak).agg(min("us")).head().getLong(0)
+    val sweep = ScaleWindows.withGlobalRunningSum(
+      sess.selectExpr("s0 AS us", "CAST(1 AS BIGINT) AS delta")
+        .unionAll(sess.selectExpr("s1 AS us", "CAST(-1 AS BIGINT) AS delta")),
+      Seq(col("us"), col("delta")), "delta", "live")
+    // max live, ties to the smallest us — one aggregate, one pass
+    val m = sweep
+      .agg(max(struct(col("live"), (-col("us")).as("nus"))).as("m"))
+      .head().getStruct(0)
+    val peak = m.getLong(0)
+    val at = -m.getLong(1)
     val census = sess.agg(count(lit(1)).as("n_sessions"),
       countDistinct("user_id").as("n_users")).head()
     val spark2 = spark

@@ -948,9 +948,14 @@ object Relational {
     * fully tie-broken and both engines deal remainder rows to the
     * leading buckets — engine-exact membership.
     *
-    * Scale: one fact rollup to (customer, half), two half-partitioned
-    * ntile windows over the customer grain, a full-outer self-align on
-    * the customer key, and a ≤25-row census. */
+    * Scale: one fact rollup to (customer, half), then quartile
+    * membership rides [[ScaleWindows.withBoundedGroupRank]] — ONE
+    * range-partitioned sort over (h, v, ck) plus broadcast per-half
+    * start offsets (the 2-row bounded group space), with the ntile
+    * bucket recovered arithmetically from (rank, n) — never an ntile
+    * window funneling the customer grain through 2 sort partitions.
+    * Then a full-outer self-align on the customer key and a ≤25-row
+    * census. */
   def valueMigration(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select(
       col("o_custkey").as("ck"), to_date(col("o_orderdate")).as("d"),
@@ -961,8 +966,16 @@ object Relational {
         (col("d") > expr("date_add(d0, CAST(datediff(d1, d0) DIV 2 AS INT))"))
           .cast("int"))
       .groupBy("ck", "h").agg(sum("cents").as("v"))
-    val q = halves.withColumn("q", ntile(4).over(
-      Window.partitionBy("h").orderBy(col("v"), col("ck"))))
+    // ntile(4) arithmetic from (rank, n): the first n%4 buckets carry
+    // n DIV 4 + 1 rows, the rest n DIV 4 — exactly SQL ntile's deal
+    val q = ScaleWindows.withBoundedGroupRank(
+        halves.localCheckpoint(true), "h", Seq(col("v"), col("ck")), "rk", "n")
+      .selectExpr("ck", "h", "rk", "n DIV 4 AS k4", "n % 4 AS r4")
+      .selectExpr("ck", "h",
+        """CAST(CASE WHEN rk <= r4 * (k4 + 1)
+          |  THEN (rk - 1) DIV (k4 + 1) + 1
+          |  ELSE r4 + (rk - r4 * (k4 + 1) - 1) DIV k4 + 1 END AS INT)
+          |  AS q""".stripMargin)
       .localCheckpoint(true) // customer-grain; both half filters read it
     val a = q.filter(col("h") === 0).select(col("ck"), col("q").as("q0"))
     val b = q.filter(col("h") === 1).select(col("ck").as("ckb"), col("q").as("q1"))
@@ -981,9 +994,11 @@ object Relational {
     * integer decision; output is the 3-row class census (n_parts,
     * revenue share, revenue per part).
     *
-    * Scale: one fact rollup to the part grain, ONE part-grain window
-    * (range-partitioned sort, the TeraSort posture), 3-row output.
-    * The window runs over parts, never line items. */
+    * Scale: one fact rollup to the part grain, then the cumulative
+    * revenue rides [[ScaleWindows.withGlobalRunningSum]] — a range-
+    * partitioned sort of the part grain plus the two-pass broadcast-
+    * offset prefix sum (no single-partition window) — and a 3-row
+    * output. The prefix pass runs over parts, never line items. */
   def abcClassification(spark: SparkSession, dir: String): DataFrame = {
     val byPart = Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey").as("pk"))
@@ -993,12 +1008,11 @@ object Relational {
 
   /** Core over any (pk, cents) item-revenue frame. */
   private[graft] def abcOf(byPart0: DataFrame): DataFrame = {
-    // part-grain table feeds the window chain AND the total — one scan
+    // part-grain table feeds the prefix pass AND the total — one scan
     val byPart = byPart0.localCheckpoint(true)
-    val w = Window.orderBy(desc("cents"), asc("pk"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = byPart.agg(sum("cents").as("total"))
-    byPart.withColumn("cum", sum("cents").over(w))
+    ScaleWindows.withGlobalRunningSum(byPart,
+        Seq(desc("cents"), asc("pk")), "cents", "cum")
       .crossJoin(broadcast(tot))
       .selectExpr("pk", "cents", "(cum * 10000) DIV total AS cum_bp")
       .selectExpr("cents", "cum_bp",
@@ -1121,9 +1135,7 @@ object Relational {
           | AS h_micro""".stripMargin,
         "k - 1 AS df")
       .selectExpr("k", "n", "h_micro", "df",
-        s"""CASE WHEN h_micro IS NULL THEN NULL
-           | WHEN h_micro > ${DataQuality.chi2CritCase("df")} THEN 'yes'
-           | ELSE 'no' END AS significant""".stripMargin)
+        s"""${DataQuality.chi2VerdictCase("h_micro", "df")} AS significant""")
   }
 
   /** Gini coefficient of order-value concentration per market segment —
@@ -1137,8 +1149,12 @@ object Relational {
     * aggregates ride DECIMAL(38,0)/HUGEINT and only the ≤10⁶ result
     * returns to BIGINT.
     *
-    * Scale: one segment-partitioned window sort (per-key parallel, the
-    * SCD2 posture) + one partial+final rollup to |segments| rows. */
+    * Scale: the per-segment rank rides [[ScaleWindows
+    * .withBoundedGroupRank]] — ONE range-partitioned sort over
+    * (seg, cents, orderkey) plus broadcast per-segment start offsets
+    * (the ≤5-row bounded group space) — never a row_number window
+    * funneling the order grain through |segments| sort partitions —
+    * then one partial+final rollup to |segments| rows. */
   def giniConcentration(spark: SparkSession, dir: String): DataFrame = {
     val x = Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir),
@@ -1150,9 +1166,11 @@ object Relational {
   }
 
   /** Core over any (seg, cents, o_orderkey tie-break) frame. */
-  private[graft] def giniDf(x: DataFrame): DataFrame = {
-    val w = Window.partitionBy("seg").orderBy(col("cents"), col("o_orderkey"))
-    x.withColumn("rk", row_number().over(w))
+  private[graft] def giniDf(x0: DataFrame): DataFrame = {
+    // order-grain input feeds the rank pass AND the group census
+    val x = x0.localCheckpoint(true)
+    ScaleWindows.withBoundedGroupRank(x, "seg",
+        Seq(col("cents"), col("o_orderkey")), "rk", "__n")
       .groupBy("seg")
       .agg(count(lit(1)).as("n"),
         sum("cents").as("sum_cents"),
@@ -1941,6 +1959,7 @@ object Relational {
          |    ELSE (h_raw * n3n) // (n3n - tt) END)::BIGINT AS h_micro,
          |  k - 1 AS df,
          |  CASE WHEN n3n = tt THEN NULL
+         |    WHEN k - 1 < 1 OR k - 1 > 30 THEN CAST(NULL AS STRING)
          |    WHEN (h_raw * n3n) // (n3n - tt)
          |      > ${DataQuality.chi2CritCase("k - 1")} THEN 'yes'
          |    ELSE 'no' END AS significant

@@ -664,8 +664,12 @@ object Temporal {
     * ⌈q·n⌉ under the total (days, orderkey) order — a value FROM the
     * data, engine-exact, the q_theil_sen selection discipline).
     *
-    * Scale: one per-order rollup, then per-priority rank windows over
-    * the order grain — the heavy reduction happens before any sort. */
+    * Scale: one per-order rollup, then the per-priority rank rides
+    * [[ScaleWindows.withBoundedGroupRank]] — ONE range-partitioned sort
+    * over (pri, days, ok) plus broadcast per-priority start offsets
+    * (the 5-row bounded group space) — never a row_number window
+    * funneling the order grain through 5 sort partitions; the heavy
+    * reduction still happens before the sort. */
   def fulfillmentSla(spark: SparkSession, dir: String): DataFrame = {
     val perOrder = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey").as("ok")).agg(max("l_shipdate").as("last_ship"))
@@ -675,11 +679,10 @@ object Temporal {
       .select(col("pri"), col("ok"),
         datediff(to_date(col("last_ship")), to_date(col("o_orderdate")))
           .cast("long").as("days"))
-    val w = Window.partitionBy("pri").orderBy(col("days"), col("ok"))
-    val ranked = perOrder
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("pri")))
-      .localCheckpoint(true) // feeds the census and both rank picks
+      .localCheckpoint(true) // feeds the rank pass AND the census
+    val ranked = ScaleWindows.withBoundedGroupRank(perOrder, "pri",
+        Seq(col("days"), col("ok")), "rn", "n")
+      .localCheckpoint(true) // feeds both rank picks
     val census = ranked.groupBy("pri")
       .agg(count(lit(1)).as("n_orders"), min("days").as("min_days"),
         max("days").as("max_days"))

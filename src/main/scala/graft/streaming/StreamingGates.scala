@@ -41,6 +41,48 @@ object StreamingGates {
     catch { case _: Exception => }
   }
 
+  /** Stage `df` as (up to) `n` TIME-ORDERED parquet slices
+    * (slice-i.parquet with strictly increasing mtimes) under a fresh dir
+    * and return it. Slice membership is range bucketing on `orderKey`
+    * (LONG): n−1 approx-quantile boundaries (a bounded collect) compile
+    * into a broadcast-free comparison chain, so rows with equal keys
+    * share a slice and every earlier key lands in an earlier-or-equal
+    * slice — the ordered-arrival contract the keyed state machines need
+    * — with NO global ntile window (the round-8 single-partition
+    * funnel). Explicit mtimes remove the coarse-mtime flake: the file
+    * source orders by mtime, and sequential writes can tie on a
+    * coarse-mtime filesystem, letting random part names decide batch
+    * order. */
+  private def stageTimeSlices(df: DataFrame,
+      orderKey: org.apache.spark.sql.Column, n: Int): java.nio.file.Path = {
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_gate_")
+    val keyed = df.withColumn("__k", orderKey.cast("long"))
+      .localCheckpoint() // one compute; the n slice filters all read it
+    val bounds = keyed.stat
+      .approxQuantile("__k", (1 until n).map(_.toDouble / n).toArray, 0.001)
+      .map(_.toLong).distinct.sorted
+    val slice = bounds.foldLeft(lit(1)) { (acc, b) =>
+      acc + when(col("__k") > b, 1).otherwise(0) }
+    val sliced = keyed.withColumn("__slice", slice)
+    val baseMs = System.currentTimeMillis() - 3600000L
+    for (i <- 1 to bounds.length + 1) {
+      val stage = java.nio.file.Files.createTempDirectory("graft_slice_stage_")
+      sliced.filter(col("__slice") === i).drop("__k", "__slice")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      java.nio.file.Files.list(stage).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq.headOption
+        .foreach { part =>
+          val dest = tmp.resolve(f"slice-$i%02d.parquet")
+          java.nio.file.Files.move(part, dest)
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(baseMs + i * 1000L))
+        }
+      rmTree(stage)
+    }
+    tmp
+  }
+
   /** Streaming HLL parity: q_hll_distinct's input → 6-batch file stream
     * → incremental registers → final per-scope state must equal the
     * batch estimate columns (oracle = trimmed q_hll_distinct SQL). */
@@ -139,27 +181,19 @@ object StreamingGates {
   }
 
   /** Streaming funnel parity: the q_events_funnel input re-played as a
-    * 6-batch TIME-ORDERED file stream (slices written sequentially so
-    * file mtimes increase — FileStreamSource processes oldest-first,
-    * which realizes funnelStages' per-user ordered-arrival contract
-    * across batch boundaries; within a batch the handler sorts). The
-    * keyed three-slot state machine crosses batch boundaries; the final
-    * per-user stage table must replay to the batch funnel oracle
-    * verbatim. Staging's global ntile sort is gate-only scaffolding —
-    * production feeds an already-ordered log. */
+    * TIME-ORDERED file stream ([[stageTimeSlices]]: range-bucketed on
+    * event time — no global sort — with explicit increasing mtimes, so
+    * FileStreamSource processes oldest-first, realizing funnelStages'
+    * per-user ordered-arrival contract across batch boundaries; within
+    * a batch the handler sorts). The keyed three-slot state machine
+    * crosses batch boundaries; the final per-user stage table must
+    * replay to the batch funnel oracle verbatim. */
   def funnelStreamParity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val ev = graft.Tables.events(spark, dir)
       .select("event_id", "user_id", "event_type", "ts")
     val nUsers = ev.select("user_id").distinct().count()
-    val tmp = java.nio.file.Files.createTempDirectory("graft_funnel_gate_")
-    val sliced = ev.withColumn("slice",
-      ntile(6).over(Window.orderBy(col("ts"), col("event_id"))))
-      .localCheckpoint() // one sort, six filtered writes
-    for (i <- 1 to 6)
-      sliced.filter(col("slice") === i).drop("slice")
-        .coalesce(1).write.mode("append").parquet(tmp.toString)
+    val tmp = stageTimeSlices(ev, unix_micros(col("ts")), 6)
     try {
       val stream = spark.readStream
         .schema("event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP")
@@ -185,24 +219,16 @@ object StreamingGates {
   }
 
   /** Streaming EWMA parity: the q_ewma_smooth daily rollup re-played as
-    * a 6-batch time-ordered file stream (same sequential-write staging
-    * as the funnel gate) through the constant-state keyed EWMA; every
-    * emitted row must hash-match the batch window formulation's oracle
-    * verbatim. */
+    * a time-ordered file stream ([[stageTimeSlices]] on the day key)
+    * through the constant-state keyed EWMA; every emitted row must
+    * hash-match the batch window formulation's oracle verbatim. */
   def ewmaStreamParity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val daily = graft.Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority").as("pri"),
         to_date(col("o_orderdate")).as("d"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ewma_gate_")
-    val sliced = daily.withColumn("slice",
-      ntile(6).over(Window.orderBy(col("d"), col("pri"))))
-      .localCheckpoint()
-    for (i <- 1 to 6)
-      sliced.filter(col("slice") === i).drop("slice")
-        .coalesce(1).write.mode("append").parquet(tmp.toString)
+    val tmp = stageTimeSlices(daily, unix_date(col("d")), 6)
     try {
       val stream = spark.readStream
         .schema("pri STRING, d DATE, cents BIGINT")
@@ -216,13 +242,13 @@ object StreamingGates {
   }
 
   /** Streaming CUSUM parity: the q_cusum_shift daily census (baseline
-    * mean embedded per row) re-played as a 6-batch time-ordered file
-    * stream through the single-long keyed recurrence; every emitted row
+    * mean embedded per row) re-played as a time-ordered file stream
+    * ([[stageTimeSlices]] on the day key) through the single-long keyed
+    * recurrence; every emitted row
     * must hash-match the batch prefix-sum-identity oracle verbatim —
     * the recurrence≡identity theorem as a driver artifact. */
   def cusumStreamParity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val daily = graft.Tables.events(spark, dir)
       .groupBy(col("event_type").as("et"), to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("x"))
@@ -230,13 +256,7 @@ object StreamingGates {
       .agg(sum("x").as("tx"), count(lit(1)).as("nd"))
       .selectExpr("et", "(tx * 1000) div nd AS mu_milli")
     val input = daily.join(broadcast(base), "et").select("et", "d", "x", "mu_milli")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_cusum_gate_")
-    val sliced = input.withColumn("slice",
-      ntile(6).over(Window.orderBy(col("d"), col("et"))))
-      .localCheckpoint()
-    for (i <- 1 to 6)
-      sliced.filter(col("slice") === i).drop("slice")
-        .coalesce(1).write.mode("append").parquet(tmp.toString)
+    val tmp = stageTimeSlices(input, unix_date(col("d")), 6)
     try {
       val stream = spark.readStream
         .schema("et STRING, d DATE, x BIGINT, mu_milli BIGINT")
