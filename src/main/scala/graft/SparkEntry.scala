@@ -27,6 +27,7 @@ object SparkEntry {
       Map("q_terasort_cols" -> (TeraSort.query _),
         "q_multimodal" -> (graft.multimodal.Multimodal.query _),
         "q_video_meta" -> (graft.multimodal.Multimodal.videoMetaQuery _),
+        "q_video_frames" -> (graft.multimodal.Multimodal.videoFramesQuery _),
         "q_tiff_meta" -> (graft.multimodal.Multimodal.tiffMetaQuery _),
         "q_tensor_ops" -> (graft.tensor.TensorSet.query _),
         "q_io_roundtrip" -> (graft.sources.Sources.roundtripQuery _),
@@ -48,6 +49,7 @@ object SparkEntry {
       Map("q_terasort_cols" -> TeraSort.oracle,
         "q_multimodal" -> graft.multimodal.Multimodal.oracle,
         "q_video_meta" -> graft.multimodal.Multimodal.videoMetaOracle,
+        "q_video_frames" -> graft.multimodal.Multimodal.videoFramesOracle,
         "q_tiff_meta" -> graft.multimodal.Multimodal.tiffMetaOracle,
         "q_tensor_ops" -> graft.tensor.TensorSet.oracle,
         "q_io_roundtrip" -> graft.sources.Sources.roundtripOracle,

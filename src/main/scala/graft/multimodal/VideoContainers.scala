@@ -29,6 +29,8 @@ object VideoContainers {
   def parseVideoMeta(bytes: Array[Byte]): Option[VideoMeta] =
     if (bytes.length >= 8 && boxType(bytes, 0) == "ftyp") parseMp4(bytes)
     else if (bytes.length >= 4 && be32(bytes, 0) == 0x1a45dfa3L) parseWebm(bytes)
+    else if (bytes.length >= 12 && new String(bytes, 0, 4, "ISO-8859-1") == "RIFF" &&
+      new String(bytes, 8, 4, "ISO-8859-1") == "AVI ") parseAvi(bytes)
     else None
 
   // ================= ISO-BMFF (MP4) =================
@@ -293,4 +295,121 @@ object VideoContainers {
       elem(IdVideo, elemUint(IdPixelWidth, w.toLong), elemUint(IdPixelHeight, h.toLong))))
     cat(header, elem(IdSegment, info, tracks))
   }
+
+  // ================= RIFF AVI (MJPEG) =================
+  // AVI is the one container whose video payload the JDK can decode
+  // end-to-end: MJPEG frames are baseline JPEGs, ImageIO's native
+  // kernels. Everything little-endian; chunks pad to even length.
+  // Reference analog: the tensor frame loaders, dislib/data/tensor.py:
+  // 973-1036 (per-frame arrays from container files).
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Long): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def rdLe32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def rdFourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "ISO-8859-1")
+  private def riffChunk(id: String, payload: Array[Byte]*): Array[Byte] = {
+    val p = Array.concat(payload: _*)
+    val pad = if (p.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+    cat(id.getBytes("ISO-8859-1"), le32(p.length.toLong), p, pad)
+  }
+  private def riffList(listType: String, payload: Array[Byte]*): Array[Byte] =
+    riffChunk("LIST", cat(listType.getBytes("ISO-8859-1"), Array.concat(payload: _*)))
+
+  /** RIFF sub-chunks of [start, end): (fourcc, payloadStart, payloadEnd).
+    * Stops at the first malformed header (truncated payloads parse to
+    * "missing required chunk", never throw). */
+  private def riffChunks(b: Array[Byte], start: Int, end: Int): List[(String, Int, Int)] = {
+    val out = List.newBuilder[(String, Int, Int)]
+    var off = start
+    var ok = true
+    while (ok && off + 8 <= end) {
+      val id = rdFourcc(b, off)
+      val size = rdLe32(b, off + 8 - 4) // size field at off+4
+      val payStart = off + 8
+      val payEnd = payStart + size
+      if (payEnd > end || size < 0) ok = false
+      else {
+        out += ((id, payStart, payEnd.toInt))
+        off = payEnd.toInt + (size.toInt & 1) // even padding
+      }
+    }
+    out.result()
+  }
+
+  /** Parse an AVI (RIFF 'AVI '): dimensions + stream fourcc from
+    * hdrl/strl's BITMAPINFOHEADER, frame count + frame period from avih. */
+  private[multimodal] def parseAvi(b: Array[Byte]): Option[VideoMeta] = {
+    if (b.length < 12 || rdFourcc(b, 0) != "RIFF" || rdFourcc(b, 8) != "AVI ")
+      return None
+    val riffEnd = math.min(b.length.toLong, 8L + rdLe32(b, 4)).toInt
+    val top = riffChunks(b, 12, riffEnd)
+    val hdrl = top.collectFirst {
+      case ("LIST", s, e) if e - s >= 4 && rdFourcc(b, s) == "hdrl" => (s + 4, e)
+    }
+    hdrl.flatMap { case (hs, he) =>
+      val inHdrl = riffChunks(b, hs, he)
+      val avih = inHdrl.collectFirst { case ("avih", s, e) if e - s >= 40 => s }
+      val strf = inHdrl.collectFirst {
+        case ("LIST", s, e) if e - s >= 4 && rdFourcc(b, s) == "strl" =>
+          riffChunks(b, s + 4, e).collectFirst {
+            case ("strf", fs, fe) if fe - fs >= 40 => fs
+          }
+      }.flatten
+      for (a <- avih; f <- strf) yield {
+        val usPerFrame = rdLe32(b, a)
+        val nFrames = rdLe32(b, a + 16).toInt
+        val w = rdLe32(b, f + 4).toInt
+        val h = rdLe32(b, f + 8).toInt
+        val codec = rdFourcc(b, f + 16)
+        VideoMeta("avi", w, h, nFrames, usPerFrame * nFrames / 1000L, codec)
+      }
+    }
+  }
+
+  /** The video frame payloads ('00dc'/'00db' chunks of the movi list) in
+    * stream order — for MJPEG each payload is a standalone baseline
+    * JPEG, decodable by ImageIO. */
+  def aviFrames(b: Array[Byte]): Seq[Array[Byte]] = {
+    if (b.length < 12 || rdFourcc(b, 0) != "RIFF" || rdFourcc(b, 8) != "AVI ")
+      return Nil
+    val riffEnd = math.min(b.length.toLong, 8L + rdLe32(b, 4)).toInt
+    riffChunks(b, 12, riffEnd).collect {
+      case ("LIST", s, e) if e - s >= 4 && rdFourcc(b, s) == "movi" =>
+        riffChunks(b, s + 4, e).collect {
+          case (id, fs, fe) if id.endsWith("dc") || id.endsWith("db") =>
+            java.util.Arrays.copyOfRange(b, fs, fe)
+        }
+    }.flatten
+  }
+
+  /** Minimal well-formed MJPEG AVI around the given encoded frames. */
+  def buildAvi(w: Int, h: Int, usPerFrame: Long, frames: Seq[Array[Byte]]): Array[Byte] = {
+    val n = frames.length
+    val maxF = if (frames.isEmpty) 0 else frames.map(_.length).max
+    val avih = riffChunk("avih",
+      le32(usPerFrame), le32(0), le32(0), le32(0), le32(n.toLong), le32(0),
+      le32(1), le32(maxF.toLong), le32(w.toLong), le32(h.toLong),
+      new Array[Byte](16))
+    val strh = riffChunk("strh",
+      "vids".getBytes("ISO-8859-1"), "MJPG".getBytes("ISO-8859-1"),
+      le32(0), le16(0), le16(0), le32(0), le32(usPerFrame), le32(1000000L),
+      le32(0), le32(n.toLong), le32(maxF.toLong), le32(0xffffffffL), le32(0),
+      le16(0), le16(0), le16(w), le16(h))
+    val strf = riffChunk("strf",
+      le32(40), le32(w.toLong), le32(h.toLong), le16(1), le16(24),
+      "MJPG".getBytes("ISO-8859-1"), le32(w.toLong * h * 3),
+      le32(0), le32(0), le32(0), le32(0))
+    val hdrl = riffList("hdrl", avih, riffList("strl", strh, strf))
+    val movi = riffList("movi",
+      frames.map(f => riffChunk("00dc", f)): _*)
+    val body = cat("AVI ".getBytes("ISO-8859-1"), hdrl, movi)
+    cat("RIFF".getBytes("ISO-8859-1"), le32(body.length.toLong), body)
+  }
 }
+

@@ -123,3 +123,33 @@ tracks = elem(0x1654AE6B, elem(0xAE,
 with open(os.path.join(OUT, "fixture_tiny.webm"), "wb") as f:
     f.write(header + elem(0x18538067, info, tracks))
 print(f"WebM: {VW}x{VH}, {VF} frames, {VDUR} ms, codec V_VP9")
+
+# --- AVI (RIFF 'AVI ': hdrl{avih, strl{strh, strf}} + movi with two
+#     fake frame payloads) — independent writer for the AVI READER tests.
+#     Frame payloads are known sentinel bytes (NOT JPEGs): the spec pins
+#     byte-exact frame extraction; pixel decode is pinned separately
+#     against ImageIO-encoded JPEGs in Scala. ---
+AW, AH, AUS = 176, 120, 40000
+FRAME1 = bytes((7 * i + 3) % 256 for i in range(33))   # odd length → pad
+FRAME2 = bytes((11 * i + 5) % 256 for i in range(48))
+
+def ck(cid, payload):
+    pad = b"\x00" if len(payload) % 2 else b""
+    return cid + struct.pack("<I", len(payload)) + payload + pad
+
+def lst(ltype, *payloads):
+    return ck(b"LIST", ltype + b"".join(payloads))
+
+avih = ck(b"avih", struct.pack("<10I", AUS, 0, 0, 0, 2, 0, 1, 48, AW, AH)
+          + b"\x00" * 16)
+strh = ck(b"strh", b"vids" + b"MJPG"
+          + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0, AUS, 1000000, 0, 2, 48, -1, 0)
+          + struct.pack("<4H", 0, 0, AW, AH))
+strf = ck(b"strf", struct.pack("<IiiHH", 40, AW, AH, 1, 24) + b"MJPG"
+          + struct.pack("<IiiII", AW * AH * 3, 0, 0, 0, 0))
+movi = lst(b"movi", ck(b"00dc", FRAME1), ck(b"00dc", FRAME2))
+body = b"AVI " + lst(b"hdrl", avih, lst(b"strl", strh, strf)) + movi
+with open(os.path.join(OUT, "fixture_tiny.avi"), "wb") as f:
+    f.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+print(f"AVI: {AW}x{AH}, 2 frames, {2 * AUS // 1000} ms, codec MJPG, "
+      f"frame bytes {len(FRAME1)}/{len(FRAME2)}")
