@@ -1639,7 +1639,44 @@ object Relational {
       .orderBy("p_brand")
   }
 
+  /** Market-basket association pairs — the classic frequent-itemset /
+    * association-rule screen (the "beer and diapers" operator, a NEW
+    * family next to the join/agg suites): co-occurring part pairs within
+    * an order, with support, confidence and lift in integer basis
+    * points: support_bp = c_ab·10⁴ DIV n_orders, conf = c_ab·10⁴ DIV
+    * c_a, lift_bp = n·c_ab·10⁴ DIV (c_a·c_b) — all-integer, engine-
+    * exact. Top 20 pairs by (lift, support, pair) — fully tie-broken.
+    *
+    * Scale: baskets roll up to DISTINCT (order, part) first; the pair
+    * generator is a SELF-EQUI-JOIN on the order key (one shuffle, never
+    * all-pairs) whose fan-out is Σ(items/order choose 2) — bounded by
+    * the basket-size constant, linear in orders; item counts join back
+    * on the part key; the global top-k plans TakeOrderedAndProject. */
+  def basketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .localCheckpoint(true) // feeds pairs, item counts, and the total
+    val nOrders = items.agg(countDistinct("ok").as("n")).head().getLong(0)
+    val itemCnt = items.groupBy("pk").agg(count(lit(1)).as("c"))
+    val a = items.selectExpr("ok", "pk AS pa")
+    val b = items.selectExpr("ok AS okb", "pk AS pb")
+    val pairs = a.join(b, col("ok") === col("okb") && col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("c_ab"))
+    pairs
+      .join(itemCnt.selectExpr("pk AS pa", "c AS c_a"), "pa")
+      .join(itemCnt.selectExpr("pk AS pb", "c AS c_b"), "pb")
+      .selectExpr("pa", "pb", "c_ab", "c_a", "c_b",
+        s"(c_ab * 10000) DIV $nOrders AS support_bp",
+        "(c_ab * 10000) DIV c_a AS conf_a_to_b_bp",
+        s"(CAST($nOrders AS DECIMAL(38,0)) * c_ab * 10000) DIV (CAST(c_a AS DECIMAL(38,0)) * c_b) AS lift_bp")
+      .withColumn("lift_bp", col("lift_bp").cast("long"))
+      .orderBy(desc("lift_bp"), desc("support_bp"), asc("pa"), asc("pb"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_basket_pairs" -> (basketPairs _),
     "q_salted_join" -> (saltedJoin _),
     "q_window_ntile" -> (windowNtile _),
     "q_null_semantics" -> (nullSemantics _),
@@ -1705,6 +1742,22 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_basket_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |t AS (SELECT count(DISTINCT ok)::BIGINT AS n FROM items),
+        |cnt AS (SELECT pk, count(*)::BIGINT AS c FROM items GROUP BY pk),
+        |pairs AS (SELECT a.pk AS pa, b.pk AS pb, count(*)::BIGINT AS c_ab
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2)
+        |SELECT pa, pb, c_ab, ca.c AS c_a, cb.c AS c_b,
+        |  (c_ab * 10000) // n AS support_bp,
+        |  (c_ab * 10000) // ca.c AS conf_a_to_b_bp,
+        |  ((n::HUGEINT * c_ab * 10000) // (ca.c::HUGEINT * cb.c))::BIGINT
+        |    AS lift_bp
+        |FROM pairs JOIN cnt ca ON pa = ca.pk JOIN cnt cb ON pb = cb.pk
+        |CROSS JOIN t
+        |ORDER BY lift_bp DESC, support_bp DESC, pa, pb LIMIT 20""".stripMargin,
     "q_salted_join" ->
       """SELECT p_brand, count(*) AS n_lines,
         |  sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS revenue_cents
