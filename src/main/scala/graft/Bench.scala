@@ -305,16 +305,25 @@ object Bench {
           li.withColumn("l_orderkey", col("l_orderkey") + c * maxOrderKey)
         }.reduce(_ unionAll _)
           .write.mode("overwrite").parquet(s"$sf1Dir/lineitem.parquet")
-        // orders 10×: order AND customer keys offset — 10× the entities,
-        // same per-entity history depth (what SCD2's keyed windows see)
+        // orders AND customer 10×: order and customer keys offset by the
+        // SAME shared constant (customer's key max — the superset: every
+        // o_custkey is a c_custkey) so the orders⋈customer join stays
+        // consistent per copy — 10× the entities, same per-entity
+        // history depth (what SCD2's keyed windows and q_gini's
+        // segment ranks see)
+        val cust = Tables.customer(spark, sfDir)
+        val maxCust = cust.agg(max("c_custkey")).head().getLong(0) + 1
         val ord = Tables.orders(spark, sfDir)
         val maxOrd = ord.agg(max("o_orderkey")).head().getLong(0) + 1
-        val maxCust = ord.agg(max("o_custkey")).head().getLong(0) + 1
         (0 until copies).map { c =>
           ord.withColumn("o_orderkey", col("o_orderkey") + c * maxOrd)
             .withColumn("o_custkey", col("o_custkey") + c * maxCust)
         }.reduce(_ unionAll _)
           .write.mode("overwrite").parquet(s"$sf1Dir/orders.parquet")
+        (0 until copies).map { c =>
+          cust.withColumn("c_custkey", col("c_custkey") + c * maxCust)
+        }.reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$sf1Dir/customer.parquet")
       }
       val heavy = Seq("q_dedup_ngram_jaccard", "q_dedup_minhash_lsh",
         "q_dbscan", "q_events_session",
