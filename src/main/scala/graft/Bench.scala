@@ -436,9 +436,11 @@ object Bench {
     // super-linearity that isn't there — r7's q_sketches "11.3×" was 2.9
     // at idle)
     val baseF = resultsF.toMap
-    val ratios = sf1F.collect { case (k, v) if k.startsWith("sf1_") =>
-      val b = baseF.getOrElse(k.stripPrefix("sf1_"), -1.0)
-      s"ratio_$k" -> (if (v > 0 && b > 0) math.round(v / b * 100) / 100.0 else -1.0)
+    val ratios = sf1F.collect {
+      case (k, v) if k.startsWith("sf1_") &&
+          baseF.getOrElse(k.stripPrefix("sf1_"), -1.0) > 0 && v > 0 =>
+        val b = baseF(k.stripPrefix("sf1_"))
+        s"ratio_$k" -> math.round(v / b * 100) / 100.0
     }
     val all = resultsF ++ algo ++ sf1F ++ ratios
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }

@@ -198,7 +198,17 @@ object Dedup {
     * heuristic's guarantee-free pruning, derived instead of assumed.
     * ⌈t·|x|⌉ is computed as the INTEGER (4·n + 4) DIV 5 — fp 0.8·n
     * rounds 4.000…0002 for n = 5 and ceils to 5, the classic lossy-ceil
-    * bug. Candidates verify on the full shingle sets; the oracle is the
+    * bug. Two further LOSSLESS prunes fire on each prefix match BEFORE
+    * the pair ever touches a full shingle array: the LENGTH filter
+    * (J ≥ 4/5 forces 5·min(n_a,n_b) ≥ 4·max — wildly different sizes
+    * can't pass) and PPJoin's POSITIONAL filter (for the FIRST common
+    * token in the canonical order, everything before it on each side is
+    * absent from the other set, so overlap ≤ 1 + min(n_a−rk_a, n_b−rk_b);
+    * J ≥ 4/5 needs 9·overlap ≥ 4·(n_a+n_b), both sides integers). A
+    * qualifying pair always survives via that first common token, so
+    * keep-if-ANY-match-passes (filter, then distinct) loses nothing —
+    * the prunes only spare array_intersect work on doomed candidates.
+    * Candidates verify on the full shingle sets; the oracle is the
     * prefix-free naive join, pinning losslessness at the gate corpus. */
   def prefixJaccard(spark: SparkSession, dir: String): DataFrame =
     prefixJaccardDf(shinglesDf(spark, dir))
@@ -214,9 +224,15 @@ object Dedup {
         Window.partitionBy("doc_id").orderBy(asc("df"), asc("s"))))
       .join(sh.select(col("doc_id"), size(col("sh")).as("n")), "doc_id")
       .filter(col("rk") <= col("n") - expr("(4 * n + 4) DIV 5") + 1)
-      .select("doc_id", "s")
+      .select("doc_id", "s", "rk", "n")
     val cand = pref.as("a").join(pref.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id")
+          // length filter: 5·min ≥ 4·max, both directions in one pass
+          && col("a.n") * 5 >= col("b.n") * 4
+          && col("b.n") * 5 >= col("a.n") * 4
+          // positional filter: 9·(1 + min(n−rk)) ≥ 4·(n_a + n_b)
+          && (least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk"))
+                + lit(1)) * 9 >= (col("a.n") + col("b.n")) * 4)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     graft.GateUtil.pinned(
