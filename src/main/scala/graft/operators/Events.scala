@@ -890,7 +890,78 @@ object Events {
       .orderBy("user_id", "d")
   }
 
+  /** Growth accounting — the weekly new/retained/resurrected/churned
+    * census (the canonical MAU-accounting identity behind every growth
+    * dashboard: active(w) = new(w) + retained(w) + resurrected(w),
+    * churned(w) = users active in w−7d but absent in w): the per-user
+    * active-week list classifies each active week by its lagged
+    * predecessor (none → new; adjacent → retained; gapped →
+    * resurrected), and each active week whose successor is not the
+    * adjacent week emits a churn event into w+7d — bounded by the
+    * corpus' last week so the open frontier doesn't fabricate churn.
+    * quick_ratio_bp = (new+resurrected)·10⁴ DIV churned (NULL when
+    * churned = 0) — all-integer, engine-exact.
+    *
+    * Scale: one distinct rollup onto the (user, week) grain, one
+    * user-keyed lag/lead window over that grain (per-user row counts
+    * are calendar-bounded, never event-proportional), a 1-row
+    * broadcast of the frontier week, and a week-grain census. */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val weeks = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("w"))
+      .distinct()
+    val frontier = weeks.agg(max("w").as("mw"))
+    val byU = Window.partitionBy("user_id").orderBy("w")
+    val lab = weeks
+      .withColumn("pw", lag("w", 1).over(byU))
+      .withColumn("nw", lead("w", 1).over(byU))
+    val actives = lab.select(col("w"),
+      when(col("pw").isNull, lit("new"))
+        .when(datediff(col("w"), col("pw")) === 7, lit("retained"))
+        .otherwise(lit("resurrected")).as("cls"))
+    val churn = lab.crossJoin(broadcast(frontier))
+      .filter((col("nw").isNull || datediff(col("nw"), col("w")) > 7)
+        && datediff(col("mw"), col("w")) >= 7)
+      .select(date_add(col("w"), 7).as("w"), lit("churned").as("cls"))
+    actives.unionAll(churn)
+      .groupBy(col("w").as("week"))
+      .agg(
+        sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("cls") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("cls") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"),
+        sum(when(col("cls") === "churned", 1L).otherwise(0L)).as("n_churned"))
+      .withColumn("quick_ratio_bp",
+        when(col("n_churned") > 0,
+          expr("(n_new + n_resurrected) * 10000 DIV n_churned")))
+      .orderBy("week")
+  }
+
+  /** Power-user curve — the engagement-frequency histogram (the "L30"
+    * chart): how many users were active on exactly k distinct days of
+    * the corpus window, with each bucket's share of the user base in
+    * floored basis points. The shape (right-skew vs the smile of a
+    * habit-forming product) is the classic read; the census is
+    * all-integer so both engines land identical rows.
+    *
+    * Scale: one distinct rollup onto the (user, day) grain, a per-user
+    * count (calendar-bounded), and a histogram over the bounded
+    * day-count domain with a 1-row broadcast total. */
+  def powerCurve(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .groupBy("user_id").agg(count(lit(1)).as("n_days"))
+    val total = perUser.agg(count(lit(1)).as("n_total"))
+    perUser.groupBy("n_days").agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(total))
+      .selectExpr("n_days", "n_users",
+        "n_users * 10000 DIV n_total AS share_bp")
+      .orderBy("n_days")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_power_curve" -> (powerCurve _),
+    "q_growth_accounting" -> (growthAccounting _),
     "q_twap" -> (twap _),
     "q_ohlc_bars" -> (ohlcBars _),
     "q_survival_km" -> (survivalKm _),
@@ -918,6 +989,45 @@ object Events {
     "q_funnel_time" -> (funnelLatency _))
 
   val oracles: Map[String, String] = Map(
+    "q_power_curve" ->
+      """WITH pu AS (SELECT user_id, count(*)::BIGINT AS n_days
+        |  FROM (SELECT DISTINCT user_id, ts::DATE AS d FROM events)
+        |  GROUP BY user_id),
+        |t AS (SELECT count(*)::BIGINT AS n_total FROM pu)
+        |SELECT n_days, count(*)::BIGINT AS n_users,
+        |  (count(*) * 10000 // n_total)::BIGINT AS share_bp
+        |FROM pu CROSS JOIN t GROUP BY n_days, n_total
+        |ORDER BY n_days""".stripMargin,
+    "q_growth_accounting" ->
+      """WITH weeks AS (SELECT DISTINCT user_id,
+        |    date_trunc('week', ts)::DATE AS w FROM events),
+        |mw AS (SELECT max(w) AS mw FROM weeks),
+        |lab AS (SELECT user_id, w,
+        |    lag(w) OVER (PARTITION BY user_id ORDER BY w) AS pw,
+        |    lead(w) OVER (PARTITION BY user_id ORDER BY w) AS nw
+        |  FROM weeks),
+        |ev AS (
+        |  SELECT w, CASE WHEN pw IS NULL THEN 'new'
+        |                 WHEN w - pw = 7 THEN 'retained'
+        |                 ELSE 'resurrected' END AS cls
+        |  FROM lab
+        |  UNION ALL
+        |  SELECT w + 7 AS w, 'churned' AS cls FROM lab CROSS JOIN mw
+        |  WHERE (nw IS NULL OR nw - w > 7) AND mw - w >= 7)
+        |SELECT w AS week,
+        |  sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END)::BIGINT AS n_new,
+        |  sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_retained,
+        |  sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_resurrected,
+        |  sum(CASE WHEN cls = 'churned' THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_churned,
+        |  CASE WHEN sum(CASE WHEN cls = 'churned' THEN 1 ELSE 0 END) > 0
+        |    THEN ((sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END)
+        |           + sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END))
+        |          * 10000 // sum(CASE WHEN cls = 'churned' THEN 1 ELSE 0 END)
+        |         )::BIGINT END AS quick_ratio_bp
+        |FROM ev GROUP BY w ORDER BY week""".stripMargin,
     "q_twap" ->
       """WITH p AS (SELECT user_id, ts::DATE AS d,
         |    round(value * 100)::BIGINT AS cents,

@@ -35,6 +35,36 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(touched > 0, "test data must exercise the credited path")
   }
 
+  test("growthAccounting holds the MAU-accounting identity week over week") {
+    import org.apache.spark.sql.functions._
+    val rows = Events.growthAccounting(spark, dir)
+      .orderBy("week").collect()
+    assert(rows.nonEmpty)
+    // active(w) = new + retained + resurrected must replay the direct
+    // distinct-user census, and active(w) − churned(w+1) + new(w+1) +
+    // resurrected(w+1) = active(w+1) (the identity the census exists for)
+    val active = graft.Tables.events(spark, dir)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("w"))
+      .distinct().groupBy("w").count()
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    var prevActive = 0L
+    rows.foreach { r =>
+      val w = r.getDate(r.fieldIndex("week")).toString
+      val nNew = r.getLong(r.fieldIndex("n_new"))
+      val nRet = r.getLong(r.fieldIndex("n_retained"))
+      val nRes = r.getLong(r.fieldIndex("n_resurrected"))
+      val nChu = r.getLong(r.fieldIndex("n_churned"))
+      val act = nNew + nRet + nRes
+      assert(act == active.getOrElse(w, 0L), s"week $w census mismatch")
+      // retained(w) = active(w-1) − churned(w): both count last week's
+      // actives by whether they came back
+      assert(nRet == prevActive - nChu, s"week $w retention identity")
+      prevActive = act
+    }
+    assert(rows.head.getLong(rows.head.fieldIndex("n_retained")) == 0L)
+    assert(rows.head.getLong(rows.head.fieldIndex("n_resurrected")) == 0L)
+  }
+
   test("attributionDecay halving weights and boundary shares on the gate frame") {
     val rows = Events.attributionDecay(spark, dir).collect()
     assert(rows.nonEmpty)
