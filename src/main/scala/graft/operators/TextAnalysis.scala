@@ -1279,6 +1279,119 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"))
       .orderBy("doc_id", "bucket")
 
+  /** Gradient-descent iterations / learning rate / label rule for
+    * [[qualityClassifier]] — part of the cross-engine determinism
+    * contract (the oracle unrolls exactly [[QcIters]] steps; 2.0 is an
+    * exact binary double, so the lr multiply adds no fp noise). */
+  val QcIters = 4
+  val QcLr = 2.0
+  val QcStopwords = Seq("the", "a")
+  val QcDensityBp = 600L
+
+  /** Trained quality classifier — the fastText-style curation step every
+    * large corpus pipeline runs (train a cheap linear classifier on a
+    * quality label, score the corpus): logistic regression by full-batch
+    * gradient descent over [[featureHash]]'s signed 64-bucket counts,
+    * tf-normalized and z-scored per bucket. The label distills the
+    * Gopher-style heuristic rule y = (stopword density ≥
+    * [[QcDensityBp]] bp) — the classifier-distillation pattern
+    * (heuristic/LLM labels in, cheap linear scorer out), and the learned
+    * model demonstrably recovers the rule (spec: ≥90% train accuracy vs
+    * a ~55% majority class). Output is the model itself — one row per
+    * observed σ>0 bucket plus the bias as bucket −1 — so the gate pins
+    * the whole training trajectory, not just a score.
+    *
+    * Standardization rides the SPARSE identity (the COO frame never
+    * densifies): with μ_b, σ_b over the implicit-zero dense matrix,
+    * z_d = Σ_present (v/σ_b)·w_b − Σ_b (μ_b/σ_b)·w_b + bias and
+    * ∇_b = (Σ_present v·r − μ_b·Σ_d r)/(σ_b·N) — absent cells enter
+    * through the two corpus-constant correction terms only.
+    *
+    * Determinism contract (shared with the DuckDB oracle, the
+    * q_kmeans/q_gmm convention): init w = 0 (pass 1's p is exactly ½,
+    * so its gradient is exact half-integer arithmetic), [[QcIters]]
+    * unrolled full-batch steps, identical operation order in both
+    * engines, weights rounded to 6 decimals at every iteration
+    * boundary; σ=0 or unobserved buckets never emit.
+    *
+    * Scale: the features build is [[featureHash]]'s one explosion + one
+    * (doc, bucket) partial+final agg, cached once; each GD step is two
+    * bounded shuffles over it (per-doc z via a ≤64-row broadcast weight
+    * join, per-bucket gradient via a doc-keyed residual join) and moves
+    * ≤65 doubles to the driver — the classic broadcast-weights /
+    * aggregated-gradients posture, corpus-linear per step. */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words).as("word"))
+      .filter(length(col("word")) > 0)
+    val perDoc = toks.groupBy("doc_id").agg(
+      count(lit(1)).as("m"),
+      sum(when(col("word").isin(QcStopwords: _*), 1L).otherwise(0L)).as("sw"))
+      .select(col("doc_id"), col("m").cast("double").as("m"),
+        when(expr(s"sw * 10000 DIV m >= $QcDensityBp"), 1.0d)
+          .otherwise(0.0d).as("y"))
+    val feats = toks
+      .select(col("doc_id"), hash56(col("word")).as("h"))
+      .groupBy(col("doc_id"),
+        pmod(col("h"), lit(FeatureHashBuckets.toLong)).cast("int").as("bucket"))
+      .agg(sum(expr(
+        s"CASE WHEN (h DIV $FeatureHashBuckets) % 2 = 0 THEN 1L ELSE -1L END"))
+        .cast("double").as("c"))
+      .join(perDoc, "doc_id")
+      .select(col("doc_id"), col("bucket"), (col("c") / col("m")).as("v"),
+        col("y"))
+      .cache()
+    val nd = feats.select(countDistinct("doc_id")).head().getLong(0).toDouble
+    val docList = feats.select("doc_id", "y").distinct()
+    // per-bucket standardization over the implicit-zero dense matrix:
+    // absent cells contribute 0 to both power sums
+    val st = feats.groupBy("bucket")
+      .agg(sum("v").as("s1v"), sum(col("v") * col("v")).as("s2v"))
+      .collect().map { r =>
+        val mu = r.getDouble(1) / nd
+        r.getInt(0) -> (mu, math.sqrt(r.getDouble(2) / nd - mu * mu))
+      }.toMap.filter { case (_, (_, sg)) => sg > 0 }
+    val stDf = broadcast(
+      st.toSeq.map { case (b, (mu, sg)) => (b, mu, sg) }
+        .toDF("bucket", "mu", "sigma"))
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var w = Map.empty[Int, Double] // observed σ>0 buckets only
+    var bias = 0.0
+    for (it <- 1 to QcIters) {
+      val resid =
+        if (it == 1) // w = 0 ⇒ z = 0 ⇒ p = ½ exactly, no join needed
+          docList.select(col("doc_id"), (lit(0.5) - col("y")).as("r"))
+        else {
+          val wDf = broadcast(w.toSeq.toDF("bucket", "wgt"))
+          val cC = st.toSeq.sortBy(_._1).map { case (b, (mu, sg)) =>
+            mu / sg * w.getOrElse(b, 0.0) }.sum
+          val zs = feats.join(stDf, "bucket").join(wDf, "bucket")
+            .groupBy("doc_id")
+            .agg(sum(col("v") / col("sigma") * col("wgt")).as("zp"))
+          docList.join(zs, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              (lit(1.0) / (lit(1.0) +
+                exp(-(coalesce(col("zp"), lit(0.0)) - lit(cC) + lit(bias))))
+                - col("y")).as("r"))
+        }
+      val s = resid.agg(sum("r")).head().getDouble(0)
+      val svr = feats.join(resid.select("doc_id", "r"), "doc_id")
+        .groupBy("bucket").agg(sum(col("v") * col("r")).as("svr"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      w = st.map { case (b, (mu, sg)) =>
+        val g = (svr.getOrElse(b, 0.0) - mu * s) / sg / nd
+        b -> round6(w.getOrElse(b, 0.0) - QcLr * g)
+      }
+      bias = round6(bias - QcLr * s / nd)
+    }
+    graft.GateUtil.pinned(
+      (w.toSeq :+ (-1 -> bias)).toDF("bucket", "weight")
+        .orderBy("bucket"))(feats.unpersist(false))
+  }
+
   /** Flesch–Kincaid grade-level readability per source — the classic
     * curation quality signal (readability filters are standard in
     * corpus pipelines next to [[textQuality]]'s ratio screens):
@@ -1366,6 +1479,7 @@ object TextAnalysis {
     "q_textrank" -> (textrank _),
     "q_readability" -> (readability _),
     "q_feature_hash" -> (featureHash _),
+    "q_quality_classifier" -> (qualityClassifier _),
     "q_shard_balance" -> (shardBalance _),
     "q_doc_perplexity" -> (docPerplexity _),
     "q_filter_sweep" -> (filterSweep _),
@@ -1530,6 +1644,71 @@ object TextAnalysis {
          |SELECT source, tokens_total, tokens_oov,
          |  (tokens_oov * 10000 // tokens_total)::BIGINT AS oov_bp
          |FROM agg ORDER BY source""".stripMargin,
+    "q_quality_classifier" -> {
+      // unrolled GD step k (k ≥ 2): sigmoid residuals under the sparse
+      // standardization identity, then per-bucket gradients
+      def iter(k: Int): String = {
+        val p = k - 1
+        s"""c$k AS (SELECT sum(mu / sigma * w) AS c
+           |  FROM stk JOIN w$p USING (bucket)),
+           |z$k AS (SELECT f.doc_id, sum(v / sigma * w) AS zp
+           |  FROM f JOIN stk USING (bucket) JOIN w$p USING (bucket)
+           |  GROUP BY f.doc_id),
+           |r$k AS MATERIALIZED (SELECT dd.doc_id,
+           |    1/(1 + exp(0 - (coalesce(zp, 0) - c + b))) - y AS r
+           |  FROM dd LEFT JOIN z$k USING (doc_id)
+           |  CROSS JOIN c$k CROSS JOIN b$p),
+           |s$k AS (SELECT sum(r) AS s FROM r$k),
+           |q$k AS (SELECT bucket, sum(v * r) AS svr
+           |  FROM f JOIN r$k USING (doc_id) GROUP BY bucket),
+           |w$k AS MATERIALIZED (SELECT stk.bucket,
+           |    round(w - $QcLr * ((coalesce(svr, 0) - mu * s) / sigma / n), 6)
+           |      AS w
+           |  FROM stk JOIN w$p USING (bucket) LEFT JOIN q$k USING (bucket)
+           |  CROSS JOIN s$k CROSS JOIN n),
+           |b$k AS (SELECT round(b - $QcLr * s / n, 6) AS b
+           |  FROM b$p CROSS JOIN s$k CROSS JOIN n),""".stripMargin
+      }
+      val sw = QcStopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH tw AS MATERIALIZED (SELECT doc_id, unnest($wordsSql) AS word
+         |  FROM documents),
+         |t0 AS MATERIALIZED (SELECT doc_id, word FROM tw
+         |  WHERE len(word) > 0),
+         |pd AS (SELECT doc_id, count(*)::DOUBLE AS m,
+         |    CASE WHEN sum(CASE WHEN word IN ($sw) THEN 1 ELSE 0 END)
+         |      * 10000 // count(*) >= $QcDensityBp
+         |      THEN 1.0 ELSE 0.0 END AS y
+         |  FROM t0 GROUP BY doc_id),
+         |h AS (SELECT doc_id, ${hash56Sql("word")} AS h FROM t0),
+         |f AS MATERIALIZED (SELECT h.doc_id,
+         |    (h % $FeatureHashBuckets)::INT AS bucket,
+         |    sum(CASE WHEN (h // $FeatureHashBuckets) % 2 = 0
+         |      THEN 1 ELSE -1 END)::DOUBLE / any_value(m) AS v,
+         |    any_value(y) AS y
+         |  FROM h JOIN pd USING (doc_id) GROUP BY h.doc_id, bucket),
+         |n AS MATERIALIZED (SELECT count(DISTINCT doc_id)::DOUBLE AS n
+         |  FROM f),
+         |dd AS MATERIALIZED (SELECT DISTINCT doc_id, y FROM f),
+         |st0 AS (SELECT bucket, sum(v) AS s1v, sum(v * v) AS s2v
+         |  FROM f GROUP BY bucket),
+         |stk AS MATERIALIZED (SELECT * FROM (SELECT bucket, s1v/n AS mu,
+         |    sqrt(s2v/n - (s1v/n) * (s1v/n)) AS sigma
+         |  FROM st0 CROSS JOIN n) WHERE sigma > 0),
+         |r1 AS MATERIALIZED (SELECT doc_id, 0.5 - y AS r FROM dd),
+         |s1 AS (SELECT sum(r) AS s FROM r1),
+         |q1 AS (SELECT bucket, sum(v * r) AS svr
+         |  FROM f JOIN r1 USING (doc_id) GROUP BY bucket),
+         |w1 AS MATERIALIZED (SELECT stk.bucket,
+         |    round(0 - $QcLr * ((coalesce(svr, 0) - mu * s) / sigma / n), 6)
+         |      AS w
+         |  FROM stk LEFT JOIN q1 USING (bucket) CROSS JOIN s1 CROSS JOIN n),
+         |b1 AS (SELECT round(0 - $QcLr * s / n, 6) AS b
+         |  FROM s1 CROSS JOIN n),
+         |${(2 to QcIters).map(iter).mkString("\n")}
+         |fin AS (SELECT bucket, w AS weight FROM w$QcIters
+         |  UNION ALL SELECT -1 AS bucket, b AS weight FROM b$QcIters)
+         |SELECT bucket, weight FROM fin ORDER BY bucket""".stripMargin
+    },
     "q_feature_hash" ->
       s"""WITH tw AS (SELECT doc_id, unnest($wordsSql) AS word FROM documents),
          |h AS (SELECT doc_id, ${hash56Sql("word")} AS h

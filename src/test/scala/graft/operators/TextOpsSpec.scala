@@ -6,6 +6,53 @@ import graft.SparkSpec
   * round 4: benchmark decontamination and sequence packing. */
 class TextOpsSpec extends SparkSpec {
 
+  test("qualityClassifier recovers the heuristic rule it distills") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val model = TextAnalysis.qualityClassifier(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val bias = model(-1)
+    val w = model - (-1)
+    assert(w.nonEmpty && w.values.exists(_ != 0.0))
+    // naive dense replay: rebuild tf features + label + standardization
+    // in local code, score every doc with the learned model, and demand
+    // it beats always-predict-majority by a wide margin (the distilled
+    // Gopher rule is linearly recoverable; probe showed ~94%)
+    val B = TextAnalysis.FeatureHashBuckets
+    val rows = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFns.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(col("doc_id"), col("word"),
+        graft.functions.TextFns.hash56(col("word")).as("h"))
+      .collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    val n = byDoc.size
+    val x = byDoc.map { case (id, rs) =>
+      val m = rs.length.toDouble
+      val sw = rs.count(r => TextAnalysis.QcStopwords.contains(r.getString(1)))
+      val y = if (sw * 10000L / rs.length >= TextAnalysis.QcDensityBp) 1.0 else 0.0
+      val tf = rs.groupBy(r => (r.getLong(2) % B).toInt).map { case (b, g) =>
+        b -> g.map(r => if ((r.getLong(2) / B) % 2 == 0) 1.0 else -1.0).sum / m }
+      (id, tf, y)
+    }.toSeq
+    val mu = (0 until B).map(b => b -> x.map(_._2.getOrElse(b, 0.0)).sum / n).toMap
+    val sg = (0 until B).map { b =>
+      val s2 = x.map(d => math.pow(d._2.getOrElse(b, 0.0), 2)).sum / n
+      b -> math.sqrt(s2 - mu(b) * mu(b)) }.toMap
+    var correct = 0
+    var pos = 0
+    x.foreach { case (_, tf, y) =>
+      val z = w.map { case (b, wb) =>
+        (tf.getOrElse(b, 0.0) - mu(b)) / sg(b) * wb }.sum + bias
+      if ((1.0 / (1.0 + math.exp(-z)) >= 0.5) == (y == 1.0)) correct += 1
+      if (y == 1.0) pos += 1
+    }
+    val majority = math.max(pos, n - pos)
+    assert(correct * 10 >= n * 9, s"accuracy $correct/$n must be >= 90%")
+    assert(correct > majority, s"$correct/$n must beat majority $majority/$n")
+  }
+
   test("decontaminate flags exactly the corpus docs sharing a 3-gram with the bench set") {
     val spark2 = spark
     import spark2.implicits._
