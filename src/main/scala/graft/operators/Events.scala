@@ -959,7 +959,62 @@ object Events {
       .orderBy("n_days")
   }
 
+  /** Revenue growth accounting — [[growthAccounting]]'s money companion
+    * (the MRR-bridge every SaaS board deck carries): weekly purchase
+    * revenue per user in exact cents, each user-week classified against
+    * the user's previous revenue week — first ever → new; adjacent →
+    * the delta splits into expansion (growth) or contraction (decline);
+    * gapped → resurrected — and a user's whole prior-week revenue
+    * churns into w+7d when no adjacent week follows (frontier-bounded).
+    * The bridge identity total(w) − total(w−7d) = new + resurrected +
+    * expansion − contraction − churned holds exactly, all-integer.
+    *
+    * Scale: one (user, week) purchase rollup, one user-keyed lag/lead
+    * window over calendar-bounded per-user rows, and a week-grain
+    * census — the [[growthAccounting]] posture with cents. */
+  def revenueAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(date_trunc("week", col("ts"))).as("w"))
+      .agg(sum(expr("CAST(round(value * 100) AS LONG)")).as("cents"))
+    val frontier = weekly.agg(max("w").as("mw"))
+    val byU = Window.partitionBy("user_id").orderBy("w")
+    val lab = weekly
+      .withColumn("pw", lag("w", 1).over(byU))
+      .withColumn("pc", lag("cents", 1).over(byU))
+      .withColumn("nw", lead("w", 1).over(byU))
+    val actives = lab.select(col("w"),
+      when(col("pw").isNull, col("cents")).otherwise(0L).as("new_cents"),
+      when(col("pw").isNotNull && datediff(col("w"), col("pw")) === 7
+        && col("cents") > col("pc"), col("cents") - col("pc"))
+        .otherwise(0L).as("expansion_cents"),
+      when(col("pw").isNotNull && datediff(col("w"), col("pw")) === 7
+        && col("cents") < col("pc"), col("pc") - col("cents"))
+        .otherwise(0L).as("contraction_cents"),
+      when(col("pw").isNotNull && datediff(col("w"), col("pw")) > 7,
+        col("cents")).otherwise(0L).as("resurrected_cents"),
+      lit(0L).as("churned_cents"),
+      col("cents").as("total_cents"))
+    val churn = lab.crossJoin(broadcast(frontier))
+      .filter((col("nw").isNull || datediff(col("nw"), col("w")) > 7)
+        && datediff(col("mw"), col("w")) >= 7)
+      .select(date_add(col("w"), 7).as("w"), lit(0L).as("new_cents"),
+        lit(0L).as("expansion_cents"), lit(0L).as("contraction_cents"),
+        lit(0L).as("resurrected_cents"), col("cents").as("churned_cents"),
+        lit(0L).as("total_cents"))
+    actives.unionAll(churn)
+      .groupBy(col("w").as("week"))
+      .agg(sum("new_cents").as("new_cents"),
+        sum("expansion_cents").as("expansion_cents"),
+        sum("contraction_cents").as("contraction_cents"),
+        sum("resurrected_cents").as("resurrected_cents"),
+        sum("churned_cents").as("churned_cents"),
+        sum("total_cents").as("total_cents"))
+      .orderBy("week")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_revenue_accounting" -> (revenueAccounting _),
     "q_power_curve" -> (powerCurve _),
     "q_growth_accounting" -> (growthAccounting _),
     "q_twap" -> (twap _),
@@ -989,6 +1044,38 @@ object Events {
     "q_funnel_time" -> (funnelLatency _))
 
   val oracles: Map[String, String] = Map(
+    "q_revenue_accounting" ->
+      """WITH wk AS (SELECT user_id, date_trunc('week', ts)::DATE AS w,
+        |    sum(round(value * 100)::BIGINT)::BIGINT AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |mw AS (SELECT max(w) AS mw FROM wk),
+        |lab AS (SELECT user_id, w, cents,
+        |    lag(w) OVER (PARTITION BY user_id ORDER BY w) AS pw,
+        |    lag(cents) OVER (PARTITION BY user_id ORDER BY w) AS pc,
+        |    lead(w) OVER (PARTITION BY user_id ORDER BY w) AS nw
+        |  FROM wk),
+        |ev AS (
+        |  SELECT w,
+        |    CASE WHEN pw IS NULL THEN cents ELSE 0 END AS new_cents,
+        |    CASE WHEN pw IS NOT NULL AND w - pw = 7 AND cents > pc
+        |      THEN cents - pc ELSE 0 END AS expansion_cents,
+        |    CASE WHEN pw IS NOT NULL AND w - pw = 7 AND cents < pc
+        |      THEN pc - cents ELSE 0 END AS contraction_cents,
+        |    CASE WHEN pw IS NOT NULL AND w - pw > 7 THEN cents ELSE 0 END
+        |      AS resurrected_cents,
+        |    0 AS churned_cents, cents AS total_cents
+        |  FROM lab
+        |  UNION ALL
+        |  SELECT w + 7, 0, 0, 0, 0, cents, 0 FROM lab CROSS JOIN mw
+        |  WHERE (nw IS NULL OR nw - w > 7) AND mw - w >= 7)
+        |SELECT w AS week,
+        |  sum(new_cents)::BIGINT AS new_cents,
+        |  sum(expansion_cents)::BIGINT AS expansion_cents,
+        |  sum(contraction_cents)::BIGINT AS contraction_cents,
+        |  sum(resurrected_cents)::BIGINT AS resurrected_cents,
+        |  sum(churned_cents)::BIGINT AS churned_cents,
+        |  sum(total_cents)::BIGINT AS total_cents
+        |FROM ev GROUP BY w ORDER BY week""".stripMargin,
     "q_power_curve" ->
       """WITH pu AS (SELECT user_id, count(*)::BIGINT AS n_days
         |  FROM (SELECT DISTINCT user_id, ts::DATE AS d FROM events)

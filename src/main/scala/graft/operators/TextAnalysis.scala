@@ -1344,7 +1344,7 @@ object TextAnalysis {
         col("y"))
       .cache()
     val nd = feats.select(countDistinct("doc_id")).head().getLong(0).toDouble
-    val docList = feats.select("doc_id", "y").distinct()
+    val docList = feats.select("doc_id", "y").distinct().cache()
     // per-bucket standardization over the implicit-zero dense matrix:
     // absent cells contribute 0 to both power sums
     val st = feats.groupBy("bucket")
@@ -1377,10 +1377,12 @@ object TextAnalysis {
                 exp(-(coalesce(col("zp"), lit(0.0)) - lit(cC) + lit(bias))))
                 - col("y")).as("r"))
         }
+      resid.cache() // consumed by both the S total and the gradient pass
       val s = resid.agg(sum("r")).head().getDouble(0)
       val svr = feats.join(resid.select("doc_id", "r"), "doc_id")
         .groupBy("bucket").agg(sum(col("v") * col("r")).as("svr"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      resid.unpersist(false)
       w = st.map { case (b, (mu, sg)) =>
         val g = (svr.getOrElse(b, 0.0) - mu * s) / sg / nd
         b -> round6(w.getOrElse(b, 0.0) - QcLr * g)
@@ -1389,7 +1391,9 @@ object TextAnalysis {
     }
     graft.GateUtil.pinned(
       (w.toSeq :+ (-1 -> bias)).toDF("bucket", "weight")
-        .orderBy("bucket"))(feats.unpersist(false))
+        .orderBy("bucket")) {
+      docList.unpersist(false); feats.unpersist(false); ()
+    }
   }
 
   /** Flesch–Kincaid grade-level readability per source — the classic

@@ -65,6 +65,28 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(rows.head.getLong(rows.head.fieldIndex("n_resurrected")) == 0L)
   }
 
+  test("revenueAccounting holds the MRR bridge identity week over week") {
+    val rows = Events.revenueAccounting(spark, dir).orderBy("week").collect()
+    assert(rows.nonEmpty)
+    def g(r: org.apache.spark.sql.Row, c: String) = r.getLong(r.fieldIndex(c))
+    var prevTotal = 0L
+    var moved = false
+    rows.foreach { r =>
+      // total(w) = total(w-1) + new + resurrected + expansion
+      //            - contraction - churned — the bridge must close
+      val total = prevTotal + g(r, "new_cents") + g(r, "resurrected_cents") +
+        g(r, "expansion_cents") - g(r, "contraction_cents") -
+        g(r, "churned_cents")
+      assert(total == g(r, "total_cents"),
+        s"week ${r.get(0)}: bridge $total != total ${g(r, "total_cents")}")
+      if (g(r, "expansion_cents") > 0 || g(r, "contraction_cents") > 0)
+        moved = true
+      prevTotal = total
+    }
+    assert(moved, "test data must exercise the expansion/contraction path")
+    assert(g(rows.head, "new_cents") == g(rows.head, "total_cents"))
+  }
+
   test("attributionDecay halving weights and boundary shares on the gate frame") {
     val rows = Events.attributionDecay(spark, dir).collect()
     assert(rows.nonEmpty)
