@@ -731,6 +731,49 @@ object Events {
           | AS raw_diff_micro""".stripMargin)
   }
 
+  /** Difference-in-differences — the quasi-experimental causal
+    * estimator the A/B family ([[abTestDf]], [[cuped]]) reaches for
+    * when assignment wasn't randomized at exposure time: arms from the
+    * hash56 user split, pre/post from the observation-window midpoint
+    * (the CUPED clock), outcome = purchase revenue per user in exact
+    * cents. DiD = (post_t − pre_t)/n_t − (post_c − pre_c)/n_c, each
+    * per-arm delta an integer micro-cents-per-user quotient (truncating
+    * DIV matches across engines for negative deltas too — the
+    * Theil–Sen discipline). Population = ALL distinct users in the arm,
+    * so non-purchasers weigh the denominators.
+    *
+    * Scale: the q_ab_test posture — one user-grain rollup of pre/post
+    * cents, one 1-row arithmetic finish; the midpoint is a 1-row agg. */
+  def diffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val mid = ev.agg(
+      expr("(min(unix_micros(ts)) + max(unix_micros(ts))) DIV 2").as("mu"))
+    ev.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "purchase" && expr("unix_micros(ts) <= mu"),
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L)).as("pre"),
+        sum(when(col("event_type") === "purchase" && expr("unix_micros(ts) > mu"),
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L)).as("post"))
+      .withColumn("arm", pmod(hash56(col("user_id").cast("string")), lit(2)))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("arm") === 0, col("pre")).otherwise(0L)).as("pre_c_cents"),
+        sum(when(col("arm") === 0, col("post")).otherwise(0L)).as("post_c_cents"),
+        sum(when(col("arm") === 1, col("pre")).otherwise(0L)).as("pre_t_cents"),
+        sum(when(col("arm") === 1, col("post")).otherwise(0L)).as("post_t_cents"))
+      .selectExpr("n_c", "n_t", "pre_c_cents", "post_c_cents",
+        "pre_t_cents", "post_t_cents",
+        """CAST(CASE WHEN n_c = 0 THEN NULL
+          | ELSE ((post_c_cents - pre_c_cents) * 1000000) DIV n_c
+          | END AS BIGINT) AS delta_c_micro""".stripMargin,
+        """CAST(CASE WHEN n_t = 0 THEN NULL
+          | ELSE ((post_t_cents - pre_t_cents) * 1000000) DIV n_t
+          | END AS BIGINT) AS delta_t_micro""".stripMargin)
+      .withColumn("did_micro", col("delta_t_micro") - col("delta_c_micro"))
+  }
+
   /** Kaplan–Meier time-to-conversion curve — survival analysis with
     * censoring, the piece simple funnel latency (q_funnel_time) cannot
     * express: users who never purchase still contribute risk-set time
@@ -1024,6 +1067,7 @@ object Events {
     "q_ab_test" -> (abTest _),
     "q_sprt" -> (sprtTest _),
     "q_cuped" -> (cuped _),
+    "q_did" -> (diffInDiff _),
     "q_rolling_dau" -> (rollingDau _),
     "q_events_window" -> (tumblingWindow _),
     "q_events_session" -> (sessionize _),
@@ -1193,6 +1237,37 @@ object Events {
         |  FROM rec JOIN ev ON ev.rn = rec.rn + 1)
         |SELECT day, n_risk, d AS n_events, surv::BIGINT AS surv_micro
         |FROM rec ORDER BY day""".stripMargin,
+    "q_did" ->
+      s"""WITH mid AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+         |    AS mu FROM events),
+         |u AS (SELECT user_id,
+         |    sum(CASE WHEN event_type = 'purchase' AND epoch_us(ts) <= mu
+         |      THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS pre,
+         |    sum(CASE WHEN event_type = 'purchase' AND epoch_us(ts) > mu
+         |      THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS post,
+         |    ${hash56Sql("user_id::VARCHAR")} % 2 AS arm
+         |  FROM events CROSS JOIN mid GROUP BY user_id),
+         |m AS (SELECT
+         |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+         |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t,
+         |    sum(CASE WHEN arm = 0 THEN pre ELSE 0 END)::BIGINT AS pre_c_cents,
+         |    sum(CASE WHEN arm = 0 THEN post ELSE 0 END)::BIGINT AS post_c_cents,
+         |    sum(CASE WHEN arm = 1 THEN pre ELSE 0 END)::BIGINT AS pre_t_cents,
+         |    sum(CASE WHEN arm = 1 THEN post ELSE 0 END)::BIGINT AS post_t_cents
+         |  FROM u)
+         |SELECT n_c, n_t, pre_c_cents, post_c_cents, pre_t_cents, post_t_cents,
+         |  (CASE WHEN n_c = 0 THEN NULL
+         |    ELSE ((post_c_cents - pre_c_cents) * 1000000) // n_c
+         |    END)::BIGINT AS delta_c_micro,
+         |  (CASE WHEN n_t = 0 THEN NULL
+         |    ELSE ((post_t_cents - pre_t_cents) * 1000000) // n_t
+         |    END)::BIGINT AS delta_t_micro,
+         |  ((CASE WHEN n_t = 0 THEN NULL
+         |    ELSE ((post_t_cents - pre_t_cents) * 1000000) // n_t END)
+         |   - (CASE WHEN n_c = 0 THEN NULL
+         |    ELSE ((post_c_cents - pre_c_cents) * 1000000) // n_c END))::BIGINT
+         |    AS did_micro
+         |FROM m""".stripMargin,
     "q_cuped" ->
       s"""WITH mid AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
          |    AS mu FROM events),

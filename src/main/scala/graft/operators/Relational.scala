@@ -1675,7 +1675,49 @@ object Relational {
       .limit(20)
   }
 
+  /** Price elasticity of demand — per-brand log-log OLS (the pricing
+    * team's first regression: elasticity = d ln q / d ln p, slope of
+    * ln(quantity) on ln(unit price)), a GROUPED regression over the
+    * fact table where [[graft.operators.Temporal.olsTrend]] fits one
+    * series. Per row both logs are micro-rounded BIGINTs (the bigram-
+    * surprisal ln discipline — one double op then a pinned rounding,
+    * identical in both engines); the per-brand slope comes from the
+    * 5-sums closed form in DECIMAL(38,0), emitted in micro (the scale
+    * cancels between covariance and variance). Degenerate brands
+    * (zero price variance) pin NULL.
+    *
+    * Scale: one fact-side projection + one part-key join (part is a
+    * SF-proportional dimension — shuffle/AQE territory, not a
+    * broadcast), then a partial+final 5-sums aggregate onto the
+    * bounded brand grain. Nothing beyond the join shuffle at 100 TB. */
+  def priceElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        expr("CAST(round(l_extendedprice * (1 - l_discount) * 100 / l_quantity) AS BIGINT)")
+          .as("unit_cents"),
+        col("l_quantity").cast("long").as("qty"))
+      .filter(col("unit_cents") >= 1L && col("qty") >= 1L)
+    li.join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        expr("CAST(round(ln(CAST(unit_cents AS DOUBLE)) * 1000000) AS BIGINT)").as("x"),
+        expr("CAST(round(ln(CAST(qty AS DOUBLE)) * 1000000) AS BIGINT)").as("y"))
+      .groupBy("brand")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+      .selectExpr("brand", "n",
+        """CAST(CASE WHEN CAST(n AS DECIMAL(38,0)) * sxx - sx * sx = 0 THEN NULL
+          | ELSE ((CAST(n AS DECIMAL(38,0)) * sxy - sx * sy) * 1000000)
+          |   DIV (CAST(n AS DECIMAL(38,0)) * sxx - sx * sx)
+          | END AS BIGINT) AS elasticity_micro""".stripMargin)
+      .orderBy("brand")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_elasticity" -> (priceElasticity _),
     "q_basket_pairs" -> (basketPairs _),
     "q_salted_join" -> (saltedJoin _),
     "q_window_ntile" -> (windowNtile _),
@@ -1742,6 +1784,26 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_elasticity" ->
+      """WITH li AS (SELECT l_partkey,
+        |    round(l_extendedprice * (1 - l_discount) * 100 / l_quantity)::BIGINT
+        |      AS unit_cents,
+        |    l_quantity::BIGINT AS qty
+        |  FROM lineitem),
+        |j AS (SELECT p_brand AS brand,
+        |    round(ln(unit_cents::DOUBLE) * 1000000)::BIGINT AS x,
+        |    round(ln(qty::DOUBLE) * 1000000)::BIGINT AS y
+        |  FROM li JOIN part ON l_partkey = p_partkey
+        |  WHERE unit_cents >= 1 AND qty >= 1),
+        |m AS (SELECT brand, count(*)::BIGINT AS n,
+        |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+        |    sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx
+        |  FROM j GROUP BY brand)
+        |SELECT brand, n,
+        |  (CASE WHEN n::HUGEINT * sxx - sx * sx = 0 THEN NULL
+        |    ELSE ((n::HUGEINT * sxy - sx * sy) * 1000000)
+        |      // (n::HUGEINT * sxx - sx * sx) END)::BIGINT AS elasticity_micro
+        |FROM m ORDER BY brand""".stripMargin,
     "q_basket_pairs" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |  FROM lineitem),

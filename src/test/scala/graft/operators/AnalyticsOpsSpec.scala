@@ -87,6 +87,34 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(g(rows.head, "new_cents") == g(rows.head, "total_cents"))
   }
 
+  test("diffInDiff partitions users and cents exactly across arms and periods") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, dir)
+    val r = Events.diffInDiff(spark, dir).collect().head
+    def g(c: String) = r.getLong(r.fieldIndex(c))
+    assert(g("n_c") + g("n_t") ==
+      ev.select(countDistinct("user_id")).head().getLong(0))
+    val totalCents = ev.filter(col("event_type") === "purchase")
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)"))).head().getLong(0)
+    assert(g("pre_c_cents") + g("post_c_cents") + g("pre_t_cents") +
+      g("post_t_cents") == totalCents)
+    assert(g("did_micro") == g("delta_t_micro") - g("delta_c_micro"))
+  }
+
+  test("priceElasticity covers every brand with a defined slope") {
+    val rows = Relational.priceElasticity(spark, dir).collect()
+    assert(rows.length == 25) // TPC-H brand domain: Brand#11..Brand#55
+    val nTotal = rows.map(_.getLong(1)).sum
+    import org.apache.spark.sql.functions._
+    val expected = graft.Tables.lineitem(spark, dir)
+      .filter(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100 / l_quantity) AS BIGINT) >= 1")
+        && col("l_quantity") >= 1)
+      .count()
+    assert(nTotal == expected, "every valid lineitem feeds exactly one brand")
+    // ln-spread sanity: a brand with >1 distinct price must have a slope
+    assert(rows.forall(r => !r.isNullAt(2)))
+  }
+
   test("attributionDecay halving weights and boundary shares on the gate frame") {
     val rows = Events.attributionDecay(spark, dir).collect()
     assert(rows.nonEmpty)
