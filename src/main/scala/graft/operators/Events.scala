@@ -881,6 +881,77 @@ object Events {
       .orderBy("day")
   }
 
+  /** Log-rank (Mantel–Cox) test — the two-sample significance
+    * companion the KM/NA pair ([[survivalKmDf]], [[nelsonAalenDf]])
+    * reads next: do the hash56 arms share one time-to-conversion
+    * distribution? Durations and censoring are exactly the KM
+    * derivation; per event day the arm-1 expectation is
+    * e1 = (d·n1·10⁶) DIV n and the variance term factors two-step as
+    * (d·(n−d)·((n1·n2·10⁶) DIV n²)) DIV (n−1) — the q_mann_whitney
+    * wide-decimal split, keeping every intermediate under 10³⁸ out to
+    * ~10⁹ users. χ²₁ = (O₁−E₁)²/V in micro against the pinned 3.841459
+    * critical value. Degenerate V = 0 pins NULL.
+    *
+    * Scale: the KM posture — one user-grain duration rollup, then a
+    * DAY-GRAIN pivot whose suffix-sum windows run over the bounded
+    * observation horizon (hundreds of rows at any corpus size), and a
+    * 1-row arithmetic finish. */
+  def logRank(spark: SparkSession, dir: String): DataFrame =
+    logRankDf(Tables.events(spark, dir))
+
+  /** Core over any (user_id, event_type, ts) frame. */
+  def logRankDf(ev: DataFrame): DataFrame = {
+    val t0 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t0"))
+    val firstPurchase = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val maxDay = ev.agg(max(to_date(col("ts"))).as("maxd"))
+    val durs = t0
+      .join(firstPurchase, col("user_id") === col("pu") && col("pts") >= col("t0"), "left")
+      .groupBy(col("user_id"), col("t0")).agg(min(col("pts")).as("p"))
+      .crossJoin(broadcast(maxDay))
+      .select(
+        pmod(hash56(col("user_id").cast("string")), lit(2)).as("arm"),
+        when(col("p").isNotNull,
+          datediff(to_date(col("p")), to_date(col("t0"))))
+          .otherwise(datediff(col("maxd"), to_date(col("t0")))).as("dur"),
+        when(col("p").isNotNull, lit(1L)).otherwise(lit(0L)).as("event"))
+    val hist = durs.groupBy("dur").agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("m1"),
+      sum(when(col("arm") === 0, col("event")).otherwise(0L)).as("d1"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("m2"),
+      sum(when(col("arm") === 1, col("event")).otherwise(0L)).as("d2"))
+    // suffix sums over the bounded day-grain histogram → per-arm risk sets
+    val w = Window.orderBy("dur")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    hist
+      .withColumn("n1", sum("m1").over(w))
+      .withColumn("n2", sum("m2").over(w))
+      .filter(col("d1") + col("d2") >= 1L)
+      .selectExpr("d1", "d1 + d2 AS d", "n1", "n2", "n1 + n2 AS n")
+      .selectExpr("d1",
+        "(CAST(d AS DECIMAL(38,0)) * n1 * 1000000) DIV n AS e1m",
+        """CASE WHEN n <= 1 THEN CAST(0 AS DECIMAL(38,0))
+          | ELSE (CAST(d AS DECIMAL(38,0)) * (n - d)
+          |   * ((CAST(n1 AS DECIMAL(38,0)) * n2 * 1000000)
+          |      DIV (CAST(n AS DECIMAL(38,0)) * n))) DIV (n - 1)
+          | END AS vm""".stripMargin)
+      .agg(sum("d1").as("o1"),
+        sum("e1m").cast("decimal(38,0)").as("e1_micro"),
+        sum("vm").cast("decimal(38,0)").as("v_micro"))
+      .selectExpr("CAST(o1 AS BIGINT) AS o1",
+        "CAST(e1_micro AS BIGINT) AS e1_micro",
+        "CAST(v_micro AS BIGINT) AS v_micro",
+        """CAST(CASE WHEN v_micro = 0 THEN NULL
+          | ELSE ((CAST(o1 AS DECIMAL(38,0)) * 1000000 - e1_micro)
+          |   * (CAST(o1 AS DECIMAL(38,0)) * 1000000 - e1_micro))
+          |   DIV v_micro
+          | END AS BIGINT) AS chi2_micro""".stripMargin)
+      .withColumn("significant",
+        when(col("chi2_micro").isNull, lit(null).cast("boolean"))
+          .otherwise(col("chi2_micro") > 3841459L))
+  }
+
   /** OHLC candlestick bars — the canonical time-series downsample
     * (open/high/low/close + volume per bucket) the tumbling-count
     * window gate doesn't cover. Open/close are pinned by struct-min/max
@@ -1068,6 +1139,7 @@ object Events {
     "q_sprt" -> (sprtTest _),
     "q_cuped" -> (cuped _),
     "q_did" -> (diffInDiff _),
+    "q_logrank" -> (logRank _),
     "q_rolling_dau" -> (rollingDau _),
     "q_events_window" -> (tumblingWindow _),
     "q_events_session" -> (sessionize _),
@@ -1207,6 +1279,53 @@ object Events {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
         |    AS cumhaz_micro
         |FROM hz ORDER BY day""".stripMargin,
+    "q_logrank" ->
+      s"""WITH t0 AS (SELECT user_id, min(ts) AS t0 FROM events
+         |  WHERE event_type = 'view' GROUP BY user_id),
+         |fp AS (SELECT t0.user_id, t0.t0, min(e.ts) AS p
+         |  FROM t0 LEFT JOIN events e ON e.user_id = t0.user_id
+         |    AND e.event_type = 'purchase' AND e.ts >= t0.t0
+         |  GROUP BY t0.user_id, t0.t0),
+         |md AS (SELECT max(ts::DATE) AS maxd FROM events),
+         |durs AS (SELECT
+         |    ${hash56Sql("user_id::VARCHAR")} % 2 AS arm,
+         |    CASE WHEN p IS NOT NULL
+         |      THEN date_diff('day', t0::DATE, p::DATE)
+         |      ELSE date_diff('day', t0::DATE, maxd) END AS dur,
+         |    (CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS event
+         |  FROM fp CROSS JOIN md),
+         |hist AS (SELECT dur,
+         |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS m1,
+         |    sum(CASE WHEN arm = 0 THEN event ELSE 0 END)::BIGINT AS d1,
+         |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS m2,
+         |    sum(CASE WHEN arm = 1 THEN event ELSE 0 END)::BIGINT AS d2
+         |  FROM durs GROUP BY dur),
+         |tab AS (SELECT d1, d1 + d2 AS d,
+         |    sum(m1) OVER (ORDER BY dur
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT AS n1,
+         |    sum(m2) OVER (ORDER BY dur
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT AS n2
+         |  FROM hist),
+         |terms AS (SELECT d1,
+         |    (d::HUGEINT * n1 * 1000000) // (n1 + n2) AS e1m,
+         |    CASE WHEN n1 + n2 <= 1 THEN 0::HUGEINT
+         |      ELSE (d::HUGEINT * (n1 + n2 - d)
+         |        * ((n1::HUGEINT * n2 * 1000000)
+         |           // ((n1 + n2)::HUGEINT * (n1 + n2)))) // (n1 + n2 - 1)
+         |      END AS vm
+         |  FROM tab WHERE d >= 1),
+         |s AS (SELECT sum(d1)::HUGEINT AS o1, sum(e1m) AS e1_micro,
+         |    sum(vm) AS v_micro FROM terms)
+         |SELECT o1::BIGINT AS o1, e1_micro::BIGINT AS e1_micro,
+         |  v_micro::BIGINT AS v_micro,
+         |  (CASE WHEN v_micro = 0 THEN NULL
+         |    ELSE ((o1 * 1000000 - e1_micro) * (o1 * 1000000 - e1_micro))
+         |      // v_micro END)::BIGINT AS chi2_micro,
+         |  CASE WHEN v_micro = 0 THEN NULL
+         |    ELSE ((CASE WHEN v_micro = 0 THEN NULL
+         |      ELSE ((o1 * 1000000 - e1_micro) * (o1 * 1000000 - e1_micro))
+         |        // v_micro END) > 3841459) END AS significant
+         |FROM s""".stripMargin,
     "q_survival_km" ->
       """WITH RECURSIVE t0 AS (SELECT user_id, min(ts) AS t0 FROM events
         |  WHERE event_type = 'view' GROUP BY user_id),

@@ -1020,6 +1020,48 @@ object TextAnalysis {
       .orderBy("cut_pct")
   }
 
+  val ZipfTopK = 100
+
+  /** Zipf rank–frequency slope — the power-law diagnostic next to
+    * [[vocabGrowth]]'s Heaps curve (a natural corpus reads slope ≈ −1;
+    * a TEMPLATED or machine-generated one flattens or cliffs): OLS of
+    * ln(count) on ln(rank) over the top-[[ZipfTopK]] words, rank fully
+    * tie-broken by (count DESC, word). Logs are per-row micro-rounded
+    * BIGINTs and the slope/intercept come from the 5-sums closed form
+    * in DECIMAL(38,0) — the q_elasticity discipline, engine-exact.
+    *
+    * Scale: the word rollup partial-aggregates map-side; the global
+    * top-k plans TakeOrderedAndProject (the heavy-hitters posture), and
+    * the rank window runs over exactly k = 100 rows — bounded at any
+    * corpus size. */
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    val top = Tables.documents(spark, dir)
+      .select(explode(words).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(ZipfTopK)
+    val rk = Window.orderBy(col("n").desc, col("word")) // k rows, bounded
+    top.withColumn("rank", row_number().over(rk))
+      .select(
+        expr("CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT)").as("x"),
+        expr("CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)").as("y"))
+      .agg(count(lit(1)).as("k"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+      .selectExpr("k",
+        """CAST(CASE WHEN CAST(k AS DECIMAL(38,0)) * sxx - sx * sx = 0 THEN NULL
+          | ELSE ((CAST(k AS DECIMAL(38,0)) * sxy - sx * sy) * 1000000)
+          |   DIV (CAST(k AS DECIMAL(38,0)) * sxx - sx * sx)
+          | END AS BIGINT) AS slope_micro""".stripMargin,
+        """CAST(CASE WHEN CAST(k AS DECIMAL(38,0)) * sxx - sx * sx = 0 THEN NULL
+          | ELSE (sy * sxx - sx * sxy)
+          |   DIV (CAST(k AS DECIMAL(38,0)) * sxx - sx * sx)
+          | END AS BIGINT) AS intercept_micro""".stripMargin)
+  }
+
   val SweepMinChars = 200
 
   /** Corpus filter what-if sweep: ONE scan computes three boolean
@@ -1515,7 +1557,8 @@ object TextAnalysis {
     "q_pipeline_e2e" -> (pipelineE2e _),
     "q_bigram_surprisal" -> (bigramSurprisal _),
     "q_consistent_hash" -> (consistentHash _),
-    "q_vocab_growth" -> (vocabGrowth _))
+    "q_vocab_growth" -> (vocabGrowth _),
+    "q_zipf_slope" -> (zipfSlope _))
 
   private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -2141,5 +2184,27 @@ object TextAnalysis {
          |  FROM (SELECT unnest([${VocabCutsPct.mkString(", ")}]) AS cut_pct))
          |SELECT cut_pct, cut_doc::BIGINT AS cut_doc, count(*) AS n_terms
          |FROM fs JOIN cuts ON fs.fd <= cuts.cut_doc
-         |GROUP BY cut_pct, cut_doc ORDER BY cut_pct""".stripMargin)
+         |GROUP BY cut_pct, cut_doc ORDER BY cut_pct""".stripMargin,
+    "q_zipf_slope" ->
+      s"""WITH w AS (SELECT unnest($wordsSql) AS word FROM documents),
+         |c AS (SELECT word, count(*)::BIGINT AS n FROM w
+         |  WHERE len(word) > 0 GROUP BY word),
+         |top AS (SELECT word, n, row_number()
+         |    OVER (ORDER BY n DESC, word) AS rank
+         |  FROM c ORDER BY n DESC, word LIMIT $ZipfTopK),
+         |xy AS (SELECT round(ln(rank::DOUBLE) * 1000000)::BIGINT AS x,
+         |    round(ln(n::DOUBLE) * 1000000)::BIGINT AS y
+         |  FROM top),
+         |m AS (SELECT count(*)::BIGINT AS k,
+         |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+         |    sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx
+         |  FROM xy)
+         |SELECT k,
+         |  (CASE WHEN k::HUGEINT * sxx - sx * sx = 0 THEN NULL
+         |    ELSE ((k::HUGEINT * sxy - sx * sy) * 1000000)
+         |      // (k::HUGEINT * sxx - sx * sx) END)::BIGINT AS slope_micro,
+         |  (CASE WHEN k::HUGEINT * sxx - sx * sx = 0 THEN NULL
+         |    ELSE (sy * sxx - sx * sxy)
+         |      // (k::HUGEINT * sxx - sx * sx) END)::BIGINT AS intercept_micro
+         |FROM m""".stripMargin)
 }

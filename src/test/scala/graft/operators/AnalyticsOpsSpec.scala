@@ -115,6 +115,30 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(rows.forall(r => !r.isNullAt(2)))
   }
 
+  test("zipfSlope matches a naive top-k OLS replay") {
+    import org.apache.spark.sql.functions._
+    val counts = graft.Tables.documents(spark, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val top = counts.sortBy { case (w, n) => (-n, w) }.take(TextAnalysis.ZipfTopK)
+    val xy = top.zipWithIndex.map { case ((_, n), i) =>
+      (BigInt(math.round(math.log(i + 1.0) * 1e6)),
+        BigInt(math.round(math.log(n.toDouble) * 1e6)))
+    }
+    val k = BigInt(xy.length)
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxy = xy.map(p => p._1 * p._2).sum; val sxx = xy.map(p => p._1 * p._1).sum
+    val den = k * sxx - sx * sx
+    val slope = ((k * sxy - sx * sy) * 1000000) / den
+    val icept = (sy * sxx - sx * sxy) / den
+    val got = TextAnalysis.zipfSlope(spark, dir).collect().head
+    assert(got.getLong(0) == k.toLong)
+    assert(got.getLong(1) == slope.toLong, s"slope ${got.getLong(1)} vs $slope")
+    assert(got.getLong(2) == icept.toLong)
+  }
+
   test("attributionDecay halving weights and boundary shares on the gate frame") {
     val rows = Events.attributionDecay(spark, dir).collect()
     assert(rows.nonEmpty)

@@ -37,4 +37,52 @@ class SurvivalSpec extends SparkSpec {
     assert(na == Seq((0, 3L, 1L, 333333L, 333333L),
       (2, 2L, 1L, 500000L, 833333L)), s"$na")
   }
+
+  test("logRank matches a naive integer replay over the same durations") {
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    // 8 users: views on d0/d1, purchases at varying lags, two censored
+    val ev = (1L to 8L).flatMap { u =>
+      val view = (u, "view", ts(s"2024-01-0${(u % 3) + 1} 08:00:00"))
+      val buy =
+        if (u % 4 == 0) Nil // censored
+        else Seq((u, "purchase",
+          ts(s"2024-01-0${math.min(9, (u % 3) + 1 + u % 5)} 12:00:00")))
+      view +: buy
+    }.toDF("user_id", "event_type", "ts")
+    val got = Events.logRankDf(ev).collect().head
+
+    // naive replay: durations + arms in plain Scala, exact integer math
+    val maxd = (1L to 8L).flatMap(u =>
+      if (u % 4 == 0) Seq((u % 3) + 1) else Seq((u % 3) + 1, math.min(9, (u % 3) + 1 + u % 5)))
+      .max
+    val durs = (1L to 8L).map { u =>
+      val v = (u % 3) + 1
+      val arm = (Sketches.hash56Jvm(u.toString) % 2).toInt
+      if (u % 4 == 0) (arm, maxd - v, 0L)
+      else (arm, math.min(9, v + u % 5) - v, 1L)
+    }
+    val days = durs.map(_._2).distinct.sorted
+    var (o1, e1, vm) = (BigInt(0), BigInt(0), BigInt(0))
+    days.foreach { t =>
+      val atRisk = durs.filter(_._2 >= t)
+      val n1 = BigInt(atRisk.count(_._1 == 0))
+      val n2 = BigInt(atRisk.count(_._1 == 1))
+      val d1 = BigInt(durs.count(x => x._1 == 0 && x._2 == t && x._3 == 1))
+      val d = d1 + BigInt(durs.count(x => x._1 == 1 && x._2 == t && x._3 == 1))
+      val n = n1 + n2
+      if (d >= 1) {
+        o1 += d1
+        e1 += (d * n1 * 1000000) / n
+        if (n > 1) vm += (d * (n - d) * ((n1 * n2 * 1000000) / (n * n))) / (n - 1)
+      }
+    }
+    val chi2 = if (vm == 0) None
+      else Some(((o1 * 1000000 - e1) * (o1 * 1000000 - e1) / vm).toLong)
+    assert(got.getLong(0) == o1.toLong)
+    assert(got.getLong(1) == e1.toLong)
+    assert(got.getLong(2) == vm.toLong)
+    assert((if (got.isNullAt(3)) None else Some(got.getLong(3))) == chi2)
+  }
 }
