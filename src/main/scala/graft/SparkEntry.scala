@@ -29,6 +29,7 @@ object SparkEntry {
         "q_video_meta" -> (graft.multimodal.Multimodal.videoMetaQuery _),
         "q_video_frames" -> (graft.multimodal.Multimodal.videoFramesQuery _),
         "q_tiff_meta" -> (graft.multimodal.Multimodal.tiffMetaQuery _),
+        "q_phash_dedup" -> (graft.multimodal.Multimodal.phashDedupQuery _),
         "q_tensor_ops" -> (graft.tensor.TensorSet.query _),
         "q_io_roundtrip" -> (graft.sources.Sources.roundtripQuery _),
         "q_svmlight" -> (graft.sources.Sources.svmlightQuery _),
@@ -51,6 +52,7 @@ object SparkEntry {
         "q_video_meta" -> graft.multimodal.Multimodal.videoMetaOracle,
         "q_video_frames" -> graft.multimodal.Multimodal.videoFramesOracle,
         "q_tiff_meta" -> graft.multimodal.Multimodal.tiffMetaOracle,
+        "q_phash_dedup" -> graft.multimodal.Multimodal.phashDedupOracle,
         "q_tensor_ops" -> graft.tensor.TensorSet.oracle,
         "q_io_roundtrip" -> graft.sources.Sources.roundtripOracle,
         "q_svmlight" -> graft.sources.Sources.svmlightOracle,

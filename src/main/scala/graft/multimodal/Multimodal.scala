@@ -494,6 +494,111 @@ object Multimodal {
       |    for f in range(0, 1 + (doc_id % 4)::INT)])::BIGINT AS gray_sum
       |FROM documents WHERE doc_id % 15 = 2 ORDER BY media_id""".stripMargin
 
+  /** Perceptual-hash (average-hash) near-duplicate image dedup — the
+    * multimodal×dedup crossover: re-encodes of the SAME picture at a
+    * different brightness must fingerprint together even though their
+    * bytes (and [[byteHash]]) differ. Per doc a real 32×32 BMP renders
+    * an 8×8 block pattern derived from the doc's GROUP (doc_id DIV 4)
+    * plus a per-variant global brightness shift (doc_id MOD 4); the
+    * READER side then re-derives everything from the bytes alone:
+    * ImageIO decode, exact 4×4 box means, threshold bit i =
+    * (64·mᵢ > Σm) — all-integer, and provably brightness-invariant
+    * (64(m+v) > Σ+64v ⟺ 64m > Σ), so the 4 variants of a group
+    * collapse into one 64-bit hash bucket. The DuckDB oracle recomputes
+    * the hash arithmetically from the block recipe, so an encode,
+    * decode, box-mean, or bit-packing bug fails the gate; any decode
+    * failure emits the (-1,-1) bucket the oracle never contains.
+    *
+    * Scale: encode+decode+hash run embarrassingly parallel inside the
+    * scan stage (the media-kernel posture); dedup is one groupBy on the
+    * 64-bit hash — the q_dedup_exact shuffle, never pairwise. */
+  def phashDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id / 4
+        val v = (id % 4).toInt
+        val blocks = Array.tabulate(64)(i =>
+          16 + 3 * ((g * 31 + i * 7) % 60).toInt + v)
+        val img = new java.awt.image.BufferedImage(32, 32,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < 32) {
+          var x = 0
+          while (x < 32) {
+            val b = blocks((y / 4) * 8 + (x / 4))
+            img.setRGB(x, y, (b << 16) | (b << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "bmp", bos)
+        // ---- reader side: everything below comes from the BYTES ----
+        val (hi, lo) = aHash64(bos.toByteArray)
+        (id, hi, lo)
+      })
+      .toDF("doc_id", "h_hi", "h_lo")
+      .groupBy("h_hi", "h_lo")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"))
+      .orderBy("min_doc")
+  }
+
+  /** Reader-side average-hash of 32×32 image BYTES: ImageIO decode,
+    * exact 4×4 box sums (16·mean), threshold bit i = (64·mᵢ > Σm) via
+    * the integer cross-multiplication 64·sᵢ > Σs, packed into two
+    * 32-bit halves. (-1, -1) on any decode failure — a bucket the
+    * oracle never contains, so fallbacks are visible. */
+  private[multimodal] def aHash64(bytes: Array[Byte]): (Long, Long) = {
+    val dec = decodeImage(bytes)
+    if (dec == null || dec.getWidth != 32 || dec.getHeight != 32)
+      (-1L, -1L)
+    else {
+      val cell = Array.tabulate(64) { i =>
+        val bx = (i % 8) * 4; val by = (i / 8) * 4
+        var s = 0
+        var yy = by
+        while (yy < by + 4) {
+          var xx = bx
+          while (xx < bx + 4) { s += dec.getRGB(xx, yy) & 0xff; xx += 1 }
+          yy += 1
+        }
+        s
+      }
+      val tot = cell.map(_.toLong).sum
+      var hi = 0L; var lo = 0L
+      var i = 0
+      while (i < 64) {
+        if (64L * cell(i) > tot) {
+          if (i < 32) hi |= 1L << i else lo |= 1L << (i - 32)
+        }
+        i += 1
+      }
+      (hi, lo)
+    }
+  }
+
+  /** DuckDB oracle: the block recipe, threshold bits, and 64-bit
+    * packing of [[phashDedupQuery]] recomputed arithmetically. */
+  val phashDedupOracle: String =
+    """WITH d AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v
+      |  FROM documents),
+      |b AS (SELECT doc_id, i,
+      |    (16 + 3 * ((g * 31 + i * 7) % 60) + v)::BIGINT AS bv
+      |  FROM d, range(0, 64) t(i)),
+      |s AS (SELECT doc_id, sum(bv)::BIGINT AS tot FROM b GROUP BY doc_id),
+      |h AS (SELECT b.doc_id,
+      |    sum(CASE WHEN i < 32 AND 64 * bv > tot
+      |      THEN (1::BIGINT << i::INT) ELSE 0 END)::BIGINT AS h_hi,
+      |    sum(CASE WHEN i >= 32 AND 64 * bv > tot
+      |      THEN (1::BIGINT << (i - 32)::INT) ELSE 0 END)::BIGINT AS h_lo
+      |  FROM b JOIN s USING (doc_id) GROUP BY b.doc_id)
+      |SELECT h_hi, h_lo, count(*)::BIGINT AS n_docs,
+      |  min(doc_id)::BIGINT AS min_doc, max(doc_id)::BIGINT AS max_doc
+      |FROM h GROUP BY h_hi, h_lo ORDER BY min_doc""".stripMargin
+
   val tiffMetaOracle: String =
     """SELECT doc_id AS media_id,
       |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,

@@ -547,7 +547,56 @@ object Graph {
     out
   }
 
+  val CloseSeeds = 8
+  val CloseHops = 3
+
+  /** Closeness / harmonic centrality from a pinned seed panel — the
+    * Eppstein–Wang estimation posture (exact all-sources closeness is
+    * O(n·m) and off the table at any real graph size; a FIXED-k source
+    * panel keeps the BFS state k·|nodes| with k constant): the
+    * [[CloseSeeds]] smallest supplier ids s ≡ 1 (mod [[BfsSeedMod]])
+    * each run a labeled BFS to [[CloseHops]] hops over the
+    * supplier–customer graph; per seed the harmonic sum Σ 10⁶ DIV d
+    * (integer per-distance quotients — engine-exact) and the reach
+    * census come out.
+    *
+    * Scale: per round one (frontier ⋈ edges) hash join + a min-agg
+    * keyed on (seed, node) against the once-partitioned cached edge
+    * set — the pregel posture of [[bfsLayersPairs]] with a seed label
+    * riding along; the panel bounds every frontier at k·|nodes|. */
+  def closeness(spark: SparkSession, dir: String): DataFrame =
+    closenessPairs(scPairs(spark, dir))
+
+  private[graft] def closenessPairs(e: DataFrame): DataFrame = {
+    val edges = e.select(col("s").as("src"), (col("c") + CustOffset).as("dst"))
+      .union(e.select((col("c") + CustOffset).as("src"), col("s").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seeds = edges.select(col("src").as("node")).distinct()
+      .filter(col("node") < CustOffset && pmod(col("node"), lit(BfsSeedMod)) === 1)
+      .orderBy("node").limit(CloseSeeds) // TakeOrdered — a k-row panel
+      .select(col("node").as("seed"))
+    var dist = seeds.select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
+    for (k <- 1 to CloseHops) {
+      val next = edges
+        .join(dist.filter(col("dist") === (k - 1).toLong), col("src") === col("node"))
+        .select(col("seed"), col("dst").as("node"), lit(k.toLong).as("dist"))
+      dist = dist.union(next)
+        .groupBy("seed", "node").agg(min("dist").as("dist"))
+        .localCheckpoint(true) // linear-lineage trim per round
+    }
+    val out = dist.groupBy("seed")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(when(col("dist") >= 1L, expr("1000000 DIV dist")).otherwise(0L))
+          .as("harmonic_micro"),
+        sum("dist").as("sum_dist"))
+      .orderBy("seed")
+      .localCheckpoint(true)
+    edges.unpersist(false)
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_closeness" -> (closeness _),
     "q_link_predict" -> (linkPredict _),
     "q_sssp" -> (sssp _),
     "q_pagerank" -> (pageRank _),
@@ -560,6 +609,30 @@ object Graph {
     "q_kcore" -> (kCore _))
 
   val oracles: Map[String, String] = Map(
+    "q_closeness" -> {
+      val layers = (1 to CloseHops).map { k =>
+        s"""d$k AS (SELECT seed, node, min(dist)::BIGINT AS dist FROM (
+           |  SELECT seed, node, dist FROM d${k - 1}
+           |  UNION ALL
+           |  SELECT p.seed, ed.dst AS node, $k AS dist
+           |  FROM ed JOIN d${k - 1} p ON ed.src = p.node AND p.dist = ${k - 1}
+           |) GROUP BY seed, node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT DISTINCT l_suppkey::BIGINT AS s, o_custkey::BIGINT AS c
+         |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |ed AS (SELECT s AS src, c + $CustOffset AS dst FROM e
+         |  UNION ALL SELECT c + $CustOffset, s FROM e),
+         |seeds AS (SELECT DISTINCT src AS seed FROM ed
+         |  WHERE src < $CustOffset AND src % $BfsSeedMod = 1
+         |  ORDER BY seed LIMIT $CloseSeeds),
+         |d0 AS (SELECT seed, seed AS node, 0::BIGINT AS dist FROM seeds),
+         |$layers
+         |SELECT seed, count(*)::BIGINT AS n_reached,
+         |  sum(CASE WHEN dist >= 1 THEN 1000000 // dist ELSE 0 END)::BIGINT
+         |    AS harmonic_micro,
+         |  sum(dist)::BIGINT AS sum_dist
+         |FROM d$CloseHops GROUP BY seed ORDER BY seed""".stripMargin
+    },
     "q_link_predict" ->
       s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT l_suppkey::BIGINT AS s, o_custkey::BIGINT AS c
          |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

@@ -73,6 +73,24 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("closenessPairs: harmonic sums from the pinned seed panel, any partitioning") {
+    val spark2 = spark
+    import spark2.implicits._
+    // same fixture as bfsLayers; seeds 1 and 31.
+    // seed 1: c100@1, 2@2, c200@3 → harmonic 1e6(1 + 1/2 + 1/3), Σd=6
+    // seed 31: c300@1 only → harmonic 1e6, Σd=1
+    val pairs = Seq(
+      (1L, 100L), (2L, 100L), (2L, 200L), (31L, 300L), (3L, 200L), (3L, 400L)
+    ).toDF("s", "c")
+    for (parts <- Seq(1, 4)) {
+      val got = Graph.closenessPairs(pairs.repartition(parts)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == Seq(
+        (1L, 4L, 1000000L + 500000L + 333333L, 6L),
+        (31L, 2L, 1000000L, 1L)), s"parts=$parts: $got")
+    }
+  }
+
   test("kCorePairs peels exactly the sub-k-degree cascade, any partitioning") {
     val spark2 = spark
     import spark2.implicits._
