@@ -480,6 +480,37 @@ object Events {
       .orderBy("from_type", "to_type")
   }
 
+  /** Path predictability — per from-state entropy of the next-event
+    * distribution over [[markovTransitions]]' within-session pairs (the
+    * journey-analysis question the raw matrix doesn't answer: HOW
+    * deterministic is each state?): H = Σ (n/T)·ln(T/n) folded as the
+    * all-integer Σ n·microln(T/n) DIV T (the SPRT/woe ln-of-integer-
+    * ratio discipline — one double log per CELL, micro-rounded, then
+    * exact integer sums), plus the argmax next state and its share in
+    * bp, fully tie-broken by name.
+    *
+    * Scale: everything after the sessionizer's single user exchange
+    * operates on the ≤ |types|² transition census — bounded at any
+    * corpus size. */
+  def pathEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val cells = markovTransitions(spark, dir)
+      .select(col("from_type"), col("to_type"), col("n"))
+    val byFrom = Window.partitionBy("from_type") // ≤ |types| cells each
+    val rk = Window.partitionBy("from_type").orderBy(col("n").desc, col("to_type"))
+    cells
+      .withColumn("tot", sum("n").over(byFrom))
+      .withColumn("term",
+        col("n") * expr("CAST(round(ln(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT)"))
+      .withColumn("rk", row_number().over(rk))
+      .groupBy("from_type")
+      .agg(max("tot").as("t"),
+        count(lit(1)).as("n_next"),
+        expr("sum(term) DIV max(tot)").as("entropy_micro"),
+        max(when(col("rk") === 1, col("to_type"))).as("top_next"),
+        expr("max(CASE WHEN rk = 1 THEN (n * 10000) DIV tot END)").as("top_share_bp"))
+      .orderBy("from_type")
+  }
+
   /** Funnel latency distribution: per converting user, the integer
     * seconds from first view to first strictly-later purchase, then the
     * exact p50/p90 of those latencies via the bounded bracketed
@@ -1157,6 +1188,7 @@ object Events {
     "q_attribution_multi" -> (attributionMulti _),
     "q_attribution_decay" -> (attributionDecay _),
     "q_markov_transitions" -> (markovTransitions _),
+    "q_path_entropy" -> (pathEntropy _),
     "q_funnel_time" -> (funnelLatency _))
 
   val oracles: Map[String, String] = Map(
@@ -1742,6 +1774,38 @@ object Events {
          |  CASE WHEN n_touch > 0 THEN (us - first_us) // 1000000
          |  END AS window_sec
          |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q_path_entropy" ->
+      """WITH l AS (SELECT user_id, event_id, ts, event_type,
+        |    lag(epoch_us(ts)) OVER w AS prev_us,
+        |    lead(event_type, 1) OVER w AS to_type
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *,
+        |    sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM l),
+        |t AS (SELECT *,
+        |    lead(session_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_session
+        |  FROM s),
+        |c AS (SELECT event_type AS from_type, to_type, count(*)::BIGINT AS n
+        |  FROM t WHERE to_session = session_id GROUP BY 1, 2),
+        |x AS (SELECT from_type, to_type, n,
+        |    sum(n) OVER (PARTITION BY from_type)::BIGINT AS tot,
+        |    row_number() OVER (PARTITION BY from_type
+        |      ORDER BY n DESC, to_type) AS rk
+        |  FROM c),
+        |y AS (SELECT from_type, to_type, n, tot, rk,
+        |    n * round(ln(tot::DOUBLE / n::DOUBLE) * 1000000)::BIGINT AS term
+        |  FROM x)
+        |SELECT from_type, max(tot)::BIGINT AS t,
+        |  count(*)::BIGINT AS n_next,
+        |  (sum(term) // max(tot))::BIGINT AS entropy_micro,
+        |  max(CASE WHEN rk = 1 THEN to_type END) AS top_next,
+        |  max(CASE WHEN rk = 1 THEN (n * 10000) // tot END)::BIGINT
+        |    AS top_share_bp
+        |FROM y GROUP BY from_type ORDER BY from_type""".stripMargin,
     "q_markov_transitions" ->
       """WITH l AS (SELECT user_id, event_id, ts, event_type,
         |    lag(epoch_us(ts)) OVER w AS prev_us,

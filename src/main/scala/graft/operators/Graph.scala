@@ -595,7 +595,51 @@ object Graph {
     out
   }
 
+  /** Categorical (nation) assortativity of the trade graph — Newman's
+    * attribute-mixing coefficient over the distinct supplier→customer
+    * edges: r = (Σᵢeᵢᵢ − Σᵢaᵢbᵢ)/(1 − Σᵢaᵢbᵢ), with e the nation×nation
+    * edge-fraction mixing matrix and a/b its marginals. Multiplying
+    * through by m² gives the all-integer form r_micro = ((same·m −
+    * Σ rowᵢ·colᵢ)·10⁶) DIV (m² − Σ rowᵢ·colᵢ) in DECIMAL(38,0)
+    * (m² ≈ 10¹⁹ at trillion-edge scale — wide decimals required, int64
+    * is not enough). Answers the homophily question the centrality
+    * family doesn't: do suppliers trade within their own nation more
+    * than chance?
+    *
+    * Scale: two dimension joins onto the distinct edge set, then a
+    * rollup to the 25×25 mixing matrix — bounded by the nation domain;
+    * the finish is 1-row arithmetic. */
+  def assortativity(spark: SparkSession, dir: String): DataFrame =
+    assortativityPairs(scPairs(spark, dir),
+      Tables.supplier(spark, dir)
+        .select(col("s_suppkey").as("s"), col("s_nationkey").as("sn")),
+      Tables.customer(spark, dir)
+        .select(col("c_custkey").as("c"), col("c_nationkey").as("cn")))
+
+  /** Core over (s, c) edges and (s, sn) / (c, cn) attribute frames. */
+  private[graft] def assortativityPairs(e: DataFrame, sn: DataFrame,
+      cn: DataFrame): DataFrame = {
+    val mix = e.join(sn, "s").join(cn, "c")
+      .groupBy("sn", "cn").agg(count(lit(1)).as("k"))
+    val rows = mix.groupBy(col("sn").as("i")).agg(sum("k").as("row_k"))
+    val cols = mix.groupBy(col("cn").as("i")).agg(sum("k").as("col_k"))
+    val ab = rows.join(cols, "i")
+      .agg(sum(expr("CAST(row_k AS DECIMAL(38,0)) * col_k")).as("sum_ab"))
+    val diag = mix.agg(
+      sum("k").as("m"),
+      sum(when(col("sn") === col("cn"), col("k")).otherwise(0L)).as("same_nation"))
+    diag.crossJoin(ab)
+      .selectExpr("m", "same_nation",
+        "CAST(sum_ab AS DECIMAL(38,0)) AS sum_ab_d",
+        """CAST(CASE WHEN CAST(m AS DECIMAL(38,0)) * m - sum_ab = 0 THEN NULL
+          | ELSE ((CAST(same_nation AS DECIMAL(38,0)) * m - sum_ab) * 1000000)
+          |   DIV (CAST(m AS DECIMAL(38,0)) * m - sum_ab)
+          | END AS BIGINT) AS r_micro""".stripMargin)
+      .selectExpr("m", "same_nation", "CAST(sum_ab_d AS BIGINT) AS sum_ab", "r_micro")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_assortativity" -> (assortativity _),
     "q_closeness" -> (closeness _),
     "q_link_predict" -> (linkPredict _),
     "q_sssp" -> (sssp _),
@@ -609,6 +653,25 @@ object Graph {
     "q_kcore" -> (kCore _))
 
   val oracles: Map[String, String] = Map(
+    "q_assortativity" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey::BIGINT AS s, o_custkey::BIGINT AS c
+        |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |mix AS (SELECT s_nationkey AS sn, c_nationkey AS cn,
+        |    count(*)::BIGINT AS k
+        |  FROM e JOIN supplier ON s = s_suppkey JOIN customer ON c = c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT sn AS i, sum(k)::BIGINT AS row_k FROM mix GROUP BY sn),
+        |cc AS (SELECT cn AS i, sum(k)::BIGINT AS col_k FROM mix GROUP BY cn),
+        |ab AS (SELECT sum(row_k::HUGEINT * col_k) AS sum_ab
+        |  FROM r JOIN cc USING (i)),
+        |d AS (SELECT sum(k)::BIGINT AS m,
+        |    sum(CASE WHEN sn = cn THEN k ELSE 0 END)::BIGINT AS same_nation
+        |  FROM mix)
+        |SELECT m, same_nation, sum_ab::BIGINT AS sum_ab,
+        |  (CASE WHEN m::HUGEINT * m - sum_ab = 0 THEN NULL
+        |    ELSE ((same_nation::HUGEINT * m - sum_ab) * 1000000)
+        |      // (m::HUGEINT * m - sum_ab) END)::BIGINT AS r_micro
+        |FROM d CROSS JOIN ab""".stripMargin,
     "q_closeness" -> {
       val layers = (1 to CloseHops).map { k =>
         s"""d$k AS (SELECT seed, node, min(dist)::BIGINT AS dist FROM (

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.TextFns._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Engine-portable probabilistic sketches — Count-Min frequency
@@ -271,10 +272,60 @@ object Sketches {
     (used, sScaled, est)
   }
 
+  val QsketchBp: Seq[Long] = Seq(5000L, 9000L, 9900L, 9990L)
+
+  /** Mergeable log-histogram quantile sketch — the quantile member of
+    * the sketch family (HLL counts distinct, CMS counts frequency,
+    * Misra–Gries finds heavy keys; THIS answers "what's p99?" in one
+    * pass with bounded state): each value lands in the dyadic bucket
+    * keeping its top 7 bits (bucket = value >> (bitlen−7) re-shifted —
+    * pure integer, exact in both engines via length(bin(x))), so
+    * relative bucket width ≤ 1/64 (~1.6% guaranteed error) and total
+    * state is ≤ 128 buckets per OCTAVE of value range regardless of
+    * row count. Counts are additive — the sketch merges across
+    * partitions, days, or streams for free. Quantile q reads the first
+    * bucket whose cumulative count reaches ⌈q·n⌉; the answer is the
+    * bucket's EXACT integer bounds, so the gate is hash-stable.
+    *
+    * Scale: one map-side bucket assignment + a partial+final census
+    * onto the bounded bucket table; the prefix sum and the 4-quantile
+    * probe join run over ≤ thousands of bucket rows at any corpus
+    * size. */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame =
+    quantileSketchDf(spark, graft.Tables.orders(spark, dir)
+      .selectExpr("CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .filter(col("cents") >= 1L))
+
+  /** Core over any positive (cents LONG) frame. */
+  private[graft] def quantileSketchDf(spark: SparkSession, vals: DataFrame): DataFrame = {
+    import spark.implicits._
+    val buckets = vals
+      .selectExpr("cents", "CAST(greatest(length(bin(cents)) - 7, 0) AS INT) AS sh")
+      .selectExpr("shiftleft(shiftright(cents, sh), sh) AS lo",
+        "shiftleft(shiftright(cents, sh) + 1, sh) - 1 AS hi")
+      .groupBy("lo", "hi").agg(count(lit(1)).as("cnt"))
+    // bounded bucket table from here on (≤128 buckets per value octave)
+    val w = Window.orderBy("lo")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = buckets.withColumn("cum", sum("cnt").over(w))
+    val tot = buckets.agg(sum("cnt").as("n"), count(lit(1)).as("n_buckets"))
+    val ranks = QsketchBp.toDF("q_bp").crossJoin(broadcast(tot))
+      .selectExpr("q_bp", "n", "n_buckets", "(q_bp * n + 9999) DIV 10000 AS rnk")
+    ranks.join(cum, col("cum") >= col("rnk"))
+      .groupBy("q_bp", "n", "n_buckets", "rnk")
+      .agg(min("lo").as("est_lo_cents"))
+      .join(buckets.select(col("lo").as("est_lo_cents"), col("hi").as("est_hi_cents")),
+        "est_lo_cents")
+      .select(col("q_bp"), col("n"), col("n_buckets"), col("rnk"),
+        col("est_lo_cents"), col("est_hi_cents"))
+      .orderBy("q_bp")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_countmin" -> (countMin _),
     "q_hll_distinct" -> (hllDistinct _),
-    "q_hll_overlap" -> (hllOverlap _))
+    "q_hll_overlap" -> (hllOverlap _),
+    "q_quantile_sketch" -> (quantileSketch _))
 
   /** DuckDB tokenizer mirroring [[graft.functions.TextFns.tokens]] —
     * shared with the streaming parity-gate oracles. */
@@ -298,6 +349,31 @@ object Sketches {
        |  FROM ${out}_e)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_quantile_sketch" ->
+      s"""WITH v AS (SELECT round(o_totalprice * 100)::BIGINT AS cents
+         |  FROM orders WHERE round(o_totalprice * 100) >= 1),
+         |b0 AS (SELECT cents,
+         |    greatest(length(bin(cents)) - 7, 0)::INT AS sh FROM v),
+         |buckets AS (SELECT (cents >> sh) << sh AS lo,
+         |    (((cents >> sh) + 1) << sh) - 1 AS hi, count(*)::BIGINT AS cnt
+         |  FROM b0 GROUP BY 1, 2),
+         |cum AS (SELECT lo, hi, cnt, sum(cnt) OVER (ORDER BY lo
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+         |  FROM buckets),
+         |tot AS (SELECT sum(cnt)::BIGINT AS n, count(*)::BIGINT AS n_buckets
+         |  FROM buckets),
+         |ranks AS (SELECT q_bp, n, n_buckets,
+         |    (q_bp * n + 9999) // 10000 AS rnk
+         |  FROM (SELECT unnest([${QsketchBp.mkString(", ")}]) AS q_bp)
+         |  CROSS JOIN tot),
+         |pick AS (SELECT q_bp, n, n_buckets, rnk,
+         |    min(lo)::BIGINT AS est_lo_cents
+         |  FROM ranks JOIN cum ON cum >= rnk
+         |  GROUP BY q_bp, n, n_buckets, rnk)
+         |SELECT q_bp, n, n_buckets, rnk, est_lo_cents,
+         |  b.hi::BIGINT AS est_hi_cents
+         |FROM pick JOIN buckets b ON b.lo = est_lo_cents
+         |ORDER BY q_bp""".stripMargin,
     "q_hll_overlap" ->
       s"""WITH tw AS (SELECT event_type AS scope, user_id::VARCHAR AS v
          |  FROM events),

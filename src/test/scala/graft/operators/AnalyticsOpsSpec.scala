@@ -115,6 +115,28 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(rows.forall(r => !r.isNullAt(2)))
   }
 
+  test("pathEntropy matches a naive replay over the transition matrix") {
+    val cells = Events.markovTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val got = Events.pathEntropy(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val from = r.getString(0)
+      val mine = cells.filter(_._1 == from)
+      val tot = mine.map(_._3).sum
+      val h = mine.map { case (_, _, n) =>
+        n * math.round(math.log(tot.toDouble / n.toDouble) * 1e6) }.sum / tot
+      val top = mine.minBy { case (_, t, n) => (-n, t) }
+      assert(r.getLong(r.fieldIndex("t")) == tot)
+      assert(r.getLong(r.fieldIndex("n_next")) == mine.length)
+      assert(r.getLong(r.fieldIndex("entropy_micro")) == h, s"$from entropy")
+      assert(r.getString(r.fieldIndex("top_next")) == top._2)
+      assert(r.getLong(r.fieldIndex("top_share_bp")) == top._3 * 10000 / tot)
+      // a deterministic state (single next) must read zero entropy
+      if (mine.length == 1) assert(h == 0L)
+    }
+  }
+
   test("zipfSlope matches a naive top-k OLS replay") {
     import org.apache.spark.sql.functions._
     val counts = graft.Tables.documents(spark, dir)

@@ -91,6 +91,30 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("assortativityPairs: hand-mixed matrix, perfect and anti-mixed extremes") {
+    val spark2 = spark
+    import spark2.implicits._
+    def run(edges: Seq[(Long, Long)], snv: Seq[(Long, Long)], cnv: Seq[(Long, Long)]) =
+      Graph.assortativityPairs(edges.toDF("s", "c"),
+        snv.toDF("s", "sn"), cnv.toDF("c", "cn")).collect().head
+    // perfectly assortative: all edges within-nation → r = 1e6
+    val perfect = run(Seq((1L, 10L), (2L, 20L)),
+      Seq((1L, 0L), (2L, 1L)), Seq((10L, 0L), (20L, 1L)))
+    assert(perfect.getLong(1) == 2L && perfect.getLong(3) == 1000000L)
+    // hand case: 3 edges, nations s{1→0, 2→1}, c{10→0, 20→1}
+    // edges (1,10)=(0,0), (1,20)=(0,1), (2,20)=(1,1): same=2, m=3
+    // rows: sn0→2, sn1→1; cols: cn0→1, cn1→2 → Σab = 2·1 + 1·2 = 4
+    // r = (2·3 − 4)·1e6 DIV (9 − 4) = 2e6/5 = 400000
+    val mixed = run(Seq((1L, 10L), (1L, 20L), (2L, 20L)),
+      Seq((1L, 0L), (2L, 1L)), Seq((10L, 0L), (20L, 1L)))
+    assert((mixed.getLong(0), mixed.getLong(1), mixed.getLong(2),
+      mixed.getLong(3)) == ((3L, 2L, 4L, 400000L)), s"$mixed")
+    // fully anti-assortative 2-nation bipartite: same=0 → r = −1e6
+    val anti = run(Seq((1L, 20L), (2L, 10L)),
+      Seq((1L, 0L), (2L, 1L)), Seq((10L, 0L), (20L, 1L)))
+    assert(anti.getLong(3) == -1000000L, s"$anti")
+  }
+
   test("kCorePairs peels exactly the sub-k-degree cascade, any partitioning") {
     val spark2 = spark
     import spark2.implicits._

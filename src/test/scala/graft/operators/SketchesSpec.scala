@@ -92,4 +92,32 @@ class SketchesSpec extends SparkSpec {
     val b = Sketches.hllDistinctDf(tw.repartition(11)).collect().toSeq
     assert(a.sortBy(_.getString(0)) == b.sortBy(_.getString(0)))
   }
+
+  test("quantileSketch brackets the exact quantile within the 1/64 bound") {
+    val spark2 = spark
+    import spark2.implicits._
+    // heavy-tailed deterministic values spanning several octaves
+    val vals = (1L to 5000L).map(i => 1L + (i * i * 7919L) % 3000000L)
+    val df = vals.toDF("cents")
+    val got = Sketches.quantileSketchDf(spark, df).collect()
+    assert(got.length == 4)
+    val sorted = vals.sorted
+    got.foreach { r =>
+      val q = r.getLong(r.fieldIndex("q_bp"))
+      val n = r.getLong(r.fieldIndex("n"))
+      val rnk = r.getLong(r.fieldIndex("rnk"))
+      val lo = r.getLong(r.fieldIndex("est_lo_cents"))
+      val hi = r.getLong(r.fieldIndex("est_hi_cents"))
+      assert(n == vals.length)
+      assert(rnk == (q * n + 9999) / 10000)
+      val exact = sorted((rnk - 1).toInt) // type-1 quantile
+      assert(lo <= exact && exact <= hi, s"q=$q: $lo <= $exact <= $hi")
+      // guaranteed relative width: (hi - lo + 1)·64 ≤ lo when sh > 0
+      assert(hi == lo || (hi - lo + 1) * 64 <= lo, s"q=$q width")
+    }
+    // mergeability: the census is partitioning-invariant
+    val a = Sketches.quantileSketchDf(spark, df.repartition(1)).collect().toSeq
+    val b = Sketches.quantileSketchDf(spark, df.repartition(13)).collect().toSeq
+    assert(a.map(_.toSeq) == b.map(_.toSeq))
+  }
 }
