@@ -396,6 +396,49 @@ object EventsStreaming {
       }
   }
 
+  final case class CentsValue(scope: String, cents: Long)
+  final case class QsEstimate(q_bp: Long, n_seen: Long,
+      est_lo_cents: Long, est_hi_cents: Long)
+
+  /** Streaming log-histogram quantile sketch — the incremental face of
+    * graft.operators.Sketches.quantileSketch: the dyadic bucket census
+    * (lo → count; hi re-derives from lo's bit length, so state is one
+    * long per OCCUPIED bucket — ≤128 per value octave at any stream
+    * length) lives in keyed state, counts are additive so batch splits
+    * and disorder cannot change the converged census, and each batch
+    * re-reads the 4 gate quantiles from the refreshed census. The
+    * bucket math is the exact JVM twin of the batch SQL
+    * (length(bin(x))−7 top-bits kept), so after the last batch the
+    * stream estimates EQUAL the batch gate's. */
+  def quantileSketchStream(rows: Dataset[CentsValue]): Dataset[QsEstimate] = {
+    import rows.sparkSession.implicits._
+    import graft.operators.Sketches
+    def shOf(bitlen: Int): Int = math.max(bitlen - 7, 0)
+    rows.groupByKey(_.scope)
+      .flatMapGroupsWithState[Map[Long, Long], QsEstimate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (_, it, state: GroupState[Map[Long, Long]]) =>
+          var census = state.getOption.getOrElse(Map.empty[Long, Long])
+          var seen = census.valuesIterator.sum
+          it.filter(_.cents >= 1L).foreach { cv =>
+            val sh = shOf(64 - java.lang.Long.numberOfLeadingZeros(cv.cents))
+            val lo = (cv.cents >> sh) << sh
+            census = census.updated(lo, census.getOrElse(lo, 0L) + 1L)
+            seen += 1L
+          }
+          state.update(census)
+          val ordered = census.toSeq.sortBy(_._1)
+          val cums = ordered.scanLeft(0L)(_ + _._2).tail
+          Sketches.QsketchBp.iterator.map { q =>
+            val rnk = (q * seen + 9999L) / 10000L
+            val i = cums.indexWhere(_ >= rnk)
+            val lo = ordered(i)._1
+            val sh = shOf(64 - java.lang.Long.numberOfLeadingZeros(lo))
+            QsEstimate(q, seen, lo, lo + (1L << sh) - 1L)
+          }
+      }
+  }
+
   final case class DistinctCount(scope: String, n_seen: Long, n_unique: Long)
 
   /** Streaming exact-distinct registry — the incremental face of

@@ -269,7 +269,35 @@ object StreamingGates {
     } finally rmTree(tmp)
   }
 
+  /** Streaming quantile-sketch parity: q_quantile_sketch's cents input
+    * re-played as a 6-batch file stream through the keyed dyadic-bucket
+    * census — additive counts, so the converged census (and the 4
+    * quantile reads off it) must equal the batch gate's; oracle = the
+    * batch SQL with n aliased to n_seen. */
+  def qsketchStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import EventsStreaming.{CentsValue, quantileSketchStream}
+    val input = graft.Tables.orders(spark, dir)
+      .selectExpr("'all' AS scope",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .filter(col("cents") >= 1L)
+    val (stream, tmp) = fileStream(input, "scope STRING, cents BIGINT", nFiles = 6)
+    try {
+      val sink = runToMemory(
+        quantileSketchStream(stream.as[CentsValue]).toDF(),
+        "qsketch_parity_sink", OutputMode.Update())
+      sink.groupBy("q_bp")
+        .agg(max_by(struct(col("est_lo_cents"), col("est_hi_cents")),
+          col("n_seen")).as("f"), max("n_seen").as("n_seen"))
+        .select(col("q_bp"), col("n_seen"), col("f.est_lo_cents"),
+          col("f.est_hi_cents"))
+        .orderBy("q_bp")
+        .localCheckpoint()
+    } finally rmTree(tmp)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_qsketch_stream_parity" -> (qsketchStreamParity _),
     "q_cusum_stream_parity" -> (cusumStreamParity _),
     "q_ewma_stream_parity" -> (ewmaStreamParity _),
     "q_funnel_stream_parity" -> (funnelStreamParity _),
@@ -279,6 +307,29 @@ object StreamingGates {
     "q_dedup_stream_parity" -> (dedupStreamParity _))
 
   val oracles: Map[String, String] = Map(
+    // the batch q_quantile_sketch census recomputed from scratch;
+    // n → n_seen, sketch-shape columns dropped — stream == batch == oracle
+    "q_qsketch_stream_parity" ->
+      s"""WITH v AS (SELECT round(o_totalprice * 100)::BIGINT AS cents
+         |  FROM orders WHERE round(o_totalprice * 100) >= 1),
+         |b0 AS (SELECT cents,
+         |    greatest(length(bin(cents)) - 7, 0)::INT AS sh FROM v),
+         |buckets AS (SELECT (cents >> sh) << sh AS lo,
+         |    (((cents >> sh) + 1) << sh) - 1 AS hi, count(*)::BIGINT AS cnt
+         |  FROM b0 GROUP BY 1, 2),
+         |cum AS (SELECT lo, hi, cnt, sum(cnt) OVER (ORDER BY lo
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+         |  FROM buckets),
+         |tot AS (SELECT sum(cnt)::BIGINT AS n FROM buckets),
+         |ranks AS (SELECT q_bp, n, (q_bp * n + 9999) // 10000 AS rnk
+         |  FROM (SELECT unnest([${Sketches.QsketchBp.mkString(", ")}]) AS q_bp)
+         |  CROSS JOIN tot),
+         |pick AS (SELECT q_bp, n, rnk, min(lo)::BIGINT AS est_lo_cents
+         |  FROM ranks JOIN cum ON cum >= rnk GROUP BY q_bp, n, rnk)
+         |SELECT q_bp, n::BIGINT AS n_seen, est_lo_cents,
+         |  b.hi::BIGINT AS est_hi_cents
+         |FROM pick JOIN buckets b ON b.lo = est_lo_cents
+         |ORDER BY q_bp""".stripMargin,
     // the batch q_ewma_smooth oracle verbatim — stream == batch == oracle
     "q_ewma_stream_parity" -> graft.operators.Temporal.oracles("q_ewma_smooth"),
     // the batch q_cusum_shift oracle verbatim

@@ -437,4 +437,35 @@ class StreamingSpec extends SparkSpec {
     }
     assert(got == expect, s"\ngot:    $got\nexpect: $expect")
   }
+
+  test("streaming quantile sketch converges to the batch census under disorder") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark2.sqlContext
+    val vals = (1L to 400L).map(i => 1L + (i * i * 977L) % 90000L)
+    // three disordered batches: descending, evens, odds — additive
+    // counts must converge to the same census regardless
+    val batches = Seq(vals.take(150).sorted.reverse,
+      vals.drop(150).zipWithIndex.collect { case (v, i) if i % 2 == 0 => v },
+      vals.drop(150).zipWithIndex.collect { case (v, i) if i % 2 == 1 => v })
+    val mem = MemoryStream[EventsStreaming.CentsValue]
+    val q = EventsStreaming.quantileSketchStream(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("qs_disorder")
+      .outputMode("update").start()
+    batches.foreach { b =>
+      mem.addData(b.map(EventsStreaming.CentsValue("all", _)): _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val fin = spark2.table("qs_disorder")
+      .orderBy(desc("n_seen")).limit(graft.operators.Sketches.QsketchBp.length)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val batch = graft.operators.Sketches.quantileSketchDf(spark2, vals.toDF("cents"))
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("q_bp")), r.getLong(r.fieldIndex("n")),
+        r.getLong(r.fieldIndex("est_lo_cents")), r.getLong(r.fieldIndex("est_hi_cents"))))
+      .sortBy(_._1).toSeq
+    assert(fin == batch, s"\nstream: $fin\nbatch:  $batch")
+  }
 }
