@@ -511,6 +511,119 @@ object Events {
       .orderBy("from_type")
   }
 
+  /** Sequential-pattern support — the gapped "eventually follows"
+    * census [[topPaths]]' adjacent trigrams can't see (PrefixSpan's
+    * 2-pattern core): for every ORDERED type pair (a, b), in how many
+    * sessions does some a-event strictly precede some b-event? Per
+    * session that predicate collapses to first(a) < last(b), so one
+    * (session, type) rollup with min/max timestamps replaces any
+    * event-pair join; the pair generator is a session-keyed self-join
+    * whose fan-out is ≤ |types|² per session — bounded multiplier,
+    * linear in sessions. Support in floored bp of all sessions.
+    *
+    * Scale: the sessionizer's one user exchange + a session-grain
+    * rollup + the bounded-fan-out pair join; the census is ≤ |types|²
+    * rows at any corpus size. */
+  def seqPatterns(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val sess = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_id", sum("new_s").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id", "event_type")
+      .agg(min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .localCheckpoint() // feeds both pair sides and the session total
+    val nSessions = sess.select("user_id", "session_id").distinct().count()
+    val a = sess.selectExpr("user_id", "session_id",
+      "event_type AS a", "first_us")
+    val b = sess.selectExpr("user_id AS ub", "session_id AS sb",
+      "event_type AS b", "last_us")
+    a.join(b, col("user_id") === col("ub") && col("session_id") === col("sb")
+        && col("a") =!= col("b") && col("first_us") < col("last_us"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_sessions"))
+      .selectExpr("a", "b", "n_sessions",
+        s"(n_sessions * 10000) DIV $nSessions AS support_bp")
+      .orderBy("a", "b")
+  }
+
+  val RemovalStates: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+  val RemovalSteps = 12
+
+  /** Markov-chain (removal-effect) attribution — the marketing-science
+    * upgrade over position rules ([[attributionMulti]],
+    * [[attributionDecay]]): model the session as a Markov chain over
+    * the pinned [[RemovalStates]], make 'purchase' absorbing, and
+    * credit each channel by how much the K-step conversion probability
+    * DROPS when transitions into that channel are removed (the walk
+    * dies there — the canonical removal-effect move; sessions starting
+    * at the removed channel die too, the denominator stays). The whole
+    * chain runs in integer micro with per-step truncation — next(s) =
+    * Σ pm(s,t)·p(t) DIV 10⁶ — so the [[RemovalSteps]]-step recurrence
+    * replays engine-exact in an unrolled-CTE oracle (the q_kmeans
+    * unrolled-Lloyd discipline).
+    *
+    * Scale: the transition matrix and start census are ≤ |types|² and
+    * |types| rows (type-domain bounded — the KM driver-fold class), so
+    * the driver recurrence is O(K·|types|²) at ANY corpus size; the
+    * corpus-scan cost is exactly the sessionizer's. */
+  def removalEffect(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin(RemovalStates: _*))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_id", sum("new_s").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("to_type", lead("event_type", 1).over(byUser))
+      .withColumn("to_session", lead("session_id", 1).over(byUser))
+      .localCheckpoint() // one sessionizer pass feeds matrix and starts
+    // bounded collects: ≤ |types|² cells and ≤ |types| start rows
+    val cells = e.filter(col("to_session") === col("session_id"))
+      .groupBy(col("event_type").as("f"), col("to_type").as("t"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val starts = e.filter(col("new_s") === 1)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nSessions = starts.values.sum
+    val tots = RemovalStates.map(f =>
+      f -> RemovalStates.map(t => cells.getOrElse((f, t), 0L)).sum).toMap
+    def pm(f: String, t: String): Long =
+      if (tots(f) == 0L) 0L else cells.getOrElse((f, t), 0L) * 1000000L / tots(f)
+    // K-step absorption probability with transitions into `removed` cut
+    def convMicro(removed: Option[String]): Long = {
+      var p = RemovalStates.map(s =>
+        s -> (if (s == "purchase") 1000000L else 0L)).toMap
+      for (_ <- 1 to RemovalSteps) {
+        p = RemovalStates.map { s =>
+          s -> (if (s == "purchase") 1000000L
+          else RemovalStates.filterNot(removed.contains)
+            .map(t => pm(s, t) * p(t)).sum / 1000000L)
+        }.toMap
+      }
+      val liveStarts = RemovalStates.filterNot(removed.contains)
+      liveStarts.map(s => starts.getOrElse(s, 0L) * p(s)).sum / nSessions
+    }
+    val base = convMicro(None)
+    RemovalStates.filterNot(_ == "purchase").map { c =>
+      val withoutC = convMicro(Some(c))
+      val bp = if (base == 0L) None
+        else Some((base - withoutC) * 10000L / base)
+      (c, base, withoutC, bp)
+    }.toDF("channel", "conv_base_micro", "conv_removed_micro", "removal_bp")
+      .orderBy("channel")
+  }
+
   /** Funnel latency distribution: per converting user, the integer
     * seconds from first view to first strictly-later purchase, then the
     * exact p50/p90 of those latencies via the bounded bracketed
@@ -1189,6 +1302,8 @@ object Events {
     "q_attribution_decay" -> (attributionDecay _),
     "q_markov_transitions" -> (markovTransitions _),
     "q_path_entropy" -> (pathEntropy _),
+    "q_seq_patterns" -> (seqPatterns _),
+    "q_removal_effect" -> (removalEffect _),
     "q_funnel_time" -> (funnelLatency _))
 
   val oracles: Map[String, String] = Map(
@@ -1774,6 +1889,92 @@ object Events {
          |  CASE WHEN n_touch > 0 THEN (us - first_us) // 1000000
          |  END AS window_sec
          |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q_seq_patterns" ->
+      """WITH l AS (SELECT user_id, event_id, ts, event_type,
+        |    lag(epoch_us(ts)) OVER w AS prev_us
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *,
+        |    sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM l),
+        |r AS (SELECT user_id, session_id, event_type,
+        |    min(epoch_us(ts))::BIGINT AS first_us,
+        |    max(epoch_us(ts))::BIGINT AS last_us
+        |  FROM s GROUP BY 1, 2, 3),
+        |ns AS (SELECT count(*)::BIGINT AS n
+        |  FROM (SELECT DISTINCT user_id, session_id FROM r)),
+        |p AS (SELECT x.event_type AS a, y.event_type AS b,
+        |    count(*)::BIGINT AS n_sessions
+        |  FROM r x JOIN r y USING (user_id, session_id)
+        |  WHERE x.event_type <> y.event_type AND x.first_us < y.last_us
+        |  GROUP BY 1, 2)
+        |SELECT a, b, n_sessions,
+        |  (n_sessions * 10000) // (SELECT n FROM ns) AS support_bp
+        |FROM p ORDER BY a, b""".stripMargin,
+    "q_removal_effect" -> {
+      val statesList = RemovalStates.map(s => s"'$s'").mkString(", ")
+      def chain(tag: String, removed: Option[String]): String = {
+        val cut = removed.map(r => s" AND pm.t <> '$r'").getOrElse("")
+        val steps = (1 to RemovalSteps).map { k =>
+          s"""p_${tag}_$k AS (SELECT st0.s,
+             |  CASE WHEN st0.s = 'purchase' THEN 1000000
+             |    ELSE coalesce(sum(pm.m * q.p), 0) // 1000000 END AS p
+             |  FROM states st0
+             |  LEFT JOIN pm ON pm.f = st0.s$cut
+             |  LEFT JOIN p_${tag}_${k - 1} q ON q.s = pm.t
+             |  GROUP BY st0.s)""".stripMargin
+        }.mkString(",\n")
+        val live = removed.map(r => s" WHERE st.s <> '$r'").getOrElse("")
+        s"""p_${tag}_0 AS (SELECT s,
+           |  CASE WHEN s = 'purchase' THEN 1000000 ELSE 0 END AS p FROM states),
+           |$steps,
+           |conv_$tag AS (SELECT coalesce(sum(st.n * p.p), 0)
+           |    // (SELECT n FROM ns) AS conv
+           |  FROM st JOIN p_${tag}_$RemovalSteps p ON p.s = st.s$live)""".stripMargin
+      }
+      val variants = RemovalStates.filterNot(_ == "purchase")
+      val chains = (chain("base", None) +:
+        variants.map(c => chain(c, Some(c)))).mkString(",\n")
+      val rows = variants.map { c =>
+        s"""SELECT '$c' AS channel,
+           |  (SELECT conv FROM conv_base)::BIGINT AS conv_base_micro,
+           |  (SELECT conv FROM conv_$c)::BIGINT AS conv_removed_micro,
+           |  (CASE WHEN (SELECT conv FROM conv_base) = 0 THEN NULL
+           |    ELSE (((SELECT conv FROM conv_base) - (SELECT conv FROM conv_$c))
+           |      * 10000) // (SELECT conv FROM conv_base) END)::BIGINT
+           |    AS removal_bp""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH l AS (SELECT user_id, event_id, ts, event_type,
+         |    lag(epoch_us(ts)) OVER w AS prev_us
+         |  FROM events WHERE event_type IN ($statesList)
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (SELECT *,
+         |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+         |      THEN 1 ELSE 0 END AS new_s,
+         |    sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+         |        THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM l),
+         |t AS (SELECT *,
+         |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS to_type,
+         |    lead(session_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS to_session
+         |  FROM s),
+         |states AS (SELECT unnest([$statesList]) AS s),
+         |c AS (SELECT event_type AS f, to_type AS t, count(*)::BIGINT AS n
+         |  FROM t WHERE to_session = session_id GROUP BY 1, 2),
+         |tots AS (SELECT f, sum(n)::BIGINT AS tot FROM c GROUP BY f),
+         |pm AS (SELECT f, t, (n * 1000000) // tot AS m FROM c JOIN tots USING (f)),
+         |st AS (SELECT event_type AS s, count(*)::BIGINT AS n
+         |  FROM t WHERE new_s = 1 GROUP BY 1),
+         |ns AS (SELECT sum(n)::BIGINT AS n FROM st),
+         |$chains
+         |SELECT * FROM ($rows) ORDER BY channel""".stripMargin
+    },
     "q_path_entropy" ->
       """WITH l AS (SELECT user_id, event_id, ts, event_type,
         |    lag(epoch_us(ts)) OVER w AS prev_us,

@@ -137,6 +137,51 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("seqPatterns matches a naive sessionized eventually-follows replay") {
+    val ev = graft.Tables.events(spark, dir)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS us", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // naive replay: sessionize per user by the 30-min gap, then per
+    // session check every ordered type pair via first(a) < last(b)
+    val bySession = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      var sid = 0L; var prev = Long.MinValue
+      sorted.map { r =>
+        if (prev == Long.MinValue || r._3 - prev > 1800000000L) sid += 1
+        prev = r._3
+        ((u, sid), (r._4, r._3))
+      }
+    }.groupBy(_._1).values.toSeq
+    val nSessions = bySession.size
+    val expected = scala.collection.mutable.Map.empty[(String, String), Long]
+    bySession.foreach { s =>
+      val first = s.map(_._2).groupBy(_._1).view.mapValues(_.map(_._2).min)
+      val last = s.map(_._2).groupBy(_._1).view.mapValues(_.map(_._2).max)
+      for (a <- first.keys; b <- last.keys if a != b && first(a) < last(b))
+        expected((a, b)) = expected.getOrElse((a, b), 0L) + 1
+    }
+    val got = Events.seqPatterns(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, n) =>
+      assert(got(k) == ((n, n * 10000 / nSessions)), s"$k")
+    }
+  }
+
+  test("removalEffect: removing any channel never raises conversion; base is shared") {
+    val rows = Events.removalEffect(spark, dir).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      Events.RemovalStates.filterNot(_ == "purchase").sorted)
+    val base = rows.head.getLong(1)
+    rows.foreach { r =>
+      assert(r.getLong(1) == base, "all rows share the same base conversion")
+      val removed = r.getLong(2)
+      assert(removed <= base, s"${r.getString(0)}: removal cannot raise conversion")
+      assert(r.getLong(3) == (base - removed) * 10000L / base)
+    }
+    assert(base > 0L, "the gate corpus must convert")
+  }
+
   test("zipfSlope matches a naive top-k OLS replay") {
     import org.apache.spark.sql.functions._
     val counts = graft.Tables.documents(spark, dir)
