@@ -324,6 +324,14 @@ object Bench {
           cust.withColumn("c_custkey", col("c_custkey") + c * maxCust)
         }.reduce(_ unionAll _)
           .write.mode("overwrite").parquet(s"$sf1Dir/customer.parquet")
+        // part and supplier pass through VERBATIM: dims grow slower than
+        // facts in real warehouses, so 10× lineitem against 1× part IS
+        // the realistic join-skew shape (and 10× customers against 1×
+        // suppliers gives the trade graph 10× hub degree)
+        Tables.part(spark, sfDir)
+          .write.mode("overwrite").parquet(s"$sf1Dir/part.parquet")
+        Tables.supplier(spark, sfDir)
+          .write.mode("overwrite").parquet(s"$sf1Dir/supplier.parquet")
       }
       val heavy = Seq("q_dedup_ngram_jaccard", "q_dedup_minhash_lsh",
         "q_dbscan", "q_events_session",
@@ -373,7 +381,14 @@ object Bench {
         // partition windows must scale with their grains (2·sessions,
         // parts, customers, orders), never funnel one task
         "q_peak_concurrency", "q_abc_class", "q_value_migration",
-        "q_gini", "q_fulfillment_sla")
+        "q_gini", "q_fulfillment_sla",
+        // round-9 second wave: the media kernel + hash groupBy at 10×
+        // docs; grouped-OLS against the VERBATIM part dim (10× fact vs
+        // 1× dim join); k-seed BFS at 10× edges and hub degree; the
+        // dyadic census at 10× orders must stay bounded; the gapped
+        // pair join's ≤|types|² fan-out and the sessionizer exchange
+        "q_phash_dedup", "q_elasticity", "q_closeness",
+        "q_quantile_sketch", "q_seq_patterns")
       val runs = heavy.map { n =>
         val k = s"sf1_$n"
         rerun(k) = () => materialize(SparkEntry.queries(n)(spark, sf1Dir))
