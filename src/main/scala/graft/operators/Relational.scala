@@ -1716,7 +1716,55 @@ object Relational {
       .orderBy("brand")
   }
 
+  /** Blocking-scheme quality audit — the measurement layer the ER pair
+    * ([[fellegiSunter]], [[sortedNeighborhood]]) needs before trusting
+    * any blocking key: REDUCTION RATIO (how many of the n(n−1)/2
+    * candidate comparisons the scheme discards) and PAIR COMPLETENESS
+    * (how many truth pairs it keeps co-located), for two competing
+    * schemes (nation vs $1k-balance-bucket) against a pinned truth
+    * predicate (same segment + name suffix + balance bucket). Every
+    * pair count folds from SIZE HISTOGRAMS — Σ c·(c−1)/2 over group
+    * sizes — so nothing pairwise ever materializes; counts are
+    * DECIMAL(38,0) because candidate sums reach n² ≈ 10¹⁸ at 10⁹
+    * records.
+    *
+    * Scale: three key rollups (block, truth, truth×block) per scheme,
+    * each partial+final; the finish is per-scheme 1-row arithmetic. */
+  def blockingQuality(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(
+      col("c_custkey").as("id"),
+      col("c_nationkey").cast("string").as("blk_nation"),
+      expr("CAST(CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000 AS STRING)")
+        .as("blk_bal"),
+      concat_ws("#", col("c_mktsegment"), expr("substring(c_name, -2, 2)"),
+        expr("CAST(CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000 AS STRING)"))
+        .as("truth"))
+      .localCheckpoint(true) // one scan feeds all six rollups
+    val n = c.count()
+    val totalPairs = BigDecimal(n) * (n - 1) / 2
+    val truthPairs = c.groupBy("truth").agg(count(lit(1)).as("g"))
+      .agg(sum(expr("CAST(CAST(g AS DECIMAL(38,0)) * (g - 1) DIV 2 AS DECIMAL(38,0))")))
+      .head().getDecimal(0).toBigInteger
+    def scheme(name: String, blkCol: String): DataFrame = {
+      val cand = c.groupBy(blkCol).agg(count(lit(1)).as("g"))
+        .agg(sum(expr("CAST(CAST(g AS DECIMAL(38,0)) * (g - 1) DIV 2 AS DECIMAL(38,0))")).as("cand"))
+      val found = c.groupBy(col("truth"), col(blkCol)).agg(count(lit(1)).as("g"))
+        .agg(sum(expr("CAST(CAST(g AS DECIMAL(38,0)) * (g - 1) DIV 2 AS DECIMAL(38,0))")).as("found"))
+      cand.crossJoin(found)
+        .selectExpr(s"'$name' AS scheme", s"CAST($n AS BIGINT) AS n_records",
+          "CAST(cand AS BIGINT) AS cand_pairs",
+          s"CAST(10000 - (cand * 10000) DIV CAST('${totalPairs.toBigInt}' AS DECIMAL(38,0)) AS BIGINT) AS rr_bp",
+          s"CAST($truthPairs AS BIGINT) AS truth_pairs",
+          "CAST(found AS BIGINT) AS found_pairs",
+          // degenerate truth (all keys unique) pins NULL, never errors
+          s"CAST(CASE WHEN $truthPairs = 0 THEN NULL ELSE (found * 10000) DIV CAST($truthPairs AS DECIMAL(38,0)) END AS BIGINT) AS pc_bp")
+    }
+    scheme("bal_bucket", "blk_bal").unionAll(scheme("nation", "blk_nation"))
+      .orderBy("scheme")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_blocking_quality" -> (blockingQuality _),
     "q_elasticity" -> (priceElasticity _),
     "q_basket_pairs" -> (basketPairs _),
     "q_salted_join" -> (saltedJoin _),
@@ -1784,6 +1832,44 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_blocking_quality" ->
+      """WITH c AS (SELECT c_custkey AS id,
+        |    c_nationkey::VARCHAR AS blk_nation,
+        |    (round(c_acctbal * 100)::BIGINT // 100000)::VARCHAR AS blk_bal,
+        |    c_mktsegment || '#' || c_name[-2:] || '#'
+        |      || (round(c_acctbal * 100)::BIGINT // 100000)::VARCHAR AS truth
+        |  FROM customer),
+        |n AS (SELECT count(*)::HUGEINT AS n FROM c),
+        |tp AS (SELECT (SELECT n FROM n) * ((SELECT n FROM n) - 1) // 2 AS p),
+        |tr AS (SELECT sum(g::HUGEINT * (g - 1) // 2) AS p
+        |  FROM (SELECT count(*)::BIGINT AS g FROM c GROUP BY truth)),
+        |cn AS (SELECT sum(g::HUGEINT * (g - 1) // 2) AS cand
+        |  FROM (SELECT count(*)::BIGINT AS g FROM c GROUP BY blk_nation)),
+        |cb AS (SELECT sum(g::HUGEINT * (g - 1) // 2) AS cand
+        |  FROM (SELECT count(*)::BIGINT AS g FROM c GROUP BY blk_bal)),
+        |fn AS (SELECT sum(g::HUGEINT * (g - 1) // 2) AS found
+        |  FROM (SELECT count(*)::BIGINT AS g FROM c GROUP BY truth, blk_nation)),
+        |fb AS (SELECT sum(g::HUGEINT * (g - 1) // 2) AS found
+        |  FROM (SELECT count(*)::BIGINT AS g FROM c GROUP BY truth, blk_bal))
+        |SELECT 'bal_bucket' AS scheme, (SELECT n FROM n)::BIGINT AS n_records,
+        |  (SELECT cand FROM cb)::BIGINT AS cand_pairs,
+        |  (10000 - ((SELECT cand FROM cb) * 10000) // (SELECT p FROM tp))::BIGINT
+        |    AS rr_bp,
+        |  (SELECT p FROM tr)::BIGINT AS truth_pairs,
+        |  (SELECT found FROM fb)::BIGINT AS found_pairs,
+        |  (CASE WHEN (SELECT p FROM tr) = 0 THEN NULL
+        |    ELSE ((SELECT found FROM fb) * 10000) // (SELECT p FROM tr)
+        |    END)::BIGINT AS pc_bp
+        |UNION ALL
+        |SELECT 'nation', (SELECT n FROM n)::BIGINT,
+        |  (SELECT cand FROM cn)::BIGINT,
+        |  (10000 - ((SELECT cand FROM cn) * 10000) // (SELECT p FROM tp))::BIGINT,
+        |  (SELECT p FROM tr)::BIGINT,
+        |  (SELECT found FROM fn)::BIGINT,
+        |  (CASE WHEN (SELECT p FROM tr) = 0 THEN NULL
+        |    ELSE ((SELECT found FROM fn) * 10000) // (SELECT p FROM tr)
+        |    END)::BIGINT
+        |ORDER BY scheme""".stripMargin,
     "q_elasticity" ->
       """WITH li AS (SELECT l_partkey,
         |    round(l_extendedprice * (1 - l_discount) * 100 / l_quantity)::BIGINT

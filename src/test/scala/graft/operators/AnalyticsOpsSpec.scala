@@ -101,6 +101,34 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(g("did_micro") == g("delta_t_micro") - g("delta_c_micro"))
   }
 
+  test("blockingQuality: containment pins PC=100% for the truth-aligned scheme") {
+    // sf0.01: the sf0.001 customer table has all-unique truth keys
+    // (truth_pairs = 0 → NULL pc, the degenerate guard's own case)
+    val got = Relational.blockingQuality(spark, "/root/testdata/sf0.01").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val degen = Relational.blockingQuality(spark, dir).collect()
+    assert(degen.forall(r => r.getLong(r.fieldIndex("truth_pairs")) > 0 ||
+      r.isNullAt(r.fieldIndex("pc_bp"))))
+    assert(got.keySet == Set("bal_bucket", "nation"))
+    got.values.foreach { r =>
+      def g(c: String) = r.getLong(r.fieldIndex(c))
+      assert(g("found_pairs") <= g("truth_pairs"))
+      assert(g("pc_bp") >= 0 && g("pc_bp") <= 10000)
+      assert(g("rr_bp") >= 0 && g("rr_bp") <= 10000)
+      val n = g("n_records")
+      assert(g("cand_pairs") <= n * (n - 1) / 2)
+    }
+    // the truth key CONTAINS the balance bucket, so every truth pair is
+    // co-located under bal_bucket blocking — PC must be exactly 100%
+    val bb = got("bal_bucket")
+    assert(bb.getLong(bb.fieldIndex("found_pairs")) ==
+      bb.getLong(bb.fieldIndex("truth_pairs")))
+    assert(bb.getLong(bb.fieldIndex("pc_bp")) == 10000L)
+    // nation is NOT in the truth key: it must lose some truth pairs
+    val nn = got("nation")
+    assert(nn.getLong(nn.fieldIndex("pc_bp")) < 10000L)
+  }
+
   test("priceElasticity covers every brand with a defined slope") {
     val rows = Relational.priceElasticity(spark, dir).collect()
     assert(rows.length == 25) // TPC-H brand domain: Brand#11..Brand#55
