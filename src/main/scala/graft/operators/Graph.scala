@@ -269,6 +269,8 @@ object Graph {
   private[graft] def bfsLayersPairs(e: DataFrame): DataFrame = {
     val edges = e.select(col("s").as("src"), (col("c") + CustOffset).as("dst"))
       .union(e.select((col("c") + CustOffset).as("src"), col("s").as("dst")))
+      .repartition(col("src")) // cached pre-hashed on the per-round join
+      // key — only the frontier side shuffles each hop
       .persist(StorageLevel.MEMORY_AND_DISK)
     var dist = edges.select(col("src").as("node")).distinct()
       .filter(col("node") < CustOffset && pmod(col("node"), lit(BfsSeedMod)) === 1)
@@ -570,6 +572,9 @@ object Graph {
   private[graft] def closenessPairs(e: DataFrame): DataFrame = {
     val edges = e.select(col("s").as("src"), (col("c") + CustOffset).as("dst"))
       .union(e.select((col("c") + CustOffset).as("src"), col("s").as("dst")))
+      .repartition(col("src")) // pre-hash on the per-round join key: the
+      // cached layout satisfies every frontier join's distribution, so
+      // only the (small) frontier side shuffles each round
       .persist(StorageLevel.MEMORY_AND_DISK)
     val seeds = edges.select(col("src").as("node")).distinct()
       .filter(col("node") < CustOffset && pmod(col("node"), lit(BfsSeedMod)) === 1)
