@@ -448,4 +448,41 @@ class PlanAssertSpec extends SparkSpec {
         "bloom decontamination must stay keyed")
     }
   }
+
+  test("round-9 operators keep scale-safe plan shapes") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = "/root/testdata/sf0.001"
+    withStructuralPlans {
+      // sequential patterns: the pair generator is a KEYED equi-join on
+      // (user, session) — the |types|² fan-out must never plan all-pairs
+      val sp = graft.operators.Events.seqPatterns(spark2, dir)
+      noAllPairs(sp.queryExecution.executedPlan.toString, "seqPatterns")
+
+      // closeness: per-hop frontier joins are keyed equi-joins against
+      // the once-partitioned edges; the k-seed panel never cross-joins
+      val cl = graft.operators.Graph.closenessPairs(
+        Seq.tabulate(40)(i => (i.toLong, (i % 7 + 1).toLong)).toDF("s", "c"))
+      noAllPairs(cl.queryExecution.executedPlan.toString, "closeness")
+
+      // elasticity: one fact-side scan joined on the part key, then a
+      // partial+final 5-sums aggregate — no pairwise anything
+      val el = graft.operators.Relational.priceElasticity(spark2, dir)
+      noAllPairs(el.queryExecution.executedPlan.toString, "elasticity")
+
+      // log-rank: histograms + bounded-day windows — no join of the
+      // user-grain durations against itself (the 1-row broadcast(maxDay)
+      // cross join is the KM family's tolerated BNLJ, so assert only on
+      // CartesianProduct here)
+      val lr = graft.operators.Events.logRank(spark2, dir)
+      assert(!lr.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+        "logRank must stay keyed")
+
+      // phash dedup: the whole dedup is ONE hash groupBy after the
+      // embarrassingly-parallel media kernel — no join at all
+      val ph = graft.multimodal.Multimodal.phashDedupQuery(spark2, dir)
+      val phPlan = ph.queryExecution.executedPlan.toString
+      assert(!phPlan.contains("Join"), s"phash dedup must be join-free:\n$phPlan")
+    }
+  }
 }
