@@ -376,6 +376,39 @@ object Events {
           .as("avg_sec_convert"))
   }
 
+  /** Funnel step conversions with Wilson 95% score intervals — the
+    * uncertainty layer the raw [[funnel]] census lacks (a 60% step on
+    * 10 users and one on 10M users are NOT the same evidence; the
+    * Wilson interval is the one that stays honest at small n and
+    * extreme p̂, unlike the Wald ±z√(pq/n)): per step the exact integer
+    * (c, n) pair drives the pinned-literal double formula — identical
+    * IEEE ops in the same order on both engines — rounded to bp. z is
+    * pinned at 1.959964 (z² 3.841459, the χ²₁ table constant).
+    *
+    * Scale: the [[funnel]] single user exchange, a 1-row census, and a
+    * 3-row finish. */
+  def funnelWilson(spark: SparkSession, dir: String): DataFrame = {
+    val base = funnel(spark, dir)
+      .selectExpr("n_view", "n_view_click", "n_full_funnel")
+    val steps = base.selectExpr(
+      "stack(3, 'click_to_purchase', n_full_funnel, n_view_click," +
+        " 'view_to_click', n_view_click, n_view," +
+        " 'view_to_purchase', n_full_funnel, n_view) AS (step, c, n)")
+    steps.selectExpr("step", "CAST(c AS BIGINT) AS c", "CAST(n AS BIGINT) AS n",
+        "CASE WHEN n = 0 THEN NULL ELSE (c * 10000) DIV n END AS rate_bp",
+        """CAST(CASE WHEN n = 0 THEN NULL ELSE round(
+          | ((CAST(c AS DOUBLE) / n + 3.841459 / (2 * n)
+          |   - 1.959964 * sqrt((CAST(c AS DOUBLE) / n) * (1 - CAST(c AS DOUBLE) / n) / n
+          |     + 3.841459 / (4 * CAST(n AS DOUBLE) * n)))
+          |  / (1 + 3.841459 / n)) * 10000) END AS BIGINT) AS wilson_lo_bp""".stripMargin,
+        """CAST(CASE WHEN n = 0 THEN NULL ELSE round(
+          | ((CAST(c AS DOUBLE) / n + 3.841459 / (2 * n)
+          |   + 1.959964 * sqrt((CAST(c AS DOUBLE) / n) * (1 - CAST(c AS DOUBLE) / n) / n
+          |     + 3.841459 / (4 * CAST(n AS DOUBLE) * n)))
+          |  / (1 + 3.841459 / n)) * 10000) END AS BIGINT) AS wilson_hi_bp""".stripMargin)
+      .orderBy("step")
+  }
+
   val AttributionHorizonUs = 1800L * 1000000L
 
   /** Position-based (40/20/40) multi-touch attribution: every purchase
@@ -1304,6 +1337,7 @@ object Events {
     "q_path_entropy" -> (pathEntropy _),
     "q_seq_patterns" -> (seqPatterns _),
     "q_removal_effect" -> (removalEffect _),
+    "q_funnel_ci" -> (funnelWilson _),
     "q_funnel_time" -> (funnelLatency _))
 
   val oracles: Map[String, String] = Map(
@@ -1889,6 +1923,37 @@ object Events {
          |  CASE WHEN n_touch > 0 THEN (us - first_us) // 1000000
          |  END AS window_sec
          |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q_funnel_ci" -> {
+      def wilson(sign: String): String =
+        s"""CASE WHEN n = 0 THEN NULL ELSE round(
+           | ((c::DOUBLE / n + 3.841459 / (2 * n)
+           |   $sign 1.959964 * sqrt((c::DOUBLE / n) * (1 - c::DOUBLE / n) / n
+           |     + 3.841459 / (4 * n::DOUBLE * n)))
+           |  / (1 + 3.841459 / n)) * 10000) END""".stripMargin
+      s"""WITH s AS (SELECT user_id, event_type, ts,
+         |    min(CASE WHEN event_type = 'view' THEN ts END)
+         |      OVER (PARTITION BY user_id) AS tv
+         |  FROM events),
+         |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > tv THEN ts END)
+         |      OVER (PARTITION BY user_id) AS tc FROM s),
+         |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > tc THEN ts END)
+         |      OVER (PARTITION BY user_id) AS tp FROM s2),
+         |u AS (SELECT user_id, min(tv) AS tv, min(tc) AS tc, min(tp) AS tp
+         |  FROM s3 GROUP BY user_id),
+         |f AS (SELECT count(tv)::BIGINT AS n_view,
+         |    count(tc)::BIGINT AS n_view_click,
+         |    count(tp)::BIGINT AS n_full_funnel FROM u),
+         |steps AS (
+         |  SELECT 'click_to_purchase' AS step, n_full_funnel AS c,
+         |    n_view_click AS n FROM f
+         |  UNION ALL SELECT 'view_to_click', n_view_click, n_view FROM f
+         |  UNION ALL SELECT 'view_to_purchase', n_full_funnel, n_view FROM f)
+         |SELECT step, c, n,
+         |  CASE WHEN n = 0 THEN NULL ELSE (c * 10000) // n END AS rate_bp,
+         |  (${wilson("-")})::BIGINT AS wilson_lo_bp,
+         |  (${wilson("+")})::BIGINT AS wilson_hi_bp
+         |FROM steps ORDER BY step""".stripMargin
+    },
     "q_seq_patterns" ->
       """WITH l AS (SELECT user_id, event_id, ts, event_type,
         |    lag(epoch_us(ts)) OVER w AS prev_us

@@ -378,7 +378,14 @@ object Graph {
   }
 
   /** Core over any distinct undirected edge frame (a, b), a < b. */
-  private[graft] def labelPropPairs(e: DataFrame, topK: Int): DataFrame = {
+  private[graft] def labelPropPairs(e: DataFrame, topK: Int): DataFrame =
+    lpaLabels(e).groupBy("lbl").agg(count(lit(1)).as("n_members"))
+      .orderBy(desc("n_members"), asc("lbl")).limit(topK)
+      .select(col("lbl").as("community"), col("n_members"))
+
+  /** LPA node→label fixpoint after [[LpaIters]] passes (shared by the
+    * census gate and [[modularity]]). */
+  private[graft] def lpaLabels(e: DataFrame): DataFrame = {
     val edges = e.select(col("a").as("v"), col("b").as("u"))
       .union(e.select(col("b").as("v"), col("a").as("u")))
       .repartition(col("u")).persist(StorageLevel.MEMORY_AND_DISK)
@@ -396,9 +403,65 @@ object Graph {
     }
     val fin = labels.localCheckpoint(true)
     edges.unpersist(false)
-    fin.groupBy("lbl").agg(count(lit(1)).as("n_members"))
-      .orderBy(desc("n_members"), asc("lbl")).limit(topK)
-      .select(col("lbl").as("community"), col("n_members"))
+    fin
+  }
+
+  /** Modularity of the LPA communities — the SCORE the label-prop gate
+    * stops short of (did the propagation find structure, or noise?):
+    * Newman's Q = Σ_c (e_c/m − (d_c/2m)²) over the same weight-filtered
+    * co-purchase graph and the same LPA fixpoint, multiplied through by
+    * 4m² into the all-integer Q_micro = Σ_c (4m·e_c − d_c²)·10⁶ DIV 4m²
+    * in DECIMAL(38,0) (d_c² reaches 4m² ≈ 4·10¹⁸ at 10⁹ edges). Top
+    * communities carry their truncated per-community contribution; the
+    * global Q folds the UNtruncated sums.
+    *
+    * Scale: two label joins onto the once-partitioned edge list
+    * (intra-edge census + degree census) and a community-grain rollup —
+    * nothing beyond the LPA passes themselves. */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val pairs = l.select(col("o"), col("p").as("a"))
+      .join(l.select(col("o"), col("p").as("b")), "o")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= KcoreMinW).select("a", "b")
+      .localCheckpoint() // feeds labels, intra census, and degrees
+    val labels = lpaLabels(pairs)
+    val m = pairs.count()
+    val intra = pairs
+      .join(labels.selectExpr("node AS a", "lbl AS la"), "a")
+      .join(labels.selectExpr("node AS b", "lbl AS lb"), "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("e_c"))
+    val degs = pairs.select(col("a").as("node"))
+      .union(pairs.select(col("b").as("node")))
+      .join(labels, "node")
+      .groupBy("lbl").agg(count(lit(1)).as("d_c"))
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("n_members"))
+    val per = sizes
+      .join(degs, Seq("lbl"), "left")
+      .join(intra, Seq("lbl"), "left")
+      .select(col("lbl").as("community"), col("n_members"),
+        coalesce(col("e_c"), lit(0L)).as("e_c"),
+        coalesce(col("d_c"), lit(0L)).as("d_c"))
+    val q = per.agg(
+      sum(expr(s"CAST(4 AS DECIMAL(38,0)) * $m * e_c")).as("se"),
+      sum(expr("CAST(d_c AS DECIMAL(38,0)) * d_c")).as("sd"))
+      .selectExpr(
+        s"""CAST(CASE WHEN $m = 0 THEN NULL
+           | ELSE ((se - sd) * 1000000) DIV (CAST(4 AS DECIMAL(38,0)) * $m * $m)
+           | END AS BIGINT) AS q_micro""".stripMargin)
+      .head().get(0)
+    per
+      .selectExpr("community", "n_members", "e_c", "d_c",
+        s"""CAST((CAST(4 AS DECIMAL(38,0)) * $m * e_c
+           |  - CAST(d_c AS DECIMAL(38,0)) * d_c) * 1000000
+           |  DIV (CAST(4 AS DECIMAL(38,0)) * $m * $m) AS BIGINT)
+           |  AS contrib_micro""".stripMargin)
+      .withColumn("q_micro", lit(q).cast("long"))
+      .orderBy(desc("n_members"), asc("community")).limit(10)
   }
 
   /** Connected-component size census of the weight-≥2 co-purchase graph
@@ -644,6 +707,7 @@ object Graph {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_modularity" -> (modularity _),
     "q_assortativity" -> (assortativity _),
     "q_closeness" -> (closeness _),
     "q_link_predict" -> (linkPredict _),
@@ -658,6 +722,45 @@ object Graph {
     "q_kcore" -> (kCore _))
 
   val oracles: Map[String, String] = Map(
+    "q_modularity" -> {
+      val passes = (1 to LpaIters).map { k =>
+        s"""c$k AS MATERIALIZED (SELECT ed.v, l.lbl, count(*) AS c
+           |  FROM ed JOIN p${k - 1} l ON l.node = ed.u
+           |  GROUP BY ed.v, l.lbl),
+           |p$k AS MATERIALIZED (SELECT v AS node, lbl FROM (
+           |    SELECT v, lbl, row_number() OVER (PARTITION BY v
+           |      ORDER BY c DESC, lbl) AS rk FROM c$k) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      val pL = s"p$LpaIters"
+      s"""WITH l AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |pw AS MATERIALIZED (SELECT x.p::BIGINT AS a, y.p::BIGINT AS b, count(*) AS w
+         |  FROM l x JOIN l y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2),
+         |e0 AS MATERIALIZED (SELECT a, b FROM pw WHERE w >= $KcoreMinW),
+         |ed AS MATERIALIZED (SELECT a AS v, b AS u FROM e0
+         |  UNION ALL SELECT b, a FROM e0),
+         |p0 AS (SELECT DISTINCT v AS node, v AS lbl FROM ed),
+         |$passes,
+         |mm AS (SELECT count(*)::HUGEINT AS m FROM e0),
+         |sizes AS (SELECT lbl, count(*)::BIGINT AS n_members FROM $pL GROUP BY lbl),
+         |intra AS (SELECT la.lbl, count(*)::BIGINT AS e_c FROM e0
+         |  JOIN $pL la ON la.node = e0.a JOIN $pL lb ON lb.node = e0.b
+         |  WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+         |degs AS (SELECT l2.lbl, count(*)::BIGINT AS d_c FROM ed
+         |  JOIN $pL l2 ON l2.node = ed.v GROUP BY l2.lbl),
+         |per AS (SELECT s.lbl AS community, s.n_members,
+         |    coalesce(i.e_c, 0)::BIGINT AS e_c, coalesce(d.d_c, 0)::BIGINT AS d_c
+         |  FROM sizes s LEFT JOIN degs d ON d.lbl = s.lbl
+         |  LEFT JOIN intra i ON i.lbl = s.lbl),
+         |q AS (SELECT ((sum(4 * (SELECT m FROM mm) * e_c)
+         |    - sum(d_c::HUGEINT * d_c)) * 1000000)
+         |    // (4 * (SELECT m FROM mm) * (SELECT m FROM mm)) AS q FROM per)
+         |SELECT community, n_members, e_c, d_c,
+         |  ((4 * (SELECT m FROM mm) * e_c - d_c::HUGEINT * d_c) * 1000000
+         |    // (4 * (SELECT m FROM mm) * (SELECT m FROM mm)))::BIGINT
+         |    AS contrib_micro,
+         |  (SELECT q FROM q)::BIGINT AS q_micro
+         |FROM per ORDER BY n_members DESC, community LIMIT 10""".stripMargin
+    },
     "q_assortativity" ->
       """WITH e AS (SELECT DISTINCT l_suppkey::BIGINT AS s, o_custkey::BIGINT AS c
         |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

@@ -165,6 +165,51 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("funnelWilson: interval brackets the rate, stays honest at p=1") {
+    val rows = Events.funnelWilson(spark, dir).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (c, n) = (r.getLong(1), r.getLong(2))
+      val (rate, lo, hi) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(lo <= rate && rate <= hi, s"${r.getString(0)}: $lo <= $rate <= $hi")
+      assert(lo >= 0 && hi <= 10000)
+      // identical pinned-literal double replay
+      val p = c.toDouble / n
+      def w(s: Int) = math.round(
+        ((p + 3.841459 / (2 * n) + s * 1.959964 * math.sqrt(
+          p * (1 - p) / n + 3.841459 / (4 * n.toDouble * n)))
+          / (1 + 3.841459 / n)) * 10000)
+      assert(lo == w(-1) && hi == w(1), s"${r.getString(0)} replay")
+      // the whole point vs Wald: a p̂=1 step still confesses uncertainty
+      if (c == n) assert(lo < 10000 && hi == 10000)
+    }
+  }
+
+  test("modularity: degree identity, bounded index, exact contribution replay") {
+    import org.apache.spark.sql.functions._
+    val rows = Graph.modularity(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // recompute m exactly as the operator derives it
+    val l = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val m = l.select(col("o"), col("p").as("a"))
+      .join(l.select(col("o"), col("p").as("b")), "o")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= Graph.KcoreMinW).count()
+    val q = rows.head.getLong(rows.head.fieldIndex("q_micro"))
+    assert(q >= -1000000L && q <= 1000000L)
+    rows.foreach { r =>
+      def g(c: String) = r.getLong(r.fieldIndex(c))
+      // every intra edge adds 2 to the community's degree sum
+      assert(g("d_c") >= 2 * g("e_c"), s"community ${r.get(0)}")
+      assert(g("q_micro") == q)
+      val contrib = ((BigInt(4) * m * g("e_c") - BigInt(g("d_c")) * g("d_c"))
+        * 1000000) / (BigInt(4) * m * m)
+      assert(g("contrib_micro") == contrib.toLong, s"community ${r.get(0)} contrib")
+    }
+  }
+
   test("seqPatterns matches a naive sessionized eventually-follows replay") {
     val ev = graft.Tables.events(spark, dir)
       .selectExpr("user_id", "event_id", "unix_micros(ts) AS us", "event_type")
