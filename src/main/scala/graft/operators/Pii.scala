@@ -162,13 +162,56 @@ object Pii {
         "li_share_bp", "cents_share_bp")
   }
 
+  val DpEpsilonMicro = 1000000L // ε = 1 (b = 1/ε = 1)
+
+  /** Differentially-private count census — the RELEASE mechanism next
+    * to the measurement ops ([[kAnonymity]] measures risk; this one
+    * actually publishes): per nation the customer count plus Laplace(1/ε)
+    * noise, with the noise SEEDED from the group key (u = hash56 of a
+    * salted key / 2⁵⁶ → inverse-CDF −b·sign(u−½)·ln(1−2|u−½|)) so the
+    * release is reproducible and the DuckDB oracle replays the identical
+    * doubles — the determinism is in the HARNESS, not a weakening of the
+    * mechanism (a production run would swap the salt per release). True
+    * counts are NOT emitted; floors at 0.
+    *
+    * Scale: one dimension rollup bounded by the nation domain + a
+    * map-side noise expression. */
+  def dpCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").as("nation"))
+      .agg(count(lit(1)).as("c"))
+      .selectExpr("nation",
+        s"""CAST(conv(substring(md5(concat('dp#', CAST(nation AS STRING))), 1, 14), 16, 10)
+           | AS DOUBLE) / 72057594037927936.0 AS u""".stripMargin,
+        "c")
+      .selectExpr("nation",
+        """GREATEST(CAST(0 AS BIGINT), c + CAST(round(
+          | -(CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+          | * ln(1 - 2 * abs(u - 0.5))) AS BIGINT)) AS noisy_count""".stripMargin,
+        s"CAST($DpEpsilonMicro AS BIGINT) AS epsilon_micro")
+      .orderBy("nation")
+
   val queries: Map[String, Q] = Map(
+    "q_dp_counts" -> (dpCounts _),
     "q_forget_cascade" -> (forgetCascade _),
     "q_pii_scan" -> (piiScan _),
     "q_pii_redact" -> (piiRedact _),
     "q_k_anonymity" -> (kAnonymity _))
 
   val oracles: Map[String, String] = Map(
+    "q_dp_counts" ->
+      s"""WITH g AS (SELECT c_nationkey AS nation, count(*)::BIGINT AS c
+         |  FROM customer GROUP BY 1),
+         |u AS (SELECT nation, c,
+         |    ('0x' || substr(md5('dp#' || nation::VARCHAR), 1, 14))::UBIGINT::DOUBLE
+         |      / 72057594037927936.0 AS u
+         |  FROM g)
+         |SELECT nation,
+         |  greatest(0, c + round(
+         |    -(CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+         |    * ln(1 - 2 * abs(u - 0.5)))::BIGINT)::BIGINT AS noisy_count,
+         |  $DpEpsilonMicro::BIGINT AS epsilon_micro
+         |FROM u ORDER BY nation""".stripMargin,
     "q_forget_cascade" ->
       s"""WITH tomb AS (SELECT c_custkey AS tk FROM customer
          |  WHERE c_custkey % $ForgetMod = 0),

@@ -487,7 +487,80 @@ object Similarity {
       .orderBy("source")
   }
 
+  val PrfFeedbackDocs = 5
+  val PrfExpandTerms = 3
+  val PrfTopK = 10
+
+  /** Row-wise BM25 with ORDER-FREE integer scoring — the variable-
+    * queryset twin of [[bm25Df]] (whose fixed pivot needs the terms at
+    * PLAN time): terms arrive as a DATAFRAME, each (doc, term) scores
+    * independently into micro-rounded BIGINT (one double formula per
+    * cell, the pinned-literal discipline), and the doc score is the
+    * INTEGER sum — immune to float-add ordering, so partial aggregation
+    * stays safe at any parallelism. */
+  private[graft] def bm25MicroRows(docs: DataFrame, termsDf: DataFrame,
+      k: Int): DataFrame = {
+    import graft.functions.TextFns.tokens
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .localCheckpoint() // shared by dl, tf, and df
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = toks.join(broadcast(termsDf), "w")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val cell = tf.join(broadcast(dfs), "w").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .selectExpr("doc_id",
+        s"""CAST(round(
+           | ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+           | * (CAST(tf AS DOUBLE) * ${Bm25K1 + 1})
+           | / (tf + $Bm25K1 * (${1 - Bm25B} + $Bm25B
+           |     * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))
+           | * 1000000) AS BIGINT) AS s_micro""".stripMargin)
+    val scored = cell.groupBy("doc_id").agg(sum("s_micro").as("score_micro"))
+    val top = scored.orderBy(col("score_micro").desc, col("doc_id").asc).limit(k)
+    val w = Window.orderBy(col("score_micro").desc, col("doc_id").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select("rank", "doc_id", "score_micro")
+  }
+
+  /** Pseudo-relevance-feedback retrieval (RM3's term-expansion core —
+    * the classic two-stage pipeline the single-shot BM25 gate doesn't
+    * exercise): score the pinned base query, take the top
+    * [[PrfFeedbackDocs]] docs as silent relevance feedback, promote
+    * their [[PrfExpandTerms]] highest-total-tf non-query terms into the
+    * queryset, re-score, and emit both leaderboards. Both passes ride
+    * [[bm25MicroRows]]' order-free integer scoring; the expansion pick
+    * is exact integer (tf desc, term asc).
+    *
+    * Scale: two inverted-index passes plus ONE bounded collect (the
+    * 3-term expansion — a queryset, not data); feedback tf rollup is
+    * keyed on the 5-doc shortlist via a broadcast semi-join. */
+  def prfSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFns.tokens
+    val docs = Tables.documents(spark, dir)
+    val baseTerms = Bm25Terms.toDF("w")
+    val base = bm25MicroRows(docs, baseTerms, PrfTopK)
+      .localCheckpoint() // reused: output stage 1 + feedback shortlist
+    val fb = base.orderBy("rank").limit(PrfFeedbackDocs).select("doc_id")
+    val expansion = docs.join(broadcast(fb), "doc_id")
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0 && !col("w").isInCollection(Bm25Terms))
+      .groupBy("w").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("w").asc).limit(PrfExpandTerms)
+      .select("w").as[String].collect().toSeq // bounded: 3 terms
+    val expanded = bm25MicroRows(docs, (Bm25Terms ++ expansion).toDF("w"), PrfTopK)
+    base.selectExpr("'base' AS stage", "rank", "doc_id", "score_micro")
+      .unionAll(expanded.selectExpr("'expanded' AS stage", "rank", "doc_id",
+        "score_micro"))
+      .orderBy("stage", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_prf_search" -> (prfSearch _),
     "q_rrf_fusion" -> (rrfFusion _),
     "q_phrase_search" -> (phraseSearch _),
     "q_ann_brute" -> (bruteTopK _),
@@ -560,7 +633,47 @@ object Similarity {
        |    (SELECT sum_dl::DOUBLE / n_docs::DOUBLE AS avgdl FROM st) a)""".stripMargin
   }
 
+  /** DuckDB twin of one [[bm25MicroRows]] pass over term CTE `tcte`,
+    * emitting `top$tag(rank, doc_id, score_micro)`. */
+  private def prfPassSql(tag: String, tcte: String): String =
+    s"""tf$tag AS (SELECT doc_id, w, count(*)::BIGINT AS tf
+       |  FROM tw JOIN $tcte USING (w) GROUP BY doc_id, w),
+       |df$tag AS (SELECT w, count(*)::BIGINT AS df FROM tf$tag GROUP BY w),
+       |cell$tag AS (SELECT doc_id, round(
+       |    ln((n_docs::DOUBLE - df + 0.5) / (df + 0.5) + 1.0)
+       |    * (tf::DOUBLE * ${Bm25K1 + 1})
+       |    / (tf + $Bm25K1 * (${1 - Bm25B} + $Bm25B
+       |        * (dl::DOUBLE / (sum_dl::DOUBLE / n_docs))))
+       |    * 1000000)::BIGINT AS s
+       |  FROM tf$tag JOIN df$tag USING (w) JOIN dl USING (doc_id) CROSS JOIN st),
+       |sc$tag AS (SELECT doc_id, sum(s)::BIGINT AS score_micro
+       |  FROM cell$tag GROUP BY doc_id),
+       |top$tag AS (SELECT doc_id, score_micro,
+       |    row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank
+       |  FROM sc$tag ORDER BY score_micro DESC, doc_id LIMIT $PrfTopK)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_prf_search" -> {
+      val baseList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |  FROM documents),
+         |tw AS (SELECT doc_id, w FROM toks WHERE len(w) > 0),
+         |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tw GROUP BY doc_id),
+         |st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+         |bt AS (SELECT unnest([$baseList]) AS w),
+         |${prfPassSql("1", "bt")},
+         |fb AS (SELECT doc_id FROM top1 WHERE rank <= $PrfFeedbackDocs),
+         |expn AS (SELECT w FROM (
+         |  SELECT w, count(*)::BIGINT AS tf FROM tw SEMI JOIN fb USING (doc_id)
+         |  WHERE w NOT IN ($baseList) GROUP BY w
+         |  ORDER BY tf DESC, w LIMIT $PrfExpandTerms)),
+         |t2 AS (SELECT w FROM bt UNION ALL SELECT w FROM expn),
+         |${prfPassSql("2", "t2")}
+         |SELECT 'base' AS stage, rank, doc_id, score_micro FROM top1
+         |UNION ALL
+         |SELECT 'expanded', rank, doc_id, score_micro FROM top2
+         |ORDER BY stage, rank""".stripMargin
+    },
     "q_rrf_fusion" ->
       s"""WITH $bm25ScoredCtes,
          |bm AS (SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank_bm25,

@@ -40,4 +40,43 @@ class Bm25Spec extends SparkSpec {
     assert(math.abs(byDoc(1L) - math.log(2.0)) < 5e-5)
     assert(byDoc(2L) == 0.0)
   }
+
+  test("prfSearch: expansion only adds positive term mass; ranks stay strict") {
+    val rows = Similarity.prfSearch(spark, "/root/testdata/sf0.001").collect()
+    val stages = rows.groupBy(_.getString(0))
+    assert(stages.keySet == Set("base", "expanded"))
+    stages.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length))
+      // strict leaderboard: scores non-increasing with rank, ids tie-break
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(3) > b.getLong(3) ||
+            (a.getLong(3) == b.getLong(3) && a.getLong(2) < b.getLong(2)))
+        case _ => ()
+      }
+    }
+    // every BM25 cell is positive, so per-doc scores can only grow with
+    // extra query terms: the expanded winner must outscore the base winner
+    val baseTop = stages("base").minBy(_.getInt(1)).getLong(3)
+    val expTop = stages("expanded").minBy(_.getInt(1)).getLong(3)
+    assert(expTop >= baseTop, s"$expTop vs $baseTop")
+  }
+
+  test("dpCounts: reproducible release, floored at zero, Laplace-bounded") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val a = Pii.dpCounts(spark, dir).collect().map(_.toSeq)
+    val b = Pii.dpCounts(spark, dir).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq, "seeded noise must be reproducible")
+    val truth = graft.Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").cast("long").as("n")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    a.foreach { r =>
+      val (nation, noisy) = (r(0).asInstanceOf[Number].longValue, r(1).asInstanceOf[Long])
+      assert(noisy >= 0L)
+      // Laplace(b=1) from a 56-bit seed: |noise| <= |ln 2^-56| < 39
+      assert(math.abs(noisy - truth(nation)) <= 40L, s"nation $nation")
+    }
+  }
 }
