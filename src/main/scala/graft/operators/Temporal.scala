@@ -844,7 +844,59 @@ object Temporal {
           | AS tau2_micro""".stripMargin)
   }
 
+  val CpMinSeg = 4
+
+  /** Binary-segmentation changepoint detection — the MULTI-changepoint
+    * upgrade over [[cusumShift]]'s single drifting-mean alarm: the CUSUM
+    * location statistic k* = argmax |n·S_k − k·S_n| (all-INTEGER — no
+    * variance estimate, no doubles) finds the global split of the daily
+    * revenue series, then recurses once into each side (segments
+    * shorter than [[CpMinSeg]] days don't split). Scores are exact
+    * BigInt comparisons with the smallest-k tie-break, so the oracle
+    * replays them verbatim.
+    *
+    * Scale: the series is the DAY-GRAIN rollup (bounded by the horizon
+    * at any corpus size) — the driver recursion is O(days), the KM
+    * driver-fold class; the corpus cost is one partial+final rollup. */
+  def changepoints(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+      .orderBy("d")
+      .collect().map(r => (r.getDate(0), r.getLong(1))) // bounded: day grain
+    binSeg(daily.map(_._2)).map { case (w, k, sc) =>
+      (w, daily(k - 1)._1, k.toLong, sc.toLong)
+    }.toDF("which", "cp_day", "k", "score").orderBy("which")
+  }
+
+  /** One-level binary segmentation over a series: ("global"/"left"/
+    * "right", 1-based split index, exact CUSUM score). */
+  private[graft] def binSeg(xs: Seq[Long]): Seq[(String, Int, BigInt)] = {
+    val s = xs.scanLeft(BigInt(0))(_ + _).tail // prefix sums, 1-based
+    def pre(i: Int): BigInt = if (i == 0) BigInt(0) else s(i - 1)
+    // best split k in [lo..hi-1] of the 1-based segment [lo, hi]
+    def cp(lo: Int, hi: Int): Option[(Int, BigInt)] = {
+      val n = hi - lo + 1
+      if (n < CpMinSeg) None
+      else {
+        val st = pre(hi) - pre(lo - 1)
+        Some((lo until hi).map { k =>
+          (k, (BigInt(n) * (pre(k) - pre(lo - 1)) - BigInt(k - lo + 1) * st).abs)
+        }.minBy { case (k, sc) => (-sc, k) })
+      }
+    }
+    val t = xs.length
+    cp(1, t).toSeq.flatMap { case (k1, sc1) =>
+      Seq(("global", k1, sc1)) ++
+        cp(1, k1).map { case (k, sc) => ("left", k, sc) } ++
+        cp(k1 + 1, t).map { case (k, sc) => ("right", k, sc) }
+    }
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_changepoints" -> (changepoints _),
     "q_spearman" -> (spearmanDaily _),
     "q_kendall_tau" -> (kendallDaily _),
     "q_scd2" -> (scdType2 _),
@@ -992,6 +1044,37 @@ object Temporal {
          |  ((($num) * 1000) // ($den))::BIGINT AS ewma_millicents
          |FROM l ORDER BY pri, d""".stripMargin
     },
+    "q_changepoints" ->
+      s"""WITH daily AS (SELECT o_orderdate::DATE AS d,
+         |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS x
+         |  FROM orders GROUP BY 1),
+         |idx AS (SELECT d, x, row_number() OVER (ORDER BY d) AS i FROM daily),
+         |pre AS (SELECT d, x, i, sum(x) OVER (ORDER BY i
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::HUGEINT AS s
+         |  FROM idx),
+         |tot AS (SELECT max(i)::HUGEINT AS t, sum(x)::HUGEINT AS st FROM idx),
+         |cp1 AS (SELECT i, d,
+         |    abs((SELECT t FROM tot) * s - i::HUGEINT * (SELECT st FROM tot)) AS sc
+         |  FROM pre WHERE i < (SELECT t FROM tot)
+         |    AND (SELECT t FROM tot) >= $CpMinSeg
+         |  ORDER BY sc DESC, i LIMIT 1),
+         |lv AS (SELECT i AS i1, (SELECT s FROM pre WHERE i = cp1.i) AS s1
+         |  FROM cp1),
+         |cpl AS (SELECT p.i, p.d,
+         |    abs(lv.i1::HUGEINT * p.s - p.i::HUGEINT * lv.s1) AS sc
+         |  FROM pre p, lv WHERE p.i < lv.i1 AND lv.i1 >= $CpMinSeg
+         |  ORDER BY sc DESC, p.i LIMIT 1),
+         |cpr AS (SELECT p.i, p.d,
+         |    abs(((SELECT t FROM tot) - lv.i1) * (p.s - lv.s1)
+         |      - (p.i::HUGEINT - lv.i1) * ((SELECT st FROM tot) - lv.s1)) AS sc
+         |  FROM pre p, lv WHERE p.i > lv.i1 AND p.i < (SELECT t FROM tot)
+         |    AND (SELECT t FROM tot) - lv.i1 >= $CpMinSeg
+         |  ORDER BY sc DESC, p.i LIMIT 1)
+         |SELECT 'global' AS which, d AS cp_day, i::BIGINT AS k, sc::BIGINT AS score
+         |FROM cp1
+         |UNION ALL SELECT 'left', d, i::BIGINT, sc::BIGINT FROM cpl
+         |UNION ALL SELECT 'right', d, i::BIGINT, sc::BIGINT FROM cpr
+         |ORDER BY which""".stripMargin,
     "q_cusum_shift" ->
       """WITH daily AS (SELECT event_type AS et, CAST(ts AS DATE) AS d,
         |    count(*) AS x

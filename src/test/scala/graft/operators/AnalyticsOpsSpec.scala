@@ -165,6 +165,23 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("binSeg finds planted level shifts at the exact indexes") {
+    // two planted shifts: 10→50 after index 4, 50→20 after index 8
+    val xs = Seq[Long](10, 10, 10, 10, 50, 50, 50, 50, 20, 20, 20, 20)
+    val got = Temporal.binSeg(xs).map(t => t._1 -> t._2).toMap
+    // global split lands on one of the two true breaks
+    assert(got("global") == 4 || got("global") == 8, s"$got")
+    // each recursion finds the remaining break
+    if (got("global") == 4) assert(got("right") == 8 - 4 + 4, s"$got")
+    else assert(got("left") == 4, s"$got")
+    // constant series: max |n·S_k − k·S_n| = 0 for every k → tie-break
+    // picks k = 1 everywhere it can split
+    val const = Temporal.binSeg(Seq.fill(8)(7L)).map(t => t._1 -> t._2).toMap
+    assert(const("global") == 1)
+    // short series: no split at all below CpMinSeg
+    assert(Temporal.binSeg(Seq(1L, 2L, 3L)).isEmpty)
+  }
+
   test("funnelWilson: interval brackets the rate, stays honest at p=1") {
     val rows = Events.funnelWilson(spark, dir).collect()
     assert(rows.length == 3)
