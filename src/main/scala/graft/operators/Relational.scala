@@ -1763,7 +1763,45 @@ object Relational {
       .orderBy("scheme")
   }
 
+  val AlsoBoughtParts = 20
+  val AlsoBoughtK = 3
+
+  /** "Customers also bought" recommendation table — the SERVING
+    * artifact [[basketPairs]]' association screen feeds (per anchor
+    * part its top-[[AlsoBoughtK]] co-purchased partners): co-occurrence
+    * counts symmetrize the basket pair census, each anchor keeps its
+    * top partners via a part-keyed rank window, and the gate emits the
+    * [[AlsoBoughtParts]] hottest anchors (by total co-occurrence,
+    * fully tie-broken).
+    *
+    * Scale: the same DISTINCT-basket self-equi-join as basketPairs
+    * (fan-out Σ(items/order choose 2), linear in orders); the rank
+    * window partitions by anchor part — millions of small groups, never
+    * a global sort; the hot-anchor pick is TakeOrderedAndProject. */
+  def alsoBought(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val a = items.selectExpr("ok", "pk AS pa")
+    val b = items.selectExpr("ok AS okb", "pk AS pb")
+    val pairs = a.join(b, col("ok") === col("okb") && col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("c"))
+    val sym = pairs.selectExpr("pa AS part", "pb AS partner", "c")
+      .unionAll(pairs.selectExpr("pb AS part", "pa AS partner", "c"))
+      .localCheckpoint() // feeds both the rank window and the anchor pick
+    val hot = sym.groupBy("part").agg(sum("c").as("tot"))
+      .orderBy(col("tot").desc, col("part").asc).limit(AlsoBoughtParts)
+    val w = Window.partitionBy("part").orderBy(col("c").desc, col("partner").asc)
+    sym.join(broadcast(hot), "part")
+      .withColumn("rec_rank", row_number().over(w))
+      .filter(col("rec_rank") <= AlsoBoughtK)
+      .select(col("part"), col("tot").as("part_total"), col("rec_rank"),
+        col("partner"), col("c").as("n_cobought"))
+      .orderBy("part", "rec_rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_also_bought" -> (alsoBought _),
     "q_blocking_quality" -> (blockingQuality _),
     "q_elasticity" -> (priceElasticity _),
     "q_basket_pairs" -> (basketPairs _),
@@ -1832,6 +1870,22 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_also_bought" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem),
+         |pairs AS (SELECT a.pk AS pa, b.pk AS pb, count(*)::BIGINT AS c
+         |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2),
+         |sym AS (SELECT pa AS part, pb AS partner, c FROM pairs
+         |  UNION ALL SELECT pb, pa, c FROM pairs),
+         |hot AS (SELECT part, sum(c)::BIGINT AS tot FROM sym GROUP BY part
+         |  ORDER BY tot DESC, part LIMIT $AlsoBoughtParts),
+         |rk AS (SELECT s.part, h.tot, s.partner, s.c, row_number()
+         |    OVER (PARTITION BY s.part ORDER BY s.c DESC, s.partner) AS rec_rank
+         |  FROM sym s JOIN hot h USING (part))
+         |SELECT part, tot AS part_total, rec_rank, partner, c AS n_cobought
+         |FROM rk WHERE rec_rank <= $AlsoBoughtK
+         |ORDER BY part, rec_rank""".stripMargin,
     "q_blocking_quality" ->
       """WITH c AS (SELECT c_custkey AS id,
         |    c_nationkey::VARCHAR AS blk_nation,

@@ -895,7 +895,52 @@ object Temporal {
     }
   }
 
+  val InfluenceTopK = 5
+
+  /** Leave-one-out slope influence — the regression-diagnostics
+    * companion to [[olsTrend]] (which days BEND the trend? Cook's-
+    * distance question answered exactly): because the OLS slope is a
+    * closed form of 5 sums, each day's leave-one-out slope costs O(1) —
+    * subtract the day's terms from the broadcast totals and re-divide.
+    * Slopes in integer micro (the olsTrend DECIMAL(38,0) discipline);
+    * influence = slope_loo − slope_full; top-[[InfluenceTopK]] days by
+    * (|influence| desc, day asc). Degenerate LOO variance drops the day
+    * (visible in both engines).
+    *
+    * Scale: one daily partial+final rollup; the LOO pass is the
+    * bounded day table against a 1-row broadcast of the full sums. */
+  def slopeInfluence(spark: SparkSession, dir: String): DataFrame = {
+    val roll = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("y"))
+    val daily = roll.crossJoin(broadcast(roll.agg(min("d").as("d0"))))
+      .selectExpr("d", "CAST(datediff(d, d0) AS BIGINT) AS x", "y")
+    val tot = daily.agg(count(lit(1)).as("n"),
+      sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+      sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+    def slope(n: String, sx: String, sy: String, sxx: String, sxy: String) =
+      s"""CASE WHEN CAST($n AS DECIMAL(38,0)) * $sxx - $sx * $sx = 0 THEN NULL
+         | ELSE ((CAST($n AS DECIMAL(38,0)) * $sxy - $sx * $sy) * 1000000)
+         |   DIV (CAST($n AS DECIMAL(38,0)) * $sxx - $sx * $sx) END""".stripMargin
+    daily.crossJoin(broadcast(tot))
+      .selectExpr("d", "x", "y",
+        s"CAST(${slope("n", "sx", "sy", "sxx", "sxy")} AS BIGINT) AS slope_full_micro",
+        s"""CAST(${slope("(n - 1)",
+          "(sx - x)", "(sy - y)",
+          "(sxx - CAST(x AS DECIMAL(38,0)) * x)",
+          "(sxy - CAST(x AS DECIMAL(38,0)) * y)")} AS BIGINT)
+          | AS slope_loo_micro""".stripMargin)
+      .filter(col("slope_loo_micro").isNotNull && col("slope_full_micro").isNotNull)
+      .withColumn("influence_micro", col("slope_loo_micro") - col("slope_full_micro"))
+      .orderBy(abs(col("influence_micro")).desc, col("d").asc)
+      .limit(InfluenceTopK)
+      .select("d", "x", "y", "slope_full_micro", "slope_loo_micro", "influence_micro")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_influence" -> (slopeInfluence _),
     "q_changepoints" -> (changepoints _),
     "q_spearman" -> (spearmanDaily _),
     "q_kendall_tau" -> (kendallDaily _),
@@ -1043,6 +1088,33 @@ object Temporal {
          |SELECT pri, d, cents,
          |  ((($num) * 1000) // ($den))::BIGINT AS ewma_millicents
          |FROM l ORDER BY pri, d""".stripMargin
+    },
+    "q_influence" -> {
+      def slope(n: String, sx: String, sy: String, sxx: String, sxy: String) =
+        s"""CASE WHEN $n * $sxx - $sx * $sx = 0 THEN NULL
+           | ELSE (($n * $sxy - $sx * $sy) * 1000000)
+           |   // ($n * $sxx - $sx * $sx) END""".stripMargin
+      s"""WITH roll AS (SELECT o_orderdate::DATE AS d,
+         |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS y
+         |  FROM orders GROUP BY 1),
+         |daily AS (SELECT d,
+         |    (d - (SELECT min(d) FROM roll))::BIGINT AS x, y FROM roll),
+         |tot AS (SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+         |    sum(y)::HUGEINT AS sy, sum(x::HUGEINT * x) AS sxx,
+         |    sum(x::HUGEINT * y) AS sxy FROM daily),
+         |loo AS (SELECT d, x, y,
+         |    (${slope("n", "sx", "sy", "sxx", "sxy")})::BIGINT
+         |      AS slope_full_micro,
+         |    (${slope("(n - 1)", "(sx - x)", "(sy - y)",
+               "(sxx - x::HUGEINT * x)", "(sxy - x::HUGEINT * y)")})::BIGINT
+         |      AS slope_loo_micro
+         |  FROM daily CROSS JOIN tot)
+         |SELECT d, x, y, slope_full_micro, slope_loo_micro,
+         |  (slope_loo_micro - slope_full_micro)::BIGINT AS influence_micro
+         |FROM loo
+         |WHERE slope_loo_micro IS NOT NULL AND slope_full_micro IS NOT NULL
+         |ORDER BY abs(slope_loo_micro - slope_full_micro) DESC, d
+         |LIMIT $InfluenceTopK""".stripMargin
     },
     "q_changepoints" ->
       s"""WITH daily AS (SELECT o_orderdate::DATE AS d,

@@ -165,6 +165,57 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("slopeInfluence: LOO slopes match an exact BigInt refit replay") {
+    import org.apache.spark.sql.functions._
+    val daily = graft.Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("y"))
+      .orderBy("d").collect().map(r => (r.getDate(0), r.getLong(1)))
+    val d0 = daily.head._1.toLocalDate
+    val xy = daily.map { case (d, y) =>
+      (BigInt(java.time.temporal.ChronoUnit.DAYS.between(d0, d.toLocalDate)), BigInt(y))
+    }
+    def slope(pts: Seq[(BigInt, BigInt)]): Option[BigInt] = {
+      val n = BigInt(pts.length)
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum; val sxy = pts.map(p => p._1 * p._2).sum
+      val den = n * sxx - sx * sx
+      if (den == 0) None else Some((n * sxy - sx * sy) * 1000000 / den)
+    }
+    val full = slope(xy.toSeq).get
+    val got = Temporal.slopeInfluence(spark, dir).collect()
+    assert(got.length == Temporal.InfluenceTopK)
+    got.foreach { r =>
+      val x = BigInt(r.getLong(r.fieldIndex("x")))
+      assert(r.getLong(r.fieldIndex("slope_full_micro")) == full.toLong)
+      val loo = slope(xy.toSeq.filterNot(_._1 == x)).get
+      assert(r.getLong(r.fieldIndex("slope_loo_micro")) == loo.toLong,
+        s"day ${r.get(0)}")
+      assert(r.getLong(r.fieldIndex("influence_micro")) == (loo - full).toLong)
+    }
+  }
+
+  test("alsoBought: per-anchor leaderboards are strict and bounded") {
+    val rows = Relational.alsoBought(spark, dir).collect()
+    val byPart = rows.groupBy(_.getLong(0))
+    assert(byPart.size <= Relational.AlsoBoughtParts && byPart.nonEmpty)
+    byPart.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).toSeq == (1 to sorted.length))
+      assert(sorted.length <= Relational.AlsoBoughtK)
+      sorted.sliding(2).foreach {
+        case Array(p, q) =>
+          assert(p.getLong(4) > q.getLong(4) ||
+            (p.getLong(4) == q.getLong(4) && p.getLong(3) < q.getLong(3)))
+        case _ => ()
+      }
+      val tot = sorted.head.getLong(1)
+      assert(sorted.forall(r => r.getLong(4) <= tot && r.getLong(1) == tot))
+      assert(sorted.forall(r => r.getLong(3) != r.getLong(0)),
+        "an anchor never recommends itself")
+    }
+  }
+
   test("binSeg finds planted level shifts at the exact indexes") {
     // two planted shifts: 10→50 after index 4, 50→20 after index 8
     val xs = Seq[Long](10, 10, 10, 10, 50, 50, 50, 50, 20, 20, 20, 20)
