@@ -303,10 +303,9 @@ object Dedup {
       .orderBy("source")
   }
 
-  /** MinHash signature matrix (16 perms) → LSH banding (4 bands × 4 rows)
-    * → candidate pairs sharing a band → exact-Jaccard filter >= 0.5. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shinglesDf(spark, dir).cache()
+  /** Shared MinHash machinery: the 16-perm signature frame (m0..m15)
+    * and the banded candidate pairs over any (doc_id, sh) frame. */
+  private[graft] def sigAndCands(sh: DataFrame): (DataFrame, DataFrame) = {
     val hs = sh.select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), pmod(hash56(col("s")), lit(MinhashP)).as("h"))
     val sigCols = (0 until NumPerms).map(i =>
@@ -322,6 +321,14 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    (sig, cand)
+  }
+
+  /** MinHash signature matrix (16 perms) → LSH banding (4 bands × 4 rows)
+    * → candidate pairs sharing a band → exact-Jaccard filter >= 0.5. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shinglesDf(spark, dir).cache()
+    val (_, cand) = sigAndCands(sh)
     graft.GateUtil.pinned(
       cand
         .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
@@ -332,6 +339,48 @@ object Dedup {
         .filter(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b"))(sh.unpersist(false))
+  }
+
+  val CalErrBucketBp = 500L
+
+  /** MinHash estimator calibration — the fidelity report the LSH dedup
+    * family ships WITHOUT (how wrong is a 16-perm signature, actually?):
+    * for every banded candidate pair, the signature estimate
+    * (matching components / 16, in bp) against the exact shingle
+    * Jaccard, folded into a [[CalErrBucketBp]]-wide error-bucket census
+    * with integer per-bucket means. Reads directly as "estimate − truth"
+    * in 5%-of-scale buckets — the evidence behind the family's
+    * banding thresholds.
+    *
+    * Scale: candidates only (the banding bound — never all pairs); the
+    * signature compare is 16 integer equality checks per pair; the
+    * census is a ≤41-bucket rollup. */
+  def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shinglesDf(spark, dir).cache()
+    val (sig, cand) = sigAndCands(sh)
+    val matches = (0 until NumPerms)
+      .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val mm = cand
+      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        ((matches * 10000L) / NumPerms).cast("long").as("est_bp"))
+    val ex = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .selectExpr("doc_a", "doc_b",
+        """CAST((size(array_intersect(sha, shb)) * 10000)
+          | DIV size(array_union(sha, shb)) AS BIGINT) AS exact_bp""".stripMargin)
+    graft.GateUtil.pinned(
+      mm.join(ex, Seq("doc_a", "doc_b"))
+        .selectExpr("est_bp", "exact_bp",
+          s"(est_bp - exact_bp) DIV $CalErrBucketBp AS err_bucket")
+        .groupBy("err_bucket")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(est_bp) DIV count(1)").as("avg_est_bp"),
+          expr("sum(exact_bp) DIV count(1)").as("avg_exact_bp"))
+        .orderBy("err_bucket"))(sh.unpersist(false))
   }
 
   /** Transitive duplicate-cluster resolution — the step the pair-emitting
@@ -498,6 +547,7 @@ object Dedup {
     "q_dedup_containment" -> ((s, d) => containment(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "q_dedup_minhash_lsh" -> (minhashLsh _),
+    "q_minhash_calibration" -> (minhashCalibration _),
     "q_dedup_simhash" -> (simhash _),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) =>
       embeddingNearDup(s, d, nlist = Similarity.IvfLists)),
@@ -671,6 +721,26 @@ object Dedup {
       s"""WITH $minhashPairCtesSql
          |SELECT doc_a, doc_b, jaccard FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_minhash_calibration" -> {
+      val matchSum = (0 until NumPerms)
+        .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $minhashPairCtesSql,
+         |mm AS (SELECT doc_a, doc_b,
+         |    ((($matchSum) * 10000) // $NumPerms)::BIGINT AS est_bp
+         |  FROM cand JOIN sig sa ON sa.doc_id = doc_a
+         |  JOIN sig sb ON sb.doc_id = doc_b),
+         |ex AS (SELECT doc_a, doc_b,
+         |    ((len(list_intersect(x.s, y.s)) * 10000)
+         |      // len(list_distinct(list_concat(x.s, y.s))))::BIGINT AS exact_bp
+         |  FROM cand JOIN sh x ON doc_a = x.doc_id JOIN sh y ON doc_b = y.doc_id)
+         |SELECT (est_bp - exact_bp) // $CalErrBucketBp AS err_bucket,
+         |  count(*)::BIGINT AS n_pairs,
+         |  (sum(est_bp) // count(*))::BIGINT AS avg_est_bp,
+         |  (sum(exact_bp) // count(*))::BIGINT AS avg_exact_bp
+         |FROM mm JOIN ex USING (doc_a, doc_b)
+         |GROUP BY err_bucket ORDER BY err_bucket""".stripMargin
+    },
     "q_dedup_clusters" ->
       s"""WITH $minhashPairCtesSql,
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs

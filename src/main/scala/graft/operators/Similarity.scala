@@ -559,7 +559,55 @@ object Similarity {
       .orderBy("stage", "rank")
   }
 
+  val TripletDim = 16
+
+  /** Embedding triplet-separation census — the label-quality meter a
+    * training-data pipeline runs before trusting an embedding column
+    * (do same-label points actually sit closer than cross-label ones?):
+    * deterministic triples with zero sampling — anchor a, positive =
+    * the next same-label id (cyclic), negative = the pinned
+    * representative (min id) of the NEXT label class — scored on
+    * round-6 squared distances over the first [[TripletDim]] dims (the
+    * quantizer-dim oracle budget). Violation: d²(a,pos) ≥ d²(a,neg).
+    * Per label: triple count, violations in bp, and the mean
+    * (d²neg − d²pos) gap in micro.
+    *
+    * Scale: one label-keyed lead window (pos), one |labels|-row
+    * broadcast (neg representatives), one map-side distance pass — no
+    * pair joins anywhere. */
+  def tripletEval(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFns.sqDist
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        transform(slice(col("embedding"), 1, TripletDim),
+          x => x.cast("double")).as("v"))
+    val wl = Window.partitionBy("label").orderBy("vec_id")
+    val withPos = emb
+      .withColumn("pos_v", coalesce(lead("v", 1).over(wl),
+        first("v").over(wl.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing))))
+    val nLabels = 10L // pinned label domain of the embeddings table
+    val reps = emb.groupBy("label")
+      .agg(min("vec_id").as("rep_id"))
+      .join(emb.select(col("vec_id").as("rep_id"), col("v").as("neg_v")), "rep_id")
+      .select(pmod(col("label") - 1 + lit(nLabels), lit(nLabels)).as("label"),
+        col("neg_v")) // label L's negative = representative of (L+1) mod k
+    withPos.join(broadcast(reps), "label")
+      .select(col("label"),
+        round(sqDist(col("v"), col("pos_v")), 6).as("dp"),
+        round(sqDist(col("v"), col("neg_v")), 6).as("dn"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_triples"),
+        sum(when(col("dp") >= col("dn"), 1L).otherwise(0L)).as("n_violations"),
+        sum(expr("CAST(round((dn - dp) * 1000000) AS BIGINT)")).as("gap_sum"))
+      .selectExpr("label", "n_triples", "n_violations",
+        "(n_violations * 10000) DIV n_triples AS violation_bp",
+        "gap_sum DIV n_triples AS avg_gap_micro")
+      .orderBy("label")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_triplet_eval" -> (tripletEval _),
     "q_prf_search" -> (prfSearch _),
     "q_rrf_fusion" -> (rrfFusion _),
     "q_phrase_search" -> (phraseSearch _),
@@ -653,6 +701,33 @@ object Similarity {
        |  FROM sc$tag ORDER BY score_micro DESC, doc_id LIMIT $PrfTopK)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_triplet_eval" -> {
+      val sq = (a: String, b: String) =>
+        s"list_sum([($a[i] - $b[i]) * ($a[i] - $b[i]) for i in range(1, $TripletDim + 1)])"
+      s"""WITH emb AS (SELECT vec_id, label::BIGINT AS label,
+         |    list_transform(embedding[1:$TripletDim], x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         |wp AS (SELECT vec_id, label, v,
+         |    coalesce(lead(v) OVER w, first_value(v) OVER (PARTITION BY label
+         |      ORDER BY vec_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |      UNBOUNDED FOLLOWING)) AS pos_v
+         |  FROM emb WINDOW w AS (PARTITION BY label ORDER BY vec_id)),
+         |reps AS (SELECT (m.l2 - 1 + 10) % 10 AS label, e.v AS neg_v
+         |  FROM (SELECT label AS l2, min(vec_id) AS rep_id FROM emb
+         |    GROUP BY label) m
+         |  JOIN emb e ON e.vec_id = m.rep_id),
+         |tri AS (SELECT wp.label,
+         |    round(${sq("wp.v", "wp.pos_v")}, 6) AS dp,
+         |    round(${sq("wp.v", "reps.neg_v")}, 6) AS dn
+         |  FROM wp JOIN reps USING (label))
+         |SELECT label, count(*)::BIGINT AS n_triples,
+         |  sum(CASE WHEN dp >= dn THEN 1 ELSE 0 END)::BIGINT AS n_violations,
+         |  (sum(CASE WHEN dp >= dn THEN 1 ELSE 0 END) * 10000 // count(*))::BIGINT
+         |    AS violation_bp,
+         |  (sum(round((dn - dp) * 1000000)::BIGINT) // count(*))::BIGINT
+         |    AS avg_gap_micro
+         |FROM tri GROUP BY label ORDER BY label""".stripMargin
+    },
     "q_prf_search" -> {
       val baseList = Bm25Terms.map(t => s"'$t'").mkString(", ")
       s"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w

@@ -63,6 +63,22 @@ class Bm25Spec extends SparkSpec {
     assert(expTop >= baseTop, s"$expTop vs $baseTop")
   }
 
+  test("tripletEval: one triple per vector, exact label census, bp identity") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val sizes = graft.Tables.embeddings(spark, dir)
+      .groupBy(col("label").cast("long")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Similarity.tripletEval(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSet == sizes.keySet)
+    rows.foreach { r =>
+      def g(c: String) = r.getLong(r.fieldIndex(c))
+      assert(g("n_triples") == sizes(r.getLong(0)), s"label ${r.getLong(0)}")
+      assert(g("n_violations") >= 0 && g("n_violations") <= g("n_triples"))
+      assert(g("violation_bp") == g("n_violations") * 10000 / g("n_triples"))
+    }
+  }
+
   test("dpCounts: reproducible release, floored at zero, Laplace-bounded") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"

@@ -68,4 +68,22 @@ class DedupSpec extends SparkSpec {
     assert(mean <= sqrtN * 1.5, s"mean occupancy $mean vs sqrtN $sqrtN")
     assert(occ.max <= 8 * sqrtN, s"max occupancy ${occ.max} vs sqrtN $sqrtN")
   }
+
+  test("minhashCalibration buckets contain exactly their error band") {
+    val rows = Dedup.minhashCalibration(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getLong(r.fieldIndex("err_bucket"))
+      val n = r.getLong(r.fieldIndex("n_pairs"))
+      val est = r.getLong(r.fieldIndex("avg_est_bp"))
+      val exact = r.getLong(r.fieldIndex("avg_exact_bp"))
+      assert(n > 0)
+      assert(est >= 0 && est <= 10000 && exact >= 0 && exact <= 10000)
+      // every pair in bucket b has est−exact inside b's truncation band
+      // ((b−1)·500, (b+1)·500) — per-bucket truncated means can wander
+      // one unit, so assert the band with that slack
+      val d = est - exact
+      assert(d > (b - 1) * 500 - 2 && d < (b + 1) * 500 + 2, s"b=$b d=$d")
+    }
+  }
 }
