@@ -388,7 +388,11 @@ object Bench {
         // dyadic census at 10× orders must stay bounded; the gapped
         // pair join's ≤|types|² fan-out and the sessionizer exchange
         "q_phash_dedup", "q_elasticity", "q_closeness",
-        "q_quantile_sketch", "q_seq_patterns")
+        "q_quantile_sketch", "q_seq_patterns",
+        // round-9 third wave: the banded candidate compare at 10× docs;
+        // triplet distances at 10× embeddings; the symmetrized pair
+        // census + anchor windows at 10× baskets
+        "q_minhash_calibration", "q_triplet_eval", "q_also_bought")
       val runs = heavy.map { n =>
         val k = s"sf1_$n"
         rerun(k) = () => materialize(SparkEntry.queries(n)(spark, sf1Dir))

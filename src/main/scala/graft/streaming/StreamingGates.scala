@@ -296,7 +296,34 @@ object StreamingGates {
     } finally rmTree(tmp)
   }
 
+  /** Streaming windowed-counts parity: the q_events_window input
+    * re-played as a 6-slice time-ordered file stream through the
+    * tumbling-window aggregate in COMPLETE mode — additive counts, so
+    * the final table must equal the batch rollup (oracle = the
+    * q_events_window SQL verbatim). The one watermark-free gate: the
+    * comparison IS the converged complete table. */
+  def windowStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    val input = graft.Tables.events(spark, dir)
+      .select(col("ts"), col("event_type"), col("value"))
+    val tmp = stageTimeSlices(input, unix_micros(col("ts")), 6)
+    try {
+      val stream = spark.readStream
+        .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
+      val agg = stream
+        .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum("value").as("sv"))
+      runToMemory(agg, "window_parity_sink", OutputMode.Complete())
+        .select(col("w.start").cast("timestamp_ntz").as("wstart"),
+          col("event_type"), col("n_events"),
+          round(col("sv"), 4).as("sum_value"))
+        .orderBy("wstart", "event_type")
+        .localCheckpoint()
+    } finally rmTree(tmp)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_stream_parity" -> (windowStreamParity _),
     "q_qsketch_stream_parity" -> (qsketchStreamParity _),
     "q_cusum_stream_parity" -> (cusumStreamParity _),
     "q_ewma_stream_parity" -> (ewmaStreamParity _),
@@ -307,6 +334,11 @@ object StreamingGates {
     "q_dedup_stream_parity" -> (dedupStreamParity _))
 
   val oracles: Map[String, String] = Map(
+    // the batch q_events_window oracle verbatim — stream == batch == oracle
+    "q_window_stream_parity" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', ts) AS wstart, event_type,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the batch q_quantile_sketch census recomputed from scratch;
     // n → n_seen, sketch-shape columns dropped — stream == batch == oracle
     "q_qsketch_stream_parity" ->
