@@ -196,12 +196,56 @@ object Layout {
       .orderBy("bucket")
   }
 
+  val PlannerTargetBytes = 128L * 1024 * 1024 // the classic 128 MiB file
+
+  /** Partition file-layout planner — the lakehouse-operations table
+    * every large writer needs before a backfill (how many files should
+    * each ship-year partition get so files land near the 128 MiB
+    * sweet spot?): per partition the exact row count and an exact
+    * integer byte estimate (fixed 8 B per numeric/date column + actual
+    * string lengths — a deterministic size model, not a sampled one),
+    * then files = ⌈bytes/target⌉ and the skew ratio vs the mean
+    * partition in bp. Small-file pressure reads directly off rec_files
+    * = 1 rows.
+    *
+    * Scale: ONE map-side pass over the fact table folding byte widths
+    * into a partial+final rollup on the bounded partition key. */
+  def filePlanner(spark: SparkSession, dir: String): DataFrame = {
+    val rowBytes = // 4 dates/ids/nums × 8 B modeled columns + strings
+      expr("""8 * 8 + length(l_returnflag) + length(l_linestatus)""")
+    val parts = Tables.lineitem(spark, dir)
+      .select(year(col("l_shipdate")).as("ship_year"), rowBytes.as("rb"))
+      .groupBy("ship_year")
+      .agg(count(lit(1)).as("n_rows"), sum(col("rb").cast("long")).as("est_bytes"))
+    val mean = parts.agg(expr("sum(est_bytes) DIV count(1)").as("mean_bytes"))
+    parts.crossJoin(broadcast(mean))
+      .selectExpr("ship_year", "n_rows", "est_bytes",
+        "est_bytes DIV n_rows AS avg_row_bytes",
+        s"(est_bytes + ${PlannerTargetBytes - 1}) DIV $PlannerTargetBytes AS rec_files",
+        "(est_bytes * 10000) DIV mean_bytes AS skew_bp")
+      .orderBy("ship_year")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_file_planner" -> (filePlanner _),
     "q_zorder_cells" -> (zorderCells _),
     "q_spatial_join" -> (spatialJoin _),
     "q_nn_distance" -> (nnDistance _))
 
   val oracles: Map[String, String] = Map(
+    "q_file_planner" ->
+      s"""WITH parts AS (SELECT year(l_shipdate)::INT AS ship_year,
+         |    count(*)::BIGINT AS n_rows,
+         |    sum(8 * 8 + length(l_returnflag) + length(l_linestatus))::BIGINT
+         |      AS est_bytes
+         |  FROM lineitem GROUP BY 1),
+         |m AS (SELECT sum(est_bytes) // count(*) AS mean_bytes FROM parts)
+         |SELECT ship_year, n_rows, est_bytes,
+         |  (est_bytes // n_rows)::BIGINT AS avg_row_bytes,
+         |  ((est_bytes + ${PlannerTargetBytes - 1}) // $PlannerTargetBytes)::BIGINT
+         |    AS rec_files,
+         |  ((est_bytes * 10000) // (SELECT mean_bytes FROM m))::BIGINT AS skew_bp
+         |FROM parts ORDER BY ship_year""".stripMargin,
     "q_nn_distance" ->
       s"""WITH p AS MATERIALIZED (SELECT c_custkey::BIGINT AS id,
          |    ('0x'||substr(md5('x#'||c_custkey::VARCHAR),1,14))::UBIGINT::BIGINT

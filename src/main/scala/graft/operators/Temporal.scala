@@ -939,7 +939,69 @@ object Temporal {
       .select("d", "x", "y", "slope_full_micro", "slope_loo_micro", "influence_micro")
   }
 
+  /** Split-conformal prediction bands for the per-priority OLS trend —
+    * the distribution-free interval the point forecast
+    * ([[olsTrend]], [[walkForward]]) stops short of: fit on the first
+    * 60% of each series' days, take the ⌈0.9·n⌉-th smallest absolute
+    * calibration residual (type-1 selection, a VALUE from the data —
+    * engine-exact) as the 90% band half-width on the middle 20%, then
+    * MEASURE the band's empirical coverage on the held-out last 20%.
+    * Predictions are integer (intercept + slope_micro·x DIV 10⁶ — the
+    * walk-forward discipline), so residuals, the selected quantile, and
+    * the coverage share are all exact integers.
+    *
+    * Scale: one daily rollup; the calibration rank is a per-priority
+    * window over the bounded day grain; everything downstream is
+    * 5-row-per-priority arithmetic. */
+  def conformal(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("pri"), to_date(col("o_orderdate")).as("d"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("y"))
+      .withColumn("d0", min("d").over(Window.partitionBy("pri")))
+      .selectExpr("pri", "CAST(datediff(d, d0) AS BIGINT) AS x", "y")
+    val t = daily.groupBy("pri").agg((max("x") + 1).as("tdays"))
+      .selectExpr("pri", "(tdays * 3) DIV 5 AS cut1", "(tdays * 4) DIV 5 AS cut2")
+    val staged = daily.join(broadcast(t), "pri")
+    val fit = staged.filter(col("x") < col("cut1"))
+      .groupBy("pri")
+      .agg(count(lit(1)).as("n_train"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+      .filter(col("n_train") >= 2)
+      .selectExpr("pri", "n_train",
+        """CAST(((CAST(n_train AS DECIMAL(38,0)) * sxy
+          |  - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000)
+          | DIV (CAST(n_train AS DECIMAL(38,0)) * sxx
+          |  - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT) AS slope_micro""".stripMargin,
+        """CAST((CAST(sy AS DECIMAL(38,0)) * sxx
+          |  - CAST(sx AS DECIMAL(38,0)) * sxy)
+          | DIV (CAST(n_train AS DECIMAL(38,0)) * sxx
+          |  - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT) AS intercept_cents""".stripMargin)
+    val scored = staged.join(fit, "pri")
+      .selectExpr("pri", "x", "cut1", "cut2", "n_train", "slope_micro",
+        "intercept_cents",
+        "abs(y - (intercept_cents + (slope_micro * x) DIV 1000000)) AS ae")
+    val wCal = Window.partitionBy("pri").orderBy(col("ae"), col("x"))
+    val cal = scored.filter(col("x") >= col("cut1") && col("x") < col("cut2"))
+      .withColumn("rk", row_number().over(wCal)) // bounded day grain
+      .withColumn("n_cal", count(lit(1)).over(Window.partitionBy("pri")))
+      .filter(col("rk") === expr("(9 * n_cal + 9) DIV 10"))
+      .selectExpr("pri", "n_cal", "ae AS q90_resid_cents")
+    scored.filter(col("x") >= col("cut2"))
+      .join(cal, "pri")
+      .groupBy("pri", "n_train", "n_cal", "slope_micro", "intercept_cents",
+        "q90_resid_cents")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("ae") <= col("q90_resid_cents"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .selectExpr("pri", "n_train", "n_cal", "n_test", "slope_micro",
+        "intercept_cents", "q90_resid_cents",
+        "(n_covered * 10000) DIV n_test AS coverage_bp")
+      .orderBy("pri")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_conformal" -> (conformal _),
     "q_influence" -> (slopeInfluence _),
     "q_changepoints" -> (changepoints _),
     "q_spearman" -> (spearmanDaily _),
@@ -1089,6 +1151,45 @@ object Temporal {
          |  ((($num) * 1000) // ($den))::BIGINT AS ewma_millicents
          |FROM l ORDER BY pri, d""".stripMargin
     },
+    "q_conformal" ->
+      """WITH daily AS (SELECT o_orderpriority AS pri, o_orderdate::DATE AS d,
+        |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS y
+        |  FROM orders GROUP BY 1, 2),
+        |idx AS (SELECT pri,
+        |    (d - min(d) OVER (PARTITION BY pri))::BIGINT AS x, y FROM daily),
+        |t AS (SELECT pri, ((max(x) + 1) * 3) // 5 AS cut1,
+        |    ((max(x) + 1) * 4) // 5 AS cut2 FROM idx GROUP BY pri),
+        |staged AS (SELECT idx.*, t.cut1, t.cut2 FROM idx JOIN t USING (pri)),
+        |fit AS (SELECT pri, count(*)::BIGINT AS n_train,
+        |    ((count(*)::HUGEINT * sum(x::HUGEINT * y)
+        |      - sum(x)::HUGEINT * sum(y)) * 1000000)
+        |      // (count(*)::HUGEINT * sum(x::HUGEINT * x)
+        |      - sum(x)::HUGEINT * sum(x)) AS slope_micro,
+        |    (sum(y)::HUGEINT * sum(x::HUGEINT * x)
+        |      - sum(x)::HUGEINT * sum(x::HUGEINT * y))
+        |      // (count(*)::HUGEINT * sum(x::HUGEINT * x)
+        |      - sum(x)::HUGEINT * sum(x)) AS intercept_cents
+        |  FROM staged WHERE x < cut1 GROUP BY pri HAVING count(*) >= 2),
+        |scored AS (SELECT s.pri, s.x, s.cut1, s.cut2, f.n_train,
+        |    f.slope_micro::BIGINT AS slope_micro,
+        |    f.intercept_cents::BIGINT AS intercept_cents,
+        |    abs(s.y - (f.intercept_cents + (f.slope_micro * s.x) // 1000000))::BIGINT AS ae
+        |  FROM staged s JOIN fit f USING (pri)),
+        |calr AS (SELECT pri, ae,
+        |    row_number() OVER (PARTITION BY pri ORDER BY ae, x) AS rk,
+        |    count(*) OVER (PARTITION BY pri)::BIGINT AS n_cal
+        |  FROM scored WHERE x >= cut1 AND x < cut2),
+        |cal AS (SELECT pri, n_cal, ae AS q90_resid_cents FROM calr
+        |  WHERE rk = (9 * n_cal + 9) // 10)
+        |SELECT s.pri, s.n_train, c.n_cal, count(*)::BIGINT AS n_test,
+        |  s.slope_micro, s.intercept_cents, c.q90_resid_cents,
+        |  (sum(CASE WHEN s.ae <= c.q90_resid_cents THEN 1 ELSE 0 END) * 10000
+        |    // count(*))::BIGINT AS coverage_bp
+        |FROM scored s JOIN cal c USING (pri)
+        |WHERE s.x >= s.cut2
+        |GROUP BY s.pri, s.n_train, c.n_cal, s.slope_micro, s.intercept_cents,
+        |  c.q90_resid_cents
+        |ORDER BY s.pri""".stripMargin,
     "q_influence" -> {
       def slope(n: String, sx: String, sy: String, sxx: String, sxy: String) =
         s"""CASE WHEN $n * $sxx - $sx * $sx = 0 THEN NULL

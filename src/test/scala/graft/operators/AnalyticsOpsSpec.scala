@@ -165,6 +165,44 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("conformal: splits partition each series; the band is a real residual") {
+    import org.apache.spark.sql.functions._
+    val rows = Temporal.conformal(spark, dir).collect()
+    assert(rows.length == 5) // priority domain
+    val days = graft.Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("pri"), to_date(col("o_orderdate")))
+      .count().groupBy("pri").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      def g(c: String) = r.getLong(r.fieldIndex(c))
+      assert(g("n_train") + g("n_cal") + g("n_test") == days(r.getString(0)),
+        s"${r.getString(0)} split partition")
+      assert(g("q90_resid_cents") >= 0L)
+      assert(g("coverage_bp") >= 0L && g("coverage_bp") <= 10000L)
+      // nominal 90%: small held-out sets wander, but not collapse
+      assert(g("coverage_bp") >= 6000L, s"${r.getString(0)} coverage")
+    }
+  }
+
+  test("filePlanner matches an exact integer byte-model replay") {
+    import org.apache.spark.sql.functions._
+    val truth = graft.Tables.lineitem(spark, dir)
+      .select(year(col("l_shipdate")).as("yr"),
+        expr("8 * 8 + length(l_returnflag) + length(l_linestatus)").as("rb"))
+      .groupBy("yr").agg(count(lit(1)).as("n"), sum("rb").as("b"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = Layout.filePlanner(spark, dir).collect()
+    assert(rows.map(_.getInt(0)).toSet == truth.keySet)
+    val meanBytes = truth.values.map(_._2).sum / truth.size
+    rows.foreach { r =>
+      val (n, b) = truth(r.getInt(0))
+      assert(r.getLong(1) == n && r.getLong(2) == b)
+      assert(r.getLong(3) == b / n)
+      assert(r.getLong(4) == (b + Layout.PlannerTargetBytes - 1) / Layout.PlannerTargetBytes)
+      assert(r.getLong(5) == b * 10000 / meanBytes)
+    }
+  }
+
   test("slopeInfluence: LOO slopes match an exact BigInt refit replay") {
     import org.apache.spark.sql.functions._
     val daily = graft.Tables.orders(spark, dir)
