@@ -1800,7 +1800,53 @@ object Relational {
       .orderBy("part", "rec_rank")
   }
 
+  val TripleMinSup = 2L
+  val TripleTopK = 20
+
+  /** Frequent triples — the Apriori LEVEL-3 step [[basketPairs]] stops
+    * short of, with the real Apriori prune: only pairs reaching
+    * [[TripleMinSup]] support (L2) generate candidates, candidates must
+    * have ALL THREE sub-pairs frequent (downward closure), and only
+    * then do baskets count them. Top-[[TripleTopK]] by (support,
+    * items) — fully tie-broken.
+    *
+    * Scale: the L2 filter collapses the candidate space before any
+    * 3-way work; the support count joins baskets through the L2-pruned
+    * pair first (never the raw items³ fan-out), then the candidate
+    * closure prunes again before the final rollup. */
+  def basketTriples(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .localCheckpoint() // feeds pairs and the pruned triple count
+    val pairs = items.selectExpr("ok", "pk AS pa")
+      .join(items.selectExpr("ok AS okb", "pk AS pb"),
+        col("ok") === col("okb") && col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("c"))
+    val l2 = pairs.filter(col("c") >= TripleMinSup).select("pa", "pb")
+      .localCheckpoint() // the frequent-pair lattice level
+    val cands = l2.selectExpr("pa AS p1", "pb AS p2")
+      .join(l2.selectExpr("pa AS p1", "pb AS p3"), "p1")
+      .filter(col("p2") < col("p3"))
+      .join(l2.selectExpr("pa AS p2", "pb AS p3"), Seq("p2", "p3")) // closure
+      .select("p1", "p2", "p3")
+    val tri12 = items.selectExpr("ok", "pk AS p1")
+      .join(items.selectExpr("ok AS ok2", "pk AS p2"),
+        col("ok") === col("ok2") && col("p1") < col("p2"))
+      .join(l2.selectExpr("pa AS p1", "pb AS p2"), Seq("p1", "p2")) // L2 prune
+      .select("ok", "p1", "p2")
+    tri12
+      .join(items.selectExpr("ok AS ok3", "pk AS p3"),
+        col("ok") === col("ok3") && col("p2") < col("p3"))
+      .join(cands, Seq("p1", "p2", "p3")) // Apriori candidate prune
+      .groupBy("p1", "p2", "p3").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= TripleMinSup)
+      .orderBy(col("support").desc, col("p1"), col("p2"), col("p3"))
+      .limit(TripleTopK)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_basket_triples" -> (basketTriples _),
     "q_also_bought" -> (alsoBought _),
     "q_blocking_quality" -> (blockingQuality _),
     "q_elasticity" -> (priceElasticity _),
@@ -1870,6 +1916,26 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_basket_triples" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem),
+         |pairs AS (SELECT a.pk AS pa, b.pk AS pb, count(*)::BIGINT AS c
+         |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2),
+         |l2 AS (SELECT pa, pb FROM pairs WHERE c >= $TripleMinSup),
+         |cands AS (SELECT x.pa AS p1, x.pb AS p2, y.pb AS p3
+         |  FROM l2 x JOIN l2 y ON x.pa = y.pa AND x.pb < y.pb
+         |  JOIN l2 z ON z.pa = x.pb AND z.pb = y.pb),
+         |tri AS (SELECT a.pk AS p1, b.pk AS p2, c3.pk AS p3,
+         |    count(*)::BIGINT AS support
+         |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+         |  JOIN l2 ON l2.pa = a.pk AND l2.pb = b.pk
+         |  JOIN items c3 ON a.ok = c3.ok AND b.pk < c3.pk
+         |  JOIN cands ON cands.p1 = a.pk AND cands.p2 = b.pk AND cands.p3 = c3.pk
+         |  GROUP BY 1, 2, 3)
+         |SELECT p1, p2, p3, support FROM tri
+         |WHERE support >= $TripleMinSup
+         |ORDER BY support DESC, p1, p2, p3 LIMIT $TripleTopK""".stripMargin,
     "q_also_bought" ->
       s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
          |  FROM lineitem),

@@ -165,6 +165,34 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("basketTriples: support is anti-monotone over the itemset lattice") {
+    import org.apache.spark.sql.functions._
+    // sf0.01: the sf0.001 baskets have no support-2 triples at all
+    val sf = "/root/testdata/sf0.01"
+    val rows = Relational.basketTriples(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val items = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val wanted = rows.flatMap(r =>
+      Seq((r.getLong(0), r.getLong(1)), (r.getLong(0), r.getLong(2)),
+        (r.getLong(1), r.getLong(2)))).toSet
+    val pairCounts = items.selectExpr("ok", "pk AS a")
+      .join(items.selectExpr("ok AS ok2", "pk AS b"),
+        col("ok") === col("ok2") && col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      .filter { case (k, _) => wanted(k) }
+    rows.foreach { r =>
+      val (p1, p2, p3, sup) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(p1 < p2 && p2 < p3)
+      assert(sup >= Relational.TripleMinSup)
+      Seq((p1, p2), (p1, p3), (p2, p3)).foreach { pr =>
+        assert(pairCounts(pr) >= sup, s"pair $pr under triple ($p1,$p2,$p3)")
+      }
+    }
+  }
+
   test("conformal: splits partition each series; the band is a real residual") {
     import org.apache.spark.sql.functions._
     val rows = Temporal.conformal(spark, dir).collect()
