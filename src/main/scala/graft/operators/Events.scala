@@ -544,6 +544,40 @@ object Events {
       .orderBy("from_type")
   }
 
+  val DebounceUs = 60L * 1000000L
+
+  /** Event debounce census — the stream-hygiene pass every ingest
+    * pipeline runs before analytics (double-clicks, retry storms, at-
+    * least-once duplicates): an event is DROPPED when the same user
+    * fired the same type within the preceding [[DebounceUs]] (1 min);
+    * emitted per type: kept/dropped counts, drop share in bp, and the
+    * kept events' value sum in exact cents (what survives for revenue).
+    * Chained same-type bursts collapse to their FIRST event only when
+    * gaps stay under the window — exactly lag semantics, pinned.
+    *
+    * Scale: one (user, type)-keyed lag window — a single exchange —
+    * then a |types|-bounded census. */
+  def debounce(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+        col("value"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("dropped",
+        when(col("prev_us").isNotNull &&
+          unix_micros(col("ts")) - col("prev_us") <= DebounceUs, 1L).otherwise(0L))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum("dropped").as("n_dropped"),
+        sum(when(col("dropped") === 0L,
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L))
+          .as("kept_cents"))
+      .selectExpr("event_type", "n_events", "n_dropped",
+        "(n_dropped * 10000) DIV n_events AS drop_bp", "kept_cents")
+      .orderBy("event_type")
+  }
+
   /** Sequential-pattern support — the gapped "eventually follows"
     * census [[topPaths]]' adjacent trigrams can't see (PrefixSpan's
     * 2-pattern core): for every ORDERED type pair (a, b), in how many
@@ -1338,6 +1372,7 @@ object Events {
     "q_seq_patterns" -> (seqPatterns _),
     "q_removal_effect" -> (removalEffect _),
     "q_funnel_ci" -> (funnelWilson _),
+    "q_debounce" -> (debounce _),
     "q_funnel_time" -> (funnelLatency _))
 
   val oracles: Map[String, String] = Map(
@@ -1923,6 +1958,22 @@ object Events {
          |  CASE WHEN n_touch > 0 THEN (us - first_us) // 1000000
          |  END AS window_sec
          |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q_debounce" ->
+      s"""WITH l AS (SELECT user_id, event_id, event_type, ts, value,
+         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+         |      ORDER BY ts, event_id) AS prev_us
+         |  FROM events),
+         |f AS (SELECT event_type, value,
+         |    CASE WHEN prev_us IS NOT NULL
+         |      AND epoch_us(ts) - prev_us <= $DebounceUs THEN 1 ELSE 0 END
+         |      AS dropped
+         |  FROM l)
+         |SELECT event_type, count(*)::BIGINT AS n_events,
+         |  sum(dropped)::BIGINT AS n_dropped,
+         |  (sum(dropped) * 10000 // count(*))::BIGINT AS drop_bp,
+         |  sum(CASE WHEN dropped = 0 THEN round(value * 100)::BIGINT
+         |    ELSE 0 END)::BIGINT AS kept_cents
+         |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_funnel_ci" -> {
       def wilson(sign: String): String =
         s"""CASE WHEN n = 0 THEN NULL ELSE round(

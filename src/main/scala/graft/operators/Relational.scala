@@ -1845,7 +1845,45 @@ object Relational {
       .limit(TripleTopK)
   }
 
+  /** XYZ demand-variability classification — [[abcClassification]]'s
+    * inventory-planning twin on the OTHER axis (ABC ranks by value,
+    * XYZ by predictability): per part the monthly demand series'
+    * squared coefficient of variation, all-integer as cv2_micro =
+    * ((n·Σq² − S²)·10⁶) DIV S² over quantity-cents, classified X
+    * (≤250000 ≙ CV ≤ 0.5), Y (≤1000000 ≙ CV ≤ 1), else Z — squaring
+    * the thresholds dodges the sqrt that would break engine
+    * exactness. Census per class: parts, demand cents, share bp.
+    *
+    * Scale: one (part, month) rollup + one part-grain 3-sums aggregate
+    * + a 3-row census — never a sort, never a window. */
+  def xyzClassification(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("pk"),
+        date_trunc("month", col("l_shipdate")).as("m"))
+      .agg(sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("q"))
+    val perPart = monthly.groupBy("pk")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(q AS DECIMAL(38,0))")).as("s"),
+        sum(expr("CAST(q AS DECIMAL(38,0)) * q")).as("s2"))
+      .selectExpr("pk", "n", "CAST(s AS BIGINT) AS demand_cents",
+        """CAST(CASE WHEN s = 0 THEN NULL
+          | ELSE ((CAST(n AS DECIMAL(38,0)) * s2 - s * s) * 1000000)
+          |   DIV (s * s) END AS BIGINT) AS cv2_micro""".stripMargin)
+      .withColumn("xyz", when(col("cv2_micro").isNull, lit(null).cast("string"))
+        .when(col("cv2_micro") <= 250000L, "X")
+        .when(col("cv2_micro") <= 1000000L, "Y")
+        .otherwise("Z"))
+    val tot = perPart.agg(sum("demand_cents").as("tot"))
+    perPart.groupBy("xyz")
+      .agg(count(lit(1)).as("n_parts"), sum("demand_cents").as("class_cents"))
+      .crossJoin(broadcast(tot))
+      .selectExpr("xyz", "n_parts", "class_cents",
+        "(class_cents * 10000) DIV tot AS demand_share_bp")
+      .orderBy("xyz")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_xyz_class" -> (xyzClassification _),
     "q_basket_triples" -> (basketTriples _),
     "q_also_bought" -> (alsoBought _),
     "q_blocking_quality" -> (blockingQuality _),
@@ -1916,6 +1954,29 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_xyz_class" ->
+      """WITH monthly AS (SELECT l_partkey AS pk,
+        |    date_trunc('month', l_shipdate) AS m,
+        |    sum(round(l_quantity * 100)::BIGINT)::BIGINT AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |pp AS (SELECT pk, count(*)::HUGEINT AS n, sum(q)::HUGEINT AS s,
+        |    sum(q::HUGEINT * q) AS s2 FROM monthly GROUP BY pk),
+        |cls AS (SELECT pk, s::BIGINT AS demand_cents,
+        |    (CASE WHEN s = 0 THEN NULL
+        |      ELSE ((n * s2 - s * s) * 1000000) // (s * s) END)::BIGINT
+        |      AS cv2_micro
+        |  FROM pp),
+        |lab AS (SELECT pk, demand_cents,
+        |    CASE WHEN cv2_micro IS NULL THEN NULL
+        |      WHEN cv2_micro <= 250000 THEN 'X'
+        |      WHEN cv2_micro <= 1000000 THEN 'Y' ELSE 'Z' END AS xyz
+        |  FROM cls),
+        |tot AS (SELECT sum(demand_cents)::HUGEINT AS t FROM lab)
+        |SELECT xyz, count(*)::BIGINT AS n_parts,
+        |  sum(demand_cents)::BIGINT AS class_cents,
+        |  ((sum(demand_cents)::HUGEINT * 10000) // (SELECT t FROM tot))::BIGINT
+        |    AS demand_share_bp
+        |FROM lab GROUP BY xyz ORDER BY xyz""".stripMargin,
     "q_basket_triples" ->
       s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
          |  FROM lineitem),

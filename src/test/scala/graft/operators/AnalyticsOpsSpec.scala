@@ -165,6 +165,42 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("debounce: census conserves events; drops only shadowed repeats") {
+    import org.apache.spark.sql.functions._
+    val rows = Events.debounce(spark, dir).collect()
+    val total = graft.Tables.events(spark, dir).count()
+    assert(rows.map(_.getLong(1)).sum == total, "event conservation")
+    rows.foreach { r =>
+      def g(c: String) = r.getLong(r.fieldIndex(c))
+      assert(g("n_dropped") < g("n_events"),
+        "every (user,type) stream keeps at least its first event")
+      assert(g("drop_bp") == g("n_dropped") * 10000 / g("n_events"))
+    }
+    // naive replay on one type: recompute drops in plain Scala
+    val et = rows.head.getString(0)
+    val evs = graft.Tables.events(spark, dir)
+      .filter(col("event_type") === et)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val dropped = evs.groupBy(_._1).values.map { g =>
+      val sorted = g.sortBy(r => (r._3, r._2))
+      sorted.zip(sorted.drop(1)).count { case (a, b) => b._3 - a._3 <= 60000000L }
+    }.sum
+    assert(rows.head.getLong(2) == dropped, s"type $et naive drop replay")
+  }
+
+  test("xyzClassification: classes partition parts; shares sum to ~10000") {
+    val rows = Relational.xyzClassification(spark, dir).collect()
+    val classes = rows.map(r => Option(r.getString(0))).toSet
+    assert(classes.subsetOf(Set(Some("X"), Some("Y"), Some("Z"), None)))
+    val share = rows.map(_.getLong(3)).sum
+    assert(share >= 10000 - rows.length && share <= 10000, s"shares $share")
+    import org.apache.spark.sql.functions._
+    val nParts = graft.Tables.lineitem(spark, dir)
+      .select(countDistinct("l_partkey")).head().getLong(0)
+    assert(rows.map(_.getLong(1)).sum == nParts, "part conservation")
+  }
+
   test("basketTriples: support is anti-monotone over the itemset lattice") {
     import org.apache.spark.sql.functions._
     // sf0.01: the sf0.001 baskets have no support-2 triples at all
