@@ -544,6 +544,38 @@ object Events {
       .orderBy("from_type")
   }
 
+  val QteFractions: Seq[(String, Double)] =
+    Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p90", 0.9))
+
+  /** Quantile treatment effects — the DISTRIBUTIONAL causal readout the
+    * mean-difference family (q_ab_test, q_cuped, q_did) can't see (a
+    * treatment that fattens the tail while the median sits still reads
+    * as "no effect" on means): per hash56 arm the exact p25/p50/p75/p90
+    * of purchase cents via the bounded bracketed selection
+    * ([[graft.operators.ExactQuantiles]] — never a value buffer, never
+    * a global sort), QTE = treated − control per quantile. Integer
+    * inputs make every interpolation midpoint exactly representable,
+    * so the doubles hash cross-engine.
+    *
+    * Scale: the ExactQuantiles pass posture (histogram narrowing over
+    * bounded brackets) on each arm; the finish is 4-row arithmetic. */
+  def qte(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val p = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(pmod(hash56(col("user_id").cast("string")), lit(2)).as("arm"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val q = ExactQuantiles.quantiles(p, "cents", QteFractions,
+      groupBy = Seq("arm"))
+      .collect().map(r => r.getLong(r.fieldIndex("arm")) ->
+        QteFractions.map { case (n, _) => r.getDouble(r.fieldIndex(n)) }).toMap
+    QteFractions.map(_._1).zipWithIndex.map { case (name, i) =>
+      (name, q(0L)(i), q(1L)(i), q(1L)(i) - q(0L)(i))
+    }.toDF("quantile", "control_cents", "treated_cents", "qte_cents")
+      .orderBy("quantile")
+  }
+
   val DebounceUs = 60L * 1000000L
 
   /** Event debounce census — the stream-hygiene pass every ingest
@@ -1373,6 +1405,7 @@ object Events {
     "q_removal_effect" -> (removalEffect _),
     "q_funnel_ci" -> (funnelWilson _),
     "q_debounce" -> (debounce _),
+    "q_qte" -> (qte _),
     "q_funnel_time" -> (funnelLatency _))
 
   val oracles: Map[String, String] = Map(
@@ -1958,6 +1991,20 @@ object Events {
          |  CASE WHEN n_touch > 0 THEN (us - first_us) // 1000000
          |  END AS window_sec
          |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q_qte" -> {
+      val qcols = (arm: Int) => QteFractions.map { case (n, f) =>
+        s"quantile_cont(cents, $f) FILTER (arm = $arm) AS ${n}_$arm" }.mkString(",\n    ")
+      val rows = QteFractions.map { case (n, _) =>
+        s"SELECT '$n' AS quantile, ${n}_0 AS control_cents, ${n}_1 AS treated_cents, ${n}_1 - ${n}_0 AS qte_cents FROM m"
+      }.mkString("\nUNION ALL ")
+      s"""WITH p AS (SELECT
+         |    ${graft.functions.TextFns.hash56Sql("user_id::VARCHAR")} % 2 AS arm,
+         |    round(value * 100)::BIGINT AS cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |m AS (SELECT ${qcols(0)},
+         |    ${qcols(1)} FROM p)
+         |SELECT * FROM ($rows) ORDER BY quantile""".stripMargin
+    },
     "q_debounce" ->
       s"""WITH l AS (SELECT user_id, event_id, event_type, ts, value,
          |    lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type

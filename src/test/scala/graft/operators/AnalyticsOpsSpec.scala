@@ -165,6 +165,28 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("qte matches a naive per-arm interpolated-quantile replay") {
+    import org.apache.spark.sql.functions._
+    val vals = graft.Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .selectExpr("CAST(user_id AS STRING) AS u", "CAST(round(value * 100) AS BIGINT) AS cents")
+      .collect().map(r => (Sketches.hash56Jvm(r.getString(0)) % 2, r.getLong(1)))
+    def quant(xs: Seq[Long], p: Double): Double = {
+      val s = xs.sorted
+      val pos = p * (s.length - 1)
+      val lo = s(pos.toInt).toDouble
+      val hi = s(math.min(s.length - 1, pos.toInt + 1)).toDouble
+      lo + (pos - pos.toInt) * (hi - lo)
+    }
+    val byArm = vals.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val got = Events.qte(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    Events.QteFractions.foreach { case (n, f) =>
+      val (c, t) = (quant(byArm(0L), f), quant(byArm(1L), f))
+      assert(got(n) == ((c, t, t - c)), s"$n: ${got(n)} vs ($c, $t)")
+    }
+  }
+
   test("debounce: census conserves events; drops only shadowed repeats") {
     import org.apache.spark.sql.functions._
     val rows = Events.debounce(spark, dir).collect()
