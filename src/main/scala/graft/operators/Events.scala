@@ -1080,6 +1080,63 @@ object Events {
     rows.toSeq.toDF("day", "n_risk", "n_events", "surv_micro").orderBy("day")
   }
 
+  /** Restricted mean survival time — the single-number summary the KM
+    * curve family reads off last (mean days-to-conversion ACCOUNTING
+    * for censoring, restricted to the observation horizon τ — the
+    * estimand regulators ask for when hazards aren't proportional):
+    * RMST(τ) = ∫₀^τ S(t)dt = Σ S(t_{i-1})·(t_i − t_{i-1}) over the KM
+    * step function — S in integer micro from the same pinned product
+    * recurrence as [[survivalKmDf]], so the integral is an EXACT
+    * integer micro-day sum replayed verbatim by the recursive-CTE
+    * oracle. τ = the longest observed duration (event or censored).
+    *
+    * Scale: identical to KM — day-grain bounded histogram, O(days)
+    * driver fold. */
+  def rmst(spark: SparkSession, dir: String): DataFrame =
+    rmstDf(Tables.events(spark, dir))
+
+  /** Core over any (user_id, event_type, ts) frame. */
+  def rmstDf(ev: DataFrame): DataFrame = {
+    val spark2 = ev.sparkSession
+    import spark2.implicits._
+    val t0 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t0"))
+    val firstPurchase = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val maxDay = ev.agg(max(to_date(col("ts"))).as("maxd"))
+    val durs = t0
+      .join(firstPurchase, col("user_id") === col("pu") && col("pts") >= col("t0"), "left")
+      .groupBy(col("user_id"), col("t0")).agg(min(col("pts")).as("p"))
+      .crossJoin(broadcast(maxDay))
+      .select(
+        when(col("p").isNotNull,
+          datediff(to_date(col("p")), to_date(col("t0"))))
+          .otherwise(datediff(col("maxd"), to_date(col("t0")))).as("dur"),
+        when(col("p").isNotNull, lit(1L)).otherwise(lit(0L)).as("event"))
+    val hist = durs.groupBy("dur")
+      .agg(count(lit(1)).as("m"), sum("event").as("d"))
+    val w = Window.orderBy("dur")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val table = hist.withColumn("n_risk", sum("m").over(w))
+      .select(col("dur").cast("long").as("day"), col("n_risk"), col("d"))
+      .orderBy("day")
+      .collect() // bounded: day-grain horizon (the KM driver-fold class)
+    val tau = table.map(_.getLong(0)).max
+    var s = 1000000L
+    var prev = 0L
+    var integral = 0L // micro-days: Σ S(t_{i-1})·Δt, S step-left
+    var nEventDays = 0L
+    table.foreach { r =>
+      val (day, n, d) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      integral += s * (day - prev)
+      prev = day
+      if (d >= 1) { s = s * (n - d) / n; nEventDays += 1 }
+    }
+    Seq((tau, nEventDays, s, integral))
+      .toDF("horizon_days", "n_event_days", "final_surv_micro",
+        "rmst_micro_days")
+  }
+
   /** Nelson–Aalen cumulative hazard — [[survivalKmDf]]'s estimator twin
     * (H(t) = Σ d/n vs KM's Π(1−d/n); NA is the one epidemiologists
     * overlay to read the hazard RATE): per event day the hazard is
@@ -1383,6 +1440,7 @@ object Events {
     "q_cuped" -> (cuped _),
     "q_did" -> (diffInDiff _),
     "q_logrank" -> (logRank _),
+    "q_rmst" -> (rmst _),
     "q_rolling_dau" -> (rollingDau _),
     "q_events_window" -> (tumblingWindow _),
     "q_events_session" -> (sessionize _),
@@ -1528,6 +1586,43 @@ object Events {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
         |    AS cumhaz_micro
         |FROM hz ORDER BY day""".stripMargin,
+    "q_rmst" ->
+      """WITH RECURSIVE t0 AS (SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |fp AS (SELECT t0.user_id, t0.t0, min(e.ts) AS p
+        |  FROM t0 LEFT JOIN events e ON e.user_id = t0.user_id
+        |    AND e.event_type = 'purchase' AND e.ts >= t0.t0
+        |  GROUP BY t0.user_id, t0.t0),
+        |md AS (SELECT max(ts::DATE) AS maxd FROM events),
+        |durs AS (SELECT CASE WHEN p IS NOT NULL
+        |      THEN date_diff('day', t0::DATE, p::DATE)
+        |      ELSE date_diff('day', t0::DATE, maxd) END AS dur,
+        |    (CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS event
+        |  FROM fp CROSS JOIN md),
+        |hist AS (SELECT dur, count(*)::BIGINT AS m, sum(event)::BIGINT AS d
+        |  FROM durs GROUP BY dur),
+        |ord AS (SELECT dur, d, sum(m) OVER (ORDER BY dur
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT AS n_risk,
+        |    row_number() OVER (ORDER BY dur) AS rn
+        |  FROM hist),
+        |rec AS (
+        |  SELECT rn, dur AS day,
+        |    CASE WHEN d >= 1 THEN (1000000 * (n_risk - d)) // n_risk
+        |      ELSE 1000000 END AS s,
+        |    1000000 * dur AS integral,
+        |    (CASE WHEN d >= 1 THEN 1 ELSE 0 END)::BIGINT AS ne
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.rn, o.dur,
+        |    CASE WHEN o.d >= 1 THEN (r.s * (o.n_risk - o.d)) // o.n_risk
+        |      ELSE r.s END,
+        |    r.integral + r.s * (o.dur - r.day),
+        |    r.ne + CASE WHEN o.d >= 1 THEN 1 ELSE 0 END
+        |  FROM rec r JOIN ord o ON o.rn = r.rn + 1)
+        |SELECT (SELECT max(dur) FROM ord)::BIGINT AS horizon_days,
+        |  ne::BIGINT AS n_event_days, s::BIGINT AS final_surv_micro,
+        |  integral::BIGINT AS rmst_micro_days
+        |FROM rec WHERE rn = (SELECT max(rn) FROM ord)""".stripMargin,
     "q_logrank" ->
       s"""WITH t0 AS (SELECT user_id, min(ts) AS t0 FROM events
          |  WHERE event_type = 'view' GROUP BY user_id),

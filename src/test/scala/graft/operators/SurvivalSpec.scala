@@ -38,6 +38,27 @@ class SurvivalSpec extends SparkSpec {
       (2, 2L, 1L, 500000L, 833333L)), s"$na")
   }
 
+  test("rmst integrates the hand-traced KM step function exactly") {
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    // same fixture as the KM test: events at dur 0 and 2, censor at 4
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 08:00:00")),
+      (1L, "purchase", ts("2024-01-03 09:00:00")),
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "error", ts("2024-01-05 10:00:00")),
+      (3L, "view", ts("2024-01-02 07:00:00")),
+      (3L, "purchase", ts("2024-01-02 23:00:00")),
+      (4L, "purchase", ts("2024-01-02 12:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val r = Events.rmstDf(ev).collect().head
+    // S: 1e6 → 666666 (day 0) → 333333 (day 2), censor tail at day 4
+    // ∫ = 1e6·0 + 666666·2 + 333333·2 = 1999998 micro-days
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 2L, 333333L, 1999998L)), s"$r")
+  }
+
   test("logRank matches a naive integer replay over the same durations") {
     val spark2 = spark
     import spark2.implicits._
