@@ -1252,6 +1252,61 @@ object Events {
           .otherwise(col("chi2_micro") > 3841459L))
   }
 
+  /** Pike hazard-ratio estimate — the EFFECT SIZE to [[logRankDf]]'s
+    * significance verdict (the pair every clinical/churn readout ships
+    * together): HR ≈ (O₁/E₁)/(O₂/E₂) over the same per-day risk-set
+    * table, with both arms' expectations in integer micro (E₂ by the
+    * complementary quotient) and the ratio finished as
+    * (O₁·E₂·10⁶) DIV (E₁·O₂) in DECIMAL(38,0). Degenerate arms (no
+    * events or zero expectation) pin NULL.
+    *
+    * Scale: the KM/log-rank posture — one duration rollup, bounded
+    * day-grain suffix windows, 1-row arithmetic. */
+  def hazardRatio(spark: SparkSession, dir: String): DataFrame =
+    hazardRatioDf(Tables.events(spark, dir))
+
+  /** Core over any (user_id, event_type, ts) frame. */
+  def hazardRatioDf(ev: DataFrame): DataFrame = {
+    val t0 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t0"))
+    val firstPurchase = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val maxDay = ev.agg(max(to_date(col("ts"))).as("maxd"))
+    val durs = t0
+      .join(firstPurchase, col("user_id") === col("pu") && col("pts") >= col("t0"), "left")
+      .groupBy(col("user_id"), col("t0")).agg(min(col("pts")).as("p"))
+      .crossJoin(broadcast(maxDay))
+      .select(
+        pmod(hash56(col("user_id").cast("string")), lit(2)).as("arm"),
+        when(col("p").isNotNull,
+          datediff(to_date(col("p")), to_date(col("t0"))))
+          .otherwise(datediff(col("maxd"), to_date(col("t0")))).as("dur"),
+        when(col("p").isNotNull, lit(1L)).otherwise(lit(0L)).as("event"))
+    val hist = durs.groupBy("dur").agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("m1"),
+      sum(when(col("arm") === 0, col("event")).otherwise(0L)).as("d1"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("m2"),
+      sum(when(col("arm") === 1, col("event")).otherwise(0L)).as("d2"))
+    val w = Window.orderBy("dur")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    hist
+      .withColumn("n1", sum("m1").over(w))
+      .withColumn("n2", sum("m2").over(w))
+      .filter(col("d1") + col("d2") >= 1L)
+      .selectExpr("d1", "d2", "d1 + d2 AS d", "n1", "n2", "n1 + n2 AS n")
+      .selectExpr("d1", "d2",
+        "(CAST(d AS DECIMAL(38,0)) * n1 * 1000000) DIV n AS e1m",
+        "(CAST(d AS DECIMAL(38,0)) * n2 * 1000000) DIV n AS e2m")
+      .agg(sum("d1").as("o1"), sum("d2").as("o2"),
+        sum("e1m").cast("decimal(38,0)").as("e1m"),
+        sum("e2m").cast("decimal(38,0)").as("e2m"))
+      .selectExpr("CAST(o1 AS BIGINT) AS o1", "CAST(o2 AS BIGINT) AS o2",
+        "CAST(e1m AS BIGINT) AS e1_micro", "CAST(e2m AS BIGINT) AS e2_micro",
+        """CAST(CASE WHEN e1m = 0 OR o2 = 0 THEN NULL
+          | ELSE (CAST(o1 AS DECIMAL(38,0)) * e2m * 1000000)
+          |   DIV (e1m * o2) END AS BIGINT) AS hr_micro""".stripMargin)
+  }
+
   /** OHLC candlestick bars — the canonical time-series downsample
     * (open/high/low/close + volume per bucket) the tumbling-count
     * window gate doesn't cover. Open/close are pinned by struct-min/max
@@ -1441,6 +1496,7 @@ object Events {
     "q_did" -> (diffInDiff _),
     "q_logrank" -> (logRank _),
     "q_rmst" -> (rmst _),
+    "q_hazard_ratio" -> (hazardRatio _),
     "q_rolling_dau" -> (rollingDau _),
     "q_events_window" -> (tumblingWindow _),
     "q_events_session" -> (sessionize _),
@@ -1586,6 +1642,44 @@ object Events {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
         |    AS cumhaz_micro
         |FROM hz ORDER BY day""".stripMargin,
+    "q_hazard_ratio" ->
+      s"""WITH t0 AS (SELECT user_id, min(ts) AS t0 FROM events
+         |  WHERE event_type = 'view' GROUP BY user_id),
+         |fp AS (SELECT t0.user_id, t0.t0, min(e.ts) AS p
+         |  FROM t0 LEFT JOIN events e ON e.user_id = t0.user_id
+         |    AND e.event_type = 'purchase' AND e.ts >= t0.t0
+         |  GROUP BY t0.user_id, t0.t0),
+         |md AS (SELECT max(ts::DATE) AS maxd FROM events),
+         |durs AS (SELECT
+         |    ${hash56Sql("user_id::VARCHAR")} % 2 AS arm,
+         |    CASE WHEN p IS NOT NULL
+         |      THEN date_diff('day', t0::DATE, p::DATE)
+         |      ELSE date_diff('day', t0::DATE, maxd) END AS dur,
+         |    (CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS event
+         |  FROM fp CROSS JOIN md),
+         |hist AS (SELECT dur,
+         |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS m1,
+         |    sum(CASE WHEN arm = 0 THEN event ELSE 0 END)::BIGINT AS d1,
+         |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS m2,
+         |    sum(CASE WHEN arm = 1 THEN event ELSE 0 END)::BIGINT AS d2
+         |  FROM durs GROUP BY dur),
+         |tab AS (SELECT d1, d2, d1 + d2 AS d,
+         |    sum(m1) OVER (ORDER BY dur
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT AS n1,
+         |    sum(m2) OVER (ORDER BY dur
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT AS n2
+         |  FROM hist),
+         |terms AS (SELECT d1, d2,
+         |    (d::HUGEINT * n1 * 1000000) // (n1 + n2) AS e1m,
+         |    (d::HUGEINT * n2 * 1000000) // (n1 + n2) AS e2m
+         |  FROM tab WHERE d >= 1),
+         |s AS (SELECT sum(d1)::HUGEINT AS o1, sum(d2)::HUGEINT AS o2,
+         |    sum(e1m) AS e1m, sum(e2m) AS e2m FROM terms)
+         |SELECT o1::BIGINT AS o1, o2::BIGINT AS o2,
+         |  e1m::BIGINT AS e1_micro, e2m::BIGINT AS e2_micro,
+         |  (CASE WHEN e1m = 0 OR o2 = 0 THEN NULL
+         |    ELSE (o1 * e2m * 1000000) // (e1m * o2) END)::BIGINT AS hr_micro
+         |FROM s""".stripMargin,
     "q_rmst" ->
       """WITH RECURSIVE t0 AS (SELECT user_id, min(ts) AS t0 FROM events
         |  WHERE event_type = 'view' GROUP BY user_id),

@@ -59,6 +59,51 @@ class SurvivalSpec extends SparkSpec {
       ((4L, 2L, 333333L, 1999998L)), s"$r")
   }
 
+  test("hazardRatio matches a naive integer O/E replay; arms conserve events") {
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = (1L to 8L).flatMap { u =>
+      val view = (u, "view", ts(s"2024-01-0${(u % 3) + 1} 08:00:00"))
+      val buy =
+        if (u % 4 == 0) Nil
+        else Seq((u, "purchase",
+          ts(s"2024-01-0${math.min(9, (u % 3) + 1 + u % 5)} 12:00:00")))
+      view +: buy
+    }.toDF("user_id", "event_type", "ts")
+    val got = Events.hazardRatioDf(ev).collect().head
+    // naive replay with the logRank fixture's durations
+    val maxd = (1L to 8L).flatMap(u =>
+      if (u % 4 == 0) Seq((u % 3) + 1) else Seq((u % 3) + 1, math.min(9, (u % 3) + 1 + u % 5)))
+      .max
+    val durs = (1L to 8L).map { u =>
+      val v = (u % 3) + 1
+      val arm = (Sketches.hash56Jvm(u.toString) % 2).toInt
+      if (u % 4 == 0) (arm, maxd - v, 0L)
+      else (arm, math.min(9, v + u % 5) - v, 1L)
+    }
+    var (o1, o2, e1, e2) = (BigInt(0), BigInt(0), BigInt(0), BigInt(0))
+    durs.map(_._2).distinct.sorted.foreach { t =>
+      val atRisk = durs.filter(_._2 >= t)
+      val n1 = BigInt(atRisk.count(_._1 == 0))
+      val n2 = BigInt(atRisk.count(_._1 == 1))
+      val d1 = BigInt(durs.count(x => x._1 == 0 && x._2 == t && x._3 == 1))
+      val d2 = BigInt(durs.count(x => x._1 == 1 && x._2 == t && x._3 == 1))
+      val d = d1 + d2
+      if (d >= 1) {
+        o1 += d1; o2 += d2
+        e1 += (d * n1 * 1000000) / (n1 + n2)
+        e2 += (d * n2 * 1000000) / (n1 + n2)
+      }
+    }
+    assert(got.getLong(0) == o1.toLong && got.getLong(1) == o2.toLong)
+    assert(got.getLong(2) == e1.toLong && got.getLong(3) == e2.toLong)
+    val hr = if (e1 == 0 || o2 == 0) None
+      else Some((o1 * e2 * 1000000 / (e1 * o2)).toLong)
+    assert((if (got.isNullAt(4)) None else Some(got.getLong(4))) == hr)
+    assert(o1 + o2 == BigInt(durs.count(_._3 == 1)), "event conservation")
+  }
+
   test("logRank matches a naive integer replay over the same durations") {
     val spark2 = spark
     import spark2.implicits._
