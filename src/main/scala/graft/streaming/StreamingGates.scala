@@ -322,7 +322,57 @@ object StreamingGates {
     } finally rmTree(tmp)
   }
 
+  /** Streaming as-of attribution parity — the HARD-semantics parity
+    * gate: the click/purchase stream re-played as 6 time-ordered slices
+    * through the OUT-OF-ORDER-safe keyed attribution automaton
+    * (event-time watermark + per-user buffer + event-time timeouts),
+    * plus one far-future sentinel slice whose only job is to push the
+    * final watermark past every real event so the buffers drain (the
+    * no-data micro-batch then fires the timeouts). The drained output
+    * must equal the batch as-of twin verbatim: every purchase paired
+    * with the latest click strictly before it in (ts, event_id) order. */
+  def asofStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import EventsStreaming.{RawEvent, clickAttributionUnordered}
+    val base = graft.Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val tmp = stageTimeSlices(base, unix_micros(col("ts")), 6)
+    // sentinel slice: one far-future view from a sentinel user — ignored
+    // by the automaton, but it advances the watermark past all real rows
+    val maxTs = base.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val sentinel = Seq((-1L, -1L, "view",
+      new java.sql.Timestamp((maxTs + 30L * 86400L * 1000000L) / 1000L)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val stage = java.nio.file.Files.createTempDirectory("graft_sentinel_")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(stage).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq.headOption
+        .foreach { part =>
+          val dest = tmp.resolve("slice-99.parquet")
+          java.nio.file.Files.move(part, dest)
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis() - 3000000L))
+        }
+      val stream = spark.readStream
+        .schema("event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
+      runToMemory(clickAttributionUnordered(stream.as[RawEvent]).toDF(),
+        "asof_parity_sink", OutputMode.Append())
+        .filter(col("user_id") >= 0L)
+        .select(col("event_id"), col("user_id"),
+          col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+          col("last_click_ts").cast("timestamp_ntz").as("last_click_ts"))
+        .orderBy("event_id")
+        .localCheckpoint()
+    } finally { rmTree(stage); rmTree(tmp) }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_stream_parity" -> (asofStreamParity _),
     "q_window_stream_parity" -> (windowStreamParity _),
     "q_qsketch_stream_parity" -> (qsketchStreamParity _),
     "q_cusum_stream_parity" -> (cusumStreamParity _),
@@ -334,6 +384,18 @@ object StreamingGates {
     "q_dedup_stream_parity" -> (dedupStreamParity _))
 
   val oracles: Map[String, String] = Map(
+    // the batch as-of twin: latest click STRICTLY before each purchase
+    // in (ts, event_id) order — stream == batch == oracle
+    "q_asof_stream_parity" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, ts FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        |w AS (SELECT event_id, user_id, event_type, ts,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+        |  FROM e)
+        |SELECT event_id, user_id, ts AS purchase_ts, last_click AS last_click_ts
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     // the batch q_events_window oracle verbatim — stream == batch == oracle
     "q_window_stream_parity" ->
       """SELECT time_bucket(INTERVAL '10 minutes', ts) AS wstart, event_type,
