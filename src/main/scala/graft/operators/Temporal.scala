@@ -1000,7 +1000,39 @@ object Temporal {
       .orderBy("pri")
   }
 
+  /** Overdispersion census — the count-data diagnostic to run BEFORE
+    * any Poisson assumption (alerting thresholds, A/B count tests,
+    * capacity models all break quietly when variance outruns the
+    * mean): per event type the daily-count variance-to-mean ratio,
+    * all-integer as vmr_micro = ((n·Σx² − S²)·10⁶) DIV ((n−1)·S), with
+    * the verdict pinned at the Poisson point (≈1): 'poisson-ish'
+    * within ±20%, 'overdispersed' above, 'underdispersed' below.
+    * Degenerate series (S = 0 or n < 2) pin NULL.
+    *
+    * Scale: one (type, day) rollup + a type-grain 3-sums aggregate —
+    * the olsTrend posture, never a window. */
+  def overdispersion(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type").as("et"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy("et")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("s"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("s2"))
+      .selectExpr("et", "n", "CAST(s AS BIGINT) AS total_events",
+        """CAST(CASE WHEN n < 2 OR s = 0 THEN NULL
+          | ELSE ((CAST(n AS DECIMAL(38,0)) * s2 - s * s) * 1000000)
+          |   DIV (CAST(n - 1 AS DECIMAL(38,0)) * s) END AS BIGINT)
+          | AS vmr_micro""".stripMargin)
+      .withColumn("verdict",
+        when(col("vmr_micro").isNull, lit(null).cast("string"))
+          .when(col("vmr_micro") > 1200000L, "overdispersed")
+          .when(col("vmr_micro") < 800000L, "underdispersed")
+          .otherwise("poisson-ish"))
+      .orderBy("et")
+
   val queries: Map[String, Q] = Map(
+    "q_overdispersion" -> (overdispersion _),
     "q_conformal" -> (conformal _),
     "q_influence" -> (slopeInfluence _),
     "q_changepoints" -> (changepoints _),
@@ -1151,6 +1183,22 @@ object Temporal {
          |  ((($num) * 1000) // ($den))::BIGINT AS ewma_millicents
          |FROM l ORDER BY pri, d""".stripMargin
     },
+    "q_overdispersion" ->
+      """WITH daily AS (SELECT event_type AS et, ts::DATE AS d,
+        |    count(*)::BIGINT AS x FROM events GROUP BY 1, 2),
+        |m AS (SELECT et, count(*)::HUGEINT AS n, sum(x)::HUGEINT AS s,
+        |    sum(x::HUGEINT * x) AS s2 FROM daily GROUP BY et)
+        |SELECT et, n::BIGINT AS n, s::BIGINT AS total_events,
+        |  (CASE WHEN n < 2 OR s = 0 THEN NULL
+        |    ELSE ((n * s2 - s * s) * 1000000) // ((n - 1) * s) END)::BIGINT
+        |    AS vmr_micro,
+        |  CASE WHEN n < 2 OR s = 0 THEN NULL
+        |    WHEN ((n * s2 - s * s) * 1000000) // ((n - 1) * s) > 1200000
+        |      THEN 'overdispersed'
+        |    WHEN ((n * s2 - s * s) * 1000000) // ((n - 1) * s) < 800000
+        |      THEN 'underdispersed'
+        |    ELSE 'poisson-ish' END AS verdict
+        |FROM m ORDER BY et""".stripMargin,
     "q_conformal" ->
       """WITH daily AS (SELECT o_orderpriority AS pri, o_orderdate::DATE AS d,
         |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS y

@@ -1020,6 +1020,29 @@ object TextAnalysis {
       .orderBy("cut_pct")
   }
 
+  /** Lexical-richness census per source — the vocabulary-health
+    * companion to [[zipfSlope]] and [[vocabGrowth]] (machine-generated
+    * or template-heavy sources read LOW type-token ratios and LOW hapax
+    * shares; natural prose is hapax-rich): per source the token count,
+    * type count (distinct words), TTR in bp, and the hapax share
+    * (types occurring exactly once / types) in bp — all exact
+    * integers.
+    *
+    * Scale: one exploded-token pass partial-aggregating into the
+    * (source, word) grain; everything after is vocab-bounded. */
+  def lexicalRichness(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(words).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .selectExpr("source", "n_tokens", "n_types", "n_hapax",
+        "(n_types * 10000) DIV n_tokens AS ttr_bp",
+        "(n_hapax * 10000) DIV n_types AS hapax_bp")
+      .orderBy("source")
+
   val ZipfTopK = 100
 
   /** Zipf rank–frequency slope — the power-law diagnostic next to
@@ -1558,7 +1581,8 @@ object TextAnalysis {
     "q_bigram_surprisal" -> (bigramSurprisal _),
     "q_consistent_hash" -> (consistentHash _),
     "q_vocab_growth" -> (vocabGrowth _),
-    "q_zipf_slope" -> (zipfSlope _))
+    "q_zipf_slope" -> (zipfSlope _),
+    "q_lexical_richness" -> (lexicalRichness _))
 
   private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -2185,6 +2209,18 @@ object TextAnalysis {
          |SELECT cut_pct, cut_doc::BIGINT AS cut_doc, count(*) AS n_terms
          |FROM fs JOIN cuts ON fs.fd <= cuts.cut_doc
          |GROUP BY cut_pct, cut_doc ORDER BY cut_pct""".stripMargin,
+    "q_lexical_richness" ->
+      s"""WITH w AS (SELECT source, unnest($wordsSql) AS word FROM documents),
+         |c AS (SELECT source, word, count(*)::BIGINT AS c FROM w
+         |  WHERE len(word) > 0 GROUP BY 1, 2),
+         |m AS (SELECT source, sum(c)::BIGINT AS n_tokens,
+         |    count(*)::BIGINT AS n_types,
+         |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
+         |  FROM c GROUP BY source)
+         |SELECT source, n_tokens, n_types, n_hapax,
+         |  (n_types * 10000) // n_tokens AS ttr_bp,
+         |  (n_hapax * 10000) // n_types AS hapax_bp
+         |FROM m ORDER BY source""".stripMargin,
     "q_zipf_slope" ->
       s"""WITH w AS (SELECT unnest($wordsSql) AS word FROM documents),
          |c AS (SELECT word, count(*)::BIGINT AS n FROM w

@@ -165,6 +165,36 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("overdispersion: VMR replay and verdict thresholds") {
+    import org.apache.spark.sql.functions._
+    val daily = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts"))).count()
+      .collect().map(r => r.getString(0) -> r.getLong(2))
+    val got = Temporal.overdispersion(spark, dir).collect()
+    got.foreach { r =>
+      val xs = daily.filter(_._1 == r.getString(0)).map(x => BigInt(x._2))
+      val (n, s, s2) = (BigInt(xs.length), xs.sum, xs.map(x => x * x).sum)
+      val vmr = ((n * s2 - s * s) * 1000000) / ((n - 1) * s)
+      assert(r.getLong(r.fieldIndex("n")) == n.toLong)
+      assert(r.getLong(r.fieldIndex("vmr_micro")) == vmr.toLong, r.getString(0))
+      val v = r.getString(r.fieldIndex("verdict"))
+      if (vmr > 1200000) assert(v == "overdispersed")
+      else if (vmr < 800000) assert(v == "underdispersed")
+      else assert(v == "poisson-ish")
+    }
+  }
+
+  test("lexicalRichness: hapax never exceeds types, types never exceed tokens") {
+    val rows = TextAnalysis.lexicalRichness(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      def g(c: String) = r.getLong(r.fieldIndex(c))
+      assert(g("n_hapax") <= g("n_types") && g("n_types") <= g("n_tokens"))
+      assert(g("ttr_bp") == g("n_types") * 10000 / g("n_tokens"))
+      assert(g("hapax_bp") == g("n_hapax") * 10000 / g("n_types"))
+    }
+  }
+
   test("qte matches a naive per-arm interpolated-quantile replay") {
     import org.apache.spark.sql.functions._
     val vals = graft.Tables.events(spark, dir)
