@@ -1882,7 +1882,41 @@ object Relational {
       .orderBy("xyz")
   }
 
+  /** Laspeyres price index — the index-number family's canonical
+    * member (what "inflation vs the base year" means in every national
+    * statistic): per year, Σ p_t·q₀ / Σ p₀·q₀ over parts traded in BOTH
+    * the year and the base (first) year, with unit prices as truncated
+    * integer micro-cents (up = ext-price-cents·10⁶ DIV qty — the same
+    * deterministic truncation in both engines) and base-year quantity
+    * weights. The base year reads exactly 10⁶ by construction; later
+    * years read price drift with composition held fixed.
+    *
+    * Scale: one (part, year) rollup, a base-year self-join on the part
+    * key, and a year-grain census — no sorts, no windows. */
+  def priceIndex(spark: SparkSession, dir: String): DataFrame = {
+    val py = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("pk"), year(col("l_shipdate")).as("yr"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("cents"),
+        sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("qty"))
+      .filter(col("qty") > 0L)
+      .selectExpr("pk", "yr", "(cents * 1000000) DIV qty AS up_micro", "qty")
+      .localCheckpoint() // feeds both sides of the base join
+    val baseYr = py.agg(min("yr")).head().getInt(0)
+    val base = py.filter(col("yr") === baseYr)
+      .selectExpr("pk", "up_micro AS up0", "qty AS q0")
+    py.join(base, "pk")
+      .groupBy("yr")
+      .agg(count(lit(1)).as("n_common_parts"),
+        sum(expr("CAST(up_micro AS DECIMAL(38,0)) * q0")).as("num"),
+        sum(expr("CAST(up0 AS DECIMAL(38,0)) * q0")).as("den"))
+      .selectExpr("yr AS year", "n_common_parts",
+        """CAST(CASE WHEN den = 0 THEN NULL
+          | ELSE (num * 1000000) DIV den END AS BIGINT) AS laspeyres_micro""".stripMargin)
+      .orderBy("year")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_price_index" -> (priceIndex _),
     "q_xyz_class" -> (xyzClassification _),
     "q_basket_triples" -> (basketTriples _),
     "q_also_bought" -> (alsoBought _),
@@ -1954,6 +1988,22 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_price_index" ->
+      """WITH py AS (SELECT l_partkey AS pk, year(l_shipdate)::INT AS yr,
+        |    sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS cents,
+        |    sum(round(l_quantity * 100)::BIGINT)::BIGINT AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |up AS (SELECT pk, yr, (cents * 1000000) // qty AS up_micro, qty
+        |  FROM py WHERE qty > 0),
+        |base AS (SELECT pk, up_micro AS up0, qty AS q0 FROM up
+        |  WHERE yr = (SELECT min(yr) FROM up))
+        |SELECT up.yr AS year, count(*)::BIGINT AS n_common_parts,
+        |  (CASE WHEN sum(base.up0::HUGEINT * base.q0) = 0 THEN NULL
+        |    ELSE (sum(up.up_micro::HUGEINT * base.q0) * 1000000)
+        |      // sum(base.up0::HUGEINT * base.q0) END)::BIGINT
+        |    AS laspeyres_micro
+        |FROM up JOIN base USING (pk)
+        |GROUP BY up.yr ORDER BY year""".stripMargin,
     "q_xyz_class" ->
       """WITH monthly AS (SELECT l_partkey AS pk,
         |    date_trunc('month', l_shipdate) AS m,

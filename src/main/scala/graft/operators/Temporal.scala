@@ -1031,7 +1031,63 @@ object Temporal {
           .otherwise("poisson-ish"))
       .orderBy("et")
 
+  val VrLags: Seq[Int] = Seq(2, 5, 10)
+
+  /** Lo–MacKinlay variance-ratio test — the random-walk diagnostic
+    * (is the daily revenue series trending, mean-reverting, or a
+    * walk?): VR(k) = Var(k-day sums)/(k·Var(1-day)) over NON-OVERLAPPING
+    * k-blocks, read against 1 (walk ≈ 1, trending > 1, mean-reverting
+    * < 1). Everything all-integer: block sums are exact, both variances
+    * enter as the cross-multiplied quotient
+    * ((n_b·ΣB² − SB²)·n_1²·10⁶) DIV ((n_1·Σx² − S²)·k·n_b²) — wide
+    * decimals throughout. Short series (under 4 blocks) pin NULL.
+    *
+    * Scale: one daily rollup; block assignment is integer DIV on the
+    * bounded day index; per lag a 2-sums aggregate. Decimal headroom:
+    * the cross-multiplied numerator is O(nb·B²·n1²·10⁶) ≈ 10³⁵ at
+    * ~10⁹-cents days over a 7-year horizon — inside DECIMAL(38,0); at
+    * ~10¹²-cents days apply the q_mann_whitney two-step split before
+    * trusting the quotient. */
+  def varianceRatio(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val roll = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("y"))
+    val daily = roll.crossJoin(broadcast(roll.agg(min("d").as("d0"))))
+      .selectExpr("CAST(datediff(d, d0) AS BIGINT) AS x", "y")
+      .localCheckpoint() // feeds the base variance and every lag
+    val base = daily.agg(count(lit(1)).as("n1"),
+      sum(expr("CAST(y AS DECIMAL(38,0))")).as("s1"),
+      sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("s21"))
+    val perLag = VrLags.map { k =>
+      daily.selectExpr(s"x DIV $k AS blk", "y")
+        .groupBy("blk").agg(sum("y").as("b"), count(lit(1)).as("bn"))
+        .filter(col("bn") === k.toLong) // complete blocks only
+        .agg(count(lit(1)).as("nb"),
+          sum(expr("CAST(b AS DECIMAL(38,0))")).as("sb"),
+          sum(expr("CAST(b AS DECIMAL(38,0)) * b")).as("s2b"))
+        .crossJoin(broadcast(base))
+        .selectExpr(s"$k AS k", "CAST(nb AS BIGINT) AS n_blocks",
+          s"""CAST(CASE WHEN nb < 4
+             |  OR CAST(n1 AS DECIMAL(38,0)) * s21 - s1 * s1 = 0 THEN NULL
+             | ELSE ((CAST(nb AS DECIMAL(38,0)) * s2b - sb * sb)
+             |     * n1 * n1 * 1000000)
+             |   DIV ((CAST(n1 AS DECIMAL(38,0)) * s21 - s1 * s1)
+             |     * $k * nb * nb)
+             | END AS BIGINT) AS vr_micro""".stripMargin)
+    }
+    perLag.reduce(_ unionAll _)
+      .withColumn("reading",
+        when(col("vr_micro").isNull, lit(null).cast("string"))
+          .when(col("vr_micro") > 1200000L, "trending")
+          .when(col("vr_micro") < 800000L, "mean-reverting")
+          .otherwise("random-walk"))
+      .orderBy("k")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_variance_ratio" -> (varianceRatio _),
     "q_overdispersion" -> (overdispersion _),
     "q_conformal" -> (conformal _),
     "q_influence" -> (slopeInfluence _),
@@ -1182,6 +1238,33 @@ object Temporal {
          |SELECT pri, d, cents,
          |  ((($num) * 1000) // ($den))::BIGINT AS ewma_millicents
          |FROM l ORDER BY pri, d""".stripMargin
+    },
+    "q_variance_ratio" -> {
+      val lags = VrLags.map { k =>
+        s"""SELECT $k AS k, nb::BIGINT AS n_blocks,
+           |  (CASE WHEN nb < 4 OR n1 * s21 - s1 * s1 = 0 THEN NULL
+           |    ELSE ((nb * s2b - sb * sb) * n1 * n1 * 1000000)
+           |      // ((n1 * s21 - s1 * s1) * $k * nb * nb) END)::BIGINT
+           |    AS vr_micro
+           |FROM (SELECT count(*)::HUGEINT AS nb, sum(b)::HUGEINT AS sb,
+           |    sum(b::HUGEINT * b) AS s2b
+           |  FROM (SELECT x // $k AS blk, sum(y)::BIGINT AS b,
+           |      count(*)::BIGINT AS bn FROM daily GROUP BY 1)
+           |  WHERE bn = $k) CROSS JOIN base""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH roll AS (SELECT o_orderdate::DATE AS d,
+         |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS y
+         |  FROM orders GROUP BY 1),
+         |daily AS (SELECT (d - (SELECT min(d) FROM roll))::BIGINT AS x, y
+         |  FROM roll),
+         |base AS (SELECT count(*)::HUGEINT AS n1, sum(y)::HUGEINT AS s1,
+         |    sum(y::HUGEINT * y) AS s21 FROM daily)
+         |SELECT k, n_blocks, vr_micro,
+         |  CASE WHEN vr_micro IS NULL THEN NULL
+         |    WHEN vr_micro > 1200000 THEN 'trending'
+         |    WHEN vr_micro < 800000 THEN 'mean-reverting'
+         |    ELSE 'random-walk' END AS reading
+         |FROM ($lags) ORDER BY k""".stripMargin
     },
     "q_overdispersion" ->
       """WITH daily AS (SELECT event_type AS et, ts::DATE AS d,

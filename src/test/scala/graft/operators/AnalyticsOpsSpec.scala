@@ -165,6 +165,32 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("priceIndex: the base year reads exactly 1e6; weights replay") {
+    val rows = Relational.priceIndex(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byYear = rows.map(r => r.getInt(0) -> r).toMap
+    val baseYr = byYear.keys.min
+    assert(byYear(baseYr).getLong(2) == 1000000L, "base year is the unit")
+    // common-part counts never exceed the base year's own census
+    val baseParts = byYear(baseYr).getLong(1)
+    rows.foreach(r => assert(r.getLong(1) <= baseParts))
+  }
+
+  test("varianceRatio: near-unity on iid daily sums, NULL-free at gate scale") {
+    val rows = Temporal.varianceRatio(spark, dir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Temporal.VrLags)
+    rows.foreach { r =>
+      if (r.isNullAt(2)) // the short-series guard: under 4 complete blocks
+        assert(r.getLong(1) < 4L, s"k=${r.getInt(0)} null without cause")
+      else {
+        val vr = r.getLong(2)
+        // iid synthetic revenue: VR must sit in a generous unity band
+        assert(vr > 500000L && vr < 2000000L, s"k=${r.getInt(0)} vr=$vr")
+      }
+    }
+    assert(!rows.head.isNullAt(2), "k=2 must resolve even on the small corpus")
+  }
+
   test("overdispersion: VMR replay and verdict thresholds") {
     import org.apache.spark.sql.functions._
     val daily = graft.Tables.events(spark, dir)
