@@ -1915,7 +1915,39 @@ object Relational {
       .orderBy("year")
   }
 
+  /** Herfindahl–Hirschman concentration index — the antitrust-grade
+    * concentration meter next to [[giniDf]]'s inequality curve (HHI is
+    * the one with REGULATORY thresholds attached): per nation, supplier
+    * revenue concentration as HHI = Σ shareᵢ², computed EXACTLY (no
+    * truncated shares) as (Σ revᵢ²)·10⁶ DIV (Σ revᵢ)² in DECIMAL(38,0),
+    * with the DOJ bands pinned: < 0.15 unconcentrated, ≤ 0.25
+    * moderate, else high.
+    *
+    * Scale: one (nation, supplier) rollup + a nation-grain 2-sums
+    * aggregate — the q_xyz_class posture. */
+  def hhi(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("nation"), col("l_suppkey").as("sk"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("rev"))
+    rev.groupBy("nation")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(expr("CAST(rev AS DECIMAL(38,0))")).as("s"),
+        sum(expr("CAST(rev AS DECIMAL(38,0)) * rev")).as("s2"))
+      .selectExpr("nation", "n_suppliers", "CAST(s AS BIGINT) AS total_cents",
+        """CAST(CASE WHEN s = 0 THEN NULL
+          | ELSE (s2 * 1000000) DIV (s * s) END AS BIGINT) AS hhi_micro""".stripMargin)
+      .withColumn("band",
+        when(col("hhi_micro").isNull, lit(null).cast("string"))
+          .when(col("hhi_micro") < 150000L, "unconcentrated")
+          .when(col("hhi_micro") <= 250000L, "moderate")
+          .otherwise("high"))
+      .orderBy("nation")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_hhi" -> (hhi _),
     "q_price_index" -> (priceIndex _),
     "q_xyz_class" -> (xyzClassification _),
     "q_basket_triples" -> (basketTriples _),
@@ -1988,6 +2020,22 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_hhi" ->
+      """WITH rev AS (SELECT s_nationkey AS nation, l_suppkey AS sk,
+        |    sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS rev
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |m AS (SELECT nation, count(*)::BIGINT AS n_suppliers,
+        |    sum(rev)::HUGEINT AS s, sum(rev::HUGEINT * rev) AS s2
+        |  FROM rev GROUP BY nation)
+        |SELECT nation, n_suppliers, s::BIGINT AS total_cents,
+        |  (CASE WHEN s = 0 THEN NULL
+        |    ELSE (s2 * 1000000) // (s * s) END)::BIGINT AS hhi_micro,
+        |  CASE WHEN s = 0 THEN NULL
+        |    WHEN (s2 * 1000000) // (s * s) < 150000 THEN 'unconcentrated'
+        |    WHEN (s2 * 1000000) // (s * s) <= 250000 THEN 'moderate'
+        |    ELSE 'high' END AS band
+        |FROM m ORDER BY nation""".stripMargin,
     "q_price_index" ->
       """WITH py AS (SELECT l_partkey AS pk, year(l_shipdate)::INT AS yr,
         |    sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS cents,

@@ -165,6 +165,28 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("hhi: bounded by 1/n and 1, exact BigInt replay per nation") {
+    import org.apache.spark.sql.functions._
+    val revs = graft.Tables.lineitem(spark, dir)
+      .join(graft.Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").cast("long"), col("l_suppkey"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("rev"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+    val rows = Relational.hhi(spark, dir).collect()
+    rows.foreach { r =>
+      val nation = r.getLong(0)
+      val xs = revs.filter(_._1 == nation).map(x => BigInt(x._2))
+      val (s, s2) = (xs.sum, xs.map(x => x * x).sum)
+      val expected = (s2 * 1000000) / (s * s)
+      assert(r.getLong(r.fieldIndex("hhi_micro")) == expected.toLong, s"n$nation")
+      // HHI ∈ [1/n, 1]: equal shares floor, monopoly ceiling
+      assert(r.getLong(r.fieldIndex("hhi_micro")) >= 1000000L / xs.length - 1)
+      assert(r.getLong(r.fieldIndex("hhi_micro")) <= 1000000L)
+    }
+  }
+
   test("priceIndex: the base year reads exactly 1e6; weights replay") {
     val rows = Relational.priceIndex(spark, dir).collect()
     assert(rows.nonEmpty)
