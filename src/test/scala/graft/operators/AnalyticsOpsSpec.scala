@@ -176,7 +176,7 @@ class AnalyticsOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2))
     val rows = Relational.hhi(spark, dir).collect()
     rows.foreach { r =>
-      val nation = r.getLong(0)
+      val nation = r.get(0).asInstanceOf[Number].longValue
       val xs = revs.filter(_._1 == nation).map(x => BigInt(x._2))
       val (s, s2) = (xs.sum, xs.map(x => x * x).sum)
       val expected = (s2 * 1000000) / (s * s)
