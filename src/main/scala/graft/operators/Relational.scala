@@ -1946,7 +1946,42 @@ object Relational {
       .orderBy("nation")
   }
 
+  /** Theil-T inequality index — the DECOMPOSABLE member of the
+    * inequality trio (Gini curves, HHI concentrates, Theil is the one
+    * that splits exactly into within/between-group terms): per nation
+    * the supplier-revenue Theil T = Σ sᵢ·ln(n·sᵢ), folded all-integer
+    * as (Σ revᵢ·microln(revᵢ·n / S)) DIV S with one micro-rounded
+    * ln-of-integer-ratio per supplier (the SPRT/woe discipline —
+    * identical doubles both engines). 0 = perfect equality,
+    * ln(n) = monopoly; emitted beside its ln(n) ceiling in micro so
+    * the normalized reading is one division away.
+    *
+    * Scale: the q_hhi posture — one (nation, supplier) rollup +
+    * nation-grain integer sums. */
+  def theilIndex(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("nation"), col("l_suppkey").as("sk"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("rev"))
+      .filter(col("rev") > 0L)
+    val tot = rev.groupBy("nation")
+      .agg(count(lit(1)).as("n"), sum("rev").as("s"))
+    rev.join(tot, "nation")
+      .selectExpr("nation", "n", "s",
+        """rev * CAST(round(ln(CAST(rev AS DOUBLE) * n / CAST(s AS DOUBLE))
+          | * 1000000) AS BIGINT) AS term""".stripMargin)
+      .groupBy("nation", "n", "s")
+      .agg(sum(expr("CAST(term AS DECIMAL(38,0))")).as("tsum"))
+      .selectExpr("nation", "CAST(n AS BIGINT) AS n_suppliers",
+        "CAST(s AS BIGINT) AS total_cents",
+        "CAST(tsum DIV s AS BIGINT) AS theil_micro",
+        "CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS ceiling_micro")
+      .orderBy("nation")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_theil_index" -> (theilIndex _),
     "q_hhi" -> (hhi _),
     "q_price_index" -> (priceIndex _),
     "q_xyz_class" -> (xyzClassification _),
@@ -2020,6 +2055,21 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_theil_index" ->
+      """WITH rev AS (SELECT s_nationkey AS nation, l_suppkey AS sk,
+        |    sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS rev
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2 HAVING sum(round(l_extendedprice * 100)::BIGINT) > 0),
+        |tot AS (SELECT nation, count(*)::BIGINT AS n, sum(rev)::BIGINT AS s
+        |  FROM rev GROUP BY nation),
+        |terms AS (SELECT rev.nation, tot.n, tot.s,
+        |    rev::HUGEINT * round(ln(rev::DOUBLE * n / s::DOUBLE)
+        |      * 1000000)::BIGINT AS term
+        |  FROM rev JOIN tot USING (nation))
+        |SELECT nation, n AS n_suppliers, s AS total_cents,
+        |  (sum(term) // s)::BIGINT AS theil_micro,
+        |  round(ln(n::DOUBLE) * 1000000)::BIGINT AS ceiling_micro
+        |FROM terms GROUP BY nation, n, s ORDER BY nation""".stripMargin,
     "q_hhi" ->
       """WITH rev AS (SELECT s_nationkey AS nation, l_suppkey AS sk,
         |    sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS rev

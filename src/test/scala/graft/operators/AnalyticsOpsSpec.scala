@@ -165,6 +165,31 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("theilIndex: non-negative, under its ln(n) ceiling, replayed") {
+    val rows = Relational.theilIndex(spark, dir).collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions._
+    val revs = graft.Tables.lineitem(spark, dir)
+      .join(graft.Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").cast("long"), col("l_suppkey"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("rev"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).filter(_._2 > 0)
+    rows.foreach { r =>
+      val nation = r.get(0).asInstanceOf[Number].longValue
+      val xs = revs.filter(_._1 == nation).map(_._2)
+      val s = xs.map(BigInt(_)).sum
+      val expected = (xs.map(x => BigInt(x) *
+        math.round(math.log(x.toDouble * xs.length / s.toDouble) * 1e6)).sum / s).toLong
+      val theil = r.getLong(r.fieldIndex("theil_micro"))
+      assert(theil == expected, s"nation $nation")
+      // Jensen: T ≥ 0 (up to the per-term micro rounding slack)
+      assert(theil >= -xs.length, s"nation $nation negative")
+      assert(theil <= r.getLong(r.fieldIndex("ceiling_micro")))
+    }
+  }
+
   test("hhi: bounded by 1/n and 1, exact BigInt replay per nation") {
     import org.apache.spark.sql.functions._
     val revs = graft.Tables.lineitem(spark, dir)
