@@ -98,6 +98,45 @@ object DataQuality {
       .orderBy("bucket")
   }
 
+  /** Hellinger drift distance — the BOUNDED, symmetric member of the
+    * drift family next to [[psiDrift]]'s unbounded divergence (PSI
+    * explodes on vanishing buckets; Hellinger lives in [0,1] and obeys
+    * the triangle inequality, so it alerts monotonically and composes
+    * across time): H² = 1 − Σ√(pᵢ·qᵢ) over the same $25k buckets with
+    * the same Laplace smoothing, per-bucket affinity √(pq) as one
+    * micro-rounded double per bucket (sqrt is IEEE correctly-rounded —
+    * even safer than the ln discipline) summed in exact integers;
+    * h2_micro = 10⁶ − Σ affinity_micro, clamped at 0.
+    *
+    * Scale: the q_psi_drift posture verbatim — one scan, a bounded
+    * bucket rollup, 1-row arithmetic. */
+  def hellingerDrift(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("d"),
+        expr(s"CAST(round(o_totalprice * 100) AS LONG) DIV $PsiBucketCents")
+          .as("bucket"))
+    val bounds = Relational.dateCutBounds(o, 1, 2)
+    val counts = o.crossJoin(broadcast(bounds))
+      .groupBy("bucket")
+      .agg(sum(when(col("d") < col("cut_d"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("d") >= col("cut_d"), 1L).otherwise(0L)).as("c2"))
+    val tot = counts.agg(sum("c1").as("n1"), sum("c2").as("n2"),
+      count(lit(1)).as("nb"))
+    counts.crossJoin(broadcast(tot))
+      .selectExpr(
+        // CAST to DOUBLE explicitly: a bare 1.0 literal is DECIMAL in
+        // Spark SQL, and decimal-lane division quantizes differently
+        // from DuckDB's double lane
+        """CAST(round(sqrt(((CAST(c1 AS DOUBLE) + 1.0) / (n1 + nb))
+          |  * ((CAST(c2 AS DOUBLE) + 1.0) / (n2 + nb))) * 1000000) AS BIGINT)
+          |  AS affinity_micro""".stripMargin)
+      .agg(count(lit(1)).as("n_buckets"),
+        sum("affinity_micro").as("aff"))
+      .selectExpr("n_buckets",
+        "CAST(aff AS BIGINT) AS affinity_micro",
+        "GREATEST(CAST(0 AS BIGINT), 1000000 - aff) AS h2_micro")
+  }
+
   /** Functional-dependency profiling (the discovery side of data
     * quality: does LHS → RHS actually hold in the data?). For each
     * candidate FD, group by the LHS and count distinct RHS values; a
@@ -343,7 +382,8 @@ object DataQuality {
     "q_data_quality" -> (dataQuality _),
     "q_fd_violations" -> (fdViolations _),
     "q_benford" -> (benford _),
-    "q_psi_drift" -> (psiDrift _))
+    "q_psi_drift" -> (psiDrift _),
+    "q_hellinger" -> (hellingerDrift _))
 
   val oracles: Map[String, String] = Map(
     "q_benford_gof" -> {
@@ -446,6 +486,26 @@ object DataQuality {
          |  (c.n * 10000) // t.total - e.benford_bp AS dev_bp
          |FROM c CROSS JOIN t JOIN e ON c.digit = e.digit
          |ORDER BY c.digit""".stripMargin,
+    "q_hellinger" ->
+      s"""WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) // $PsiBucketCents
+         |      AS bucket
+         |  FROM orders),
+         |b AS (SELECT min(d) + (date_diff('day', min(d), max(d)) // 2)
+         |    * INTERVAL '1 day' AS cut_d
+         |  FROM o),
+         |c AS (SELECT bucket,
+         |    sum(CASE WHEN d < cut_d THEN 1 ELSE 0 END)::BIGINT AS c1,
+         |    sum(CASE WHEN d >= cut_d THEN 1 ELSE 0 END)::BIGINT AS c2
+         |  FROM o CROSS JOIN b GROUP BY bucket),
+         |t AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2,
+         |    count(*)::BIGINT AS nb FROM c),
+         |aff AS (SELECT round(sqrt(((c1::DOUBLE + 1.0) / (n1 + nb))
+         |    * ((c2::DOUBLE + 1.0) / (n2 + nb))) * 1000000)::BIGINT AS a
+         |  FROM c CROSS JOIN t)
+         |SELECT count(*)::BIGINT AS n_buckets, sum(a)::BIGINT AS affinity_micro,
+         |  greatest(0, 1000000 - sum(a))::BIGINT AS h2_micro
+         |FROM aff""".stripMargin,
     "q_psi_drift" ->
       s"""WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d,
          |    CAST(round(o_totalprice * 100) AS BIGINT) // $PsiBucketCents

@@ -165,6 +165,17 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("hellingerDrift: bounded in [0, 1e6], near zero on a stable split") {
+    val r = DataQuality.hellingerDrift(spark, dir).collect().head
+    val h2 = r.getLong(r.fieldIndex("h2_micro"))
+    assert(h2 >= 0L && h2 <= 1000000L)
+    assert(r.getLong(r.fieldIndex("affinity_micro")) >= 0L)
+    // the synthetic order-value distribution is stationary: the two
+    // halves must read almost identical (H² well under the 0.25 alarm)
+    assert(h2 < 250000L, s"h2=$h2 on stationary data")
+    assert(r.getLong(r.fieldIndex("n_buckets")) > 0L)
+  }
+
   test("theilIndex: non-negative, under its ln(n) ceiling, replayed") {
     val rows = Relational.theilIndex(spark, dir).collect()
     assert(rows.nonEmpty)
