@@ -209,7 +209,14 @@ object Relational {
       .orderBy("l_partkey")
 
   /** Per-group top-k via window row_number (the k-NN merge shape,
-    * neighbors/base.py:186-201 → Window.partitionBy.orderBy). */
+    * neighbors/base.py:186-201 → Window.partitionBy.orderBy).
+    *
+    * Scale note: the 5-priority partition space is constant, but the
+    * `rn <= 3` filter plans a WindowGroupLimit — each task keeps a
+    * k-row heap and only ≤ k·|priorities| rows ever reach the final
+    * per-group sort, so the coarse partitioning never funnels the
+    * order grain (unlike a rank-all window, which q_window_ntile
+    * rebuilds on ScaleWindows). */
   def windowRank(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_orderpriority")
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -555,23 +562,38 @@ object Relational {
   }
 
   /** Offset window functions — lag/lead over each customer's order
-    * timeline plus an ntile price quartile within priority. One shuffle
-    * per distinct partition key, per-partition sorts, no global funnel;
-    * unique o_orderkey tiebreaks make every offset deterministic. */
+    * timeline plus an ntile price quartile within priority; unique
+    * o_orderkey tiebreaks make every offset deterministic.
+    *
+    * Scale: lag/lead partition by o_custkey — millions of small groups,
+    * one keyed exchange, no funnel. The quartile-within-priority is a
+    * 5-group CONSTANT partition space over the data-proportional order
+    * grain, so (exactly like q_window_ntile) it rides
+    * [[ScaleWindows.withBoundedGroupRank]] — one range-partitioned sort
+    * plus broadcast per-priority start offsets — with ntile(4)
+    * recovered exactly from (rank, n) by SQL's deal arithmetic, never
+    * an ntile window funneling through 5 sort partitions. */
   def windowOffset(spark: SparkSession, dir: String): DataFrame = {
     val byCust = Window.partitionBy("o_custkey")
       .orderBy(col("o_orderdate"), col("o_orderkey"))
-    val byPrio = Window.partitionBy("o_orderpriority")
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    Tables.orders(spark, dir)
+    val lagged = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderpriority"), col("o_totalprice"),
         // -1 sentinel for the partition edges keeps the output null-free
         // (the cross-engine row comparator can't order NULL doubles)
         coalesce(round(lag("o_totalprice", 1).over(byCust), 2), lit(-1.0))
           .as("prev_price"),
         coalesce(round(lead("o_totalprice", 1).over(byCust), 2), lit(-1.0))
-          .as("next_price"),
-        ntile(4).over(byPrio).as("price_quartile"))
+          .as("next_price"))
+    ScaleWindows.withBoundedGroupRank(lagged, "o_orderpriority",
+        Seq(col("o_totalprice").desc, col("o_orderkey")), "rk", "n")
+      .selectExpr("o_orderkey", "o_custkey", "prev_price", "next_price",
+        "rk", "n DIV 4 AS k4", "n % 4 AS r4")
+      .selectExpr("o_orderkey", "o_custkey", "prev_price", "next_price",
+        """CAST(CASE WHEN rk <= r4 * (k4 + 1)
+          |  THEN (rk - 1) DIV (k4 + 1) + 1
+          |  ELSE r4 + (rk - r4 * (k4 + 1) - 1) DIV k4 + 1 END AS INT)
+          |  AS price_quartile""".stripMargin)
       .orderBy("o_orderkey")
   }
 
@@ -1591,17 +1613,33 @@ object Relational {
     * (the window functions q_window_rank/range/running don't cover),
     * pinned over a TOTAL ordering (price, key) so tile boundaries and
     * rank fractions are engine-exact; fractions are exact rationals of
-    * row counts, rounded 6. One keyed exchange; ≤ 4·|priorities| rows
-    * out at any scale. */
+    * row counts, rounded 6. ≤ 4·|priorities| rows out at any scale.
+    *
+    * Scale: the 5-priority partition space is constant while the order
+    * grain is data-proportional, so a plain `ntile OVER (PARTITION BY
+    * priority)` would funnel SF·1.5M rows through 5 sort partitions.
+    * Instead membership rides [[ScaleWindows.withBoundedGroupRank]] —
+    * ONE range-partitioned sort over (priority, price, key) plus
+    * broadcast per-group start offsets — and all three functions are
+    * recovered arithmetically from (rank, n): ntile(4) by SQL's deal
+    * (first n%4 buckets get n DIV 4 + 1 rows), percent_rank =
+    * (rk−1)/(n−1), cume_dist = rk/n (the ordering is total, so rank =
+    * row_number and no tie-group lookahead is needed). Identical
+    * doubles to the window functions — same dividends, same divisors. */
   def windowNtile(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("o_orderpriority")
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(spark, dir)
+    val base = Tables.orders(spark, dir)
       .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
-      .withColumn("quartile", ntile(4).over(w))
-      .withColumn("pr", percent_rank().over(w))
-      .withColumn("cd", cume_dist().over(w))
+    ScaleWindows.withBoundedGroupRank(base, "o_orderpriority",
+        Seq(col("o_totalprice"), col("o_orderkey")), "rk", "n")
+      .selectExpr("o_orderpriority", "rk", "n", "n DIV 4 AS k4", "n % 4 AS r4")
+      .selectExpr("o_orderpriority",
+        """CAST(CASE WHEN rk <= r4 * (k4 + 1)
+          |  THEN (rk - 1) DIV (k4 + 1) + 1
+          |  ELSE r4 + (rk - r4 * (k4 + 1) - 1) DIV k4 + 1 END AS INT)
+          |  AS quartile""".stripMargin,
+        "CASE WHEN n = 1 THEN CAST(0.0 AS DOUBLE) " +
+          "ELSE CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS pr",
+        "CAST(rk AS DOUBLE) / CAST(n AS DOUBLE) AS cd")
       .groupBy("o_orderpriority", "quartile")
       .agg(count(lit(1)).as("n_orders"),
         round(min("pr"), 6).as("min_pctrank"),

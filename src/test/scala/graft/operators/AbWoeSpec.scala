@@ -100,6 +100,46 @@ class AbWoeSpec extends SparkSpec {
     assert(got("zc")._3 == 2999998L, s"floor-div cells of exact 3.0: ${got("zc")}")
   }
 
+  test("chi2 verdict resolves at df=10 against the extended table and NULLs at df=31") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 11 categories × 2 labels, perfect association → df = 10, chi2 = n
+    // (the r8-advice hole: the old df ≤ 8 table silently NULLed df=10 —
+    // exactly disc_pct's shape)
+    val df10 = for (x <- 0 until 11; _ <- 1 to 20) yield ("f10", x.toString, x % 2)
+    // 32 categories → df = 31 > 30: out-of-table must be a VISIBLE NULL
+    val df31 = for (x <- 0 until 32; _ <- 1 to 10) yield ("f31", x.toString, x % 2)
+    val got = DataQuality.chi2SelectDf((df10 ++ df31).toDF("feature", "x", "y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), Option(r.getString(4))))).toMap
+    assert(got("f10") == ((10L, Some("yes"))),
+      s"df=10 must resolve to a real verdict: ${got("f10")}")
+    assert(got("f31") == ((31L, None)),
+      s"df=31 is outside the pinned table and must be NULL: ${got("f31")}")
+  }
+
+  test("benfordGof: zero-observation digits still contribute expected mass") {
+    val spark2 = spark
+    import spark2.implicits._
+    // only digits 1 and 2 ever observed — digits 3..9 exist ONLY through
+    // the left-join from the expected table (the r8-advice fix); an
+    // inner join would emit 2 cells and a wildly understated chi2
+    val tmp = java.nio.file.Files.createTempDirectory("benford_skew").toString
+    (Seq.fill(100)(1.23) ++ Seq.fill(50)(2.50)).toDF("o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val r = DataQuality.benfordGof(spark, tmp).head()
+    val n = 150L
+    val obs = Map(1 -> 100L, 2 -> 50L).withDefaultValue(0L)
+    val expChi = DataQuality.BenfordBp.map { case (d, bp) =>
+      val dev = BigInt(obs(d)) * 10000 - BigInt(n) * bp
+      (dev * dev * 100 / (BigInt(n) * bp)).toLong
+    }.sum
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) == 9L, s"all 9 digit cells must be present: $r")
+    assert(r.getLong(3) == expChi, s"chi2 replay mismatch: $r vs $expChi")
+    assert(r.getString(4) == "yes", s"extreme skew must reject: $r")
+  }
+
   test("mannWhitney: U and tied ranks replay by hand; separation is significant") {
     val spark2 = spark
     import spark2.implicits._

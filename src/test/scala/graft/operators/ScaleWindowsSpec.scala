@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.util.QueryExecutionListener
@@ -9,9 +9,10 @@ import org.apache.spark.sql.execution.QueryExecution
 /** The scale-safe rank/prefix primitives must (a) agree value-for-value
   * with the global-window formulations they replace, and (b) never plan
   * an `Exchange SinglePartition` — neither in their own plans nor in any
-  * SQL execution of the five analytics gates rebuilt on them
+  * SQL execution of the six analytics gates rebuilt on them
   * (q_peak_concurrency, q_abc_class, q_value_migration, q_gini,
-  * q_fulfillment_sla — the round-8 verdict's weak family). */
+  * q_fulfillment_sla — the round-8 verdict's weak family — plus
+  * q_window_ntile, the round-9 verdict's last coarse-partition window). */
 class ScaleWindowsSpec extends SparkSpec {
 
   private def sampleDf = {
@@ -125,7 +126,7 @@ class ScaleWindowsSpec extends SparkSpec {
     }
   }
 
-  test("the five rebuilt analytics gates never execute a single-partition exchange") {
+  test("the rebuilt analytics gates never execute a single-partition exchange") {
     val dir = "/root/testdata/sf0.001"
     assertNoSinglePartitionAnywhere("q_peak_concurrency") {
       assert(Events.peakConcurrency(spark, dir).collect().nonEmpty)
@@ -142,6 +143,55 @@ class ScaleWindowsSpec extends SparkSpec {
     assertNoSinglePartitionAnywhere("q_fulfillment_sla") {
       assert(Temporal.fulfillmentSla(spark, dir).collect().nonEmpty)
     }
+    assertNoSinglePartitionAnywhere("q_window_ntile") {
+      assert(Relational.windowNtile(spark, dir).collect().nonEmpty)
+    }
+    assertNoSinglePartitionAnywhere("q_window_offset") {
+      assert(Relational.windowOffset(spark, dir).collect().nonEmpty)
+    }
+  }
+
+  test("windowNtile matches the SQL window-function formulation exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Relational.windowNtile(spark, dir).collect().map(_.toSeq).toSeq
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val want = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy("o_orderpriority", "quartile")
+      .agg(count(lit(1)).as("n_orders"),
+        round(min("pr"), 6).as("min_pctrank"),
+        round(max("cd"), 6).as("max_cumedist"))
+      .orderBy("o_orderpriority", "quartile")
+      .collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
+  test("withBoundedGroupRank offsets align for group types whose toString order differs from natural order") {
+    val spark2 = spark
+    import spark2.implicits._
+    // int groups {2, 9, 10, 33, 100}: toString order is 10 < 100 < 2 <
+    // 33 < 9 while natural order is 2 < 9 < 10 < 33 < 100 — if offset
+    // alignment ever leaned on toString the ranks here would shift by
+    // whole group sizes. Group sizes deliberately unequal.
+    val gs = Seq(2, 9, 10, 33, 100)
+    val df = Seq.tabulate(2500)(i =>
+      (gs(i % 23 % 5), (i * 48271L) % 211, i.toLong)).toDF("g", "v", "id")
+      .repartition(4)
+    val got = ScaleWindows.withBoundedGroupRank(
+      df, "g", Seq(col("v"), col("id")), "rk", "n")
+      .select("id", "rk", "n").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val want = df
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("g").orderBy("v", "id")).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+      .select("id", "rk", "n").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
   }
 
   test("ntile arithmetic in valueMigration matches SQL ntile for every n mod 4") {
