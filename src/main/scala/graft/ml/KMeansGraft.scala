@@ -405,6 +405,76 @@ object KMeansGraft {
       .orderBy("cluster")
   }
 
+  /** Simplified (centroid) silhouette over the gate fit — the per-point
+    * validity companion to [[daviesBouldin]]'s per-cluster index (the
+    * all-pairs silhouette is O(n²); the centroid surrogate a = squared
+    * distance to the OWN center, b = to the SECOND-nearest is its
+    * standard large-n form, non-negative by construction): per point
+    * s_micro = round((d₂−d₁)·10⁶/d₂) with d₂ = 0 (a point sitting on
+    * two duplicate centers) pinned to 0, per-cluster mean Σs DIV n,
+    * and the global mean stamped on every row. Distances are the same
+    * left-associated (v[i]−c[i])² chains as the Lloyd oracle, so both
+    * engines see bit-identical doubles before the one rounded ratio.
+    *
+    * Scale: the fit is [[fit]]'s treeAggregate Lloyd; the index is ONE
+    * extra scan evaluating k codegen'd distance chains per row,
+    * partial-aggregated to k rows. */
+  def silhouette(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val pts = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(slice(col("embedding"), 1, QDim), x => x.cast("double")).as("v"))
+      .cache()
+    val model = fit(pts, "v", "vec_id", K, Iters)
+    def dist(c: Array[Double]): Column =
+      (0 until QDim).map { i =>
+        val d = element_at(col("v"), i + 1) - lit(c(i))
+        d * d
+      }.reduceLeft(_ + _)
+    val sorted = array_sort(array(model.centers.map(dist): _*))
+    val per = pts.select(
+        model.assignCol(col("v")).as("cluster"),
+        element_at(sorted, 1).as("d1"), element_at(sorted, 2).as("d2"))
+      .selectExpr("cluster",
+        """CAST(CASE WHEN d2 = 0.0 THEN 0
+          |  ELSE round((d2 - d1) * 1000000 / d2) END AS BIGINT) AS s_micro""".stripMargin)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_points"), sum("s_micro").as("ssum"))
+      .localCheckpoint(true) // k rows; frees the cached points below
+    pts.unpersist(false)
+    val glob = per.agg(
+      expr("CAST(sum(ssum) DIV sum(n_points) AS BIGINT)").as("overall_micro"))
+    per.crossJoin(broadcast(glob))
+      .selectExpr("cluster", "n_points",
+        "CAST(ssum DIV n_points AS BIGINT) AS sil_micro", "overall_micro")
+      .orderBy("cluster")
+  }
+
+  /** DuckDB oracle for [[silhouette]]: unrolled-Lloyd CTEs, rank-2
+    * distances per point, the identical micro arithmetic. */
+  def silhouetteOracle: String = {
+    val dim = QDim
+    s"""WITH pts AS (SELECT vec_id, list_transform(embedding[1:$dim], x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |${lloydCtesSql("pts", dim, K, Iters)},
+       |dd AS (SELECT p.vec_id, c.cl, ${chainSql("p.v", "c.v", dim)} AS d
+       |  FROM pts p CROSS JOIN cpts$Iters c),
+       |rk AS (SELECT vec_id, cl, d, row_number()
+       |    OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn FROM dd),
+       |pp AS (SELECT a1.vec_id, a1.cl AS cluster, a1.d AS d1, a2.d AS d2
+       |  FROM rk a1 JOIN rk a2 ON a2.vec_id = a1.vec_id AND a2.rn = 2
+       |  WHERE a1.rn = 1),
+       |s AS (SELECT cluster, CASE WHEN d2 = 0 THEN 0
+       |    ELSE CAST(round((d2 - d1) * 1000000 / d2) AS BIGINT) END AS s_micro
+       |  FROM pp),
+       |per AS (SELECT cluster, count(*)::BIGINT AS n_points,
+       |    sum(s_micro)::BIGINT AS ssum FROM s GROUP BY cluster),
+       |g AS (SELECT (sum(ssum) // sum(n_points))::BIGINT AS overall FROM per)
+       |SELECT cluster, n_points, (ssum // n_points)::BIGINT AS sil_micro,
+       |  (SELECT overall FROM g) AS overall_micro
+       |FROM per ORDER BY cluster""".stripMargin
+  }
+
   /** DuckDB oracle for [[daviesBouldin]]: the unrolled-Lloyd CTEs plus
     * the k² pair table recomputed arithmetically. */
   def dbOracle: String = {

@@ -9,6 +9,7 @@ object MlQueries {
   val queries: Map[String, Q] = Map(
     "q_kmeans" -> ((s, d) => KMeansGraft.query(s, d)),
     "q_davies_bouldin" -> ((s, d) => KMeansGraft.daviesBouldin(s, d)),
+    "q_silhouette" -> ((s, d) => KMeansGraft.silhouette(s, d)),
     // model persistence gate: identical contract to q_kmeans, but the
     // fitted model takes a parquet save→load roundtrip before emitting —
     // the shared oracle hash-checks that persistence is param-exact
@@ -97,6 +98,7 @@ object MlQueries {
   val oracles: Map[String, String] = Map(
     "q_kmeans" -> KMeansGraft.oracle,
     "q_davies_bouldin" -> KMeansGraft.dbOracle,
+    "q_silhouette" -> KMeansGraft.silhouetteOracle,
     "q_model_io" -> KMeansGraft.oracle,
     "q_knn_classify" -> Knn.oracle,
     "q_naive_bayes" -> NaiveBayesGraft.oracle,

@@ -303,6 +303,36 @@ object DataQuality {
       .orderBy(desc("chi2_micro"), asc("feature"))
   }
 
+  /** Cramér's V effect size for the [[chi2Select]] features — the
+    * magnitude companion to the χ² significance verdict (χ² grows with
+    * n, so at warehouse scale EVERYTHING reads "significant"; V is the
+    * n-free strength on [0,1] that tells you whether the association
+    * matters): V² = χ²/(n·(min(r,c)−1)), emitted as the exact integer
+    * v2_micro = chi2_micro DIV (n·(min−1)) — the same two-step-split χ²
+    * integer divided by exact counts, so both engines replay it
+    * digit-for-digit.
+    *
+    * Scale: the chi2 cell rollup (one fact scan fanned by the stack)
+    * plus a features-sized broadcast of (n, nx, ny) — no second scan of
+    * anything fact-sized. */
+  def cramersV(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.lineitem(spark, dir).selectExpr(
+      """stack(4,
+        |  'returnflag', l_returnflag,
+        |  'linestatus', l_linestatus,
+        |  'linenumber', CAST(l_linenumber AS STRING),
+        |  'disc_pct',   CAST(CAST(round(l_discount * 100) AS INT) AS STRING))
+        |  AS (feature, x)""".stripMargin,
+      "CAST(l_quantity > 25 AS INT) AS y").localCheckpoint(true)
+    val chi = chi2SelectDf(st).select("feature", "df", "chi2_micro")
+    val fstats = st.groupBy("feature").agg(count(lit(1)).as("n"),
+      countDistinct("x").as("nx"), countDistinct("y").as("ny"))
+    chi.join(broadcast(fstats), "feature")
+      .selectExpr("feature", "df", "chi2_micro",
+        "CAST(chi2_micro DIV (n * (least(nx, ny) - 1)) AS BIGINT) AS v2_micro")
+      .orderBy(desc("v2_micro"), asc("feature"))
+  }
+
   /** Per-column Shannon entropy over the same categorical stack as
     * [[chi2Select]] — the information-content profiling metric (near-
     * zero entropy flags dead columns, near-ln(k) flags keys; the
@@ -379,6 +409,7 @@ object DataQuality {
     "q_benford_gof" -> (benfordGof _),
     "q_col_entropy" -> (columnEntropy _),
     "q_chi2_select" -> (chi2Select _),
+    "q_cramers_v" -> (cramersV _),
     "q_data_quality" -> (dataQuality _),
     "q_fd_violations" -> (fdViolations _),
     "q_benford" -> (benford _),
@@ -454,6 +485,37 @@ object DataQuality {
          |  ${chi2VerdictCase("chi2_micro", "df")}
          |    AS significant
          |FROM agg ORDER BY chi2_micro DESC, feature""".stripMargin,
+    "q_cramers_v" ->
+      """WITH st AS MATERIALIZED (
+        |  SELECT f.feature, f.x, CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS y
+        |  FROM lineitem, LATERAL (VALUES
+        |    ('returnflag', l_returnflag), ('linestatus', l_linestatus),
+        |    ('linenumber', CAST(l_linenumber AS VARCHAR)),
+        |    ('disc_pct', CAST(CAST(round(l_discount * 100) AS INT) AS VARCHAR)))
+        |    AS f(feature, x)),
+        |cells AS MATERIALIZED (SELECT feature, x, y, count(*)::HUGEINT AS c_xy
+        |  FROM st GROUP BY 1, 2, 3),
+        |fx AS (SELECT feature, x, sum(c_xy) AS c_x FROM cells GROUP BY 1, 2),
+        |fy AS (SELECT feature, y, sum(c_xy) AS c_y FROM cells GROUP BY 1, 2),
+        |fn AS (SELECT feature, sum(c_xy) AS n, count(DISTINCT x) AS nx,
+        |    count(DISTINCT y) AS ny FROM cells GROUP BY 1),
+        |dv AS (SELECT fx.feature, fn.nx, fn.ny,
+        |    coalesce(c.c_xy, 0) * fn.n - fx.c_x * fy.c_y AS dev,
+        |    fn.n * fx.c_x * fy.c_y AS dd
+        |  FROM fx JOIN fy USING (feature)
+        |  LEFT JOIN cells c ON c.feature = fx.feature AND c.x = fx.x AND c.y = fy.y
+        |  JOIN fn USING (feature)),
+        |cc AS (SELECT feature, nx, ny,
+        |    ((dev * dev) // dd) * 1000000
+        |      + (((dev * dev) % dd) * 1000000) // dd AS cell
+        |  FROM dv),
+        |agg AS (SELECT feature, nx, ny,
+        |    ((nx - 1) * (ny - 1))::BIGINT AS df, sum(cell)::BIGINT AS chi2_micro
+        |  FROM cc GROUP BY feature, nx, ny)
+        |SELECT a.feature, a.df, a.chi2_micro,
+        |  (a.chi2_micro // (fn.n * (least(a.nx, a.ny) - 1)))::BIGINT AS v2_micro
+        |FROM agg a JOIN fn USING (feature)
+        |ORDER BY v2_micro DESC, feature""".stripMargin,
     "q_fd_violations" -> {
       def one(name: String, table: String, lhs: String, rhs: String) =
         s"""SELECT '$name' AS fd, count(*)::BIGINT AS n_groups,

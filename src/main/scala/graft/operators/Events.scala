@@ -861,6 +861,64 @@ object Events {
       .withColumn("significant", col("z2_micro") > AbCritMicro)
   }
 
+  /** Cohen's d standardized effect size for the A/B split — the
+    * MAGNITUDE companion to [[abTestDf]]'s yes/no z² verdict (at
+    * warehouse n everything reads "significant"; d is the n-free
+    * standardized lift that says whether it matters):
+    * d = (x̄_B − x̄_A)/s_pooled over per-user purchase revenue in exact
+    * cents (non-purchasers count 0 — intent-to-treat). Arm n/Σx/Σx²
+    * are exact DECIMAL(38,0) integers (Σx² reaches users·cents², past
+    * Long near 10⁷ users); only the final d touches doubles, with the
+    * IDENTICAL expression shape on both engines and round-6 output.
+    * Degenerate pools (either arm < 2 users, zero pooled variance) pin
+    * a NULL d — visible, never a division blow-up.
+    *
+    * Scale: one user-keyed rollup partial-aggregated to a 2-arm frame,
+    * then 1-row arithmetic — the q_ab_test posture. */
+  def effectSize(spark: SparkSession, dir: String): DataFrame =
+    effectSizeDf(Tables.events(spark, dir))
+
+  /** Core over any (user_id, event_type, value) frame. */
+  def effectSizeDf(ev: DataFrame): DataFrame = {
+    val users = ev.select(col("user_id")).distinct()
+      .withColumn("arm", pmod(hash56(col("user_id").cast("string")), lit(2)))
+    val rev = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+    users.join(rev, Seq("user_id"), "left")
+      .select(col("arm"), coalesce(col("v"), lit(0L)).cast("decimal(38,0)").as("v"))
+      .groupBy("arm").agg(count(lit(1)).as("n"),
+        sum(col("v")).as("s"), sum(col("v") * col("v")).as("ss"))
+      .agg(
+        sum(when(col("arm") === 0, col("n"))).as("n_a"),
+        sum(when(col("arm") === 0, col("s"))).as("s_a"),
+        sum(when(col("arm") === 0, col("ss"))).as("ss_a"),
+        sum(when(col("arm") === 1, col("n"))).as("n_b"),
+        sum(when(col("arm") === 1, col("s"))).as("s_b"),
+        sum(when(col("arm") === 1, col("ss"))).as("ss_b"))
+      .selectExpr("n_a", "n_b",
+        "CAST(s_a AS BIGINT) AS sum_a_cents", "CAST(s_b AS BIGINT) AS sum_b_cents",
+        // exact integer micro-cents mean gap (decimal DIV, no fp)
+        """CAST((s_b * 1000000) DIV n_b - (s_a * 1000000) DIV n_a AS BIGINT)
+          |  AS mean_gap_micro""".stripMargin,
+        // the one fp step, identical shape both engines:
+        // pooled = Σ(n·ss − s²)/n per arm over (n_a + n_b − 2)
+        """round(CASE
+          |  WHEN n_a < 2 OR n_b < 2 THEN CAST(NULL AS DOUBLE)
+          |  WHEN (CAST(n_a AS DOUBLE) * CAST(ss_a AS DOUBLE)
+          |        - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)) / n_a
+          |     + (CAST(n_b AS DOUBLE) * CAST(ss_b AS DOUBLE)
+          |        - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)) / n_b = 0.0
+          |    THEN CAST(NULL AS DOUBLE)
+          |  ELSE (CAST(s_b AS DOUBLE) / n_b - CAST(s_a AS DOUBLE) / n_a)
+          |    / sqrt(((CAST(n_a AS DOUBLE) * CAST(ss_a AS DOUBLE)
+          |             - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)) / n_a
+          |          + (CAST(n_b AS DOUBLE) * CAST(ss_b AS DOUBLE)
+          |             - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)) / n_b)
+          |         / (n_a + n_b - 2))
+          |  END, 6) AS cohen_d""".stripMargin)
+  }
+
   val SprtUpliftNum = 11L // H1: p1 = (11/10)·p0 — a pinned +10% uplift
   val SprtUpliftDen = 10L
   val SprtLnUpliftMicro = math.round(math.log(11.0 / 10.0) * 1e6)
@@ -1491,6 +1549,7 @@ object Events {
     "q_survival_km" -> (survivalKm _),
     "q_nelson_aalen" -> (nelsonAalen _),
     "q_ab_test" -> (abTest _),
+    "q_effect_size" -> (effectSize _),
     "q_sprt" -> (sprtTest _),
     "q_cuped" -> (cuped _),
     "q_did" -> (diffInDiff _),
@@ -1922,6 +1981,44 @@ object Events {
          |      * (abs(c_a * n_b - c_b * n_a) * 1000 * (n_a + n_b)
          |         // ((c_a + c_b) * (n_a + n_b - c_a - c_b)))
          |   END)::BIGINT AS z2_micro FROM p)""".stripMargin,
+    "q_effect_size" ->
+      s"""WITH u AS (SELECT user_id,
+         |    ${hash56Sql("user_id::VARCHAR")} % 2 AS arm
+         |  FROM (SELECT DISTINCT user_id FROM events)),
+         |rv AS (SELECT user_id,
+         |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS v
+         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         |j AS (SELECT arm, coalesce(v, 0)::HUGEINT AS v
+         |  FROM u LEFT JOIN rv USING (user_id)),
+         |a AS (SELECT arm, count(*)::BIGINT AS n, sum(v) AS s,
+         |    sum(v * v) AS ss FROM j GROUP BY arm),
+         |p AS (SELECT
+         |    sum(CASE WHEN arm = 0 THEN n END)::BIGINT AS n_a,
+         |    sum(CASE WHEN arm = 0 THEN s END) AS s_a,
+         |    sum(CASE WHEN arm = 0 THEN ss END) AS ss_a,
+         |    sum(CASE WHEN arm = 1 THEN n END)::BIGINT AS n_b,
+         |    sum(CASE WHEN arm = 1 THEN s END) AS s_b,
+         |    sum(CASE WHEN arm = 1 THEN ss END) AS ss_b
+         |  FROM a)
+         |SELECT n_a, n_b,
+         |  s_a::BIGINT AS sum_a_cents, s_b::BIGINT AS sum_b_cents,
+         |  ((s_b * 1000000) // n_b - (s_a * 1000000) // n_a)::BIGINT
+         |    AS mean_gap_micro,
+         |  round(CASE
+         |    WHEN n_a < 2 OR n_b < 2 THEN CAST(NULL AS DOUBLE)
+         |    WHEN (CAST(n_a AS DOUBLE) * CAST(ss_a AS DOUBLE)
+         |          - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)) / n_a
+         |       + (CAST(n_b AS DOUBLE) * CAST(ss_b AS DOUBLE)
+         |          - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)) / n_b = 0.0
+         |      THEN CAST(NULL AS DOUBLE)
+         |    ELSE (CAST(s_b AS DOUBLE) / n_b - CAST(s_a AS DOUBLE) / n_a)
+         |      / sqrt(((CAST(n_a AS DOUBLE) * CAST(ss_a AS DOUBLE)
+         |               - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)) / n_a
+         |            + (CAST(n_b AS DOUBLE) * CAST(ss_b AS DOUBLE)
+         |               - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)) / n_b)
+         |           / (n_a + n_b - 2))
+         |    END, 6) AS cohen_d
+         |FROM p""".stripMargin,
     "q_rolling_dau" ->
       s"""WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
          |  FROM events),

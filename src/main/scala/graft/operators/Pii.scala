@@ -51,6 +51,47 @@ object Pii {
       sum(when(col("l") < KaL, 1L).otherwise(0L)).as("classes_below_l"))
   }
 
+  val TcBp = 3000L // flag classes farther than t = 0.30 from the global mix
+
+  /** t-closeness audit — the third rung of the privacy ladder after
+    * [[kAnonymity]]'s k and l (l-diversity demands ≥l distinct sensitive
+    * values per class; t-closeness bounds how far the class's sensitive
+    * DISTRIBUTION may drift from the global one, closing the
+    * skewness/similarity attacks l-diversity misses): per QI class the
+    * variational distance t = ½Σ_s|p_s − q_s| in exact basis points —
+    * t_bp = (10⁴·Σ_s|c_s·N − g_s·n|) DIV (2·n·N) with every intermediate
+    * in DECIMAL(38,0) (c_s·N reaches n·N — the n² headroom class), the
+    * sum over the FULL sensitive domain so absent segments contribute
+    * their whole global mass. Output census: classes, max t, mean t,
+    * classes above [[TcBp]].
+    *
+    * Scale: one (QI, sens) rollup bounded by |QI classes|·|segments|,
+    * a |segments|-row broadcast, a 1-row total broadcast, and a
+    * classes×segments grid — never anything row-sized. */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.customer(spark, dir).selectExpr(
+        "c_nationkey AS qi1",
+        "CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000 AS qi2",
+        "c_mktsegment AS sens")
+      .groupBy("qi1", "qi2", "sens").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds the grid, globals, and class sizes
+    val glob = cells.groupBy("sens").agg(sum("c").as("g"))
+    val tot = glob.agg(sum("g").as("nn"))
+    val classes = cells.groupBy("qi1", "qi2").agg(sum("c").as("n"))
+    classes.crossJoin(broadcast(glob))
+      .join(cells, Seq("qi1", "qi2", "sens"), "left")
+      .crossJoin(broadcast(tot))
+      .selectExpr("qi1", "qi2", "n", "nn",
+        """abs(CAST(coalesce(c, 0) AS DECIMAL(38,0)) * nn
+          | - CAST(g AS DECIMAL(38,0)) * n) AS dev""".stripMargin)
+      .groupBy("qi1", "qi2", "n", "nn").agg(sum("dev").as("sd"))
+      .selectExpr(
+        "CAST((sd * 10000) DIV (2 * CAST(n AS DECIMAL(38,0)) * nn) AS BIGINT) AS t_bp")
+      .agg(count(lit(1)).as("n_classes"), max("t_bp").as("max_t_bp"),
+        expr("CAST(sum(t_bp) DIV count(1) AS BIGINT)").as("mean_t_bp"),
+        sum(when(col("t_bp") > TcBp, 1L).otherwise(0L)).as("classes_above_t"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -196,7 +237,8 @@ object Pii {
     "q_forget_cascade" -> (forgetCascade _),
     "q_pii_scan" -> (piiScan _),
     "q_pii_redact" -> (piiRedact _),
-    "q_k_anonymity" -> (kAnonymity _))
+    "q_k_anonymity" -> (kAnonymity _),
+    "q_t_closeness" -> (tCloseness _))
 
   val oracles: Map[String, String] = Map(
     "q_dp_counts" ->
@@ -244,6 +286,28 @@ object Pii {
          |  min(l)::BIGINT AS min_l,
          |  sum(CASE WHEN l < $KaL THEN 1 ELSE 0 END)::BIGINT AS classes_below_l
          |FROM cls""".stripMargin,
+    "q_t_closeness" ->
+      s"""WITH cells AS (SELECT c_nationkey AS qi1,
+         |    CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS qi2,
+         |    c_mktsegment AS sens, count(*)::HUGEINT AS c
+         |  FROM customer GROUP BY 1, 2, 3),
+         |gsens AS (SELECT sens, sum(c) AS g FROM cells GROUP BY sens),
+         |tot AS (SELECT sum(g) AS nn FROM gsens),
+         |cls AS (SELECT qi1, qi2, sum(c) AS n FROM cells GROUP BY 1, 2),
+         |grid AS (SELECT cls.qi1, cls.qi2, cls.n, tot.nn,
+         |    abs(coalesce(ce.c, 0) * tot.nn - gsens.g * cls.n) AS dev
+         |  FROM cls CROSS JOIN gsens
+         |  LEFT JOIN cells ce ON ce.qi1 = cls.qi1 AND ce.qi2 = cls.qi2
+         |    AND ce.sens = gsens.sens
+         |  CROSS JOIN tot),
+         |t AS (SELECT qi1, qi2,
+         |    ((sum(dev) * 10000) // (2 * n * nn))::BIGINT AS t_bp
+         |  FROM grid GROUP BY qi1, qi2, n, nn)
+         |SELECT count(*)::BIGINT AS n_classes, max(t_bp)::BIGINT AS max_t_bp,
+         |  (sum(t_bp) // count(*))::BIGINT AS mean_t_bp,
+         |  sum(CASE WHEN t_bp > $TcBp THEN 1 ELSE 0 END)::BIGINT
+         |    AS classes_above_t
+         |FROM t""".stripMargin,
     "q_pii_redact" -> {
       val red = Recognizers.foldLeft("text2") { case (e, (_, re, tag)) =>
         s"regexp_replace($e, '$re', '$tag', 'g')"

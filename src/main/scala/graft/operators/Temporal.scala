@@ -344,6 +344,85 @@ object Temporal {
       .orderBy("lag_d")
   }
 
+  /** Ljung–Box portmanteau test — turns [[acfDaily]]'s descriptive ACF
+    * into a STATISTICAL "is this series autocorrelated at all?" verdict
+    * (the standard residual-whiteness check after any of the forecast
+    * family): Q = n(n+2)·Σ_{k=1..h} ρ_k²/(n−k) with h = [[AcfMaxLag]],
+    * df = h, against the shared pinned χ² 95% table. ρ_k enters as the
+    * ACF gate's round-6 value re-scaled to an exact micro integer, so
+    * Q_micro = (n(n+2)·Σ(ρ_micro² DIV (n−k))) DIV 10⁶ is pure integer —
+    * per-lag terms are order-free, no fp summation anywhere. Overflow
+    * headroom: ρ_micro² ≤ 10¹², n(n+2)·Σ ≤ n²·h·10¹²/(n−h) ≈ n·h·10¹²
+    * — Long-safe to ~10⁵ days (270 years of daily data).
+    *
+    * Scale: the ACF's days-sized self-join plus one ≤h-row reduction —
+    * one fact scan total. */
+  def ljungBox(spark: SparkSession, dir: String): DataFrame =
+    ljungBoxOf(Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents")))
+
+  /** Core over any (d DATE, cents LONG) daily frame. */
+  private[graft] def ljungBoxOf(daily0: DataFrame): DataFrame = {
+    val daily = daily0.localCheckpoint(true) // feeds the ACF join AND n
+    val nF = daily.agg(count(lit(1)).as("n"))
+    acfOf(daily)
+      .select(col("lag_d"),
+        expr("CAST(round(acf * 1000000) AS BIGINT)").as("rho_micro"))
+      .crossJoin(broadcast(nF))
+      .selectExpr("n", "(rho_micro * rho_micro) DIV (n - lag_d) AS term")
+      .groupBy("n").agg(count(lit(1)).as("h"), sum("term").as("s"))
+      .selectExpr("n AS n_days", "h",
+        "CAST((n * (n + 2) * s) DIV 1000000 AS BIGINT) AS q_micro")
+      .selectExpr("n_days", "h", "q_micro",
+        s"${DataQuality.chi2VerdictCase("q_micro", "h")} AS autocorrelated")
+  }
+
+  /** Croston's method — the intermittent-demand forecast (spare parts,
+    * long-tail SKUs: the zero-inflated series where EWMA/Holt mislead
+    * because gaps carry signal): per part, two coupled α=1/5 EWMAs over
+    * DEMAND DAYS ONLY — demand size z_i = (q_i·10⁶ + 4z)/5 and
+    * inter-demand interval p_i = (gap_i·10⁶ + 4p)/5 (first demand pins
+    * z=q·10⁶, p=10⁶ — a documented convention, not an estimate) — and
+    * the per-day demand-rate forecast z/p as (z·10⁶) DIV p. All integer
+    * micro arithmetic with the truncating-idiv contract of
+    * [[holtLinear]], so both engines replay the recurrence bit-exactly.
+    *
+    * Scale: one partial+final (part, day) rollup, then one fold per
+    * part over its demand-day array — series are demand-days-sized,
+    * never fact-sized, and parts fold in parallel (the holt posture);
+    * output is one row per part. */
+  def croston(spark: SparkSession, dir: String): DataFrame =
+    crostonOf(Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("pk"), to_date(col("l_shipdate")).as("d"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("q")))
+
+  /** Core over any (pk, d DATE, q LONG) demand-day frame. */
+  private[graft] def crostonOf(daily: DataFrame): DataFrame = {
+    def idiv(a: Column, den: Long): Column = (a / lit(den.toDouble)).cast("long")
+    val stType = "STRUCT<d: DATE, z: BIGINT, p: BIGINT, n: BIGINT>"
+    daily.groupBy("pk")
+      .agg(array_sort(collect_list(struct(col("d"), col("q")))).as("ser"))
+      .select(col("pk"), aggregate(col("ser"),
+        expr(s"CAST(NULL AS $stType)"),
+        (acc, x) => {
+          val first = acc.isNull
+          val qm = x.getField("q") * lit(1000000L)
+          val gapM = datediff(x.getField("d"), acc.getField("d")).cast("long") *
+            lit(1000000L)
+          val z = when(first, qm)
+            .otherwise(idiv(qm + lit(4L) * acc.getField("z"), 5L))
+          val p = when(first, lit(1000000L))
+            .otherwise(idiv(gapM + lit(4L) * acc.getField("p"), 5L))
+          struct(x.getField("d").as("d"), z.as("z"), p.as("p"),
+            (coalesce(acc.getField("n"), lit(0L)) + lit(1L)).as("n"))
+        }).as("st"))
+      .selectExpr("pk AS partkey", "st.n AS n_demand_days",
+        "st.z AS z_micro", "st.p AS p_micro",
+        "(st.z * 1000000) DIV st.p AS rate_micro")
+      .orderBy("partkey")
+  }
+
   /** Holt linear-trend (double exponential) smoothing of daily revenue
     * per priority — the level+trend upgrade of [[ewmaSmooth]] (which has
     * no trend state): l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1}),
@@ -1100,6 +1179,8 @@ object Temporal {
     "q_cusum_shift" -> (cusumShift _),
     "q_seasonality" -> (seasonalityProfile _),
     "q_acf" -> (acfDaily _),
+    "q_ljung_box" -> (ljungBox _),
+    "q_croston" -> (croston _),
     "q_cross_corr" -> (crossCorrDaily _),
     "q_holt_linear" -> (holtLinear _),
     "q_holt_winters" -> (holtWinters _),
@@ -1409,6 +1490,47 @@ object Temporal {
          |FROM daily a CROSS JOIN lags
          |JOIN daily b ON b.d = a.d + lag_d
          |GROUP BY lag_d ORDER BY lag_d""".stripMargin,
+    "q_ljung_box" ->
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+         |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+         |  FROM orders GROUP BY 1),
+         |lags AS (SELECT CAST(unnest(range(1, ${AcfMaxLag + 1})) AS INT) AS lag_d),
+         |acf AS (SELECT lag_d,
+         |    round(corr(a.cents::DOUBLE, b.cents::DOUBLE), 6) AS acf
+         |  FROM daily a CROSS JOIN lags
+         |  JOIN daily b ON b.d = a.d + lag_d
+         |  GROUP BY lag_d),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM daily),
+         |terms AS (SELECT n,
+         |    (CAST(round(acf * 1000000) AS BIGINT)
+         |     * CAST(round(acf * 1000000) AS BIGINT)) // (n - lag_d) AS term
+         |  FROM acf CROSS JOIN nn),
+         |agg AS (SELECT n AS n_days, count(*)::BIGINT AS h,
+         |    ((n * (n + 2) * sum(term)) // 1000000)::BIGINT AS q_micro
+         |  FROM terms GROUP BY n)
+         |SELECT n_days, h, q_micro,
+         |  ${DataQuality.chi2VerdictCase("q_micro", "h")} AS autocorrelated
+         |FROM agg""".stripMargin,
+    "q_croston" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT l_partkey AS pk, CAST(l_shipdate AS DATE) AS d,
+        |    sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |seq AS (SELECT pk, d, q,
+        |    row_number() OVER (PARTITION BY pk ORDER BY d) AS rn FROM daily),
+        |rec AS (
+        |  SELECT pk, d, rn, q * 1000000 AS z, 1000000::BIGINT AS p
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.pk, s.d, s.rn,
+        |    (s.q * 1000000 + 4 * r.z) // 5 AS z,
+        |    (date_diff('day', r.d, s.d) * 1000000 + 4 * r.p) // 5 AS p
+        |  FROM rec r JOIN seq s ON s.pk = r.pk AND s.rn = r.rn + 1),
+        |lst AS (SELECT pk, max(rn)::BIGINT AS n FROM rec GROUP BY pk)
+        |SELECT r.pk AS partkey, l.n AS n_demand_days, r.z AS z_micro,
+        |  r.p AS p_micro, (r.z * 1000000) // r.p AS rate_micro
+        |FROM rec r JOIN lst l ON l.pk = r.pk AND l.n = r.rn
+        |ORDER BY partkey""".stripMargin,
     "q_ols_trend" ->
       """WITH daily AS (SELECT o_orderpriority AS pri,
         |    CAST(o_orderdate AS DATE) AS d,

@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Hand-computed / replay cases for the round-10 additions: Ljung–Box,
+  * Croston, Cramér's V, Cohen's d, t-closeness, simplified silhouette. */
+class Round10OpsSpec extends SparkSpec {
+
+  /** JVM replica of hash56 % 2 — picks user ids with known arms. */
+  private def arm(uid: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(uid.toString.getBytes("UTF-8"))
+    val hex = md.map("%02x".format(_)).mkString.substring(0, 14)
+    java.lang.Long.parseLong(hex, 16) % 2
+  }
+
+  test("croston: two-demand series replays the coupled EWMA by hand") {
+    val spark2 = spark
+    import spark2.implicits._
+    // part 1: q=10 on day 0, q=20 on day 3 (gap 3)
+    //   z1 = 10e6, p1 = 1e6
+    //   z2 = (20e6 + 4·10e6)/5 = 12e6
+    //   p2 = (3e6 + 4·1e6)/5 = 1.4e6
+    //   rate = 12e6·1e6 DIV 1.4e6 = 8571428 (floor of 8571428.57…)
+    // part 2: single demand q=7 → z=7e6, p=1e6, rate=7e6
+    val daily = Seq(
+      (1L, java.sql.Date.valueOf("2020-01-01"), 10L),
+      (1L, java.sql.Date.valueOf("2020-01-04"), 20L),
+      (2L, java.sql.Date.valueOf("2020-02-01"), 7L)).toDF("pk", "d", "q")
+    val got = Temporal.crostonOf(daily).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got(1L) == ((2L, 12000000L, 1400000L, 8571428L)), got(1L).toString)
+    assert(got(2L) == ((1L, 7000000L, 1000000L, 7000000L)), got(2L).toString)
+  }
+
+  test("ljungBox: Q replays exactly from the gate's own ACF integers") {
+    val spark2 = spark
+    import spark2.implicits._
+    // deterministic irregular series, long enough for all 7 lags
+    val daily = Seq.tabulate(40)(i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2020, 1, 1).plusDays(i)),
+        ((i * 2654435761L) % 997 + 50 * i))).toDF("d", "cents")
+    val rho = Temporal.acfOf(daily).collect()
+      .map(r => r.getInt(0) -> math.round(r.getDouble(2) * 1e6)).toMap
+    val n = 40L
+    val s = rho.map { case (k, r) => (r * r) / (n - k) }.sum
+    val wantQ = (n * (n + 2) * s) / 1000000L
+    val row = Temporal.ljungBoxOf(daily).head()
+    assert(row.getLong(0) == n && row.getLong(1) == 7L)
+    assert(row.getLong(2) == wantQ, s"Q replay: ${row.getLong(2)} vs $wantQ")
+    // verdict must agree with the pinned df=7 critical value
+    val wantV = if (wantQ > 14067140L) "yes" else "no"
+    assert(row.getString(3) == wantV)
+  }
+
+  test("cramersV: with a binary label every feature's v2 = chi2 DIV n") {
+    val dir = "/root/testdata/sf0.001"
+    val n = Tables.lineitem(spark, dir).count()
+    val chi = DataQuality.chi2Select(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val v = DataQuality.cramersV(spark, dir).collect()
+    assert(v.length == 4)
+    v.foreach { r =>
+      val f = r.getString(0)
+      assert(r.getLong(3) == chi(f) / n,
+        s"$f: v2 ${r.getLong(3)} != chi2/n ${chi(f) / n}")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L)
+    }
+  }
+
+  test("effectSize: hand-computed Cohen's d on 2+2 users") {
+    val spark2 = spark
+    import spark2.implicits._
+    val as = (1L to 400L).filter(arm(_) == 0).take(2)
+    val bs = (1L to 400L).filter(arm(_) == 1).take(2)
+    // arm0 revenues 100, 200 cents; arm1 revenues 300, 500 cents
+    val ev = Seq(
+      (as(0), "purchase", 1.00), (as(1), "purchase", 2.00),
+      (bs(0), "purchase", 3.00), (bs(1), "purchase", 5.00))
+      .toDF("user_id", "event_type", "value")
+    val r = Events.effectSizeDf(ev).head()
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert((r.getLong(2), r.getLong(3)) == ((300L, 800L)))
+    assert(r.getLong(4) == 250000000L) // (400 − 150) cents in micro
+    // pooled var = ((2·50000−300²)/2 + (2·340000−800²)/2)/2 = 12500
+    // d = 250 / sqrt(12500) = 2.2360679…
+    assert(r.getDouble(5) == 2.236068, r.toString)
+  }
+
+  test("tCloseness: hand-computed variational distances on a 6-row fixture") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("tclose").toString
+    // class (0,0): s1 s1 s2 s2; class (1,0): s1 s1 → global s1=4 s2=2 N=6
+    // t(A) = 10⁴·(|2·6−4·4| + |2·6−2·4|) DIV (2·4·6) = 80000 DIV 48 = 1666
+    // t(B) = 10⁴·(|2·6−4·2| + |0·6−2·2|) DIV (2·2·6) = 80000 DIV 24 = 3333
+    Seq((0, 0.0, "s1"), (0, 0.0, "s1"), (0, 0.0, "s2"), (0, 0.0, "s2"),
+      (1, 0.0, "s1"), (1, 0.0, "s1"))
+      .toDF("c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    val r = Pii.tCloseness(spark, tmp).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 3333L, 2499L, 1L)), r.toString)
+  }
+
+  test("silhouette: k rows, micro bounds, global mean consistent, full coverage") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ml.KMeansGraft.silhouette(spark, dir).collect()
+    assert(rows.length == graft.ml.KMeansGraft.K)
+    val nEmb = Tables.embeddings(spark, dir).count()
+    assert(rows.map(_.getLong(1)).sum == nEmb, "every point scored once")
+    val overall = rows.head.getLong(3)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 1000000L)
+      assert(r.getLong(3) == overall, "overall stamped identically")
+    }
+    // overall is the floor of the weighted mean of per-cluster floors +
+    // their remainders — within 1 milli of the per-cluster weighted mean
+    val wmean = rows.map(r => r.getLong(2) * r.getLong(1)).sum / nEmb
+    assert(math.abs(overall - wmean) <= 1000,
+      s"overall $overall vs weighted mean of floors $wmean")
+  }
+}
