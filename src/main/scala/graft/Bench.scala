@@ -407,7 +407,10 @@ object Bench {
         // round-9 third wave: the banded candidate compare at 10× docs;
         // triplet distances at 10× embeddings; the symmetrized pair
         // census + anchor windows at 10× baskets
-        "q_minhash_calibration", "q_triplet_eval", "q_also_bought")
+        "q_minhash_calibration", "q_triplet_eval", "q_also_bought",
+        // round-10: Croston's per-part folds at 10× parts·demand-days;
+        // nDCG's BM25 top-k heaps + relevance rollup at 10× docs
+        "q_croston", "q_ndcg")
       val heavy = if (sf1Only.nonEmpty) heavyAll.filter(sf1Only) else heavyAll
       val runs = heavy.map { n =>
         val k = s"sf1_$n"

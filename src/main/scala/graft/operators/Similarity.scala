@@ -310,6 +310,62 @@ object Similarity {
       .orderBy("rank")
   }
 
+  val NdcgK = 10
+  /** Per-rank discount weights round(10⁶/log₂(i+1)) — pinned integer
+    * literals shared verbatim with the oracle (the χ²-table discipline:
+    * public math as constants, no runtime transcendental parity). */
+  val NdcgW: Seq[(Int, Long)] = (1 to NdcgK).map(i =>
+    i -> math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+
+  /** Retrieval-quality evaluation — nDCG@10 / MRR / precision@10 of the
+    * [[bm25TopK]] ranking (the measurement layer of the retrieval
+    * family: BM25/cosine/RRF produce rankings, THIS scores one): graded
+    * relevance = distinct query terms present in the doc (0..3, exact
+    * integers both engines), gains 2^rel−1 via a pinned CASE, rank
+    * discounts from [[NdcgW]], so DCG and the ideal DCG are exact
+    * integer sums and nDCG = (dcg·10⁶) DIV idcg. The ideal ranking
+    * takes the corpus's top-k relevance grades (equal grades → equal
+    * gain, so tie order can't move IDCG). Empty relevance pins NULL
+    * nDCG and zero MRR — visible, never a division error.
+    *
+    * Scale: the BM25 top-k machinery (TakeOrderedAndProject, never a
+    * corpus sort) plus one (doc, term)-distinct rollup for corpus
+    * relevance whose ideal top-k is again a k-row heap reduce. */
+  def ndcgEval(spark: SparkSession, dir: String): DataFrame =
+    ndcgEvalDf(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text) frame. */
+  private[graft] def ndcgEvalDf(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFns.tokens
+    val spark2 = docs.sparkSession
+    import spark2.implicits._
+    val gain = "CASE WHEN rel >= 3 THEN 7 WHEN rel = 2 THEN 3 " +
+      "WHEN rel = 1 THEN 1 ELSE 0 END"
+    val wdf = broadcast(NdcgW.toDF("rank", "w"))
+    val ranked = bm25Df(docs, Bm25Terms, NdcgK)
+      .select(col("rank"), col("doc_id"),
+        Bm25Terms.map(t => (col(s"tf_$t") > 0).cast("long")).reduce(_ + _).as("rel"))
+    val dcgF = ranked.join(wdf, "rank")
+      .agg(sum(expr(s"($gain) * w")).as("dcg_micro"),
+        min(when(col("rel") > 0, col("rank"))).as("fr"),
+        sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_rel"))
+    val relAll = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w").isInCollection(Bm25Terms))
+      .select("doc_id", "w").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("rel"))
+    val idealF = relAll.orderBy(desc("rel"), asc("doc_id")).limit(NdcgK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("rel"), asc("doc_id"))))
+      .join(wdf, "rank")
+      .agg(sum(expr(s"($gain) * w")).as("idcg_micro"))
+    dcgF.crossJoin(broadcast(idealF))
+      .selectExpr(s"$NdcgK AS k", "dcg_micro", "idcg_micro",
+        """CASE WHEN coalesce(idcg_micro, 0) = 0 THEN CAST(NULL AS BIGINT)
+          |  ELSE (dcg_micro * 1000000) DIV idcg_micro END AS ndcg_micro""".stripMargin,
+        "CAST(CASE WHEN fr IS NULL THEN 0 ELSE 1000000 DIV fr END AS BIGINT) AS mrr_micro",
+        s"(n_rel * 10000) DIV $NdcgK AS prec_bp")
+  }
+
   /** Product-quantization geometry: 4 subspaces × 16 dims, 16 centroids
     * each (4-bit codes, 16 bits per vector), trained with the standard
     * KMeansGraft determinism contract. (k = 8 measured recall@5 0.13 vs
@@ -615,6 +671,7 @@ object Similarity {
     "q_ann_lsh" -> (lshTopK _),
     "q_cosine_sparse" -> (sparseCosineTopK _),
     "q_bm25" -> (bm25TopK _),
+    "q_ndcg" -> (ndcgEval _),
     "q_ann_pq" -> (pqTopK _),
     "q_ann_ivf" -> ((s, d) => ivfTopK(s, d, nlist = IvfLists)))
 
@@ -832,6 +889,36 @@ object Similarity {
          |  doc_id, dl, $tfOut, round(score, 4) AS bm25
          |FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT $Bm25K)
          |ORDER BY rank""".stripMargin
+    },
+    "q_ndcg" -> {
+      val relTop = Bm25Terms.map(t =>
+        s"(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val wVals = NdcgW.map { case (r, w) => s"($r, $w)" }.mkString(", ")
+      val gain = "CASE WHEN rel >= 3 THEN 7 WHEN rel = 2 THEN 3 " +
+        "WHEN rel = 1 THEN 1 ELSE 0 END"
+      s"""WITH $bm25ScoredCtes,
+         |wts(rank, w) AS (VALUES $wVals),
+         |top AS (SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+         |    $relTop AS rel
+         |  FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT $NdcgK)),
+         |dcg AS (SELECT sum(($gain) * w)::BIGINT AS dcg_micro,
+         |    min(CASE WHEN rel > 0 THEN rank END)::BIGINT AS fr,
+         |    sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT AS n_rel
+         |  FROM top JOIN wts USING (rank)),
+         |relall AS (SELECT doc_id, count(DISTINCT w)::BIGINT AS rel
+         |  FROM toks WHERE w IN ($terms) GROUP BY doc_id),
+         |ideal AS (SELECT row_number() OVER (ORDER BY rel DESC, doc_id) AS rank,
+         |    rel FROM (SELECT * FROM relall ORDER BY rel DESC, doc_id LIMIT $NdcgK)),
+         |idcg AS (SELECT sum(($gain) * w)::BIGINT AS idcg_micro
+         |  FROM ideal JOIN wts USING (rank))
+         |SELECT $NdcgK AS k, dcg_micro, idcg_micro,
+         |  (CASE WHEN coalesce(idcg_micro, 0) = 0 THEN NULL
+         |    ELSE (dcg_micro * 1000000) // idcg_micro END)::BIGINT AS ndcg_micro,
+         |  (CASE WHEN fr IS NULL THEN 0 ELSE 1000000 // fr END)::BIGINT
+         |    AS mrr_micro,
+         |  ((n_rel * 10000) // $NdcgK)::BIGINT AS prec_bp
+         |FROM dcg CROSS JOIN idcg""".stripMargin
     },
     "q_cosine_sparse" ->
       s"""WITH toks AS (SELECT doc_id, w

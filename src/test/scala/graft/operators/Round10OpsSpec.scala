@@ -105,6 +105,26 @@ class Round10OpsSpec extends SparkSpec {
       ((2L, 3333L, 2499L, 1L)), r.toString)
   }
 
+  test("ndcg: identical fully-relevant docs rank by id and score a perfect 1.0") {
+    val spark2 = spark
+    import spark2.implicits._
+    // three identical docs carry all 3 query terms (rel 3, tied BM25 →
+    // doc_id order), one irrelevant doc scores 0 — so the observed
+    // ranking IS the ideal ranking and nDCG must be exactly 10⁶
+    val docs = Seq(
+      (1L, "join hash scan x"), (2L, "join hash scan x"),
+      (3L, "join hash scan x"), (4L, "foo bar baz"))
+      .toDF("doc_id", "text")
+    val r = Similarity.ndcgEvalDf(docs).head()
+    val w = Similarity.NdcgW.toMap
+    val want = 7L * (w(1) + w(2) + w(3))
+    assert(r.getInt(0) == Similarity.NdcgK)
+    assert(r.getLong(1) == want && r.getLong(2) == want, r.toString)
+    assert(r.getLong(3) == 1000000L)
+    assert(r.getLong(4) == 1000000L) // first relevant at rank 1
+    assert(r.getLong(5) == 3L * 10000 / Similarity.NdcgK)
+  }
+
   test("silhouette: k rows, micro bounds, global mean consistent, full coverage") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.ml.KMeansGraft.silhouette(spark, dir).collect()
