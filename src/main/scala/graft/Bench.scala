@@ -437,11 +437,18 @@ object Bench {
     def priorMins(): Map[String, Double] = try {
       val dir = new java.io.File("/root/repo")
       val pair = """"((?:q_|algo_|sf1_)[A-Za-z0-9_]+)":(-?[0-9.]+)""".r
+      // parse ONLY the "queries" map — the bare key regex also matches
+      // entries of query_load/query_calib (~0.02s probe stamps), which
+      // once polluted every "best prior" down to junk and made the
+      // 1.5× trigger fire on everything
+      val queriesBlock = """"queries":\{([^}]*)\}""".r
       Option(dir.listFiles()).toSeq.flatten
         .filter(f => f.getName.startsWith("BENCH_LOCAL") && f.getName.endsWith(".json"))
         .flatMap { f =>
           val s = java.nio.file.Files.readString(f.toPath)
-          pair.findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toSeq
+          queriesBlock.findAllMatchIn(s).flatMap(b =>
+            pair.findAllMatchIn(b.group(1))
+              .map(m => m.group(1) -> m.group(2).toDouble)).toSeq
         }
         .filter(_._2 > 0)
         .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }

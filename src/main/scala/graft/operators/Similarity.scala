@@ -310,6 +310,131 @@ object Similarity {
       .orderBy("rank")
   }
 
+  val MmrN = 20 // candidate pool (BM25 top-N)
+  val MmrK = 5 // diversified results returned
+  // λ = 7/10: mmr_bp = (7·score_bp − 3·max_sim_bp) DIV 10, all integer
+
+  /** MMR (maximal-marginal-relevance) diversified re-rank — the
+    * redundancy-aware stage the plain BM25 top-k lacks (near-duplicate
+    * hits crowd out coverage; MMR greedily trades relevance against
+    * similarity-to-already-selected): over the BM25 top-[[MmrN]]
+    * candidate pool, score_bp = (score_micro·10⁴) DIV max_score,
+    * pairwise candidate similarity = token-set Jaccard in bp, then
+    * [[MmrK]] greedy picks of argmax (7·score_bp − 3·max_sim_bp) DIV 10
+    * (ties → doc_id) — every quantity an exact integer, the selection
+    * replayed by the oracle as [[MmrK]] unrolled CTE steps (the
+    * unrolled-Lloyd discipline).
+    *
+    * Scale: the candidate pool is CONSTANT (N=20) by construction —
+    * BM25's TakeOrderedAndProject bounds it at any corpus — so the
+    * pairwise sim table is ≤N² rows and the greedy fold is a bounded
+    * driver loop (the KM-fold bounded-collect class, N²·K work). */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame =
+    mmrRerankDf(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text) frame. */
+  private[graft] def mmrRerankDf(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFns.tokens
+    val spark2 = docs.sparkSession
+    import spark2.implicits._
+    val cands = bm25MicroRows(docs, Bm25Terms.toDF("w"), MmrN)
+      .localCheckpoint(true) // feeds scores AND the token self-join
+    // bounded collects: ≤ MmrN score rows, ≤ MmrN² sim rows (N = 20
+    // constant — the candidate pool never grows with the corpus)
+    val maxS = cands.agg(max("score_micro")).head().getLong(0)
+    val scores = cands
+      .selectExpr("doc_id", s"(score_micro * 10000) DIV $maxS AS sbp")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tw = docs.join(cands.select("doc_id"), "doc_id")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+      .localCheckpoint(true)
+    val sizes = tw.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val sims = tw.as("a").join(tw.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sa")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("sz").as("sb")), "db")
+      .selectExpr("da", "db", "(i * 10000) DIV (sa + sb - i) AS simbp")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // greedy selection — identical integer arithmetic to the oracle's
+    // unrolled steps: argmax (7·sbp − 3·maxsim) DIV 10, ties → doc_id
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val remaining = scala.collection.mutable.SortedSet.empty[Long] ++ scores.keys
+    while (selected.length < MmrK && remaining.nonEmpty) {
+      val pick = remaining.toSeq.map { d =>
+        val msim = if (selected.isEmpty) 0L
+          else selected.map(s => sims.getOrElse((d, s._1), 0L)).max
+        // Scala / truncates toward zero exactly like Spark DIV and
+        // DuckDB // (verified at the holt gate), so a rare negative
+        // numerator (tiny score vs large sim) still replays identically
+        val mmr = (7L * scores(d) - 3L * msim) / 10L
+        (d, scores(d), msim, mmr)
+      }.maxBy { case (d, _, _, m) => (m, -d) }
+      selected += pick
+      remaining -= pick._1
+    }
+    selected.zipWithIndex.map { case ((d, sbp, msim, mmr), i) =>
+      (i + 1, d, sbp, msim, mmr)
+    }.toSeq.toDF("rank", "doc_id", "score_bp", "max_sim_bp", "mmr_bp")
+  }
+
+  /** DuckDB oracle for [[mmrRerank]]: the BM25-micro candidate CTEs plus
+    * [[MmrK]] unrolled greedy steps. */
+  private[graft] lazy val mmrOracle: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val steps = (1 to MmrK).map { t =>
+      val prev = s"sel${t - 1}"
+      s"""m$t AS (SELECT c.doc_id, c.sbp,
+         |    coalesce((SELECT max(s.simbp) FROM sim s
+         |      WHERE s.da = c.doc_id
+         |        AND s.db IN (SELECT doc_id FROM $prev)), 0) AS msim
+         |  FROM sc c WHERE c.doc_id NOT IN (SELECT doc_id FROM $prev)),
+         |p$t AS (SELECT $t AS rank, doc_id, sbp, msim,
+         |    (7 * sbp - 3 * msim) // 10 AS mmr
+         |  FROM m$t ORDER BY (7 * sbp - 3 * msim) // 10 DESC, doc_id LIMIT 1),
+         |sel$t AS (SELECT rank, doc_id, sbp, msim, mmr FROM $prev
+         |  UNION ALL SELECT rank, doc_id, sbp, msim, mmr FROM p$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toksall AS (SELECT doc_id, w
+       |  FROM (SELECT doc_id,
+       |      unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |    FROM documents) WHERE len(w) > 0),
+       |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toksall GROUP BY doc_id),
+       |st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+       |tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf FROM toksall
+       |  WHERE w IN ($terms) GROUP BY doc_id, w),
+       |dfs AS (SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY w),
+       |cell AS (SELECT doc_id, CAST(round(
+       |    ln((n_docs::DOUBLE - df + 0.5) / (df + 0.5) + 1.0)
+       |    * (tf::DOUBLE * ${Bm25K1 + 1})
+       |    / (tf + $Bm25K1 * (${1 - Bm25B} + $Bm25B
+       |        * (dl::DOUBLE / (sum_dl::DOUBLE / n_docs))))
+       |    * 1000000) AS BIGINT) AS s
+       |  FROM tf JOIN dfs USING (w) JOIN dl USING (doc_id) CROSS JOIN st),
+       |cands AS (SELECT doc_id, sum(s)::BIGINT AS score_micro FROM cell
+       |  GROUP BY doc_id ORDER BY score_micro DESC, doc_id LIMIT $MmrN),
+       |smax AS (SELECT max(score_micro) AS m FROM cands),
+       |sc AS (SELECT doc_id, (score_micro * 10000) // m AS sbp
+       |  FROM cands CROSS JOIN smax),
+       |tw AS (SELECT DISTINCT t.doc_id, t.w FROM toksall t
+       |  JOIN cands USING (doc_id)),
+       |sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM tw GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS i
+       |  FROM tw a JOIN tw b ON a.w = b.w AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2),
+       |sim AS (SELECT da, db,
+       |    (i * 10000) // (sa.sz + sb.sz - i) AS simbp
+       |  FROM inter JOIN sizes sa ON sa.doc_id = da
+       |  JOIN sizes sb ON sb.doc_id = db),
+       |sel0 AS (SELECT 0 AS rank, CAST(NULL AS BIGINT) AS doc_id,
+       |    0::BIGINT AS sbp, 0::BIGINT AS msim, 0::BIGINT AS mmr WHERE 1 = 0),
+       |$steps
+       |SELECT rank, doc_id, sbp AS score_bp, msim AS max_sim_bp, mmr AS mmr_bp
+       |FROM sel$MmrK ORDER BY rank""".stripMargin
+  }
+
   val NdcgK = 10
   /** Per-rank discount weights round(10⁶/log₂(i+1)) — pinned integer
     * literals shared verbatim with the oracle (the χ²-table discipline:
@@ -672,6 +797,7 @@ object Similarity {
     "q_cosine_sparse" -> (sparseCosineTopK _),
     "q_bm25" -> (bm25TopK _),
     "q_ndcg" -> (ndcgEval _),
+    "q_mmr_rerank" -> (mmrRerank _),
     "q_ann_pq" -> (pqTopK _),
     "q_ann_ivf" -> ((s, d) => ivfTopK(s, d, nlist = IvfLists)))
 
@@ -890,6 +1016,7 @@ object Similarity {
          |FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT $Bm25K)
          |ORDER BY rank""".stripMargin
     },
+    "q_mmr_rerank" -> mmrOracle,
     "q_ndcg" -> {
       val relTop = Bm25Terms.map(t =>
         s"(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END)").mkString(" + ")

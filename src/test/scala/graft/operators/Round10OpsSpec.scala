@@ -125,6 +125,27 @@ class Round10OpsSpec extends SparkSpec {
     assert(r.getLong(5) == 3L * 10000 / Similarity.NdcgK)
   }
 
+  test("mmr: an exact duplicate of the top hit is deferred behind a diverse doc") {
+    val spark2 = spark
+    import spark2.implicits._
+    // d1 and d2 are twins (sim 10⁴, equal top score); d3 carries all
+    // terms with one extra token (score ≈ 0.91 of max, sim 5000 to the
+    // twins). Greedy step 2: twin mmr = (7·10⁴ − 3·10⁴)/10 = 4000 <
+    // d3's (7·~9111 − 3·5000)/10 ≈ 4877 — diversity wins, order 1,3,2.
+    val docs = Seq(
+      (1L, "join hash scan x"), (2L, "join hash scan x"),
+      (3L, "join hash scan a b")).toDF("doc_id", "text")
+    val rows = Similarity.mmrRerankDf(docs).collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(1L, 3L, 2L), rows.mkString(";"))
+    // every emitted row satisfies the mmr identity on its own columns
+    rows.foreach { r =>
+      assert(r.getLong(4) == (7L * r.getLong(2) - 3L * r.getLong(3)) / 10L)
+    }
+    // the twin's similarity to d1 is exactly 1.0, d3's exactly 0.5
+    assert(rows.find(_.getLong(1) == 2L).get.getLong(3) == 10000L)
+    assert(rows.find(_.getLong(1) == 3L).get.getLong(3) == 5000L)
+  }
+
   test("silhouette: k rows, micro bounds, global mean consistent, full coverage") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.ml.KMeansGraft.silhouette(spark, dir).collect()
