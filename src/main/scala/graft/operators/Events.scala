@@ -919,6 +919,132 @@ object Events {
           |  END, 6) AS cohen_d""".stripMargin)
   }
 
+  /** The 4 attribution channels, bit i of the per-user exposure mask. */
+  val ShapleyChannels: Seq[String] = Seq("click", "view", "signup", "error")
+
+  /** Shapley-value attribution — the game-theoretic completion of the
+    * attribution family (position 40/20/40, time-decay, and Markov
+    * removal effect are heuristics; Shapley is the unique credit split
+    * satisfying efficiency/symmetry/dummy): channels are coalition
+    * players, v(S) = observed conversion rate (bp) of users whose exact
+    * exposure set is S (empty subsets contribute 0 — a documented
+    * convention), and φ_c = Σ_{S∌c} |S|!(k−1−|S|)!·(v(S∪c)−v(S)) / k!.
+    * With k = 4 the 32 (channel, S) pairs and their factorial weights
+    * are pinned literals; φ_bp = (Σ weighted marginals) DIV 24 — exact
+    * integer end to end.
+    *
+    * Scale: one events scan → per-user (bitmask, converted) rollup →
+    * a 16-row subset census; everything after is literal-table joins
+    * on ≤32 rows. */
+  def shapleyAttribution(spark: SparkSession, dir: String): DataFrame =
+    shapleyDf(Tables.events(spark, dir))
+
+  private def shapleyFact(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+
+  /** The 32 (channel, S-without, S-with, |S|!(k−1−|S|)!) literals both
+    * engines join against. */
+  private[graft] lazy val shapleyPairs: Seq[(String, Int, Int, Long)] = {
+    val k = ShapleyChannels.length
+    for {
+      ci <- 0 until k
+      s <- 0 until (1 << k) if (s & (1 << ci)) == 0
+    } yield (ShapleyChannels(ci), s, s | (1 << ci),
+      shapleyFact(Integer.bitCount(s)) * shapleyFact(k - 1 - Integer.bitCount(s)))
+  }
+
+  /** Core over any (user_id, event_type) frame. */
+  def shapleyDf(ev: DataFrame): DataFrame = {
+    val spark2 = ev.sparkSession
+    import spark2.implicits._
+    val k = ShapleyChannels.length
+    val bit = ShapleyChannels.zipWithIndex
+      .map { case (c, i) => s"WHEN '$c' THEN ${1 << i}" }
+      .mkString("CASE event_type ", " ", " ELSE 0 END")
+    val users = ev.selectExpr("user_id", s"$bit AS b",
+        "CAST(event_type = 'purchase' AS INT) AS p")
+      .groupBy("user_id")
+      .agg(expr("CAST(sum(DISTINCT b) AS INT)").as("mask"), max("p").as("cv"))
+    val census = users.groupBy("mask")
+      .agg(count(lit(1)).as("n"), sum("cv").as("c"))
+      .selectExpr("mask", "(c * 10000) DIV n AS v_bp")
+    val pdf = broadcast(shapleyPairs.toDF("channel", "s_without", "s_with", "w"))
+    pdf
+      .join(census.selectExpr("mask AS s_with", "v_bp AS v1"),
+        Seq("s_with"), "left")
+      .join(census.selectExpr("mask AS s_without", "v_bp AS v0"),
+        Seq("s_without"), "left")
+      .selectExpr("channel",
+        "w * (coalesce(v1, 0) - coalesce(v0, 0)) AS m")
+      .groupBy("channel")
+      .agg(expr(s"CAST(sum(m) DIV ${shapleyFact(k)} AS BIGINT)").as("phi_bp"))
+      .orderBy("channel")
+  }
+
+  /** Sample-ratio-mismatch guardrail — the experimentation sanity check
+    * that must run BEFORE any A/B readout (a biased split invalidates
+    * q_ab_test/q_effect_size silently): χ²(1) of the arm sizes against
+    * the designed 50/50, (n_a−n_b)²·10⁶ DIV (n_a+n_b) in pure integers
+    * vs the pinned critical value. 'yes' = the assignment itself is
+    * broken. One distinct-users pass → 2-row census → 1-row verdict. */
+  def srmCheck(spark: SparkSession, dir: String): DataFrame =
+    srmDf(Tables.events(spark, dir))
+
+  /** Core over any (user_id) frame. */
+  def srmDf(ev: DataFrame): DataFrame =
+    ev.select(col("user_id")).distinct()
+      .withColumn("arm", pmod(hash56(col("user_id").cast("string")), lit(2)))
+      .groupBy("arm").agg(count(lit(1)).as("n"))
+      // otherwise(0) + coalesce: a completely wiped-out arm must read
+      // n = 0 (the exact failure SRM exists to catch), never NULL
+      .agg(coalesce(sum(when(col("arm") === 0, col("n")).otherwise(0L)),
+          lit(0L)).as("n_a"),
+        coalesce(sum(when(col("arm") === 1, col("n")).otherwise(0L)),
+          lit(0L)).as("n_b"))
+      .selectExpr("n_a", "n_b",
+        """CAST((n_a - n_b) * (n_a - n_b) * 1000000 DIV (n_a + n_b)
+          |  AS BIGINT) AS srm_chi2_micro""".stripMargin)
+      .withColumn("mismatch", col("srm_chi2_micro") > AbCritMicro)
+
+  val IpwStrata = 5 // activity-quintile strata (bucket = events DIV 20 capped)
+
+  /** Stratified IPW average treatment effect — the OBSERVATIONAL causal
+    * estimator next to the randomized A/B family (CUPED/DiD assume a
+    * designed assignment; here treatment is self-selected — users who
+    * signed up — and exposure propensity is estimated per activity
+    * stratum): e(s) = treated fraction of stratum s as an exact
+    * fraction, ATE_bp = (Σ_s [y¹_s·n_s·10⁴ DIV t_s − y⁰_s·n_s·10⁴ DIV
+    * (n_s−t_s)]) DIV N over strata with both arms populated; degenerate
+    * strata (all or none treated — propensity 0/1, IPW undefined) are
+    * EXCLUDED and accounted in n_excluded, never silently zeroed.
+    *
+    * Scale: one events scan → per-user (events, treated, converted)
+    * rollup → a strata-bounded census → 1-row arithmetic. */
+  def ipwAte(spark: SparkSession, dir: String): DataFrame =
+    ipwDf(Tables.events(spark, dir))
+
+  /** Core over any (user_id, event_type) frame. */
+  def ipwDf(ev: DataFrame): DataFrame =
+    ev.groupBy("user_id").agg(
+        count(lit(1)).as("ne"),
+        max(when(col("event_type") === "signup", 1).otherwise(0)).as("t"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("y"))
+      .selectExpr(s"least(ne DIV 20, ${IpwStrata - 1}) AS s", "t", "y")
+      .groupBy("s").agg(count(lit(1)).as("n"), sum("t").as("nt"),
+        sum(when(col("t") === 1, col("y")).otherwise(0)).as("y1"),
+        sum(when(col("t") === 0, col("y")).otherwise(0)).as("y0"))
+      .agg(
+        sum("n").as("n_users"),
+        sum(when(col("nt") > 0 && col("nt") < col("n"), col("n"))
+          .otherwise(0L)).as("n_used"),
+        sum(when(col("nt") === 0 || col("nt") === col("n"), col("n"))
+          .otherwise(0L)).as("n_excluded"),
+        sum(when(col("nt") > 0 && col("nt") < col("n"),
+          expr("(y1 * n * 10000) DIV nt - (y0 * n * 10000) DIV (n - nt)"))
+          .otherwise(0L)).as("sum_terms"))
+      .selectExpr("n_users", "n_used", "n_excluded",
+        """CAST(CASE WHEN n_used = 0 THEN NULL
+          |  ELSE sum_terms DIV n_used END AS BIGINT) AS ate_bp""".stripMargin)
+
   val SprtUpliftNum = 11L // H1: p1 = (11/10)·p0 — a pinned +10% uplift
   val SprtUpliftDen = 10L
   val SprtLnUpliftMicro = math.round(math.log(11.0 / 10.0) * 1e6)
@@ -1550,6 +1676,9 @@ object Events {
     "q_nelson_aalen" -> (nelsonAalen _),
     "q_ab_test" -> (abTest _),
     "q_effect_size" -> (effectSize _),
+    "q_ab_srm" -> (srmCheck _),
+    "q_ipw_ate" -> (ipwAte _),
+    "q_shapley_attribution" -> (shapleyAttribution _),
     "q_sprt" -> (sprtTest _),
     "q_cuped" -> (cuped _),
     "q_did" -> (diffInDiff _),
@@ -1981,6 +2110,62 @@ object Events {
          |      * (abs(c_a * n_b - c_b * n_a) * 1000 * (n_a + n_b)
          |         // ((c_a + c_b) * (n_a + n_b - c_a - c_b)))
          |   END)::BIGINT AS z2_micro FROM p)""".stripMargin,
+    "q_shapley_attribution" -> {
+      val bit = ShapleyChannels.zipWithIndex
+        .map { case (c, i) => s"WHEN '$c' THEN ${1 << i}" }
+        .mkString("CASE event_type ", " ", " ELSE 0 END")
+      val pv = shapleyPairs
+        .map { case (c, s0, s1, w) => s"('$c', $s0, $s1, $w)" }.mkString(", ")
+      s"""WITH u AS (SELECT user_id,
+         |    CAST(sum(DISTINCT $bit) AS INT) AS mask,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cv
+         |  FROM events GROUP BY user_id),
+         |census AS (SELECT mask,
+         |    (sum(cv) * 10000) // count(*) AS v_bp FROM u GROUP BY mask),
+         |pairs(channel, s_without, s_with, w) AS (VALUES $pv),
+         |m AS (SELECT channel,
+         |    w * (coalesce(c1.v_bp, 0) - coalesce(c0.v_bp, 0)) AS m
+         |  FROM pairs LEFT JOIN census c1 ON c1.mask = s_with
+         |  LEFT JOIN census c0 ON c0.mask = s_without)
+         |SELECT channel, (sum(m) // ${shapleyFact(ShapleyChannels.length)})::BIGINT AS phi_bp
+         |FROM m GROUP BY channel ORDER BY channel""".stripMargin
+    },
+    "q_ab_srm" ->
+      s"""WITH u AS (SELECT user_id,
+         |    ${hash56Sql("user_id::VARCHAR")} % 2 AS arm
+         |  FROM (SELECT DISTINCT user_id FROM events)),
+         |a AS (SELECT
+         |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+         |  FROM u)
+         |SELECT n_a, n_b,
+         |  ((n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b))::BIGINT
+         |    AS srm_chi2_micro,
+         |  ((n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b)) > $AbCritMicro
+         |    AS mismatch
+         |FROM a""".stripMargin,
+    "q_ipw_ate" ->
+      s"""WITH pu AS (SELECT user_id, count(*)::BIGINT AS ne,
+         |    max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS t,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+         |  FROM events GROUP BY user_id),
+         |st AS (SELECT least(ne // 20, ${IpwStrata - 1}) AS s, t, y FROM pu),
+         |g AS (SELECT s, count(*)::BIGINT AS n, sum(t)::BIGINT AS nt,
+         |    sum(CASE WHEN t = 1 THEN y ELSE 0 END)::BIGINT AS y1,
+         |    sum(CASE WHEN t = 0 THEN y ELSE 0 END)::BIGINT AS y0
+         |  FROM st GROUP BY s),
+         |agg AS (SELECT sum(n)::BIGINT AS n_users,
+         |    sum(CASE WHEN nt > 0 AND nt < n THEN n ELSE 0 END)::BIGINT AS n_used,
+         |    sum(CASE WHEN nt = 0 OR nt = n THEN n ELSE 0 END)::BIGINT
+         |      AS n_excluded,
+         |    sum(CASE WHEN nt > 0 AND nt < n
+         |      THEN (y1 * n * 10000) // nt - (y0 * n * 10000) // (n - nt)
+         |      ELSE 0 END)::BIGINT AS sum_terms
+         |  FROM g)
+         |SELECT n_users, n_used, n_excluded,
+         |  (CASE WHEN n_used = 0 THEN NULL
+         |    ELSE sum_terms // n_used END)::BIGINT AS ate_bp
+         |FROM agg""".stripMargin,
     "q_effect_size" ->
       s"""WITH u AS (SELECT user_id,
          |    ${hash56Sql("user_id::VARCHAR")} % 2 AS arm

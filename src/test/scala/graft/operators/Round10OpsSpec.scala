@@ -146,6 +146,52 @@ class Round10OpsSpec extends SparkSpec {
     assert(rows.find(_.getLong(1) == 3L).get.getLong(3) == 5000L)
   }
 
+  test("shapley: single-channel converter replays the factorial weights by hand") {
+    val spark2 = spark
+    import spark2.implicits._
+    // u1 exposed to {click} and converts; u2 exposed to nothing, doesn't.
+    // v({click}) = 10⁴, v(∅) = 0, every other subset empty → 0.
+    // φ_click = 0!·3!·(10⁴−0) / 4! = 60000/24 = 2500
+    // φ_other = 1!·2!·(v({click,other})−v({click})) / 4!
+    //         = 2·(0−10⁴)/24 = −833 (truncation toward zero)
+    val ev = Seq((1L, "click"), (1L, "purchase"), (2L, "noop"))
+      .toDF("user_id", "event_type")
+    val got = Events.shapleyDf(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("click" -> 2500L, "view" -> -833L,
+      "signup" -> -833L, "error" -> -833L), got.toString)
+  }
+
+  test("srm: balanced split passes, a wiped-out arm trips the guardrail") {
+    val spark2 = spark
+    import spark2.implicits._
+    val as = (1L to 2000L).filter(arm(_) == 0)
+    val bs = (1L to 2000L).filter(arm(_) == 1)
+    val even = (as.take(3) ++ bs.take(1)).map(u => (u, "view"))
+      .toDF("user_id", "event_type")
+    val r1 = Events.srmDf(even).head()
+    // (3−1)²·10⁶ / 4 = 10⁶ < 3.84·10⁶ → no mismatch
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getBoolean(3)) ==
+      ((3L, 1L, 1000000L, false)), r1.toString)
+    val broken = as.take(100).map(u => (u, "view")).toDF("user_id", "event_type")
+    val r2 = Events.srmDf(broken).head()
+    assert(r2.getLong(2) == 100000000L && r2.getBoolean(3), r2.toString)
+  }
+
+  test("ipw: hand-computed stratified ATE with a degenerate stratum excluded") {
+    val spark2 = spark
+    import spark2.implicits._
+    // stratum 0: treated (signup, converts), control (no purchase),
+    //   control (converts) → term = 3·10⁴/1 − 3·10⁴/2 = 15000
+    // stratum 1: one user with 25 signup events — all-treated, excluded
+    val ev = (Seq((1L, "signup"), (1L, "purchase"), (2L, "view"),
+      (3L, "view"), (3L, "purchase")) ++
+      Seq.fill(25)((4L, "signup"))).toDF("user_id", "event_type")
+    val r = Events.ipwDf(ev).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 3L, 1L, 5000L)), r.toString)
+  }
+
   test("silhouette: k rows, micro bounds, global mean consistent, full coverage") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.ml.KMeansGraft.silhouette(spark, dir).collect()
