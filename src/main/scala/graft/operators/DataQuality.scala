@@ -333,6 +333,85 @@ object DataQuality {
       .orderBy(desc("v2_micro"), asc("feature"))
   }
 
+  /** Cochran–Armitage trend test — the ORDERED companion to
+    * [[chi2Select]] (χ² is order-blind; CA asks "does the positive rate
+    * trend monotonically with the dose?" — discount level 0..10 vs the
+    * bulk-line label): scores w = the category value,
+    * T = N·Σw·r_i − R·Σw·n_i, Var = R(N−R)(N·A − B²)/N² with
+    * A = Σn·w², B = Σn·w, and z² = T²N²/Var in the q_ab_test two-factor
+    * cross-multiplied micro form (|T|·10³ DIV (NA−B²)) ·
+    * ((|T|·10³·N²) DIV (R(N−R))) — all DECIMAL(38,0), the largest
+    * intermediate |T|·10³·N² stays under 10³⁸ to ~10⁷ rows (past that,
+    * the documented remedy is a hash sample, as for q_ab_test);
+    * degenerate label or zero score variance pins z² = 0. Verdict vs
+    * χ²₁ 95%.
+    *
+    * Scale: one fact scan partial-aggregated onto the ≤11-category
+    * dose table, then 1-row arithmetic. */
+  def cochranArmitage(spark: SparkSession, dir: String): DataFrame =
+    cochranArmitageDf(Tables.lineitem(spark, dir).selectExpr(
+      "CAST(round(l_discount * 100) AS INT) AS w",
+      "CAST(l_quantity > 25 AS INT) AS y"))
+
+  /** Core over any (w INT ordered dose, y 0/1 label) frame. */
+  private[graft] def cochranArmitageDf(st: DataFrame): DataFrame = {
+    val cat = st.groupBy("w").agg(count(lit(1)).as("n"), sum("y").as("r"))
+    cat.agg(count(lit(1)).as("k"), sum("n").as("nn"), sum("r").as("rr"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * w * w")).as("a"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * w")).as("b"),
+        sum(expr("CAST(r AS DECIMAL(38,0)) * w")).as("rw"))
+      .selectExpr("k", "nn AS n", "rr AS r",
+        "rw * nn - b * rr AS t", "CAST(nn AS DECIMAL(38,0)) * a - b * b AS vw")
+      .selectExpr("k", "n", "r",
+        """CAST(CASE WHEN r = 0 OR r = n OR vw = 0 THEN 0
+          |  ELSE (abs(t) * 1000 DIV vw)
+          |     * ((abs(t) * 1000 * n * n) DIV (CAST(r AS DECIMAL(38,0)) * (n - r)))
+          |  END AS BIGINT) AS z2_micro""".stripMargin)
+      .withColumn("trending", col("z2_micro") > lit(Chi2Crit95Micro.head._2))
+  }
+
+  /** Cohen's κ + Matthews correlation between two deterministic binary
+    * "raters" over the corpus (the inter-annotator-agreement and
+    * imbalanced-classification-quality metrics the eval family lacked;
+    * here rater 1 = long document by chars, rater 2 = long by token
+    * count — correlated but not identical, so agreement is
+    * non-degenerate): from the exact 2×2 census, κ_bp = 10⁴·(N(a+d) −
+    * pe) DIV (N² − pe) with pe = (a+b)(a+c)+(c+d)(b+d), and the SIGNED
+    * squared Matthews correlation mcc2_micro = sign(ad−bc)·(ad−bc)²·10⁶
+    * DIV ((a+b)(a+c)(b+d)(c+d)) — MCC² avoids the sqrt, the sign keeps
+    * direction; all DECIMAL(38,0) (the product reaches N⁴, Long-safe
+    * nowhere past 50k rows). One-sided raters (a zero marginal) pin
+    * NULL — visible, never a division error.
+    *
+    * Scale: one scan → a 4-cell census → 1-row arithmetic. */
+  def cohensKappa(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select((col("n_chars") > 300).cast("int").as("r1"),
+        (size(graft.functions.TextFns.tokens(col("text"))) > 60)
+          .cast("int").as("r2"))
+      .agg(
+        sum(expr("CAST(r1 = 1 AND r2 = 1 AS INT)")).as("a"),
+        sum(expr("CAST(r1 = 1 AND r2 = 0 AS INT)")).as("b"),
+        sum(expr("CAST(r1 = 0 AND r2 = 1 AS INT)")).as("c"),
+        sum(expr("CAST(r1 = 0 AND r2 = 0 AS INT)")).as("d"))
+      .selectExpr("a", "b", "c", "d",
+        "CAST(a + b + c + d AS DECIMAL(38,0)) AS n",
+        """CAST(a + b AS DECIMAL(38,0)) * (a + c)
+          | + CAST(c + d AS DECIMAL(38,0)) * (b + d) AS pe""".stripMargin)
+      .selectExpr("a", "b", "c", "d",
+        """CAST(CASE WHEN n * n = pe THEN NULL
+          |  ELSE ((n * (a + d) - pe) * 10000) DIV (n * n - pe)
+          |  END AS BIGINT) AS kappa_bp""".stripMargin,
+        """CAST(CASE WHEN (a+b) = 0 OR (a+c) = 0 OR (b+d) = 0 OR (c+d) = 0
+          |  THEN NULL
+          |  ELSE CASE WHEN CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c < 0
+          |    THEN -1 ELSE 1 END
+          |   * ((CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)
+          |      * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)
+          |      * 1000000)
+          |     DIV (CAST(a + b AS DECIMAL(38,0)) * (a + c) * (b + d) * (c + d))
+          |  END AS BIGINT) AS mcc2_signed_micro""".stripMargin)
+
   /** Per-column Shannon entropy over the same categorical stack as
     * [[chi2Select]] — the information-content profiling metric (near-
     * zero entropy flags dead columns, near-ln(k) flags keys; the
@@ -410,6 +489,8 @@ object DataQuality {
     "q_col_entropy" -> (columnEntropy _),
     "q_chi2_select" -> (chi2Select _),
     "q_cramers_v" -> (cramersV _),
+    "q_cochran_armitage" -> (cochranArmitage _),
+    "q_cohens_kappa" -> (cohensKappa _),
     "q_data_quality" -> (dataQuality _),
     "q_fd_violations" -> (fdViolations _),
     "q_benford" -> (benford _),
@@ -516,6 +597,54 @@ object DataQuality {
         |  (a.chi2_micro // (fn.n * (least(a.nx, a.ny) - 1)))::BIGINT AS v2_micro
         |FROM agg a JOIN fn USING (feature)
         |ORDER BY v2_micro DESC, feature""".stripMargin,
+    "q_cochran_armitage" ->
+      s"""WITH cat AS (SELECT CAST(round(l_discount * 100) AS INT) AS w,
+         |    count(*)::BIGINT AS n,
+         |    sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)::BIGINT AS r
+         |  FROM lineitem GROUP BY 1),
+         |agg AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nn,
+         |    sum(r)::BIGINT AS rr, sum(n::HUGEINT * w * w) AS a,
+         |    sum(n::HUGEINT * w) AS b, sum(r::HUGEINT * w) AS rw
+         |  FROM cat),
+         |tv AS (SELECT k, nn AS n, rr AS r, rw * nn - b * rr AS t,
+         |    nn::HUGEINT * a - b * b AS vw FROM agg),
+         |z AS (SELECT k, n, r,
+         |    (CASE WHEN r = 0 OR r = n OR vw = 0 THEN 0
+         |      ELSE (abs(t) * 1000 // vw)
+         |         * ((abs(t) * 1000 * n * n) // (r::HUGEINT * (n - r)))
+         |      END)::BIGINT AS z2_micro
+         |  FROM tv)
+         |SELECT k, n, r, z2_micro,
+         |  z2_micro > ${Chi2Crit95Micro.head._2} AS trending
+         |FROM z""".stripMargin,
+    "q_cohens_kappa" ->
+      """WITH t AS (SELECT
+        |    CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS r1,
+        |    CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 60
+        |      THEN 1 ELSE 0 END AS r2
+        |  FROM documents),
+        |cen AS (SELECT
+        |    sum(CASE WHEN r1 = 1 AND r2 = 1 THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |    sum(CASE WHEN r1 = 1 AND r2 = 0 THEN 1 ELSE 0 END)::BIGINT AS cb,
+        |    sum(CASE WHEN r1 = 0 AND r2 = 1 THEN 1 ELSE 0 END)::BIGINT AS cc,
+        |    sum(CASE WHEN r1 = 0 AND r2 = 0 THEN 1 ELSE 0 END)::BIGINT AS cd
+        |  FROM t),
+        |e AS (SELECT ca, cb, cc, cd, (ca + cb + cc + cd)::HUGEINT AS n,
+        |    (ca + cb)::HUGEINT * (ca + cc) + (cc + cd)::HUGEINT * (cb + cd) AS pe
+        |  FROM cen)
+        |SELECT ca AS a, cb AS b, cc AS c, cd AS d,
+        |  (CASE WHEN n * n = pe THEN NULL
+        |    ELSE ((n * (ca + cd) - pe) * 10000) // (n * n - pe)
+        |    END)::BIGINT AS kappa_bp,
+        |  (CASE WHEN (ca+cb) = 0 OR (ca+cc) = 0 OR (cb+cd) = 0 OR (cc+cd) = 0
+        |    THEN NULL
+        |    ELSE (CASE WHEN ca::HUGEINT * cd - cb::HUGEINT * cc < 0
+        |      THEN -1 ELSE 1 END)
+        |     * ((ca::HUGEINT * cd - cb::HUGEINT * cc)
+        |        * (ca::HUGEINT * cd - cb::HUGEINT * cc) * 1000000)
+        |       // ((ca+cb)::HUGEINT * (ca+cc) * (cb+cd) * (cc+cd))
+        |    END)::BIGINT AS mcc2_signed_micro
+        |FROM e""".stripMargin,
     "q_fd_violations" -> {
       def one(name: String, table: String, lhs: String, rhs: String) =
         s"""SELECT '$name' AS fd, count(*)::BIGINT AS n_groups,

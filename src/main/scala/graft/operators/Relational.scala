@@ -1647,6 +1647,49 @@ object Relational {
       .orderBy("o_orderpriority", "quartile")
   }
 
+  /** Decile lift/gains table — the model-scoring evaluation classic
+    * ("rank by score, how concentrated is the response in the top
+    * decile?"): customers ranked by account balance (the stand-in model
+    * score, fully tie-broken by key), response = placed ≥1 urgent
+    * order; per decile the response rate and lift vs base in exact
+    * integer bp — rate = (resp_d·10⁴) DIV n_d, lift = (resp_d·n·10⁴)
+    * DIV (n_d·resp). Decile membership is SQL ntile(10)'s deal
+    * recovered arithmetically from the global (rank, n).
+    *
+    * Scale: the global rank rides [[ScaleWindows.withGlobalRowNumber]]
+    * (range-partitioned sort + two-pass offsets — never a
+    * single-partition window over the customer grain); response is one
+    * keyed semi-rollup; the output is 10 rows. */
+  def decileLift(spark: SparkSession, dir: String): DataFrame = {
+    val resp = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("ck")).distinct().withColumn("y", lit(1L))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("ck"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("score"))
+      .join(resp, Seq("ck"), "left")
+      .select(col("ck"), col("score"), coalesce(col("y"), lit(0L)).as("y"))
+      .localCheckpoint(true) // feeds the rank pass and the totals
+    val tot = cust.agg(count(lit(1)).as("n"), sum("y").as("resp"))
+    ScaleWindows.withGlobalRowNumber(cust,
+        Seq(col("score").desc, col("ck")), "rk")
+      .crossJoin(broadcast(tot))
+      .selectExpr("y", "rk", "n", "resp", "n DIV 10 AS k4", "n % 10 AS r4")
+      .selectExpr("y", "n", "resp",
+        """CAST(CASE WHEN rk <= r4 * (k4 + 1)
+          |  THEN (rk - 1) DIV (k4 + 1) + 1
+          |  ELSE r4 + (rk - r4 * (k4 + 1) - 1) DIV k4 + 1 END AS INT)
+          |  AS decile""".stripMargin)
+      .groupBy("decile", "n", "resp")
+      .agg(count(lit(1)).as("n_cust"), sum("y").as("n_resp"))
+      .selectExpr("decile", "n_cust", "n_resp",
+        "(n_resp * 10000) DIV n_cust AS rate_bp",
+        """CAST(CASE WHEN resp = 0 THEN NULL
+          |  ELSE (n_resp * n * 10000) DIV (n_cust * resp)
+          |  END AS BIGINT) AS lift_bp""".stripMargin)
+      .orderBy("decile")
+  }
+
   /** Salt replication factor for the skew-join gate. */
   val SaltFactor = 8
 
@@ -2030,6 +2073,7 @@ object Relational {
     "q_basket_pairs" -> (basketPairs _),
     "q_salted_join" -> (saltedJoin _),
     "q_window_ntile" -> (windowNtile _),
+    "q_decile_lift" -> (decileLift _),
     "q_null_semantics" -> (nullSemantics _),
     "q_mutual_info" -> (mutualInfo _),
     "q_woe_encode" -> (woeEncode _),
@@ -2290,6 +2334,25 @@ object Relational {
         |  round(min(pr), 6) AS min_pctrank,
         |  round(max(cd), 6) AS max_cumedist
         |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_decile_lift" ->
+      """WITH resp AS (SELECT DISTINCT o_custkey AS ck, 1::BIGINT AS y
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |cust AS (SELECT c_custkey AS ck,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS score,
+        |    coalesce(y, 0)::BIGINT AS y
+        |  FROM customer LEFT JOIN resp ON c_custkey = ck),
+        |tot AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS resp FROM cust),
+        |d AS (SELECT y, n, resp,
+        |    ntile(10) OVER (ORDER BY score DESC, ck) AS decile
+        |  FROM cust CROSS JOIN tot),
+        |g AS (SELECT decile, n, resp, count(*)::BIGINT AS n_cust,
+        |    sum(y)::BIGINT AS n_resp
+        |  FROM d GROUP BY decile, n, resp)
+        |SELECT decile, n_cust, n_resp,
+        |  ((n_resp * 10000) // n_cust)::BIGINT AS rate_bp,
+        |  (CASE WHEN resp = 0 THEN NULL
+        |    ELSE (n_resp * n * 10000) // (n_cust * resp) END)::BIGINT AS lift_bp
+        |FROM g ORDER BY decile""".stripMargin,
     "q_null_semantics" ->
       """WITH d AS (SELECT nullif(l_returnflag, 'N') AS k,
         |    CASE WHEN l_quantity > 25 THEN l_quantity END AS v

@@ -192,6 +192,53 @@ class Round10OpsSpec extends SparkSpec {
       ((4L, 3L, 1L, 5000L)), r.toString)
   }
 
+  test("cochranArmitage: perfect dose-response replays z2 = 24 exactly") {
+    val spark2 = spark
+    import spark2.implicits._
+    // w∈{0,1,2}, n=2 each, r=[0,1,2]: T = 6·5 − 3·6 = 12,
+    // vw = 6·10 − 36 = 24 → z² = 144·36/(9·24) = 24, no truncation
+    val st = (Seq.fill(2)((0, 0)) ++ Seq((1, 0), (1, 1)) ++
+      Seq.fill(2)((2, 1))).toDF("w", "y")
+    val r = DataQuality.cochranArmitageDf(st).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getBoolean(4)) == ((3L, 6L, 3L, 24000000L, true)), r.toString)
+  }
+
+  test("cohensKappa: hand 2x2 census gives kappa = 1/3 and mcc2 = 1/9") {
+    val spark2 = spark
+    import spark2.implicits._
+    val long = Seq.fill(61)("tok").mkString(" ")
+    val short = "tok tok"
+    // (r1=chars>300, r2=tokens>60): a=2, b=1, c=1, d=2
+    val docs = Seq(
+      (1L, long, 400L), (2L, long, 400L), (3L, short, 400L),
+      (4L, long, 100L), (5L, short, 100L), (6L, short, 100L))
+      .toDF("doc_id", "text", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("kappa").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = DataQuality.cohensKappa(spark, tmp).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 1L, 2L)), r.toString)
+    // κ = (6·4 − 18)·10⁴ / (36 − 18) = 3333; mcc² = 9·10⁶/81 = 111111
+    assert(r.getLong(4) == 3333L && r.getLong(5) == 111111L, r.toString)
+  }
+
+  test("decileLift: 10 balanced deciles, totals and lift identities hold") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Relational.decileLift(spark, dir).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10))
+    val nCust = Tables.customer(spark, dir).count()
+    assert(rows.map(_.getLong(1)).sum == nCust)
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, "ntile deal: sizes differ by <= 1")
+    val resp = rows.map(_.getLong(2)).sum
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(2) * 10000 / r.getLong(1))
+      assert(r.getLong(4) == r.getLong(2) * nCust * 10000 / (r.getLong(1) * resp))
+    }
+  }
+
   test("silhouette: k rows, micro bounds, global mean consistent, full coverage") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.ml.KMeansGraft.silhouette(spark, dir).collect()
