@@ -149,6 +149,9 @@ class ScaleWindowsSpec extends SparkSpec {
     assertNoSinglePartitionAnywhere("q_window_offset") {
       assert(Relational.windowOffset(spark, dir).collect().nonEmpty)
     }
+    assertNoSinglePartitionAnywhere("q_decile_lift") {
+      assert(Relational.decileLift(spark, dir).collect().nonEmpty)
+    }
   }
 
   test("windowNtile matches the SQL window-function formulation exactly") {
