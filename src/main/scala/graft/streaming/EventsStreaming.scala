@@ -132,6 +132,43 @@ object EventsStreaming {
       }
   }
 
+  final case class DemandDay(pk: Long, d: java.sql.Date, q: Long)
+  final case class CrostonState(lastEpochDay: Long, z: Long, p: Long, n: Long)
+  final case class CrostonOut(partkey: Long, n_demand_days: Long,
+      z_micro: Long, p_micro: Long, rate_micro: Long)
+
+  /** Streaming Croston intermittent-demand forecaster (twin of
+    * operators.Temporal.croston): keyed state is ONE (last-demand-day,
+    * z, p, n) quad per part — 32 bytes/key at any history length — and
+    * each arriving demand day advances the coupled α=1/5 size/interval
+    * EWMAs with the batch twin's truncating integer arithmetic
+    * (positive operands, so Scala `/` ≡ Spark DIV ≡ the batch idiv).
+    * Emits the running forecast after every update; the parity gate
+    * keeps each part's latest row (max n), which must hash-match the
+    * batch gate's final fold verbatim. Same time-ordered per-key
+    * arrival contract as [[ewmaStream]]. */
+  def crostonStream(rows: Dataset[DemandDay]): Dataset[CrostonOut] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.pk)
+      .flatMapGroupsWithState[CrostonState, CrostonOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (pk, it, state: GroupState[CrostonState]) =>
+          var st = state.getOption.orNull
+          val out = it.toSeq.sortBy(_.d.getTime).map { r =>
+            val qm = r.q * 1000000L
+            val epochDay = r.d.toLocalDate.toEpochDay
+            st = if (st == null) CrostonState(epochDay, qm, 1000000L, 1L)
+            else CrostonState(epochDay,
+              (qm + 4L * st.z) / 5L,
+              ((epochDay - st.lastEpochDay) * 1000000L + 4L * st.p) / 5L,
+              st.n + 1L)
+            CrostonOut(pk, st.n, st.z, st.p, st.z * 1000000L / st.p)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   final case class CusumIn(et: String, d: java.sql.Date, x: Long, mu_milli: Long)
   final case class CusumOut(et: String, d: java.sql.Date, x: Long,
       cusum_milli: Long, alarm: Int)

@@ -241,6 +241,38 @@ object StreamingGates {
     } finally rmTree(tmp)
   }
 
+  /** Streaming Croston parity — the FORECASTER member of the parity
+    * family (the 10 prior gates replay sketches, sessions, windows, and
+    * detectors; this one replays a per-key iterative MODEL): the
+    * q_croston demand-day rollup re-played as 6 time-ordered slices
+    * through the keyed (last-day, z, p, n) automaton; each part's
+    * latest emitted row (max n) must hash-match the batch gate's final
+    * fold verbatim — oracle = the q_croston recursive-CTE SQL. */
+  def crostonStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = graft.Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("pk"), to_date(col("l_shipdate")).as("d"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("q"))
+    val tmp = stageTimeSlices(daily, unix_date(col("d")), 6)
+    try {
+      val stream = spark.readStream
+        .schema("pk BIGINT, d DATE, q BIGINT")
+        .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
+      val sink = runToMemory(
+        EventsStreaming.crostonStream(
+          stream.as[EventsStreaming.DemandDay]).toDF(),
+        "croston_parity_sink", OutputMode.Append())
+      sink.groupBy("partkey")
+        .agg(max_by(struct(col("z_micro"), col("p_micro"), col("rate_micro")),
+          col("n_demand_days")).as("f"),
+          max("n_demand_days").as("n_demand_days"))
+        .select(col("partkey"), col("n_demand_days"), col("f.z_micro"),
+          col("f.p_micro"), col("f.rate_micro"))
+        .orderBy("partkey")
+        .localCheckpoint()
+    } finally rmTree(tmp)
+  }
+
   /** Streaming CUSUM parity: the q_cusum_shift daily census (baseline
     * mean embedded per row) re-played as a time-ordered file stream
     * ([[stageTimeSlices]] on the day key) through the single-long keyed
@@ -376,6 +408,7 @@ object StreamingGates {
     "q_window_stream_parity" -> (windowStreamParity _),
     "q_qsketch_stream_parity" -> (qsketchStreamParity _),
     "q_cusum_stream_parity" -> (cusumStreamParity _),
+    "q_croston_stream_parity" -> (crostonStreamParity _),
     "q_ewma_stream_parity" -> (ewmaStreamParity _),
     "q_funnel_stream_parity" -> (funnelStreamParity _),
     "q_session_stream_parity" -> (sessionStreamParity _),
@@ -384,6 +417,10 @@ object StreamingGates {
     "q_dedup_stream_parity" -> (dedupStreamParity _))
 
   val oracles: Map[String, String] = Map(
+    // the batch Croston recursive-CTE oracle verbatim: the stream's
+    // converged per-part state must equal the batch fold
+    "q_croston_stream_parity" ->
+      graft.operators.Temporal.oracles("q_croston"),
     // the batch as-of twin: latest click STRICTLY before each purchase
     // in (ts, event_id) order — stream == batch == oracle
     "q_asof_stream_parity" ->

@@ -72,6 +72,35 @@ class StreamingSpec extends SparkSpec {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("n_events"))
 
+  test("crostonStream carries keyed state across batches and matches the batch fold") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark2.sqlContext
+    val mem = MemoryStream[EventsStreaming.DemandDay]
+    // batch 1: part 1 first demand only — state must carry to batch 2
+    mem.addData(EventsStreaming.DemandDay(
+      1L, java.sql.Date.valueOf("2020-01-01"), 10L))
+    val q = EventsStreaming.crostonStream(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("croston_spec")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // batch 2: part 1 second demand (gap 3) + part 2 first
+    mem.addData(
+      EventsStreaming.DemandDay(1L, java.sql.Date.valueOf("2020-01-04"), 20L),
+      EventsStreaming.DemandDay(2L, java.sql.Date.valueOf("2020-02-01"), 7L))
+    q.processAllAvailable(); q.stop()
+    // the LAST emission per part must equal Temporal.crostonOf's fold:
+    // z2 = (20e6 + 4·10e6)/5 = 12e6, p2 = (3e6 + 4e6)/5 = 1.4e6,
+    // rate = 12e12 DIV 1.4e6 = 8571428
+    val last = spark.table("croston_spec").collect().toSeq
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.maxBy(_.getLong(1))).toMap
+    assert((last(1L).getLong(1), last(1L).getLong(2), last(1L).getLong(3),
+      last(1L).getLong(4)) == ((2L, 12000000L, 1400000L, 8571428L)))
+    assert((last(2L).getLong(1), last(2L).getLong(2), last(2L).getLong(3),
+      last(2L).getLong(4)) == ((1L, 7000000L, 1000000L, 7000000L)))
+  }
+
   test("flatMapGroupsWithState click attribution matches batch as-of join") {
     val spark2 = spark
     import spark2.implicits._
