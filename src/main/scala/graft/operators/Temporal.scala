@@ -737,6 +737,73 @@ object Temporal {
       .orderBy("pri", "fold")
   }
 
+  /** Forecast-accuracy metrics — MASE and sMAPE (the M-competition
+    * standards the forecast family lacked; q_walk_forward CV emits raw
+    * MAE, which is scale-dependent and incomparable across series) for
+    * the pinned SEASONAL-NAIVE forecaster f_t = y_{t−7} per priority:
+    * MASE = mean|y−f| over the mean in-sample naive-1 error
+    * |y_t − y_{t−1}| as mase_milli = (Σae₇·n₁·10³) DIV (n₇·Σae₁) —
+    * MASE < 1 beats the naive random walk; sMAPE per row as
+    * (2|y−f|·10⁴) DIV (y+f) (revenues are positive, no zero-division
+    * path), averaged by integer division. Both built from calendar
+    * DATE-offset self-joins (gap days contribute no pair — the q_acf
+    * convention), everything exact integers.
+    *
+    * Scale: one daily partial+final rollup, then two days-sized
+    * self-joins and a |priorities|-row census. */
+  def forecastAccuracy(spark: SparkSession, dir: String): DataFrame =
+    forecastAccuracyOf(Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("pri"), to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents")))
+
+  /** Core over any (pri, d DATE, cents LONG) daily frame. */
+  private[graft] def forecastAccuracyOf(daily0: DataFrame): DataFrame = {
+    val daily = daily0.localCheckpoint(true) // feeds both offset joins
+    def offsetErr(lag: Int, aeName: String, nName: String) = daily.as("a")
+      .join(daily.as("b"),
+        col("b.pri") === col("a.pri") &&
+          col("b.d") === date_add(col("a.d"), lag))
+      .select(col("a.pri").as("pri"),
+        abs(col("b.cents") - col("a.cents")).as("ae"),
+        (col("b.cents") + col("a.cents")).as("den"))
+      .groupBy("pri")
+      .agg(count(lit(1)).as(nName), sum("ae").as(aeName),
+        sum(expr("(2 * ae * 10000) DIV den")).as(s"smape_sum_$lag"))
+    val e7 = offsetErr(7, "sae7", "n7")
+    val e1 = offsetErr(1, "sae1", "n1").select("pri", "n1", "sae1")
+    e7.join(e1, "pri")
+      .selectExpr("pri", "n7", "n1",
+        """CAST(CASE WHEN sae1 = 0 THEN NULL
+          |  ELSE (CAST(sae7 AS DECIMAL(38,0)) * n1 * 1000)
+          |    DIV (CAST(n7 AS DECIMAL(38,0)) * sae1)
+          |  END AS BIGINT) AS mase_milli""".stripMargin,
+        "CAST(smape_sum_7 DIV n7 AS BIGINT) AS smape_bp")
+      .orderBy("pri")
+  }
+
+  /** Year-over-year growth — the calendar-aligned BI classic (a naive
+    * lag window breaks on gap days; YoY must join month m to month
+    * m−12 BY CALENDAR): monthly revenue in exact cents, growth_bp =
+    * ((rev − prev)·10⁴) DIV prev against the same month last year;
+    * months without a prior-year twin emit NULL growth (visible, not
+    * dropped). One rollup to the month grain + a month-key self-join —
+    * the fan-out is the bounded month table, never fact-sized. */
+  def yoyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(expr("date_trunc('month', CAST(o_orderdate AS DATE))")
+        .cast("date").as("m"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .localCheckpoint(true)
+    monthly.as("a")
+      .join(monthly.as("b"), col("b.m") === add_months(col("a.m"), -12), "left")
+      .selectExpr("a.m AS month", "a.cents AS rev_cents",
+        "b.cents AS prev_year_cents",
+        """CAST(CASE WHEN b.cents IS NULL OR b.cents = 0 THEN NULL
+          |  ELSE ((a.cents - b.cents) * 10000) DIV b.cents
+          |  END AS BIGINT) AS yoy_growth_bp""".stripMargin)
+      .orderBy("month")
+  }
+
   /** Order-fulfillment SLA per priority — the supply-chain latency
     * census: days from order date to the LAST line shipment, with
     * exact type-1 percentiles selected by rank (value at row
@@ -1181,6 +1248,8 @@ object Temporal {
     "q_acf" -> (acfDaily _),
     "q_ljung_box" -> (ljungBox _),
     "q_croston" -> (croston _),
+    "q_forecast_accuracy" -> (forecastAccuracy _),
+    "q_yoy_growth" -> (yoyGrowth _),
     "q_cross_corr" -> (crossCorrDaily _),
     "q_holt_linear" -> (holtLinear _),
     "q_holt_winters" -> (holtWinters _),
@@ -1531,6 +1600,41 @@ object Temporal {
         |  r.p AS p_micro, (r.z * 1000000) // r.p AS rate_micro
         |FROM rec r JOIN lst l ON l.pk = r.pk AND l.n = r.rn
         |ORDER BY partkey""".stripMargin,
+    "q_forecast_accuracy" ->
+      """WITH daily AS (SELECT o_orderpriority AS pri,
+        |    CAST(o_orderdate AS DATE) AS d,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |e7 AS (SELECT a.pri, count(*)::BIGINT AS n7,
+        |    sum(abs(b.cents - a.cents))::BIGINT AS sae7,
+        |    sum((2 * abs(b.cents - a.cents) * 10000)
+        |      // (b.cents + a.cents))::BIGINT AS ss7
+        |  FROM daily a JOIN daily b
+        |    ON b.pri = a.pri AND b.d = a.d + 7
+        |  GROUP BY a.pri),
+        |e1 AS (SELECT a.pri, count(*)::BIGINT AS n1,
+        |    sum(abs(b.cents - a.cents))::BIGINT AS sae1
+        |  FROM daily a JOIN daily b
+        |    ON b.pri = a.pri AND b.d = a.d + 1
+        |  GROUP BY a.pri)
+        |SELECT pri, n7, n1,
+        |  (CASE WHEN sae1 = 0 THEN NULL
+        |    ELSE (sae7::HUGEINT * n1 * 1000) // (n7::HUGEINT * sae1)
+        |    END)::BIGINT AS mase_milli,
+        |  (ss7 // n7)::BIGINT AS smape_bp
+        |FROM e7 JOIN e1 USING (pri) ORDER BY pri""".stripMargin,
+    "q_yoy_growth" ->
+      """WITH monthly AS (SELECT
+        |    CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS m,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT a.m AS month, a.cents AS rev_cents,
+        |  b.cents AS prev_year_cents,
+        |  (CASE WHEN b.cents IS NULL OR b.cents = 0 THEN NULL
+        |    ELSE ((a.cents - b.cents) * 10000) // b.cents
+        |    END)::BIGINT AS yoy_growth_bp
+        |FROM monthly a LEFT JOIN monthly b ON b.m = a.m - INTERVAL 12 MONTH
+        |ORDER BY month""".stripMargin,
     "q_ols_trend" ->
       """WITH daily AS (SELECT o_orderpriority AS pri,
         |    CAST(o_orderdate AS DATE) AS d,

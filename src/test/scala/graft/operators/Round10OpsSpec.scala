@@ -239,6 +239,35 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("forecastAccuracy: MASE and sMAPE replay by hand on a linear ramp") {
+    val spark2 = spark
+    import spark2.implicits._
+    // y = 10,20,…,90 over 9 consecutive days: naive-1 errors all 10
+    // (n1=8, sae1=80); seasonal-naive-7 pairs (d0,d7),(d1,d8) err 70
+    // (n7=2, sae7=140) → mase = (140·8·10³)/(2·80) = 7000 milli.
+    // sMAPE rows: 1400000/90 = 15555, 1400000/110 = 12727 → mean 14141.
+    val daily = (0 until 9).map(i =>
+      ("A", java.sql.Date.valueOf(java.time.LocalDate.of(2020, 1, 1).plusDays(i)),
+        10L * (i + 1))).toDF("pri", "d", "cents")
+    val r = Temporal.forecastAccuracyOf(daily).head()
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == (("A", 2L, 8L, 7000L, 14141L)), r.toString)
+  }
+
+  test("yoyGrowth: calendar-aligned months, NULL where no prior-year twin") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("yoy").toString
+    Seq(("2020-01-15", 1.00), ("2021-01-20", 1.50), ("2021-02-01", 0.80))
+      .toDF("o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val got = Temporal.yoyGrowth(spark, tmp).collect()
+      .map(r => r.getDate(0).toString ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got == Map("2020-01-01" -> None,
+      "2021-01-01" -> Some(5000L), "2021-02-01" -> None), got.toString)
+  }
+
   test("silhouette: k rows, micro bounds, global mean consistent, full coverage") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.ml.KMeansGraft.silhouette(spark, dir).collect()
