@@ -310,6 +310,81 @@ object Similarity {
       .orderBy("rank")
   }
 
+  val KCenterK = 8
+  val KCenterDim = 16
+
+  /** Greedy k-center coreset (farthest-point sampling) — the DIVERSITY
+    * selector of the training-data family (token-budget/temperature/
+    * stratified sampling pick by size or class; FPS picks by geometric
+    * COVERAGE, the 2-approximation to the k-center objective): seed at
+    * the lowest vec_id, then k−1 rounds of "farthest point from the
+    * selected set" (squared-L2 over the first [[KCenterDim]] dims via
+    * the Lloyd oracle's left-associated chains; ties → lowest id). Each
+    * selection's distance IS the coverage radius achieved before it —
+    * the emitted radius sequence is non-increasing, the textbook FPS
+    * invariant.
+    *
+    * Scale: k bounded scans, each an all-rows min-over-centers
+    * expression (k·dim codegen'd flops per row) reduced by a 1-row
+    * TakeOrdered — centers live on the driver (k·dim doubles, the
+    * KM-fold bounded class); nothing pairwise ever materializes. */
+  def kcenterCoreset(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val pts = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(slice(col("embedding"), 1, KCenterDim),
+          x => x.cast("double")).as("v"))
+      .cache()
+    def dist(c: Array[Double]): Column =
+      (0 until KCenterDim).map { i =>
+        val d = element_at(col("v"), i + 1) - lit(c(i))
+        d * d
+      }.reduceLeft(_ + _)
+    val first = pts.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("v")).head()
+    var centers = Vector((first.getLong(0),
+      first.getSeq[Double](1).toArray, 0.0))
+    while (centers.length < KCenterK) {
+      val minDist = centers.map(c => dist(c._2)).reduceLeft(least(_, _))
+      val far = pts.select(col("vec_id"), col("v"), minDist.as("md"))
+        .orderBy(col("md").desc, col("vec_id").asc).limit(1).head()
+      centers = centers :+ ((far.getLong(0),
+        far.getSeq[Double](1).toArray, far.getDouble(2)))
+    }
+    pts.unpersist(false)
+    centers.zipWithIndex.map { case ((id, _, r), i) =>
+      (i + 1, id, BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    }.toDF("rank", "vec_id", "radius6")
+  }
+
+  /** DuckDB oracle for [[kcenterCoreset]]: k−1 unrolled farthest-point
+    * steps, each a rank-1 selection on the same distance chains. */
+  private[graft] lazy val kcenterOracle: String = {
+    val dim = KCenterDim
+    def chain(a: String, b: String) = graft.ml.KMeansGraft.chainSql(a, b, dim)
+    val steps = (2 to KCenterK).map { t =>
+      val prev = (1 until t).map(j => s"c$j").mkString(", ")
+      val md = (1 until t).map(j => chain("p.v", s"c$j.v")).mkString(", ")
+      s"""c$t AS (SELECT vec_id, v, md FROM (
+         |    SELECT p.vec_id, p.v, least($md) AS md
+         |    FROM pts p, $prev)
+         |  ORDER BY md DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to KCenterK).map(t =>
+      s"SELECT $t AS rank, vec_id, round(md, 6) AS radius6 FROM c$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH pts AS (SELECT vec_id,
+       |    list_transform(embedding[1:$dim], x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |c1 AS (SELECT vec_id, v, 0.0::DOUBLE AS md FROM pts
+       |  ORDER BY vec_id LIMIT 1),
+       |$steps
+       |$sel
+       |ORDER BY rank""".stripMargin
+  }
+
   val MmrN = 20 // candidate pool (BM25 top-N)
   val MmrK = 5 // diversified results returned
   // λ = 7/10: mmr_bp = (7·score_bp − 3·max_sim_bp) DIV 10, all integer
@@ -798,6 +873,7 @@ object Similarity {
     "q_bm25" -> (bm25TopK _),
     "q_ndcg" -> (ndcgEval _),
     "q_mmr_rerank" -> (mmrRerank _),
+    "q_kcenter_coreset" -> (kcenterCoreset _),
     "q_ann_pq" -> (pqTopK _),
     "q_ann_ivf" -> ((s, d) => ivfTopK(s, d, nlist = IvfLists)))
 
@@ -1017,6 +1093,7 @@ object Similarity {
          |ORDER BY rank""".stripMargin
     },
     "q_mmr_rerank" -> mmrOracle,
+    "q_kcenter_coreset" -> kcenterOracle,
     "q_ndcg" -> {
       val relTop = Bm25Terms.map(t =>
         s"(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END)").mkString(" + ")

@@ -268,6 +268,26 @@ class Round10OpsSpec extends SparkSpec {
       "2021-01-01" -> Some(5000L), "2021-02-01" -> None), got.toString)
   }
 
+  test("kcenterCoreset: farthest-point sampling replays a geometric line exactly") {
+    val spark2 = spark
+    import spark2.implicits._
+    // ids 1..10 at line positions 0,1,2,5,10,20,40,80,160,320 (dim 1,
+    // zeros elsewhere). FPS from id 1: picks 320,160,80,40,20,10,5 with
+    // squared radii 102400,25600,6400,1600,400,100,25 — halving by
+    // construction, the non-increasing invariant made exact.
+    val pos = Seq(0f, 1f, 2f, 5f, 10f, 20f, 40f, 80f, 160f, 320f)
+    val tmp = java.nio.file.Files.createTempDirectory("kcenter").toString
+    pos.zipWithIndex.map { case (p, i) =>
+      ((i + 1).toLong, p +: Seq.fill(15)(0f)) }
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val rows = Similarity.kcenterCoreset(spark, tmp).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((1, 1L, 0.0), (2, 10L, 102400.0),
+      (3, 9L, 25600.0), (4, 8L, 6400.0), (5, 7L, 1600.0),
+      (6, 6L, 400.0), (7, 5L, 100.0), (8, 4L, 25.0)), rows.mkString(";"))
+  }
+
   test("silhouette: k rows, micro bounds, global mean consistent, full coverage") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.ml.KMeansGraft.silhouette(spark, dir).collect()
