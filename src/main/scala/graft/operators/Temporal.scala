@@ -737,6 +737,67 @@ object Temporal {
       .orderBy("pri", "fold")
   }
 
+  /** Seasonal decomposition (STL-lite) — trend / seasonal / residual
+    * split of the per-priority daily revenue (the decomposition step
+    * Holt–Winters FITS but never EXPOSES): trend = the 7-day centered
+    * moving sum (only days with all 7 calendar neighbors — edges drop
+    * visibly, never zero-filled), detrended = 7·y − trendsum kept in
+    * exact ×7 integer cents (no division before the final rollup),
+    * seasonal index per (priority, weekday) = mean detrended in
+    * milli-cents, plus the share of detrended variance the weekday
+    * means explain, in bp — the "is there real weekly seasonality"
+    * number ((Σ_g n_g·mean_g²)·10⁴ DIV Σdev² with every term exact via
+    * the ×n cross-multiplied form in DECIMAL(38,0)).
+    *
+    * Scale: one daily partial+final rollup; the centered window is a
+    * calendar DATE-offset self-join fanned ×7 (the q_acf posture — a
+    * days-sized join, no window over a coarse priority partition); the
+    * census is |priorities|·7 rows. */
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame =
+    seasonalDecomposeOf(Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("pri"), to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents")))
+
+  /** Core over any (pri, d DATE, cents LONG) daily frame. Note the
+    * full-window filter makes the gate vacuous on series sparser than
+    * 7 consecutive days (sf0.001's per-priority series) — both engines
+    * agree on the empty result; sf0.01+ exercises the arithmetic. */
+  private[graft] def seasonalDecomposeOf(daily0: DataFrame): DataFrame = {
+    val spark2 = daily0.sparkSession
+    import spark2.implicits._
+    val daily = daily0.localCheckpoint(true)
+    val offs = broadcast((-3 to 3).toDF("k"))
+    val trend = daily.as("a").crossJoin(offs)
+      .join(daily.as("b"),
+        col("b.pri") === col("a.pri") &&
+          col("b.d") === expr("date_add(a.d, k)"))
+      .groupBy(col("a.pri").as("pri"), col("a.d").as("d"),
+        col("a.cents").as("cents"))
+      .agg(count(lit(1)).as("nw"), sum(col("b.cents")).as("trendsum"))
+      .filter(col("nw") === 7) // full centered window only
+      .selectExpr("pri", "d", "7 * cents - trendsum AS dev7")
+    val byDow = trend
+      .selectExpr("pri", "weekday(d) AS dow", "dev7")
+      .groupBy("pri", "dow")
+      .agg(count(lit(1)).as("n_days"), sum("dev7").as("sdev"),
+        sum(expr("CAST(dev7 AS DECIMAL(38,0)) * dev7")).as("sdev2"))
+      .localCheckpoint(true) // feeds rows AND the per-pri variance share
+    val share = byDow.groupBy("pri").agg(
+        sum(expr("CAST(sdev AS DECIMAL(38,0)) * sdev DIV n_days")).as("ssb"),
+        sum("sdev2").as("sst"))
+      .selectExpr("pri",
+        // DIV returns LONG, so re-widen ssb before the ×10⁴ (a bare
+        // ssb·10⁴ long-overflows past ~9·10¹⁴ of summed squared means)
+        """CAST(CASE WHEN sst = 0 THEN NULL
+          |  ELSE (CAST(ssb AS DECIMAL(38,0)) * 10000) DIV sst END AS BIGINT)
+          |  AS seasonal_share_bp""".stripMargin)
+    byDow.join(broadcast(share), "pri")
+      .selectExpr("pri", "dow", "n_days",
+        "CAST((sdev * 1000) DIV (7 * n_days) AS BIGINT) AS seasonal_milli",
+        "seasonal_share_bp")
+      .orderBy("pri", "dow")
+  }
+
   /** Forecast-accuracy metrics — MASE and sMAPE (the M-competition
     * standards the forecast family lacked; q_walk_forward CV emits raw
     * MAE, which is scale-dependent and incomparable across series) for
@@ -1250,6 +1311,7 @@ object Temporal {
     "q_croston" -> (croston _),
     "q_forecast_accuracy" -> (forecastAccuracy _),
     "q_yoy_growth" -> (yoyGrowth _),
+    "q_seasonal_decompose" -> (seasonalDecompose _),
     "q_cross_corr" -> (crossCorrDaily _),
     "q_holt_linear" -> (holtLinear _),
     "q_holt_winters" -> (holtWinters _),
@@ -1600,6 +1662,30 @@ object Temporal {
         |  r.p AS p_micro, (r.z * 1000000) // r.p AS rate_micro
         |FROM rec r JOIN lst l ON l.pk = r.pk AND l.n = r.rn
         |ORDER BY partkey""".stripMargin,
+    "q_seasonal_decompose" ->
+      """WITH daily AS (SELECT o_orderpriority AS pri,
+        |    CAST(o_orderdate AS DATE) AS d,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |offs AS (SELECT unnest(range(-3, 4))::INT AS k),
+        |trend AS (SELECT a.pri, a.d, a.cents, count(*)::BIGINT AS nw,
+        |    sum(b.cents)::BIGINT AS trendsum
+        |  FROM daily a CROSS JOIN offs
+        |  JOIN daily b ON b.pri = a.pri AND b.d = a.d + k
+        |  GROUP BY a.pri, a.d, a.cents),
+        |dev AS (SELECT pri, d, 7 * cents - trendsum AS dev7
+        |  FROM trend WHERE nw = 7),
+        |bydow AS (SELECT pri, (isodow(d) - 1)::INT AS dow,
+        |    count(*)::BIGINT AS n_days, sum(dev7)::BIGINT AS sdev,
+        |    sum(dev7::HUGEINT * dev7) AS sdev2
+        |  FROM dev GROUP BY 1, 2),
+        |share AS (SELECT pri, sum(sdev::HUGEINT * sdev // n_days) AS ssb,
+        |    sum(sdev2) AS sst FROM bydow GROUP BY pri)
+        |SELECT b.pri, b.dow, b.n_days,
+        |  ((b.sdev * 1000) // (7 * b.n_days))::BIGINT AS seasonal_milli,
+        |  (CASE WHEN s.sst = 0 THEN NULL
+        |    ELSE (s.ssb * 10000) // s.sst END)::BIGINT AS seasonal_share_bp
+        |FROM bydow b JOIN share s USING (pri) ORDER BY pri, dow""".stripMargin,
     "q_forecast_accuracy" ->
       """WITH daily AS (SELECT o_orderpriority AS pri,
         |    CAST(o_orderdate AS DATE) AS d,

@@ -288,6 +288,31 @@ class Round10OpsSpec extends SparkSpec {
       (6, 6L, 400.0), (7, 5L, 100.0), (8, 4L, 25.0)), rows.mkString(";"))
   }
 
+  test("seasonalDecompose: exact weekly pattern recovers its own seasonal indices") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 14 consecutive days from a Monday, y = 70·(weekday+1) cents: every
+    // full 7-window sums 1960, so dev7 = 7y − 1960 = 490(wd+1) − 1960
+    // and seasonal_milli = dev7·1000/7 = (y − 280)·1000 — the true
+    // deviation from the weekly mean, exactly. Identical group members
+    // → the weekday means explain ALL variance: share = 10⁴.
+    val daily = (0 until 14).map { i =>
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(i) // 2024-01-01 = Monday
+      ("A", java.sql.Date.valueOf(d), 70L * (d.getDayOfWeek.getValue))
+    }.toDF("pri", "d", "cents")
+    val rows = Temporal.seasonalDecomposeOf(daily).collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      val dow = r.getInt(1)
+      assert(r.getLong(3) == (70L * (dow + 1) - 280L) * 1000L,
+        s"dow $dow: ${r.getLong(3)}")
+      assert(r.getLong(4) == 10000L, s"share: $r")
+    }
+    // interior days 3..10 hit Thursday twice, every other weekday once
+    assert(rows.map(r => r.getInt(1) -> r.getLong(2)).toMap ==
+      Map(0 -> 1L, 1 -> 1L, 2 -> 1L, 3 -> 2L, 4 -> 1L, 5 -> 1L, 6 -> 1L))
+  }
+
   test("silhouette: k rows, micro bounds, global mean consistent, full coverage") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.ml.KMeansGraft.silhouette(spark, dir).collect()
