@@ -798,6 +798,47 @@ object Temporal {
       .orderBy("pri", "dow")
   }
 
+  /** XmR (individuals + moving-range) control chart — the SPC process-
+    * monitoring classic next to CUSUM/Bollinger (CUSUM detects small
+    * persistent shifts; XmR flags INDIVIDUAL excursions against
+    * Shewhart's ±2.66·mR̄ natural-process limits): daily revenue per
+    * priority, moving range via the calendar lag-1 offset join, and the
+    * violation test in fully cross-multiplied integer form —
+    * |y − ȳ| > 2.66·mR̄ ⟺ 100·m·|n·y − Σy| > 266·n·ΣmR — every term
+    * DECIMAL(38,0) (n·y·100·m reaches n²·y). Census per priority:
+    * days, ranges, violations, and the worst excursion as a bp ratio of
+    * the limit (a deterministic MAX of integers — no argmax tie risk).
+    *
+    * Scale: one daily rollup, one days-sized offset join, two bounded
+    * broadcasts, a |priorities|-row census. */
+  def xmrChart(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("pri"), to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .localCheckpoint(true)
+    val stats = daily.groupBy("pri")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sy"))
+    val mr = daily.as("a")
+      .join(daily.as("b"),
+        col("b.pri") === col("a.pri") && col("b.d") === date_add(col("a.d"), 1))
+      .groupBy(col("a.pri").as("pri"))
+      .agg(count(lit(1)).as("m"),
+        sum(abs(col("b.cents") - col("a.cents"))).as("smr"))
+    daily.join(broadcast(stats), "pri").join(broadcast(mr), "pri")
+      .selectExpr("pri", "n", "m",
+        "abs(CAST(n AS DECIMAL(38,0)) * cents - sy) AS dev",
+        "CAST(smr AS DECIMAL(38,0)) AS smr")
+      .selectExpr("pri", "n", "m",
+        "CAST(100 * m * dev > 266 * smr * n AS INT) AS viol",
+        """CAST(CASE WHEN smr = 0 THEN NULL
+          |  ELSE (100 * m * dev * 10000) DIV (266 * smr * n)
+          |  END AS BIGINT) AS ratio_bp""".stripMargin)
+      .groupBy("pri")
+      .agg(max("n").as("n_days"), max("m").as("n_ranges"),
+        sum("viol").as("n_violations"), max("ratio_bp").as("worst_ratio_bp"))
+      .orderBy("pri")
+  }
+
   /** Forecast-accuracy metrics — MASE and sMAPE (the M-competition
     * standards the forecast family lacked; q_walk_forward CV emits raw
     * MAE, which is scale-dependent and incomparable across series) for
@@ -1312,6 +1353,7 @@ object Temporal {
     "q_forecast_accuracy" -> (forecastAccuracy _),
     "q_yoy_growth" -> (yoyGrowth _),
     "q_seasonal_decompose" -> (seasonalDecompose _),
+    "q_xmr_chart" -> (xmrChart _),
     "q_cross_corr" -> (crossCorrDaily _),
     "q_holt_linear" -> (holtLinear _),
     "q_holt_winters" -> (holtWinters _),
@@ -1662,6 +1704,31 @@ object Temporal {
         |  r.p AS p_micro, (r.z * 1000000) // r.p AS rate_micro
         |FROM rec r JOIN lst l ON l.pk = r.pk AND l.n = r.rn
         |ORDER BY partkey""".stripMargin,
+    "q_xmr_chart" ->
+      """WITH daily AS (SELECT o_orderpriority AS pri,
+        |    CAST(o_orderdate AS DATE) AS d,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |st AS (SELECT pri, count(*)::BIGINT AS n, sum(cents)::BIGINT AS sy
+        |  FROM daily GROUP BY pri),
+        |mr AS (SELECT a.pri, count(*)::BIGINT AS m,
+        |    sum(abs(b.cents - a.cents))::BIGINT AS smr
+        |  FROM daily a JOIN daily b
+        |    ON b.pri = a.pri AND b.d = a.d + 1
+        |  GROUP BY a.pri),
+        |rows_ AS (SELECT d.pri, st.n, mr.m,
+        |    abs(st.n::HUGEINT * d.cents - st.sy) AS dev, smr::HUGEINT AS smr
+        |  FROM daily d JOIN st USING (pri) JOIN mr USING (pri)),
+        |per AS (SELECT pri, n, m,
+        |    CASE WHEN 100 * m * dev > 266 * smr * n THEN 1 ELSE 0 END AS viol,
+        |    (CASE WHEN smr = 0 THEN NULL
+        |      ELSE (100 * m * dev * 10000) // (266 * smr * n)
+        |      END)::BIGINT AS ratio_bp
+        |  FROM rows_)
+        |SELECT pri, max(n)::BIGINT AS n_days, max(m)::BIGINT AS n_ranges,
+        |  sum(viol)::BIGINT AS n_violations,
+        |  max(ratio_bp)::BIGINT AS worst_ratio_bp
+        |FROM per GROUP BY pri ORDER BY pri""".stripMargin,
     "q_seasonal_decompose" ->
       """WITH daily AS (SELECT o_orderpriority AS pri,
         |    CAST(o_orderdate AS DATE) AS d,

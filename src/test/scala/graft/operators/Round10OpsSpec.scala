@@ -313,6 +313,22 @@ class Round10OpsSpec extends SparkSpec {
       Map(0 -> 1L, 1 -> 1L, 2 -> 1L, 3 -> 2L, 4 -> 1L, 5 -> 1L, 6 -> 1L))
   }
 
+  test("xmrChart: one excursion past the 2.66·mRbar limit, hand-exact ratio") {
+    val spark2 = spark
+    import spark2.implicits._
+    // cents = 10,10,10,10,50 over 5 consecutive days: mean 18,
+    // mR = 0,0,0,40 → mRbar 10, limit 26.6. Only y=50 violates
+    // (|50−18| = 32 > 26.6), ratio = 32/26.6 = 1.2030 → 12030 bp.
+    val tmp = java.nio.file.Files.createTempDirectory("xmr").toString
+    (0 until 5).map(i => ("P", f"2024-01-${i + 1}%02d",
+        if (i == 4) 0.50 else 0.10))
+      .toDF("o_orderpriority", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val r = Temporal.xmrChart(spark, tmp).head()
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == (("P", 5L, 4L, 1L, 12030L)), r.toString)
+  }
+
   test("silhouette: k rows, micro bounds, global mean consistent, full coverage") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.ml.KMeansGraft.silhouette(spark, dir).collect()
