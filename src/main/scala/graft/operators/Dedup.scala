@@ -404,6 +404,55 @@ object Dedup {
         .orderBy("csize"))(comp.unpersist(false))
   }
 
+  /** B³ (B-cubed) clustering-quality evaluation of the minhash-LSH
+    * duplicate clusters against exact-content identity — the third
+    * member of the ER measurement layer (blocking_quality audits the
+    * candidate generator, record_linkage scores PAIRS, B³ scores the
+    * RESOLVED CLUSTERING, and unlike pairwise F1 it doesn't let one
+    * giant cluster dominate): truth classes = md5(text) identity,
+    * prediction = the LSH connected components with unclustered docs as
+    * singletons; B³ precision = avg_d |P(d)∩T(d)|/|P(d)| computed
+    * CELL-WISE — precision_bp = (Σ_cells (c²·10⁴ DIV |P|)) DIV N, the
+    * recall mirror over |T|, f1 cross-multiplied — so nothing pairwise
+    * ever materializes and every quantity is an exact integer (c² in
+    * DECIMAL(38,0); each cell term is ≤ c·10⁴, so the sums stay ≤
+    * N·10⁴ — Long-safe at any corpus).
+    *
+    * Scale: components on pair-bounded edges, two doc-keyed rollups, a
+    * ≤docs-sized cell table, 1-row arithmetic. */
+  def bcubed(spark: SparkSession, dir: String): DataFrame = {
+    val truth = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("t"))
+      .localCheckpoint(true) // feeds pred, sizes, cells, and N
+    val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val comp = Components.connected(pairs)
+    bcubedOf(truth.join(comp, truth("doc_id") === comp("id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("p"),
+        col("t")))
+  }
+
+  /** Core over any (doc_id, p predicted-cluster, t truth-class) frame. */
+  private[graft] def bcubedOf(pred0: DataFrame): DataFrame = {
+    val pred = pred0.localCheckpoint(true)
+    val psize = pred.groupBy("p").agg(count(lit(1)).as("np"))
+    val tsize = pred.groupBy("t").agg(count(lit(1)).as("nt"))
+    val nF = pred.agg(count(lit(1)).as("n_docs"))
+    pred.groupBy("p", "t").agg(count(lit(1)).as("c"))
+      .join(psize, "p").join(tsize, "t")
+      .selectExpr(
+        "CAST((CAST(c AS DECIMAL(38,0)) * c * 10000) DIV np AS BIGINT) AS pterm",
+        "CAST((CAST(c AS DECIMAL(38,0)) * c * 10000) DIV nt AS BIGINT) AS rterm")
+      .agg(sum("pterm").as("ps"), sum("rterm").as("rs"))
+      .crossJoin(broadcast(nF))
+      .selectExpr("n_docs",
+        "CAST(ps DIV n_docs AS BIGINT) AS precision_bp",
+        "CAST(rs DIV n_docs AS BIGINT) AS recall_bp")
+      .selectExpr("n_docs", "precision_bp", "recall_bp",
+        """CAST(CASE WHEN precision_bp + recall_bp = 0 THEN 0
+          |  ELSE (2 * precision_bp * recall_bp)
+          |    DIV (precision_bp + recall_bp) END AS BIGINT) AS f1_bp""".stripMargin)
+  }
+
   /** Per-document 56-bit SimHash over frequency-weighted tokens. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
@@ -555,7 +604,8 @@ object Dedup {
     "q_bloom_decon" -> (bloomDecontaminate _),
     "q_jaccard_prefix" -> (prefixJaccard _),
     "q_dedup_incremental" -> (incrementalDedup _),
-    "q_dedup_clusters" -> (dedupClusters _))
+    "q_dedup_clusters" -> (dedupClusters _),
+    "q_bcubed" -> (bcubed _))
 
   /** Shared CTE chain replaying the pinned MinHash-LSH pair semantics up
     * to a `pairs(doc_a, doc_b, jaccard)` relation — used by the pair
@@ -755,6 +805,35 @@ object Dedup {
          |  (csize * count(*))::BIGINT AS n_docs,
          |  sum(comp)::BIGINT AS sum_winner_ids
          |FROM sizes GROUP BY csize ORDER BY csize""".stripMargin,
+    "q_bcubed" ->
+      s"""WITH $minhashPairCtesSql,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |cc AS (WITH RECURSIVE r(id, lbl) AS (
+         |    SELECT DISTINCT src, src FROM edges
+         |    UNION
+         |    SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.id)
+         |  SELECT id, min(lbl) AS comp FROM r GROUP BY id),
+         |truth AS (SELECT doc_id, md5(text) AS t FROM documents),
+         |pred AS (SELECT doc_id, coalesce(comp, doc_id) AS p, t
+         |  FROM truth LEFT JOIN cc ON doc_id = id),
+         |psz AS (SELECT p, count(*)::BIGINT AS np FROM pred GROUP BY p),
+         |tsz AS (SELECT t, count(*)::BIGINT AS nt FROM pred GROUP BY t),
+         |cells AS (SELECT p, t, count(*)::HUGEINT AS c FROM pred GROUP BY p, t),
+         |terms AS (SELECT ((c * c * 10000) // np)::BIGINT AS pterm,
+         |    ((c * c * 10000) // nt)::BIGINT AS rterm
+         |  FROM cells JOIN psz USING (p) JOIN tsz USING (t)),
+         |nn AS (SELECT count(*)::BIGINT AS n_docs FROM truth),
+         |agg AS (SELECT sum(pterm)::BIGINT AS ps, sum(rterm)::BIGINT AS rs
+         |  FROM terms),
+         |pr AS (SELECT n_docs, (ps // n_docs)::BIGINT AS precision_bp,
+         |    (rs // n_docs)::BIGINT AS recall_bp
+         |  FROM agg CROSS JOIN nn)
+         |SELECT n_docs, precision_bp, recall_bp,
+         |  (CASE WHEN precision_bp + recall_bp = 0 THEN 0
+         |    ELSE (2 * precision_bp * recall_bp)
+         |      // (precision_bp + recall_bp) END)::BIGINT AS f1_bp
+         |FROM pr""".stripMargin,
     "q_dedup_simhash" -> {
       val bitSums = (0 until 56).map(b =>
         s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(",\n    ")

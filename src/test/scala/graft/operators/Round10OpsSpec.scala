@@ -329,6 +329,20 @@ class Round10OpsSpec extends SparkSpec {
       r.getLong(4)) == (("P", 5L, 4L, 1L, 12030L)), r.toString)
   }
 
+  test("bcubed: over-merged prediction replays the per-doc averages by hand") {
+    val spark2 = spark
+    import spark2.implicits._
+    // truth {1,2} {3}; prediction merges all three into one cluster:
+    // B³ precision = (2/3 + 2/3 + 1/3)/3 = 5/9 → 5555 bp (floor);
+    // recall = 1 (every truth class fully inside the prediction);
+    // f1 = 2·5555·10⁴/15555 = 7142
+    val pred = Seq((1L, 100L, "a"), (2L, 100L, "a"), (3L, 100L, "b"))
+      .toDF("doc_id", "p", "t")
+    val r = Dedup.bcubedOf(pred).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 5555L, 10000L, 7142L)), r.toString)
+  }
+
   test("silhouette: k rows, micro bounds, global mean consistent, full coverage") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.ml.KMeansGraft.silhouette(spark, dir).collect()
