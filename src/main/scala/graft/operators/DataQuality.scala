@@ -337,12 +337,12 @@ object DataQuality {
     * [[chi2Select]] (χ² is order-blind; CA asks "does the positive rate
     * trend monotonically with the dose?" — discount level 0..10 vs the
     * bulk-line label): scores w = the category value,
-    * T = N·Σw·r_i − R·Σw·n_i, Var = R(N−R)(N·A − B²)/N² with
-    * A = Σn·w², B = Σn·w, and z² = T²N²/Var in the q_ab_test two-factor
-    * cross-multiplied micro form (|T|·10³ DIV (NA−B²)) ·
-    * ((|T|·10³·N²) DIV (R(N−R))) — all DECIMAL(38,0), the largest
-    * intermediate |T|·10³·N² stays under 10³⁸ to ~10⁷ rows (past that,
-    * the documented remedy is a hash sample, as for q_ab_test);
+    * T = N·Σw·r_i − R·Σw·n_i (T is the statistic pre-scaled by N, so
+    * z² = T²·N / (R(N−R)·(N·A − B²)) with A = Σn·w², B = Σn·w), in the
+    * q_ab_test two-factor cross-multiplied micro form
+    * (|T|·10³ DIV (NA−B²)) · ((|T|·10³·N) DIV (R(N−R))) — all
+    * DECIMAL(38,0); with w ≤ 10², |T| ≤ N·R·w ≤ 10² N², so the largest
+    * intermediate |T|·10³·N ≤ 10⁵ N³ stays under 10³⁸ to ~10¹¹ rows;
     * degenerate label or zero score variance pins z² = 0. Verdict vs
     * χ²₁ 95%.
     *
@@ -365,7 +365,7 @@ object DataQuality {
       .selectExpr("k", "n", "r",
         """CAST(CASE WHEN r = 0 OR r = n OR vw = 0 THEN 0
           |  ELSE (abs(t) * 1000 DIV vw)
-          |     * ((abs(t) * 1000 * n * n) DIV (CAST(r AS DECIMAL(38,0)) * (n - r)))
+          |     * ((abs(t) * 1000 * n) DIV (CAST(r AS DECIMAL(38,0)) * (n - r)))
           |  END AS BIGINT) AS z2_micro""".stripMargin)
       .withColumn("trending", col("z2_micro") > lit(Chi2Crit95Micro.head._2))
   }
@@ -611,7 +611,7 @@ object DataQuality {
          |z AS (SELECT k, n, r,
          |    (CASE WHEN r = 0 OR r = n OR vw = 0 THEN 0
          |      ELSE (abs(t) * 1000 // vw)
-         |         * ((abs(t) * 1000 * n * n) // (r::HUGEINT * (n - r)))
+         |         * ((abs(t) * 1000 * n) // (r::HUGEINT * (n - r)))
          |      END)::BIGINT AS z2_micro
          |  FROM tv)
          |SELECT k, n, r, z2_micro,

@@ -416,7 +416,12 @@ object Similarity {
       .localCheckpoint(true) // feeds scores AND the token self-join
     // bounded collects: ≤ MmrN score rows, ≤ MmrN² sim rows (N = 20
     // constant — the candidate pool never grows with the corpus)
-    val maxS = cands.agg(max("score_micro")).head().getLong(0)
+    val maxRow = cands.agg(max("score_micro")).head()
+    if (maxRow.isNullAt(0)) // no document matched any BM25 term —
+      // an empty ranking, like the oracle's empty unrolled steps
+      return Seq.empty[(Int, Long, Long, Long, Long)]
+        .toDF("rank", "doc_id", "score_bp", "max_sim_bp", "mmr_bp")
+    val maxS = maxRow.getLong(0)
     val scores = cands
       .selectExpr("doc_id", s"(score_micro * 10000) DIV $maxS AS sbp")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -783,11 +783,17 @@ object Temporal {
         sum(expr("CAST(dev7 AS DECIMAL(38,0)) * dev7")).as("sdev2"))
       .localCheckpoint(true) // feeds rows AND the per-pri variance share
     val share = byDow.groupBy("pri").agg(
-        sum(expr("CAST(sdev AS DECIMAL(38,0)) * sdev DIV n_days")).as("ssb"),
+        // floor(sdev²/n_days) entirely in DECIMAL via (s² − s² % n)/n —
+        // Spark's DIV would funnel each term through LONG, which
+        // silently overflows once sdev²/n_days passes 2⁶³ (≈ sf1+);
+        // the subtraction makes the decimal division exact, so the
+        // DECIMAL(38,6) result carries no fractional part
+        sum(expr(
+          """(CAST(sdev AS DECIMAL(38,0)) * sdev
+            | - CAST(sdev AS DECIMAL(38,0)) * sdev % n_days) / n_days"""
+            .stripMargin)).as("ssb"),
         sum("sdev2").as("sst"))
       .selectExpr("pri",
-        // DIV returns LONG, so re-widen ssb before the ×10⁴ (a bare
-        // ssb·10⁴ long-overflows past ~9·10¹⁴ of summed squared means)
         """CAST(CASE WHEN sst = 0 THEN NULL
           |  ELSE (CAST(ssb AS DECIMAL(38,0)) * 10000) DIV sst END AS BIGINT)
           |  AS seasonal_share_bp""".stripMargin)

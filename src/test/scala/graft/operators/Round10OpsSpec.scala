@@ -146,6 +146,17 @@ class Round10OpsSpec extends SparkSpec {
     assert(rows.find(_.getLong(1) == 3L).get.getLong(3) == 5000L)
   }
 
+  test("mmr: a corpus with zero BM25 matches yields an empty ranking, not an NPE") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text") // none of join/hash/scan present
+    val out = Similarity.mmrRerankDf(docs)
+    assert(out.columns.toSeq ==
+      Seq("rank", "doc_id", "score_bp", "max_sim_bp", "mmr_bp"))
+    assert(out.count() == 0L)
+  }
+
   test("shapley: single-channel converter replays the factorial weights by hand") {
     val spark2 = spark
     import spark2.implicits._
@@ -192,16 +203,17 @@ class Round10OpsSpec extends SparkSpec {
       ((4L, 3L, 1L, 5000L)), r.toString)
   }
 
-  test("cochranArmitage: perfect dose-response replays z2 = 24 exactly") {
+  test("cochranArmitage: perfect dose-response replays z2 = 4 exactly") {
     val spark2 = spark
     import spark2.implicits._
     // w∈{0,1,2}, n=2 each, r=[0,1,2]: T = 6·5 − 3·6 = 12,
-    // vw = 6·10 − 36 = 24 → z² = 144·36/(9·24) = 24, no truncation
+    // vw = 6·10 − 36 = 24 → z² = T²·N/(R(N−R)·vw) = 144·6/(9·24) = 4,
+    // no truncation (12000/24 = 500 and 72000/9 = 8000 are both exact)
     val st = (Seq.fill(2)((0, 0)) ++ Seq((1, 0), (1, 1)) ++
       Seq.fill(2)((2, 1))).toDF("w", "y")
     val r = DataQuality.cochranArmitageDf(st).head()
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-      r.getBoolean(4)) == ((3L, 6L, 3L, 24000000L, true)), r.toString)
+      r.getBoolean(4)) == ((3L, 6L, 3L, 4000000L, true)), r.toString)
   }
 
   test("cohensKappa: hand 2x2 census gives kappa = 1/3 and mcc2 = 1/9") {
