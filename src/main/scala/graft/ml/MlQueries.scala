@@ -46,6 +46,8 @@ object MlQueries {
     "q_daura" -> ((s, d) => dauraQuery(s, d)),
     "q_rf_classify" -> ((s, d) => MllibWrappers.rfQuery(s, d)),
     "q_rf_regress" -> ((s, d) => MllibWrappers.rfRegQuery(s, d)),
+    "q_dtree_classify" -> ((s, d) => MllibWrappers.dtreeQuery(s, d)),
+    "q_dtree_regress" -> ((s, d) => MllibWrappers.dtreeRegQuery(s, d)),
     "q_als_recommend" -> ((s, d) => MllibWrappers.alsQuery(s, d)),
     "q_linear_svc" -> ((s, d) => MllibWrappers.svcQuery(s, d)),
     "q_lasso" -> ((s, d) => MllibWrappers.lassoQuery(s, d)),
@@ -142,6 +144,8 @@ object MlQueries {
     "q_linear_svc" -> MllibWrappers.svcOracle,
     "q_rf_classify" -> MllibWrappers.rfOracle,
     "q_rf_regress" -> MllibWrappers.rfRegOracle,
+    "q_dtree_classify" -> MllibWrappers.dtreeOracle,
+    "q_dtree_regress" -> MllibWrappers.dtreeRegOracle,
     "q_als_recommend" -> MllibWrappers.alsOracle,
     "q_csvm" -> CascadeSvmGraft.oracle,
     "q_csvm_rbf" -> CascadeSvmGraft.rbfOracle)

@@ -1,10 +1,10 @@
 package graft.ml
 
 import graft.Tables
-import org.apache.spark.ml.classification.{LinearSVC, RandomForestClassifier}
+import org.apache.spark.ml.classification.{DecisionTreeClassifier, LinearSVC, RandomForestClassifier}
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.ml.recommendation.{ALS, ALSModel}
-import org.apache.spark.ml.regression.RandomForestRegressor
+import org.apache.spark.ml.regression.{DecisionTreeRegressor, RandomForestRegressor}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -97,6 +97,89 @@ object MllibWrappers {
 
   val rfRegOracle: String =
     "SELECT 10 AS n_trees, 1 AS beats_baseline, 1 AS imp_ok"
+
+  /** Standalone single-tree classifier — the reference exports
+    * DecisionTreeClassifier/Regressor top-level next to the forests
+    * (dislib/trees/__init__.py:2-5, decision_tree.py:174), so a user
+    * fitting ONE interpretable tree needs a surface that isn't
+    * RandomForest-with-numTrees=1 (different feature subsampling: a
+    * standalone tree considers ALL features per split). Same embeddings
+    * task + hash split as [[rfQuery]]. Output: per-label train/test
+    * counts (oracle-derived) + three fitted-model invariant flags —
+    * train accuracy strictly beats the majority-class baseline (any
+    * functioning split sequence does; a broken fit pins the root), the
+    * learned depth respects maxDepth, and the node count is odd (every
+    * internal node of a binary tree has exactly 2 children). */
+  def dtreeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("double").as("label"),
+        transform(slice(col("embedding"), 1, 16), x => x.cast("double")).as("arr"))
+    val withSplit = featurize(e, "arr")
+      .withColumn("test", pmod(col("vec_id"), lit(5)) === 0)
+    val train = withSplit.filter(!col("test")).cache()
+    val model = new DecisionTreeClassifier()
+      .setMaxDepth(7).setSeed(42)
+      .setLabelCol("label").setFeaturesCol("features")
+      .fit(train)
+    val acc = model.transform(train)
+      .agg(avg(when(col("prediction") === col("label"), 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    val majority = train.groupBy("label").count()
+      .agg(max("count").cast("double") / sum("count")).head().getDouble(0)
+    val counts = withSplit
+      .groupBy(col("label").cast("int").as("label"))
+      .agg(sum(when(!col("test"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("test"), 1L).otherwise(0L)).as("n_test"))
+      .orderBy("label")
+      .collect()
+    train.unpersist(false)
+    val accOk = if (acc > majority) 1 else 0
+    val depthOk = if (model.depth >= 1 && model.depth <= 7) 1 else 0
+    val nodesOk = if (model.numNodes % 2 == 1 && model.numNodes >= 3) 1 else 0
+    val spark2 = spark
+    import spark2.implicits._
+    counts.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        accOk, depthOk, nodesOk))
+      .toSeq.toDF("label", "n_train", "n_test", "acc_ok", "depth_ok", "nodes_ok")
+  }
+
+  val dtreeOracle: String =
+    """SELECT label::INT AS label,
+      |  sum(CASE WHEN vec_id % 5 <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_train,
+      |  sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_test,
+      |  1 AS acc_ok, 1 AS depth_ok, 1 AS nodes_ok
+      |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Standalone single-tree regressor (decision_tree.py:315): predict
+    * l_extendedprice from lineitem numerics, the [[rfRegQuery]] task.
+    * Invariants: beats the constant-mean predictor (RMSE < population
+    * stddev — r²>0), depth within bounds, odd node count, and the
+    * single tree's feature importances form a proper distribution. */
+  def dtreeRegQuery(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(array(col("l_quantity"), col("l_discount"), col("l_tax")).as("arr"),
+        col("l_extendedprice").as("label"))
+    val df = featurize(li, "arr")
+    val model = new DecisionTreeRegressor()
+      .setMaxDepth(5).setSeed(42)
+      .setLabelCol("label").setFeaturesCol("features")
+      .fit(df)
+    val stats = model.transform(df)
+      .agg(sqrt(avg(pow(col("prediction") - col("label"), 2))).as("rmse"),
+        stddev_pop(col("label")).as("sd")).head()
+    val beats = if (stats.getDouble(0) < stats.getDouble(1)) 1 else 0
+    val depthOk = if (model.depth >= 1 && model.depth <= 5) 1 else 0
+    val nodesOk = if (model.numNodes % 2 == 1 && model.numNodes >= 3) 1 else 0
+    val imp = model.featureImportances.toArray
+    val impOk = if (imp.forall(_ >= 0.0) && math.abs(imp.sum - 1.0) < 1e-6) 1 else 0
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((beats, depthOk, nodesOk, impOk))
+      .toDF("beats_baseline", "depth_ok", "nodes_ok", "imp_ok")
+  }
+
+  val dtreeRegOracle: String =
+    "SELECT 1 AS beats_baseline, 1 AS depth_ok, 1 AS nodes_ok, 1 AS imp_ok"
 
   /** Regularized ALS objective MLlib minimizes (ALS-WR scaling:
     * Σ(r−uᵀv)² + λ(Σ_u n_u‖u‖² + Σ_i n_i‖v‖²)) — each half-sweep is an

@@ -138,6 +138,44 @@ class EstimatorsSpec extends SparkSpec {
     folds.foreach { case (a, b) => assert(a.count() + b.count() == 1000) }
   }
 
+  test("standalone decision tree: perfectly separable blobs fit exactly, depth bounded") {
+    val rng = new java.util.Random(13)
+    val spark2 = spark
+    import spark2.implicits._
+    // two well-separated blobs in dim 0 → one split suffices: a lone
+    // DecisionTreeClassifier must reach 100% train accuracy at depth 1-2
+    // and stay a proper odd-node binary tree
+    val df = Seq.tabulate(200) { i =>
+      val label = i % 2
+      (i.toLong, org.apache.spark.ml.linalg.Vectors.dense(
+        label * 10.0 + rng.nextGaussian() * 0.3, rng.nextGaussian()),
+        label.toDouble)
+    }.toDF("id", "features", "label")
+    val m = new org.apache.spark.ml.classification.DecisionTreeClassifier()
+      .setMaxDepth(7).setSeed(42)
+      .setLabelCol("label").setFeaturesCol("features").fit(df)
+    val acc = m.transform(df)
+      .agg(avg(when(col("prediction") === col("label"), 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    assert(acc == 1.0, s"acc $acc")
+    assert(m.depth >= 1 && m.depth <= 7, s"depth ${m.depth}")
+    assert(m.numNodes % 2 == 1 && m.numNodes >= 3, s"nodes ${m.numNodes}")
+    // regressor twin on a step function: r^2 > 0 vs the constant mean
+    val rdf = Seq.tabulate(200) { i =>
+      (org.apache.spark.ml.linalg.Vectors.dense(i.toDouble),
+        if (i < 100) 1.0 else 5.0)
+    }.toDF("features", "label")
+    val rm = new org.apache.spark.ml.regression.DecisionTreeRegressor()
+      .setMaxDepth(5).setSeed(42)
+      .setLabelCol("label").setFeaturesCol("features").fit(rdf)
+    val st = rm.transform(rdf)
+      .agg(sqrt(avg(pow(col("prediction") - col("label"), 2))).as("rmse"),
+        stddev_pop(col("label")).as("sd")).head()
+    assert(st.getDouble(0) < st.getDouble(1), s"rmse ${st.getDouble(0)} sd ${st.getDouble(1)}")
+    val imp = rm.featureImportances.toArray
+    assert(imp.forall(_ >= 0.0) && math.abs(imp.sum - 1.0) < 1e-6)
+  }
+
   test("KNN predict (uniform and distance-weighted) on labeled blobs") {
     val rng = new java.util.Random(11)
     val centers = Seq((0.0, 0.0), (6.0, 6.0), (-6.0, 6.0))
