@@ -3,17 +3,36 @@
 #
 # CORRECTNESS runs at sf0.01 — exactly where the r8-advice overflow class
 # (obs·N ~ n² intermediate headroom) cannot bite. This smoke re-runs the
-# ~8 gates whose arithmetic carries DECIMAL(38,0) intermediates that grow
+# gates whose arithmetic carries DECIMAL(38,0) intermediates that grow
 # quadratically with row count at 10× that data, against the same DuckDB
 # oracle, turning the "two-step split keeps it under 10^38" code comments
-# into a checked artifact.
+# into a checked artifact — committed as SMOKE_SF01_r{N}.json (judge r10
+# ask #5: the smoke passed in-round but nothing committed proved it).
 #
 # Usage: tools/smoke_sf01.sh   (from /root/repo; exits non-zero on any
-# mismatch; writes the per-gate verdicts to /tmp/smoke_sf01/)
+# mismatch; verdicts land in /tmp/smoke_sf01/ and SMOKE_SF01_r{N}.json)
 set -euo pipefail
 cd "$(dirname "$0")/.."
-GATES=q_chi2_select,q_embedding_drift,q_mann_whitney,q_kruskal_wallis,q_gini,q_modularity,q_assortativity,q_benford_gof
+GATES=q_chi2_select,q_embedding_drift,q_mann_whitney,q_kruskal_wallis,q_gini,q_modularity,q_assortativity,q_benford_gof,q_cochran_armitage,q_seasonal_decompose
 OUT=/tmp/smoke_sf01
 SPARK_GRAFT_VERIFY_ONLY="$GATES" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
   sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $OUT"
-python3 tools/check.py /root/testdata/sf0.1 "$OUT"
+python3 tools/check.py /root/testdata/sf0.1 "$OUT" | tee /tmp/smoke_sf01_verdicts.txt
+rc=${PIPESTATUS[0]}
+# next-round tag, same inference as Bench.scala's roundTag
+N=$(ls BENCH_r*.json 2>/dev/null | sed -E 's/BENCH_r0*([0-9]+)\.json/\1/' | sort -n | tail -1)
+TAG=$(printf 'r%02d' $(( ${N:-0} + 1 )))
+python3 - "$TAG" <<'EOF'
+import json, re, sys
+gates = {}
+for ln in open('/tmp/smoke_sf01_verdicts.txt'):
+    m = re.match(r'(ok|FAIL)\s+(\S+)', ln)
+    if m:
+        gates[m.group(2).rstrip(':')] = (m.group(1) == 'ok')
+out = {"sf": 0.1, "gates": gates, "pass": sum(gates.values()),
+       "total": len(gates)}
+path = f"SMOKE_SF01_{sys.argv[1]}.json"
+json.dump(out, open(path, 'w'), indent=1, sort_keys=True)
+print(f"wrote {path}: {out['pass']}/{out['total']} green")
+EOF
+exit "$rc"
