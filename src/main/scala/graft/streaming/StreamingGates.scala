@@ -66,20 +66,34 @@ object StreamingGates {
       acc + when(col("__k") > b, 1).otherwise(0) }
     val sliced = keyed.withColumn("__slice", slice)
     val baseMs = System.currentTimeMillis() - 3600000L
-    for (i <- 1 to bounds.length + 1) {
-      val stage = java.nio.file.Files.createTempDirectory("graft_slice_stage_")
-      sliced.filter(col("__slice") === i).drop("__k", "__slice")
-        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      java.nio.file.Files.list(stage).iterator().asScala
-        .filter(_.toString.endsWith(".parquet")).toSeq.headOption
-        .foreach { part =>
+    val nSlices = bounds.length + 1
+    // ONE partitionBy write stages every slice (the previous n
+    // sequential coalesce(1) jobs dominated the parity-gate cost —
+    // q_croston_stream_parity spent ~6s in staging alone). The
+    // repartition on __slice puts each slice wholly in one task, so
+    // each __slice=i dir holds exactly one part file — a slice split
+    // across two files would split one batch's rows across two
+    // micro-batches and break the ordered-arrival contract, hence the
+    // hard check below.
+    val stage = java.nio.file.Files.createTempDirectory("graft_slice_stage_")
+    sliced.drop("__k").repartition(nSlices, col("__slice"))
+      .write.partitionBy("__slice").mode("overwrite").parquet(stage.toString)
+    for (i <- 1 to nSlices) {
+      val dir = stage.resolve(s"__slice=$i")
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val parts = java.nio.file.Files.list(dir).iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq
+        require(parts.length <= 1,
+          s"slice $i staged as ${parts.length} files — ordered-arrival contract needs 1")
+        parts.headOption.foreach { part =>
           val dest = tmp.resolve(f"slice-$i%02d.parquet")
           java.nio.file.Files.move(part, dest)
           java.nio.file.Files.setLastModifiedTime(dest,
             java.nio.file.attribute.FileTime.fromMillis(baseMs + i * 1000L))
         }
-      rmTree(stage)
+      }
     }
+    rmTree(stage)
     tmp
   }
 
