@@ -240,13 +240,17 @@ object Graph {
     val triAgg = wedges.join(closing, Seq("a", "b"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
     val degAgg = deg.agg(count(lit(1)).as("n_nodes"),
-      sum(expr("(d * (d - 1)) DIV 2")).as("n_wedges"))
+      // d(d−1) is even, so /2 in DECIMAL is exact — a LONG product
+      // would silently wrap on a ~4·10⁹-degree hub, and the wedge SUM
+      // outgrows 2⁶³ well before that on skewed 100 TB graphs
+      sum(expr("CAST(d AS DECIMAL(38,0)) * (d - 1) / 2")).as("wd"))
     val edgeAgg = edges.agg(count(lit(1)).as("n_edges"))
     degAgg.crossJoin(edgeAgg).crossJoin(triAgg)
-      .selectExpr("n_nodes", "n_edges", "n_triangles", "n_wedges",
-        """CASE WHEN n_wedges = 0 THEN 0L
-          |ELSE (3 * n_triangles * 1000000) DIV n_wedges END AS global_cc_micro"""
-          .stripMargin)
+      .selectExpr("n_nodes", "n_edges", "n_triangles",
+        "CAST(wd AS BIGINT) AS n_wedges",
+        """CASE WHEN wd = 0 THEN 0L
+          |ELSE (3 * CAST(n_triangles AS DECIMAL(38,0)) * 1000000) DIV wd
+          |END AS global_cc_micro""".stripMargin)
   }
 
   val BfsHops = 3
@@ -966,13 +970,13 @@ object Graph {
         |tri AS (SELECT count(*) AS t FROM pr e1
         |  JOIN pr e2 ON e2.a = e1.b
         |  JOIN pr e3 ON e3.a = e1.a AND e3.b = e2.b),
-        |st AS (SELECT count(*) AS n, sum((d * (d - 1)) // 2) AS wd FROM deg)
+        |st AS (SELECT count(*) AS n, sum((d::HUGEINT * (d - 1)) // 2) AS wd FROM deg)
         |SELECT st.n::BIGINT AS n_nodes,
         |  (SELECT count(*) FROM pr)::BIGINT AS n_edges,
         |  tri.t::BIGINT AS n_triangles,
         |  st.wd::BIGINT AS n_wedges,
         |  (CASE WHEN st.wd = 0 THEN 0
-        |    ELSE (3 * tri.t * 1000000) // st.wd END)::BIGINT AS global_cc_micro
+        |    ELSE (3 * tri.t::HUGEINT * 1000000) // st.wd END)::BIGINT AS global_cc_micro
         |FROM st CROSS JOIN tri""".stripMargin,
     "q_kcore" -> {
       val peels = (1 to KcorePasses).map { p =>

@@ -1824,13 +1824,13 @@ object Relational {
     val n = c.count()
     val totalPairs = BigDecimal(n) * (n - 1) / 2
     val truthPairs = c.groupBy("truth").agg(count(lit(1)).as("g"))
-      .agg(sum(expr("CAST(CAST(g AS DECIMAL(38,0)) * (g - 1) DIV 2 AS DECIMAL(38,0))")))
+      .agg(sum(expr("CAST(CAST(g AS DECIMAL(38,0)) * (g - 1) / 2 AS DECIMAL(38,0))")))
       .head().getDecimal(0).toBigInteger
     def scheme(name: String, blkCol: String): DataFrame = {
       val cand = c.groupBy(blkCol).agg(count(lit(1)).as("g"))
-        .agg(sum(expr("CAST(CAST(g AS DECIMAL(38,0)) * (g - 1) DIV 2 AS DECIMAL(38,0))")).as("cand"))
+        .agg(sum(expr("CAST(CAST(g AS DECIMAL(38,0)) * (g - 1) / 2 AS DECIMAL(38,0))")).as("cand"))
       val found = c.groupBy(col("truth"), col(blkCol)).agg(count(lit(1)).as("g"))
-        .agg(sum(expr("CAST(CAST(g AS DECIMAL(38,0)) * (g - 1) DIV 2 AS DECIMAL(38,0))")).as("found"))
+        .agg(sum(expr("CAST(CAST(g AS DECIMAL(38,0)) * (g - 1) / 2 AS DECIMAL(38,0))")).as("found"))
       cand.crossJoin(found)
         .selectExpr(s"'$name' AS scheme", s"CAST($n AS BIGINT) AS n_records",
           "CAST(cand AS BIGINT) AS cand_pairs",

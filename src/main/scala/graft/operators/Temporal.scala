@@ -277,7 +277,13 @@ object Temporal {
     val tot = daily.agg(count(lit(1)).as("n"), sum("x").as("sx"),
       sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
     g.agg(count(lit(1)).as("k"),
-        sum(expr("(CAST(sd AS DECIMAL(38,0)) * sd) DIV nd")).as("t"))
+        // floor(sd²/nd) in DECIMAL via (s² − s² % nd)/nd — DIV would
+        // funnel each term through LONG (silent overflow once daily
+        // revenue pushes sd²/nd past 2⁶³; the oracle keeps HUGEINT)
+        sum(expr(
+          """(CAST(sd AS DECIMAL(38,0)) * sd
+            | - CAST(sd AS DECIMAL(38,0)) * sd % nd) / nd""".stripMargin))
+          .as("t"))
       .crossJoin(broadcast(tot))
       .selectExpr("k", "n",
         "CAST(n AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)) - CAST(sx AS DECIMAL(38,0)) * sx AS ssb_n",
@@ -876,7 +882,11 @@ object Temporal {
         (col("b.cents") + col("a.cents")).as("den"))
       .groupBy("pri")
       .agg(count(lit(1)).as(nName), sum("ae").as(aeName),
-        sum(expr("(2 * ae * 10000) DIV den")).as(s"smape_sum_$lag"))
+        // per-term quotient ≤ 2·10⁴ (safe LONG), but the 2·ae·10⁴
+        // PRODUCT wraps LONG once a day-pair's error passes ~$4.6·10¹²
+        // — widen the numerator like the oracle's HUGEINT
+        sum(expr("(2 * CAST(ae AS DECIMAL(38,0)) * 10000) DIV den"))
+          .as(s"smape_sum_$lag"))
     val e7 = offsetErr(7, "sae7", "n7")
     val e1 = offsetErr(1, "sae1", "n1").select("pri", "n1", "sae1")
     e7.join(e1, "pri")
@@ -1766,7 +1776,7 @@ object Temporal {
         |  FROM orders GROUP BY 1, 2),
         |e7 AS (SELECT a.pri, count(*)::BIGINT AS n7,
         |    sum(abs(b.cents - a.cents))::BIGINT AS sae7,
-        |    sum((2 * abs(b.cents - a.cents) * 10000)
+        |    sum((2 * abs(b.cents - a.cents)::HUGEINT * 10000)
         |      // (b.cents + a.cents))::BIGINT AS ss7
         |  FROM daily a JOIN daily b
         |    ON b.pri = a.pri AND b.d = a.d + 7
