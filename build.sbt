@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the FINAL stdout line of a bench run as JSON;
+// sbt's "[success] Total time: ..." trailer landed after graft.Bench's
+// summary line every round (BENCH_r{N}.json "parsed": null). Suppress
+// the success + timing trailer lines so the forked main's last println
+// is also the process's last stdout line. Outcomes still ride exit
+// codes (and scalatest prints its own per-suite results).
+Global / showSuccess := false
+Global / showTiming := false
+// ...and pass the forked process's streams through verbatim instead of
+// relaying them through sbt's logger, which prefixes every stdout line
+// with "[info] " — that prefix alone fails a strict JSON parse of the
+// tail's final line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1062,8 +1062,12 @@ object Relational {
     * DECIMAL(38,0)/HUGEINT with the tie-corrected variance
     * n₁n₂[(n+1)n(n−1) − Σ(t³−t)]/(12n(n−1)) — no fp mean, no sqrt.
     *
-    * Scale: one value-grain rollup (two counts per distinct value), a
-    * prefix-sum window over the bounded value table, and a 1-row
+    * Scale: one value-grain rollup (two counts per distinct value) —
+    * but the value grain is exact cents, ~row-cardinality, NOT bounded —
+    * so the cumulative tie-rank rides [[ScaleWindows
+    * .withGlobalRunningSum]] (range-partitioned sort + broadcast-offset
+    * prefix sum; `v` is unique after the rollup, so `ORDER BY v` is a
+    * total order), never a SinglePartition window. Then a 1-row
     * output. */
   def mannWhitney(spark: SparkSession, dir: String): DataFrame =
     mannWhitneyDf(Tables.orders(spark, dir)
@@ -1075,10 +1079,8 @@ object Relational {
   /** Core over any (g1 ∈ {0,1}, v LONG) frame. */
   private[graft] def mannWhitneyDf(xs: DataFrame): DataFrame = {
     val byV = xs.groupBy("v").agg(count(lit(1)).as("t"), sum("g1").as("t1"))
-    val w = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = byV
-      .withColumn("cum", sum("t").over(w))
+    val ranked = ScaleWindows
+      .withGlobalRunningSum(byV, Seq(asc("v")), "t", "cum")
       // doubled average rank of the tied run ending at this value
       .selectExpr("t", "t1", "2 * (cum - t) + t + 1 AS rank2",
         "CAST(t AS DECIMAL(38,0)) * t * t - t AS tie3")
@@ -1116,9 +1118,12 @@ object Relational {
     * Verdict vs the χ²(k−1) 95% critical value (the
     * [[DataQuality.Chi2Crit95Micro]] table).
     *
-    * Scale: one (value, group) rollup, a prefix window over the bounded
-    * value table, a k-row group frame — the fact table never shuffles
-    * twice. */
+    * Scale: one (value, group) rollup; the value grain is exact cents
+    * (~row-cardinality, NOT bounded), so the cumulative tie-rank rides
+    * [[ScaleWindows.withGlobalRunningSum]] — range-partitioned sort +
+    * broadcast-offset prefix sum over the unique-`v` table, never a
+    * SinglePartition window — then a k-row group frame. The fact table
+    * never shuffles twice. */
   def kruskalWallis(spark: SparkSession, dir: String): DataFrame =
     kruskalWallisDf(Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
@@ -1129,9 +1134,8 @@ object Relational {
   private[graft] def kruskalWallisDf(xs: DataFrame): DataFrame = {
     val byVG = xs.groupBy("v", "grp").agg(count(lit(1)).as("c"))
     val byV = xs.groupBy("v").agg(count(lit(1)).as("t"))
-    val w = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = byV.withColumn("cum", sum("t").over(w))
+    val ranked = ScaleWindows
+      .withGlobalRunningSum(byV, Seq(asc("v")), "t", "cum")
       .selectExpr("v", "2 * (cum - t) + t + 1 AS rank2",
         "CAST(t AS DECIMAL(38,0)) * t * t - t AS tie3")
       .localCheckpoint(true) // value-grain table feeds groups AND ties

@@ -17,10 +17,14 @@ GATES=q_chi2_select,q_embedding_drift,q_mann_whitney,q_kruskal_wallis,q_gini,q_m
 OUT=/tmp/smoke_sf01
 SPARK_GRAFT_VERIFY_ONLY="$GATES" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
   sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $OUT"
-python3 tools/check.py /root/testdata/sf0.1 "$OUT" | tee /tmp/smoke_sf01_verdicts.txt
-rc=${PIPESTATUS[0]}
-# next-round tag, same inference as Bench.scala's roundTag
-N=$(ls BENCH_r*.json 2>/dev/null | sed -E 's/BENCH_r0*([0-9]+)\.json/\1/' | sort -n | tail -1)
+# `|| rc=$?` keeps errexit+pipefail from aborting before the verdict
+# JSON below is written — FAIL outcomes must be recorded, not vanish
+rc=0
+python3 tools/check.py /root/testdata/sf0.1 "$OUT" | tee /tmp/smoke_sf01_verdicts.txt || rc=$?
+# next-round tag, same inference as Bench.scala's roundTag; the inner
+# `|| true` keeps a BENCH-less checkout from tripping errexit before
+# the ${N:-0} fallback can apply
+N=$( { ls BENCH_r*.json 2>/dev/null || true; } | sed -E 's/BENCH_r0*([0-9]+)\.json/\1/' | sort -n | tail -1)
 TAG=$(printf 'r%02d' $(( ${N:-0} + 1 )))
 python3 - "$TAG" <<'EOF'
 import json, re, sys
