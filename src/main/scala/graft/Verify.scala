@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bounds Pregel lineage depth on high-diameter graphs (Components
+      // sets the checkpoint dir lazily when its GraphX regime engages)
+      .config("spark.graphx.pregel.checkpointInterval", "25")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

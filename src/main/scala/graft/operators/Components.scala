@@ -53,6 +53,16 @@ object Components {
         val labels = nodes.iterator.map(k => (k, find(k))).toSeq
         spark.createDataFrame(labels).toDF("id", "comp")
       } else {
+        // High-diameter graphs (chains, functional graphs) run Pregel
+        // for O(diameter) supersteps; without periodic checkpointing
+        // the lineage deserialization stack-overflows near superstep
+        // ~2000. Pregel reads spark.graphx.pregel.checkpointInterval
+        // from the session conf at call time — ensure a checkpoint dir
+        // exists so the interval (set in the session builders) engages.
+        val sc = spark.sparkContext
+        if (sc.getCheckpointDir.isEmpty)
+          sc.setCheckpointDir(
+            java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
         val g = Graph.fromEdges(
           e.as[(Long, Long)].rdd.map { case (s, t) => Edge(s, t, ()) }, (),
           vertexStorageLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

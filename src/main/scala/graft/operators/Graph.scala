@@ -247,7 +247,10 @@ object Graph {
     val edgeAgg = edges.agg(count(lit(1)).as("n_edges"))
     degAgg.crossJoin(edgeAgg).crossJoin(triAgg)
       .selectExpr("n_nodes", "n_edges", "n_triangles",
-        "CAST(wd AS BIGINT) AS n_wedges",
+        // n_wedges stays DECIMAL(38,0): the wedge total itself passes
+        // 2⁶³ on skewed 100 TB graphs (a BIGINT cast would silently
+        // wrap exactly where the DECIMAL sum above was built to hold)
+        "CAST(wd AS DECIMAL(38,0)) AS n_wedges",
         """CASE WHEN wd = 0 THEN 0L
           |ELSE (3 * CAST(n_triangles AS DECIMAL(38,0)) * 1000000) DIV wd
           |END AS global_cc_micro""".stripMargin)
@@ -974,7 +977,7 @@ object Graph {
         |SELECT st.n::BIGINT AS n_nodes,
         |  (SELECT count(*) FROM pr)::BIGINT AS n_edges,
         |  tri.t::BIGINT AS n_triangles,
-        |  st.wd::BIGINT AS n_wedges,
+        |  st.wd::DECIMAL(38,0) AS n_wedges,
         |  (CASE WHEN st.wd = 0 THEN 0
         |    ELSE (3 * tri.t::HUGEINT * 1000000) // st.wd END)::BIGINT AS global_cc_micro
         |FROM st CROSS JOIN tri""".stripMargin,
