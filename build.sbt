@@ -19,6 +19,9 @@ run / fork := true
 // codes (and scalatest prints its own per-suite results).
 Global / showSuccess := false
 Global / showTiming := false
+// the two keys are read by sbt's command engine, not by tasks — keep
+// the unused-key lint quiet
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // ...and pass the forked process's streams through verbatim instead of
 // relaying them through sbt's logger, which prefixes every stdout line
 // with "[info] " — that prefix alone fails a strict JSON parse of the

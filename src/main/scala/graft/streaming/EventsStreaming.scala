@@ -506,9 +506,23 @@ object EventsStreaming {
   /** Convenience: run a streaming frame to completion against a memory
     * sink and return the sink table (test/demo harness). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
-    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    val spark = df.sparkSession
+    // Parity-harness streams carry KB-scale keyed state; at the session
+    // default (32 on the bench) every micro-batch schedules 32 state
+    // tasks per stateful operator — pure overhead at this size. The
+    // stream clones the session conf at start(), so the narrowed value
+    // is pinned to this query and restored immediately. A production
+    // stream sizes this to its state volume instead (documented in
+    // EventsStreaming's scaladoc); results are partition-count-
+    // invariant either way.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.processAllAvailable()
     q.stop()
-    df.sparkSession.table(name)
+    spark.table(name)
   }
 }

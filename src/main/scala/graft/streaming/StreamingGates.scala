@@ -23,15 +23,37 @@ import org.apache.spark.sql.streaming.OutputMode
 object StreamingGates {
   import EventsStreaming.{ScopedValue, countMinStream, hllDistinctStream, runToMemory}
 
-  /** Stage the frame as `nFiles` parquet files and open it as a
-    * micro-batch stream (one file per trigger). */
-  private def fileStream(df: DataFrame, schema: String, nFiles: Int): (DataFrame, java.nio.file.Path) = {
+  /** Process-lifetime cache of staged stream-input dirs, keyed by
+    * gate+sfDir (judge r11 ask #6): a bench run executes every parity
+    * gate at least twice (capture + mandatory retime) and the staged
+    * bytes are a pure function of (gate, sf dir), so re-staging — which
+    * was ~half of each gate's wall — is paid once per JVM. Dirs are
+    * removed by a shutdown hook, not per-gate. */
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      stagedDirs.values.asScala.foreach(rmTree)
+    }))
+  private def staged(key: String)(
+      build: => java.nio.file.Path): java.nio.file.Path = {
+    cleanupHook
+    stagedDirs.computeIfAbsent(key, _ => build)
+  }
+
+  /** Stage the frame as `nFiles` parquet files (memoized on `key`) and
+    * open it as a micro-batch stream (one file per trigger). */
+  private def fileStream(df: DataFrame, schema: String, nFiles: Int,
+      key: String): DataFrame = {
     val spark = df.sparkSession
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_gate_")
-    df.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
-    val stream = spark.readStream.schema(schema)
+    val tmp = staged(key) {
+      val t = java.nio.file.Files.createTempDirectory("graft_stream_gate_")
+      df.repartition(nFiles).write.mode("overwrite").parquet(t.toString)
+      t
+    }
+    spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
-    (stream, tmp)
   }
 
   private def rmTree(p: java.nio.file.Path): Unit = {
@@ -54,6 +76,11 @@ object StreamingGates {
     * coarse-mtime filesystem, letting random part names decide batch
     * order. */
   private def stageTimeSlices(df: DataFrame,
+      orderKey: org.apache.spark.sql.Column, n: Int,
+      key: String): java.nio.file.Path =
+    staged(key)(stageTimeSlicesNow(df, orderKey, n))
+
+  private def stageTimeSlicesNow(df: DataFrame,
       orderKey: org.apache.spark.sql.Column, n: Int): java.nio.file.Path = {
     import scala.jdk.CollectionConverters._
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_gate_")
@@ -102,21 +129,19 @@ object StreamingGates {
     * batch estimate columns (oracle = trimmed q_hll_distinct SQL). */
   def hllStreamParity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (stream, tmp) = fileStream(Sketches.hllInput(spark, dir),
-      "scope STRING, v STRING", nFiles = 6)
-    try {
-      val sink = runToMemory(hllDistinctStream(stream.as[ScopedValue]).toDF(),
-        "hll_parity_sink", OutputMode.Update())
-      // n_seen strictly increases per emitted update, so max_by picks
-      // the post-final-batch state row
-      sink.groupBy("scope")
-        .agg(max_by(struct(col("buckets_used"), col("est_distinct")),
-          col("n_seen")).as("f"), max("n_seen").as("n_seen"))
-        .select(col("scope"), col("n_seen"), col("f.buckets_used"),
-          col("f.est_distinct"))
-        .orderBy("scope")
-        .localCheckpoint() // materialize before the staged files vanish
-    } finally rmTree(tmp)
+    val stream = fileStream(Sketches.hllInput(spark, dir),
+      "scope STRING, v STRING", nFiles = 6, s"hll:$dir")
+    val sink = runToMemory(hllDistinctStream(stream.as[ScopedValue]).toDF(),
+      "hll_parity_sink", OutputMode.Update())
+    // n_seen strictly increases per emitted update, so max_by picks
+    // the post-final-batch state row
+    sink.groupBy("scope")
+      .agg(max_by(struct(col("buckets_used"), col("est_distinct")),
+        col("n_seen")).as("f"), max("n_seen").as("n_seen"))
+      .select(col("scope"), col("n_seen"), col("f.buckets_used"),
+        col("f.est_distinct"))
+      .orderBy("scope")
+      .localCheckpoint() // pin the result frame independent of the sink
   }
 
   /** Streaming Count-Min parity: the corpus token stream keyed to one
@@ -127,21 +152,19 @@ object StreamingGates {
     val tw = Sketches.tokenStream(spark, dir).select(col("w"))
     val probe = tw.groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(desc("c"), asc("w")).limit(1).collect()(0).getString(0)
-    val (stream, tmp) = fileStream(
+    val stream = fileStream(
       tw.select(lit("all").as("scope"), col("w").as("v")),
-      "scope STRING, v STRING", nFiles = 6)
-    try {
-      val sink = runToMemory(
-        countMinStream(stream.as[ScopedValue], probe).toDF(),
-        "cms_parity_sink", OutputMode.Update())
-      sink.groupBy("scope")
-        .agg(max_by(col("est_c"), col("n_seen")).as("est_c"),
-          max("n_seen").as("n_seen"))
-        .select(col("scope"), lit(probe).as("probe_w"), col("n_seen"),
-          col("est_c"))
-        .orderBy("scope")
-        .localCheckpoint()
-    } finally rmTree(tmp)
+      "scope STRING, v STRING", nFiles = 6, s"cms:$dir")
+    val sink = runToMemory(
+      countMinStream(stream.as[ScopedValue], probe).toDF(),
+      "cms_parity_sink", OutputMode.Update())
+    sink.groupBy("scope")
+      .agg(max_by(col("est_c"), col("n_seen")).as("est_c"),
+        max("n_seen").as("n_seen"))
+      .select(col("scope"), lit(probe).as("probe_w"), col("n_seen"),
+        col("est_c"))
+      .orderBy("scope")
+      .localCheckpoint()
   }
 
   /** Streaming exact-dedup parity: the q_dedup_exact input re-played as
@@ -152,19 +175,18 @@ object StreamingGates {
     import spark.implicits._
     val input = graft.Tables.documents(spark, dir)
       .select(col("source").as("scope"), lower(trim(col("text"))).as("v"))
-    val (stream, tmp) = fileStream(input, "scope STRING, v STRING", nFiles = 6)
-    try {
-      val sink = runToMemory(
-        EventsStreaming.distinctStream(stream.as[ScopedValue]).toDF(),
-        "dedup_parity_sink", OutputMode.Update())
-      sink.groupBy("scope")
-        .agg(max_by(col("n_unique"), col("n_seen")).as("n_unique"),
-          max("n_seen").as("n_seen"))
-        .select(col("scope").as("source"), col("n_seen").as("n_docs"),
-          col("n_unique"), (col("n_seen") - col("n_unique")).as("n_dupes"))
-        .orderBy("source")
-        .localCheckpoint()
-    } finally rmTree(tmp)
+    val stream = fileStream(input, "scope STRING, v STRING", nFiles = 6,
+      s"dedup:$dir")
+    val sink = runToMemory(
+      EventsStreaming.distinctStream(stream.as[ScopedValue]).toDF(),
+      "dedup_parity_sink", OutputMode.Update())
+    sink.groupBy("scope")
+      .agg(max_by(col("n_unique"), col("n_seen")).as("n_unique"),
+        max("n_seen").as("n_seen"))
+      .select(col("scope").as("source"), col("n_seen").as("n_docs"),
+        col("n_unique"), (col("n_seen") - col("n_unique")).as("n_dupes"))
+      .orderBy("source")
+      .localCheckpoint()
   }
 
   /** Streaming sessionization parity: the q_events_session input
@@ -178,20 +200,19 @@ object StreamingGates {
     * precision and absent from every SF of the testdata. */
   def sessionStreamParity(spark: SparkSession, dir: String): DataFrame = {
     val input = graft.Tables.events(spark, dir).select("user_id", "ts")
-    val (stream, tmp) = fileStream(input, "user_id BIGINT, ts TIMESTAMP", nFiles = 6)
-    try {
-      val sessions = runToMemory(
-        stream.groupBy(session_window(col("ts"), "30 minutes").as("s"),
-            col("user_id"))
-          .agg(count(lit(1)).as("n")),
-        "session_parity_sink", OutputMode.Complete())
-      sessions.groupBy("user_id")
-        .agg(count(lit(1)).as("n_sessions"), sum("n").as("n_events"),
-          max("n").as("max_session_events"),
-          round(avg("n"), 4).as("avg_session_events"))
-        .orderBy("user_id")
-        .localCheckpoint()
-    } finally rmTree(tmp)
+    val stream = fileStream(input, "user_id BIGINT, ts TIMESTAMP",
+      nFiles = 6, s"session:$dir")
+    val sessions = runToMemory(
+      stream.groupBy(session_window(col("ts"), "30 minutes").as("s"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n")),
+      "session_parity_sink", OutputMode.Complete())
+    sessions.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n").as("n_events"),
+        max("n").as("max_session_events"),
+        round(avg("n"), 4).as("avg_session_events"))
+      .orderBy("user_id")
+      .localCheckpoint()
   }
 
   /** Streaming funnel parity: the q_events_funnel input re-played as a
@@ -207,29 +228,27 @@ object StreamingGates {
     val ev = graft.Tables.events(spark, dir)
       .select("event_id", "user_id", "event_type", "ts")
     val nUsers = ev.select("user_id").distinct().count()
-    val tmp = stageTimeSlices(ev, unix_micros(col("ts")), 6)
-    try {
-      val stream = spark.readStream
-        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP")
-        .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
-      val sink = runToMemory(
-        EventsStreaming.funnelStages(stream.as[EventsStreaming.RawEvent]).toDF(),
-        "funnel_parity_sink", OutputMode.Append())
-      // state never re-emits a stage, so min() is pure extraction
-      sink.groupBy("user_id").agg(
-          min(when(col("stage") === 1, col("ts"))).as("tv"),
-          min(when(col("stage") === 2, col("ts"))).as("tc"),
-          min(when(col("stage") === 3, col("ts"))).as("tp"))
-        .agg(count(col("tv")).as("n_view"),
-          count(col("tc")).as("n_view_click"),
-          count(col("tp")).as("n_full_funnel"),
-          round(avg(when(col("tp").isNotNull,
-            unix_micros(col("tp")) - unix_micros(col("tv")))) / 1e6, 2)
-            .as("avg_sec_convert"))
-        .select(lit(nUsers).as("n_users"), col("n_view"),
-          col("n_view_click"), col("n_full_funnel"), col("avg_sec_convert"))
-        .localCheckpoint()
-    } finally rmTree(tmp)
+    val tmp = stageTimeSlices(ev, unix_micros(col("ts")), 6, s"funnel:$dir")
+    val stream = spark.readStream
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
+    val sink = runToMemory(
+      EventsStreaming.funnelStages(stream.as[EventsStreaming.RawEvent]).toDF(),
+      "funnel_parity_sink", OutputMode.Append())
+    // state never re-emits a stage, so min() is pure extraction
+    sink.groupBy("user_id").agg(
+        min(when(col("stage") === 1, col("ts"))).as("tv"),
+        min(when(col("stage") === 2, col("ts"))).as("tc"),
+        min(when(col("stage") === 3, col("ts"))).as("tp"))
+      .agg(count(col("tv")).as("n_view"),
+        count(col("tc")).as("n_view_click"),
+        count(col("tp")).as("n_full_funnel"),
+        round(avg(when(col("tp").isNotNull,
+          unix_micros(col("tp")) - unix_micros(col("tv")))) / 1e6, 2)
+          .as("avg_sec_convert"))
+      .select(lit(nUsers).as("n_users"), col("n_view"),
+        col("n_view_click"), col("n_full_funnel"), col("avg_sec_convert"))
+      .localCheckpoint()
   }
 
   /** Streaming EWMA parity: the q_ewma_smooth daily rollup re-played as
@@ -242,17 +261,15 @@ object StreamingGates {
       .groupBy(col("o_orderpriority").as("pri"),
         to_date(col("o_orderdate")).as("d"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-    val tmp = stageTimeSlices(daily, unix_date(col("d")), 6)
-    try {
-      val stream = spark.readStream
-        .schema("pri STRING, d DATE, cents BIGINT")
-        .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
-      runToMemory(
-        EventsStreaming.ewmaStream(stream.as[EventsStreaming.PriDay]).toDF(),
-        "ewma_parity_sink", OutputMode.Append())
-        .orderBy("pri", "d")
-        .localCheckpoint()
-    } finally rmTree(tmp)
+    val tmp = stageTimeSlices(daily, unix_date(col("d")), 6, s"ewma:$dir")
+    val stream = spark.readStream
+      .schema("pri STRING, d DATE, cents BIGINT")
+      .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
+    runToMemory(
+      EventsStreaming.ewmaStream(stream.as[EventsStreaming.PriDay]).toDF(),
+      "ewma_parity_sink", OutputMode.Append())
+      .orderBy("pri", "d")
+      .localCheckpoint()
   }
 
   /** Streaming Croston parity — the FORECASTER member of the parity
@@ -267,24 +284,22 @@ object StreamingGates {
     val daily = graft.Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey").as("pk"), to_date(col("l_shipdate")).as("d"))
       .agg(sum(round(col("l_quantity")).cast("long")).as("q"))
-    val tmp = stageTimeSlices(daily, unix_date(col("d")), 6)
-    try {
-      val stream = spark.readStream
-        .schema("pk BIGINT, d DATE, q BIGINT")
-        .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
-      val sink = runToMemory(
-        EventsStreaming.crostonStream(
-          stream.as[EventsStreaming.DemandDay]).toDF(),
-        "croston_parity_sink", OutputMode.Append())
-      sink.groupBy("partkey")
-        .agg(max_by(struct(col("z_micro"), col("p_micro"), col("rate_micro")),
-          col("n_demand_days")).as("f"),
-          max("n_demand_days").as("n_demand_days"))
-        .select(col("partkey"), col("n_demand_days"), col("f.z_micro"),
-          col("f.p_micro"), col("f.rate_micro"))
-        .orderBy("partkey")
-        .localCheckpoint()
-    } finally rmTree(tmp)
+    val tmp = stageTimeSlices(daily, unix_date(col("d")), 6, s"croston:$dir")
+    val stream = spark.readStream
+      .schema("pk BIGINT, d DATE, q BIGINT")
+      .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
+    val sink = runToMemory(
+      EventsStreaming.crostonStream(
+        stream.as[EventsStreaming.DemandDay]).toDF(),
+      "croston_parity_sink", OutputMode.Append())
+    sink.groupBy("partkey")
+      .agg(max_by(struct(col("z_micro"), col("p_micro"), col("rate_micro")),
+        col("n_demand_days")).as("f"),
+        max("n_demand_days").as("n_demand_days"))
+      .select(col("partkey"), col("n_demand_days"), col("f.z_micro"),
+        col("f.p_micro"), col("f.rate_micro"))
+      .orderBy("partkey")
+      .localCheckpoint()
   }
 
   /** Streaming CUSUM parity: the q_cusum_shift daily census (baseline
@@ -302,17 +317,15 @@ object StreamingGates {
       .agg(sum("x").as("tx"), count(lit(1)).as("nd"))
       .selectExpr("et", "(tx * 1000) div nd AS mu_milli")
     val input = daily.join(broadcast(base), "et").select("et", "d", "x", "mu_milli")
-    val tmp = stageTimeSlices(input, unix_date(col("d")), 6)
-    try {
-      val stream = spark.readStream
-        .schema("et STRING, d DATE, x BIGINT, mu_milli BIGINT")
-        .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
-      runToMemory(
-        EventsStreaming.cusumStream(stream.as[EventsStreaming.CusumIn]).toDF(),
-        "cusum_parity_sink", OutputMode.Append())
-        .orderBy("et", "d")
-        .localCheckpoint()
-    } finally rmTree(tmp)
+    val tmp = stageTimeSlices(input, unix_date(col("d")), 6, s"cusum:$dir")
+    val stream = spark.readStream
+      .schema("et STRING, d DATE, x BIGINT, mu_milli BIGINT")
+      .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
+    runToMemory(
+      EventsStreaming.cusumStream(stream.as[EventsStreaming.CusumIn]).toDF(),
+      "cusum_parity_sink", OutputMode.Append())
+      .orderBy("et", "d")
+      .localCheckpoint()
   }
 
   /** Streaming quantile-sketch parity: q_quantile_sketch's cents input
@@ -327,19 +340,18 @@ object StreamingGates {
       .selectExpr("'all' AS scope",
         "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
       .filter(col("cents") >= 1L)
-    val (stream, tmp) = fileStream(input, "scope STRING, cents BIGINT", nFiles = 6)
-    try {
-      val sink = runToMemory(
-        quantileSketchStream(stream.as[CentsValue]).toDF(),
-        "qsketch_parity_sink", OutputMode.Update())
-      sink.groupBy("q_bp")
-        .agg(max_by(struct(col("est_lo_cents"), col("est_hi_cents")),
-          col("n_seen")).as("f"), max("n_seen").as("n_seen"))
-        .select(col("q_bp"), col("n_seen"), col("f.est_lo_cents"),
-          col("f.est_hi_cents"))
-        .orderBy("q_bp")
-        .localCheckpoint()
-    } finally rmTree(tmp)
+    val stream = fileStream(input, "scope STRING, cents BIGINT", nFiles = 6,
+      s"qsketch:$dir")
+    val sink = runToMemory(
+      quantileSketchStream(stream.as[CentsValue]).toDF(),
+      "qsketch_parity_sink", OutputMode.Update())
+    sink.groupBy("q_bp")
+      .agg(max_by(struct(col("est_lo_cents"), col("est_hi_cents")),
+        col("n_seen")).as("f"), max("n_seen").as("n_seen"))
+      .select(col("q_bp"), col("n_seen"), col("f.est_lo_cents"),
+        col("f.est_hi_cents"))
+      .orderBy("q_bp")
+      .localCheckpoint()
   }
 
   /** Streaming windowed-counts parity: the q_events_window input
@@ -351,21 +363,19 @@ object StreamingGates {
   def windowStreamParity(spark: SparkSession, dir: String): DataFrame = {
     val input = graft.Tables.events(spark, dir)
       .select(col("ts"), col("event_type"), col("value"))
-    val tmp = stageTimeSlices(input, unix_micros(col("ts")), 6)
-    try {
-      val stream = spark.readStream
-        .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
-        .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
-      val agg = stream
-        .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"), sum("value").as("sv"))
-      runToMemory(agg, "window_parity_sink", OutputMode.Complete())
-        .select(col("w.start").cast("timestamp_ntz").as("wstart"),
-          col("event_type"), col("n_events"),
-          round(col("sv"), 4).as("sum_value"))
-        .orderBy("wstart", "event_type")
-        .localCheckpoint()
-    } finally rmTree(tmp)
+    val tmp = stageTimeSlices(input, unix_micros(col("ts")), 6, s"window:$dir")
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
+    val agg = stream
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sv"))
+    runToMemory(agg, "window_parity_sink", OutputMode.Complete())
+      .select(col("w.start").cast("timestamp_ntz").as("wstart"),
+        col("event_type"), col("n_events"),
+        round(col("sv"), 4).as("sum_value"))
+      .orderBy("wstart", "event_type")
+      .localCheckpoint()
   }
 
   /** Streaming as-of attribution parity — the HARD-semantics parity
@@ -383,38 +393,43 @@ object StreamingGates {
     val base = graft.Tables.events(spark, dir)
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-    val tmp = stageTimeSlices(base, unix_micros(col("ts")), 6)
-    // sentinel slice: one far-future view from a sentinel user — ignored
-    // by the automaton, but it advances the watermark past all real rows
-    val maxTs = base.agg(max(unix_micros(col("ts")))).head().getLong(0)
-    val sentinel = Seq((-1L, -1L, "view",
-      new java.sql.Timestamp((maxTs + 30L * 86400L * 1000000L) / 1000L)))
-      .toDF("event_id", "user_id", "event_type", "ts")
-    val stage = java.nio.file.Files.createTempDirectory("graft_sentinel_")
-    sentinel.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-    try {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(stage).iterator().asScala
-        .filter(_.toString.endsWith(".parquet")).toSeq.headOption
-        .foreach { part =>
-          val dest = tmp.resolve("slice-99.parquet")
-          java.nio.file.Files.move(part, dest)
-          java.nio.file.Files.setLastModifiedTime(dest,
-            java.nio.file.attribute.FileTime.fromMillis(
-              System.currentTimeMillis() - 3000000L))
-        }
-      val stream = spark.readStream
-        .schema("event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP")
-        .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
-      runToMemory(clickAttributionUnordered(stream.as[RawEvent]).toDF(),
-        "asof_parity_sink", OutputMode.Append())
-        .filter(col("user_id") >= 0L)
-        .select(col("event_id"), col("user_id"),
-          col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
-          col("last_click_ts").cast("timestamp_ntz").as("last_click_ts"))
-        .orderBy("event_id")
-        .localCheckpoint()
-    } finally { rmTree(stage); rmTree(tmp) }
+    val tmp = staged(s"asof:$dir") {
+      val t = stageTimeSlicesNow(base, unix_micros(col("ts")), 6)
+      // sentinel slice: one far-future view from a sentinel user —
+      // ignored by the automaton, but it advances the watermark past
+      // all real rows. Staged INSIDE the memoized block so the cached
+      // dir is complete and the move is never repeated.
+      val maxTs = base.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val sentinel = Seq((-1L, -1L, "view",
+        new java.sql.Timestamp((maxTs + 30L * 86400L * 1000000L) / 1000L)))
+        .toDF("event_id", "user_id", "event_type", "ts")
+      val stage = java.nio.file.Files.createTempDirectory("graft_sentinel_")
+      try {
+        sentinel.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(stage).iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq.headOption
+          .foreach { part =>
+            val dest = t.resolve("slice-99.parquet")
+            java.nio.file.Files.move(part, dest)
+            java.nio.file.Files.setLastModifiedTime(dest,
+              java.nio.file.attribute.FileTime.fromMillis(
+                System.currentTimeMillis() - 3000000L))
+          }
+      } finally rmTree(stage)
+      t
+    }
+    val stream = spark.readStream
+      .schema("event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
+    runToMemory(clickAttributionUnordered(stream.as[RawEvent]).toDF(),
+      "asof_parity_sink", OutputMode.Append())
+      .filter(col("user_id") >= 0L)
+      .select(col("event_id"), col("user_id"),
+        col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+        col("last_click_ts").cast("timestamp_ntz").as("last_click_ts"))
+      .orderBy("event_id")
+      .localCheckpoint()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
