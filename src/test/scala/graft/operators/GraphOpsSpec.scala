@@ -52,7 +52,9 @@ class GraphOpsSpec extends SparkSpec {
       assert(r.getLong(0) == 7L, "n_nodes")
       assert(r.getLong(1) == 8L, "n_edges")
       assert(r.getLong(2) == 4L, s"parts=$parts: K4 has exactly 4 triangles")
-      assert(r.getLong(3) == 15L, "n_wedges")
+      // n_wedges is DECIMAL(38,0) — the wedge total itself outgrows
+      // BIGINT on skewed 100 TB graphs (r11 advice)
+      assert(r.getDecimal(3).longValueExact() == 15L, "n_wedges")
       assert(r.getLong(4) == 3L * 4L * 1000000L / 15L, "cc_micro")
     }
   }
