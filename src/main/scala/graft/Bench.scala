@@ -508,8 +508,13 @@ object Bench {
     // host steal the guest loadavg can't — lands within 1.2× of the
     // capture's own calib baseline, and the capture keeps the MINIMUM
     // of the runs.
+    // One repo dir for EVERY artifact path (records, round tag, prior
+    // mins, sentinel, snapshot): the launch cwd — sbt forks with cwd =
+    // the build root — so a foreign-checkout run keeps all its
+    // artifacts together instead of splitting them with /root/repo.
+    val repoDir = new java.io.File(sys.props.getOrElse("user.dir", "."))
     def priorMins(): Map[String, Double] = try {
-      val dir = new java.io.File("/root/repo")
+      val dir = repoDir
       val pair = """"((?:q_|algo_|sf1_)[A-Za-z0-9_]+)":(-?[0-9.]+)""".r
       // parse ONLY the "queries" map — the bare key regex also matches
       // entries of query_load/query_calib (~0.02s probe stamps), which
@@ -619,13 +624,13 @@ object Bench {
     // (round inferred from the latest driver-written BENCH_r{N}.json)
     val roundTag = try {
       val re = "BENCH_r(\\d+)\\.json".r
-      val ns = Option(new java.io.File("/root/repo").list()).toSeq.flatten
+      val ns = Option(repoDir.list()).toSeq.flatten
         .collect { case re(n) => n.toInt }
       if (ns.isEmpty) "" else f"_r${ns.max + 1}%02d"
     } catch { case _: Throwable => "" }
     val outPaths = Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_LOCAL.json")) ++
-      (if (roundTag.nonEmpty) Seq(s"/root/repo/BENCH_LOCAL$roundTag.json") else Nil)
+      s"$repoDir/BENCH_LOCAL.json")) ++
+      (if (roundTag.nonEmpty) Seq(s"$repoDir/BENCH_LOCAL$roundTag.json") else Nil)
     // Contention guard (judge r6 ask #2): a capture that started loaded
     // must never overwrite an idle capture — r06's 19.3-load record buried
     // the real 503s signal under a 1966s one. Loaded runs land in a
@@ -666,15 +671,23 @@ object Bench {
     val compactQs = algoF.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_entries":${all.size},"calib_sec":${r3(calibSec)},"loadavg_start":$loadStart,"ratio_median":$ratioMed,"queries":$compactQs,"full_record":"BENCH_LOCAL$roundTag.json"}"""
+    // Sentinel copy BEFORE the snapshot step so the round's snapshot
+    // commit carries THIS run's summary (it used to be written after,
+    // so the committed sentinel was always one run stale). Subset runs
+    // divert to _partial like every other record path — a
+    // BENCH_ONLY dev run must not clobber the full-round sentinel.
+    val sentinelName =
+      if (isSubset) "BENCH_SUMMARY_partial.json" else "BENCH_SUMMARY.json"
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(repoDir.getPath, sentinelName), summary + "\n")
+    catch { case _: Throwable => }
     // Post-step: snapshot-commit the round artifacts (judge r10 ask #2,
     // 4th consecutive flag). A FULL capture is the last thing the round
     // driver runs that can still commit, and CORRECTNESS_r{N}.json is
     // already on disk by then — committing here leaves only the
     // driver's own post-hoc BENCH_r{N}.json stdout capture untracked.
-    // The repo dir is the launch cwd (sbt forks with cwd = the build
-    // root), guarded by the script's presence so a foreign-checkout run
-    // never commits the wrong repo; SPARK_GRAFT_SNAPSHOT=0 opts out.
-    val repoDir = new java.io.File(sys.props.getOrElse("user.dir", "."))
+    // Guarded by the script's presence so a foreign-checkout run never
+    // commits the wrong repo; SPARK_GRAFT_SNAPSHOT=0 opts out.
     val snapScript = new java.io.File(repoDir, "tools/snapshot_round.sh")
     if (!isSubset && snapScript.isFile &&
         sys.env.getOrElse("SPARK_GRAFT_SNAPSHOT", "1") != "0") {
@@ -694,13 +707,10 @@ object Bench {
     // summary. Three-part fix: silence Spark before stop (covers its
     // shutdown hooks too), print the compact summary as the absolute
     // last statement, and build.sbt turns off sbt's success/timing
-    // trailer lines. A sentinel file copy backstops the tail parse.
+    // trailer lines. The sentinel file (written above, pre-snapshot)
+    // backstops the tail parse.
     try spark.sparkContext.setLogLevel("OFF") catch { case _: Throwable => }
     spark.stop()
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(repoDir.getPath, "BENCH_SUMMARY.json"),
-      summary + "\n")
-    catch { case _: Throwable => }
     println(summary)
     System.out.flush()
   }

@@ -60,9 +60,18 @@ object Components {
         // from the session conf at call time — ensure a checkpoint dir
         // exists so the interval (set in the session builders) engages.
         val sc = spark.sparkContext
-        if (sc.getCheckpointDir.isEmpty)
-          sc.setCheckpointDir(
-            java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
+        if (sc.getCheckpointDir.isEmpty) {
+          val ckpt = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+          sc.setCheckpointDir(ckpt.toString)
+          // Spark doesn't delete checkpoint files on exit
+          // (cleanCheckpoints defaults false) — reap the dir we created
+          Runtime.getRuntime.addShutdownHook(new Thread(() => {
+            import scala.jdk.CollectionConverters._
+            try java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq
+              .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+            catch { case _: Exception => }
+          }))
+        }
         val g = Graph.fromEdges(
           e.as[(Long, Long)].rdd.map { case (s, t) => Edge(s, t, ()) }, (),
           vertexStorageLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

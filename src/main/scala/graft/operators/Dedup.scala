@@ -221,14 +221,18 @@ object Dedup {
     // Candidate generation rides 64-BIT SHINGLE HASHES, not the 3-word
     // strings (r11 ask #5: the 10× wall ratio was the two corpus-sized
     // shuffles — df join + per-doc rank — carrying ~25-byte strings).
-    // Lossless: PPJoin's prefix guarantee holds under ANY global total
-    // order on tokens (here df asc, hash asc at hash grain); hash-grain
-    // Jaccard ≥ string-grain Jaccard (collisions only MERGE tokens, so
-    // intersections can only grow and unions shrink), so every pair at
-    // J_string ≥ t also clears the hash-grain prefix/length/positional
-    // prunes; the verify stage re-checks true string Jaccard. Per-doc
-    // array_distinct keeps the hash-grain SET semantics airtight even
-    // under a within-doc collision.
+    // PPJoin's prefix guarantee holds under ANY global total order on
+    // tokens (here df asc, hash asc at hash grain), and the verify
+    // stage re-checks true string Jaccard, so candidate generation at
+    // hash grain is lossless UP TO 64-bit collisions: a collision
+    // between two distinct shingles usually RAISES hash-grain Jaccard
+    // (false merges grow intersections), but a collision between two
+    // shingles already inside a pair's intersection shrinks both |A∩B|
+    // and |A∪B| by one and can lower J_hash below t (e.g. A={a,b,x},
+    // B={a,b,y}, h(a)=h(b): 1/2 → 1/3) — a ~2⁻⁶⁴-per-token-pair false
+    // negative, the standard fingerprinting trade (same class as the
+    // exact-dedup 56-bit hash). Per-doc array_distinct keeps hash-grain
+    // SET semantics exact even under a within-doc collision.
     val hsh = sh.select(col("doc_id"),
       array_distinct(transform(col("sh"), x => xxhash64(x))).as("hs"))
     val ex = hsh.select(col("doc_id"), explode(col("hs")).as("s"))

