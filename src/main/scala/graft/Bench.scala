@@ -57,6 +57,30 @@ object Bench {
       best
     }
     System.err.println(f"[bench] calib_sec $calibSec%.3f (single-thread xorshift, best of 3)")
+    // SIMD dgemm throughput alongside the scalar calib: the flops-bound
+    // entries (algo_gmm_full ≈ 3·10¹² flops) swing ±30% round-to-round
+    // purely with host BLAS speed (measured 13.8 vs 10.4 GFlop/s on
+    // different days at idle) — a swing the scalar xorshift probe does
+    // NOT see. Recording it makes those swings attributable.
+    val blasGflops: Double = try {
+      val blas = dev.ludovic.netlib.blas.BLAS.getInstance()
+      val p = 100; val kp = 5000; val b = 1024
+      val a = Array.fill(kp * p)(1.0); val x = Array.fill(p * b)(1.0)
+      val g = new Array[Double](kp * b)
+      blas.dgemm("N", "N", kp, b, p, 1.0, a, 0, kp, x, 0, p, 0.0, g, 0, kp)
+      var best = Double.MaxValue
+      for (_ <- 0 until 3) {
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < 3) {
+          blas.dgemm("N", "N", kp, b, p, 1.0, a, 0, kp, x, 0, p, 0.0, g, 0, kp)
+          i += 1
+        }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      math.round(3.0 * 2 * kp.toDouble * p * b / best / 1e9 * 10) / 10.0
+    } catch { case _: Throwable => -1.0 }
+    System.err.println(f"[bench] blas_gflops $blasGflops%.1f (SIMD dgemm, best of 3)")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -616,7 +640,7 @@ object Bench {
       s""","retimed_orig":${numMap(retimed.map { case (k, (o, _)) => k -> o })}""" +
       s""","retime_load":${numMap(retimeLoad)}""" +
       s""","retime_probe":${numMap(retimeProbe)}"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":"$loadavg","loadavg_start":$loadStart,"calib_sec":$calibSec$ctx}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":"$loadavg","loadavg_start":$loadStart,"calib_sec":$calibSec,"blas_gflops":$blasGflops$ctx}"""
     println(json)
     // stdout tails get truncated by the driver (BENCH_r02's cut mid-JSON);
     // the file copy keeps rounds comparable, and a per-round copy keeps
@@ -670,7 +694,7 @@ object Bench {
       else ratioVals(ratioVals.length / 2)
     val compactQs = algoF.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_entries":${all.size},"calib_sec":${r3(calibSec)},"loadavg_start":$loadStart,"ratio_median":$ratioMed,"queries":$compactQs,"full_record":"BENCH_LOCAL$roundTag.json"}"""
+    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_entries":${all.size},"calib_sec":${r3(calibSec)},"loadavg_start":$loadStart,"blas_gflops":$blasGflops,"ratio_median":$ratioMed,"queries":$compactQs,"full_record":"BENCH_LOCAL$roundTag.json"}"""
     // Sentinel copy BEFORE the snapshot step so the round's snapshot
     // commit carries THIS run's summary (it used to be written after,
     // so the committed sentinel was always one run stale). Subset runs
