@@ -145,6 +145,52 @@ object TextAnalysis {
   def sequencePack(spark: SparkSession, dir: String): DataFrame =
     sequencePackDf(Tables.documents(spark, dir), PackBudget)
 
+  val ChunkSize = 32L
+  val ChunkOverlap = 8L
+
+  /** RAG-style overlapping chunking — the retrieval-index preparation
+    * step [[sequencePack]] deliberately is not: each document's token
+    * stream is cut into windows of `c` tokens advancing by stride
+    * s = c − o, so every window keeps `o` tokens of left context and no
+    * boundary-straddling phrase is lost to a cut. A doc with nt ≤ c is
+    * one chunk; otherwise ceil((nt−c)/s)+1 windows, the last shortened
+    * to the tail. The gate aggregates to the source grain with an EXACT
+    * per-chunk content term: sum over chunks of hash56(rejoined window)
+    * — any off-by-one in a window boundary flips the hash sum.
+    *
+    * Scale: pure per-row generation — tokenize → explode a bounded
+    * `sequence(0, n_chunks−1)` (fan-out ≤ c/s ≈ 1.33× the corpus, never
+    * quadratic) → map-side partial agg; the only shuffle is the few-row
+    * source rollup. The 2^56-scale hash addends ride a DECIMAL(38,0)
+    * sum, which cannot wrap below ~10^21 chunks. */
+  def chunkOverlapDf(docs: DataFrame, c: Long, o: Long): DataFrame = {
+    val s = c - o
+    val exploded = docs
+      .select(col("source"), words.as("w"))
+      .withColumn("nt", size(col("w")).cast("long"))
+      .withColumn("n_chunks",
+        when(col("nt") <= c, lit(1L))
+          .otherwise(expr(s"(nt - $c + $s - 1) div $s") + 1L))
+      .select(col("source"), col("w"), col("nt"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("i"))
+      .withColumn("chunk_len", least(lit(c), col("nt") - col("i") * s))
+      .withColumn("chunk_hash", hash56(array_join(
+        slice(col("w"), (col("i") * s + 1).cast("int"), col("chunk_len").cast("int")),
+        " ")))
+    exploded.groupBy("source")
+      .agg(sum(when(col("i") === 0, 1L)).cast("long").as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("i") === 0, col("nt"))).cast("long").as("total_tokens"),
+        sum(col("chunk_len")).cast("long").as("tok_emitted"),
+        round(sum(col("chunk_len")).cast("double") /
+          sum(when(col("i") === 0, col("nt"))), 4).as("overlap_factor"),
+        sum(col("chunk_hash").cast("decimal(38,0)")).as("chunk_hash_sum"))
+      .orderBy("source")
+  }
+
+  def chunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    chunkOverlapDf(Tables.documents(spark, dir), ChunkSize, ChunkOverlap)
+
   /** Exact heavy hitters — vocabulary items with frequency > N/(k+1),
     * with EXACT counts — via the two-pass distributed Misra-Gries
     * pattern. Pass 1 runs a k-counter Misra-Gries summary per partition
@@ -1562,6 +1608,7 @@ object TextAnalysis {
     "q_corpus_curate" -> (corpusCurate _),
     "q_corpus_sample" -> (corpusSample _),
     "q_seq_pack" -> (sequencePack _),
+    "q_chunk_overlap" -> (chunkOverlap _),
     "q_gopher_repetition" -> (gopherRepetition _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_token_budget_select" -> (tokenBudgetSelect _),
@@ -1911,6 +1958,30 @@ object TextAnalysis {
          |  round(count(*)::DOUBLE / (max((s + nt - 1) // 2048) + 1), 4)
          |    AS avg_docs_per_pack
          |FROM c""".stripMargin,
+    "q_chunk_overlap" ->
+      s"""WITH d AS (SELECT source, $wordsSql AS w FROM documents),
+         |g AS (SELECT source, w, len(w)::BIGINT AS nt,
+         |    CASE WHEN len(w) <= $ChunkSize THEN 1
+         |      ELSE (len(w) - $ChunkSize + ${ChunkSize - ChunkOverlap - 1})
+         |        // ${ChunkSize - ChunkOverlap} + 1 END AS n_chunks
+         |  FROM d),
+         |x AS (SELECT source, w, nt, unnest(range(n_chunks)) AS i FROM g),
+         |ch AS (SELECT source, nt, i,
+         |    least($ChunkSize, nt - i * ${ChunkSize - ChunkOverlap}) AS chunk_len,
+         |    array_to_string(w[(i * ${ChunkSize - ChunkOverlap} + 1):
+         |      (i * ${ChunkSize - ChunkOverlap}
+         |       + least($ChunkSize, nt - i * ${ChunkSize - ChunkOverlap}))], ' ')
+         |      AS chunk_text
+         |  FROM x)
+         |SELECT source,
+         |  sum(CASE WHEN i = 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs,
+         |  count(*)::BIGINT AS n_chunks,
+         |  sum(CASE WHEN i = 0 THEN nt ELSE 0 END)::BIGINT AS total_tokens,
+         |  sum(chunk_len)::BIGINT AS tok_emitted,
+         |  round(sum(chunk_len)::DOUBLE
+         |    / sum(CASE WHEN i = 0 THEN nt END), 4) AS overlap_factor,
+         |  sum(${hash56Sql("chunk_text")}::DECIMAL(38,0)) AS chunk_hash_sum
+         |FROM ch GROUP BY source ORDER BY source""".stripMargin,
     "q_gopher_repetition" ->
       s"""WITH d AS (SELECT doc_id, $wordsSql AS w FROM documents),
          |g AS (SELECT doc_id, w, len(w) AS n_words,

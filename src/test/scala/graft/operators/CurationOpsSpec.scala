@@ -279,6 +279,35 @@ class CurationOpsSpec extends SparkSpec {
     assert(r("c") == ((1L, 5L, 5L)), "1 row replicated 5x")
   }
 
+  test("chunkOverlap: stride c-o windows, shortened tail, exact hash sum") {
+    val spark2 = spark
+    import spark2.implicits._
+    // c=8, o=2 (stride 6): 20 tokens -> chunks [1..8][7..14][13..20];
+    // 9 tokens -> [1..8][7..9] (tail shortened to 3); 5 tokens -> itself.
+    val w20 = (1 to 20).map(i => s"w$i")
+    val t9 = (1 to 9).map(i => s"t$i")
+    val docs = Seq(
+      ("s", 0L, w20.mkString(" ")),
+      ("s", 1L, t9.mkString(" ")),
+      ("s", 2L, "a b c d e")
+    ).toDF("source", "doc_id", "text")
+    val r = TextAnalysis.chunkOverlapDf(docs, c = 8, o = 2).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getLong(1) == 3L, "n_docs")
+    assert(row.getLong(2) == 6L, "n_chunks: 3 + 2 + 1")
+    assert(row.getLong(3) == 34L, "total_tokens")
+    assert(row.getLong(4) == 40L, "tok_emitted: 24 + 11 + 5")
+    assert(row.getDouble(5) == math.rint(40.0 / 34.0 * 1e4) / 1e4)
+    val expChunks = Seq(
+      w20.slice(0, 8), w20.slice(6, 14), w20.slice(12, 20),
+      t9.slice(0, 8), t9.slice(6, 9), Seq("a", "b", "c", "d", "e"))
+    val expHash = expChunks
+      .map(ts => BigDecimal(Sketches.hash56Jvm(ts.mkString(" ")))).sum
+    assert(BigDecimal(row.getDecimal(6)) == expHash,
+      "per-chunk content hash sum must match the hand-joined windows")
+  }
+
   test("piiRedact's injected synthetics match the recognizers exactly") {
     val spark2 = spark
     import spark2.implicits._
