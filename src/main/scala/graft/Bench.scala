@@ -508,7 +508,11 @@ object Bench {
         // ScaleWindows — the range-partitioned prefix sum over the
         // ~row-cardinality exact-cents value grain must scale with the
         // grain, never funnel one task
-        "q_mann_whitney", "q_kruskal_wallis")
+        "q_mann_whitney", "q_kruskal_wallis",
+        // round-12: RAG chunking's explode fan-out is bounded at
+        // c/(c-o) ≈ 1.33× rows — the ratio must track the scan, and the
+        // DECIMAL(38,0) hash sum is past BIGINT range at this corpus
+        "q_chunk_overlap")
       val heavy = if (sf1Only.nonEmpty) heavyAll.filter(sf1Only) else heavyAll
       val runs = heavy.map { n =>
         val k = s"sf1_$n"
