@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.TextFns.{hash56, hash56Sql}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -713,7 +714,66 @@ object Graph {
       .selectExpr("m", "same_nation", "CAST(sum_ab_d AS BIGINT) AS sum_ab", "r_micro")
   }
 
+  val RwWalksPerNode = 2
+  val RwSteps = 4
+
+  /** Deterministic DeepWalk-style random-walk corpus over the
+    * supplier–customer graph: [[RwWalksPerNode]] walks start at every
+    * node and advance [[RwSteps]] hops; the next hop from node v at
+    * step t of walk w is the (hash56(w:t:v) mod deg(v))-th entry of
+    * v's SORTED neighbor list — a portable integer pick both engines
+    * replay exactly (no RNG state). This is the corpus-generation step
+    * for skip-gram graph embeddings (DeepWalk/node2vec p=q=1); the
+    * gate pins every visited node via a per-walk path-string hash56
+    * summed in DECIMAL(38,0).
+    *
+    * Scale: the adjacency is built ONCE as a CSR-style sorted
+    * neighbor-list table, node-partitioned and cached; each step joins
+    * the (nodes×walks)-sized frontier into that fixed layout and picks
+    * locally with `element_at` — per-step shuffle is frontier-only,
+    * never edges (the [[pageRank]] posture). A 100 TB hub node's list
+    * row is bounded by max-degree; past the single-row limit the list
+    * would segment into (node, segment) rows with the pick addressing
+    * segment = idx DIV segLen — the same layout Similarity's IVF cells
+    * use. */
+  def randomWalks(spark: SparkSession, dir: String): DataFrame =
+    randomWalksPairs(scPairs(spark, dir))
+
+  /** Core over any distinct bipartite (s, c) pair frame. */
+  private[graft] def randomWalksPairs(e: DataFrame): DataFrame = {
+    val edges = e.select(col("s").as("src"), (col("c") + CustOffset).as("dst"))
+      .union(e.select((col("c") + CustOffset).as("src"), col("s").as("dst")))
+    val adj = edges.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    var walks = adj.select(col("src"),
+        explode(sequence(lit(0L), lit(RwWalksPerNode - 1L))).as("k"))
+      .select((col("src") * RwWalksPerNode + col("k")).as("walk_id"),
+        col("src").as("cur"), col("src").cast("string").as("path"))
+    for (t <- 1 to RwSteps) {
+      walks = walks.join(adj, walks("cur") === adj("src"))
+        .withColumn("nxt", element_at(col("nbrs"),
+          (pmod(hash56(concat_ws(":", col("walk_id"), lit(t), col("cur"))),
+            size(col("nbrs"))) + 1).cast("int")))
+        .select(col("walk_id"), col("nxt").as("cur"),
+          concat(col("path"), lit("-"), col("nxt").cast("string")).as("path"))
+    }
+    val out = walks
+      .withColumn("node_type",
+        when(col("walk_id") >= CustOffset * RwWalksPerNode, lit("cust"))
+          .otherwise(lit("supp")))
+      .groupBy("node_type")
+      .agg(count(lit(1)).as("n_walks"),
+        countDistinct(col("cur")).as("n_terminals"),
+        sum(hash56(col("path")).cast("decimal(38,0)")).as("path_hash_sum"))
+      .orderBy("node_type")
+      .localCheckpoint(true)
+    adj.unpersist(false)
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_random_walks" -> (randomWalks _),
     "q_modularity" -> (modularity _),
     "q_assortativity" -> (assortativity _),
     "q_closeness" -> (closeness _),
@@ -729,6 +789,31 @@ object Graph {
     "q_kcore" -> (kCore _))
 
   val oracles: Map[String, String] = Map(
+    "q_random_walks" -> {
+      val steps = (1 to RwSteps).map { t =>
+        s"""w$t AS (SELECT walk_id, nxt AS cur, path || '-' || nxt::VARCHAR AS path
+           |  FROM (SELECT w.walk_id, w.path,
+           |      adj.nbrs[1 + (${hash56Sql(s"w.walk_id::VARCHAR || ':$t:' || w.cur::VARCHAR")}
+           |        % len(adj.nbrs))::INT] AS nxt
+           |    FROM w${t - 1} w JOIN adj ON adj.src = w.cur))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT DISTINCT l_suppkey::BIGINT AS s, o_custkey::BIGINT AS c
+         |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |ed AS (SELECT s AS src, c + $CustOffset AS dst FROM e
+         |  UNION ALL SELECT c + $CustOffset, s FROM e),
+         |adj AS MATERIALIZED (SELECT src, list(dst ORDER BY dst) AS nbrs
+         |  FROM ed GROUP BY src),
+         |w0 AS (SELECT src * $RwWalksPerNode + k AS walk_id, src AS cur,
+         |    src::VARCHAR AS path
+         |  FROM adj CROSS JOIN (SELECT unnest(range($RwWalksPerNode)) AS k) ks),
+         |$steps
+         |SELECT CASE WHEN walk_id >= ${CustOffset * RwWalksPerNode} THEN 'cust'
+         |    ELSE 'supp' END AS node_type,
+         |  count(*)::BIGINT AS n_walks,
+         |  count(DISTINCT cur)::BIGINT AS n_terminals,
+         |  sum(${hash56Sql("path")}::DECIMAL(38,0)) AS path_hash_sum
+         |FROM w$RwSteps GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q_modularity" -> {
       val passes = (1 to LpaIters).map { k =>
         s"""c$k AS MATERIALIZED (SELECT ed.v, l.lbl, count(*) AS c

@@ -288,4 +288,51 @@ class GraphOpsSpec extends SparkSpec {
       ("cust", 10L, 13L)) // 1→c20→s2→c10 (beats direct 100)
     assert(got == expect, s"$got")
   }
+
+  test("randomWalks: degree-1 cycle forces the path; hash picks replay") {
+    val spark2 = spark
+    import spark2.implicits._
+    val off = Graph.CustOffset
+    // Degree-1 fixture: s1↔c1, s2↔c2 — every hop is forced, so the
+    // paths are literal ping-pongs and the hash pick (x mod 1 = 0)
+    // cannot influence them.
+    // Independent in-memory replay of the spec'd walk rule.
+    def replay(adj: Map[Long, Seq[Long]], start: Long, wid: Long): String = {
+      var cur = start
+      val sb = new StringBuilder(start.toString)
+      for (t <- 1 to Graph.RwSteps) {
+        val nbrs = adj(cur)
+        val pick = (Sketches.hash56Jvm(s"$wid:$t:$cur") % nbrs.size).toInt
+        cur = nbrs(pick)
+        sb.append('-').append(cur)
+      }
+      sb.toString
+    }
+    def expected(pairs: Seq[(Long, Long)]): Map[String, (Long, Long, BigDecimal)] = {
+      val edges = pairs.flatMap { case (s, c) =>
+        Seq((s, c + off), (c + off, s)) }
+      val adj = edges.groupBy(_._1).map { case (k, v) =>
+        k -> v.map(_._2).distinct.sorted.toSeq }
+      val walks = for {
+        node <- adj.keys.toSeq
+        k <- 0 until Graph.RwWalksPerNode
+      } yield {
+        val wid = node * Graph.RwWalksPerNode + k
+        (node, wid, replay(adj, node, wid))
+      }
+      walks.groupBy { case (n, _, _) => if (n >= off) "cust" else "supp" }
+        .map { case (ty, ws) =>
+          val terms = ws.map(_._3.split('-').last).distinct.size.toLong
+          val hsum = ws.map(w => BigDecimal(Sketches.hash56Jvm(w._3))).sum
+          ty -> ((ws.size.toLong, terms, hsum))
+        }
+    }
+    for (pairs <- Seq(Seq((1L, 1L), (2L, 2L)),
+        Seq((1L, 1L), (1L, 2L)))) { // node 1 has degree 2 → real picks
+      val got = Graph.randomWalksPairs(pairs.toDF("s", "c")).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), BigDecimal(r.getDecimal(3))))).toMap
+      assert(got == expected(pairs), s"pairs=$pairs got=$got")
+    }
+  }
 }
