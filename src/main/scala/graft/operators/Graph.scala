@@ -739,8 +739,11 @@ object Graph {
   def randomWalks(spark: SparkSession, dir: String): DataFrame =
     randomWalksPairs(scPairs(spark, dir))
 
-  /** Core over any distinct bipartite (s, c) pair frame. */
-  private[graft] def randomWalksPairs(e: DataFrame): DataFrame = {
+  /** The pre-aggregate walk frontier: (final-hop walks, cached CSR
+    * adjacency). Exposed so PlanAssert-style specs can pin the claim
+    * that each hop shuffles ONLY the frontier — the caller owns the
+    * returned adjacency's unpersist. */
+  private[graft] def walkFrontier(e: DataFrame): (DataFrame, DataFrame) = {
     val edges = e.select(col("s").as("src"), (col("c") + CustOffset).as("dst"))
       .union(e.select((col("c") + CustOffset).as("src"), col("s").as("dst")))
     val adj = edges.groupBy("src")
@@ -758,6 +761,12 @@ object Graph {
         .select(col("walk_id"), col("nxt").as("cur"),
           concat(col("path"), lit("-"), col("nxt").cast("string")).as("path"))
     }
+    (walks, adj)
+  }
+
+  /** Core over any distinct bipartite (s, c) pair frame. */
+  private[graft] def randomWalksPairs(e: DataFrame): DataFrame = {
+    val (walks, adj) = walkFrontier(e)
     val out = walks
       .withColumn("node_type",
         when(col("walk_id") >= CustOffset * RwWalksPerNode, lit("cust"))

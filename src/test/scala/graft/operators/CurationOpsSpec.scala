@@ -308,6 +308,30 @@ class CurationOpsSpec extends SparkSpec {
       "per-chunk content hash sum must match the hand-joined windows")
   }
 
+  test("chunkOverlap plan: no join, single rollup exchange before the output sort") {
+    val spark2 = spark
+    import spark2.implicits._
+    val conf = spark.conf
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = (0 until 100)
+        .map(i => ("s" + (i % 3), i.toLong, Seq.fill(50)("tok").mkString(" ")))
+        .toDF("source", "doc_id", "text")
+      val plan = TextAnalysis.chunkOverlapDf(docs, c = 8, o = 2)
+        .queryExecution.executedPlan
+      val s = plan.toString
+      assert(!s.contains("Join"), s"chunking is per-row generation, got:\n$s")
+      // scan → explode → map-side partial agg → ONE hash exchange to the
+      // source grain → final agg, plus only the few-row output sort
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.size <= 2,
+        s"expected the rollup exchange (+ output sort) only, got ${exchanges.size}:\n$s")
+    } finally conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("piiRedact's injected synthetics match the recognizers exactly") {
     val spark2 = spark
     import spark2.implicits._

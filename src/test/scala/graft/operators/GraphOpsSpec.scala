@@ -335,4 +335,42 @@ class GraphOpsSpec extends SparkSpec {
       assert(got == expected(pairs), s"pairs=$pairs got=$got")
     }
   }
+
+  test("randomWalks plan: frontier-only shuffles, adjacency never re-exchanged") {
+    val spark2 = spark
+    import spark2.implicits._
+    val conf = spark.conf
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    val prevAuto = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pairs = Seq.tabulate(60)(i => ((i % 7).toLong, (i % 11).toLong))
+        .toDF("s", "c")
+      val (walks, adj) = Graph.walkFrontier(pairs)
+      val plan = walks.queryExecution.executedPlan
+      val s = plan.toString
+      assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+        s"walk hops must be equi-joins, got:\n$s")
+      // The cached CSR adjacency is read once per hop (plus the walk
+      // seeding) WITHOUT ever being re-shuffled: the cache scan is an
+      // exchange-free leaf, so the only exchanges in the whole frontier
+      // plan are the per-hop frontier re-distributions — at most one
+      // per hop (hop 1 reuses the seeding scan's src partitioning).
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.size <= Graph.RwSteps,
+        s"expected ≤ ${Graph.RwSteps} frontier exchanges, got ${exchanges.size}:\n$s")
+      val cacheScans = plan.collect {
+        case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c
+      }
+      assert(cacheScans.size == Graph.RwSteps + 1,
+        s"adjacency must be read from cache once per hop + seeding, got ${cacheScans.size}")
+      adj.unpersist(false)
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
+  }
 }
