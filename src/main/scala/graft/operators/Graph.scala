@@ -781,7 +781,45 @@ object Graph {
     out
   }
 
+  val SgWindow = 2
+  val SgTopK = 30
+
+  /** Skip-gram training pairs from the [[randomWalks]] corpus — the
+    * step that turns walk paths into (center, context) co-occurrence
+    * counts for embedding training (window ±[[SgWindow]], the
+    * DeepWalk/word2vec sampling grain). The pair generator is pure
+    * per-row work on the walk frame: positions explode from the split
+    * path, contexts are direct `element_at` lookups at the offset —
+    * no self-join, fan-out bounded at (steps+1)·2w per walk. Counts
+    * partial-aggregate map-side; the k best pairs ride a
+    * TakeOrderedAndProject, so the driver never sees more than k rows
+    * at any corpus size. */
+  def walkSkipgrams(spark: SparkSession, dir: String): DataFrame =
+    walkSkipgramsPairs(scPairs(spark, dir))
+
+  private[graft] def walkSkipgramsPairs(e: DataFrame): DataFrame = {
+    val (walks, adj) = walkFrontier(e)
+    val offs = (-SgWindow to SgWindow).filter(_ != 0)
+    val pairs = walks
+      .select(split(col("path"), "-").as("p"))
+      .select(col("p"), posexplode(col("p")).as(Seq("i0", "center")))
+      .select(col("p"), (col("i0") + 1).as("i"), col("center"),
+        explode(array(offs.map(lit): _*)).as("off"))
+      .where(col("i") + col("off") >= 1 && col("i") + col("off") <= size(col("p")))
+      .select(col("center").cast("long").as("center"),
+        element_at(col("p"), (col("i") + col("off")).cast("int")).cast("long")
+          .as("context"))
+    val out = pairs.groupBy("center", "context")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("center"), col("context"))
+      .limit(SgTopK)
+      .localCheckpoint(true)
+    adj.unpersist(false)
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_walk_skipgrams" -> (walkSkipgrams _),
     "q_random_walks" -> (randomWalks _),
     "q_modularity" -> (modularity _),
     "q_assortativity" -> (assortativity _),
@@ -797,31 +835,50 @@ object Graph {
     "q_connected_components" -> (connectedComponents _),
     "q_kcore" -> (kCore _))
 
+  /** Shared CTE chain replaying [[walkFrontier]]: bipartite edges,
+    * sorted-list adjacency, and the [[RwSteps]] unrolled hash-picked
+    * hops ending at w{RwSteps}. */
+  private lazy val walkCtesSql: String = {
+    val steps = (1 to RwSteps).map { t =>
+      s"""w$t AS (SELECT walk_id, nxt AS cur, path || '-' || nxt::VARCHAR AS path
+         |  FROM (SELECT w.walk_id, w.path,
+         |      adj.nbrs[1 + (${hash56Sql(s"w.walk_id::VARCHAR || ':$t:' || w.cur::VARCHAR")}
+         |        % len(adj.nbrs))::INT] AS nxt
+         |    FROM w${t - 1} w JOIN adj ON adj.src = w.cur))""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT DISTINCT l_suppkey::BIGINT AS s, o_custkey::BIGINT AS c
+       |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |ed AS (SELECT s AS src, c + $CustOffset AS dst FROM e
+       |  UNION ALL SELECT c + $CustOffset, s FROM e),
+       |adj AS MATERIALIZED (SELECT src, list(dst ORDER BY dst) AS nbrs
+       |  FROM ed GROUP BY src),
+       |w0 AS (SELECT src * $RwWalksPerNode + k AS walk_id, src AS cur,
+       |    src::VARCHAR AS path
+       |  FROM adj CROSS JOIN (SELECT unnest(range($RwWalksPerNode)) AS k) ks),
+       |$steps""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "q_random_walks" -> {
-      val steps = (1 to RwSteps).map { t =>
-        s"""w$t AS (SELECT walk_id, nxt AS cur, path || '-' || nxt::VARCHAR AS path
-           |  FROM (SELECT w.walk_id, w.path,
-           |      adj.nbrs[1 + (${hash56Sql(s"w.walk_id::VARCHAR || ':$t:' || w.cur::VARCHAR")}
-           |        % len(adj.nbrs))::INT] AS nxt
-           |    FROM w${t - 1} w JOIN adj ON adj.src = w.cur))""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS (SELECT DISTINCT l_suppkey::BIGINT AS s, o_custkey::BIGINT AS c
-         |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         |ed AS (SELECT s AS src, c + $CustOffset AS dst FROM e
-         |  UNION ALL SELECT c + $CustOffset, s FROM e),
-         |adj AS MATERIALIZED (SELECT src, list(dst ORDER BY dst) AS nbrs
-         |  FROM ed GROUP BY src),
-         |w0 AS (SELECT src * $RwWalksPerNode + k AS walk_id, src AS cur,
-         |    src::VARCHAR AS path
-         |  FROM adj CROSS JOIN (SELECT unnest(range($RwWalksPerNode)) AS k) ks),
-         |$steps
+    "q_random_walks" ->
+      s"""WITH $walkCtesSql
          |SELECT CASE WHEN walk_id >= ${CustOffset * RwWalksPerNode} THEN 'cust'
          |    ELSE 'supp' END AS node_type,
          |  count(*)::BIGINT AS n_walks,
          |  count(DISTINCT cur)::BIGINT AS n_terminals,
          |  sum(${hash56Sql("path")}::DECIMAL(38,0)) AS path_hash_sum
-         |FROM w$RwSteps GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM w$RwSteps GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_walk_skipgrams" -> {
+      val offs = (-SgWindow to SgWindow).filter(_ != 0)
+        .map(o => s"($o)").mkString(", ")
+      s"""WITH $walkCtesSql,
+         |sp AS (SELECT string_split(path, '-') AS p FROM w$RwSteps),
+         |sg AS (SELECT p[i]::BIGINT AS center, p[i + off]::BIGINT AS context
+         |  FROM sp, unnest(range(1, len(p) + 1)) AS u(i),
+         |    (VALUES $offs) v(off)
+         |  WHERE i + off BETWEEN 1 AND len(p))
+         |SELECT center, context, count(*)::BIGINT AS cnt
+         |FROM sg GROUP BY center, context
+         |ORDER BY cnt DESC, center, context LIMIT $SgTopK""".stripMargin
     },
     "q_modularity" -> {
       val passes = (1 to LpaIters).map { k =>

@@ -336,6 +336,28 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("walkSkipgrams: window pairs over forced ping-pong walks") {
+    val spark2 = spark
+    import spark2.implicits._
+    // Single pair s1↔c1: degree-1 everywhere, so all 4 walks are
+    // forced ping-pongs and the skip-gram counts are hand-derivable.
+    val a = 1L + Graph.CustOffset
+    val p1 = Seq(1L, a, 1L, a, 1L)
+    val pA = Seq(a, 1L, a, 1L, a)
+    val paths = Seq(p1, p1, pA, pA)
+    val exp = paths.flatMap { p =>
+      for {
+        i <- p.indices
+        off <- -Graph.SgWindow to Graph.SgWindow if off != 0
+        j = i + off if j >= 0 && j < p.size
+      } yield (p(i), p(j))
+    }.groupBy(identity).map { case ((c, x), hits) => (c, x, hits.size.toLong) }
+      .toSeq.sortBy { case (c, x, n) => (-n, c, x) }.take(Graph.SgTopK)
+    val got = Graph.walkSkipgramsPairs(Seq((1L, 1L)).toDF("s", "c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == exp, s"got=$got exp=$exp")
+  }
+
   test("randomWalks plan: frontier-only shuffles, adjacency never re-exchanged") {
     val spark2 = spark
     import spark2.implicits._
