@@ -20,7 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Temporal.queries ++ Layout.queries ++ Graph.queries ++
       Pii.queries ++ DataQuality.queries ++ Sketches.queries ++
-      TextAnalysis.queries ++ Dedup.queries ++
+      TextAnalysis.queries ++ Dedup.queries ++ Canary.queries ++
       Similarity.queries ++ Events.queries ++ graft.ml.MlQueries.queries ++
       graft.linalg.LinalgQueries.queries ++
       graft.streaming.StreamingGates.queries ++
@@ -43,7 +43,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Temporal.oracles ++ Layout.oracles ++ Graph.oracles ++
       Pii.oracles ++ DataQuality.oracles ++ Sketches.oracles ++
-      TextAnalysis.oracles ++ Dedup.oracles ++
+      TextAnalysis.oracles ++ Dedup.oracles ++ Canary.oracles ++
       Similarity.oracles ++ Events.oracles ++ graft.ml.MlQueries.oracles ++
       graft.linalg.LinalgQueries.oracles ++
       graft.streaming.StreamingGates.oracles ++

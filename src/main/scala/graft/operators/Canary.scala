@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-hash canary (judge r12 ask #7): one tiny constant-output gate
+  * per output-type family the 326 real gates use — BIGINT, rounded
+  * DOUBLE, STRING, DATE, TIMESTAMP_NTZ — derived deterministically from
+  * the 5-row region table. When a future driver-hash divergence appears
+  * (like r12's silent DECIMAL(38,0) rejection, which burned three
+  * otherwise value-exact gates), this row of the correctness artifact
+  * localizes WHICH type family broke in one glance.
+  *
+  * A sixth, DECIMAL(38,0) canary exists behind SPARK_GRAFT_DECIMAL_CANARY=1
+  * only: the r12 evidence is that the driver hash rejects decimal output
+  * even when bit-identical, so shipping it by default would add a known-red
+  * row to every round record. Enable it to re-probe the driver's decimal
+  * behavior on demand; tools/check.py flags it red by design.
+  */
+object Canary {
+  type Q = (SparkSession, String) => DataFrame
+
+  def typeCanary(spark: SparkSession, dir: String): DataFrame =
+    Tables.region(spark, dir)
+      .select(col("r_regionkey").cast("long").as("k"),
+        (col("r_regionkey").cast("long") * 1000000007L).as("v_long"),
+        round(col("r_regionkey").cast("double") / 7.0, 4).as("v_double"),
+        concat(lit("canary-"), col("r_regionkey").cast("string")).as("v_string"),
+        date_add(lit("2026-01-01").cast("date"),
+          col("r_regionkey").cast("int")).as("v_date"),
+        expr("timestampadd(HOUR, CAST(r_regionkey AS INT), " +
+          "TIMESTAMP_NTZ '2026-01-01 00:00:00')").as("v_ts"))
+      .orderBy("k")
+
+  /** Intentionally DECIMAL(38,0)-output — the representation the driver
+    * hash rejected in r12. Opt-in probe, never in the default gate set. */
+  def decimalCanary(spark: SparkSession, dir: String): DataFrame =
+    Tables.region(spark, dir)
+      .agg(sum(col("r_regionkey").cast("decimal(38,0)")).as("v_dec"))
+
+  private def decimalCanaryOn: Boolean =
+    sys.env.get("SPARK_GRAFT_DECIMAL_CANARY").contains("1")
+
+  val queries: Map[String, Q] =
+    Map("q_type_canary" -> (typeCanary _)) ++
+      (if (decimalCanaryOn) Map("q_decimal_canary" -> (decimalCanary _))
+       else Map.empty[String, Q])
+
+  val oracles: Map[String, String] =
+    Map("q_type_canary" ->
+      """SELECT r_regionkey::BIGINT AS k,
+        |  (r_regionkey::BIGINT * 1000000007)::BIGINT AS v_long,
+        |  round(r_regionkey::DOUBLE / 7.0, 4) AS v_double,
+        |  'canary-' || r_regionkey::VARCHAR AS v_string,
+        |  DATE '2026-01-01' + r_regionkey::INT AS v_date,
+        |  TIMESTAMP '2026-01-01 00:00:00'
+        |    + to_hours(r_regionkey::BIGINT) AS v_ts
+        |FROM region ORDER BY k""".stripMargin) ++
+      (if (decimalCanaryOn)
+        Map("q_decimal_canary" ->
+          "SELECT sum(r_regionkey::DECIMAL(38,0)) AS v_dec FROM region")
+       else Map.empty[String, String])
+}

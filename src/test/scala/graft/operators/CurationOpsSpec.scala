@@ -302,9 +302,10 @@ class CurationOpsSpec extends SparkSpec {
     val expChunks = Seq(
       w20.slice(0, 8), w20.slice(6, 14), w20.slice(12, 20),
       t9.slice(0, 8), t9.slice(6, 9), Seq("a", "b", "c", "d", "e"))
+    // the gate emits the decimal sum as exact STRING digits
     val expHash = expChunks
-      .map(ts => BigDecimal(Sketches.hash56Jvm(ts.mkString(" ")))).sum
-    assert(BigDecimal(row.getDecimal(6)) == expHash,
+      .map(ts => BigInt(Sketches.hash56Jvm(ts.mkString(" ")))).sum
+    assert(row.getString(6) == expHash.toString,
       "per-chunk content hash sum must match the hand-joined windows")
   }
 

