@@ -760,18 +760,25 @@ object Events {
 
   /** Rolling 7-day distinct active users (WAU) per day — the classic
     * sliding-distinct that has NO window-function form (exact COUNT
-    * DISTINCT over a moving frame isn't mergeable): compute the DAILY
-    * distinct (user, day) table first, fan each active-day out to the
-    * [[RollingDays]] calendar days it contributes to, and re-distinct
-    * per target day. stickiness_bp = 10⁴·DAU DIV WAU (the DAU/WAU
-    * engagement ratio), integers throughout.
+    * DISTINCT over a moving frame isn't mergeable). stickiness_bp =
+    * 10⁴·DAU DIV WAU (the DAU/WAU engagement ratio), integers
+    * throughout.
     *
-    * Scale: the raw stream collapses to the daily-active table in one
-    * partial+final distinct BEFORE the ×7 fan-out — the explosion is on
-    * users·days, never on events, and the second distinct shuffles on
-    * (day, user), the same key layout. Days with no history shorter
-    * than the window are reported as-is (partial windows, standard
-    * dashboard semantics). */
+    * Scale (r13 rebuild): instead of fanning each active day ×
+    * [[RollingDays]] and re-distincting per target day (the r12 2.3×
+    * 10×-ratio was that fanned (day, user) exchange), decompose each
+    * user's window coverage into DISJOINT calendar runs: activity day d
+    * covers [d, d+6], and consecutive activity days overlapping within
+    * the window merge seamlessly at the prev+[[RollingDays]] cut, so
+    * per (user, d) the new coverage is [max(d, prev+7), d+6] — exactly
+    * one +1/−1 boundary-delta pair. WAU(day) is then a running sum of
+    * deltas over the CALENDAR-BOUNDED day grain. Shuffle profile: one
+    * per-user lag window (events already collapsed to daily grain) +
+    * one tiny day-grain aggregate — no ×7 fan-out, no sliding
+    * re-distinct, and the only single-partition window runs over the
+    * day grain (bounded by the calendar horizon, whitelisted). Days
+    * with history shorter than the window report partial windows
+    * (standard dashboard semantics). */
   def rollingDau(spark: SparkSession, dir: String): DataFrame =
     rollingDauOf(Tables.events(spark, dir)
       .select(to_date(col("ts")).as("d"), col("user_id")).distinct())
@@ -779,15 +786,27 @@ object Events {
   /** Core over any distinct (d DATE, user_id) daily-active frame; see
     * [[rollingDau]]. */
   private[graft] def rollingDauOf(daily: DataFrame): DataFrame = {
-    val fanned = daily
-      .select(explode(sequence(lit(0), lit(RollingDays - 1))).as("off"),
-        col("d"), col("user_id"))
-      .select(date_add(col("d"), col("off")).as("wd"), col("user_id"))
-    val wau = fanned.groupBy("wd").agg(countDistinct("user_id").as("wau"))
+    val byUser = Window.partitionBy("user_id").orderBy("d")
+    val runs = daily
+      .withColumn("prev", lag(col("d"), 1).over(byUser))
+      .withColumn("lo", when(col("prev").isNull, col("d"))
+        .otherwise(greatest(col("d"), date_add(col("prev"), RollingDays))))
+      .withColumn("hi", date_add(col("d"), RollingDays - 1))
+    // prev < d ⇒ lo = max(d, prev+7) ≤ d+6 = hi always; each run is a
+    // non-empty disjoint coverage interval of its user
+    val deltas = runs.select(col("lo").as("wd"), lit(1L).as("delta"))
+      .unionAll(runs.select(date_add(col("hi"), 1).as("wd"),
+        lit(-1L).as("delta")))
+      .groupBy("wd").agg(sum("delta").as("delta"))
     val dau = daily.groupBy(col("d").as("wd")).agg(count(lit(1)).as("dau"))
-    // inner join: report only days that themselves had activity (fan-out
-    // tail days past the last active day are dashboard noise)
-    dau.join(wau, "wd")
+    // running sum evaluated over boundary ∪ activity days (WAU is
+    // constant between boundaries); report only days with activity
+    val days = deltas.join(dau, Seq("wd"), "full_outer")
+      .select(col("wd"), coalesce(col("delta"), lit(0L)).as("delta"),
+        col("dau"))
+    days
+      .withColumn("wau", sum("delta").over(Window.orderBy("wd")))
+      .filter(col("dau").isNotNull)
       .selectExpr("wd", "dau", "wau", "(dau * 10000) DIV wau AS stickiness_bp")
       .orderBy("wd")
   }

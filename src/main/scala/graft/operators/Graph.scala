@@ -347,6 +347,13 @@ object Graph {
       val keep = cur.select(explode(array(col("a"), col("b"))).as("v"))
         .groupBy("v").agg(count(lit(1)).as("d"))
         .filter(col("d") >= KcoreK).select("v")
+      // per-pass materialization is the MEASURED optimum: the r12-advice
+      // experiment of checkpointing every second peel (odd passes lazy,
+      // their census re-deriving one peel) ran 1.3-1.5× SLOWER solo at
+      // idle (q_kcore 2.79→4.13 s, sf1 7.39→9.56 s) — the semi-join
+      // shuffles re-run for the lazy census cost more than the saved
+      // edge-frame writes at every scale where the edge set still fits
+      // the block manager; keep one checkpoint per peel.
       cur = cur
         .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")

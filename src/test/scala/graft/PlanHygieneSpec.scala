@@ -45,6 +45,8 @@ class PlanHygieneSpec extends SparkSpec {
       "duration in whole days — calendar-bounded horizon"),
     "q_quantile_sketch" -> Seq("keys=[lo#" ->
       "log-histogram bucket bounds — bucket space is logarithmic in the value range"),
+    "q_rolling_dau" -> Seq("Project [coalesce(wd#" ->
+      "WAU running sum over the day-grain boundary-delta frame — calendar-bounded horizon"),
     "q_spearman" -> Seq(
       "keys=[v1#" ->
         "input is the day-grain daily rollup, so distinct v1 <= days (calendar-bounded)",
