@@ -746,18 +746,25 @@ object Graph {
     * the (nodes×walks)-sized frontier into that fixed layout and picks
     * locally with `element_at` — per-step shuffle is frontier-only,
     * never edges (the [[pageRank]] posture). Hub rows are CAPPED at
-    * [[RwSegLen]] neighbors: a node's sorted list segment-splits across
-    * (node, seg) rows and the pick addresses seg = idx DIV segLen, then
-    * idx MOD segLen inside the row (two-level hash, the layout
-    * Similarity's IVF cells use) — so a 10⁸-degree web hub never
-    * materializes a single giant array row anywhere in the plan. */
+    * [[RwSegLen]] neighbors: when a max-degree probe finds any node
+    * above the cap, the sorted list segment-splits across (node, seg)
+    * rows and the pick addresses seg = idx DIV segLen, then idx MOD
+    * segLen inside the row (two-level hash, the layout Similarity's IVF
+    * cells use) — so a 10⁸-degree web hub never materializes a single
+    * giant array row anywhere in the plan, while hub-free graphs keep
+    * the measured-faster one-join-per-hop whole-row layout (the
+    * scale-adaptive pattern Components uses for union-find vs GraphX). */
   def randomWalks(spark: SparkSession, dir: String): DataFrame =
     randomWalksPairs(scPairs(spark, dir))
 
   /** Max neighbors in one adjacency row. Degrees above this split into
     * ⌈d/segLen⌉ (node, seg) rows; below it the layout degenerates to
-    * one row per node (the gate-scale case, bit-identical picks). */
-  val RwSegLen = 4096L
+    * one row per node (bit-identical picks). 2¹⁶ longs ≈ 512 KB per
+    * row — comfortably inside any executor page budget — so only true
+    * web-scale hubs (10⁶⁺ degree) pay the two-level layout; a 4096 cap
+    * measured 2× slower by needlessly segmenting the 10×-gate graph
+    * (max degree ~7k). */
+  val RwSegLen = 65536L
 
   /** The pre-aggregate walk frontier: (final-hop walks, cached frames —
     * the per-node degree table and the segment-split CSR adjacency).
@@ -770,8 +777,57 @@ object Graph {
   private[graft] def walkFrontier(e: DataFrame, segLen: Long)
       : (DataFrame, Seq[DataFrame]) = {
     require(segLen > 0, s"segLen must be positive, got $segLen")
+    // the edge frame is CACHED before the probe: the probe and the
+    // adjacency build each need one pass, and without the cache the
+    // probe would re-derive the upstream pair join (measured 4.1/18.2 s
+    // vs 3.2/6.3 uncached-probe vs cached below)
     val edges = e.select(col("s").as("src"), (col("c") + CustOffset).as("dst"))
       .union(e.select((col("c") + CustOffset).as("src"), col("s").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // scale-adaptive layout (the Components union-find/GraphX pattern):
+    // one cheap max-degree probe (partial-aggregated scalar over the
+    // cached edges) decides whether any row would exceed segLen.
+    // Hub-free graphs keep the one-join-per-hop whole-row layout
+    // (MEASURED ~1.8× faster than the segmented plan at gate scale);
+    // a hub graph pays the two-level layout that bounds every adjacency
+    // row. Both layouts replay bit-identical picks (same sorted order,
+    // same hash rule).
+    val maxDeg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+      .agg(coalesce(max(col("d")), lit(0L))).head().getLong(0)
+    val (walks, caches) =
+      if (maxDeg <= segLen) walkFrontierWhole(edges)
+      else walkFrontierSegmented(edges, segLen)
+    (walks, edges +: caches)
+  }
+
+  /** Hub-free layout: one whole sorted neighbor-list row per node,
+    * one frontier join per hop (every row ≤ segLen by the caller's
+    * max-degree probe). */
+  private def walkFrontierWhole(edges: DataFrame)
+      : (DataFrame, Seq[DataFrame]) = {
+    val adj = edges.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    var walks = adj.select(col("src"),
+        explode(sequence(lit(0L), lit(RwWalksPerNode - 1L))).as("k"))
+      .select((col("src") * RwWalksPerNode + col("k")).as("walk_id"),
+        col("src").as("cur"), col("src").cast("string").as("path"))
+    for (t <- 1 to RwSteps) {
+      walks = walks.join(adj, walks("cur") === adj("src"))
+        .withColumn("nxt", element_at(col("nbrs"),
+          (pmod(hash56(concat_ws(":", col("walk_id"), lit(t), col("cur"))),
+            size(col("nbrs"))) + 1).cast("int")))
+        .select(col("walk_id"), col("nxt").as("cur"),
+          concat(col("path"), lit("-"), col("nxt").cast("string")).as("path"))
+    }
+    (walks, Seq(adj))
+  }
+
+  /** Hub layout: the sorted neighbor list segment-splits across
+    * (node, seg) rows of ≤ segLen entries; each hop resolves the pick
+    * in two bounded equi-joins. */
+  private def walkFrontierSegmented(edges: DataFrame, segLen: Long)
+      : (DataFrame, Seq[DataFrame]) = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
       .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
     // each neighbor's global position in its node's dst-sorted list via a

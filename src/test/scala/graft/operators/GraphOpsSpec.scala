@@ -369,7 +369,7 @@ class GraphOpsSpec extends SparkSpec {
       s"segmented layout must replay the exact spec'd picks; got=$got")
     // the hub-row bound itself: no adjacency row exceeds segLen, and the
     // degree-10 hub occupies exactly ⌈10/4⌉ = 3 (node, seg) rows
-    val segRows = caches(1).collect()
+    val segRows = caches.last.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
     assert(segRows.forall(_._3.size <= 4), "adjacency row above segLen bound")
     assert(segRows.count(_._1 == 1L) == 3, "hub must split into 3 segments")
@@ -411,29 +411,36 @@ class GraphOpsSpec extends SparkSpec {
     try {
       val pairs = Seq.tabulate(60)(i => ((i % 7).toLong, (i % 11).toLong))
         .toDF("s", "c")
-      val (walks, caches) = Graph.walkFrontier(pairs)
-      val plan = walks.queryExecution.executedPlan
-      val s = plan.toString
-      assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
-        s"walk hops must be equi-joins, got:\n$s")
-      // The cached degree table and segment-split CSR adjacency are read
-      // per hop WITHOUT ever being re-shuffled: the cache scans are
-      // exchange-free leaves, so the only exchanges in the whole frontier
-      // plan are the per-hop frontier re-distributions — at most two per
-      // hop (one to the degree layout, one to the (node, seg) layout;
-      // hop 1's degree join reuses the seeding scan's src partitioning).
-      val exchanges = plan.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      def audit(segLen: Long, maxExchanges: Int, cacheReads: Int,
+          label: String): Unit = {
+        val (walks, caches) = Graph.walkFrontier(pairs, segLen)
+        val plan = walks.queryExecution.executedPlan
+        val s = plan.toString
+        assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+          s"$label: walk hops must be equi-joins, got:\n$s")
+        // Cached adjacency frames are read per hop WITHOUT ever being
+        // re-shuffled: the cache scans are exchange-free leaves, so the
+        // only exchanges in the whole frontier plan are the per-hop
+        // frontier re-distributions (hop 1 reuses the seeding scan's
+        // src partitioning).
+        val exchanges = plan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+        assert(exchanges.size <= maxExchanges,
+          s"$label: expected ≤ $maxExchanges frontier exchanges, " +
+            s"got ${exchanges.size}:\n$s")
+        val cacheScans = plan.collect {
+          case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c
+        }
+        assert(cacheScans.size == cacheReads,
+          s"$label: adjacency must read from cache, expected $cacheReads " +
+            s"scans, got ${cacheScans.size}")
+        caches.foreach(_.unpersist(false))
       }
-      assert(exchanges.size <= 2 * Graph.RwSteps,
-        s"expected ≤ ${2 * Graph.RwSteps} frontier exchanges, got ${exchanges.size}:\n$s")
-      val cacheScans = plan.collect {
-        case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c
-      }
-      assert(cacheScans.size == 2 * Graph.RwSteps + 1,
-        s"degree (seed + per-hop) and adjacency (per-hop) must read from " +
-          s"cache, got ${cacheScans.size}")
-      caches.foreach(_.unpersist(false))
+      // hub-free fast path (max degree ≤ segLen): one join per hop
+      audit(Graph.RwSegLen, Graph.RwSteps, Graph.RwSteps + 1, "whole-row")
+      // forced segmented path: degree + (node, seg) joins per hop
+      audit(2L, 2 * Graph.RwSteps, 2 * Graph.RwSteps + 1, "segmented")
     } finally {
       conf.set("spark.sql.adaptive.enabled", prevAqe)
       conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
