@@ -13,7 +13,9 @@
 # mismatch; verdicts land in /tmp/smoke_sf01/ and SMOKE_SF01_r{N}.json)
 set -euo pipefail
 cd "$(dirname "$0")/.."
-GATES=q_chi2_select,q_embedding_drift,q_mann_whitney,q_kruskal_wallis,q_gini,q_modularity,q_assortativity,q_benford_gof,q_cochran_armitage,q_seasonal_decompose,q_chunk_overlap,q_random_walks
+# q_triangles joined in r13: its wedge sum is the same wide-DECIMAL
+# intermediate class (n_wedges output now STRING digits of that sum)
+GATES=q_chi2_select,q_embedding_drift,q_mann_whitney,q_kruskal_wallis,q_gini,q_modularity,q_assortativity,q_benford_gof,q_cochran_armitage,q_seasonal_decompose,q_chunk_overlap,q_random_walks,q_triangles
 OUT=/tmp/smoke_sf01
 SPARK_GRAFT_VERIFY_ONLY="$GATES" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
   sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $OUT"
