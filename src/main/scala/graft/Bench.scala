@@ -448,8 +448,9 @@ object Bench {
         // graph ops at 10× edges: oriented wedge join and the
         // ranks-only per-pass shuffle must scale with edges, not pairs
         "q_triangles", "q_pagerank",
-        // k-core's per-pass peel joins at 10× edges; rolling-DAU's ×7
-        // fan-out must track users·days, not the 10× event stream
+        // k-core's per-pass peel joins at 10× edges; rolling-DAU's
+        // boundary-delta pairs (r13 interval rebuild) must track
+        // users·active-days, not the 10× event stream
         "q_kcore", "q_rolling_dau",
         // round-7 additions: LPA's per-pass label shuffle at 10× edges;
         // BPE's merge passes must track the (Heaps-sublinear) vocab, not

@@ -70,7 +70,14 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String, dfCap: Int = 0): DataFrame = {
     val sh = shinglesDf(spark, dir).cache()
     val cap = if (dfCap >= 0) dfCap else autoDfCap(sh.count())
-    val exAll = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    // shingle strings collapse to 64-bit hashes BEFORE the inverted-index
+    // self-join (the r12 q_jaccard_prefix fix, 10× ratio 4.15→1.36): the
+    // candidate shuffle moves 8-byte keys instead of n-gram text, and the
+    // equi-join compares longs. Set sizes and the exact-Jaccard arithmetic
+    // are unchanged; a 2⁻⁶⁴ per-shared-shingle hash collision is the only
+    // semantic delta (the oracle's string join agrees at every gate scale).
+    val exAll = sh.select(col("doc_id"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
     val ex =
       if (cap <= 0) exAll
       else {
