@@ -525,6 +525,63 @@ object Bench {
       }
       derive ++ runs
     }
+    // One repo dir for EVERY artifact path (records, round tag, prior
+    // mins, sentinel, snapshot): the launch cwd — sbt forks with cwd =
+    // the build root — so a foreign-checkout run keeps all its
+    // artifacts together instead of splitting them with /root/repo.
+    val repoDir = new java.io.File(sys.props.getOrElse("user.dir", "."))
+    // round inferred from the latest driver-written BENCH_r{N}.json
+    val roundTag = try {
+      val re = "BENCH_r(\\d+)\\.json".r
+      val ns = Option(repoDir.list()).toSeq.flatten
+        .collect { case re(n) => n.toInt }
+      if (ns.isEmpty) "" else f"_r${ns.max + 1}%02d"
+    } catch { case _: Throwable => "" }
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    def numMap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def scaleRatios(base: Seq[(String, Double)],
+        sf1v: Seq[(String, Double)]): Seq[(String, Double)] = {
+      val bm = base.toMap
+      sf1v.collect {
+        case (k, v) if k.startsWith("sf1_") &&
+            bm.getOrElse(k.stripPrefix("sf1_"), -1.0) > 0 && v > 0 =>
+          s"ratio_$k" -> math.round(v / bm(k.stripPrefix("sf1_")) * 100) / 100.0
+      }
+    }
+    // compact machine-parseable summary — total, the BASELINE.md algo
+    // workloads, the sf1/sf0.1 scale-ratio median, a pointer to the
+    // committed full record — small enough to survive the driver's
+    // ~2KB stdout tail window intact.
+    def summaryJson(res: Seq[(String, Double)], algoSeq: Seq[(String, Double)],
+        sf1Seq: Seq[(String, Double)], provisional: Boolean): String = {
+      val ratios = scaleRatios(res, sf1Seq)
+      val all = res ++ algoSeq ++ sf1Seq ++ ratios
+      val total = all.map(_._2).filter(_ >= 0).sum
+      val ratioVals = ratios.map(_._2).sorted
+      val ratioMed = if (ratioVals.isEmpty) -1.0 else ratioVals(ratioVals.length / 2)
+      val compactQs = algoSeq.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+      val prov = if (provisional) ""","provisional":true""" else ""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_entries":${all.size},"calib_sec":${r3(calibSec)},"loadavg_start":$loadStart,"blas_gflops":$blasGflops,"ratio_median":$ratioMed$prov,"queries":$compactQs,"full_record":"BENCH_LOCAL$roundTag.json"}"""
+    }
+    val isSubset = only.nonEmpty || algoOnly.nonEmpty
+    val sentinelName =
+      if (isSubset) "BENCH_SUMMARY_partial.json" else "BENCH_SUMMARY.json"
+    // Provisional summary (judge r13 ask #1a): the r13 driver bench died
+    // INSIDE the retime pass (rc 124, parsed null — per-entry idle waits
+    // serialized for ~2h on a host that never went idle), so the driver
+    // got no number at all despite a complete main pass. Emit a full,
+    // parseable summary line the moment the main pass ends — marked
+    // provisional — and write it to the sentinel, so anything that kills
+    // the process from here on still leaves a graded capture behind.
+    val provisionalSummary = summaryJson(results, algo, sf1, provisional = true)
+    println(provisionalSummary)
+    System.out.flush()
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(repoDir.getPath, sentinelName),
+      provisionalSummary + "\n")
+    catch { case _: Throwable => }
     // Retime pass (judge r7 ask #1, rebuilt per judge r9 ask #1): the r9
     // capture proved two holes — (a) a 3×-of-best-prior trigger misses
     // 1.5–3× inflation and gives brand-new entries no trigger at all
@@ -539,11 +596,6 @@ object Bench {
     // host steal the guest loadavg can't — lands within 1.2× of the
     // capture's own calib baseline, and the capture keeps the MINIMUM
     // of the runs.
-    // One repo dir for EVERY artifact path (records, round tag, prior
-    // mins, sentinel, snapshot): the launch cwd — sbt forks with cwd =
-    // the build root — so a foreign-checkout run keeps all its
-    // artifacts together instead of splitting them with /root/repo.
-    val repoDir = new java.io.File(sys.props.getOrElse("user.dir", "."))
     def priorMins(): Map[String, Double] = try {
       val dir = repoDir
       val pair = """"((?:q_|algo_|sf1_)[A-Za-z0-9_]+)":(-?[0-9.]+)""".r
@@ -590,28 +642,46 @@ object Bench {
     // wait (bounded) before each re-run until the single-thread probe
     // itself verifies idle — loadavg alone has passed during host steal
     val retimeWaitSec = sys.env.getOrElse("SPARK_GRAFT_RETIME_WAIT", "120").toLong
+    // GLOBAL retime budget (judge r13 ask #1b): r13's driver bench was
+    // killed at rc 124 because the per-entry waits had no collective
+    // bound — 60 suspects × up to 120s idle-wait serialized into ~2h on
+    // a host that never idled. One wall-clock budget now covers the
+    // WHOLE pass: once spent, remaining suspects keep their original
+    // timings and are stamped retime_skipped (visible in the JSON), and
+    // the run proceeds to write the capture + final summary regardless.
+    val retimeBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_RETIME_BUDGET", "600").toLong
+    val retimeDeadline = System.nanoTime() + retimeBudgetSec * 1000000000L
     // microCalib runs the same xorshift loop at 1/30 the iterations of
     // the calib workload, so its solo expectation is calibSec/30
     val probeBase = calibSec / 30.0
     val retimeLoad = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val retimeProbe = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val retimed: Map[String, (Double, Double)] = suspects.map { case (n, orig) =>
-      System.err.println(f"[bench] retiming $n: $orig%.1fs" +
-        prior.get(n).map(p => f" vs prior best $p%.1fs").getOrElse(" (no prior)"))
-      val rDeadline = System.nanoTime() + retimeWaitSec * 1000000000L
-      var probe = microCalib()
-      while ((probe > 1.2 * probeBase || load1() > loadMax) &&
-          System.nanoTime() < rDeadline) {
-        System.err.println(f"[bench] retime $n: probe ${probe * 1000}%.0fms " +
-          f"(baseline ${probeBase * 1000}%.0fms) loadavg ${load1()}%.1f — waiting for true idle")
-        Thread.sleep(3000)
-        probe = microCalib()
+    val retimeSkipped = scala.collection.mutable.ArrayBuffer.empty[String]
+    val retimed: Map[String, (Double, Double)] = suspects.flatMap { case (n, orig) =>
+      if (System.nanoTime() > retimeDeadline) {
+        System.err.println(f"[bench] retime budget (${retimeBudgetSec}s) spent — keeping original $n: $orig%.1fs")
+        retimeSkipped += n
+        None
+      } else {
+        System.err.println(f"[bench] retiming $n: $orig%.1fs" +
+          prior.get(n).map(p => f" vs prior best $p%.1fs").getOrElse(" (no prior)"))
+        val rDeadline = math.min(
+          System.nanoTime() + retimeWaitSec * 1000000000L, retimeDeadline)
+        var probe = microCalib()
+        while ((probe > 1.2 * probeBase || load1() > loadMax) &&
+            System.nanoTime() < rDeadline) {
+          System.err.println(f"[bench] retime $n: probe ${probe * 1000}%.0fms " +
+            f"(baseline ${probeBase * 1000}%.0fms) loadavg ${load1()}%.1f — waiting for true idle")
+          Thread.sleep(3000)
+          probe = microCalib()
+        }
+        retimeLoad(n) = load1()
+        retimeProbe(n) = math.round(probe * 100000) / 100000.0
+        stamp(s"retime_$n")
+        val t2 = rerun(n)() // thunk self-measures its core work
+        Some(n -> (orig, t2))
       }
-      retimeLoad(n) = load1()
-      retimeProbe(n) = math.round(probe * 100000) / 100000.0
-      stamp(s"retime_$n")
-      val t2 = rerun(n)() // thunk self-measures its core work
-      n -> (orig, t2)
     }.toMap
     def finalT(n: String, t: Double): Double = retimed.get(n) match {
       case Some((_, t2)) if t2 > 0 => math.min(t, t2)
@@ -624,13 +694,7 @@ object Bench {
     // a contended numerator with an idle denominator reads as
     // super-linearity that isn't there — r7's q_sketches "11.3×" was 2.9
     // at idle)
-    val baseF = resultsF.toMap
-    val ratios = sf1F.collect {
-      case (k, v) if k.startsWith("sf1_") &&
-          baseF.getOrElse(k.stripPrefix("sf1_"), -1.0) > 0 && v > 0 =>
-        val b = baseF(k.stripPrefix("sf1_"))
-        s"ratio_$k" -> math.round(v / b * 100) / 100.0
-    }
+    val ratios = scaleRatios(resultsF, sf1F)
     val all = resultsF ++ algoF ++ sf1F ++ ratios
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -640,32 +704,24 @@ object Bench {
     // only interpretable next to the load they ran under
     val loadavg = try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
       .split(" ").take(3).mkString(" ") catch { case _: Throwable => "" }
-    def numMap(m: Iterable[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // per-query context + retime provenance: query_load/query_calib are
     // the at-start 1-min loadavg and ~30ms single-thread probe seconds;
     // retimed_orig records the pre-retime timing of every entry whose
-    // final value came from the retime pass (min of the two runs)
+    // final value came from the retime pass (min of the two runs);
+    // retime_skipped lists suspects the global budget cut off (their
+    // queries values are the UNverified originals — treat as upper bounds)
+    val skippedJson = retimeSkipped.map("\"" + _ + "\"").mkString("[", ",", "]")
     val ctx = s""","query_load":${numMap(queryLoad)}""" +
       s""","query_calib":${numMap(queryCalib)}""" +
       s""","retimed_orig":${numMap(retimed.map { case (k, (o, _)) => k -> o })}""" +
       s""","retime_load":${numMap(retimeLoad)}""" +
-      s""","retime_probe":${numMap(retimeProbe)}"""
+      s""","retime_probe":${numMap(retimeProbe)}""" +
+      s""","retime_skipped":$skippedJson"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":"$loadavg","loadavg_start":$loadStart,"calib_sec":$calibSec,"blas_gflops":$blasGflops$ctx}"""
     println(json)
     // stdout tails get truncated by the driver (BENCH_r02's cut mid-JSON);
     // the file copy keeps rounds comparable, and a per-round copy keeps
-    // deltas comparable after BENCH_LOCAL.json is overwritten next round
-    // (round inferred from the latest driver-written BENCH_r{N}.json)
-    val roundTag = try {
-      val re = "BENCH_r(\\d+)\\.json".r
-      val ns = Option(repoDir.list()).toSeq.flatten
-        .collect { case re(n) => n.toInt }
-      if (ns.isEmpty) "" else f"_r${ns.max + 1}%02d"
-    } catch { case _: Throwable => "" }
-    val outPaths = Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      s"$repoDir/BENCH_LOCAL.json")) ++
-      (if (roundTag.nonEmpty) Seq(s"$repoDir/BENCH_LOCAL$roundTag.json") else Nil)
+    // deltas comparable after BENCH_LOCAL.json is overwritten next round.
     // Contention guard (judge r6 ask #2): a capture that started loaded
     // must never overwrite an idle capture — r06's 19.3-load record buried
     // the real 503s signal under a 1966s one. Loaded runs land in a
@@ -678,14 +734,26 @@ object Bench {
       } catch { case _: Throwable => Double.MaxValue }
     // Subset guard: a BENCH_ONLY/ALGO_ONLY dev run must never replace a
     // full-suite record (a 4-query timing pass once clobbered the
-    // 196-entry round capture); partial runs land in *_partial.json.
-    val isSubset = only.nonEmpty || algoOnly.nonEmpty
+    // 196-entry round capture). Partial captures are DATED (judge r13
+    // ask #3): _partial.json used to be clobbered per run, so protocol-§4
+    // solo-audit pins vanished from the worktree and survived only in
+    // commit messages. Each subset run now writes one
+    // BENCH_LOCAL_partial_<ts>_<keys>.json that nothing overwrites.
+    val partialTag: String = {
+      val keys = (only.toSeq.sorted ++ algoOnly.toSeq.flatten).take(3)
+        .mkString("_").replaceAll("[^A-Za-z0-9_]", "").take(60)
+      val ts = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+        .format(new java.util.Date())
+      s"_partial_$ts" + (if (keys.nonEmpty) s"_$keys" else "")
+    }
+    val outPaths =
+      if (isSubset) Seq(s"$repoDir/BENCH_LOCAL$partialTag.json")
+      else Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        s"$repoDir/BENCH_LOCAL.json")) ++
+        (if (roundTag.nonEmpty) Seq(s"$repoDir/BENCH_LOCAL$roundTag.json") else Nil)
     outPaths.foreach { p0 =>
       val path0 = java.nio.file.Paths.get(p0)
-      val p = if (isSubset) {
-        System.err.println(s"[bench] subset run NOT overwriting full record $p0")
-        java.nio.file.Paths.get(p0.stripSuffix(".json") + "_partial.json")
-      } else if (loadStart > loadMax && priorLoad(path0) <= loadMax) {
+      val p = if (!isSubset && loadStart > loadMax && priorLoad(path0) <= loadMax) {
         System.err.println(s"[bench] contended capture (loadavg_start $loadStart) NOT overwriting idle record $p0")
         java.nio.file.Paths.get(p0.stripSuffix(".json") + "_contended.json")
       } else path0
@@ -695,24 +763,15 @@ object Bench {
     // The driver's per-round capture keeps only the LAST ~2KB of stdout
     // (BENCH_r*.json "tail"), so the full record above always truncates
     // mid-line and the driver's "parsed" field lands null (judge r10 ask
-    // #6). Print a compact machine-parseable summary LAST — total, the
-    // BASELINE.md algo workloads, the sf1/sf0.1 scale-ratio median, and
-    // a pointer to the committed full record — small enough to survive
-    // the tail window intact.
-    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
-    val ratioVals = ratios.map(_._2).sorted
-    val ratioMed = if (ratioVals.isEmpty) -1.0
-      else ratioVals(ratioVals.length / 2)
-    val compactQs = algoF.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_entries":${all.size},"calib_sec":${r3(calibSec)},"loadavg_start":$loadStart,"blas_gflops":$blasGflops,"ratio_median":$ratioMed,"queries":$compactQs,"full_record":"BENCH_LOCAL$roundTag.json"}"""
+    // #6). Print the compact summary LAST (post-retime, superseding the
+    // provisional line printed before the retime pass) — small enough to
+    // survive the tail window intact.
+    val summary = summaryJson(resultsF, algoF, sf1F, provisional = false)
     // Sentinel copy BEFORE the snapshot step so the round's snapshot
     // commit carries THIS run's summary (it used to be written after,
     // so the committed sentinel was always one run stale). Subset runs
     // divert to _partial like every other record path — a
     // BENCH_ONLY dev run must not clobber the full-round sentinel.
-    val sentinelName =
-      if (isSubset) "BENCH_SUMMARY_partial.json" else "BENCH_SUMMARY.json"
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(repoDir.getPath, sentinelName), summary + "\n")
     catch { case _: Throwable => }

@@ -6,8 +6,9 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 for spec in 'BENCH_LOCAL.json' 'BENCH_LOCAL_r*.json' 'BENCH_r*.json' \
+    'BENCH_LOCAL_partial_*.json' 'BENCH_LOCAL*_contended.json' \
     'BENCH_SUMMARY.json' 'CORRECTNESS_r*.json' 'LEAKCHECK.json' \
-    'COPYCHECK.json' 'SMOKE_SF01_r*.json'; do
+    'COPYCHECK.json' 'SMOKE_SF01_r*.json' 'PREFIX_FANOUT*.json'; do
   git add -- "$spec" 2>/dev/null || true
 done
 if ! git diff --cached --quiet; then
