@@ -793,10 +793,16 @@ object Events {
         .otherwise(greatest(col("d"), date_add(col("prev"), RollingDays))))
       .withColumn("hi", date_add(col("d"), RollingDays - 1))
     // prev < d ⇒ lo = max(d, prev+7) ≤ d+6 = hi always; each run is a
-    // non-empty disjoint coverage interval of its user
-    val deltas = runs.select(col("lo").as("wd"), lit(1L).as("delta"))
-      .unionAll(runs.select(date_add(col("hi"), 1).as("wd"),
-        lit(-1L).as("delta")))
+    // non-empty disjoint coverage interval of its user.
+    // Both boundary deltas of a run come out of ONE pass (explode of a
+    // 2-struct array) — a union of two selects over `runs` planned the
+    // per-user lag window (and the upstream distinct) twice unless
+    // exchange reuse happened to kick in
+    val deltas = runs
+      .select(explode(array(
+        struct(col("lo").as("wd"), lit(1L).as("delta")),
+        struct(date_add(col("hi"), 1).as("wd"), lit(-1L).as("delta")))).as("e"))
+      .select(col("e.wd").as("wd"), col("e.delta").as("delta"))
       .groupBy("wd").agg(sum("delta").as("delta"))
     val dau = daily.groupBy(col("d").as("wd")).agg(count(lit(1)).as("dau"))
     // running sum evaluated over boundary ∪ activity days (WAU is

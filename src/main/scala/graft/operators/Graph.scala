@@ -254,8 +254,13 @@ object Graph {
         // n_wedges = wd2/2 exactly (d(d−1) is even); emitted as STRING
         // digits because the wedge total passes 2⁶³ on skewed 100 TB
         // graphs (BIGINT would wrap) while the grading driver's value
-        // hash rejects DECIMAL output columns (r12's only red rows)
-        "CAST(CAST(wd2 / 2 AS DECIMAL(38,0)) AS STRING) AS n_wedges",
+        // hash rejects DECIMAL output columns (r12's only red rows).
+        // Halved by ×0.5 (DECIMAL(38,0)×DECIMAL(1,1) → DECIMAL(38,1),
+        // exact integer since wd2 is even) rather than /2, whose
+        // DECIMAL(38,6) intermediate under Spark's precision-loss rules
+        // silently NULLs above ~10³². Exact-halving headroom is 10³⁷ —
+        // 10¹⁸ nodes of average degree 10¹⁰⁄² — beyond any physical graph
+        "CAST(CAST(wd2 * 0.5 AS DECIMAL(38,0)) AS STRING) AS n_wedges",
         // ⌊a/(wd2/2)⌋ = ⌊2a/wd2⌋ exactly since wd2 is even
         """CASE WHEN wd2 = 0 THEN 0L
           |ELSE (6 * CAST(n_triangles AS DECIMAL(38,0)) * 1000000) DIV wd2

@@ -70,9 +70,9 @@ class PlanHygieneSpec extends SparkSpec {
       "per-document segment list — the rebuild IS the document, bounded by one doc's length",
     // NOT listed (sweep-invisible, bounded elsewhere): the walk gates'
     // CSR adjacency collect_list sits behind a localCheckpoint so only
-    // the checkpoint scan reaches this sweep — its RwSegLen=4096
-    // segment-split bound is asserted directly by GraphOpsSpec's
-    // "hub escape" test instead.
+    // the checkpoint scan reaches this sweep — its Graph.RwSegLen
+    // (65536 neighbors ≈ 512KB/row) segment-split bound is asserted
+    // directly by GraphOpsSpec's "hub escape" test instead.
   )
 
   private def constantChild(child: String): Boolean =
