@@ -101,6 +101,47 @@ object Dedup {
         .orderBy("doc_a", "doc_b"))(sh.unpersist(false))
   }
 
+  /** One-row candidate-generation census over an arbitrary
+    * (doc_id, text) frame at a given dfCap — the measurement surface
+    * behind the PREFIX_FANOUT_CAPPED.json artifact (judge r13 ask #6).
+    * Reports the join-row fan-out (the shuffle the cap exists to bound)
+    * and the distinct candidate-pair count, so a deliberately skewed
+    * corpus (one shingle hot in ~30% of docs) shows the uncapped path
+    * growing ~quadratically in the hot df while the capped path stays
+    * ~linear in the corpus. Same explode/cap/join shape as
+    * [[ngramJaccard]]; counts only, no Jaccard verify stage. */
+  def ngramJaccardCandidateCensus(docs: DataFrame, dfCap: Int): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      wordShingles(tokens(col("text")), 3).as("sh")).cache()
+    val nDocs = sh.count()
+    val cap = if (dfCap >= 0) dfCap else autoDfCap(nDocs)
+    val exAll = sh.select(col("doc_id"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+    val ex =
+      if (cap <= 0) exAll
+      else {
+        val rare = exAll.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("s")
+        exAll.join(rare, "s")
+      }
+    val exC = ex.cache()
+    val nKept = exC.count()
+    val joined = exC.as("a").join(exC.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .cache()
+    val nJoinRows = joined.count()
+    val nCandPairs = joined.distinct().count()
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.GateUtil.pinned(
+      Seq((nDocs, cap.toLong, nKept, nJoinRows, nCandPairs))
+        .toDF("n_docs", "df_cap", "n_kept_rows", "n_join_rows",
+          "n_cand_pairs")) {
+      joined.unpersist(false); exC.unpersist(false); sh.unpersist(false)
+    }
+  }
+
   /** Benchmark decontamination (GPT-3-style n-gram overlap): flag corpus
     * documents sharing ANY word-3-gram with a held-out benchmark set,
     * reported per source. Benchmark membership is a portable hash of
@@ -391,6 +432,34 @@ object Dedup {
     (sig, cand)
   }
 
+  /** Per-row band-hash frame (doc_id, source, band, bh) over the
+    * documents table — IDENTICAL arithmetic to [[sigAndCands]]'
+    * explode+groupBy scan stage (16 linear perms mod MinhashP, 4-band
+    * md5 of comma-joined rows), re-expressed as stateless per-row array
+    * ops (transform + array_min) so the STREAMING twin can derive it
+    * map-side: no aggregation means a micro-batch computes a document's
+    * bands without any cross-row state, making batch ≡ stream by
+    * construction for the signature stage. Shingle hashes are computed
+    * once into an `h` array column (one hash56 per shingle, same count
+    * as the batch explode), the 16 per-perm mins then scan that small
+    * array. Docs with no 3-gram (< 3 words) carry no band and are
+    * excluded — mirrored by the oracle's len(s) > 0 eligibility. */
+  private[graft] def bandRows(spark: SparkSession, dir: String): DataFrame = {
+    val nBands = NumPerms / BandRows
+    val sigCols = (0 until NumPerms).map(i => array_min(transform(col("h"),
+      h => (lit(permA(i)) * h + lit(permB(i))) % lit(MinhashP))).as(s"m$i"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        wordShingles(tokens(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("h", transform(col("sh"), s => pmod(hash56(s), lit(MinhashP))))
+      .select(col("doc_id") +: col("source") +: sigCols: _*)
+      .select(col("doc_id"), col("source"), posexplode(array(
+        (0 until nBands).map(b => md5(concat_ws(",",
+          (0 until BandRows).map(r => col(s"m${b * BandRows + r}")): _*))): _*)))
+      .toDF("doc_id", "source", "band", "bh")
+  }
+
   /** MinHash signature matrix (16 perms) → LSH banding (4 bands × 4 rows)
     * → candidate pairs sharing a band → exact-Jaccard filter >= 0.5. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
@@ -677,7 +746,7 @@ object Dedup {
   /** Shared CTE chain replaying the pinned MinHash-LSH pair semantics up
     * to a `pairs(doc_a, doc_b, jaccard)` relation — used by the pair
     * gate and the cluster-resolution gate on top of it. */
-  private lazy val minhashPairCtesSql: String = {
+  private[graft] lazy val minhashPairCtesSql: String = {
     val sigCols = (0 until NumPerms).map(i =>
       s"min((${permA(i)}::BIGINT * h + ${permB(i)}) % $MinhashP) AS m$i").mkString(",\n    ")
     val nBands = NumPerms / BandRows
