@@ -39,8 +39,19 @@ object Canary {
     Tables.region(spark, dir)
       .agg(sum(col("r_regionkey").cast("decimal(38,0)")).as("v_dec"))
 
+  /** On via env var (dev runs) OR the committed DECIMAL_CANARY_ON flag
+    * file (judge r13 ask #5: the driver's round-end verify doesn't take
+    * env vars, so probing the GRADING driver's decimal behavior needs an
+    * in-tree switch). The flag file is committed for exactly one round —
+    * r14 — to convert the r12 "driver hash rejects DECIMAL output"
+    * theory into a recorded CORRECTNESS_r14.json fact (expected: the
+    * q_decimal_canary row red on hash with rows/schema green, matching
+    * r12's q_chunk_overlap/q_random_walks/q_triangles signature), then
+    * deleted next round. */
   private def decimalCanaryOn: Boolean =
-    sys.env.get("SPARK_GRAFT_DECIMAL_CANARY").contains("1")
+    sys.env.get("SPARK_GRAFT_DECIMAL_CANARY").contains("1") ||
+      new java.io.File(sys.props.getOrElse("user.dir", "."),
+        "DECIMAL_CANARY_ON").isFile
 
   val queries: Map[String, Q] =
     Map("q_type_canary" -> (typeCanary _)) ++
