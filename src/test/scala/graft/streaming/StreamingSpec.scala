@@ -497,4 +497,31 @@ class StreamingSpec extends SparkSpec {
       .sortBy(_._1).toSeq
     assert(fin == batch, s"\nstream: $fin\nbatch:  $batch")
   }
+
+  test("streaming LSH registry flags band collisions with earlier docs across batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark2.sqlContext
+    import EventsStreaming.{BandRow, LshArrival}
+    // doc 1 registers (0,x)(1,y); doc 2 collides on (0,x) within the
+    // SAME batch — and its rows are fed FIRST, so the flag also proves
+    // the within-batch doc_id sort (arrival order, not feed order)
+    val b1 = Seq(
+      BandRow(2L, "s1", 0, "x"), BandRow(2L, "s1", 1, "z"),
+      BandRow(1L, "s0", 0, "x"), BandRow(1L, "s0", 1, "y"))
+    // doc 3 collides CROSS-batch on (1,y); doc 4 is all-new
+    val b2 = Seq(
+      BandRow(3L, "s1", 0, "w"), BandRow(3L, "s1", 1, "y"),
+      BandRow(4L, "s0", 0, "q"), BandRow(4L, "s0", 1, "r"))
+    val mem = MemoryStream[BandRow]
+    val q = EventsStreaming.lshRegistryStream(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("lsh_reg")
+      .outputMode("append").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val dup = spark2.table("lsh_reg").as[LshArrival].collect()
+      .groupBy(_.doc_id).map { case (d, rs) => d -> rs.exists(_.hit) }
+    assert(dup == Map(1L -> false, 2L -> true, 3L -> true, 4L -> false),
+      s"arrival flags $dup")
+  }
 }
