@@ -47,4 +47,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // long-session hygiene (r14): a 330-gate bench run generates
+  // thousands of whole-stage-codegen classes — headroom over the 240m
+  // default keeps the JIT compiling for the heavy entries at the END
+  // of the session (the r14 idle capture measured its late tail
+  // 1.4-1.8x above fresh-JVM solo pins with every steal probe clean)
+  "-XX:ReservedCodeCacheSize=512m",
+  // the app/SQL status stores collect per-execution plan graphs and
+  // metrics even with the UI off; at 330+ executions that is pure
+  // old-gen ballast for a bench/verify session
+  "-Dspark.ui.retainedJobs=100",
+  "-Dspark.ui.retainedStages=100",
+  "-Dspark.ui.retainedTasks=5000",
+  "-Dspark.sql.ui.retainedExecutions=20",
 )

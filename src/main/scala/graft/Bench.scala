@@ -158,6 +158,24 @@ object Bench {
       queryLoad(name) = load1()
       queryCalib(name) = math.round(microCalib() * 100000) / 100000.0
     }
+    // Block-manager sweep between timed entries (r14): the r14 idle
+    // capture measured its heavy tail 1.4-1.8× above protocol-§4 solo
+    // pins with EVERY steal probe clean (pagerank retimed 14.46 s at
+    // probe 0.97/load 0.93 vs 10.1 s solo truth) — the slowdown is
+    // in-session state, not the host: ~330 gates leak localCheckpoint
+    // RDD blocks (not visible to cacheManager) whose storage-memory
+    // residency shrinks the unified execution pool for every later
+    // entry. Nothing is shared across entries except on-disk parquet
+    // (staged streams, derived sf1 corpus), so dropping ALL cached
+    // frames + persistent RDDs between entries is semantics-free; the
+    // sweep runs OUTSIDE every timed region.
+    def sweepBlocks(): Unit = {
+      try spark.sharedState.cacheManager.clearCache()
+      catch { case _: Throwable => }
+      try spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      catch { case _: Throwable => }
+    }
     // re-runnable thunks for the post-suite retime pass; each returns
     // its own core-work seconds (judge r10 ask #1: algo_* entries were
     // structurally retime-exempt because their timed region excludes a
@@ -181,7 +199,8 @@ object Bench {
         try fn(spark, sfDir).explain("formatted")
         catch { case e: Throwable => System.err.println(e.getMessage) }
       }
-      rerun(name) = () => timeIt(materialize(fn(spark, sfDir)))
+      rerun(name) = () => { sweepBlocks(); timeIt(materialize(fn(spark, sfDir))) }
+      sweepBlocks()
       stamp(name)
       val t0 = System.nanoTime()
       val ok = try { materialize(fn(spark, sfDir)); true }
@@ -201,7 +220,8 @@ object Bench {
     // (judge r10 ask #1: thunk-less algo entries were retime-exempt)
     def algoEntry(name: String)(body: => Double): Seq[(String, Double)] =
       if (!algoSel(name)) Nil else {
-        rerun(name) = () => body
+        rerun(name) = () => { sweepBlocks(); body }
+        sweepBlocks()
         stamp(name)
         Seq(name -> body)
       }
@@ -519,7 +539,9 @@ object Bench {
       val heavy = if (sf1Only.nonEmpty) heavyAll.filter(sf1Only) else heavyAll
       val runs = heavy.map { n =>
         val k = s"sf1_$n"
-        rerun(k) = () => timeIt(materialize(SparkEntry.queries(n)(spark, sf1Dir)))
+        rerun(k) = () =>
+          { sweepBlocks(); timeIt(materialize(SparkEntry.queries(n)(spark, sf1Dir))) }
+        sweepBlocks()
         stamp(k)
         timed(k)(materialize(SparkEntry.queries(n)(spark, sf1Dir)))
       }
@@ -668,9 +690,15 @@ object Bench {
           prior.get(n).map(p => f" vs prior best $p%.1fs").getOrElse(" (no prior)"))
         val rDeadline = math.min(
           System.nanoTime() + retimeWaitSec * 1000000000L, retimeDeadline)
+        // gate on the steal PROBE only (r14): guest loadavg right after
+        // the main pass is dominated by our OWN decaying run average —
+        // queries are sequential, so the cores are free the instant the
+        // previous entry ends — and gating on it burned 55 of 60
+        // retimes' budget in the first r14 capture while every probe
+        // read clean. Loadavg is still recorded per retime (visible in
+        // retime_load) but no longer blocks.
         var probe = microCalib()
-        while ((probe > 1.2 * probeBase || load1() > loadMax) &&
-            System.nanoTime() < rDeadline) {
+        while (probe > 1.2 * probeBase && System.nanoTime() < rDeadline) {
           System.err.println(f"[bench] retime $n: probe ${probe * 1000}%.0fms " +
             f"(baseline ${probeBase * 1000}%.0fms) loadavg ${load1()}%.1f — waiting for true idle")
           Thread.sleep(3000)
