@@ -50,8 +50,11 @@ object Graph {
   def pageRank(spark: SparkSession, dir: String): DataFrame =
     pageRankPairs(scPairs(spark, dir), topK = 20)
 
-  /** Core over any distinct bipartite (s, c) pair frame; see [[pageRank]]. */
-  private[graft] def pageRankPairs(e: DataFrame, topK: Int): DataFrame = {
+  /** Core over any distinct bipartite (s, c) pair frame; see [[pageRank]].
+    * `iters` exists for the per-pass cost probe (tools.GraphProbe) —
+    * gates always run the default [[PrIters]]. */
+  private[graft] def pageRankPairs(e: DataFrame, topK: Int,
+      iters: Int = PrIters): DataFrame = {
     val edges = e.select(col("s").as("src"), (col("c") + CustOffset).as("dst"))
       .union(e.select((col("c") + CustOffset).as("src"), col("s").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
@@ -60,7 +63,7 @@ object Graph {
     val nNodes = deg.count() // one narrow job; also materializes the cache input
     val base = (PrScale * 15L / 100L) / nNodes
     var ranks = deg.select(col("src").as("node"), lit(PrScale / nNodes).as("r"))
-    for (_ <- 1 to PrIters) {
+    for (_ <- 1 to iters) {
       ranks = edgesD.join(ranks, col("src") === col("node"))
         .selectExpr("dst", "((r * 85) DIV 100) DIV d AS contrib")
         .groupBy("dst").agg(sum("contrib").as("rc"))
