@@ -328,23 +328,38 @@ object Bench {
       // driver-union-find cap, so this exercises the Pregel
       // connectedComponents path the capacity switch claims is the
       // 1000-executor plan. Input persisted outside the timing.
-      val ccx = algoEntry("algo_cc_graphx_10m") {
-        // xxhash64 endpoints give an Erdős–Rényi-ish graph (avg degree
-        // ~10, diameter ~7) — a MODULAR-ARITHMETIC formula here once
-        // collapsed to a functional graph with a 10⁵-step diameter and
-        // Pregel's lineage stack-overflowed at superstep ~2000
+      // xxhash64 endpoints give an Erdős–Rényi-ish graph (avg degree
+      // ~10, diameter ~7) — a MODULAR-ARITHMETIC formula here once
+      // collapsed to a functional graph with a 10⁵-step diameter and
+      // Pregel's lineage stack-overflowed at superstep ~2000
+      def ccEdges() = {
         val edges = spark.range(10000000).select(
           pmod(xxhash64(col("id")), lit(2000000L)).as("src"),
           pmod(xxhash64(col("id") + 10000000L), lit(2000000L)).as("dst"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        edges.count()
+        edges.count(); edges
+      }
+      // both large-graph CC regimes, measured head-to-head at 10M edges
+      // (r14: Pregel 17.3s vs dfjump 36.1s on this diameter-7 shape, so
+      // Pregel stays the default; dfjump is the high-diameter escape —
+      // O(log n) rounds on any topology vs O(diameter) supersteps)
+      val ccx = algoEntry("algo_cc_graphx_10m") {
+        val edges = ccEdges()
         val t = timeIt {
-          val v = graft.operators.Components.connected(edges)
-          v.unpersist(blocking = false) // connected() already materialized
+          val v = graft.operators.Components.connectedGraphx(edges)
+          v.unpersist(blocking = false) // already materialized
         }
         edges.unpersist(); t
       }
-      km ++ gmBoth ++ als ++ srt ++ qr ++ tr ++ sh ++ ccx
+      val ccj = algoEntry("algo_cc_dfjump_10m") {
+        val edges = ccEdges()
+        val t = timeIt {
+          val v = graft.operators.Components.connectedDfJump(edges)
+          v.unpersist(blocking = false) // already materialized
+        }
+        edges.unpersist(); t
+      }
+      km ++ gmBoth ++ als ++ srt ++ qr ++ tr ++ sh ++ ccx ++ ccj
     }
     // sf1 scale smoke (judge r3 ask #4): derive a deterministic 10×
     // corpus from the sf0.1 tables and re-time the heavy hitters —

@@ -9,9 +9,20 @@ import org.apache.spark.sql.functions._
   * resolution. Below `maxDriverEdges` a driver union-find (the
   * reference's own design, dbscan/base.py:435-454) beats ~10 Pregel
   * supersteps of shuffles — the AQE-broadcast argument applied to
-  * graphs; above it, GraphX connectedComponents is the 1000-executor
-  * path. Both converge to the MIN node id as the component label, so
-  * the choice is invisible to results (and to the DuckDB oracles'
+  * graphs; above it, GraphX Pregel ([[connectedGraphx]]) remains the
+  * default — MEASURED r14 against a DataFrame min-label +
+  * pointer-jumping alternative at the 10M-edge/diameter-7 bench shape:
+  * Pregel 17.3 s vs dfjump 36.1 s (GraphX's vertex-cut routing never
+  * re-shuffles the edges; the SQL path pays a 20M-row partial-min
+  * shuffle per round), so the SQL rewrite was NOT adopted as default —
+  * the kcore-revert discipline. [[connectedDfJump]] stays as the
+  * HIGH-DIAMETER escape: O(log n) rounds on ANY topology (a
+  * 100k-diameter chain converges in ~17 rounds where Pregel needs 100k
+  * checkpointed supersteps — ComponentsSpec pins it), for callers that
+  * know their graph is deep. Both bench entries (algo_cc_graphx_10m /
+  * algo_cc_dfjump_10m) keep the comparison honest round-to-round. All
+  * regimes converge to the MIN node id as the component label, so the
+  * choice is invisible to results (and to the DuckDB oracles'
   * recursive-CTE min-label propagation).
   */
 object Components {
@@ -52,7 +63,91 @@ object Components {
         }
         val labels = nodes.iterator.map(k => (k, find(k))).toSeq
         spark.createDataFrame(labels).toDF("id", "comp")
-      } else {
+      } else connectedGraphx(e)
+    e.unpersist(false)
+    out
+  }
+
+  /** The high-diameter escape regime (NOT the default — see the object
+    * scaladoc for the 10M-edge measurement that kept Pregel in front on
+    * low-diameter graphs): min-label propagation through the edges,
+    * interleaved with one pointer jump per round (lbl ← lbl(lbl)), over
+    * a (id, lbl) node table. Invariants: lbl is always a node id of the
+    * same component and non-increasing, so labels terminate at a
+    * fixpoint where (a) every edge has equal endpoint labels (the
+    * propagation step changed nothing) — labels are constant per
+    * component — and (b) since the component's min node μ satisfies
+    * lbl(μ) ≤ μ with lbl a member id ≥ μ, that constant is μ. The jump
+    * halves pointer-chain depth each round, so convergence is
+    * O(log n) rounds on any topology (vs O(diameter) message passing).
+    *
+    * Plan shape per round: one edge-grain join + scalar min aggregate
+    * (edges cached pre-partitioned on src; only the node-sized label
+    * table re-shuffles) + one node-grain self-join for the jump. The
+    * per-round change count rides the same pass (sum of chg flags) —
+    * no extra comparison job. Each round's label table is cached and
+    * the previous round's freed; rounds are hard-capped at 64
+    * (log₂-bounded convergence makes the cap unreachable). */
+  private[graft] def connectedDfJump(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val sym = edges.toDF("src", "dst")
+      .union(edges.toDF("dst", "src").select(col("src"), col("dst")))
+    val es = sym
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // node universe from the UNfiltered endpoints: a self-loop-only node
+    // is still a (singleton) component — the union-find regime labels it
+    // with its own id, and the regimes must agree
+    var p = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0 && rounds < 64) {
+      // neighbor minimum per node: edge join against the current labels
+      val nbrMin = es
+        .join(p.select(col("id").as("src"), col("lbl").as("slbl")), "src")
+        .groupBy(col("dst").as("id")).agg(min("slbl").as("nmin"))
+      val prop = p.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
+          when(coalesce(col("nmin"), col("lbl")) < col("lbl"), 1L)
+            .otherwise(0L).as("chg"))
+      // pointer jump: lbl ← lbl(lbl) (labels are node ids, and the
+      // table carries every node, so the lookup always resolves).
+      // localCheckpoint per round — the logical plan references the
+      // previous round's table several times, so WITHOUT truncation the
+      // tree Catalyst re-analyzes grows ~3× per round (exponential by
+      // round ~15); the checkpoint materializes the round AND cuts the
+      // plan to a leaf. Blocks are registered persistent RDDs, reaped
+      // by the bench's between-entry sweep / driver GC.
+      val next = prop.as("a")
+        .join(prop.select(col("id").as("jid"), col("lbl").as("jlbl")).as("b"),
+          col("a.lbl") === col("b.jid"))
+        .select(col("a.id").as("id"), col("b.jlbl").as("lbl"), col("a.chg"))
+        .localCheckpoint(true)
+      changed = next.agg(sum("chg")).head().getLong(0)
+      p = next.select("id", "lbl")
+      rounds += 1
+    }
+    require(changed == 0, s"connectedDfJump did not converge in $rounds rounds")
+    val v = p.select(col("id"), col("lbl").as("comp")).cache()
+    v.count() // materialize while the label/edge caches are alive
+    es.unpersist(false)
+    v
+  }
+
+  /** GraphX Pregel connected components — the default large-graph
+    * regime (measured faster than [[connectedDfJump]] on low-diameter
+    * graphs; algo_cc_graphx_10m vs algo_cc_dfjump_10m track both).
+    * O(diameter) supersteps: fine on low-diameter graphs, pathological
+    * on chains/functional graphs — use [[connectedDfJump]] there. */
+  private[graft] def connectedGraphx(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.toDF("src", "dst")
         // High-diameter graphs (chains, functional graphs) run Pregel
         // for O(diameter) supersteps; without periodic checkpointing
         // the lineage deserialization stack-overflows near superstep
@@ -81,8 +176,5 @@ object Components {
         cc.unpersist(blocking = false) // drop Pregel's internal RDD caches
         g.unpersist(blocking = false)
         v
-      }
-    e.unpersist(false)
-    out
   }
 }

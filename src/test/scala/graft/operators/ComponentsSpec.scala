@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The distributed CC regime (Components.connectedDfJump) against the
+  * driver union-find oracle — the regimes must be result-identical so
+  * the maxDriverEdges switch is invisible (same contract the
+  * union-find/GraphX pair honored; r14 makes the DF path the large
+  * default). */
+class ComponentsSpec extends SparkSpec {
+
+  private def labels(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("dfjump CC equals union-find on a random multigraph") {
+    val spark2 = spark
+    import spark2.implicits._
+    // hash-built Erdős–Rényi-ish graph incl. self-loops and duplicate
+    // edges (both regimes must tolerate them)
+    val e = spark.range(3000).select(
+      pmod(xxhash64(col("id")), lit(700L)).as("src"),
+      pmod(xxhash64(col("id") + 3000L), lit(700L)).as("dst"))
+    val uf = labels(Components.connected(e, maxDriverEdges = Long.MaxValue))
+    val dj = labels(Components.connectedDfJump(e))
+    assert(dj == uf, s"dfjump != union-find on ${uf.size} nodes")
+  }
+
+  test("dfjump CC converges in O(log n) rounds on a 100k-node chain") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a 100k-diameter path: O(diameter) message passing needs 100k
+    // rounds; the pointer jump must close it in a handful (the 64-round
+    // require inside connectedDfJump is the assertion — hitting it
+    // throws)
+    val n = 100000L
+    val chain = spark.range(n - 1)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val got = Components.connectedDfJump(chain)
+    assert(got.count() == n)
+    assert(got.agg(max("comp")).head().getLong(0) == 0L,
+      "every chain node must label to the min id 0")
+    got.unpersist(false)
+  }
+
+  test("dfjump CC labels multiple components to their own minima") {
+    val spark2 = spark
+    import spark2.implicits._
+    val e = Seq((5L, 9L), (9L, 7L), (20L, 30L), (30L, 25L), (40L, 40L))
+      .toDF("src", "dst")
+    val got = labels(Components.connectedDfJump(e))
+    assert(got == Map(5L -> 5L, 9L -> 5L, 7L -> 5L,
+      20L -> 20L, 30L -> 20L, 25L -> 20L, 40L -> 40L),
+      s"got $got (self-loop-only node 40 is its own singleton component)")
+  }
+}
