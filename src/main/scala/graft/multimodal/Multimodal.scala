@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache is DISK-backed: every ImageIO.read /
+  // ImageIO.write over a plain byte stream creates (and deletes) a temp
+  // FILE per call. The media kernels round-trip tiny in-memory images
+  // once per ROW, so that default taxes every decode with filesystem
+  // syscalls — the memory cache is strictly better at these sizes
+  // (object-init runs once per JVM, driver and executors alike).
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte])
   final case class DecodedMeta(media_id: Long, kind: String, n_bytes: Int,
       width: Int, height: Int, n_frames: Int)
