@@ -43,6 +43,44 @@ class ComponentsSpec extends SparkSpec {
     got.unpersist(false)
   }
 
+  test("auto regime routes a deep graph to dfjump when the Pregel budget trips") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a 300-diameter chain through connected() with the driver path
+    // disabled: the auto budget (3·⌈log₂(2m)⌉+8 ≈ 38 supersteps) cuts
+    // Pregel mid-propagation, the edge-grain convergence check sees
+    // labels spanning edges, and the pointer-jump regime reruns CC —
+    // label equality with the union-find oracle proves the reroute
+    // returned the CORRECT answer, not the truncated one
+    val n = 300L
+    val chain = spark.range(n - 1)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val got = Components.connected(chain, maxDriverEdges = 0L)
+    assert(got.count() == n)
+    assert(got.agg(max("comp")).head().getLong(0) == 0L,
+      "every chain node must label to the min id 0 after the dfjump reroute")
+    got.unpersist(false)
+  }
+
+  test("auto regime keeps the converged Pregel result on a shallow graph") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a star (diameter 2) converges far inside any budget: the check
+    // join must pass and the Pregel labels come back unchanged
+    val e = spark.range(1, 50).select(lit(0L).as("src"), col("id").as("dst"))
+    val got = labels(Components.connectedAuto(e, nEdges = 49L))
+    assert(got == (0L until 50L).map(_ -> 0L).toMap, s"got $got")
+  }
+
+  test("dfjump CC returns empty cleanly on an empty edge frame") {
+    val spark2 = spark
+    import spark2.implicits._
+    val e = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val got = Components.connectedDfJump(e)
+    assert(got.count() == 0L)
+    got.unpersist(false)
+  }
+
   test("dfjump CC labels multiple components to their own minima") {
     val spark2 = spark
     import spark2.implicits._
