@@ -152,6 +152,34 @@ object Bench {
       if (x == 42L) System.err.println("")
       (System.nanoTime() - t0) / 1e9
     }
+    // 8-thread parallel twin of microCalib (judge r14 ask #2): the
+    // single-thread probe reads CLEAN while host neighbors steal only
+    // PART of the 32 cores — r14's kept record retimed
+    // algo_gmm_2mx100_k50 at probe 0.0216 (clean) into a 12.18 s stamp
+    // vs 2.33 s solo, because the retime's 32-way BLAS/shuffle work was
+    // being stolen where the lone probe thread was not. Eight
+    // concurrent xorshift loops (same per-thread iteration count as
+    // microCalib ⇒ same calibSec/30 baseline) return the SLOWEST
+    // thread's seconds: with ≥8 of 32 cores genuinely free it reads
+    // ≈ the single-thread value; under partial steal at least one
+    // thread lands on a contended core and the max reads high.
+    def multiProbe(): Double = {
+      val nThreads = 8
+      val times = new Array[Double](nThreads)
+      val threads = (0 until nThreads).map { ti =>
+        new Thread(() => {
+          val t0 = System.nanoTime()
+          var x = 0x9E3779B97F4A7C15L + ti
+          var i = 0L
+          while (i < 10000000L) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+          if (x == 42L) System.err.println("")
+          times(ti) = (System.nanoTime() - t0) / 1e9
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      times.max
+    }
     val queryLoad = scala.collection.mutable.LinkedHashMap[String, Double]()
     val queryCalib = scala.collection.mutable.LinkedHashMap[String, Double]()
     def stamp(name: String): Unit = {
@@ -586,6 +614,20 @@ object Bench {
           s"ratio_$k" -> math.round(v / bm(k.stripPrefix("sf1_")) * 100) / 100.0
       }
     }
+    val isSubset = only.nonEmpty || algoOnly.nonEmpty
+    // Subset runs write ONLY a dated partial record (see outPaths below),
+    // so their summaries must point full_record there — the r14 summary
+    // pointed subset runs at a BENCH_LOCAL_r{N}.json the run never wrote
+    // (r14 advice). Computed once, up front, so the provisional and
+    // final summaries name the same file the run will write.
+    val partialTag: String = {
+      val keys = (only.toSeq.sorted ++ algoOnly.toSeq.flatten).take(3)
+        .mkString("_").replaceAll("[^A-Za-z0-9_]", "").take(60)
+      val ts = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+        .format(new java.util.Date())
+      s"_partial_$ts" + (if (keys.nonEmpty) s"_$keys" else "")
+    }
+    val recordTag = if (isSubset) partialTag else roundTag
     // compact machine-parseable summary — total, the BASELINE.md algo
     // workloads, the sf1/sf0.1 scale-ratio median, a pointer to the
     // committed full record — small enough to survive the driver's
@@ -600,9 +642,8 @@ object Bench {
       val compactQs = algoSeq.map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
       val prov = if (provisional) ""","provisional":true""" else ""
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_entries":${all.size},"calib_sec":${r3(calibSec)},"loadavg_start":$loadStart,"blas_gflops":$blasGflops,"ratio_median":$ratioMed$prov,"queries":$compactQs,"full_record":"BENCH_LOCAL$roundTag.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_entries":${all.size},"calib_sec":${r3(calibSec)},"loadavg_start":$loadStart,"blas_gflops":$blasGflops,"ratio_median":$ratioMed$prov,"queries":$compactQs,"full_record":"BENCH_LOCAL$recordTag.json"}"""
     }
-    val isSubset = only.nonEmpty || algoOnly.nonEmpty
     val sentinelName =
       if (isSubset) "BENCH_SUMMARY_partial.json" else "BENCH_SUMMARY.json"
     // Provisional summary (judge r13 ask #1a): the r13 driver bench died
@@ -694,6 +735,7 @@ object Bench {
     val probeBase = calibSec / 30.0
     val retimeLoad = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val retimeProbe = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val retimeMprobe = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val retimeSkipped = scala.collection.mutable.ArrayBuffer.empty[String]
     val retimed: Map[String, (Double, Double)] = suspects.flatMap { case (n, orig) =>
       if (System.nanoTime() > retimeDeadline) {
@@ -705,22 +747,32 @@ object Bench {
           prior.get(n).map(p => f" vs prior best $p%.1fs").getOrElse(" (no prior)"))
         val rDeadline = math.min(
           System.nanoTime() + retimeWaitSec * 1000000000L, retimeDeadline)
-        // gate on the steal PROBE only (r14): guest loadavg right after
+        // gate on the steal PROBES only (r14): guest loadavg right after
         // the main pass is dominated by our OWN decaying run average —
         // queries are sequential, so the cores are free the instant the
         // previous entry ends — and gating on it burned 55 of 60
         // retimes' budget in the first r14 capture while every probe
         // read clean. Loadavg is still recorded per retime (visible in
-        // retime_load) but no longer blocks.
+        // retime_load) but no longer blocks. BOTH probes must clear
+        // (r15, judge r14 ask #2): every bench entry runs 32-way
+        // parallel, and partial-core host steal is invisible to the
+        // single-thread probe — the 8-thread probe (slowest-thread
+        // seconds vs the same calibSec/30 baseline) is the gate that
+        // would have caught the r14 gmm/pagerank contaminated retimes.
         var probe = microCalib()
-        while (probe > 1.2 * probeBase && System.nanoTime() < rDeadline) {
+        var mprobe = multiProbe()
+        while ((probe > 1.2 * probeBase || mprobe > 1.2 * probeBase) &&
+            System.nanoTime() < rDeadline) {
           System.err.println(f"[bench] retime $n: probe ${probe * 1000}%.0fms " +
-            f"(baseline ${probeBase * 1000}%.0fms) loadavg ${load1()}%.1f — waiting for true idle")
+            f"mprobe ${mprobe * 1000}%.0fms (baseline ${probeBase * 1000}%.0fms) " +
+            f"loadavg ${load1()}%.1f — waiting for true idle")
           Thread.sleep(3000)
           probe = microCalib()
+          mprobe = multiProbe()
         }
         retimeLoad(n) = load1()
         retimeProbe(n) = math.round(probe * 100000) / 100000.0
+        retimeMprobe(n) = math.round(mprobe * 100000) / 100000.0
         stamp(s"retime_$n")
         val t2 = rerun(n)() // thunk self-measures its core work
         Some(n -> (orig, t2))
@@ -759,6 +811,7 @@ object Bench {
       s""","retimed_orig":${numMap(retimed.map { case (k, (o, _)) => k -> o })}""" +
       s""","retime_load":${numMap(retimeLoad)}""" +
       s""","retime_probe":${numMap(retimeProbe)}""" +
+      s""","retime_mprobe":${numMap(retimeMprobe)}""" +
       s""","retime_skipped":$skippedJson"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":"$loadavg","loadavg_start":$loadStart,"calib_sec":$calibSec,"blas_gflops":$blasGflops$ctx}"""
     println(json)
@@ -781,14 +834,9 @@ object Bench {
     // ask #3): _partial.json used to be clobbered per run, so protocol-§4
     // solo-audit pins vanished from the worktree and survived only in
     // commit messages. Each subset run now writes one
-    // BENCH_LOCAL_partial_<ts>_<keys>.json that nothing overwrites.
-    val partialTag: String = {
-      val keys = (only.toSeq.sorted ++ algoOnly.toSeq.flatten).take(3)
-        .mkString("_").replaceAll("[^A-Za-z0-9_]", "").take(60)
-      val ts = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
-        .format(new java.util.Date())
-      s"_partial_$ts" + (if (keys.nonEmpty) s"_$keys" else "")
-    }
+    // BENCH_LOCAL_partial_<ts>_<keys>.json (partialTag, computed up
+    // front so the summaries' full_record names it) that nothing
+    // overwrites.
     val outPaths =
       if (isSubset) Seq(s"$repoDir/BENCH_LOCAL$partialTag.json")
       else Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
