@@ -192,6 +192,27 @@ object Similarity {
       .toSeq.toDF("qid", "rank", "neighbor_id", "cosine")
   }
 
+  /** Pinned-quantizer cell assignment frame (vec_id, cell) — the
+    * stateless per-row stage the streaming IVF-indexing parity gate
+    * (StreamingGates.ivfStreamParity) replays: the coarse quantizer is
+    * trained ONCE on the batch corpus (the production shape — centers
+    * pinned offline, new vectors assigned as they arrive), and each
+    * row's assignment is a pure function of (vector, centers) via the
+    * same codegen'd argmin expression as [[ivfTopK]]'s cells stage, so
+    * batch ≡ stream on this stage by construction. */
+  def ivfCellRows(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ml.KMeansGraft
+    val e = embWithNorm(spark, dir)
+      .withColumn("sv", slice(col("v"), 1, QuantDim)).cache()
+    val model = KMeansGraft.fit(e.select(col("vec_id"), col("sv")), "sv",
+      "vec_id", IvfLists, maxIter = IvfIters)
+    val out = e
+      .select(col("vec_id"), model.assignCol(col("sv")).cast("long").as("cell"))
+      .localCheckpoint()
+    e.unpersist(false)
+    out
+  }
+
   /** Sparse-vector similarity parameters: queries are doc_id < SparseQ,
     * idf in milli-nats, top-[[SparseK]] neighbors per query. */
   val SparseQ = 20

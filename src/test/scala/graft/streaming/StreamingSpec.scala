@@ -524,4 +524,29 @@ class StreamingSpec extends SparkSpec {
     assert(dup == Map(1L -> false, 2L -> true, 3L -> true, 4L -> false),
       s"arrival flags $dup")
   }
+
+  test("streaming IVF registry carries per-cell occupancy and opener across batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark2.sqlContext
+    import EventsStreaming.{CellRow, IvfArrival}
+    // cell 7 opened by vec 1 in batch 1 (vec 2 fed FIRST — the opener
+    // flag also proves the within-batch vec_id sort); cell 9 opened in
+    // batch 1, grows in batch 2 (occupancy must CONTINUE at 2, not
+    // restart — the cross-batch state check)
+    val b1 = Seq(CellRow(2L, 7L), CellRow(1L, 7L), CellRow(3L, 9L))
+    val b2 = Seq(CellRow(5L, 9L), CellRow(6L, 4L))
+    val mem = MemoryStream[CellRow]
+    val q = EventsStreaming.ivfRegistryStream(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("ivf_reg")
+      .outputMode("append").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val got = spark2.table("ivf_reg").as[IvfArrival].collect()
+      .map(a => a.vec_id -> ((a.cell, a.occ, a.is_first))).toMap
+    assert(got == Map(
+      1L -> ((7L, 1L, true)), 2L -> ((7L, 2L, false)),
+      3L -> ((9L, 1L, true)), 5L -> ((9L, 2L, false)),
+      6L -> ((4L, 1L, true))), s"arrivals $got")
+  }
 }
