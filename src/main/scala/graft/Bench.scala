@@ -203,6 +203,17 @@ object Bench {
       try spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       catch { case _: Throwable => }
+      // MEASURED AND REJECTED (r15, BENCH_LOCAL_r15_gcprobe.json): an
+      // explicit System.gc() here — to feed ContextCleaner's weak-ref
+      // reaping of accumulated shuffle files on a heap that never GCs
+      // on its own — made the capture a median 1.32× SLOWER per entry.
+      // The cleaner processes the GC'd references ASYNCHRONOUSLY, so
+      // the shuffle-file deletion I/O lands inside the NEXT entry's
+      // timed region (+1-2 s additive on sub-second entries: q_ab_srm
+      // 0.24→2.4 s), while the hypothesized beneficiary
+      // (sf1_q_pagerank's 15.1-vs-10.1-solo residual) moved only
+      // 15.07→14.54 — shuffle-dir accumulation is NOT its inflation
+      // mechanism. Keep the sweep GC-free.
     }
     // re-runnable thunks for the post-suite retime pass; each returns
     // its own core-work seconds (judge r10 ask #1: algo_* entries were
