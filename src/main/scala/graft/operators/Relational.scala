@@ -848,7 +848,7 @@ object Relational {
     * max(d)] span — the period split shared by mixShift, incrementalAgg,
     * and DataQuality.psiDrift (their DuckDB twins mirror this exact
     * expression; keep them in lockstep). */
-  private[operators] def dateCutBounds(o: DataFrame, num: Int, den: Int): DataFrame =
+  private[graft] def dateCutBounds(o: DataFrame, num: Int, den: Int): DataFrame =
     o.agg(min("d").as("d0"), max("d").as("d1"))
       .selectExpr(
         s"date_add(d0, CAST((datediff(d1, d0) * $num) div $den AS INT)) AS cut_d")

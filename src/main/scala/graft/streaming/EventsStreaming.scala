@@ -539,6 +539,38 @@ object EventsStreaming {
       }
   }
 
+  final case class BucketPhase(bucket: Long, phase: Int)
+  final case class PsiCount(bucket: Long, c1: Long, c2: Long)
+
+  /** Streaming drift-monitor registry — the incremental face of
+    * DataQuality.psiDrift (the production PSI shape: the baseline
+    * window's definition is PINNED offline — here the broadcast date
+    * cut the parity gate derives once from the batch corpus — and the
+    * monitor's per-bucket counters advance as rows arrive): keyed state
+    * per value bucket is (baseline count, current count) — 16 bytes per
+    * LIVE bucket, bucket-cardinality-bounded at any history size. Each
+    * arrival emits its post-increment snapshot; counts are commutative,
+    * so disorder and batch splits cannot change the converged counters,
+    * and the per-bucket snapshot with the highest total IS the final
+    * state (each arrival raises the total by exactly one — no ties).
+    * The PSI arithmetic itself stays in the finishing rollup (it needs
+    * the global totals), identical to the batch gate's 1-row broadcast. */
+  def psiCountStream(rows: Dataset[BucketPhase]): Dataset[PsiCount] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.bucket)
+      .flatMapGroupsWithState[(Long, Long), PsiCount](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (bucket, it, state: GroupState[(Long, Long)]) =>
+          var (c1, c2) = state.getOption.getOrElse((0L, 0L))
+          val out = it.map { r =>
+            if (r.phase == 1) c1 += 1L else c2 += 1L
+            PsiCount(bucket, c1, c2)
+          }.toArray
+          state.update((c1, c2))
+          out.iterator
+      }
+  }
+
   final case class CellRow(vec_id: Long, cell: Long)
   final case class IvfArrival(vec_id: Long, cell: Long, occ: Long,
       is_first: Boolean)

@@ -513,7 +513,58 @@ object StreamingGates {
       .localCheckpoint()
   }
 
+  /** Streaming PSI drift-monitor parity — the 14th stream↔batch parity
+    * pair, the data-quality family's streaming twin: the batch
+    * q_psi_drift's two-window comparison re-cast as the production
+    * monitor it abstracts — the baseline definition (the date cut) is
+    * pinned once from the batch corpus, each arriving order carries its
+    * stateless (bucket, phase) derivation against that broadcast cut,
+    * and the keyed per-bucket registry (EventsStreaming.psiCountStream,
+    * 16 B per live bucket) advances the (baseline, current) counters
+    * incrementally as 6 date-ordered slices replay. The finishing
+    * rollup takes each bucket's highest-total snapshot (= final state)
+    * and computes the identical Laplace-smoothed PSI contributions with
+    * the batch gate's 1-row totals broadcast. Oracle: q_psi_drift's
+    * verbatim — stream == batch == oracle. */
+  def psiStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import EventsStreaming.BucketPhase
+    import graft.operators.DataQuality.PsiBucketCents
+    val o = graft.Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("d"),
+        expr(s"CAST(round(o_totalprice * 100) AS LONG) DIV $PsiBucketCents")
+          .as("bucket"))
+    val bounds = graft.operators.Relational.dateCutBounds(o, 1, 2)
+    val input = o.crossJoin(broadcast(bounds))
+      .select(col("bucket"),
+        when(col("d") < col("cut_d"), 1).otherwise(2).as("phase"), col("d"))
+    val tmp = staged(s"psi:$dir") {
+      stageTimeSlicesNow(input, unix_date(col("d")), 6)
+    }
+    val stream = spark.readStream
+      .schema("bucket LONG, phase INT, d DATE")
+      .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
+    val sink = runToMemory(
+      EventsStreaming.psiCountStream(
+        stream.select("bucket", "phase").as[BucketPhase]).toDF(),
+      "psi_parity_sink", OutputMode.Append())
+    val fin = sink.groupBy("bucket")
+      .agg(max_by(struct(col("c1"), col("c2")), col("c1") + col("c2")).as("f"))
+      .select(col("bucket"), col("f.c1").as("c1"), col("f.c2").as("c2"))
+    val tot = fin.agg(sum("c1").as("n1"), sum("c2").as("n2"),
+      count(lit(1)).as("nb"))
+    fin.crossJoin(broadcast(tot))
+      .selectExpr("bucket", "c1", "c2",
+        """round(
+          |  ((c1 + 1.0) / (n1 + nb) - (c2 + 1.0) / (n2 + nb)) *
+          |  ln(((c1 + 1.0) / (n1 + nb)) / ((c2 + 1.0) / (n2 + nb))), 6)
+          |  AS psi_contrib""".stripMargin)
+      .orderBy("bucket")
+      .localCheckpoint()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_psi_stream_parity" -> (psiStreamParity _),
     "q_ivf_stream_parity" -> (ivfStreamParity _),
     "q_lsh_stream_parity" -> (lshStreamParity _),
     "q_asof_stream_parity" -> (asofStreamParity _),
@@ -529,6 +580,10 @@ object StreamingGates {
     "q_dedup_stream_parity" -> (dedupStreamParity _))
 
   val oracles: Map[String, String] = Map(
+    // the batch PSI oracle verbatim: the stream's converged per-bucket
+    // counters must reproduce the identical two-window contributions
+    "q_psi_stream_parity" ->
+      graft.operators.DataQuality.oracles("q_psi_drift"),
     // the batch q_ann_ivf quantizer-replay CTE chain (identical Lloyd
     // unroll + assignment), rolled up per cell; first_vec = min vec_id
     // per cell because slices arrive vec_id-ordered, max_occ = final

@@ -525,6 +525,30 @@ class StreamingSpec extends SparkSpec {
       s"arrival flags $dup")
   }
 
+  test("streaming PSI registry continues per-bucket counters across batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark2.sqlContext
+    import EventsStreaming.{BucketPhase, PsiCount}
+    // bucket 3 sees baseline rows in batch 1 and current rows in batch
+    // 2 — its counters must CONTINUE (1,0)→(1,2), not restart; bucket 5
+    // is current-only
+    val b1 = Seq(BucketPhase(3L, 1), BucketPhase(5L, 2))
+    val b2 = Seq(BucketPhase(3L, 2), BucketPhase(3L, 2), BucketPhase(5L, 2))
+    val mem = MemoryStream[BucketPhase]
+    val q = EventsStreaming.psiCountStream(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("psi_reg")
+      .outputMode("append").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val fin = spark2.table("psi_reg").as[PsiCount].collect()
+      .groupBy(_.bucket).map { case (b, rs) =>
+        b -> rs.maxBy(r => r.c1 + r.c2) }
+      .map { case (b, r) => b -> ((r.c1, r.c2)) }
+    assert(fin == Map(3L -> ((1L, 2L)), 5L -> ((0L, 2L))),
+      s"converged counters $fin")
+  }
+
   test("streaming IVF registry carries per-cell occupancy and opener across batches") {
     val spark2 = spark
     import spark2.implicits._
