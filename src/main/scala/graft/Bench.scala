@@ -90,6 +90,16 @@ object Bench {
       // bounds Pregel lineage depth on high-diameter graphs (Components
       // sets the checkpoint dir lazily when its GraphX regime engages)
       .config("spark.graphx.pregel.checkpointInterval", "25")
+      // r15 engine tuning (guide §3.1/§9) — mirrored in Verify so the
+      // verified plans are the benched plans: AQE SMJ→SHJ conversion is
+      // gated on the RUNTIME per-partition build size (64 MB — a
+      // per-partition byte bound, scale-invariant, skips sorting the
+      // big probe side); preferSortMergeJoin=false lets the planner
+      // pick SHJ when its size conditions hold; Kryo serializes the
+      // RDD-path shuffles (GraphX CC, tsqr, GMM buffers).
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -145,10 +145,16 @@ object Components {
     }
     val sym = edges.toDF("src", "dst")
       .union(edges.toDF("dst", "src").select(col("src"), col("dst")))
+    // r15 optimization (guide §2.4): dedup INSIDE the src layout — the
+    // previous distinct() + repartition(src) paid two full 2m-row
+    // exchanges (hash(src,dst) for the aggregate, then hash(src));
+    // hash(src) partitioning already co-locates equal (src,dst) pairs
+    // (subset-satisfies), so one exchange feeds both the dedup
+    // aggregate and the cached per-round join layout.
     val es = sym
       .filter(col("src") =!= col("dst"))
-      .distinct()
       .repartition(col("src"))
+      .dropDuplicates(Seq("src", "dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // node universe from the UNfiltered endpoints: a self-loop-only node
     // is still a (singleton) component — the union-find regime labels it
@@ -158,10 +164,26 @@ object Components {
     var rounds = 0
     var changed = 1L
     while (changed > 0 && rounds < 64) {
-      // neighbor minimum per node: edge join against the current labels.
-      // Checkpointed (plan truncation doubles as materialize-once for
-      // the two jump-join references below).
-      val (prop, propBlocks) = ckpt(p
+      // One plan + ONE checkpoint per round (r15 optimization, guide
+      // §2.4): neighbor-minimum propagation followed by the pointer
+      // jump lbl ← p.lbl(lbl) resolved against the PREVIOUS round's
+      // checkpointed table `p` — a materialized leaf, so referencing it
+      // three times costs nothing (the r14 two-checkpoint structure
+      // existed only so the jump's self-join would not re-execute the
+      // edge-grain stage; jumping through `p` removes the need for the
+      // intermediate materialization entirely). Contraction per round
+      // is (p + one-hop) composed with p instead of with itself — the
+      // same geometric depth halving (ComponentsSpec's 300-diameter
+      // chain pins the round count), at half the checkpoint/
+      // materialization cost per round. Invariants unchanged: lbl stays
+      // a same-component node id (p.lbl(v) is in v's component), stays
+      // non-increasing (p.lbl(v) ≤ v), and chg=0 still certifies the
+      // fixpoint — no node improved, so p was already component-
+      // constant at the min id and the jump is the identity there.
+      // localCheckpoint per round — without truncation the tree
+      // Catalyst re-analyzes grows ~3× per round; the checkpoint
+      // materializes the round AND cuts the plan to a leaf.
+      val prop = p
         .join(es
           .join(p.select(col("id").as("src"), col("lbl").as("slbl")), "src")
           .groupBy(col("dst").as("id")).agg(min("slbl").as("nmin")),
@@ -169,23 +191,18 @@ object Components {
         .select(col("id"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
           when(coalesce(col("nmin"), col("lbl")) < col("lbl"), 1L)
-            .otherwise(0L).as("chg")))
-      // pointer jump: lbl ← lbl(lbl) (labels are node ids, and the
-      // table carries every node, so the lookup always resolves).
-      // localCheckpoint per round — without truncation the tree Catalyst
-      // re-analyzes grows ~3× per round (exponential by round ~15); the
-      // checkpoint materializes the round AND cuts the plan to a leaf.
+            .otherwise(0L).as("chg"))
       val (next, nextBlocks) = ckpt(prop.as("a")
-        .join(prop.select(col("id").as("jid"), col("lbl").as("jlbl")).as("b"),
+        .join(p.select(col("id").as("jid"), col("lbl").as("jlbl")).as("b"),
           col("a.lbl") === col("b.jid"))
         .select(col("a.id").as("id"), col("b.jlbl").as("lbl"), col("a.chg")))
       // coalesce: sum over zero rows is NULL — an empty edge frame must
       // terminate cleanly, not NPE (r14 advice)
       changed = next.agg(coalesce(sum("chg"), lit(0L)).as("c"))
         .head().getLong(0)
-      // `next` is materialized — the previous label table and this
-      // round's intermediate are dead; free their blocks now
-      (pBlocks ++ propBlocks).foreach(_.unpersist(false))
+      // `next` is materialized — the previous label table is dead;
+      // free its blocks now
+      pBlocks.foreach(_.unpersist(false))
       p = next.select("id", "lbl")
       pBlocks = nextBlocks
       rounds += 1

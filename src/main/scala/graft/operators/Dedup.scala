@@ -386,8 +386,15 @@ object Dedup {
     def positions(s: Column) =
       posexplode(array((0 until BloomHashes).map(i =>
         pmod(hash56(concat(lit(i.toString), lit("#"), s)), lit(BloomBits))): _*))
+    // r15 optimization (guide §2.4/§5): the tokenize+shingle explode is
+    // the expensive stage and feeds THREE consumers (bench-shingle
+    // distinct, the bloom probe, the exact-hit join) — materialize it
+    // once instead of re-tokenizing per consumer. Corpus-linear
+    // intermediate, the same block-manager posture as the graph edge
+    // caches.
     val sh = docs.select(col("doc_id"), col("is_bench"),
       explode(wordShingles(tokens(col("text")), 3)).as("s"))
+      .localCheckpoint(true)
     val benchSh = sh.filter(col("is_bench")).select("s").distinct()
     val bits = benchSh.select(positions(col("s")).as(Seq("i", "pos")))
       .select("pos").distinct()

@@ -220,10 +220,23 @@ object Graph {
 
   /** Core over any distinct undirected edge frame with columns (a, b),
     * a < b; see [[triangleCensus]]. */
-  private[graft] def triangleCensusDf(edges: DataFrame): DataFrame = {
-    val deg = edges.select(col("a").as("v"))
-      .union(edges.select(col("b").as("v")))
+  private[graft] def triangleCensusDf(edges0: DataFrame): DataFrame = {
+    // r15 optimization (guide §2.4/§5): the edge frame, the degree
+    // table and the oriented edge list each feed MULTIPLE consumers
+    // (edges → degree census + orientation join; deg → two orientation
+    // joins + the wedge-sum census; e → both wedge sides + the closing
+    // probe). Un-materialized, the single declarative plan re-planned
+    // the whole pairs-construction chain per consumer
+    // (plans/r15/q_triangles_before.txt: a 412-node plan with 8
+    // lineitem-scan instances, held together only by runtime exchange
+    // reuse — the post-exchange orientation SMJs still executed ~3x).
+    // Three localCheckpoints (edge-/node-/edge-sized — the same
+    // block-manager posture as modularity's pairs checkpoint) compute
+    // each once; before/after in OPTIMIZATION_r15.md.
+    val edges = edges0.localCheckpoint(true)
+    val deg = edges.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
     val e = edges
       .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
@@ -232,6 +245,7 @@ object Graph {
           struct(col("a").as("u"), col("b").as("w")))
         .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("e"))
       .select(col("e.u").as("u"), col("e.w").as("w"))
+      .localCheckpoint(true)
     // wedges at the oriented apex; pair canonicalized by node id so the
     // closing probe is orientation-insensitive
     val wedges = e.as("x").join(e.as("y"),
@@ -302,6 +316,11 @@ object Graph {
           col("src") === col("node"))
         .select(col("dst").as("node"), lit(k.toLong).as("dist"))
       dist = dist.union(next).groupBy("node").agg(min("dist").as("dist"))
+        // r15 optimization: per-hop trim, the ssspPairs/closenessPairs
+        // posture — dist feeds BOTH the frontier filter and the union,
+        // so the un-truncated subtree doubled per hop (2³ replays of
+        // hop 0 by hop 3; only exchange reuse damped it)
+        .localCheckpoint(true)
     }
     val out = dist.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
       .orderBy("dist").localCheckpoint(true)

@@ -450,31 +450,42 @@ object Temporal {
       .groupBy(col("o_orderpriority").as("pri"), to_date(col("o_orderdate")).as("d"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents")))
 
-  /** Core over any (pri, d DATE, cents LONG) daily frame. */
+  /** Core over any (pri, d DATE, cents LONG) daily frame.
+    *
+    * r15 optimization (guide §1.2 — fix the per-task algorithm): the
+    * previous Catalyst fold materialized its running output with
+    * concat(acc, …), an O(n²) interpreted array copy per series (a
+    * ~2.4k-day series re-copies ~3M structs per key). The identical
+    * integer recurrence in a typed flatMapGroups is O(n) and JIT-run;
+    * the per-key buffer stays days-sized (the collect_list bound the
+    * fold already had). idiv preserved exactly: (a / den.toDouble)
+    * .toLong truncates toward zero while |a| < 2^53 — the same
+    * documented contract as the Column form it replaces. */
   private[graft] def holtOf(daily: DataFrame): DataFrame = {
-    // exact truncating integer division while |a| < 2^53 (doc above)
-    def idiv(a: Column, den: Long): Column = (a / lit(den.toDouble)).cast("long")
-    val outType = "ARRAY<STRUCT<d: DATE, cents: BIGINT, l: BIGINT, b: BIGINT>>"
-    val folded = daily
-      .groupBy("pri")
-      .agg(array_sort(collect_list(struct(col("d"), col("cents")))).as("s"))
-      .select(col("pri"), aggregate(col("s"),
-        expr(s"CAST(array() AS $outType)"),
-        (acc, x) => {
-          val prev = element_at(acc, -1)
-          val xm = x.getField("cents") * lit(1000L)
-          val first = size(acc) === 0
-          val l = when(first, xm)
-            .otherwise(idiv(xm + lit(4L) * (prev.getField("l") + prev.getField("b")), 5L))
-          val b = when(first, lit(0L))
-            .otherwise(idiv(l - prev.getField("l") + lit(9L) * prev.getField("b"), 10L))
-          concat(acc, array(struct(x.getField("d").as("d"),
-            x.getField("cents").as("cents"), l.as("l"), b.as("b"))))
-        }).as("out"))
-    folded.select(col("pri"), explode(col("out")).as("o"))
-      .select(col("pri"), col("o.d").as("d"), col("o.cents").as("cents"),
-        col("o.l").as("level_milli"), col("o.b").as("trend_milli"),
-        (col("o.l") + col("o.b")).as("forecast_milli"))
+    val spark = daily.sparkSession
+    import spark.implicits._
+    def idiv(a: Long, den: Long): Long = (a / den.toDouble).toLong
+    daily.select(col("pri").cast("string"), col("d").cast("date"),
+        col("cents").cast("long"))
+      .as[(String, java.sql.Date, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (pri, it) =>
+        // array_sort(struct(d, cents)) ordering: by date, then cents
+        val ser = it.toArray.sortBy(r => (r._2.getTime, r._3))
+        var l = 0L; var b = 0L; var first = true
+        ser.iterator.map { case (_, d, cents) =>
+          val xm = cents * 1000L
+          if (first) { l = xm; b = 0L; first = false }
+          else {
+            val l1 = idiv(xm + 4L * (l + b), 5L)
+            b = idiv(l1 - l + 9L * b, 10L)
+            l = l1
+          }
+          (pri, d, cents, l, b, l + b)
+        }
+      }
+      .toDF("pri", "d", "cents", "level_milli", "trend_milli",
+        "forecast_milli")
       .orderBy("pri", "d")
   }
 
@@ -500,41 +511,43 @@ object Temporal {
       .groupBy(col("o_orderpriority").as("pri"), to_date(col("o_orderdate")).as("d"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents")))
 
-  /** Core over any (pri, d DATE, cents LONG) daily frame. */
+  /** Core over any (pri, d DATE, cents LONG) daily frame.
+    *
+    * Same r15 O(n²)→O(n) fold rewrite as [[holtOf]] (this one also
+    * copied the m-slot seasonal ring into every accumulated element);
+    * recurrence, init convention and idiv truncation identical. */
   private[graft] def holtWintersOf(daily: DataFrame): DataFrame = {
-    def idiv(a: Column, den: Long): Column = (a / lit(den.toDouble)).cast("long")
-    val outType = "ARRAY<STRUCT<d: DATE, cents: BIGINT, l: BIGINT, b: BIGINT, " +
-      "s: BIGINT, seas: ARRAY<BIGINT>>>"
-    val zeroRing = expr(s"array_repeat(0L, $HwPeriod)")
-    val folded = daily
-      .groupBy("pri")
-      .agg(array_sort(collect_list(struct(col("d"), col("cents")))).as("ser"))
-      .select(col("pri"), aggregate(col("ser"),
-        expr(s"CAST(array() AS $outType)"),
-        (acc, x) => {
-          val prev = element_at(acc, -1)
-          val xm = x.getField("cents") * lit(1000L)
-          val first = size(acc) === 0
-          val sm = element_at(prev.getField("seas"), 1) // the t−m seasonal
-          val l = when(first, xm)
-            .otherwise(idiv(xm - sm +
-              lit(4L) * (prev.getField("l") + prev.getField("b")), 5L))
-          val b = when(first, lit(0L))
-            .otherwise(idiv(l - prev.getField("l") + lit(9L) * prev.getField("b"), 10L))
-          val s = when(first, lit(0L))
-            .otherwise(idiv(xm - prev.getField("l") - prev.getField("b") + lit(4L) * sm, 5L))
-          val ring = when(first, zeroRing)
-            .otherwise(concat(slice(prev.getField("seas"), 2, HwPeriod - 1), array(s)))
-          concat(acc, array(struct(x.getField("d").as("d"),
-            x.getField("cents").as("cents"), l.as("l"), b.as("b"),
-            s.as("s"), ring.as("seas"))))
-        }).as("out"))
-    folded.select(col("pri"), explode(col("out")).as("o"))
-      .select(col("pri"), col("o.d").as("d"), col("o.cents").as("cents"),
-        col("o.l").as("level_milli"), col("o.b").as("trend_milli"),
-        col("o.s").as("seasonal_milli"),
-        (col("o.l") + col("o.b") + element_at(col("o.seas"), 1))
-          .as("forecast_milli"))
+    val spark = daily.sparkSession
+    import spark.implicits._
+    def idiv(a: Long, den: Long): Long = (a / den.toDouble).toLong
+    daily.select(col("pri").cast("string"), col("d").cast("date"),
+        col("cents").cast("long"))
+      .as[(String, java.sql.Date, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (pri, it) =>
+        val ser = it.toArray.sortBy(r => (r._2.getTime, r._3))
+        val ring = new Array[Long](HwPeriod) // seasonal ring, zeros-init
+        var l = 0L; var b = 0L; var first = true
+        ser.iterator.map { case (_, d, cents) =>
+          val xm = cents * 1000L
+          var s = 0L
+          if (first) { l = xm; b = 0L; first = false }
+          else {
+            val sm = ring(0) // the t−m seasonal
+            val l1 = idiv(xm - sm + 4L * (l + b), 5L)
+            val b1 = idiv(l1 - l + 9L * b, 10L)
+            s = idiv(xm - l - b + 4L * sm, 5L)
+            l = l1; b = b1
+            System.arraycopy(ring, 1, ring, 0, HwPeriod - 1)
+            ring(HwPeriod - 1) = s
+          }
+          // forecast reads the POST-update ring head (the slot that
+          // applies to t+1), exactly as element_at(o.seas, 1) did
+          (pri, d, cents, l, b, s, l + b + ring(0))
+        }
+      }
+      .toDF("pri", "d", "cents", "level_milli", "trend_milli",
+        "seasonal_milli", "forecast_milli")
       .orderBy("pri", "d")
   }
 

@@ -187,10 +187,13 @@ class PlanAssertSpec extends SparkSpec {
     withStructuralPlans {
       val df = graft.operators.Graph.triangleCensusDf(edges)
       val plan = df.queryExecution.executedPlan.toString
+      // r15: the degree/orientation joins moved into their own
+      // checkpointed executions (computed once, not once per consumer);
+      // the census plan itself keeps the wedge join + closing semi-join
       val smj = plan.linesIterator.count(l =>
         l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
-      assert(smj >= 4,
-        s"degree joins + wedge join + closing semi-join must be keyed joins:\n$plan")
+      assert(smj >= 2,
+        s"wedge join + closing semi-join must be keyed joins:\n$plan")
       // the two sanctioned cartesians combine single-row aggregate frames
       val allPairs = plan.linesIterator.count(l =>
         l.contains("CartesianProduct") || l.contains("BroadcastNestedLoopJoin"))
