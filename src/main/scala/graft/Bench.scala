@@ -97,9 +97,13 @@ object Bench {
       // big probe side); preferSortMergeJoin=false lets the planner
       // pick SHJ when its size conditions hold; Kryo serializes the
       // RDD-path shuffles (GraphX CC, tsqr, GMM buffers).
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
-      .config("spark.sql.join.preferSortMergeJoin", "false")
-      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // env-overridable for A/B audits and cluster-profile tuning
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "64m"))
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      .config("spark.serializer", sys.env.getOrElse("SPARK_GRAFT_SERIALIZER",
+        "org.apache.spark.serializer.KryoSerializer"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

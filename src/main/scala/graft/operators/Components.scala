@@ -163,6 +163,16 @@ object Components {
       .select(col("id"), col("id").as("lbl")))
     var rounds = 0
     var changed = 1L
+    // semi-naive delta propagation (r15 optimization, guide §2.3):
+    // labels only DECREASE, and a neighbor that last changed in round r
+    // already contributed that value to every neighbor's min in round
+    // r+1 — so each round's edge-grain join needs only the nodes whose
+    // label changed last round, never the whole table. Inductively the
+    // label evolution is IDENTICAL to the all-nodes recurrence (an
+    // unchanged neighbor's contribution is already folded into p via
+    // least), so the fixpoint proof below carries over verbatim; the
+    // join output just shrinks geometrically as the graph settles.
+    var delta = p // round 1: every node is freshly labeled
     while (changed > 0 && rounds < 64) {
       // One plan + ONE checkpoint per round (r15 optimization, guide
       // §2.4): neighbor-minimum propagation followed by the pointer
@@ -173,29 +183,34 @@ object Components {
       // edge-grain stage; jumping through `p` removes the need for the
       // intermediate materialization entirely). Contraction per round
       // is (p + one-hop) composed with p instead of with itself — the
-      // same geometric depth halving (ComponentsSpec's 300-diameter
-      // chain pins the round count), at half the checkpoint/
-      // materialization cost per round. Invariants unchanged: lbl stays
-      // a same-component node id (p.lbl(v) is in v's component), stays
+      // same geometric depth halving (ComponentsSpec's chain cases pin
+      // the round count inside the 64-round require), at half the
+      // checkpoint cost per round. Invariants unchanged: lbl stays a
+      // same-component node id (p.lbl(v) is in v's component), stays
       // non-increasing (p.lbl(v) ≤ v), and chg=0 still certifies the
-      // fixpoint — no node improved, so p was already component-
-      // constant at the min id and the jump is the identity there.
+      // fixpoint — NO label moved (propagation or jump), so p was
+      // already component-constant at the min id.
       // localCheckpoint per round — without truncation the tree
       // Catalyst re-analyzes grows ~3× per round; the checkpoint
       // materializes the round AND cuts the plan to a leaf.
-      val prop = p
-        .join(es
-          .join(p.select(col("id").as("src"), col("lbl").as("slbl")), "src")
-          .groupBy(col("dst").as("id")).agg(min("slbl").as("nmin")),
-          Seq("id"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
-          when(coalesce(col("nmin"), col("lbl")) < col("lbl"), 1L)
-            .otherwise(0L).as("chg"))
-      val (next, nextBlocks) = ckpt(prop.as("a")
-        .join(p.select(col("id").as("jid"), col("lbl").as("jlbl")).as("b"),
-          col("a.lbl") === col("b.jid"))
-        .select(col("a.id").as("id"), col("b.jlbl").as("lbl"), col("a.chg")))
+      val cand = es
+        .join(delta.select(col("id").as("src"), col("lbl").as("slbl")), "src")
+        .groupBy(col("dst").as("id")).agg(min("slbl").as("nmin"))
+      val prop = p.join(cand, Seq("id"), "left")
+        .select(col("id"), col("lbl").as("plbl"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+      // round 1's jump is provably the identity (p maps id → id), so
+      // the node-grain self-join is skipped there
+      val jumped =
+        if (rounds == 0) prop
+        else prop.as("a")
+          .join(p.select(col("id").as("jid"), col("lbl").as("jlbl")).as("b"),
+            col("a.lbl") === col("b.jid"))
+          .select(col("a.id").as("id"), col("b.jlbl").as("lbl"),
+            col("a.plbl").as("plbl"))
+      val (next, nextBlocks) = ckpt(jumped
+        .select(col("id"), col("lbl"),
+          when(col("lbl") < col("plbl"), 1L).otherwise(0L).as("chg")))
       // coalesce: sum over zero rows is NULL — an empty edge frame must
       // terminate cleanly, not NPE (r14 advice)
       changed = next.agg(coalesce(sum("chg"), lit(0L)).as("c"))
@@ -203,6 +218,7 @@ object Components {
       // `next` is materialized — the previous label table is dead;
       // free its blocks now
       pBlocks.foreach(_.unpersist(false))
+      delta = next.filter(col("chg") === 1L).select("id", "lbl")
       p = next.select("id", "lbl")
       pBlocks = nextBlocks
       rounds += 1

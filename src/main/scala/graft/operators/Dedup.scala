@@ -386,16 +386,20 @@ object Dedup {
     def positions(s: Column) =
       posexplode(array((0 until BloomHashes).map(i =>
         pmod(hash56(concat(lit(i.toString), lit("#"), s)), lit(BloomBits))): _*))
-    // r15 optimization (guide §2.4/§5): the tokenize+shingle explode is
-    // the expensive stage and feeds THREE consumers (bench-shingle
-    // distinct, the bloom probe, the exact-hit join) — materialize it
-    // once instead of re-tokenizing per consumer. Corpus-linear
-    // intermediate, the same block-manager posture as the graph edge
-    // caches.
+    // r15 optimization (guide §2.4/§3.1, MEASURED both ways): a
+    // corpus-linear checkpoint of the full shingle frame won at sf0.1
+    // (4.1→3.6 s) but LOST at the 10× corpus (6.2→7.8 s) — block-manager
+    // materialization grows with the corpus while re-tokenizing stays a
+    // cheap scan, so recompute-per-consumer is the scale-correct choice.
+    // What IS bounded is the bench-shingle side (the decontamination
+    // reference suite — small by design, same argument as the existing
+    // bloom-bits broadcast): checkpoint it once (it feeds the bit table
+    // and the exact join) and BROADCAST it into the exact join, which
+    // removes the corpus-sized shuffle by shingle that join paid.
     val sh = docs.select(col("doc_id"), col("is_bench"),
       explode(wordShingles(tokens(col("text")), 3)).as("s"))
-      .localCheckpoint(true)
     val benchSh = sh.filter(col("is_bench")).select("s").distinct()
+      .localCheckpoint(true)
     val bits = benchSh.select(positions(col("s")).as(Seq("i", "pos")))
       .select("pos").distinct()
     val corpSh = sh.filter(!col("is_bench")).select("doc_id", "s")
@@ -405,7 +409,7 @@ object Dedup {
       .groupBy("doc_id", "s").agg(countDistinct("i").as("nk"))
       .filter(col("nk") === BloomHashes)
       .select("doc_id").distinct().withColumn("bloom_hit", lit(1))
-    val exact = corpSh.join(benchSh, "s")
+    val exact = corpSh.join(broadcast(benchSh), "s")
       .select("doc_id").distinct().withColumn("true_hit", lit(1))
     docs.filter(!col("is_bench")).select("doc_id", "source")
       .join(flagged, Seq("doc_id"), "left")

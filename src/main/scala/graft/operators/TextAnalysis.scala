@@ -840,10 +840,15 @@ object TextAnalysis {
   /** Core over any (doc_id, text, is_train) frame. */
   def bigramSurprisalDf(docsIn: DataFrame): DataFrame = {
     val docs = docsIn.select(col("doc_id"), words.as("w"), col("is_train"))
+    // r15 optimization (guide §1.2, the textrankDf change): bigram pairs
+    // as STRUCTS — the former "w1 w2" string key cost a concat per pair
+    // plus two split()s on the scoring side; struct equality groups and
+    // joins identically (words never contain the separator), with zero
+    // string allocation.
     def pairsOf(w: Column) = zip_with(
       slice(w, lit(1), greatest(size(w) - 1, lit(0))),
       slice(w, lit(2), greatest(size(w) - 1, lit(0))),
-      (a, b) => concat(a, lit(" "), b))
+      (a, b) => struct(a.as("w1"), b.as("w2")))
     val pairs = docs.select(col("doc_id"), col("is_train"),
         explode(pairsOf(col("w"))).as("pr"))
     val c2 = pairs.filter(col("is_train"))
@@ -853,8 +858,8 @@ object TextAnalysis {
     val c1 = trainToks.groupBy("tw").agg(count(lit(1)).as("c1"))
     val tot = trainToks.agg(count(lit(1)).as("t"))
     pairs.filter(!col("is_train"))
-      .withColumn("w1", split(col("pr"), " ").getItem(0))
-      .withColumn("w2", split(col("pr"), " ").getItem(1))
+      .withColumn("w1", col("pr.w1"))
+      .withColumn("w2", col("pr.w2"))
       .join(c1.select(col("tw").as("w1"), col("c1").as("c1w1")), "w1") // history must be seen
       .join(c1.select(col("tw").as("w2"), col("c1").as("c1w2")), Seq("w2"), "left")
       .join(c2, Seq("pr"), "left")
@@ -1577,13 +1582,17 @@ object TextAnalysis {
       .filter(col("vid") <= TrVocab)
       .select("tw", "vid")
       .localCheckpoint(true) // vocab-sized; feeds two joins + the readback
+    // r15 optimization (guide §1.2 per-task work): pair up consecutive
+    // words as STRUCTS — the previous "w1 w2" concat + two split()s per
+    // pair row allocated three strings per co-occurrence just to tear
+    // them apart again; the struct carries both words with zero string
+    // work. Values identical.
     def pairsOf(w: Column) = zip_with(
       slice(w, lit(1), greatest(size(w) - 1, lit(0))),
       slice(w, lit(2), greatest(size(w) - 1, lit(0))),
-      (a, b) => concat(a, lit(" "), b))
+      (a, b) => struct(a.as("w1"), b.as("w2")))
     val edges = docs.select(explode(pairsOf(col("w"))).as("pr"))
-      .withColumn("w1", split(col("pr"), " ").getItem(0))
-      .withColumn("w2", split(col("pr"), " ").getItem(1))
+      .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
       .join(broadcast(vocab.select(col("tw").as("w1"), col("vid").as("v1"))), "w1")
       .join(broadcast(vocab.select(col("tw").as("w2"), col("vid").as("v2"))), "w2")
       .filter(col("v1") =!= col("v2"))

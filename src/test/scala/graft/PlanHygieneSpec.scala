@@ -60,10 +60,9 @@ class PlanHygieneSpec extends SparkSpec {
     * bounded. collect_list over an unbounded per-key grain is exactly
     * the hub-row failure q_random_walks' segment split exists to avoid. */
   private val boundedListAgg: Map[String, String] = Map(
-    "q_holt_linear" ->
-      "per-item day-grain series — calendar-bounded horizon",
-    "q_holt_winters" ->
-      "per-item day-grain series — calendar-bounded horizon",
+    // q_holt_linear / q_holt_winters dropped r15: their collect_list
+    // folds became typed flatMapGroups recurrences (same day-grain
+    // bound, now a per-task buffer instead of a plan-visible aggregate)
     "q_croston" ->
       "per-part day-grain demand series — calendar-bounded horizon",
     "q_dedup_rewrite" ->
