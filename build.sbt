@@ -51,8 +51,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // thousands of whole-stage-codegen classes — headroom over the 240m
   // default keeps the JIT compiling for the heavy entries at the END
   // of the session (the r14 idle capture measured its late tail
-  // 1.4-1.8x above fresh-JVM solo pins with every steal probe clean)
-  "-XX:ReservedCodeCacheSize=512m",
+  // 1.4-1.8x above fresh-JVM solo pins with every steal probe clean).
+  // r15 optimization round: raised 512m -> 1g — the AQE SMJ→SHJ
+  // conversion roughly doubles the join-codegen variety across the 450
+  // entries, and all three full captures with it stamped the LAST
+  // compute-heavy entries (algo_kmeans 32-49 s vs 6.6-8.6 s in four
+  // fresh-JVM solo runs, both serializers, clean dual probes) — the
+  // signature of code-cache flushing de-optimizing the hot assign
+  // loops late in the session.
+  "-XX:ReservedCodeCacheSize=1g",
   // the app/SQL status stores collect per-execution plan graphs and
   // metrics even with the UI off; at 330+ executions that is pure
   // old-gen ballast for a bench/verify session
