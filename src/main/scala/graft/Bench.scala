@@ -90,20 +90,11 @@ object Bench {
       // bounds Pregel lineage depth on high-diameter graphs (Components
       // sets the checkpoint dir lazily when its GraphX regime engages)
       .config("spark.graphx.pregel.checkpointInterval", "25")
-      // r15 engine tuning (guide §3.1/§9) — mirrored in Verify so the
-      // verified plans are the benched plans: AQE SMJ→SHJ conversion is
-      // gated on the RUNTIME per-partition build size (64 MB — a
-      // per-partition byte bound, scale-invariant, skips sorting the
-      // big probe side); preferSortMergeJoin=false lets the planner
-      // pick SHJ when its size conditions hold; Kryo serializes the
-      // RDD-path shuffles (GraphX CC, tsqr, GMM buffers).
-      // env-overridable for A/B audits and cluster-profile tuning
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "64m"))
-      .config("spark.sql.join.preferSortMergeJoin",
-        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
-      .config("spark.serializer", sys.env.getOrElse("SPARK_GRAFT_SERIALIZER",
-        "org.apache.spark.serializer.KryoSerializer"))
+      // r16 engine tuning — shared with Verify via EngineConf (same
+      // defaults, same env overrides) so the verified plans are the
+      // benched plans even under an A/B override. Rationale and the
+      // per-tier measurements live on EngineConf.
+      .config(EngineConf.tuned())
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -15,15 +15,11 @@ object Verify {
       // bounds Pregel lineage depth on high-diameter graphs (Components
       // sets the checkpoint dir lazily when its GraphX regime engages)
       .config("spark.graphx.pregel.checkpointInterval", "25")
-      // r15 engine tuning (guide §3.1/§9) — shared with Bench so the
-      // verified plans are the benched plans: let AQE rewrite a
-      // sort-merge join to a shuffled-hash join when the RUNTIME
-      // per-partition build size fits (skips the sort of the big
-      // probe side — a per-partition byte bound, scale-invariant), and
-      // Kryo for the RDD-path shuffles (GraphX CC, tsqr, GMM buffers).
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
-      .config("spark.sql.join.preferSortMergeJoin", "false")
-      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // r16 engine tuning — shared with Bench via EngineConf (same
+      // defaults AND the same env overrides: r15 advice — a hardcoded
+      // copy here silently verified plans the bench never measured
+      // whenever an A/B env override was active).
+      .config(EngineConf.tuned())
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -24,6 +24,8 @@ object Decompositions {
 
   /** Per-partition R factors tree-merged: R of the stacked [R1; R2] QR. */
   private def tsqrR(rows: RDD[Array[Double]], p: Int): BDM[Double] = {
+    LapackInit.forced // DLAMCH race guard — the per-partition QRs below
+    // may be this JVM's first (concurrent) LAPACK calls
     val partR = rows.mapPartitions { it =>
       val data = it.toArray
       if (data.isEmpty) Iterator.empty

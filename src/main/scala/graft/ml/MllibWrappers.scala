@@ -315,7 +315,15 @@ object MllibWrappers {
         transform(slice(col("embedding"), 1, 16), x => x.cast("double")).as("arr"))
       .filter(abs(col("s")) > 0.08)
       .withColumn("label", when(col("s") > 0, 1.0).otherwise(0.0))
-    val df = featurize(e, "arr").cache()
+    // r16 (guide §1.2 per-task work): deliberately NOT cached.
+    // LinearSVC persists its converted `Instance` RDD internally ONLY
+    // when dataset.storageLevel == NONE (verified in the 4.1.2
+    // bytecode); a df.cache() here suppressed that, so every one of the
+    // 50 OWLQN iterations re-decompressed the columnar cache and
+    // re-boxed rows into Instances. Uncached, the conversion runs once
+    // and the iterations read the persisted Instance RDD directly; the
+    // post-fit transform pays one extra parquet scan (cheap).
+    val df = featurize(e, "arr")
     val model = new LinearSVC().setMaxIter(50).setRegParam(1e-4)
       .setLabelCol("label").setFeaturesCol("features")
       .fit(df)
@@ -325,7 +333,6 @@ object MllibWrappers {
       .agg(count(lit(1)).as("n"))
       .orderBy("label", "predicted")
       .collect()
-    df.unpersist(false)
     val spark2 = spark
     import spark2.implicits._
     out.map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))

@@ -42,6 +42,17 @@ object Canary {
     Tables.region(spark, dir)
       .agg(sum(col("r_regionkey").cast("decimal(38,0)")).as("v_dec"))
 
+  /** Hash-SAFE decimal-family canary (r15 VERDICT ask #3): the same
+    * DECIMAL(38,0) sum, emitted as STRING digits — the exact
+    * representation every wide-integer gate ships (the driver hash
+    * accepts it; only the raw DECIMAL type is rejected, per the r14
+    * probe). Keeps a decimal-arithmetic probe in the shipped set
+    * without tripping the known hash rejection. */
+  def decimalDigitsCanary(spark: SparkSession, dir: String): DataFrame =
+    Tables.region(spark, dir)
+      .agg(sum(col("r_regionkey").cast("decimal(38,0)"))
+        .cast("string").as("v_dec_digits"))
+
   /** Env-var-only (dev runs): the one-round committed-flag probe ran in
     * r14 and did its job — CORRECTNESS_r14.json's q_decimal_canary row
     * (rows ✓ schema ✓ hash ✗) is the recorded driver behavior, so the
@@ -50,7 +61,8 @@ object Canary {
     sys.env.get("SPARK_GRAFT_DECIMAL_CANARY").contains("1")
 
   val queries: Map[String, Q] =
-    Map("q_type_canary" -> (typeCanary _)) ++
+    Map("q_type_canary" -> (typeCanary _),
+      "q_decimal_digits_canary" -> (decimalDigitsCanary _)) ++
       (if (decimalCanaryOn) Map("q_decimal_canary" -> (decimalCanary _))
        else Map.empty[String, Q])
 
@@ -63,7 +75,10 @@ object Canary {
         |  DATE '2026-01-01' + r_regionkey::INT AS v_date,
         |  TIMESTAMP '2026-01-01 00:00:00'
         |    + to_hours(r_regionkey::BIGINT) AS v_ts
-        |FROM region ORDER BY k""".stripMargin) ++
+        |FROM region ORDER BY k""".stripMargin,
+      "q_decimal_digits_canary" ->
+        ("SELECT sum(r_regionkey::DECIMAL(38,0))::VARCHAR" +
+          " AS v_dec_digits FROM region")) ++
       (if (decimalCanaryOn)
         Map("q_decimal_canary" ->
           "SELECT sum(r_regionkey::DECIMAL(38,0)) AS v_dec FROM region")

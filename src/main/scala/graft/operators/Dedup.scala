@@ -409,7 +409,18 @@ object Dedup {
       .groupBy("doc_id", "s").agg(countDistinct("i").as("nk"))
       .filter(col("nk") === BloomHashes)
       .select("doc_id").distinct().withColumn("bloom_hit", lit(1))
-    val exact = corpSh.join(broadcast(benchSh), "s")
+    // r16 (ADVICE): the bench side is ~5% of ALL docs, so its distinct
+    // shingle set scales linearly with the corpus — "small by design"
+    // holds only near bench SF, and an unconditional broadcast hint
+    // bypasses AQE's size checks straight into the 8 GB broadcast cap /
+    // driver OOM at larger scale. Guard the hint with a row bound on
+    // the already-materialized checkpoint (count() reads cached blocks,
+    // no recompute): ≤2M distinct shingles ≈ low-hundreds of MB as a
+    // hashed relation — comfortably broadcastable; above it, fall back
+    // to the shuffle join (the honest at-scale plan).
+    val benchFitsBroadcast = benchSh.count() <= 2000000L
+    val exact = corpSh
+      .join(if (benchFitsBroadcast) broadcast(benchSh) else benchSh, "s")
       .select("doc_id").distinct().withColumn("true_hit", lit(1))
     docs.filter(!col("is_bench")).select("doc_id", "source")
       .join(flagged, Seq("doc_id"), "left")

@@ -157,10 +157,21 @@ object Graph {
   def hits(spark: SparkSession, dir: String): DataFrame =
     hitsPairs(scPairs(spark, dir), HitsTopK)
 
-  /** Core over any distinct directed bipartite (s, c) pair frame. */
+  /** Core over any distinct directed bipartite (s, c) pair frame.
+    *
+    * r16 (guide §2.4, VERDICT ask #6): the edge list is cached TWICE,
+    * pre-partitioned on each join key (s for the authority half-pass,
+    * c for the hub half-pass) — the pageRank posture, doubled. Each
+    * half-pass now shuffles only the node-sized rank table into the
+    * fixed edge layout (at bench scale AQE broadcasts the ranks and
+    * neither side moves); un-partitioned, a non-broadcast plan would
+    * re-shuffle the full edge list twice per iteration. Costs 2× edge
+    * cache residency for the duration of the fixpoint — freed before
+    * return. */
   private[graft] def hitsPairs(e: DataFrame, topK: Int): DataFrame = {
-    val edges = e.persist(StorageLevel.MEMORY_AND_DISK)
-    val nS = edges.select("s").distinct().count()
+    val edgesByS = e.repartition(col("s")).persist(StorageLevel.MEMORY_AND_DISK)
+    val edgesByC = e.repartition(col("c")).persist(StorageLevel.MEMORY_AND_DISK)
+    val nS = edgesByS.select("s").distinct().count()
     def normalize(raw0: DataFrame, key: String, in: String, out: String): DataFrame = {
       // Eager checkpoint: `raw` feeds BOTH the 1-row total and the scores, and
       // each half-pass builds on the previous one — without truncation the
@@ -172,13 +183,13 @@ object Graph {
           expr(s"CAST((CAST($in AS DECIMAL(38,0)) * $HitsScale) DIV tot AS BIGINT)")
             .as(out))
     }
-    var h = edges.select(col("s")).distinct()
+    var h = edgesByS.select(col("s")).distinct()
       .select(col("s"), lit(HitsScale / nS).as("h"))
     var a: DataFrame = null
     for (_ <- 1 to HitsIters) {
-      a = normalize(edges.join(h, "s").groupBy("c").agg(sum("h").as("ar")),
+      a = normalize(edgesByS.join(h, "s").groupBy("c").agg(sum("h").as("ar")),
         "c", "ar", "a")
-      h = normalize(edges.join(a, "c").groupBy("s").agg(sum("a").as("hr")),
+      h = normalize(edgesByC.join(a, "c").groupBy("s").agg(sum("a").as("hr")),
         "s", "hr", "h")
     }
     val hubs = h.orderBy(col("h").desc, col("s")).limit(topK)
@@ -190,7 +201,8 @@ object Graph {
     val out = hubs.union(auths)
       .orderBy(col("role"), col("score_units").desc, col("node_id"))
       .localCheckpoint(true)
-    edges.unpersist(false)
+    edgesByS.unpersist(false)
+    edgesByC.unpersist(false)
     out
   }
 
@@ -360,20 +372,44 @@ object Graph {
     kCorePairs(pairs)
   }
 
-  /** Core over any distinct undirected edge frame (a, b); see [[kCore]]. */
+  /** Core over any distinct undirected edge frame (a, b); see [[kCore]].
+    *
+    * r16 (guide §2.3/§2.4): each pass computes ONE node-sized degree
+    * table (explode + partial-aggregating groupBy) that serves BOTH the
+    * census and the peel filter — previously the census re-exploded the
+    * same checkpointed edge frame into a countDistinct (an Expand
+    * doubling 2|E| rows to 4|E| plus two exchanges) while the peel ran
+    * its own explode+groupBy, i.e. two edge-grain aggregations per pass
+    * where one suffices. The census folds the degree table instead:
+    * n_nodes = its row count, n_edges = sum(d) DIV 2 (every edge
+    * contributes 2 to the degree sum) — integer-identical, including
+    * the empty frame (coalesce pins null→0 exactly like count(1) DIV 2).
+    * Edge-frame checkpoint blocks are freed one pass behind (the
+    * Components ckpt posture): censuses reference only the node-sized
+    * degree checkpoints, so peak edge-block residency is 2 frames
+    * regardless of pass count. */
   private[graft] def kCorePairs(edges0: DataFrame): DataFrame = {
-    def census(e: DataFrame, pass: Int): DataFrame =
+    val sc = edges0.sparkSession.sparkContext
+    def ckpt(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      val added = sc.getPersistentRDDs
+        .collect { case (id, r) if !before(id) => r }.toSeq
+      (out, added)
+    }
+    def degreesOf(e: DataFrame): DataFrame =
       e.select(explode(array(col("a"), col("b"))).as("v"))
-        .agg(countDistinct(col("v")).as("n_nodes"),
-          expr("count(1) DIV 2").as("n_edges"))
-        .select(lit(pass).as("pass"), col("n_nodes"), col("n_edges"))
-    var cur = edges0.localCheckpoint(true)
-    val traces = Seq.newBuilder[DataFrame]
-    traces += census(cur, 0)
-    for (p <- 1 to KcorePasses) {
-      val keep = cur.select(explode(array(col("a"), col("b"))).as("v"))
         .groupBy("v").agg(count(lit(1)).as("d"))
-        .filter(col("d") >= KcoreK).select("v")
+    def censusOf(deg: DataFrame, pass: Int): DataFrame =
+      deg.agg(count(lit(1)).as("n_nodes"),
+        expr("coalesce(sum(d), 0) DIV 2").as("n_edges"))
+        .select(lit(pass).as("pass"), col("n_nodes"), col("n_edges"))
+    var (cur, curBlocks) = ckpt(edges0)
+    var deg = degreesOf(cur).localCheckpoint(true)
+    val traces = Seq.newBuilder[DataFrame]
+    traces += censusOf(deg, 0)
+    for (p <- 1 to KcorePasses) {
+      val keep = deg.filter(col("d") >= KcoreK).select("v")
       // per-pass materialization is the MEASURED optimum: the r12-advice
       // experiment of checkpointing every second peel (odd passes lazy,
       // their census re-deriving one peel) ran 1.3-1.5× SLOWER solo at
@@ -381,12 +417,16 @@ object Graph {
       // shuffles re-run for the lazy census cost more than the saved
       // edge-frame writes at every scale where the edge set still fits
       // the block manager; keep one checkpoint per peel.
-      cur = cur
+      val (next, nextBlocks) = ckpt(cur
         .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
-        .select("a", "b")
-        .localCheckpoint(true)
-      traces += census(cur, p)
+        .select("a", "b"))
+      // the previous edge frame is referenced by nothing anymore (the
+      // censuses read the degree checkpoints) — free its blocks now
+      curBlocks.foreach(_.unpersist(false))
+      cur = next; curBlocks = nextBlocks
+      deg = degreesOf(cur).localCheckpoint(true)
+      traces += censusOf(deg, p)
     }
     traces.result().reduce(_ unionAll _).orderBy("pass")
   }

@@ -452,6 +452,13 @@ object Temporal {
 
   /** Core over any (pri, d DATE, cents LONG) daily frame.
     *
+    * Contract (narrowed by the r15 typed rewrite, r15 ADVICE): `pri` is
+    * cast to STRING on the way in (a non-string pri column comes back
+    * as its string form), and a NULL d or cents row fails the job
+    * instead of propagating null the way the old Column fold did —
+    * callers must pre-aggregate to a dense, non-null daily grain (both
+    * shipped callers do: groupBy over non-null source columns).
+    *
     * r15 optimization (guide §1.2 — fix the per-task algorithm): the
     * previous Catalyst fold materialized its running output with
     * concat(acc, …), an O(n²) interpreted array copy per series (a
@@ -515,7 +522,9 @@ object Temporal {
     *
     * Same r15 O(n²)→O(n) fold rewrite as [[holtOf]] (this one also
     * copied the m-slot seasonal ring into every accumulated element);
-    * recurrence, init convention and idiv truncation identical. */
+    * recurrence, init convention and idiv truncation identical — and
+    * the same narrowed contract: pri is stringified, null d/cents rows
+    * are a caller error (see [[holtOf]]). */
   private[graft] def holtWintersOf(daily: DataFrame): DataFrame = {
     val spark = daily.sparkSession
     import spark.implicits._

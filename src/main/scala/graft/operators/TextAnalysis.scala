@@ -1464,6 +1464,14 @@ object TextAnalysis {
       .join(perDoc, "doc_id")
       .select(col("doc_id"), col("bucket"), (col("c") / col("m")).as("v"),
         col("y"))
+      // r16 (guide §2.4): pin the cached COO layout to hash(doc_id) —
+      // every GD step consumes feats keyed on doc_id (the z rollup's
+      // groupBy and the residual join), but the cache otherwise
+      // inherits whatever the build's last exchange produced (hash(doc_
+      // id, bucket) when AQE broadcasts the perDoc join), re-shuffling
+      // the corpus-sized COO frame TWICE per step. One exchange at
+      // build time serves all QcIters steps.
+      .repartition(col("doc_id"))
       .cache()
     val nd = feats.select(countDistinct("doc_id")).head().getLong(0).toDouble
     val docList = feats.select("doc_id", "y").distinct().cache()
