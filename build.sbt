@@ -67,4 +67,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.retainedStages=100",
   "-Dspark.ui.retainedTasks=5000",
   "-Dspark.sql.ui.retainedExecutions=20",
-)
+) ++
+  // diagnostics hook (r16): lets a profiling run attach GC/JIT logging
+  // (e.g. SPARK_GRAFT_EXTRA_JAVA_OPTS="-Xlog:gc*:file=/tmp/gc.log")
+  // without editing the build — empty and inert otherwise
+  sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS")
+    .map(_.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Nil)

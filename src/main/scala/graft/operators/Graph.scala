@@ -58,13 +58,26 @@ object Graph {
     val edges = e.select(col("s").as("src"), (col("c") + CustOffset).as("dst"))
       .union(e.select((col("c") + CustOffset).as("src"), col("s").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val nNodes = deg.count() // one narrow job, and the regime evidence
+    // r16 (guide §2.4/§3.1): two regimes from the MEASURED node count.
+    // Small-node regime (the shipped gates: nodes = suppliers+customers,
+    // dim-grain): edges cached pre-partitioned on the AGGREGATION key
+    // dst; each pass broadcast-joins the node-sized rank table
+    // (checkpointed so the broadcast builds from a materialized leaf,
+    // not a replay of prior passes) and the contribution rollup runs
+    // inside the existing hash(dst) layout — zero edge-grain exchanges
+    // per pass. Large-node regime: the r15 shape verbatim (edges
+    // partitioned on the JOIN key src; ranks + partial-agg contribs
+    // shuffle each pass).
+    val small = nNodes <= GraphBroadcastMaxNodes
     val edgesD = edges.join(deg, "src")
-      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-    val nNodes = deg.count() // one narrow job; also materializes the cache input
+      .repartition(if (small) col("dst") else col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val base = (PrScale * 15L / 100L) / nNodes
     var ranks = deg.select(col("src").as("node"), lit(PrScale / nNodes).as("r"))
     for (_ <- 1 to iters) {
-      ranks = edgesD.join(ranks, col("src") === col("node"))
+      val r = if (small) broadcast(ranks.localCheckpoint(true)) else ranks
+      ranks = edgesD.join(r, col("src") === col("node"))
         .selectExpr("dst", "((r * 85) DIV 100) DIV d AS contrib")
         .groupBy("dst").agg(sum("contrib").as("rc"))
         .select(col("dst").as("node"), (col("rc") + lit(base)).as("r"))
@@ -470,26 +483,64 @@ object Graph {
       .orderBy(desc("n_members"), asc("lbl")).limit(topK)
       .select(col("lbl").as("community"), col("n_members"))
 
+  /** Broadcast a per-pass node-grain table (ranks, labels) when it
+    * holds at most this many nodes. MEASURED bound (r16, back-to-back
+    * at calib 0.662 ≈ the driver-record window): at 165k nodes the
+    * broadcast regime wins big (q_pagerank 6.10→4.15 s — zero
+    * edge-grain exchanges per pass), at 1.65M nodes it LOSES
+    * (sf1_q_pagerank 11.2→14.9 s — the per-pass rank checkpoint +
+    * driver-side broadcast build outgrow the saved shuffles). 500k sits
+    * an order of magnitude under the measured loss point while keeping
+    * every dim-grain graph (parts, suppliers+customers at bench SF) in
+    * the winning regime; above it the shuffle regimes are the honest
+    * at-scale plan. */
+  val GraphBroadcastMaxNodes = 500000L
+
   /** LPA node→label fixpoint after [[LpaIters]] passes (shared by the
-    * census gate and [[modularity]]). */
+    * census gate and [[modularity]]).
+    *
+    * r16 (guide §2.4/§3.1): two regimes picked from a MEASURED node
+    * count, not estimates. Small-label regime (the shipped gates'
+    * shape — nodes = parts, dim-sized): edges cached pre-partitioned on
+    * the AGGREGATION key v; each pass broadcast-joins the node-sized
+    * label table (checkpointed per pass so the broadcast builds from a
+    * materialized leaf, not a replay of prior passes) and BOTH
+    * grouping stages run inside the existing hash(v) layout — zero
+    * edge-grain exchanges per pass (hash(v) subset-satisfies the
+    * (v, lbl) clustering, the dfjump trick). Previously every pass
+    * shuffled the partially-aggregated (v, lbl) frame (near edge-grain
+    * on early passes when neighbor labels haven't converged) plus a
+    * node-grain exchange. Large-label regime: the r15 shape, verbatim
+    * — edges partitioned on the JOIN key u, labels shuffle per pass. */
   private[graft] def lpaLabels(e: DataFrame): DataFrame = {
-    val edges = e.select(col("a").as("v"), col("b").as("u"))
+    val sym = e.select(col("a").as("v"), col("b").as("u"))
       .union(e.select(col("b").as("v"), col("a").as("u")))
-      .repartition(col("u")).persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("v").as("node")).distinct()
+    // cache in the v-layout FIRST, measure the node universe from the
+    // cached frame (an exchange-free distinct — never a replay of the
+    // pair-building subtree), and only then pick the regime; the large
+    // regime pays one repartition read from this cache, amortized over
+    // the per-pass wins it buys
+    val edgesV = sym.repartition(col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edgesV.select(col("v").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
+    val small = labels.count() <= GraphBroadcastMaxNodes
+    val edges = if (small) edgesV
+      else edgesV.repartition(col("u")).persist(StorageLevel.MEMORY_AND_DISK)
     for (_ <- 1 to LpaIters) {
       // per-node argmax as a struct-max AGGREGATION, not a window: both
       // grouping stages partial-aggregate map-side and neither sorts.
       // max(struct(c, -lbl)) = lexicographic (count desc, label asc) —
       // exactly the pinned tie-break
-      labels = edges.join(labels, col("u") === col("node"))
+      val lbl = if (small) broadcast(labels.localCheckpoint(true)) else labels
+      labels = edges.join(lbl, col("u") === col("node"))
         .groupBy("v", "lbl").agg(count(lit(1)).as("c"))
         .groupBy("v").agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("v").as("node"), (-col("m.nl")).as("lbl"))
     }
     val fin = labels.localCheckpoint(true)
-    edges.unpersist(false)
+    edgesV.unpersist(false)
+    if (!small) edges.unpersist(false)
     fin
   }
 
@@ -585,13 +636,19 @@ object Graph {
     val edges = e.select(col("a").as("src"), col("b").as("dst"))
       .union(e.select(col("b").as("src"), col("a").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-    val edgesD = edges.join(deg, "src")
-      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
     val nNodes = deg.count()
+    // same two-regime pick as pageRankPairs (r16, guide §2.4/§3.1):
+    // dst-layout + per-pass broadcast ranks when the node universe is
+    // measured small (callers bound it, e.g. a df-capped vocabulary)
+    val small = nNodes <= GraphBroadcastMaxNodes
+    val edgesD = edges.join(deg, "src")
+      .repartition(if (small) col("dst") else col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val base = (PrScale * 15L / 100L) / nNodes
     var ranks = deg.select(col("src").as("node"), lit(PrScale / nNodes).as("r"))
     for (_ <- 1 to PrIters) {
-      ranks = edgesD.join(ranks, col("src") === col("node"))
+      val r = if (small) broadcast(ranks.localCheckpoint(true)) else ranks
+      ranks = edgesD.join(r, col("src") === col("node"))
         .selectExpr("dst", "((r * 85) DIV 100) DIV d AS contrib")
         .groupBy("dst").agg(sum("contrib").as("rc"))
         .select(col("dst").as("node"), (col("rc") + lit(base)).as("r"))
