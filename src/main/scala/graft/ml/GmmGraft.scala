@@ -292,8 +292,17 @@ object GmmGraft {
             while (d < p) { xsBuf(src + d) = xFlat(src + d) * w; d += 1 }
             i2 += 1
           }
-          // rxxⱼ(upper) += Xs·Xsᵀ — rank-b update straight into the slab
-          blas.dsyrk("U", "N", p, b, 1.0, xsBuf, 0, p, 1.0, rxx, jj * p * p, p)
+          // rxxⱼ += Xs·Xsᵀ — rank-b update straight into the slab.
+          // r16 (MEASURED, BlasProbe): dgemm NT over the full p×p runs
+          // 2.78× FASTER in wall time than dsyrk's half-flop triangle —
+          // netlib 3.0.4's VectorBLAS overrides only daxpy/dscal, so
+          // dsyrk falls to the scalar Java8BLAS.dsyrkK loop
+          // (2.5 GFlop/s) while dgemm runs the blocked dgebp kernels
+          // (13.8 GFlop/s at this shape). The upper triangle is the
+          // same sum as dsyrk's; the post-reduce mirror step overwrites
+          // the lower half from the upper either way.
+          blas.dgemm("N", "T", p, p, b, 1.0, xsBuf, 0, p, xsBuf, 0, p,
+            1.0, rxx, jj * p * p, p)
           jj += 1
         }
       }

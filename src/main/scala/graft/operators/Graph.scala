@@ -683,7 +683,13 @@ object Graph {
   private[graft] def linkPredictPairs(e0: DataFrame, topK: Int): DataFrame = {
     val keepC = e0.groupBy("c").agg(count(lit(1)).as("cd"))
       .filter(col("cd") <= LinkPredMaxDeg).select("c")
+    // r16 (guide §2.4): cache pre-partitioned on the self-join key c —
+    // the pair enumeration below joins this frame to itself on c, and
+    // an unpartitioned cache paid an edge-grain exchange (plus SMJ
+    // sorts) inside the join; hash(c) on the cached layout makes both
+    // self-join sides read in place
     val e = e0.join(keepC, Seq("c"), "left_semi")
+      .repartition(col("c"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy("s").agg(count(lit(1)).as("d"))
     val common = e.select(col("c"), col("s").as("a"))
